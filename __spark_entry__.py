@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Exposes the engine's operator surface (SURVEY.md §2) as named queries with
+matching DuckDB oracle SQL. Spark implementations live in
+``external_benchmarks_spark``; this module wires them to the driver's
+testdata tables and generates the oracle SQL from the SAME Python
+constants (query vectors, hash coefficients, word lists) so both sides
+are definitionally in sync (SURVEY.md §5.3 determinism rules).
 """
 
 from __future__ import annotations
@@ -12,27 +13,816 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
+from external_benchmarks_spark.catalog import Catalog
+from external_benchmarks_spark.functions.hashing import (
+    MERSENNE_61,
+    minhash_params,
+)
+from external_benchmarks_spark.functions.text import (
+    LANG_MARKERS,
+    STOPWORDS,
+    BPE_TOKEN_REGEX,
+    avg_token_len,
+    bpe_token_count,
+    fingerprint,
+    lang_scores,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    token_count,
+)
+from external_benchmarks_spark.functions.vector import (
+    cosine_similarity,
+    l2_norm,
+)
+from external_benchmarks_spark.operators import sessions as sess_ops
+from external_benchmarks_spark.operators import stats as stats_ops
+from external_benchmarks_spark.operators.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup_groups,
+    minhash_lsh_candidates,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from external_benchmarks_spark.operators.similarity import (
+    bruteforce_topk,
+    lsh_bucketed_topk,
+    pairwise_cosine_stats,
+)
+from external_benchmarks_spark.operators.topk import (
+    filtered_vector_topk,
+    per_query_topk,
+)
+
+# ---------------------------------------------------------------------------
+# Shared constants (single source of truth for Spark AND oracle SQL)
+# ---------------------------------------------------------------------------
+
+EMB_DIM = 64
+# Fixed deterministic query vector: integers in [-6, 6] (exactly
+# representable — FIXTURES.md determinism rules).
+QVEC = [float((i * 37) % 13 - 6) for i in range(EMB_DIM)]
+
+MINHASH_K = 16
+MINHASH_BANDS = 4
+MH_PARAMS = minhash_params(MINHASH_K, seed=42)
+
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+# --- DuckDB SQL fragments mirroring functions/text.py + hashing.py ---------
+
+DUCK_TOKS = r"list_filter(regexp_split_to_array(lower(text), '\s+'), t -> len(t) > 0)"
+
+
+def _h32(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 8)) AS BIGINT)"
+
+
+def _vec_lit(vals) -> str:
+    return "CAST([" + ", ".join(repr(float(v)) for v in vals) + "] AS DOUBLE[])"
+
+
+def _in_list(words) -> str:
+    return "(" + ", ".join(f"'{w}'" for w in words) + ")"
+
+
+QVEC_SQL = _vec_lit(QVEC)
+EMB_DBL = "CAST(embedding AS DOUBLE[])"
+
+
+# ---------------------------------------------------------------------------
+# entry: flagship query (driver smoke check at sf0.001)
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the reference's benchmark query (README.md:72-83) —
+    metadata filter -> dot-product score -> top-100 -> key.
 
+    Uses the Arrow/numpy fast path for scoring (the 100 TB hot loop).
+    """
+    cat = Catalog(spark, "/root/testdata/sf0.001")
+    return filtered_vector_topk(
+        cat.embeddings,
+        qvec=QVEC,
+        predicate=F.col("label").isin(0, 1, 2),
+        k=100,
+        key_col="vec_id",
+        emb_col="embedding",
+        use_arrow_fast_path=True,
+        extra_cols=("label",),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational surface (SURVEY.md §2.9 O1-O17)
+# ---------------------------------------------------------------------------
+
+def q_count_star(spark, sf):
+    return Catalog(spark, sf).lineitem.agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def q_group_share_topn(spark, sf):
+    return stats_ops.group_share_topn(Catalog(spark, sf).orders, "o_orderpriority", 10)
+
+
+def q_numeric_summary(spark, sf):
+    return stats_ops.numeric_summary(Catalog(spark, sf).lineitem, "l_extendedprice")
+
+
+def q_text_length_stats(spark, sf):
+    return stats_ops.text_length_stats(Catalog(spark, sf).part, "p_name")
+
+
+def q_selective_filter(spark, sf):
+    o = Catalog(spark, sf).orders
+    return (
+        o.filter(
+            (F.col("o_totalprice") <= 50000.0)
+            & (F.col("o_custkey") > 1000)
+            & (F.col("o_orderpriority") == "1-URGENT")
+        )
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+def q_inlist_filter(spark, sf):
+    n = Catalog(spark, sf).nation
+    return n.filter(
+        F.col("n_name").isin("NATION_3", "NATION_7", "NATION_11")
+    ).select("n_nationkey", "n_name")
+
+
+def q_global_topk(spark, sf):
+    li = Catalog(spark, sf).lineitem
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber"))
+        .limit(100)
+    )
+
+
+def q_window_topk(spark, sf):
+    c = Catalog(spark, sf).customer
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        c.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("c_nationkey", "c_custkey", "c_acctbal", "rn")
+    )
+
+
+def q_join_agg(spark, sf):
+    cat = Catalog(spark, sf)
+    joined = (
+        cat.orders.join(cat.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cat.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+def q_semi_join(spark, sf):
+    cat = Catalog(spark, sf)
+    return cat.customer.join(
+        cat.orders, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    ).select("c_custkey")
+
+
+def q_anti_join(spark, sf):
+    cat = Catalog(spark, sf)
+    return cat.customer.join(
+        cat.orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey")
+
+
+def q_histogram(spark, sf):
+    return stats_ops.histogram(Catalog(spark, sf).lineitem, "l_quantity", 0.0, 50.0, 25)
+
+
+def q_distinct_count(spark, sf):
+    return stats_ops.distinct_count(Catalog(spark, sf).part, "p_brand")
+
+
+def q_exact_median(spark, sf):
+    return stats_ops.exact_median(Catalog(spark, sf).lineitem, "l_quantity")
+
+
+def q_correlation(spark, sf):
+    return stats_ops.correlation(Catalog(spark, sf).lineitem, "l_quantity", "l_extendedprice")
+
+
+def q_except_setop(spark, sf):
+    cat = Catalog(spark, sf)
+    return cat.customer.select(F.col("c_nationkey").alias("nationkey")).subtract(
+        cat.supplier.select(F.col("s_nationkey").alias("nationkey"))
+    )
+
+
+def q_intersect_setop(spark, sf):
+    cat = Catalog(spark, sf)
+    return cat.customer.select(F.col("c_nationkey").alias("nationkey")).intersect(
+        cat.supplier.select(F.col("s_nationkey").alias("nationkey"))
+    )
+
+
+def q_rollup_agg(spark, sf):
+    n = Catalog(spark, sf).nation
+    return (
+        n.rollup("n_regionkey", "n_name")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.coalesce(F.col("n_regionkey").cast("string"), F.lit("ALL")).alias("regionkey"),
+            F.coalesce(F.col("n_name"), F.lit("ALL")).alias("name"),
+            "cnt",
+        )
+    )
+
+
+def q_cube_agg(spark, sf):
+    li = Catalog(spark, sf).lineitem
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            "cnt",
+            "sum_qty",
+        )
+    )
+
+
+def q_deterministic_sample(spark, sf):
+    li = Catalog(spark, sf).lineitem
+    return li.filter((F.col("l_orderkey") % 97) < 10).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def q_stratified_sample(spark, sf):
+    li = Catalog(spark, sf).lineitem
+    return (
+        li.filter((F.col("l_orderkey") % 10) == 0)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("sampled_cnt"))
+    )
+
+
+def q_derived_tiers(spark, sf):
+    # Derived categorical production — the reference's rating_tier pattern
+    # (reports/summary_report.md:26-31) applied to customer balances.
+    c = Catalog(spark, sf).customer
+    tier = (
+        F.when(F.col("c_acctbal") >= 7500.0, F.lit("excellent"))
+        .when(F.col("c_acctbal") >= 5000.0, F.lit("high"))
+        .when(F.col("c_acctbal") >= 0.0, F.lit("medium"))
+        .otherwise(F.lit("low"))
+    )
+    return c.groupBy(tier.alias("tier")).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def q_null_profile(spark, sf):
+    return stats_ops.null_profile(Catalog(spark, sf).orders)
+
+
+# ---------------------------------------------------------------------------
+# Vector surface (O18-O19 + ANN + near-dup)
+# ---------------------------------------------------------------------------
+
+def q_dot_topk(spark, sf):
+    # Oracle-parity form (exact Catalyst HOFs); entry() uses the Arrow path.
+    return filtered_vector_topk(
+        Catalog(spark, sf).embeddings,
+        qvec=QVEC,
+        predicate=None,
+        k=100,
+        use_arrow_fast_path=False,
+    )
+
+
+def q_l2_norm(spark, sf):
+    e = Catalog(spark, sf).embeddings
+    return e.select("vec_id", l2_norm("embedding").alias("l2"))
+
+
+def q_ann_bruteforce(spark, sf):
+    return bruteforce_topk(Catalog(spark, sf).embeddings, QVEC, k=10, metric="cosine")
+
+
+def q_multi_query_topk(spark, sf):
+    e = Catalog(spark, sf).embeddings
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    out = per_query_topk(e, queries, k=10, item_key="vec_id")
+    return out.select(
+        "query_id", "vec_id", "score", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def q_embedding_neardup(spark, sf):
+    return embedding_neardup_pairs(
+        Catalog(spark, sf).embeddings, block_col="label", threshold=0.2
+    )
+
+
+def q_pairwise_cosine_stats(spark, sf):
+    e = Catalog(spark, sf).embeddings.filter(F.col("vec_id") < 200)
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    pairs = a.crossJoin(F.broadcast(b)).filter(F.col("id_a") < F.col("id_b"))
+    cos = cosine_similarity("ea", "eb")
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.avg(cos), 6).alias("mean_cos"),
+        F.round(F.stddev_samp(cos), 6).alias("std_cos"),
+        F.round(F.min(cos), 6).alias("min_cos"),
+        F.round(F.max(cos), 6).alias("max_cos"),
+    )
+
+
+def q_lsh_ann_topk(spark, sf):
+    # Approximate path — no SQL oracle (driver records rows-only check);
+    # recall vs q_ann_bruteforce is asserted in tests/test_similarity.py.
+    return lsh_bucketed_topk(
+        Catalog(spark, sf).embeddings, QVEC, k=10, n_planes=8, min_matching_bits=5
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup / text-analysis surface (documents table)
+# ---------------------------------------------------------------------------
+
+def q_exact_dedup(spark, sf):
+    return exact_dedup_groups(Catalog(spark, sf).documents)
+
+
+def q_ngram_jaccard(spark, sf):
+    return ngram_jaccard_pairs(
+        Catalog(spark, sf).documents, block_col="lang", n=3, threshold=0.05
+    )
+
+
+def q_minhash_signature(spark, sf):
+    return minhash_signature(
+        Catalog(spark, sf).documents, num_hashes=MINHASH_K, seed=42
+    )
+
+
+def q_minhash_lsh_pairs(spark, sf):
+    return minhash_lsh_candidates(
+        Catalog(spark, sf).documents,
+        num_hashes=MINHASH_K,
+        bands=MINHASH_BANDS,
+        seed=42,
+    )
+
+
+def q_simhash(spark, sf):
+    return simhash(Catalog(spark, sf).documents, bits=32)
+
+
+def q_lang_id(spark, sf):
+    d = Catalog(spark, sf).documents
+    scores = lang_scores(F.col("text"))
+    best = F.greatest(*scores.values())
+    pred = F.lit("und")
+    for lang in sorted(scores, reverse=True):
+        pred = F.when((best > 0) & (scores[lang] == best), F.lit(lang)).otherwise(pred)
+    cols = [F.col("doc_id")]
+    cols += [scores[lang].cast("long").alias(f"score_{lang}") for lang in sorted(scores)]
+    cols.append(pred.alias("predicted"))
+    return d.select(*cols)
+
+
+def q_text_quality(spark, sf):
+    d = Catalog(spark, sf).documents
+    # Raw doubles (no ROUND): all inputs are exact ints, so identical
+    # IEEE op order makes both engines bit-identical; rounding would hit
+    # engine-specific half-way behavior on terminating decimals.
+    return d.select(
+        "doc_id",
+        token_count("text").cast("long").alias("n_tokens"),
+        avg_token_len("text").alias("avg_token_len"),
+        punct_ratio("text").alias("punct_ratio"),
+        stopword_ratio("text").alias("stopword_ratio"),
+        quality_score("text").alias("quality"),
+    )
+
+
+def q_fingerprint(spark, sf):
+    d = Catalog(spark, sf).documents
+    return d.select("doc_id", fingerprint("text").alias("fingerprint"))
+
+
+def q_token_stats(spark, sf):
+    d = Catalog(spark, sf).documents
+    return d.select(
+        "doc_id",
+        token_count("text").cast("long").alias("n_tokens"),
+        bpe_token_count("text").cast("long").alias("n_bpe_tokens"),
+        F.length("text").cast("long").alias("n_chars_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Events surface (windowed agg, sessionization, as-of)
+# ---------------------------------------------------------------------------
+
+def q_events_hourly(spark, sf):
+    return sess_ops.hourly_rollup(Catalog(spark, sf).events)
+
+
+def q_sessionize(spark, sf):
+    return sess_ops.sessionize(
+        Catalog(spark, sf).events, ts_col="ts_us", gap=SESSION_GAP_US
+    )
+
+
+def q_asof_last_event(spark, sf):
+    return sess_ops.last_event_before(Catalog(spark, sf).events, "purchase")
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "count_star": q_count_star,
+        "group_share_topn": q_group_share_topn,
+        "numeric_summary": q_numeric_summary,
+        "text_length_stats": q_text_length_stats,
+        "selective_filter": q_selective_filter,
+        "inlist_filter": q_inlist_filter,
+        "global_topk": q_global_topk,
+        "window_topk": q_window_topk,
+        "join_agg": q_join_agg,
+        "semi_join": q_semi_join,
+        "anti_join": q_anti_join,
+        "histogram": q_histogram,
+        "distinct_count": q_distinct_count,
+        "exact_median": q_exact_median,
+        "correlation": q_correlation,
+        "except_setop": q_except_setop,
+        "intersect_setop": q_intersect_setop,
+        "rollup_agg": q_rollup_agg,
+        "cube_agg": q_cube_agg,
+        "deterministic_sample": q_deterministic_sample,
+        "stratified_sample": q_stratified_sample,
+        "derived_tiers": q_derived_tiers,
+        "null_profile": q_null_profile,
+        "dot_topk": q_dot_topk,
+        "l2_norm": q_l2_norm,
+        "ann_bruteforce": q_ann_bruteforce,
+        "multi_query_topk": q_multi_query_topk,
+        "embedding_neardup": q_embedding_neardup,
+        "pairwise_cosine_stats": q_pairwise_cosine_stats,
+        "lsh_ann_topk": q_lsh_ann_topk,
+        "exact_dedup": q_exact_dedup,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_signature": q_minhash_signature,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash": q_simhash,
+        "lang_id": q_lang_id,
+        "text_quality": q_text_quality,
+        "fingerprint": q_fingerprint,
+        "token_stats": q_token_stats,
+        "events_hourly": q_events_hourly,
+        "sessionize": q_sessionize,
+        "asof_last_event": q_asof_last_event,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL — generated from the same constants
+# ---------------------------------------------------------------------------
+
+def _minhash_sig_exprs(toks_expr: str) -> list[str]:
+    th = f"list_transform({toks_expr}, t -> {_h32('t')})"
+    return [
+        f"list_min(list_transform({th}, h -> (h * {a} + {b}) % {MERSENNE_61})) AS mh{j}"
+        for j, (a, b) in enumerate(MH_PARAMS)
+    ]
+
+
+def _simhash_sql() -> str:
+    th = f"list_transform(list_distinct({DUCK_TOKS}), t -> {_h32('t')})"
+    bits = " + ".join(
+        f"CASE WHEN list_sum(list_transform(th, h -> CASE WHEN (h >> {i}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END)) > 0 THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for i in range(32)
+    )
+    return f"""
+        WITH t AS (SELECT doc_id, {th} AS th FROM documents)
+        SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM t
     """
-    return {}
+
+
+def _lang_id_sql() -> str:
+    score_cols = ", ".join(
+        f"CAST(len(list_filter(toks, t -> t IN {_in_list(m)})) AS BIGINT) AS score_{lang}"
+        for lang, m in LANG_MARKERS.items()
+    )
+    langs = sorted(LANG_MARKERS)
+    best = "GREATEST(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    cases = " ".join(
+        f"WHEN score_{lang} = {best} THEN '{lang}'" for lang in langs
+    )
+    return f"""
+        WITH t AS (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents),
+        s AS (SELECT doc_id, {score_cols} FROM t)
+        SELECT doc_id, score_de, score_en, score_es, score_fr,
+               CASE WHEN {best} = 0 THEN 'und' {cases} ELSE 'und' END AS predicted
+        FROM s
+    """
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stop_list = _in_list(STOPWORDS)
+    mh_sig = ", ".join(_minhash_sig_exprs(f"list_distinct({DUCK_TOKS})"))
+    rows_per_band = MINHASH_K // MINHASH_BANDS
+    band_selects = []
+    for b in range(MINHASH_BANDS):
+        parts = ", ".join(
+            f"CAST(mh{b * rows_per_band + r} AS VARCHAR)" for r in range(rows_per_band)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, md5(concat_ws(',', {parts})) AS bh FROM sig"
+        )
+    band_union = " UNION ALL ".join(band_selects)
+
+    return {
+        "count_star": "SELECT COUNT(*) AS cnt FROM lineitem",
+        "group_share_topn": """
+            SELECT o_orderpriority, COUNT(*) AS cnt,
+                   ROUND(COUNT(*) * 100.0 / (SELECT COUNT(*) FROM orders), 2) AS pct
+            FROM orders GROUP BY o_orderpriority
+            ORDER BY cnt DESC, o_orderpriority LIMIT 10
+        """,
+        "numeric_summary": """
+            SELECT COUNT(l_extendedprice) AS cnt,
+                   ROUND(AVG(l_extendedprice), 6) AS avg_val,
+                   ROUND(MIN(l_extendedprice), 6) AS min_val,
+                   ROUND(MAX(l_extendedprice), 6) AS max_val,
+                   ROUND(STDDEV_SAMP(l_extendedprice), 6) AS stddev_val,
+                   COUNT(*) - COUNT(l_extendedprice) AS null_cnt
+            FROM lineitem
+        """,
+        "text_length_stats": """
+            SELECT ROUND(AVG(LENGTH(p_name)), 6) AS avg_len,
+                   CAST(MIN(LENGTH(p_name)) AS INTEGER) AS min_len,
+                   CAST(MAX(LENGTH(p_name)) AS INTEGER) AS max_len
+            FROM part WHERE p_name IS NOT NULL
+        """,
+        "selective_filter": """
+            SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            WHERE o_totalprice <= 50000.0 AND o_custkey > 1000
+              AND o_orderpriority = '1-URGENT'
+        """,
+        "inlist_filter": """
+            SELECT n_nationkey, n_name FROM nation
+            WHERE n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
+        """,
+        "global_topk": """
+            SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+            ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100
+        """,
+        "window_topk": """
+            SELECT c_nationkey, c_custkey, c_acctbal, rn FROM (
+              SELECT c_nationkey, c_custkey, c_acctbal,
+                     CAST(row_number() OVER (PARTITION BY c_nationkey
+                          ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS rn
+              FROM customer) WHERE rn <= 3
+        """,
+        "join_agg": """
+            SELECT n_name, COUNT(*) AS cnt, ROUND(SUM(o_totalprice), 2) AS revenue
+            FROM orders JOIN customer ON o_custkey = c_custkey
+                        JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "semi_join": """
+            SELECT c_custkey FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "anti_join": """
+            SELECT c_custkey FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "histogram": """
+            SELECT LEAST(GREATEST(CAST(FLOOR((l_quantity - 0.0) / 2.0) AS BIGINT), 0), 24) AS bucket,
+                   COUNT(*) AS cnt
+            FROM lineitem WHERE l_quantity IS NOT NULL
+            GROUP BY bucket ORDER BY bucket
+        """,
+        "distinct_count": "SELECT COUNT(DISTINCT p_brand) AS distinct_cnt FROM part",
+        "exact_median": """
+            SELECT ROUND(CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE), 6) AS median_val
+            FROM lineitem
+        """,
+        "correlation": """
+            SELECT ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_val FROM lineitem
+        """,
+        "except_setop": """
+            SELECT c_nationkey AS nationkey FROM customer
+            EXCEPT SELECT s_nationkey FROM supplier
+        """,
+        "intersect_setop": """
+            SELECT c_nationkey AS nationkey FROM customer
+            INTERSECT SELECT s_nationkey FROM supplier
+        """,
+        "rollup_agg": """
+            SELECT COALESCE(CAST(n_regionkey AS VARCHAR), 'ALL') AS regionkey,
+                   COALESCE(n_name, 'ALL') AS name, COUNT(*) AS cnt
+            FROM nation GROUP BY ROLLUP(n_regionkey, n_name)
+        """,
+        "cube_agg": """
+            SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+                   COALESCE(l_linestatus, 'ALL') AS linestatus,
+                   COUNT(*) AS cnt, ROUND(SUM(l_quantity), 4) AS sum_qty
+            FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        """,
+        "deterministic_sample": """
+            SELECT COUNT(*) AS cnt FROM lineitem WHERE l_orderkey % 97 < 10
+        """,
+        "stratified_sample": """
+            SELECT l_returnflag, COUNT(*) AS sampled_cnt FROM lineitem
+            WHERE l_orderkey % 10 = 0 GROUP BY l_returnflag
+        """,
+        "derived_tiers": """
+            SELECT CASE WHEN c_acctbal >= 7500.0 THEN 'excellent'
+                        WHEN c_acctbal >= 5000.0 THEN 'high'
+                        WHEN c_acctbal >= 0.0 THEN 'medium'
+                        ELSE 'low' END AS tier,
+                   COUNT(*) AS cnt
+            FROM customer GROUP BY tier
+        """,
+        "null_profile": """
+            SELECT CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_orderkey_nulls,
+                   CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_custkey_nulls,
+                   CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_orderstatus_nulls,
+                   CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_totalprice_nulls,
+                   CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_orderdate_nulls,
+                   CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_orderpriority_nulls
+            FROM orders
+        """,
+        "dot_topk": f"""
+            SELECT vec_id, list_dot_product({EMB_DBL}, {QVEC_SQL}) AS score
+            FROM embeddings
+            ORDER BY score DESC, vec_id LIMIT 100
+        """,
+        "l2_norm": f"""
+            SELECT vec_id, sqrt(list_dot_product({EMB_DBL}, {EMB_DBL})) AS l2
+            FROM embeddings
+        """,
+        "ann_bruteforce": f"""
+            WITH s AS (
+              SELECT vec_id,
+                     list_dot_product({EMB_DBL}, {QVEC_SQL})
+                       / (sqrt(list_dot_product({EMB_DBL}, {EMB_DBL})) * {repr(sum(v * v for v in QVEC) ** 0.5)}) AS score
+              FROM embeddings)
+            SELECT vec_id, score FROM s
+            ORDER BY score DESC, vec_id LIMIT 10
+        """,
+        "multi_query_topk": f"""
+            WITH q AS (SELECT vec_id AS query_id, {EMB_DBL} AS qv FROM embeddings WHERE vec_id < 5),
+            s AS (SELECT q.query_id, e.vec_id,
+                         list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv) AS score
+                  FROM embeddings e CROSS JOIN q),
+            r AS (SELECT query_id, vec_id, score,
+                         CAST(row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, vec_id) AS BIGINT) AS rank
+                  FROM s)
+            SELECT query_id, vec_id, score, rank FROM r WHERE rank <= 10
+        """,
+        "embedding_neardup": """
+            WITH p AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+                       / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                          * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) AS cosine
+              FROM embeddings a JOIN embeddings b
+                ON a.label = b.label AND a.vec_id < b.vec_id)
+            SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.2
+        """,
+        "pairwise_cosine_stats": f"""
+            WITH e AS (SELECT vec_id, {EMB_DBL} AS v FROM embeddings WHERE vec_id < 200),
+            p AS (SELECT list_dot_product(a.v, b.v)
+                         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+                  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+            SELECT COUNT(*) AS n_pairs, ROUND(AVG(cos), 6) AS mean_cos,
+                   ROUND(STDDEV_SAMP(cos), 6) AS std_cos,
+                   ROUND(MIN(cos), 6) AS min_cos, ROUND(MAX(cos), 6) AS max_cos
+            FROM p
+        """,
+        "exact_dedup": """
+            SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper_id, COUNT(*) AS dup_count
+            FROM documents GROUP BY md5(text)
+        """,
+        "ngram_jaccard": f"""
+            WITH t AS (
+              SELECT doc_id, lang, {DUCK_TOKS} AS toks FROM documents),
+            sh AS (
+              SELECT doc_id, lang,
+                     list_distinct(list_transform(range(len(toks) - 2),
+                       i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3])) AS s
+              FROM t WHERE len(toks) >= 3),
+            p AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                       / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS jaccard
+              FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+              WHERE len(a.s) > 0 AND len(b.s) > 0)
+            SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.05
+        """,
+        "minhash_signature": f"""
+            SELECT doc_id, {mh_sig} FROM documents
+        """,
+        "minhash_lsh_pairs": f"""
+            WITH sig AS (SELECT doc_id, {mh_sig} FROM documents),
+            bands AS ({band_union}),
+            pairs AS (
+              SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b
+              FROM bands a JOIN bands bb ON a.band = bb.band AND a.bh = bb.bh
+                           AND a.doc_id < bb.doc_id)
+            SELECT id_a, id_b FROM pairs
+        """,
+        "simhash": _simhash_sql(),
+        "lang_id": _lang_id_sql(),
+        "text_quality": f"""
+            WITH t AS (SELECT doc_id, text, {DUCK_TOKS} AS toks FROM documents),
+            m AS (SELECT doc_id,
+                         CAST(len(toks) AS BIGINT) AS n_tokens,
+                         CASE WHEN len(toks) > 0 THEN
+                           CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE) / len(toks)
+                         ELSE 0.0 END AS atl,
+                         CASE WHEN len(text) > 0 THEN
+                           CAST(len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / len(text)
+                         ELSE 0.0 END AS pr,
+                         CASE WHEN len(toks) > 0 THEN
+                           CAST(len(list_filter(toks, t -> t IN {stop_list})) AS DOUBLE) / len(toks)
+                         ELSE 0.0 END AS sr
+                  FROM t)
+            SELECT doc_id, n_tokens, atl AS avg_token_len,
+                   pr AS punct_ratio, sr AS stopword_ratio,
+                   0.5 * LEAST(CAST(n_tokens AS DOUBLE), 100.0) / 100.0
+                     + 0.3 * (1.0 - pr)
+                     + 0.2 * LEAST(atl, 8.0) / 8.0 AS quality
+            FROM m
+        """,
+        "fingerprint": f"""
+            SELECT doc_id,
+                   md5(array_to_string(list_sort(list_distinct({DUCK_TOKS})), ' ')) AS fingerprint
+            FROM documents
+        """,
+        "token_stats": rf"""
+            SELECT doc_id,
+                   CAST(len({DUCK_TOKS}) AS BIGINT) AS n_tokens,
+                   CAST(len(regexp_extract_all(text, '{BPE_TOKEN_REGEX}')) AS BIGINT) AS n_bpe_tokens,
+                   CAST(LENGTH(text) AS BIGINT) AS n_chars_len
+            FROM documents
+        """,
+        "events_hourly": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+                   event_type, COUNT(*) AS cnt,
+                   ROUND(SUM(value), 4) AS sum_value, ROUND(AVG(value), 6) AS avg_value
+            FROM events GROUP BY 1, 2
+        """,
+        "sessionize": f"""
+            WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events),
+            flags AS (
+              SELECT user_id, tsu, event_id,
+                     CASE WHEN lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) IS NULL
+                            OR tsu - lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) > {SESSION_GAP_US}
+                          THEN 1 ELSE 0 END AS new_s
+              FROM e),
+            sess AS (
+              SELECT user_id,
+                     SUM(new_s) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+              FROM flags),
+            per AS (SELECT user_id, session_id, COUNT(*) AS n_events FROM sess GROUP BY 1, 2)
+            SELECT user_id, COUNT(*) AS n_sessions,
+                   CAST(MAX(n_events) AS BIGINT) AS max_session_events,
+                   CAST(SUM(n_events) AS BIGINT) AS total_events
+            FROM per GROUP BY user_id
+        """,
+        "asof_last_event": """
+            SELECT event_id, user_id,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+                   strftime(MAX(CASE WHEN event_type = 'purchase' THEN ts END)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                     '%Y-%m-%d %H:%M:%S') AS last_purchase_ts
+            FROM events
+        """,
+    }

@@ -1,0 +1,82 @@
+"""Dataset registry: logical name -> parquet path -> DataFrame / temp view.
+
+Mirrors the reference's dataset registry (a dict of scale-variant name to
+parquet filename, reference scripts/generate_benchmark_reports.py:44-49)
+but generalized: a catalog is rooted at a directory and every ``<name>``
+resolves to ``<root>/<name>.parquet``.
+
+At 100 TB the "file" would be a partitioned parquet/Delta directory; the
+API is unchanged because ``spark.read.parquet`` takes either.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+# Tables the driver's testdata provides (TESTDATA.md).
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def _normalize_events(df: DataFrame) -> DataFrame:
+    """events.ts arrives as ns-since-epoch long (nanosAsLong); expose both
+    ``ts_ns`` (exact long) and ``ts`` (microsecond timestamp, ns//1000 —
+    bit-identical to what DuckDB's parquet reader produces)."""
+    from pyspark.sql import functions as F
+
+    if dict(df.dtypes).get("ts") == "bigint":
+        # Integer division (DIV), not float division: ts_ns ~ 1.7e18 exceeds
+        # double's 53-bit mantissa, so `/ 1000` would misround microseconds.
+        df = (
+            df.withColumnRenamed("ts", "ts_ns")
+            .withColumn("ts_us", F.expr("ts_ns DIV 1000"))
+            .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+        )
+    return df
+
+
+class Catalog:
+    """Logical-name -> DataFrame resolver over a directory of parquet tables."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self._cache: dict[str, DataFrame] = {}
+
+    def path(self, name: str) -> str:
+        return os.path.join(self.root, f"{name}.parquet")
+
+    def table(self, name: str) -> DataFrame:
+        if name not in self._cache:
+            df = self.spark.read.parquet(self.path(name))
+            if name == "events":
+                df = _normalize_events(df)
+            self._cache[name] = df
+        return self._cache[name]
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name in TESTDATA_TABLES:
+            return self.table(name)
+        raise AttributeError(name)
+
+    def register_views(self, names: tuple[str, ...] = TESTDATA_TABLES) -> None:
+        """Register each table as a temp view so spark.sql() can see them."""
+        for name in names:
+            if os.path.exists(self.path(name)):
+                self.table(name).createOrReplaceTempView(name)
+
+
+def load_catalog(spark: SparkSession, sf_dir: str) -> Catalog:
+    return Catalog(spark, sf_dir)

@@ -1,0 +1,234 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five families (BASELINE.json north star), all shuffle-bounded and
+driver-free so they scale to 100 TB:
+
+- exact          : md5(content) groupBy — one shuffle on a 16-byte key.
+- minhash + LSH  : shingle -> k minhashes -> b bands -> bucket self-join.
+                   Candidate pairs only ever materialize per-bucket, so the
+                   quadratic blowup is bounded by bucket size, not table
+                   size.
+- simhash        : 32-bit weighted-majority fingerprint; near-dups share
+                   the fingerprint (or a band of it).
+- n-gram Jaccard : exact verification on candidate pairs (or blocked pairs).
+- embedding      : cosine >= tau within blocking key (see similarity.py for
+                   the ANN variant).
+
+Hashing uses the md5-based cross-engine hash (functions/hashing.py) so all
+integer outputs hash-match the DuckDB oracle exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from external_benchmarks_spark.functions.hashing import (
+    MERSENNE_61,
+    md5_hash32,
+    minhash_params,
+)
+from external_benchmarks_spark.functions.text import tokens
+from external_benchmarks_spark.functions.vector import cosine_similarity
+
+
+def exact_dedup_groups(
+    df: DataFrame, content_col: str = "text", key_col: str = "doc_id"
+) -> DataFrame:
+    """Exact-duplicate groups: (content hash, keeper id, dup count).
+
+    groupBy on md5(content) — the canonical exact-dedup at any scale; the
+    shuffle key is the 32-char digest, not the (possibly huge) content.
+    """
+    return (
+        df.groupBy(F.md5(F.col(content_col)).alias("text_hash"))
+        .agg(
+            F.min(key_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles as strings ('w1 w2 w3')."""
+    toks = tokens(text)
+    idx = F.sequence(F.lit(0), F.size(toks) - n)  # empty when size < n
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    block_col: str,
+    key_col: str = "doc_id",
+    content_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Pairwise n-gram-set Jaccard within a blocking key.
+
+    Blocking (same ``block_col``) keeps the self-join linear-ish: pairs
+    explode only within blocks. At 100 TB the block key is an LSH band
+    (see minhash_lsh_candidates) instead of a metadata column.
+    """
+    sh = F.array_distinct(word_shingles(content_col, n))
+    left = df.select(
+        F.col(key_col).alias("id_a"),
+        F.col(block_col).alias("_blk"),
+        sh.alias("sh_a"),
+    ).filter(F.size("sh_a") > 0)
+    right = df.select(
+        F.col(key_col).alias("id_b"),
+        F.col(block_col).alias("_blk"),
+        sh.alias("sh_b"),
+    ).filter(F.size("sh_b") > 0)
+    pairs = left.join(right, "_blk").filter(F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    # Raw double output: inter/union are exact ints, so the division is
+    # bit-identical in any IEEE engine — rounding would only introduce
+    # engine-specific half-way behavior (SURVEY.md §5.3).
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        pairs.select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signature(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    content_col: str = "text",
+    num_hashes: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash signature columns mh0..mh{k-1} per document.
+
+    h_j(doc) = min over tokens t of (a_j * H(t) + b_j) mod p, with H the
+    cross-engine 32-bit md5 hash — integer-exact, oracle-matchable.
+    Computed as array HOFs over the token list: no explode, no shuffle.
+    """
+    toks = F.array_distinct(tokens(F.col(content_col)))
+    token_hash = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint")
+    )
+    def perm_min(a: int, b: int) -> Column:
+        # Closure factory (not default-arg lambdas: PySpark would read a
+        # multi-arg lambda as the (element, index) HOF form).
+        return F.array_min(
+            F.transform(token_hash, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE_61))
+        )
+
+    cols = [F.col(key_col)]
+    for j, (a, b) in enumerate(minhash_params(num_hashes, seed)):
+        cols.append(perm_min(a, b).alias(f"mh{j}"))
+    return df.select(*cols)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    content_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing >= 1 LSH band.
+
+    Signature -> b bands of r=k/b minhashes -> band-value equality
+    self-join -> distinct pairs. The join key is (band_idx, band hash), so
+    the shuffle is uniform and the pair explosion is bounded per bucket —
+    the standard web-scale MinHash-LSH layout.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(df, key_col, content_col, num_hashes, seed)
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(",", *[p.cast("string") for p in parts])).alias("bh"),
+            )
+        )
+    exploded = sig.select(
+        F.col(key_col), F.explode(F.array(*band_cols)).alias("bb")
+    ).select(key_col, "bb.band", "bb.bh")
+    a = exploded.select(
+        F.col(key_col).alias("id_a"), "band", "bh"
+    )
+    b_side = exploded.select(F.col(key_col).alias("id_b"), "band", "bh")
+    return (
+        a.join(b_side, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def simhash(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    content_col: str = "text",
+    bits: int = 32,
+) -> DataFrame:
+    """SimHash fingerprint: per-bit majority vote over token hashes.
+
+    For each bit i, sum +1/-1 over tokens by whether bit i of H(token) is
+    set; fingerprint bit i = (sum > 0). All array HOFs — no explode —
+    and integer-exact for the oracle.
+    """
+    toks = F.array_distinct(tokens(F.col(content_col)))
+    token_hash = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint")
+    )
+    def bit_votes(i: int) -> Column:
+        return F.aggregate(
+            token_hash,
+            F.lit(0).cast("bigint"),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, i) % 2 == 1, F.lit(1)).otherwise(F.lit(-1)),
+        )
+
+    fp = F.lit(0).cast("bigint")
+    for i in range(bits):
+        fp = fp + F.when(bit_votes(i) > 0, F.lit(1 << i).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+    return df.select(F.col(key_col), fp.alias("simhash"))
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    block_col: str,
+    key_col: str = "vec_id",
+    emb_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within a blocking key.
+
+    Exact within-block verification; at 100 TB the block key comes from an
+    LSH/IVF assignment (similarity.py) rather than a metadata column.
+    """
+    a = df.select(
+        F.col(key_col).alias("id_a"),
+        F.col(block_col).alias("_blk"),
+        F.col(emb_col).alias("emb_a"),
+    )
+    b = df.select(
+        F.col(key_col).alias("id_b"),
+        F.col(block_col).alias("_blk"),
+        F.col(emb_col).alias("emb_b"),
+    )
+    pairs = a.join(b, "_blk").filter(F.col("id_a") < F.col("id_b"))
+    cos = cosine_similarity("emb_a", "emb_b")
+    return pairs.select("id_a", "id_b", cos.alias("cosine")).filter(
+        F.col("cosine") >= threshold
+    )

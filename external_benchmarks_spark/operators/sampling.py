@@ -1,0 +1,40 @@
+"""Sampling & dataset-variant production.
+
+The reference produces 10k/100k/1M variants from 10M "via uniform
+sampling" (README.md:13,22). Two forms:
+
+- ``uniform_sample``       : seeded Bernoulli df.sample — the production
+                             path (per-partition, no shuffle).
+- ``deterministic_sample`` : key-modulus filter — engine-independent, used
+                             wherever output must hash-match an oracle
+                             (engine RNGs never agree; SURVEY.md §5.3/O17).
+- ``stratified_sample_mod``: per-stratum modulus sample (distribution-
+                             preserving, the property the reference
+                             validates across scales,
+                             reports/summary_report.md:42-46).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def uniform_sample(df: DataFrame, fraction: float, seed: int = 42) -> DataFrame:
+    return df.sample(fraction=fraction, seed=seed)
+
+
+def deterministic_sample(df: DataFrame, key_col: str, modulus: int, keep: int) -> DataFrame:
+    """Keep rows where key % modulus < keep — identical in any engine."""
+    return df.filter((F.col(key_col) % modulus) < keep)
+
+
+def stratified_sample_mod(
+    df: DataFrame, stratum_col: str, key_col: str, modulus: int, keep: int
+) -> DataFrame:
+    """Deterministic per-stratum sample + per-stratum counts (validation)."""
+    sampled = deterministic_sample(df, key_col, modulus, keep)
+    return (
+        sampled.groupBy(stratum_col)
+        .agg(F.count(F.lit(1)).alias("sampled_cnt"))
+    )

@@ -1,0 +1,96 @@
+"""Event-stream operators: windowed aggregation, sessionization, as-of lookup.
+
+The reference's only stream-shaped workload is the upsert path
+(README.md:69-70, handled in streaming/upsert.py); these operators cover
+the events table the engine is expected to process as a first-class
+capability. All are window/groupBy compositions — shuffle once on the
+partition key, no Python in the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def hourly_rollup(df: DataFrame, ts_col: str = "ts", type_col: str = "event_type") -> DataFrame:
+    """Tumbling-hour aggregate per event type.
+
+    Hour rendered as a string so batch output is comparable across engines
+    regardless of ns/us timestamp precision. In streaming mode the same
+    logic is F.window(ts, '1 hour') + watermark.
+    """
+    hour = F.date_format(F.date_trunc("hour", F.col(ts_col)), "yyyy-MM-dd HH")
+    return (
+        df.groupBy(hour.alias("hour"), F.col(type_col))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts_us",
+    gap: int = 30 * 60 * 1_000_000,
+) -> DataFrame:
+    """Gap-based sessionization: a >gap silence starts a new session.
+
+    ``ts_col`` is a NUMERIC event time (default: microseconds since epoch)
+    and ``gap`` is in the same unit — integer-exact, so results match any
+    other engine bit-for-bit. Classic lag + cumulative-sum over a per-user
+    window: one shuffle on user_id. Returns per-user session stats.
+    (Streaming equivalent: applyInPandasWithState / session_window.)
+    """
+    order_cols = [F.col(ts_col).asc(), F.col("event_id").asc()]
+    w = Window.partitionBy(user_col).orderBy(*order_cols)
+    prev_ts = F.lag(F.col(ts_col)).over(w)
+    new_session = (
+        prev_ts.isNull() | ((F.col(ts_col) - prev_ts) > F.lit(gap))
+    ).cast("long")
+    with_sess = df.withColumn(
+        "session_id",
+        F.sum(new_session).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    per_session = with_sess.groupBy(user_col, "session_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return per_session.groupBy(user_col).agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.max("n_events").alias("max_session_events"),
+        F.sum("n_events").alias("total_events"),
+    )
+
+
+def last_event_before(
+    df: DataFrame,
+    match_type: str = "purchase",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """As-of self-lookup: for each event, ts of the user's most recent
+    earlier-or-equal event of ``match_type``.
+
+    The as-of join re-expressed as a running max over an ordered window —
+    one shuffle on the user key, no range join explosion.
+    """
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col(ts_col).asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    asof = F.max(
+        F.when(F.col("event_type") == match_type, F.col(ts_col))
+    ).over(w)
+    return df.select(
+        "event_id",
+        user_col,
+        F.date_format(F.col(ts_col), "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        F.date_format(asof, "yyyy-MM-dd HH:mm:ss").alias("last_purchase_ts"),
+    )
