@@ -1,0 +1,136 @@
+#!/usr/bin/env python
+"""Benchmark harness: times the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Headline set mirrors BASELINE.md's batch reinterpretation of the
+reference targets (README.md:62-83): the four filtered top-k-by-dot-
+product selectivity templates, index build (optimized layout write),
+batch-of-queries top-k, plus the engine's wider surface (dedup, text
+analysis, events, relational aggregates) so regressions anywhere show up.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from external_benchmarks_spark.catalog import Catalog
+from external_benchmarks_spark.operators.topk import filtered_vector_topk, per_query_topk
+from external_benchmarks_spark.session import get_spark
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+QVEC = entry_mod.QVEC
+
+
+def _vector_template(selectivity: str):
+    """The four reference predicate templates (README.md:78-83) mapped to
+    the embeddings table's metadata (label ~ main_category, vec_id ~ the
+    numeric attributes). Arrow fast path — the production scoring loop."""
+    preds = {
+        "10pct": F.col("label") == 0,
+        "1pct": (F.col("label") == 0) & (F.col("vec_id") % 10 == 0),
+        "0.1pct": (F.col("label") == 0) & (F.col("vec_id") % 100 == 0),
+        "0.01pct": (F.col("label") == 0) & (F.col("vec_id") % 1000 == 0),
+    }
+
+    def run(spark, sf):
+        return filtered_vector_topk(
+            Catalog(spark, sf).embeddings, QVEC, preds[selectivity], k=100
+        )
+
+    return run
+
+
+def _batch_queries_topk(spark, sf):
+    e = Catalog(spark, sf).embeddings
+    queries = e.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return per_query_topk(e, queries, k=100, item_key="vec_id")
+
+
+def _index_build(spark, sf):
+    """BASELINE.md 'index build' analog: write the query-optimized layout —
+    partitioned by the filter column, sorted within partitions, float
+    embeddings (SURVEY.md §7.5)."""
+    out = os.path.join(tempfile.gettempdir(), "ebs_index_build")
+    shutil.rmtree(out, ignore_errors=True)
+    (
+        Catalog(spark, sf).embeddings
+        .repartition("label")
+        .sortWithinPartitions("vec_id")
+        .write.mode("overwrite")
+        .partitionBy("label")
+        .parquet(out)
+    )
+    return spark.read.parquet(out).limit(1)
+
+
+def headline_queries():
+    q = entry_mod.queries()
+    return {
+        # Reference workload (the four selectivity tiers + index + batch)
+        "vtopk_10pct": _vector_template("10pct"),
+        "vtopk_1pct": _vector_template("1pct"),
+        "vtopk_0.1pct": _vector_template("0.1pct"),
+        "vtopk_0.01pct": _vector_template("0.01pct"),
+        "index_build": _index_build,
+        "batch100_topk": _batch_queries_topk,
+        # Relational / stats surface
+        "join_agg": q["join_agg"],
+        "global_topk": q["global_topk"],
+        "group_share_topn": q["group_share_topn"],
+        "numeric_summary": q["numeric_summary"],
+        "window_topk": q["window_topk"],
+        "cube_agg": q["cube_agg"],
+        # Training-data pipeline surface
+        "exact_dedup": q["exact_dedup"],
+        "minhash_signature": q["minhash_signature"],
+        "simhash": q["simhash"],
+        "lang_id": q["lang_id"],
+        "text_quality": q["text_quality"],
+        "token_stats": q["token_stats"],
+        # Events surface
+        "events_hourly": q["events_hourly"],
+        "sessionize": q["sessionize"],
+        "asof_last_event": q["asof_last_event"],
+    }
+
+
+def main() -> None:
+    spark = get_spark("bench")
+    spark.range(1).count()  # warm the JVM/session before timing
+
+    times: dict[str, float] = {}
+    for name, fn in headline_queries().items():
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        n = df.count()  # force full execution
+        times[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {times[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    result = {
+        "metric": "headline_query_wall_time",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
