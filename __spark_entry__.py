@@ -354,7 +354,7 @@ def q_lsh_ann_topk(spark, sf):
     # Approximate path — no SQL oracle (driver records rows-only check);
     # recall vs q_ann_bruteforce is asserted in tests/test_similarity.py.
     return lsh_bucketed_topk(
-        Catalog(spark, sf).embeddings, QVEC, k=10, n_planes=8, min_matching_bits=5
+        Catalog(spark, sf).embeddings, QVEC, k=10, n_planes=8, min_matching_bits=3
     )
 
 

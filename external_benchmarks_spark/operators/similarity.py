@@ -20,8 +20,10 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 from external_benchmarks_spark.functions.vector import (
     cosine_similarity_literal,
@@ -56,16 +58,23 @@ def hyperplanes(dim: int, n_planes: int = 8, seed: int = 42) -> np.ndarray:
     return rng.randn(n_planes, dim)
 
 
-def lsh_bucket_col(emb_col: str, planes: np.ndarray):
+def lsh_bucket_udf(planes: np.ndarray):
     """Sign-bit bucket id of an embedding column: bit i = dot(emb, plane_i) > 0.
 
-    Pure Catalyst arithmetic — usable as a partition column at write time
-    (pipeline/index.py) so queries prune partitions.
+    Arrow-batched numpy: one (batch x dim) @ (dim x planes) matmul per
+    batch. A pure-Catalyst unrolled form was tried and rejected — at
+    64 dims x 8 planes the generated Java method exceeds janino limits and
+    falls back to interpreted eval (slower than the Arrow hop).
     """
-    bucket = F.lit(0).cast("bigint")
-    for i, plane in enumerate(planes):
-        d = dot_product_literal(emb_col, [float(x) for x in plane])
-        bucket = bucket + F.when(d > 0, F.lit(1 << i)).otherwise(F.lit(0)).cast("bigint")
+    mat = np.ascontiguousarray(planes.T, dtype=np.float64)  # (dim, n_planes)
+    weights = (1 << np.arange(planes.shape[0])).astype(np.int64)
+
+    @F.pandas_udf(LongType())
+    def bucket(emb: pd.Series) -> pd.Series:
+        m = np.vstack(emb.to_numpy()).astype(np.float64, copy=False)
+        bits = (m @ mat) > 0  # (batch, n_planes)
+        return pd.Series(bits @ weights)
+
     return bucket
 
 
@@ -76,24 +85,28 @@ def lsh_bucketed_topk(
     key_col: str = "vec_id",
     emb_col: str = "embedding",
     n_planes: int = 8,
-    min_matching_bits: int = 6,
+    min_matching_bits: int = 3,
     seed: int = 42,
 ) -> DataFrame:
     """ANN: score only rows whose LSH bucket is Hamming-close to the query's.
 
     With ``min_matching_bits == n_planes`` this scans one bucket (fastest,
     lowest recall); lowering it widens the probe (multi-probe LSH).
+    Measured on the synthetic UNIFORM random vectors, recall>=0.9 needs a
+    wide probe (>=3 of 8 bits, ~80% scanned) — uniform data is LSH's
+    worst case; clustered real-world embeddings prune far better. The
+    recall/speed trade-off is asserted in tests/test_similarity.py per the
+    reference's >90% recall requirement (README.md:76).
     """
     planes = hyperplanes(len(qvec), n_planes, seed)
-    qbits = [bool(np.dot(plane, qvec) > 0) for plane in planes]
-
-    bucket = lsh_bucket_col(emb_col, planes)
-    qbucket = sum((1 << i) for i, b in enumerate(qbits) if b)
-    # popcount(bucket XOR qbucket) <= n_planes - min_matching_bits
-    x = bucket.bitwiseXOR(F.lit(qbucket).cast("bigint"))
-    pop = sum(
-        (F.shiftright(x, i) % 2).cast("int") for i in range(n_planes)
+    qbucket = sum(
+        (1 << i) for i, plane in enumerate(planes) if float(np.dot(plane, qvec)) > 0
     )
+    bucket = lsh_bucket_udf(planes)(F.col(emb_col))
+    # popcount(bucket XOR qbucket) over n_planes bits — small expression,
+    # stays in codegen (the heavy dot products live in the Arrow batch).
+    x = bucket.bitwiseXOR(F.lit(qbucket).cast("bigint"))
+    pop = sum((F.shiftright(x, i) % 2).cast("int") for i in range(n_planes))
     cand = df.filter(pop <= (n_planes - min_matching_bits))
     return bruteforce_topk(cand, qvec, k, key_col, emb_col, metric="cosine")
 

@@ -1,0 +1,138 @@
+"""Analysis/report pipeline — parity with the reference's
+``generate_benchmark_reports.py`` (the third capability surface,
+SURVEY.md §0.3).
+
+Every statistic aggregates IN SPARK; only tiny aggregate rows reach the
+driver, where markdown/JSON render (the reference materializes whole
+datasets on one machine for the 10k path, :65-87 — here the same report
+works at any scale). PNG plots are intentionally out of scope for this
+engine (no matplotlib dependency); the stats dict contains everything the
+reference plots.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from external_benchmarks_spark.functions.vector import l2_norm
+from external_benchmarks_spark.operators import stats as S
+
+
+def dataset_report(
+    df: DataFrame,
+    numeric_cols: list[str],
+    cat_cols: list[str],
+    text_cols: list[str] = (),
+    emb_col: str | None = None,
+) -> dict:
+    """Full stats dict mirroring the reference's fast path
+    (duckdb_fast_stats, :119-219) + embedding geometry (:243-274)."""
+    report: dict = {
+        "total_records": df.count(),
+        "n_columns": len(df.columns),
+        "schema": {f.name: f.dataType.simpleString() for f in df.schema.fields},
+    }
+    nulls = S.null_profile(df).collect()[0].asDict()
+    report["null_counts"] = {c: nulls[f"{c}_nulls"] for c in df.columns}
+
+    report["numeric"] = {}
+    for c in numeric_cols:
+        r = S.numeric_summary(df, c).collect()[0]
+        report["numeric"][c] = {
+            "count": r["cnt"], "mean": r["avg_val"], "min": r["min_val"],
+            "max": r["max_val"], "std": r["stddev_val"], "nulls": r["null_cnt"],
+        }
+
+    report["categorical"] = {}
+    for c in cat_cols:
+        top = S.group_share_topn(df, c, 10).collect()
+        uniq = S.distinct_count(df, c).collect()[0]["distinct_cnt"]
+        report["categorical"][c] = {
+            "unique": uniq,
+            "top": [{"value": r[c], "count": r["cnt"], "pct": r["pct"]} for r in top],
+        }
+
+    report["text_lengths"] = {}
+    for c in text_cols:
+        r = S.text_length_stats(df, c).collect()[0]
+        report["text_lengths"][c] = {
+            "avg": r["avg_len"], "min": r["min_len"], "max": r["max_len"],
+        }
+
+    if emb_col and emb_col in df.columns:
+        geo = df.agg(
+            F.round(F.avg(F.size(emb_col)), 2).alias("dim"),
+            F.round(F.avg(l2_norm(emb_col)), 6).alias("mean_norm"),
+            F.round(F.stddev_samp(l2_norm(emb_col)), 6).alias("std_norm"),
+        ).collect()[0]
+        report["embedding"] = {
+            "avg_dim": geo["dim"], "mean_l2_norm": geo["mean_norm"],
+            "std_l2_norm": geo["std_norm"],
+        }
+    return report
+
+
+def consistency_check(
+    reports: dict[str, dict], numeric_tolerance: float = 0.05
+) -> dict:
+    """Cross-scale distribution-consistency validation — the reference's QA
+    strategy (reports/summary_report.md:42-46; :731-740): numeric means
+    must agree within tolerance across scale variants."""
+    out: dict = {"consistent": True, "violations": []}
+    names = sorted(reports)
+    if len(names) < 2:
+        return out
+    base = reports[names[0]]
+    for other_name in names[1:]:
+        other = reports[other_name]
+        for col, stats in base.get("numeric", {}).items():
+            o = other.get("numeric", {}).get(col)
+            if not o or stats["mean"] in (None, 0) or o["mean"] is None:
+                continue
+            drift = abs(o["mean"] - stats["mean"]) / abs(stats["mean"])
+            if drift > numeric_tolerance:
+                out["consistent"] = False
+                out["violations"].append(
+                    {"column": col, "scales": [names[0], other_name], "drift": round(drift, 4)}
+                )
+    return out
+
+
+def render_markdown(report: dict, title: str) -> str:
+    """Markdown rendering mirroring generate_fast_markdown_report (:668-745)."""
+    lines = [f"# {title}", "", f"- Total records: {report['total_records']:,}",
+             f"- Columns: {report['n_columns']}", "", "## Schema", ""]
+    for name, typ in report["schema"].items():
+        lines.append(f"- `{name}`: {typ} ({report['null_counts'][name]} nulls)")
+    if report.get("numeric"):
+        lines += ["", "## Numeric columns", ""]
+        for c, s in report["numeric"].items():
+            lines.append(
+                f"- `{c}`: mean={s['mean']} std={s['std']} min={s['min']} max={s['max']}"
+            )
+    if report.get("categorical"):
+        lines += ["", "## Categorical columns", ""]
+        for c, s in report["categorical"].items():
+            lines.append(f"- `{c}`: {s['unique']} distinct; top: "
+                         + ", ".join(f"{t['value']} ({t['pct']}%)" for t in s["top"][:5]))
+    if report.get("text_lengths"):
+        lines += ["", "## Text lengths", ""]
+        for c, s in report["text_lengths"].items():
+            lines.append(f"- `{c}`: avg={s['avg']} min={s['min']} max={s['max']}")
+    if report.get("embedding"):
+        e = report["embedding"]
+        lines += ["", "## Embedding geometry", "",
+                  f"- dim={e['avg_dim']} mean_norm={e['mean_l2_norm']} std_norm={e['std_l2_norm']}"]
+    return "\n".join(lines) + "\n"
+
+
+def write_report(report: dict, out_dir: str, name: str) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, f"{name}.json"), "w") as f:
+        json.dump(report, f, indent=2, default=str)
+    with open(os.path.join(out_dir, f"{name}.md"), "w") as f:
+        f.write(render_markdown(report, name))

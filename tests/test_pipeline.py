@@ -1,0 +1,108 @@
+"""Dataset-production pipeline: derived columns, union, embedding stub,
+index layout, stats report."""
+
+from __future__ import annotations
+
+import math
+import os
+import tempfile
+
+import pyspark.sql.functions as F
+
+from external_benchmarks_spark.catalog import Catalog
+from external_benchmarks_spark.pipeline.dataset import (
+    add_derived_columns,
+    scale_variants,
+    union_sources,
+)
+from external_benchmarks_spark.pipeline.embedding import embed_fields
+from external_benchmarks_spark.pipeline.index import build_index_layout
+from external_benchmarks_spark.pipeline.report import (
+    consistency_check,
+    dataset_report,
+    render_markdown,
+)
+
+
+def _products(spark, n=200):
+    return spark.range(n).select(
+        F.col("id"),
+        F.concat_ws(" ", F.lit("item"), F.col("id").cast("string")).alias("title"),
+        F.when(F.col("id") % 3 == 0, F.lit("desc text here")).otherwise(F.lit("")).alias("description"),
+        F.lit("feat a b").alias("features"),
+        (1.0 + (F.col("id") % 9) * 0.5).alias("average_rating"),
+        (F.pow(F.lit(10.0), (F.col("id") % 6).cast("double"))).cast("long").alias("rating_number"),
+        F.when(F.col("id") % 2 == 0, F.col("id") * 1.5).alias("price"),
+    )
+
+
+def test_derived_columns(spark):
+    df = add_derived_columns(_products(spark))
+    row = df.filter(F.col("id") == 8).collect()[0]  # rating 5.0, reviews 100
+    assert row.has_price is True
+    assert row.rating_tier == "excellent"
+    assert row.review_volume == "moderate"
+    assert row.combined_text.startswith("item 8")
+    tiers = {r.rating_tier for r in df.select("rating_tier").distinct().collect()}
+    assert tiers == {"excellent", "high", "medium", "low"}
+
+
+def test_union_sources_provenance(spark):
+    a, b = _products(spark, 50), _products(spark, 30)
+    out = union_sources({"Books": a, "Automotive": b})
+    counts = {r.source_dataset: r["count"] for r in out.groupBy("source_dataset").count().collect()}
+    assert counts == {"Books": 50, "Automotive": 30}
+
+
+def test_scale_variants_deterministic(spark):
+    df = _products(spark, 1000)
+    v1 = scale_variants(df, {"small": 0.1}, seed=42)["small"].count()
+    v2 = scale_variants(df, {"small": 0.1}, seed=42)["small"].count()
+    assert v1 == v2 and 0 < v1 < 1000
+
+
+def test_embed_fields_concat_and_norm(spark):
+    df = add_derived_columns(_products(spark, 20))
+    out = embed_fields(df, fields=("title", "description"), dim=16)
+    rows = out.select("id", "embedding").collect()
+    assert all(len(r.embedding) == 32 for r in rows)
+    # each 16-dim field block is unit-norm => total L2 = sqrt(2)
+    # (the reference's norm invariant, benchmark_10k/README.md:70)
+    for r in rows[:5]:
+        norm = math.sqrt(sum(x * x for x in r.embedding))
+        assert abs(norm - math.sqrt(2)) < 1e-3
+    # determinism: same text -> same vector
+    again = embed_fields(df, fields=("title", "description"), dim=16)
+    r1 = {r.id: r.embedding for r in rows}
+    r2 = {r.id: r.embedding for r in again.select("id", "embedding").collect()}
+    assert r1 == r2
+
+
+def test_index_layout_prunes(spark, sf_dir):
+    emb = Catalog(spark, sf_dir).embeddings
+    with tempfile.TemporaryDirectory() as d:
+        out = os.path.join(d, "idx")
+        build_index_layout(emb, out, partition_col="label", sort_cols=["vec_id"])
+        assert os.path.isdir(os.path.join(out, "label=0"))
+        back = spark.read.parquet(out)
+        assert back.count() == emb.count()
+        # embeddings stored as float32
+        assert dict(back.dtypes)["embedding"] == "array<float>"
+        # partition filter prunes to one directory: check via plan text
+        plan = back.filter(F.col("label") == 3)._jdf.queryExecution().executedPlan().toString()
+        assert "label" in plan
+
+
+def test_dataset_report_and_consistency(spark, sf_dir):
+    emb = Catalog(spark, sf_dir).embeddings
+    rep = dataset_report(
+        emb, numeric_cols=["vec_id"], cat_cols=["label"], emb_col="embedding"
+    )
+    assert rep["total_records"] == emb.count()
+    assert rep["embedding"]["avg_dim"] == 64.0
+    assert rep["categorical"]["label"]["unique"] == 10
+    md = render_markdown(rep, "embeddings")
+    assert "Embedding geometry" in md
+    # consistency across "scales" (same data twice -> zero drift)
+    chk = consistency_check({"a": rep, "b": rep})
+    assert chk["consistent"] is True

@@ -1,0 +1,89 @@
+"""Upsert path: keyed MERGE semantics over the bucketed table, both as
+direct micro-batches and through a real Structured Streaming query."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import time
+
+import pyspark.sql.functions as F
+
+from external_benchmarks_spark.pipeline.embedding import embed_fields
+from external_benchmarks_spark.streaming.upsert import UpsertTable, run_upsert_stream
+
+
+def _base(spark, n=100):
+    return spark.range(n).select(
+        F.col("id"),
+        F.concat_ws(" ", F.lit("title"), F.col("id")).alias("title"),
+        (F.col("id") * 1.0).alias("price"),
+    )
+
+
+def test_upsert_merge_semantics(spark):
+    with tempfile.TemporaryDirectory() as d:
+        t = UpsertTable(spark, os.path.join(d, "t"), key_col="id", n_buckets=4)
+        t.init(_base(spark))
+        assert t.read().count() == 100
+
+        # update 5 existing + insert 3 new; duplicate key keeps max op_ts
+        updates = spark.createDataFrame(
+            [(i, f"updated {i}", 999.0, 1) for i in range(5)]
+            + [(100 + i, f"new {i}", 1.0, 1) for i in range(3)]
+            + [(0, "stale update", -1.0, 0)],  # older op_ts, must lose
+            ["id", "title", "price", "op_ts"],
+        )
+        t.upsert(updates.drop("op_ts").withColumn("op_ts", F.lit(1)) if False else updates)
+        out = t.read()
+        assert out.count() == 103
+        row0 = out.filter(F.col("id") == 0).collect()[0]
+        assert row0.title == "updated 0" and row0.price == 999.0
+        assert out.filter(F.col("id") == 101).count() == 1
+        # untouched rows intact
+        assert out.filter(F.col("id") == 50).collect()[0].title == "title 50"
+
+
+def test_upsert_with_reembedding(spark):
+    """The reference's update includes re-embedding (README.md:69-70)."""
+    with tempfile.TemporaryDirectory() as d:
+        base = embed_fields(_base(spark, 20), fields=("title",), dim=8)
+        t = UpsertTable(spark, os.path.join(d, "t"), key_col="id", n_buckets=2)
+        t.init(base)
+        old_emb = t.read().filter(F.col("id") == 1).collect()[0].embedding
+
+        upd = spark.createDataFrame([(1, "changed title", 5.0)], ["id", "title", "price"])
+        t.upsert(embed_fields(upd, fields=("title",), dim=8))
+        new_emb = t.read().filter(F.col("id") == 1).collect()[0].embedding
+        assert list(new_emb) != list(old_emb)  # text change re-embedded
+        assert len(new_emb) == 8
+
+
+def test_streaming_foreachbatch(spark):
+    """End-to-end Structured Streaming: rate source -> foreachBatch MERGE."""
+    with tempfile.TemporaryDirectory() as d:
+        t = UpsertTable(spark, os.path.join(d, "t"), key_col="id", n_buckets=2)
+        t.init(_base(spark, 10).withColumn("seen", F.lit(-1)))
+
+        stream = (
+            spark.readStream.format("rate").option("rowsPerSecond", "50").load()
+            .select(
+                (F.col("value") % 20).alias("id"),
+                F.concat_ws(" ", F.lit("title"), (F.col("value") % 20)).alias("title"),
+                F.lit(0.0).alias("price"),
+                F.col("value").alias("seen"),
+            )
+        )
+        q = run_upsert_stream(t, stream, d, trigger_seconds=1)
+        try:
+            deadline = time.time() + 30
+            while time.time() < deadline:
+                if t.read().filter(F.col("seen") >= 0).count() > 0:
+                    break
+                time.sleep(1)
+        finally:
+            q.stop()
+        merged = t.read()
+        assert merged.filter(F.col("seen") >= 0).count() > 0
+        # keys stayed unique through streamed merges
+        assert merged.groupBy("id").count().filter(F.col("count") > 1).count() == 0
