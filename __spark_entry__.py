@@ -294,6 +294,30 @@ def q_null_profile(spark, sf):
     return stats_ops.null_profile(Catalog(spark, sf).orders)
 
 
+def q_scalar_funcs(spark, sf):
+    # log1p/log10 histogram-prep + concat (reference :293,301; SURVEY O20).
+    # Transcendentals can differ in the last ulp across libm
+    # implementations, so these (alone) are rounded to 6.
+    p = Catalog(spark, sf).part
+    return p.select(
+        "p_partkey",
+        F.round(F.log1p("p_retailprice"), 6).alias("log1p_price"),
+        F.round(F.log10("p_retailprice"), 6).alias("log10_price"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+    )
+
+
+def q_json_extract(spark, sf):
+    # JSON blob field extraction — the reference's `details` column is a
+    # stringified JSON blob it never parses (README.md:17); we expose the
+    # parse as a first-class op over events.props.
+    e = Catalog(spark, sf).events
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Vector surface (O18-O19 + ANN + near-dup)
 # ---------------------------------------------------------------------------
@@ -438,6 +462,28 @@ def q_token_stats(spark, sf):
 # Events surface (windowed agg, sessionization, as-of)
 # ---------------------------------------------------------------------------
 
+def q_top_terms(spark, sf):
+    # Corpus term frequencies: explode -> groupBy -> top-k. The explode/
+    # re-aggregate shape every text pipeline needs; map-side partial
+    # aggregation keeps the shuffle at |vocabulary| not |tokens|.
+    d = Catalog(spark, sf).documents
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: F.length(t) > 0)
+    return (
+        d.select(F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("term"))
+        .limit(20)
+    )
+
+
+def q_approx_distinct(spark, sf):
+    # HLL distinct — the 100 TB variant of distinct_count. No oracle:
+    # HLL implementations differ across engines by design (rows-only check).
+    li = Catalog(spark, sf).lineitem
+    return li.agg(F.approx_count_distinct("l_orderkey").alias("approx_orders"))
+
+
 def q_events_hourly(spark, sf):
     return sess_ops.hourly_rollup(Catalog(spark, sf).events)
 
@@ -481,6 +527,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "derived_tiers": q_derived_tiers,
         "null_profile": q_null_profile,
+        "scalar_funcs": q_scalar_funcs,
+        "json_extract": q_json_extract,
         "dot_topk": q_dot_topk,
         "l2_norm": q_l2_norm,
         "ann_bruteforce": q_ann_bruteforce,
@@ -497,6 +545,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "fingerprint": q_fingerprint,
         "token_stats": q_token_stats,
+        "top_terms": q_top_terms,
+        "approx_distinct": q_approx_distinct,
         "events_hourly": q_events_hourly,
         "sessionize": q_sessionize,
         "asof_last_event": q_asof_last_event,
@@ -675,6 +725,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_orderpriority_nulls
             FROM orders
         """,
+        "scalar_funcs": """
+            SELECT p_partkey,
+                   ROUND(ln(1 + p_retailprice), 6) AS log1p_price,
+                   ROUND(log10(p_retailprice), 6) AS log10_price,
+                   concat_ws('|', p_brand, p_type) AS brand_type
+            FROM part
+        """,
+        "json_extract": """
+            SELECT event_id,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+            FROM events
+        """,
         "dot_topk": f"""
             SELECT vec_id, list_dot_product({EMB_DBL}, {QVEC_SQL}) AS score
             FROM embeddings
@@ -790,6 +852,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(text, '{BPE_TOKEN_REGEX}')) AS BIGINT) AS n_bpe_tokens,
                    CAST(LENGTH(text) AS BIGINT) AS n_chars_len
             FROM documents
+        """,
+        "top_terms": f"""
+            SELECT t AS term, COUNT(*) AS cnt
+            FROM (SELECT unnest({DUCK_TOKS}) AS t FROM documents)
+            GROUP BY t ORDER BY cnt DESC, term LIMIT 20
         """,
         "events_hourly": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,

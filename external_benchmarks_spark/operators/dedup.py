@@ -119,17 +119,23 @@ def minhash_signature(
     token_hash = F.transform(
         toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint")
     )
+    # Two-stage select: the (expensive) md5 token-hash array materializes
+    # ONCE per row — Catalyst's CollapseProject refuses to inline non-cheap
+    # expressions referenced k times, so the k permutations below share it
+    # instead of re-hashing every token k times.
+    hashed = df.select(F.col(key_col), token_hash.alias("_th"))
+
     def perm_min(a: int, b: int) -> Column:
         # Closure factory (not default-arg lambdas: PySpark would read a
         # multi-arg lambda as the (element, index) HOF form).
         return F.array_min(
-            F.transform(token_hash, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE_61))
+            F.transform(F.col("_th"), lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE_61))
         )
 
     cols = [F.col(key_col)]
     for j, (a, b) in enumerate(minhash_params(num_hashes, seed)):
         cols.append(perm_min(a, b).alias(f"mh{j}"))
-    return df.select(*cols)
+    return hashed.select(*cols)
 
 
 def minhash_lsh_candidates(
@@ -189,9 +195,13 @@ def simhash(
     token_hash = F.transform(
         toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint")
     )
+    # Materialize token hashes once (same CollapseProject reasoning as
+    # minhash_signature) so the per-bit aggregates share them.
+    hashed = df.select(F.col(key_col), token_hash.alias("_th"))
+
     def bit_votes(i: int) -> Column:
         return F.aggregate(
-            token_hash,
+            F.col("_th"),
             F.lit(0).cast("bigint"),
             lambda acc, h: acc
             + F.when(F.shiftright(h, i) % 2 == 1, F.lit(1)).otherwise(F.lit(-1)),
@@ -202,7 +212,7 @@ def simhash(
         fp = fp + F.when(bit_votes(i) > 0, F.lit(1 << i).cast("bigint")).otherwise(
             F.lit(0).cast("bigint")
         )
-    return df.select(F.col(key_col), fp.alias("simhash"))
+    return hashed.select(F.col(key_col), fp.alias("simhash"))
 
 
 def embedding_neardup_pairs(
