@@ -10,7 +10,14 @@ are definitionally in sync (SURVEY.md §5.3 determinism rules).
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# Make the engine package importable regardless of the harness's cwd.
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F

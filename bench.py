@@ -58,7 +58,7 @@ def _batch_queries_topk(spark, sf):
     queries = e.filter(F.col("vec_id") < 100).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
-    return per_query_topk(e, queries, k=100, item_key="vec_id")
+    return per_query_topk(e, queries, k=100, item_key="vec_id", use_arrow_fast_path=True)
 
 
 def _index_build(spark, sf):
@@ -112,6 +112,9 @@ def headline_queries():
 def main() -> None:
     spark = get_spark("bench")
     spark.range(1).count()  # warm the JVM/session before timing
+    # Warm the Arrow Python workers too (first pandas_udf call pays
+    # worker-process startup; that cost is session setup, not query time).
+    _vector_template("0.01pct")(spark, SF_DIR).count()
 
     times: dict[str, float] = {}
     for name, fn in headline_queries().items():

@@ -60,6 +60,12 @@ class Catalog:
 
     def table(self, name: str) -> DataFrame:
         if name not in self._cache:
+            if name == "events":
+                # events.ts is parquet TIMESTAMP(NANOS); Spark needs this
+                # session conf to read it (as ns-long). Set here so the
+                # engine works on ANY caller-provided session, not only
+                # ones built by session.get_spark().
+                self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             df = self.spark.read.parquet(self.path(name))
             if name == "events":
                 df = _normalize_events(df)

@@ -43,6 +43,20 @@ def test_recall_at_k_operator(spark, sf_dir):
     assert all(abs(row.recall - 1.0) < 1e-12 for row in r)
 
 
+def test_per_query_topk_fast_path_matches_hof(spark, sf_dir):
+    """Arrow batch-local top-k must produce identical rankings to the
+    exact HOF path (scores may differ in last-ulp summation order)."""
+    emb = Catalog(spark, sf_dir).embeddings
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    exact = per_query_topk(emb, queries, k=7, item_key="vec_id")
+    fast = per_query_topk(emb, queries, k=7, item_key="vec_id", use_arrow_fast_path=True)
+    e = {(r.query_id, r.rank): r.vec_id for r in exact.collect()}
+    f = {(r.query_id, r.rank): r.vec_id for r in fast.collect()}
+    assert e == f
+
+
 def test_filtered_topk_fast_path_matches_hof(spark, sf_dir):
     """Arrow/numpy fast path and Catalyst HOF path must rank identically."""
     from external_benchmarks_spark.operators.topk import filtered_vector_topk
