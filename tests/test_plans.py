@@ -1,0 +1,82 @@
+"""Physical-plan regression tests: lock in the execution shapes the
+engine is designed around (SURVEY.md §4). If a refactor turns a broadcast
+join into a sort-merge join or un-prunes a scan, these fail before any
+benchmark does."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from external_benchmarks_spark.catalog import Catalog
+from external_benchmarks_spark.operators.topk import filtered_vector_topk
+
+import __spark_entry__ as entry_mod
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_vector_topk_plan(spark, sf_dir):
+    """Flagship query: pruned scan -> filter -> arrow score -> TakeOrdered."""
+    df = filtered_vector_topk(
+        Catalog(spark, sf_dir).embeddings, entry_mod.QVEC, F.col("label") == 0, k=100
+    )
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan  # top-k, never a global sort
+    assert "Sort " not in plan
+    # column pruning: the scan must read exactly the 3 needed columns
+    scan = next(l for l in plan.splitlines() if "FileScan" in l)
+    assert "vec_id" in scan and "embedding" in scan and "label" in scan
+
+
+def test_vector_topk_filter_below_scorer(spark, sf_dir):
+    df = filtered_vector_topk(
+        Catalog(spark, sf_dir).embeddings, entry_mod.QVEC, F.col("label") == 0, k=100
+    )
+    lines = _plan(df).splitlines()
+    filter_depth = next(i for i, l in enumerate(lines) if "Filter" in l and "label" in l)
+    arrow_depth = next(i for i, l in enumerate(lines) if "ArrowEvalPython" in l)
+    # deeper in the printed tree = earlier in execution
+    assert filter_depth > arrow_depth, "metadata filter must precede scoring"
+
+
+def test_join_agg_broadcasts_dims(spark, sf_dir):
+    plan = _plan(entry_mod.q_join_agg(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+    assert "partial_count" in plan  # map-side partial aggregation
+
+
+def test_global_topk_no_full_sort(spark, sf_dir):
+    plan = _plan(entry_mod.q_global_topk(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_group_share_broadcasts_total(spark, sf_dir):
+    plan = _plan(entry_mod.q_group_share_topn(spark, sf_dir))
+    # the scalar total joins in as a broadcast, not a shuffle
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_selective_filter_pushdown(spark, sf_dir):
+    plan = _plan(entry_mod.q_selective_filter(spark, sf_dir))
+    scan = next(l for l in plan.splitlines() if "FileScan" in l)
+    assert "PushedFilters: [" in scan
+    assert "IsNotNull" in scan or "LessThanOrEqual" in scan
+
+
+def test_null_profile_single_aggregate(spark, sf_dir):
+    """All per-column null counts must compute in ONE aggregate pass."""
+    plan = _plan(entry_mod.q_null_profile(spark, sf_dir))
+    assert plan.count("FileScan") == 1
+
+
+def test_dedup_single_md5_pass(spark, sf_dir):
+    """MinHash/SimHash: the md5 token-hash array materializes once."""
+    from external_benchmarks_spark.operators.dedup import minhash_signature, simhash
+
+    docs = Catalog(spark, sf_dir).documents
+    for df in (minhash_signature(docs), simhash(docs)):
+        opt = df._jdf.queryExecution().optimizedPlan().toString()
+        assert opt.count("md5") == 1
