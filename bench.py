@@ -78,6 +78,24 @@ def _index_build(spark, sf):
     return spark.read.parquet(out).limit(1)
 
 
+def _upsert_batch_latency(spark, sf):
+    """BASELINE.md write-SLA analog: one micro-batch of 100 keyed upserts
+    (incl. re-embedding) into a bucketed table seeded from embeddings."""
+    from external_benchmarks_spark.streaming.upsert import UpsertTable
+
+    root = os.path.join(tempfile.gettempdir(), "ebs_upsert_bench")
+    shutil.rmtree(root, ignore_errors=True)
+    t = UpsertTable(spark, root, key_col="vec_id", n_buckets=8)
+    t.init(Catalog(spark, sf).embeddings)
+    updates = (
+        Catalog(spark, sf).embeddings.limit(100)
+        .withColumn("label", F.lit(99))
+        .withColumn("op_ts", F.lit(1))
+    )
+    t.upsert(updates)
+    return t.read().filter(F.col("label") == 99)
+
+
 def headline_queries():
     q = entry_mod.queries()
     return {
@@ -88,6 +106,7 @@ def headline_queries():
         "vtopk_0.01pct": _vector_template("0.01pct"),
         "index_build": _index_build,
         "batch100_topk": _batch_queries_topk,
+        "upsert_batch100": _upsert_batch_latency,
         # Relational / stats surface
         "join_agg": q["join_agg"],
         "global_topk": q["global_topk"],

@@ -1,0 +1,51 @@
+"""Source registry: format-agnostic dataset ingestion.
+
+The reference ingests JSONL (Amazon Reviews category files) and serves
+Parquet over HTTPS from a GCS bucket (reference README.md:37-43, the
+``wget`` staging step). Spark reads gs:///s3:///https-staged paths with
+the same API as local ones, so a dataset spec here is (name, path,
+format, options); staging is an operational concern outside the engine.
+
+All formats resolve to ``spark.read`` with schema supplied or inferred;
+Parquet is the performance path (columnar, pushdown); JSONL/CSV are
+ingest formats that the pipeline immediately rewrites to the parquet
+index layout (pipeline/index.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+SUPPORTED_FORMATS = ("parquet", "json", "csv", "orc")
+
+
+@dataclass(frozen=True)
+class DatasetSpec:
+    name: str
+    path: str
+    format: str = "parquet"
+    schema: StructType | None = None
+    options: dict[str, str] = field(default_factory=dict)
+
+    def __post_init__(self):
+        if self.format not in SUPPORTED_FORMATS:
+            raise ValueError(f"unsupported format {self.format!r}; one of {SUPPORTED_FORMATS}")
+
+
+def read_dataset(spark: SparkSession, spec: DatasetSpec) -> DataFrame:
+    reader = spark.read.format(spec.format)
+    if spec.schema is not None:
+        reader = reader.schema(spec.schema)
+    elif spec.format == "csv":
+        reader = reader.option("header", "true").option("inferSchema", "true")
+    for k, v in spec.options.items():
+        reader = reader.option(k, v)
+    return reader.load(spec.path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: StructType | None = None) -> DataFrame:
+    """The reference's raw-ingest format (one JSON object per line)."""
+    return read_dataset(spark, DatasetSpec("jsonl", path, "json", schema))

@@ -1,0 +1,45 @@
+"""Streaming windowed aggregation with watermarks — the Structured
+Streaming form of operators/sessions.hourly_rollup.
+
+The reference has no continuous-aggregation workload (its only stream is
+the upsert path), but an engine serving event tables at scale needs the
+standard watermark + tumbling-window aggregate; this module provides it
+with the same output schema as the batch rollup so batch and streaming
+results are interchangeable (the lambda-architecture contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def stream_hourly_rollup(
+    events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    watermark: str = "2 hours",
+    window: str = "1 hour",
+) -> DataFrame:
+    """readStream events -> watermarked tumbling-window counts/sums.
+
+    Late rows beyond ``watermark`` are dropped and their window state
+    evicted — bounded state at any scale. Output matches
+    operators/sessions.hourly_rollup plus explicit window bounds.
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("win"), F.col(type_col))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH").alias("hour"),
+            type_col,
+            "cnt",
+            "sum_value",
+            "avg_value",
+        )
+    )

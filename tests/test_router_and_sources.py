@@ -1,0 +1,102 @@
+"""Layout-aware routing (partition pruning observable in the plan),
+source registry, and streaming windowed rollup."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import time
+
+import pyspark.sql.functions as F
+import pytest
+
+from external_benchmarks_spark.catalog import Catalog
+from external_benchmarks_spark.plans.inspect import executed_plan, scan_columns
+from external_benchmarks_spark.plans.router import build_indexed_table
+from external_benchmarks_spark.sources.registry import DatasetSpec, read_dataset
+from external_benchmarks_spark.streaming.windows import stream_hourly_rollup
+
+import __spark_entry__ as entry_mod
+
+
+def test_indexed_table_partition_pruning(spark, sf_dir):
+    emb = Catalog(spark, sf_dir).embeddings
+    with tempfile.TemporaryDirectory() as d:
+        t = build_indexed_table(
+            spark, emb, os.path.join(d, "idx"),
+            partition_col="label", sort_cols=["vec_id"],
+        )
+        routed = t.query(entry_mod.QVEC, partition_values=[3], k=10)
+        rows = routed.collect()
+        assert 0 < len(rows) <= 10
+        # exactness: routed result == brute force over label==3
+        from external_benchmarks_spark.operators.topk import filtered_vector_topk
+        expect = filtered_vector_topk(
+            emb, entry_mod.QVEC, F.col("label") == 3, k=10
+        ).collect()
+        assert [r.vec_id for r in rows] == [r.vec_id for r in expect]
+        # partition pruning visible: scan carries a partition filter
+        plan = executed_plan(t.df().filter(F.col("label") == 3))
+        assert "PartitionFilters: [isnotnull(label" in plan or "label#" in plan.split("PartitionFilters")[1][:80]
+
+
+def test_indexed_table_lsh_routing(spark, sf_dir):
+    emb = Catalog(spark, sf_dir).embeddings
+    with tempfile.TemporaryDirectory() as d:
+        t = build_indexed_table(
+            spark, emb, os.path.join(d, "idx"),
+            partition_col="label", sort_cols=["vec_id"], n_planes=6,
+        )
+        routed = t.query(entry_mod.QVEC, use_lsh=True, lsh_hamming=6, k=10)
+        # hamming <= n_planes scans everything -> must equal brute force
+        from external_benchmarks_spark.operators.topk import filtered_vector_topk
+        expect = filtered_vector_topk(emb, entry_mod.QVEC, None, k=10).collect()
+        assert [r.vec_id for r in routed.collect()] == [r.vec_id for r in expect]
+
+
+def test_source_registry_formats(spark, sf_dir):
+    docs = Catalog(spark, sf_dir).documents
+    with tempfile.TemporaryDirectory() as d:
+        jpath, cpath = os.path.join(d, "docs.jsonl"), os.path.join(d, "docs.csv")
+        docs.write.json(jpath)
+        docs.select("doc_id", "lang", "n_chars").write.option("header", "true").csv(cpath)
+        back_j = read_dataset(spark, DatasetSpec("j", jpath, "json"))
+        assert back_j.count() == docs.count()
+        back_c = read_dataset(spark, DatasetSpec("c", cpath, "csv"))
+        assert back_c.count() == docs.count()
+        assert set(back_c.columns) == {"doc_id", "lang", "n_chars"}
+    with pytest.raises(ValueError, match="unsupported format"):
+        DatasetSpec("bad", "/x", "avro")
+
+
+def test_stream_hourly_rollup_matches_batch(spark, sf_dir):
+    """Feed the events table through a file stream; the windowed result
+    must equal the batch rollup (lambda-architecture contract)."""
+    from external_benchmarks_spark.operators.sessions import hourly_rollup
+
+    events = Catalog(spark, sf_dir).events.select("ts", "event_type", "value")
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "src")
+        events.write.parquet(src)
+        stream = spark.readStream.schema(
+            spark.read.parquet(src).schema
+        ).parquet(src)
+        out = stream_hourly_rollup(stream)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("hourly_out")
+            .outputMode("complete")
+            .option("checkpointLocation", os.path.join(d, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        got = {
+            (r.hour, r.event_type): (r.cnt, r.sum_value)
+            for r in spark.table("hourly_out").collect()
+        }
+    want = {
+        (r.hour, r.event_type): (r.cnt, r.sum_value)
+        for r in hourly_rollup(Catalog(spark, sf_dir).events).collect()
+    }
+    assert got == want
