@@ -389,6 +389,22 @@ def q_lsh_ann_topk(spark, sf):
     )
 
 
+def q_ivf_ann_topk(spark, sf):
+    # IVF scale path (KMeans cells + nprobe probing) — approximate, so no
+    # SQL oracle; recall >= 0.9 vs bruteforce is asserted in
+    # tests/test_similarity.py. At scale centroid_id is a partition column
+    # (pipeline/index.build_index_layout) and the probe prunes directories.
+    from external_benchmarks_spark.operators.similarity import (
+        ivf_assign,
+        ivf_fit,
+        ivf_topk,
+    )
+
+    e = Catalog(spark, sf).embeddings
+    centroids = ivf_fit(e, n_centroids=16, seed=42)
+    return ivf_topk(ivf_assign(e, centroids), centroids, QVEC, k=10, nprobe=12)
+
+
 # ---------------------------------------------------------------------------
 # Dedup / text-analysis surface (documents table)
 # ---------------------------------------------------------------------------
@@ -543,6 +559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "pairwise_cosine_stats": q_pairwise_cosine_stats,
         "lsh_ann_topk": q_lsh_ann_topk,
+        "ivf_ann_topk": q_ivf_ann_topk,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_signature": q_minhash_signature,

@@ -1,6 +1,6 @@
 """Similarity search over embedding columns.
 
-Two tiers (SURVEY.md §7.5 — Spark has no native ANN):
+Three tiers (SURVEY.md §7.5 — Spark has no native ANN):
 
 - ``bruteforce_topk``   : exact cosine/dot top-k. The correctness oracle
                           (reference README.md:76 measures recall against
@@ -13,6 +13,13 @@ Two tiers (SURVEY.md §7.5 — Spark has no native ANN):
                           partition column, so a query touches only its
                           bucket's partitions. Recall is measured against
                           bruteforce via operators.topk.recall_at_k.
+- ``ivf_*``             : inverted-file index — distributed MLlib KMeans
+                          centroids, every row assigned to its nearest
+                          centroid (one Arrow matmul pass), queries probe
+                          only the ``nprobe`` nearest centroid cells.
+                          Unlike sign-LSH, IVF adapts to the data's
+                          cluster structure, so it prunes well even when
+                          uniform-random vectors defeat hyperplane LSH.
 """
 
 from __future__ import annotations
@@ -109,6 +116,118 @@ def lsh_bucketed_topk(
     pop = sum((F.shiftright(x, i) % 2).cast("int") for i in range(n_planes))
     cand = df.filter(pop <= (n_planes - min_matching_bits))
     return bruteforce_topk(cand, qvec, k, key_col, emb_col, metric="cosine")
+
+
+def ivf_fit(
+    df: DataFrame,
+    n_centroids: int = 16,
+    emb_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 20,
+    metric: str = "cosine",
+) -> np.ndarray:
+    """Fit IVF centroids with distributed MLlib KMeans.
+
+    ``metric="cosine"`` fits *spherical* k-means (rows L2-normalized
+    first) so cell geometry matches cosine ranking — Euclidean-nearest on
+    the unit sphere is cosine-nearest. The fit is the scalable path
+    (Lloyd iterations are map-reduce passes over the executors; nothing
+    but (k x dim) centroids ever reaches the driver). Returns the
+    (n_centroids x dim) matrix — small enough to broadcast into the
+    assignment/probe steps.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.feature import Normalizer
+    from pyspark.ml.functions import array_to_vector
+
+    feats = df.select(array_to_vector(F.col(emb_col).cast("array<double>")).alias("_raw"))
+    if metric == "cosine":
+        feats = Normalizer(inputCol="_raw", outputCol="features", p=2.0).transform(feats)
+    else:
+        feats = feats.withColumnRenamed("_raw", "features")
+    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(feats)
+    return np.vstack([np.asarray(c, dtype=np.float64) for c in model.clusterCenters()])
+
+
+def ivf_assign_udf(centroids: np.ndarray, metric: str = "cosine"):
+    """Nearest-centroid id — one Arrow-batched matmul.
+
+    argmin ||x - c||^2 == argmin (||c||^2 - 2 x.c): one (batch x dim) @
+    (dim x k) product plus a precomputed norm row; no per-row Python.
+    For cosine, rows are unit-normalized first (centroids already come
+    from the spherical fit).
+    """
+    cmat = np.ascontiguousarray(centroids.T, dtype=np.float64)  # (dim, k)
+    cnorm2 = (centroids * centroids).sum(axis=1)  # (k,)
+    spherical = metric == "cosine"
+
+    @F.pandas_udf(LongType())
+    def assign(emb: pd.Series) -> pd.Series:
+        m = np.vstack(emb.to_numpy()).astype(np.float64, copy=False)
+        if spherical:
+            n = np.linalg.norm(m, axis=1, keepdims=True)
+            m = m / np.where(n == 0.0, 1.0, n)
+        d = cnorm2 - 2.0 * (m @ cmat)  # (batch, k), up to the x-norm constant
+        return pd.Series(np.argmin(d, axis=1).astype(np.int64))
+
+    return assign
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: np.ndarray,
+    emb_col: str = "embedding",
+    metric: str = "cosine",
+) -> DataFrame:
+    """Add ``centroid_id`` — the IVF cell / partition key. Written as a
+    partition column (pipeline/index.build_index_layout), equality filters
+    on it prune whole directories, so a probe reads nprobe/k of the data."""
+    return df.withColumn(
+        "centroid_id", ivf_assign_udf(centroids, metric)(F.col(emb_col))
+    )
+
+
+def ivf_probe_cells(
+    centroids: np.ndarray,
+    qvec: Sequence[float],
+    nprobe: int,
+    metric: str = "cosine",
+) -> list[int]:
+    """The nprobe nearest centroid ids for a query — driver-side on the
+    tiny (k x dim) matrix, becomes an isin() partition-pruning filter."""
+    q = np.asarray(qvec, dtype=np.float64)
+    if metric == "cosine":
+        n = float(np.linalg.norm(q))
+        q = q / (n if n else 1.0)
+    d = ((centroids - q) ** 2).sum(axis=1)
+    return [int(i) for i in np.argsort(d, kind="stable")[:nprobe]]
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: np.ndarray,
+    qvec: Sequence[float],
+    k: int = 10,
+    nprobe: int = 4,
+    key_col: str = "vec_id",
+    emb_col: str = "embedding",
+    metric: str = "cosine",
+) -> DataFrame:
+    """ANN top-k probing only the ``nprobe`` nearest IVF cells.
+
+    ``assigned`` must carry ``centroid_id`` (ivf_assign, or read back from
+    the centroid-partitioned layout where the isin() prunes directories).
+    Exact scoring inside the probed cells; recall vs bruteforce_topk is
+    asserted >= 0.9 in tests/test_similarity.py (reference README.md:76).
+    On the synthetic UNIFORM vectors (IVF's worst case — neighbors spread
+    almost isotropically in high dim) hitting 0.9 needs a wide probe
+    (~10-12 of 16 cells); clustered real-world embeddings prune far
+    better. Even so IVF beats sign-LSH here: the spherical fit adapts to
+    the data, where fixed random hyperplanes cannot.
+    """
+    cells = ivf_probe_cells(centroids, qvec, nprobe, metric)
+    cand = assigned.filter(F.col("centroid_id").isin(cells))
+    return bruteforce_topk(cand, qvec, k, key_col, emb_col, metric=metric)
 
 
 def pairwise_cosine_stats(

@@ -31,6 +31,47 @@ def test_lsh_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.9, f"LSH recall {recall} < 0.9"
 
 
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    """IVF (KMeans cells + nprobe) must hit the same >90% recall bar, and
+    the probe must actually prune: candidates < full table."""
+    from external_benchmarks_spark.operators.similarity import (
+        ivf_assign,
+        ivf_fit,
+        ivf_probe_cells,
+        ivf_topk,
+    )
+
+    emb = Catalog(spark, sf_dir).embeddings
+    exact = {r.vec_id for r in bruteforce_topk(emb, entry_mod.QVEC, k=10).collect()}
+    centroids = ivf_fit(emb, n_centroids=16, seed=42)
+    assigned = ivf_assign(emb, centroids)
+    approx = {
+        r.vec_id
+        for r in ivf_topk(assigned, centroids, entry_mod.QVEC, k=10, nprobe=12).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"IVF recall {recall} < 0.9"
+    # Pruning: the probed cells hold strictly less than the whole table.
+    cells = ivf_probe_cells(centroids, entry_mod.QVEC, nprobe=12)
+    assert len(cells) == 12
+    n_cand = assigned.filter(F.col("centroid_id").isin(cells)).count()
+    assert 0 < n_cand < emb.count()
+
+
+def test_ivf_assignment_covers_all_rows(spark, sf_dir):
+    """Every row lands in exactly one of the k cells (partition-key
+    invariant for the centroid-partitioned layout)."""
+    from external_benchmarks_spark.operators.similarity import ivf_assign, ivf_fit
+
+    emb = Catalog(spark, sf_dir).embeddings
+    centroids = ivf_fit(emb, n_centroids=8, seed=7)
+    assigned = ivf_assign(emb, centroids)
+    assert assigned.filter(F.col("centroid_id").isNull()).count() == 0
+    ids = {r.centroid_id for r in assigned.select("centroid_id").distinct().collect()}
+    assert ids <= set(range(8))
+    assert assigned.count() == emb.count()
+
+
 def test_recall_at_k_operator(spark, sf_dir):
     emb = Catalog(spark, sf_dir).embeddings
     queries = emb.filter(F.col("vec_id") < 3).select(
