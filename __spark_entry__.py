@@ -409,6 +409,51 @@ def q_ivf_ann_topk(spark, sf):
 # Dedup / text-analysis surface (documents table)
 # ---------------------------------------------------------------------------
 
+def q_salted_group_agg(spark, sf):
+    # Two-phase salted groupBy (operators/skew): result-identical to the
+    # plain GROUP BY — which is exactly what the oracle asserts. At scale
+    # this is the fix for the reference's 41%-hot-key skew
+    # (reports/summary_report.md:34-38).
+    from external_benchmarks_spark.operators.skew import salted_groupby
+
+    out = salted_groupby(
+        Catalog(spark, sf).documents,
+        keys=["lang"],
+        aggs=[
+            ("cnt", "doc_id", "count"),
+            ("sum_chars", "n_chars", "sum"),
+            ("min_chars", "n_chars", "min"),
+            ("max_chars", "n_chars", "max"),
+            ("avg_chars", "n_chars", "avg"),
+        ],
+        spread_col="doc_id",
+        n_salts=32,
+    )
+    return out.withColumn("avg_chars", F.round(F.col("avg_chars"), 6))
+
+
+def q_salted_join_agg(spark, sf):
+    # Replicated salted join (operators/skew): hot order keys spread over
+    # n_salts reducers; aggregate result identical to the plain join.
+    from external_benchmarks_spark.operators.skew import salted_join
+
+    cat = Catalog(spark, sf)
+    orders = cat.orders.withColumnRenamed("o_orderkey", "l_orderkey").select(
+        "l_orderkey", "o_orderpriority"
+    )
+    joined = salted_join(
+        cat.lineitem.select("l_orderkey", "l_partkey", "l_extendedprice"),
+        orders,
+        on="l_orderkey",
+        spread_col="l_partkey",
+        n_salts=8,
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+    )
+
+
 def q_exact_dedup(spark, sf):
     return exact_dedup_groups(Catalog(spark, sf).documents)
 
@@ -560,6 +605,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pairwise_cosine_stats": q_pairwise_cosine_stats,
         "lsh_ann_topk": q_lsh_ann_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
+        "salted_group_agg": q_salted_group_agg,
+        "salted_join_agg": q_salted_join_agg,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_signature": q_minhash_signature,
@@ -809,6 +856,18 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(STDDEV_SAMP(cos), 6) AS std_cos,
                    ROUND(MIN(cos), 6) AS min_cos, ROUND(MAX(cos), 6) AS max_cos
             FROM p
+        """,
+        "salted_group_agg": """
+            SELECT lang, COUNT(*) AS cnt, SUM(n_chars) AS sum_chars,
+                   MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+                   ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(n_chars), 6) AS avg_chars
+            FROM documents GROUP BY lang
+        """,
+        "salted_join_agg": """
+            SELECT o_orderpriority, COUNT(*) AS cnt,
+                   ROUND(SUM(l_extendedprice), 2) AS total_price
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
         """,
         "exact_dedup": """
             SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper_id, COUNT(*) AS dup_count

@@ -78,8 +78,14 @@ def test_streaming_foreachbatch(spark):
         try:
             deadline = time.time() + 30
             while time.time() < deadline:
-                if t.read().filter(F.col("seen") >= 0).count() > 0:
-                    break
+                try:
+                    # A poll can race a concurrent bucket rewrite (snapshot
+                    # isolation is what Delta adds on a real deployment —
+                    # upsert.py module docstring); retry, don't fail.
+                    if t.read().filter(F.col("seen") >= 0).count() > 0:
+                        break
+                except Exception:
+                    pass
                 time.sleep(1)
         finally:
             q.stop()
