@@ -251,6 +251,29 @@ def q_rollup_agg(spark, sf):
     )
 
 
+def q_grouping_sets(spark, sf):
+    # Explicit GROUPING SETS (the general form of rollup/cube) — native
+    # DataFrame API in Spark 4.
+    o = Catalog(spark, sf).orders
+    return (
+        o.groupingSets(
+            [["o_orderpriority", "o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderpriority",
+            "o_orderstatus",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            "cnt",
+            "total_price",
+        )
+    )
+
+
 def q_cube_agg(spark, sf):
     li = Catalog(spark, sf).lineitem
     return (
@@ -591,6 +614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intersect_setop": q_intersect_setop,
         "rollup_agg": q_rollup_agg,
         "cube_agg": q_cube_agg,
+        "grouping_sets": q_grouping_sets,
         "deterministic_sample": q_deterministic_sample,
         "stratified_sample": q_stratified_sample,
         "derived_tiers": q_derived_tiers,
@@ -771,6 +795,14 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(l_linestatus, 'ALL') AS linestatus,
                    COUNT(*) AS cnt, ROUND(SUM(l_quantity), 4) AS sum_qty
             FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        """,
+        "grouping_sets": """
+            SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+                   COALESCE(o_orderstatus, 'ALL') AS status,
+                   COUNT(*) AS cnt, ROUND(SUM(o_totalprice), 2) AS total_price
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                    (o_orderpriority), ())
         """,
         "deterministic_sample": """
             SELECT COUNT(*) AS cnt FROM lineitem WHERE l_orderkey % 97 < 10

@@ -106,6 +106,42 @@ def _upsert_batch_latency(spark, sf):
     return t.read().filter(F.col("label") == 99)
 
 
+_IVF_CACHE: dict[str, tuple] = {}
+
+
+def _ivf_layout(spark, sf):
+    """Centroid-partitioned IVF layout, built once per sf (index-build
+    work); probes then read only nprobe/k of the directories."""
+    from external_benchmarks_spark.operators.similarity import ivf_assign, ivf_fit
+
+    if sf not in _IVF_CACHE:
+        tag = sf.rstrip("/").replace("/", "_").lstrip("_")
+        out = os.path.join(tempfile.gettempdir(), f"ebs_ivf_layout_{tag}")
+        centroids = ivf_fit(Catalog(spark, sf).embeddings, n_centroids=16, seed=42)
+        if not os.path.exists(os.path.join(out, "_SUCCESS")):
+            shutil.rmtree(out, ignore_errors=True)
+            from external_benchmarks_spark.pipeline.index import build_index_layout
+
+            build_index_layout(
+                ivf_assign(Catalog(spark, sf).embeddings, centroids),
+                out,
+                partition_col="centroid_id",
+            )
+        _IVF_CACHE[sf] = (out, centroids)
+    return _IVF_CACHE[sf]
+
+
+def _ivf_probe(spark, sf):
+    """ANN read against the on-disk IVF index: partition-pruned probe of
+    12/16 cells + exact re-rank — the tuned-index read the reference's
+    100 ms p95 targets describe (recall >= 0.9 asserted in tests)."""
+    from external_benchmarks_spark.operators.similarity import ivf_topk
+
+    out, centroids = _ivf_layout(spark, sf)
+    back = spark.read.parquet(out)
+    return ivf_topk(back, centroids, QVEC, k=100, nprobe=12, use_arrow_fast_path=True)
+
+
 def headline_queries():
     q = entry_mod.queries()
     return {
@@ -115,6 +151,7 @@ def headline_queries():
         "vtopk_0.1pct": _vector_template("0.1pct"),
         "vtopk_0.01pct": _vector_template("0.01pct"),
         "index_build": _index_build,
+        "ivf_probe": _ivf_probe,
         "batch100_topk": _batch_queries_topk,
         "upsert_batch100": _upsert_batch_latency,
         # Relational / stats surface
@@ -145,6 +182,7 @@ def main() -> None:
     # worker-process startup; that cost is session setup, not query time).
     _vector_template("0.01pct")(spark, SF_DIR).count()
     _upsert_table(spark, SF_DIR)  # seed outside the timed region
+    _ivf_layout(spark, SF_DIR)  # index build happens here, probes are timed
 
     times: dict[str, float] = {}
     for name, fn in headline_queries().items():

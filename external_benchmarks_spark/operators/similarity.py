@@ -45,13 +45,22 @@ def bruteforce_topk(
     key_col: str = "vec_id",
     emb_col: str = "embedding",
     metric: str = "cosine",
+    use_arrow_fast_path: bool = False,
 ) -> DataFrame:
-    """Exact top-k by cosine (or dot) against a fixed query vector."""
-    score = (
-        cosine_similarity_literal(emb_col, qvec)
-        if metric == "cosine"
-        else dot_product_literal(emb_col, qvec)
-    )
+    """Exact top-k by cosine (or dot) against a fixed query vector.
+
+    Default is the Catalyst HOF form (oracle-parity bit-exactness); the
+    Arrow fast path scores each batch with one BLAS matmul — same
+    ranking, last-ulp score differences possible (functions/vector.py).
+    """
+    if use_arrow_fast_path:
+        from external_benchmarks_spark.functions.vector import score_batch_udf
+
+        score = score_batch_udf(qvec, normalize=(metric == "cosine"))(F.col(emb_col))
+    elif metric == "cosine":
+        score = cosine_similarity_literal(emb_col, qvec)
+    else:
+        score = dot_product_literal(emb_col, qvec)
     return (
         df.select(F.col(key_col), score.alias("score"))
         .orderBy(F.desc("score"), F.asc(key_col))
@@ -212,6 +221,7 @@ def ivf_topk(
     key_col: str = "vec_id",
     emb_col: str = "embedding",
     metric: str = "cosine",
+    use_arrow_fast_path: bool = False,
 ) -> DataFrame:
     """ANN top-k probing only the ``nprobe`` nearest IVF cells.
 
@@ -227,7 +237,10 @@ def ivf_topk(
     """
     cells = ivf_probe_cells(centroids, qvec, nprobe, metric)
     cand = assigned.filter(F.col("centroid_id").isin(cells))
-    return bruteforce_topk(cand, qvec, k, key_col, emb_col, metric=metric)
+    return bruteforce_topk(
+        cand, qvec, k, key_col, emb_col, metric=metric,
+        use_arrow_fast_path=use_arrow_fast_path,
+    )
 
 
 def pairwise_cosine_stats(

@@ -72,6 +72,40 @@ def test_null_profile_single_aggregate(spark, sf_dir):
     assert plan.count("FileScan") == 1
 
 
+def test_ivf_layout_probe_prunes_partitions(spark, sf_dir):
+    """The IVF scale path end-to-end: centroid-partitioned layout on disk,
+    probe filter prunes whole cell directories at PLANNING time (the
+    isin() lands in PartitionFilters, not a post-scan Filter)."""
+    import os
+    import tempfile
+
+    from external_benchmarks_spark.operators.similarity import (
+        ivf_assign,
+        ivf_fit,
+        ivf_probe_cells,
+        ivf_topk,
+    )
+    from external_benchmarks_spark.pipeline.index import build_index_layout
+
+    emb = Catalog(spark, sf_dir).embeddings
+    centroids = ivf_fit(emb, n_centroids=8, seed=42)
+    with tempfile.TemporaryDirectory() as d:
+        out = os.path.join(d, "ivf")
+        build_index_layout(
+            ivf_assign(emb, centroids), out, partition_col="centroid_id"
+        )
+        assert any(e.startswith("centroid_id=") for e in os.listdir(out))
+        back = spark.read.parquet(out)
+        probe = ivf_topk(back, centroids, entry_mod.QVEC, k=10, nprobe=3)
+        scan = next(l for l in _plan(probe).splitlines() if "FileScan" in l)
+        assert "PartitionFilters" in scan and "centroid_id" in scan.split(
+            "PartitionFilters"
+        )[1].split("]")[0], scan
+        # results identical to probing the in-memory assignment
+        mem = ivf_topk(ivf_assign(emb, centroids), centroids, entry_mod.QVEC, k=10, nprobe=3)
+        assert [r.vec_id for r in probe.collect()] == [r.vec_id for r in mem.collect()]
+
+
 def test_dedup_single_md5_pass(spark, sf_dir):
     """MinHash/SimHash: the md5 token-hash array materializes once."""
     from external_benchmarks_spark.operators.dedup import minhash_signature, simhash
