@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 def build_index_layout(
     df: DataFrame,
     out_path: str,
-    partition_col: str | None = None,
+    partition_col: str | Sequence[str] | None = None,
     sort_cols: Sequence[str] = (),
     emb_col: str | None = "embedding",
     lsh_planes=None,
@@ -43,7 +43,8 @@ def build_index_layout(
         from external_benchmarks_spark.operators.similarity import lsh_bucket_udf
 
         out = out.withColumn("lsh_bucket", lsh_bucket_udf(lsh_planes)(F.col(emb_col)))
-    partition_keys = [c for c in (partition_col, "lsh_bucket" if lsh_planes is not None else None) if c]
+    cols = [partition_col] if isinstance(partition_col, str) else list(partition_col or [])
+    partition_keys = [c for c in (*cols, "lsh_bucket" if lsh_planes is not None else None) if c]
     if partition_keys:
         out = out.repartition(*[F.col(c) for c in partition_keys])
     if sort_cols:

@@ -54,6 +54,27 @@ def test_indexed_table_lsh_routing(spark, sf_dir):
         assert [r.vec_id for r in routed.collect()] == [r.vec_id for r in expect]
 
 
+def test_indexed_table_ivf_routing(spark, sf_dir):
+    emb = Catalog(spark, sf_dir).embeddings
+    with tempfile.TemporaryDirectory() as d:
+        t = build_indexed_table(
+            spark, emb, os.path.join(d, "idx"),
+            partition_col=None, sort_cols=["vec_id"], n_centroids=8,
+        )
+        # nprobe == all cells scans everything -> must equal brute force
+        # (filtered_vector_topk scores by DOT, same as t.query's scorer)
+        routed = t.query(entry_mod.QVEC, nprobe=8, k=10)
+        from external_benchmarks_spark.operators.topk import filtered_vector_topk
+
+        expect = filtered_vector_topk(emb, entry_mod.QVEC, None, k=10).collect()
+        assert [r.vec_id for r in routed.collect()] == [r.vec_id for r in expect]
+        # narrow probe prunes: centroid_id lands in PartitionFilters
+        narrow = t.query(entry_mod.QVEC, nprobe=2, k=10)
+        plan = executed_plan(narrow)
+        scan = next(l for l in plan.splitlines() if "FileScan" in l)
+        assert "centroid_id" in scan.split("PartitionFilters")[1].split("]")[0]
+
+
 def test_source_registry_formats(spark, sf_dir):
     docs = Catalog(spark, sf_dir).documents
     with tempfile.TemporaryDirectory() as d:
