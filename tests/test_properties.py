@@ -1,0 +1,125 @@
+"""Property-based tests (SURVEY.md §5.2): the reference's own quality
+invariants — sampling preserves distributions, embedding norms are fixed
+by construction — plus algebraic invariants of the dedup/session
+operators. Hypothesis generates the data; every Spark-side check is
+deterministic (fixed seeds, integer-exact hashing)."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+import pyspark.sql.functions as F
+
+PROP = settings(
+    max_examples=8,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+WORDS = ["apple", "banana", "cherry", "delta", "echo", "fox", "golf", "hotel"]
+texts = st.lists(st.sampled_from(WORDS), min_size=1, max_size=20).map(" ".join)
+
+
+@PROP
+@given(st.lists(texts, min_size=2, max_size=25))
+def test_exact_dedup_partitions_the_table(spark, docs):
+    """Dedup groups are a partition: counts sum to the table size and each
+    keeper is the minimum id of its hash group."""
+    from external_benchmarks_spark.operators.dedup import exact_dedup_groups
+
+    df = spark.createDataFrame(list(enumerate(docs)), ["doc_id", "text"])
+    got = exact_dedup_groups(df).collect()
+    assert sum(r.dup_count for r in got) == len(docs)
+    want_keepers = {}
+    for i, t in enumerate(docs):
+        want_keepers[t] = min(want_keepers.get(t, i), i)
+    assert {r.keeper_id for r in got} == set(want_keepers.values())
+
+
+@PROP
+@given(st.lists(st.sampled_from(WORDS), min_size=1, max_size=15), st.randoms())
+def test_minhash_and_simhash_are_set_semantics(spark, words, rnd):
+    """Signatures depend on the token SET: permuting and duplicating
+    tokens must not change MinHash or SimHash."""
+    from external_benchmarks_spark.operators.dedup import minhash_signature, simhash
+
+    original = " ".join(words)
+    shuffled = list(words) + [words[0]]  # duplicate one token...
+    rnd.shuffle(shuffled)  # ...and permute
+    df = spark.createDataFrame(
+        [(0, original), (1, " ".join(shuffled))], ["doc_id", "text"]
+    )
+    mh = {r.doc_id: tuple(v for k, v in r.asDict().items() if k.startswith("mh"))
+          for r in minhash_signature(df, num_hashes=8).collect()}
+    assert mh[0] == mh[1]
+    sh = {r.doc_id: r.simhash for r in simhash(df).collect()}
+    assert sh[0] == sh[1]
+    assert 0 <= sh[0] < (1 << 32)
+
+
+@PROP
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 10_000)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_sessionize_conserves_events(spark, events):
+    """Session stats are a partition of each user's events."""
+    from external_benchmarks_spark.operators.sessions import sessionize
+
+    rows = [
+        (str(u), int(ts) * 60_000_000, i) for i, (u, ts) in enumerate(events)
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts_us", "event_id"])
+    got = sessionize(df, user_col="user_id", ts_col="ts_us").collect()
+    per_user: dict[str, int] = {}
+    for u, _ts, _i in rows:
+        per_user[u] = per_user.get(u, 0) + 1
+    assert {r.user_id: r.total_events for r in got} == per_user
+    for r in got:
+        assert 1 <= r.n_sessions <= r.total_events
+        assert r.max_session_events <= r.total_events
+
+
+@PROP
+@given(st.integers(0, 2**31 - 1))
+def test_deterministic_sample_preserves_distribution(spark, seed_offset):
+    """The reference's own acceptance invariant (summary_report.md:42-46):
+    uniform sampling preserves categorical shares within tolerance."""
+    from external_benchmarks_spark.operators.sampling import uniform_sample
+
+    n = 4000
+    df = spark.range(n).select(
+        F.col("id"), (F.pmod(F.xxhash64(F.col("id") + seed_offset), F.lit(4))).alias("cat")
+    )
+    sample = uniform_sample(df, fraction=0.5, seed=42)
+    full = {r.cat: r["count"] / n for r in df.groupBy("cat").count().collect()}
+    n_s = sample.count()
+    assert n_s > 0
+    samp = {
+        r.cat: r["count"] / n_s for r in sample.groupBy("cat").count().collect()
+    }
+    for cat, share in full.items():
+        assert abs(samp.get(cat, 0.0) - share) < 0.1
+
+
+@PROP
+@given(st.lists(texts, min_size=1, max_size=10))
+def test_embedding_norm_invariant(spark, titles):
+    """Per-field blocks are unit-norm, so ||embedding|| = sqrt(n_fields)
+    (the reference's norm 2.646 = sqrt(7) invariant,
+    benchmark_10k/README.md:70)."""
+    from external_benchmarks_spark.functions.vector import l2_norm
+    from external_benchmarks_spark.pipeline.embedding import embed_fields
+
+    df = spark.createDataFrame(
+        [(i, t, t[::-1]) for i, t in enumerate(titles)], ["id", "title", "description"]
+    )
+    out = embed_fields(df, fields=("title", "description"), dim=8)
+    norms = [r.n for r in out.select(l2_norm("embedding").alias("n")).collect()]
+    for n in norms:
+        assert abs(n - 2.0**0.5) < 1e-6
