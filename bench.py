@@ -86,9 +86,11 @@ def _upsert_table(spark, sf):
     tag = sf.rstrip("/").replace("/", "_").lstrip("_")
     root = os.path.join(tempfile.gettempdir(), f"ebs_upsert_bench_{tag}")
     t = UpsertTable(spark, root, key_col="vec_id", n_buckets=8)
-    if not os.path.exists(os.path.join(root, "_SUCCESS")):
+    if not os.path.exists(os.path.join(root, "_manifest.json")):
         shutil.rmtree(root, ignore_errors=True)
         t.init(Catalog(spark, sf).embeddings)
+    else:
+        t.vacuum()  # keep reruns from accumulating version dirs
     return t
 
 

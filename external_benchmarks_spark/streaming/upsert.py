@@ -6,22 +6,31 @@ Spark shape: updates arrive as a stream (rate/file/kafka source),
 ``foreachBatch`` applies a keyed MERGE into the base table, and changed
 text re-embeds inside the batch via the same pandas UDF as the batch
 pipeline. Without a Delta dependency in this container, the MERGE is
-implemented as a partition-overwrite upsert over parquet: the batch's
-keys are hash-bucketed, ONLY the touched buckets are rewritten
-(read bucket ∖ keys ∪ new rows), and readers see bucket directories
-atomically replaced. On a Delta/Iceberg-backed deployment,
-``upsert_batch`` collapses to a single ``MERGE INTO`` — the surface and
-semantics are identical.
+implemented with **bucket-level versioning**: rows are hash-bucketed by
+key, each micro-batch writes NEW version directories for only the
+touched buckets (read old version ∖ keys ∪ new rows → write v+1), and a
+tiny manifest file maps bucket → current version, swapped atomically
+(write-temp + rename). Readers resolve the manifest once and see a
+consistent snapshot — never a half-rewritten directory — and the writer
+never materializes data in memory (old and new versions are different
+directories, so no checkpoint barrier is needed). On a Delta/Iceberg
+deployment ``upsert_batch`` collapses to a single ``MERGE INTO``; the
+API and semantics here are identical, single-writer.
+
+Layout:  <root>/v=<j>/bucket=<i>/*.parquet  +  <root>/_manifest.json
 """
 
 from __future__ import annotations
 
+import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 DEFAULT_BUCKETS = 16
+MANIFEST = "_manifest.json"
 
 
 def _bucket(col, n: int):
@@ -29,12 +38,11 @@ def _bucket(col, n: int):
 
 
 class UpsertTable:
-    """Hash-bucketed parquet table supporting keyed micro-batch upserts.
+    """Hash-bucketed, bucket-versioned parquet table with keyed MERGE.
 
-    Layout: <root>/bucket=<i>/*.parquet. The bucket count bounds the
-    rewrite amplification of a micro-batch: a batch touching b buckets
-    rewrites b/n of the table (with Delta, this becomes file-level
-    rewrite; the API is unchanged).
+    The bucket count bounds rewrite amplification: a micro-batch touching
+    b buckets rewrites b/n of the table into fresh version directories
+    (file-level rewrite, like Delta without the transaction log's history).
     """
 
     def __init__(self, spark: SparkSession, root: str, key_col: str, n_buckets: int = DEFAULT_BUCKETS):
@@ -43,17 +51,56 @@ class UpsertTable:
         self.key_col = key_col
         self.n_buckets = n_buckets
 
+    # -- manifest ----------------------------------------------------------
+    def _manifest_path(self) -> str:
+        return os.path.join(self.root, MANIFEST)
+
+    def _read_manifest(self) -> dict[str, int]:
+        with open(self._manifest_path()) as f:
+            return {k: int(v) for k, v in json.load(f).items()}
+
+    def _write_manifest(self, m: dict[str, int]) -> None:
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f)
+        os.replace(tmp, self._manifest_path())  # atomic swap
+
+    def _bucket_paths(self, manifest: dict[str, int], buckets=None) -> list[str]:
+        items = manifest.items() if buckets is None else (
+            (b, manifest[b]) for b in (str(x) for x in buckets) if b in manifest
+        )
+        return [
+            os.path.join(self.root, f"v={v}", f"bucket={b}") for b, v in items
+        ]
+
+    # -- table API ---------------------------------------------------------
     def init(self, df: DataFrame) -> None:
         (
             df.withColumn("bucket", _bucket(F.col(self.key_col), self.n_buckets))
             .repartition(F.col("bucket"))
             .write.mode("overwrite")
             .partitionBy("bucket")
-            .parquet(self.root)
+            .parquet(os.path.join(self.root, "v=0"))
         )
+        present = [
+            e.split("=", 1)[1]
+            for e in os.listdir(os.path.join(self.root, "v=0"))
+            if e.startswith("bucket=")
+        ]
+        self._write_manifest({b: 0 for b in present})
 
     def read(self) -> DataFrame:
-        return self.spark.read.parquet(self.root).drop("bucket")
+        """Snapshot read: resolve the manifest once; the returned frame is
+        pinned to those version directories."""
+        manifest = self._read_manifest()
+        paths = self._bucket_paths(manifest)
+        if not paths:
+            raise ValueError(f"empty table at {self.root}")
+        return (
+            self.spark.read.option("basePath", self.root)
+            .parquet(*paths)
+            .drop("v", "bucket")
+        )
 
     def upsert(self, updates: DataFrame) -> None:
         """MERGE semantics: delete matching keys, insert all update rows.
@@ -73,23 +120,48 @@ class UpsertTable:
         touched = [r["bucket"] for r in upd.select("bucket").distinct().collect()]
         if not touched:
             return
-        base = self.spark.read.parquet(self.root).filter(F.col("bucket").isin(touched))
-        keys = upd.select(self.key_col, "bucket").distinct()
-        survivors = base.join(
-            F.broadcast(keys.select(self.key_col)), self.key_col, "left_anti"
-        )
-        merged = survivors.unionByName(upd.select(*survivors.columns))
-        # Materialize before overwriting the same path we just read
-        # (micro-batches are small; Delta's MERGE removes this step).
-        merged = merged.localCheckpoint(eager=True)
-        # Rewrite only the touched bucket partitions (dynamic overwrite).
+        manifest = self._read_manifest()
+        new_version = max(manifest.values(), default=-1) + 1
+        base_paths = self._bucket_paths(manifest, touched)
+        keys = upd.select(self.key_col).distinct()
+        merged = upd
+        if base_paths:
+            base = (
+                self.spark.read.option("basePath", self.root)
+                .parquet(*base_paths)
+                .drop("v")
+            )
+            survivors = base.join(F.broadcast(keys), self.key_col, "left_anti")
+            merged = survivors.unionByName(upd.select(*survivors.columns))
+        # Old versions are read, the NEW version directory is written: no
+        # in-place overwrite, no memory barrier, readers keep their snapshot.
         (
             merged.repartition(F.col("bucket"))
             .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("bucket")
-            .parquet(self.root)
+            .parquet(os.path.join(self.root, f"v={new_version}"))
         )
+        for b in touched:
+            manifest[str(b)] = new_version
+        self._write_manifest(manifest)
+
+    def vacuum(self, keep_latest: bool = True) -> None:
+        """Drop version directories no longer referenced by the manifest
+        (single-writer; call when no readers hold older snapshots)."""
+        live = {
+            os.path.join(self.root, f"v={v}", f"bucket={b}")
+            for b, v in self._read_manifest().items()
+        }
+        for entry in os.listdir(self.root):
+            if not entry.startswith("v="):
+                continue
+            vdir = os.path.join(self.root, entry)
+            for bdir in os.listdir(vdir):
+                p = os.path.join(vdir, bdir)
+                if bdir.startswith("bucket=") and p not in live:
+                    shutil.rmtree(p, ignore_errors=True)
+            if not any(e.startswith("bucket=") for e in os.listdir(vdir)):
+                shutil.rmtree(vdir, ignore_errors=True)
 
 
 def upsert_batch(table: UpsertTable, batch_df: DataFrame, batch_id: int) -> None:
