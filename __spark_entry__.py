@@ -579,6 +579,35 @@ def q_events_hourly(spark, sf):
     return sess_ops.hourly_rollup(Catalog(spark, sf).events)
 
 
+def q_events_sliding(spark, sf):
+    return sess_ops.sliding_rollup(
+        Catalog(spark, sf).events, window="2 hours", slide="1 hour"
+    )
+
+
+def q_blob_metadata(spark, sf):
+    # Multimodal surface: binary column (UTF-8 bytes of text stand in for
+    # an opaque image/audio blob) -> pure-Catalyst byte length + digest.
+    from external_benchmarks_spark.multimodal.binaryops import blob_metadata
+
+    docs = Catalog(spark, sf).documents.withColumn(
+        "blob", F.encode(F.col("text"), "UTF-8")
+    )
+    return blob_metadata(docs, "blob")
+
+
+def q_image_decode(spark, sf):
+    # mapInPandas decode+featurize (kernel stubbed deterministically — the
+    # image libs aren't in this container; schema/batching/partitioning are
+    # the real thing). No SQL oracle: driver records the rows-only check.
+    from external_benchmarks_spark.multimodal.binaryops import decode_image_stub
+
+    docs = Catalog(spark, sf).documents.withColumn(
+        "blob", F.encode(F.col("text"), "UTF-8")
+    )
+    return decode_image_stub(docs, "blob")
+
+
 def q_sessionize(spark, sf):
     return sess_ops.sessionize(
         Catalog(spark, sf).events, ts_col="ts_us", gap=SESSION_GAP_US
@@ -643,6 +672,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_terms": q_top_terms,
         "approx_distinct": q_approx_distinct,
         "events_hourly": q_events_hourly,
+        "events_sliding": q_events_sliding,
+        "blob_metadata": q_blob_metadata,
+        "image_decode": q_image_decode,
         "sessionize": q_sessionize,
         "asof_last_event": q_asof_last_event,
     }
@@ -972,6 +1004,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT t AS term, COUNT(*) AS cnt
             FROM (SELECT unnest({DUCK_TOKS}) AS t FROM documents)
             GROUP BY t ORDER BY cnt DESC, term LIMIT 20
+        """,
+        "events_sliding": """
+            SELECT strftime(ws, '%Y-%m-%d %H') AS window_start, event_type,
+                   COUNT(*) AS cnt, ROUND(SUM(value), 4) AS sum_value
+            FROM (
+              SELECT date_trunc('hour', ts) - TO_HOURS(o) AS ws, event_type, value
+              FROM events, UNNEST([0, 1]) AS t(o)
+            ) GROUP BY 1, 2
+        """,
+        "blob_metadata": """
+            SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
+                   substring(sha256(text), 1, 16) AS sha_prefix
+            FROM documents
         """,
         "events_hourly": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,

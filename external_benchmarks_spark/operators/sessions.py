@@ -32,6 +32,34 @@ def hourly_rollup(df: DataFrame, ts_col: str = "ts", type_col: str = "event_type
     )
 
 
+def sliding_rollup(
+    df: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    window: str = "2 hours",
+    slide: str = "1 hour",
+) -> DataFrame:
+    """Sliding-window aggregate: each event lands in window/slide
+    overlapping windows (F.window assigns them all at once — one pass,
+    one shuffle on (window, type)). Streaming form: identical expression
+    after withWatermark."""
+    return (
+        df.groupBy(
+            F.window(F.col(ts_col), window, slide).alias("win"), F.col(type_col)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH").alias("window_start"),
+            type_col,
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
 def sessionize(
     df: DataFrame,
     user_col: str = "user_id",
