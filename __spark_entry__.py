@@ -412,6 +412,30 @@ def q_lsh_ann_topk(spark, sf):
     )
 
 
+def q_ann_recall(spark, sf):
+    # The reference's acceptance metric (README.md:76: >90% average
+    # recall) as a first-class operator: exact vs IVF top-k per query,
+    # recall join keyed on (query, item). Approximate input -> no SQL
+    # oracle; the >=0.9 bar is asserted in tests/test_similarity.py.
+    from external_benchmarks_spark.operators.similarity import (
+        ivf_assign,
+        ivf_fit,
+        ivf_topk,
+    )
+    from external_benchmarks_spark.operators.topk import recall_at_k
+
+    e = Catalog(spark, sf).embeddings
+    centroids = ivf_fit(e, n_centroids=16, seed=42)
+    assigned = ivf_assign(e, centroids)
+    exact = bruteforce_topk(e, QVEC, k=10).withColumn("query_id", F.lit(0))
+    approx = ivf_topk(assigned, centroids, QVEC, k=10, nprobe=12).withColumn(
+        "query_id", F.lit(0)
+    )
+    return recall_at_k(approx, exact, "query_id", "vec_id").select(
+        "query_id", F.round("recall", 6).alias("recall")
+    )
+
+
 def q_ivf_ann_topk(spark, sf):
     # IVF scale path (KMeans cells + nprobe probing) — approximate, so no
     # SQL oracle; recall >= 0.9 vs bruteforce is asserted in
@@ -658,6 +682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pairwise_cosine_stats": q_pairwise_cosine_stats,
         "lsh_ann_topk": q_lsh_ann_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
+        "ann_recall": q_ann_recall,
         "salted_group_agg": q_salted_group_agg,
         "salted_join_agg": q_salted_join_agg,
         "exact_dedup": q_exact_dedup,
