@@ -194,6 +194,19 @@ def q_join_agg(spark, sf):
     )
 
 
+def q_region_rollup(spark, sf):
+    # 3-way dim->fact chain with both dims broadcast; completes testdata
+    # coverage (region was the one unused table).
+    cat = Catalog(spark, sf)
+    joined = cat.customer.join(
+        F.broadcast(cat.nation), F.col("c_nationkey") == F.col("n_nationkey")
+    ).join(F.broadcast(cat.region), F.col("n_regionkey") == F.col("r_regionkey"))
+    return joined.groupBy("r_name").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+    )
+
+
 def q_semi_join(spark, sf):
     cat = Catalog(spark, sf)
     return cat.customer.join(
@@ -657,6 +670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "global_topk": q_global_topk,
         "window_topk": q_window_topk,
         "join_agg": q_join_agg,
+        "region_rollup": q_region_rollup,
         "semi_join": q_semi_join,
         "anti_join": q_anti_join,
         "histogram": q_histogram,
@@ -811,6 +825,12 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN customer ON o_custkey = c_custkey
                         JOIN nation ON c_nationkey = n_nationkey
             GROUP BY n_name
+        """,
+        "region_rollup": """
+            SELECT r_name, COUNT(*) AS cnt, ROUND(SUM(c_acctbal), 2) AS total_bal
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+                          JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
         """,
         "semi_join": """
             SELECT c_custkey FROM customer
