@@ -655,6 +655,27 @@ def q_asof_last_event(spark, sf):
     return sess_ops.last_event_before(Catalog(spark, sf).events, "purchase")
 
 
+def q_asof_join_generic(spark, sf):
+    # General two-table as-of join (operators/asof) vs DuckDB's NATIVE
+    # ASOF JOIN as oracle. Right side pre-aggregated to one row per
+    # (user, ts) so the match is deterministic; integer microsecond
+    # timestamps keep the comparison integer-exact.
+    from external_benchmarks_spark.operators.asof import asof_join
+
+    ev = Catalog(spark, sf).events
+    left = ev.select("event_id", "user_id", "ts_us")
+    right = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts_us")
+        .agg(F.round(F.max("value"), 6).alias("purchase_value"))
+        .withColumnRenamed("ts_us", "p_ts")
+    )
+    return asof_join(
+        left, right, on="user_id", left_ts="ts_us", right_ts="p_ts",
+        right_values=["purchase_value"],
+    ).select("event_id", "user_id", "ts_us", "purchase_value")
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -716,6 +737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_decode": q_image_decode,
         "sessionize": q_sessionize,
         "asof_last_event": q_asof_last_event,
+        "asof_join_generic": q_asof_join_generic,
     }
 
 
@@ -1096,5 +1118,15 @@ def oracle_sql() -> dict[str, str]:
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
                      '%Y-%m-%d %H:%M:%S') AS last_purchase_ts
             FROM events
+        """,
+        "asof_join_generic": """
+            WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
+            r AS (
+              SELECT user_id, epoch_us(ts) AS p_ts,
+                     ROUND(MAX(value), 6) AS purchase_value
+              FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+            SELECT l.event_id, l.user_id, l.ts_us, r.purchase_value
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts_us >= r.p_ts
         """,
     }
