@@ -655,6 +655,33 @@ def q_asof_last_event(spark, sf):
     return sess_ops.last_event_before(Catalog(spark, sf).events, "purchase")
 
 
+def q_range_join_agg(spark, sf):
+    # Grid-bucketed interval join (operators/rangejoin): events landing in
+    # the hour after each purchase, counted per purchase. Oracle is the
+    # plain BETWEEN join — the bucketing must be invisible in the result.
+    from external_benchmarks_spark.operators.rangejoin import range_join
+
+    HOUR_US = 3_600_000_000
+    ev = Catalog(spark, sf).events
+    points = ev.select("event_id", "user_id", "ts_us")
+    intervals = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_event_id"),
+            "user_id",
+            F.col("ts_us").alias("start_us"),
+            (F.col("ts_us") + HOUR_US).alias("end_us"),
+        )
+    )
+    joined = range_join(
+        points, intervals, on="user_id", point_col="ts_us",
+        start_col="start_us", end_col="end_us", grid=HOUR_US,
+    )
+    return joined.groupBy("p_event_id").agg(
+        F.count(F.lit(1)).alias("events_within_hour")
+    )
+
+
 def q_asof_join_generic(spark, sf):
     # General two-table as-of join (operators/asof) vs DuckDB's NATIVE
     # ASOF JOIN as oracle. Right side pre-aggregated to one row per
@@ -738,6 +765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "asof_last_event": q_asof_last_event,
         "asof_join_generic": q_asof_join_generic,
+        "range_join_agg": q_range_join_agg,
     }
 
 
@@ -1118,6 +1146,17 @@ def oracle_sql() -> dict[str, str]:
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
                      '%Y-%m-%d %H:%M:%S') AS last_purchase_ts
             FROM events
+        """,
+        "range_join_agg": """
+            WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
+            p AS (
+              SELECT event_id AS p_event_id, user_id, epoch_us(ts) AS start_us,
+                     epoch_us(ts) + 3600000000 AS end_us
+              FROM events WHERE event_type = 'purchase')
+            SELECT p.p_event_id, COUNT(*) AS events_within_hour
+            FROM e JOIN p ON e.user_id = p.user_id
+                         AND e.ts_us BETWEEN p.start_us AND p.end_us
+            GROUP BY p.p_event_id
         """,
         "asof_join_generic": """
             WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
