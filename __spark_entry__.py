@@ -590,6 +590,12 @@ def q_token_stats(spark, sf):
 # Events surface (windowed agg, sessionization, as-of)
 # ---------------------------------------------------------------------------
 
+def q_tfidf_top_terms(spark, sf):
+    from external_benchmarks_spark.operators.tfidf import tfidf_top_terms
+
+    return tfidf_top_terms(Catalog(spark, sf).documents, top_n=3)
+
+
 def q_top_terms(spark, sf):
     # Corpus term frequencies: explode -> groupBy -> top-k. The explode/
     # re-aggregate shape every text pipeline needs; map-side partial
@@ -757,6 +763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "token_stats": q_token_stats,
         "top_terms": q_top_terms,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "approx_distinct": q_approx_distinct,
         "events_hourly": q_events_hourly,
         "events_sliding": q_events_sliding,
@@ -1099,6 +1106,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT t AS term, COUNT(*) AS cnt
             FROM (SELECT unnest({DUCK_TOKS}) AS t FROM documents)
             GROUP BY t ORDER BY cnt DESC, term LIMIT 20
+        """,
+        "tfidf_top_terms": f"""
+            WITH toks AS (SELECT doc_id, unnest({DUCK_TOKS}) AS term FROM documents),
+            tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+            dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS doc_freq FROM toks GROUP BY 1),
+            n AS (SELECT COUNT(*) AS n_docs FROM documents),
+            scored AS (
+              SELECT tf.doc_id, tf.term,
+                     ROUND(tf.tf * ln((n.n_docs + 1.0) / (dfreq.doc_freq + 1.0)), 6) AS tfidf
+              FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+            ranked AS (
+              SELECT doc_id, term, tfidf,
+                     CAST(row_number() OVER (PARTITION BY doc_id
+                          ORDER BY tfidf DESC, term) AS BIGINT) AS rn
+              FROM scored)
+            SELECT doc_id, term, tfidf, rn FROM ranked WHERE rn <= 3
         """,
         "events_sliding": """
             SELECT strftime(ws, '%Y-%m-%d %H') AS window_start, event_type,
