@@ -55,6 +55,30 @@ def build_index_layout(
     writer.parquet(out_path)
 
 
+def zorder_key(col_a, col_b, bits: int = 16):
+    """Morton (Z-order) interleave of two non-negative ints — sorting by
+    it clusters BOTH dimensions, so parquet row-group min/max stats prune
+    2-D predicates (e.g. the reference's rating x review-count templates,
+    README.md:80-82) instead of only the primary sort column.
+
+    Pure Catalyst bit math (one expression, codegen-friendly). Values are
+    clamped to ``bits`` (caller buckets/offsets real values into that
+    range first — for doubles, quantile-bucket then interleave).
+    """
+    from pyspark.sql import functions as F
+
+    a = F.least(F.greatest(col_a.cast("bigint"), F.lit(0)), F.lit((1 << bits) - 1))
+    b = F.least(F.greatest(col_b.cast("bigint"), F.lit(0)), F.lit((1 << bits) - 1))
+    z = F.lit(0).cast("bigint")
+    for i in range(bits):
+        z = (
+            z
+            + (F.shiftright(a, i) % 2) * F.lit(1 << (2 * i)).cast("bigint")
+            + (F.shiftright(b, i) % 2) * F.lit(1 << (2 * i + 1)).cast("bigint")
+        )
+    return z
+
+
 def read_index(spark, path: str) -> DataFrame:
     """Read back the layout; partition columns come in as directory keys,
     so equality predicates on them prune at planning time."""

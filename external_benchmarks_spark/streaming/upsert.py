@@ -145,6 +145,26 @@ class UpsertTable:
             manifest[str(b)] = new_version
         self._write_manifest(manifest)
 
+    def compact(self) -> None:
+        """Rewrite every bucket at one fresh version (small files from
+        many micro-batches merge back to one file per bucket), then drop
+        the stale versions. The Delta OPTIMIZE analog; single-writer."""
+        manifest = self._read_manifest()
+        new_version = max(manifest.values(), default=-1) + 1
+        current = (
+            self.spark.read.option("basePath", self.root)
+            .parquet(*self._bucket_paths(manifest))
+            .drop("v")
+        )
+        (
+            current.repartition(F.col("bucket"))
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(os.path.join(self.root, f"v={new_version}"))
+        )
+        self._write_manifest({b: new_version for b in manifest})
+        self.vacuum()
+
     def vacuum(self, keep_latest: bool = True) -> None:
         """Drop version directories no longer referenced by the manifest
         (single-writer; call when no readers hold older snapshots)."""

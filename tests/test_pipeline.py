@@ -106,3 +106,22 @@ def test_dataset_report_and_consistency(spark, sf_dir):
     # consistency across "scales" (same data twice -> zero drift)
     chk = consistency_check({"a": rep, "b": rep})
     assert chk["consistent"] is True
+
+
+def test_zorder_key_interleaves_and_clusters(spark):
+    """Morton key: exact interleave on known bits; sorting by it gives
+    locality in both dimensions."""
+    from external_benchmarks_spark.pipeline.index import zorder_key
+
+    df = spark.createDataFrame([(1, 0), (0, 1), (3, 3), (2, 1)], ["a", "b"])
+    got = {
+        (r.a, r.b): r.z
+        for r in df.select("a", "b", zorder_key(F.col("a"), F.col("b"), 4).alias("z")).collect()
+    }
+    def morton(a, b):
+        z = 0
+        for i in range(4):
+            z |= ((a >> i) & 1) << (2 * i) | ((b >> i) & 1) << (2 * i + 1)
+        return z
+    for (a, b), z in got.items():
+        assert z == morton(a, b), (a, b, z)

@@ -93,3 +93,25 @@ def test_streaming_foreachbatch(spark):
         assert merged.filter(F.col("seen") >= 0).count() > 0
         # keys stayed unique through streamed merges
         assert merged.groupBy("id").count().filter(F.col("count") > 1).count() == 0
+
+
+def test_upsert_compact_merges_versions(spark):
+    """compact(): one version for every bucket, data unchanged, old
+    version dirs vacuumed."""
+    import os as _os
+
+    with tempfile.TemporaryDirectory() as d:
+        t = UpsertTable(spark, _os.path.join(d, "t"), key_col="id", n_buckets=4)
+        t.init(_base(spark, 50))
+        for i in range(3):  # a few micro-batches -> several versions
+            upd = spark.createDataFrame(
+                [(i * 10 + j, f"u{i}-{j}", 1.0) for j in range(5)],
+                ["id", "title", "price"],
+            )
+            t.upsert(upd)
+        before = sorted((r.id, r.title) for r in t.read().collect())
+        t.compact()
+        after = sorted((r.id, r.title) for r in t.read().collect())
+        assert after == before
+        versions = [e for e in _os.listdir(_os.path.join(d, "t")) if e.startswith("v=")]
+        assert len(versions) == 1
