@@ -174,6 +174,10 @@ def headline_queries():
         "events_hourly": q["events_hourly"],
         "sessionize": q["sessionize"],
         "asof_last_event": q["asof_last_event"],
+        "asof_join_generic": q["asof_join_generic"],
+        "range_join_agg": q["range_join_agg"],
+        "tfidf_top_terms": q["tfidf_top_terms"],
+        "salted_group_agg": q["salted_group_agg"],
     }
 
 

@@ -2,10 +2,10 @@
 plain term-frequency query (training-data pipelines use it for keyword
 extraction and quality filtering).
 
-Shape: one explode pass feeds BOTH aggregates (per-doc TF and corpus DF);
-the document-frequency table is tiny (|vocabulary| rows) and broadcasts
-back onto the TF table; per-doc ranking is a window over doc_id. Two
-shuffles total (term, doc), each on a well-spread key.
+Shape: ONE explode pass builds the (doc, term, tf) table; document
+frequency is a count window over term on that table (no second explode,
+no self-join); per-doc ranking is a window over doc_id. Each shuffle key
+(term; doc) is well-spread.
 
 Ranking determinism: Spark's Math.log and DuckDB's std::log can disagree
 in the last ulp, so the rank ORDER BY uses the score rounded to 6
@@ -28,15 +28,16 @@ def tfidf_top_terms(
     top_n: int = 3,
 ) -> DataFrame:
     """Top-n terms per document by tf * ln((N+1)/(df+1))."""
-    n_docs = df.count()  # one small job; reused as a literal below
+    n_docs = df.count()  # metadata-fast count; reused as a literal below
     toks = df.select(
         F.col(key_col), F.explode(tokens(F.col(content_col))).alias("term")
     )
     tf = toks.groupBy(key_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = toks.groupBy("term").agg(
-        F.countDistinct(key_col).alias("doc_freq")
-    )
-    scored = tf.join(F.broadcast(dfreq), "term").withColumn(
+    # doc_freq as a COUNT window over term on the TF table (one row per
+    # (doc, term)): the token explode runs ONCE and there is no self-join
+    # recomputing it — plan is explode -> agg -> window, two shuffles.
+    dfreq_w = Window.partitionBy("term")
+    scored = tf.withColumn("doc_freq", F.count(F.lit(1)).over(dfreq_w)).withColumn(
         "tfidf",
         F.round(
             F.col("tf")

@@ -64,3 +64,44 @@ def test_stream_dedup_content_drops_redeliveries(spark):
         # the survivor for 'alpha text' is its first delivery
         assert (1, "alpha text") in got and (3, "alpha text") not in got
         assert all(i != 4 for i, _t in got)
+
+
+def test_checkpoint_restart_no_reprocessing(spark):
+    """Exactly-once micro-batches: restarting a stream on the same
+    checkpoint must not re-deliver already-committed batches."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "src")
+        ckpt = os.path.join(d, "ckpt")
+        os.makedirs(src)
+
+        def write(name, ids):
+            pq.write_table(pa.table({"doc_id": ids}), os.path.join(src, name))
+            time.sleep(1.1)
+
+        def run_round(got):
+            events = spark.readStream.schema("doc_id long").parquet(src)
+            q = (
+                events.writeStream.foreachBatch(
+                    lambda df, bid: got.extend(r.doc_id for r in df.collect())
+                )
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                q.awaitTermination(120)
+            finally:
+                q.stop()
+
+        write("f1.parquet", [1, 2, 3])
+        first: list[int] = []
+        run_round(first)
+        assert sorted(first) == [1, 2, 3]
+
+        write("f2.parquet", [4, 5])
+        second: list[int] = []
+        run_round(second)
+        assert sorted(second) == [4, 5]  # f1 NOT re-delivered
