@@ -264,6 +264,48 @@ def q_rollup_agg(spark, sf):
     )
 
 
+def q_moving_avg(spark, sf):
+    # Sliding window FRAME (rows between 3 preceding and current): the
+    # running-aggregate form the plain row_number query doesn't cover.
+    from pyspark.sql.window import Window as W
+
+    c = Catalog(spark, sf).customer
+    w = W.partitionBy("c_nationkey").orderBy("c_custkey").rowsBetween(-3, 0)
+    return c.select(
+        "c_nationkey",
+        "c_custkey",
+        F.round(F.avg("c_acctbal").over(w), 6).alias("moving_avg_bal"),
+    )
+
+
+def q_rank_lag(spark, sf):
+    # dense_rank + lag in one pass — analytic-function coverage beyond
+    # row_number.
+    from pyspark.sql.window import Window as W
+
+    s = Catalog(spark, sf).supplier
+    w = W.partitionBy("s_nationkey").orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+    return s.select(
+        "s_nationkey",
+        "s_suppkey",
+        F.dense_rank().over(w).cast("bigint").alias("bal_rank"),
+        F.round(F.lag("s_acctbal", 1).over(w), 2).alias("prev_bal"),
+    )
+
+
+def q_multi_quantile(spark, sf):
+    # Exact multi-quantile in one aggregate (interpolating percentile —
+    # same formula as DuckDB quantile_cont).
+    li = Catalog(spark, sf).lineitem
+    pct = F.expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.95))")
+    return li.select(
+        F.round(pct[0], 6).alias("p25"),
+        F.round(pct[1], 6).alias("p50"),
+        F.round(pct[2], 6).alias("p75"),
+        F.round(pct[3], 6).alias("p95"),
+    )
+
+
 def q_grouping_sets(spark, sf):
     # Explicit GROUPING SETS (the general form of rollup/cube) — native
     # DataFrame API in Spark 4.
@@ -736,6 +778,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_agg": q_rollup_agg,
         "cube_agg": q_cube_agg,
         "grouping_sets": q_grouping_sets,
+        "moving_avg": q_moving_avg,
+        "rank_lag": q_rank_lag,
+        "multi_quantile": q_multi_quantile,
         "deterministic_sample": q_deterministic_sample,
         "stratified_sample": q_stratified_sample,
         "derived_tiers": q_derived_tiers,
@@ -929,6 +974,27 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(l_linestatus, 'ALL') AS linestatus,
                    COUNT(*) AS cnt, ROUND(SUM(l_quantity), 4) AS sum_qty
             FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        """,
+        "moving_avg": """
+            SELECT c_nationkey, c_custkey,
+                   ROUND(AVG(c_acctbal) OVER (PARTITION BY c_nationkey
+                     ORDER BY c_custkey
+                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS moving_avg_bal
+            FROM customer
+        """,
+        "rank_lag": """
+            SELECT s_nationkey, s_suppkey,
+                   CAST(dense_rank() OVER w AS BIGINT) AS bal_rank,
+                   ROUND(lag(s_acctbal, 1) OVER w, 2) AS prev_bal
+            FROM supplier
+            WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+        """,
+        "multi_quantile": """
+            SELECT ROUND(CAST(quantile_cont(l_extendedprice, 0.25) AS DOUBLE), 6) AS p25,
+                   ROUND(CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE), 6) AS p50,
+                   ROUND(CAST(quantile_cont(l_extendedprice, 0.75) AS DOUBLE), 6) AS p75,
+                   ROUND(CAST(quantile_cont(l_extendedprice, 0.95) AS DOUBLE), 6) AS p95
+            FROM lineitem
         """,
         "grouping_sets": """
             SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
