@@ -106,6 +106,23 @@ def test_ivf_layout_probe_prunes_partitions(spark, sf_dir):
         assert [r.vec_id for r in probe.collect()] == [r.vec_id for r in mem.collect()]
 
 
+def test_asof_join_single_shuffle_per_input(spark, sf_dir):
+    """The union + running-last as-of join must not plan a nested-loop or
+    range join: one Exchange for the union'd window, nothing quadratic."""
+    plan = _plan(entry_mod.q_asof_join_generic(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_range_join_is_equi_join(spark, sf_dir):
+    """Grid bucketing must turn the interval predicate into an equi-join
+    (hash or sort-merge) — never a nested-loop over the cross product."""
+    plan = _plan(entry_mod.q_range_join_agg(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
 def test_dedup_single_md5_pass(spark, sf_dir):
     """MinHash/SimHash: the md5 token-hash array materializes once."""
     from external_benchmarks_spark.operators.dedup import minhash_signature, simhash
