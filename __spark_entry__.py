@@ -467,6 +467,33 @@ def q_lsh_ann_topk(spark, sf):
     )
 
 
+def q_dim_stats(spark, sf):
+    # Per-dimension embedding geometry (reference
+    # scripts/generate_benchmark_reports.py:511-512 computes per-dim
+    # mean/std): posexplode -> groupBy(pos). Shuffle key is the dimension
+    # index — exactly `dim` groups, perfectly uniform.
+    e = Catalog(spark, sf).embeddings
+    return (
+        e.select(F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("pos")
+        .agg(
+            F.round(F.avg("val"), 6).alias("mean_val"),
+            F.round(F.stddev_samp("val"), 6).alias("std_val"),
+        )
+        .withColumn("pos", F.col("pos").cast("bigint"))
+    )
+
+
+def q_group_distinct(spark, sf):
+    # COUNT(DISTINCT) per group — plans via Expand (distinct-aggregate
+    # rewrite), a different physical shape than plain grouped counts.
+    li = Catalog(spark, sf).lineitem
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("distinct_suppliers"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
 def q_ann_recall(spark, sf):
     # The reference's acceptance metric (README.md:76: >90% average
     # recall) as a first-class operator: exact vs IVF top-k per query,
@@ -796,6 +823,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_topk": q_lsh_ann_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
         "ann_recall": q_ann_recall,
+        "dim_stats": q_dim_stats,
+        "group_distinct": q_group_distinct,
         "salted_group_agg": q_salted_group_agg,
         "salted_join_agg": q_salted_join_agg,
         "exact_dedup": q_exact_dedup,
@@ -927,6 +956,21 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN customer ON o_custkey = c_custkey
                         JOIN nation ON c_nationkey = n_nationkey
             GROUP BY n_name
+        """,
+        "dim_stats": """
+            WITH x AS (
+              SELECT unnest(generate_series(0, len(embedding) - 1)) AS pos,
+                     unnest(embedding) AS val
+              FROM embeddings)
+            SELECT CAST(pos AS BIGINT) AS pos,
+                   ROUND(AVG(val), 6) AS mean_val,
+                   ROUND(STDDEV_SAMP(val), 6) AS std_val
+            FROM x GROUP BY pos
+        """,
+        "group_distinct": """
+            SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS distinct_suppliers,
+                   COUNT(*) AS cnt
+            FROM lineitem GROUP BY l_returnflag
         """,
         "region_rollup": """
             SELECT r_name, COUNT(*) AS cnt, ROUND(SUM(c_acctbal), 2) AS total_bal
