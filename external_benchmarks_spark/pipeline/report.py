@@ -22,12 +22,27 @@ from external_benchmarks_spark.functions.vector import l2_norm
 from external_benchmarks_spark.operators import stats as S
 
 
+def file_size_mb(path: str) -> float:
+    """File/dataset size probe (reference get_file_size_mb, :61-63) —
+    sums parts when the path is a directory-style parquet dataset."""
+    if os.path.isfile(path):
+        total = os.path.getsize(path)
+    else:
+        total = sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _dirs, files in os.walk(path)
+            for f in files
+        )
+    return round(total / (1024 * 1024), 2)
+
+
 def dataset_report(
     df: DataFrame,
     numeric_cols: list[str],
     cat_cols: list[str],
     text_cols: list[str] = (),
     emb_col: str | None = None,
+    path: str | None = None,
 ) -> dict:
     """Full stats dict mirroring the reference's fast path
     (duckdb_fast_stats, :119-219) + embedding geometry (:243-274)."""
@@ -36,6 +51,8 @@ def dataset_report(
         "n_columns": len(df.columns),
         "schema": {f.name: f.dataType.simpleString() for f in df.schema.fields},
     }
+    if path is not None:
+        report["file_size_mb"] = file_size_mb(path)
     nulls = S.null_profile(df).collect()[0].asDict()
     report["null_counts"] = {c: nulls[f"{c}_nulls"] for c in df.columns}
 

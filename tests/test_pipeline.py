@@ -125,3 +125,12 @@ def test_zorder_key_interleaves_and_clusters(spark):
         return z
     for (a, b), z in got.items():
         assert z == morton(a, b), (a, b, z)
+
+
+def test_file_size_probe(spark, sf_dir):
+    from external_benchmarks_spark.pipeline.report import file_size_mb
+
+    p = os.path.join(sf_dir, "embeddings.parquet")
+    mb = file_size_mb(p)
+    assert mb > 0
+    assert mb == round(os.path.getsize(p) / (1024 * 1024), 2)
