@@ -105,17 +105,20 @@ class UpsertTable:
     def upsert(self, updates: DataFrame) -> None:
         """MERGE semantics: delete matching keys, insert all update rows.
         Last-writer-wins within a batch by highest ``op_ts`` if present."""
-        upd = updates
-        if "op_ts" in upd.columns:
-            w_latest = upd.groupBy(self.key_col).agg(F.max("op_ts").alias("_max_ts"))
-            upd = (
-                upd.join(F.broadcast(w_latest), self.key_col)
-                .filter(F.col("op_ts") == F.col("_max_ts"))
-                .drop("_max_ts")
-            )
-        # A batch may legitimately carry several updates to one key (e.g. a
-        # rate/kafka source); the table invariant is one row per key.
-        upd = upd.dropDuplicates([self.key_col])
+        # One row per key (last-writer-wins by op_ts when present): a single
+        # window pass — one shuffle on the key — replaces the
+        # aggregate+join+distinct chain.
+        from pyspark.sql.window import Window
+
+        order = (
+            [F.col("op_ts").desc()] if "op_ts" in updates.columns else [F.lit(1)]
+        )
+        w = Window.partitionBy(self.key_col).orderBy(*order)
+        upd = (
+            updates.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
         upd = upd.withColumn("bucket", _bucket(F.col(self.key_col), self.n_buckets))
         touched = [r["bucket"] for r in upd.select("bucket").distinct().collect()]
         if not touched:
