@@ -144,6 +144,23 @@ def _ivf_probe(spark, sf):
     return ivf_topk(back, centroids, QVEC, k=100, nprobe=12, use_arrow_fast_path=True)
 
 
+def _batch_queries_ivf(spark, sf):
+    """Batch-of-queries ANN via the IVF index: Q x N x (nprobe/cells)
+    scored pairs instead of brute-force Q x N."""
+    from external_benchmarks_spark.operators.similarity import per_query_ivf_topk
+
+    out, centroids = _ivf_layout(spark, sf)
+    back = spark.read.parquet(out)
+    e = Catalog(spark, sf).embeddings
+    queries = e.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return per_query_ivf_topk(
+        back, centroids, queries, k=100, nprobe=12, metric="dot",
+        use_arrow_fast_path=True,
+    )
+
+
 def headline_queries():
     q = entry_mod.queries()
     return {
@@ -155,6 +172,7 @@ def headline_queries():
         "index_build": _index_build,
         "ivf_probe": _ivf_probe,
         "batch100_topk": _batch_queries_topk,
+        "batch100_ivf": _batch_queries_ivf,
         "upsert_batch100": _upsert_batch_latency,
         # Relational / stats surface
         "join_agg": q["join_agg"],

@@ -243,6 +243,138 @@ def ivf_topk(
     )
 
 
+def per_query_ivf_topk(
+    assigned: DataFrame,
+    centroids: np.ndarray,
+    queries: DataFrame,
+    k: int = 100,
+    nprobe: int = 4,
+    item_key: str = "vec_id",
+    emb_col: str = "embedding",
+    query_key: str = "query_id",
+    query_emb: str = "qvec",
+    metric: str = "cosine",
+    use_arrow_fast_path: bool = False,
+) -> DataFrame:
+    """Batch-of-queries ANN through the IVF index.
+
+    Each query considers ONLY items in its nprobe nearest cells; probe
+    geometry is always the spherical (cosine) cell space, ``metric``
+    selects the scoring function. Output schema matches
+    operators/topk.per_query_topk (query_id, item, score, rank) — recall
+    vs that exact oracle is asserted in tests/test_similarity.py.
+
+    Exact path: broadcast (query, cell) pairs join the items, per-pair
+    Catalyst dot — bit-exact scores.
+    Arrow path (the 100 TB shape): scan is PRUNED to the union of probed
+    cells (a partition filter on the IVF layout), each Arrow batch scores
+    with ONE BLAS matmul against all queries, and a (cell x query)
+    boolean mask invalidates pairs outside a query's probe set before the
+    batch-local top-k — BLAS throughput AND per-query cell semantics.
+    """
+    from pyspark.sql.window import Window
+
+    from external_benchmarks_spark.functions.vector import (
+        cosine_similarity,
+        dot_product,
+    )
+
+    spark = assigned.sparkSession
+    qrows = queries.select(query_key, query_emb).collect()  # small by contract
+    probes = {
+        int(r[0]): ivf_probe_cells(centroids, r[1], nprobe, "cosine") for r in qrows
+    }
+    cells_union = sorted({c for cells in probes.values() for c in cells})
+
+    if use_arrow_fast_path:
+        return _per_query_ivf_arrow(
+            assigned.filter(F.col("centroid_id").isin(cells_union)),
+            qrows, probes, centroids.shape[0], k,
+            item_key, emb_col, query_key, metric,
+        )
+
+    probe_pairs = [(q, c) for q, cells in probes.items() for c in cells]
+    probe_df = spark.createDataFrame(probe_pairs, [query_key, "centroid_id"])
+    cand = assigned.join(F.broadcast(probe_df), "centroid_id").join(
+        F.broadcast(queries), query_key
+    )
+    score = (
+        cosine_similarity(emb_col, query_emb)
+        if metric == "cosine"
+        else dot_product(emb_col, query_emb)
+    )
+    w = Window.partitionBy(query_key).orderBy(F.desc("score"), F.asc(item_key))
+    return (
+        cand.withColumn("score", score)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_key, item_key, "score", "rank")
+    )
+
+
+def _per_query_ivf_arrow(
+    cand: DataFrame,
+    qrows,
+    probes: dict[int, list[int]],
+    n_cells: int,
+    k: int,
+    item_key: str,
+    emb_col: str,
+    query_key: str,
+    metric: str,
+) -> DataFrame:
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+    from pyspark.sql.window import Window
+
+    qids = np.array([int(r[0]) for r in qrows], dtype=np.int64)
+    qmat = np.vstack([np.asarray(r[1], dtype=np.float64) for r in qrows]).T  # (dim, Q)
+    if metric == "cosine":
+        qmat = qmat / np.linalg.norm(qmat, axis=0, keepdims=True)
+    valid = np.zeros((n_cells, len(qids)), dtype=bool)  # (cell, query)
+    for j, qid in enumerate(qids):
+        valid[probes[int(qid)], j] = True
+
+    out_schema = StructType(
+        [
+            StructField(query_key, LongType()),
+            StructField(item_key, LongType()),
+            StructField("score", DoubleType()),
+        ]
+    )
+
+    def local_topk(batches):
+        for pdf in batches:
+            keys = pdf[item_key].to_numpy()
+            cells = pdf["centroid_id"].to_numpy().astype(np.int64)
+            m = np.vstack(pdf[emb_col].to_numpy()).astype(np.float64, copy=False)
+            scores = m @ qmat  # (B, Q) — one BLAS call
+            if metric == "cosine":
+                norms = np.linalg.norm(m, axis=1, keepdims=True)
+                norms[norms == 0.0] = 1.0
+                scores = scores / norms
+            scores = np.where(valid[cells], scores, -np.inf)  # cell mask
+            kk = min(k, len(keys))
+            idx = np.argpartition(-scores, kk - 1, axis=0)[:kk]  # (kk, Q)
+            top = np.take_along_axis(scores, idx, axis=0)  # (kk, Q)
+            keep = np.isfinite(top.T.ravel())
+            recs = {
+                query_key: np.repeat(qids, kk)[keep],
+                item_key: keys[idx].T.ravel()[keep],
+                "score": top.T.ravel()[keep],
+            }
+            yield pd.DataFrame(recs)
+
+    survivors = cand.select(item_key, "centroid_id", emb_col).mapInPandas(
+        local_topk, out_schema
+    )
+    w = Window.partitionBy(query_key).orderBy(F.desc("score"), F.asc(item_key))
+    return (
+        survivors.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_key, item_key, "score", "rank")
+    )
+
+
 def pairwise_cosine_stats(
     df: DataFrame,
     key_col: str = "vec_id",

@@ -72,6 +72,41 @@ def test_ivf_assignment_covers_all_rows(spark, sf_dir):
     assert assigned.count() == emb.count()
 
 
+def test_per_query_ivf_recall(spark, sf_dir):
+    """Batch ANN through the IVF index: avg recall >= 0.9 vs the exact
+    per-query oracle, with fewer scored pairs than brute force."""
+    from external_benchmarks_spark.operators.similarity import (
+        ivf_assign,
+        ivf_fit,
+        per_query_ivf_topk,
+    )
+
+    emb = Catalog(spark, sf_dir).embeddings
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    exact = per_query_topk(emb, queries, k=10, item_key="vec_id")
+    centroids = ivf_fit(emb, n_centroids=16, seed=42)
+    assigned = ivf_assign(emb, centroids)
+    # NOTE metric="dot" to match per_query_topk's dot-product ranking;
+    # probe geometry still uses the spherical (cosine) cells.
+    approx = per_query_ivf_topk(
+        assigned, centroids, queries, k=10, nprobe=12, metric="dot"
+    )
+    r = recall_at_k(approx, exact, "query_id", "vec_id").collect()
+    avg = sum(row.recall for row in r) / len(r)
+    assert len(r) == 8
+    assert avg >= 0.9, f"avg recall {avg} < 0.9"
+    # Arrow masked-matmul path must RANK identically to the exact path
+    fast = per_query_ivf_topk(
+        assigned, centroids, queries, k=10, nprobe=12, metric="dot",
+        use_arrow_fast_path=True,
+    )
+    e = {(r.query_id, r.rank): r.vec_id for r in approx.collect()}
+    f = {(r.query_id, r.rank): r.vec_id for r in fast.collect()}
+    assert e == f
+
+
 def test_recall_at_k_operator(spark, sf_dir):
     emb = Catalog(spark, sf_dir).embeddings
     queries = emb.filter(F.col("vec_id") < 3).select(
