@@ -264,6 +264,49 @@ def q_rollup_agg(spark, sf):
     )
 
 
+def q_pivot_agg(spark, sf):
+    # Pivot: one output column per l_returnflag value. Values pinned so
+    # the schema is static at planning time (no extra distinct pass) —
+    # the 100 TB-safe form of pivot.
+    li = Catalog(spark, sf).lineitem
+    return (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "l_linestatus",
+            F.coalesce(F.col("A"), F.lit(0)).alias("cnt_a"),
+            F.coalesce(F.col("N"), F.lit(0)).alias("cnt_n"),
+            F.coalesce(F.col("R"), F.lit(0)).alias("cnt_r"),
+        )
+    )
+
+
+def q_unpivot(spark, sf):
+    # Unpivot/melt: wide numeric columns to (key, metric, value) rows.
+    o = Catalog(spark, sf).orders
+    return o.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        F.col("o_custkey").cast("double").alias("o_custkey"),
+    ).unpivot(
+        "o_orderkey",
+        ["o_totalprice", "o_custkey"],
+        "metric",
+        "value",
+    ).withColumn("value", F.round("value", 2))
+
+
+def q_except_all(spark, sf):
+    # Multiset EXCEPT ALL (duplicates preserved — different operator from
+    # the set-semantics EXCEPT already covered).
+    c = Catalog(spark, sf).customer.select(F.col("c_nationkey").alias("nationkey"))
+    s = Catalog(spark, sf).supplier.select(F.col("s_nationkey").alias("nationkey"))
+    return c.exceptAll(s).groupBy("nationkey").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
 def q_moving_avg(spark, sf):
     # Sliding window FRAME (rows between 3 preceding and current): the
     # running-aggregate form the plain row_number query doesn't cover.
@@ -806,6 +849,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_agg": q_cube_agg,
         "grouping_sets": q_grouping_sets,
         "moving_avg": q_moving_avg,
+        "pivot_agg": q_pivot_agg,
+        "unpivot": q_unpivot,
+        "except_all": q_except_all,
         "rank_lag": q_rank_lag,
         "multi_quantile": q_multi_quantile,
         "deterministic_sample": q_deterministic_sample,
@@ -1018,6 +1064,27 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(l_linestatus, 'ALL') AS linestatus,
                    COUNT(*) AS cnt, ROUND(SUM(l_quantity), 4) AS sum_qty
             FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        """,
+        "pivot_agg": """
+            SELECT l_linestatus,
+                   COUNT(*) FILTER (l_returnflag = 'A') AS cnt_a,
+                   COUNT(*) FILTER (l_returnflag = 'N') AS cnt_n,
+                   COUNT(*) FILTER (l_returnflag = 'R') AS cnt_r
+            FROM lineitem GROUP BY l_linestatus
+        """,
+        "unpivot": """
+            SELECT o_orderkey, 'o_totalprice' AS metric,
+                   ROUND(CAST(o_totalprice AS DOUBLE), 2) AS value FROM orders
+            UNION ALL
+            SELECT o_orderkey, 'o_custkey' AS metric,
+                   ROUND(CAST(o_custkey AS DOUBLE), 2) AS value FROM orders
+        """,
+        "except_all": """
+            SELECT nationkey, COUNT(*) AS cnt FROM (
+              SELECT c_nationkey AS nationkey FROM customer
+              EXCEPT ALL
+              SELECT s_nationkey AS nationkey FROM supplier
+            ) GROUP BY nationkey
         """,
         "moving_avg": """
             SELECT c_nationkey, c_custkey,
