@@ -435,6 +435,38 @@ def q_scalar_funcs(spark, sf):
     )
 
 
+def q_string_funcs(spark, sf):
+    # String-function surface: regexp_extract, replace, pad, substring,
+    # position — all JVM-side, DuckDB-matchable.
+    p = Catalog(spark, sf).part
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_type", r"^(\w+)", 1).alias("type_head"),
+        F.replace(F.col("p_brand"), F.lit("#"), F.lit("-")).alias("brand_dashed"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.instr(F.col("p_name"), "o").cast("bigint").alias("first_o"),
+        F.upper(F.trim(F.col("p_type"))).alias("type_uc"),
+    )
+
+
+def q_array_funcs(spark, sf):
+    # Array/list-function surface over tokens: distinct-sort, slice,
+    # containment, size — HOFs the text operators build on, isolated.
+    d = Catalog(spark, sf).documents
+    toks = F.array_distinct(
+        F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: F.length(t) > 0)
+    )
+    sorted_toks = F.sort_array(toks)
+    return d.select(
+        "doc_id",
+        F.size(sorted_toks).cast("bigint").alias("n_distinct"),
+        F.concat_ws(",", F.slice(sorted_toks, 1, 3)).alias("first3"),
+        F.array_contains(sorted_toks, "the").alias("has_the"),
+        F.element_at(sorted_toks, -1).alias("last_token"),
+    )
+
+
 def q_json_extract(spark, sf):
     # JSON blob field extraction — the reference's `details` column is a
     # stringified JSON blob it never parses (README.md:17); we expose the
@@ -859,6 +891,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "derived_tiers": q_derived_tiers,
         "null_profile": q_null_profile,
         "scalar_funcs": q_scalar_funcs,
+        "string_funcs": q_string_funcs,
+        "array_funcs": q_array_funcs,
         "json_extract": q_json_extract,
         "dot_topk": q_dot_topk,
         "l2_norm": q_l2_norm,
@@ -1145,6 +1179,26 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(log10(p_retailprice), 6) AS log10_price,
                    concat_ws('|', p_brand, p_type) AS brand_type
             FROM part
+        """,
+        "string_funcs": """
+            SELECT p_partkey,
+                   regexp_extract(p_type, '^(\\w+)', 1) AS type_head,
+                   replace(p_brand, '#', '-') AS brand_dashed,
+                   lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+                   substring(p_name, 1, 8) AS name_prefix,
+                   CAST(instr(p_name, 'o') AS BIGINT) AS first_o,
+                   upper(trim(p_type)) AS type_uc
+            FROM part
+        """,
+        "array_funcs": f"""
+            WITH t AS (SELECT doc_id, list_sort(list_distinct({DUCK_TOKS})) AS toks
+                       FROM documents)
+            SELECT doc_id,
+                   CAST(len(toks) AS BIGINT) AS n_distinct,
+                   array_to_string(toks[1:3], ',') AS first3,
+                   list_contains(toks, 'the') AS has_the,
+                   toks[-1] AS last_token
+            FROM t
         """,
         "json_extract": """
             SELECT event_id,
