@@ -143,3 +143,25 @@ def test_filtered_topk_fast_path_matches_hof(spark, sf_dir):
     f_ids = [r.vec_id for r in fast.collect()]
     s_ids = [r.vec_id for r in slow.collect()]
     assert f_ids == s_ids
+
+
+def test_ivf_sampled_fit_still_recalls(spark, sf_dir):
+    """The 100 TB fit path: centroids fit on a 30% sample must still
+    carry the probe to >=0.9 recall."""
+    from external_benchmarks_spark.operators.similarity import (
+        ivf_assign,
+        ivf_fit,
+        ivf_topk,
+    )
+
+    emb = Catalog(spark, sf_dir).embeddings
+    exact = {r.vec_id for r in bruteforce_topk(emb, entry_mod.QVEC, k=10).collect()}
+    centroids = ivf_fit(emb, n_centroids=16, seed=42, sample_fraction=0.3)
+    approx = {
+        r.vec_id
+        for r in ivf_topk(
+            ivf_assign(emb, centroids), centroids, entry_mod.QVEC, k=10, nprobe=12
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"sampled-fit IVF recall {recall} < 0.9"
