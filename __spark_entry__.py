@@ -658,6 +658,14 @@ def q_salted_join_agg(spark, sf):
     )
 
 
+def q_curation_funnel(spark, sf):
+    # The composed training-data cleaning pass (pipeline/curate): dedup +
+    # length + quality gates in one dataflow, per-reason drop counts.
+    from external_benchmarks_spark.pipeline.curate import curation_funnel
+
+    return curation_funnel(Catalog(spark, sf).documents)
+
+
 def q_exact_dedup(spark, sf):
     return exact_dedup_groups(Catalog(spark, sf).documents)
 
@@ -908,6 +916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_group_agg": q_salted_group_agg,
         "salted_join_agg": q_salted_join_agg,
         "exact_dedup": q_exact_dedup,
+        "curation_funnel": q_curation_funnel,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_signature": q_minhash_signature,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1269,6 +1278,32 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": """
             SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper_id, COUNT(*) AS dup_count
             FROM documents GROUP BY md5(text)
+        """,
+        "curation_funnel": f"""
+            WITH t AS (
+              SELECT doc_id, text, {DUCK_TOKS} AS toks,
+                     MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+              FROM documents),
+            m AS (
+              SELECT doc_id, keeper,
+                     CAST(len(toks) AS BIGINT) AS n_tokens,
+                     CASE WHEN len(toks) > 0 THEN
+                       CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE) / len(toks)
+                     ELSE 0.0 END AS atl,
+                     CASE WHEN len(text) > 0 THEN
+                       CAST(len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / len(text)
+                     ELSE 0.0 END AS pr
+              FROM t),
+            r AS (
+              SELECT CASE
+                       WHEN doc_id > keeper THEN 'duplicate'
+                       WHEN n_tokens < 5 THEN 'too_short'
+                       WHEN 0.5 * LEAST(CAST(n_tokens AS DOUBLE), 100.0) / 100.0
+                            + 0.3 * (1.0 - pr)
+                            + 0.2 * LEAST(atl, 8.0) / 8.0 < 0.5 THEN 'low_quality'
+                       ELSE 'kept' END AS reason
+              FROM m)
+            SELECT reason, COUNT(*) AS cnt FROM r GROUP BY reason
         """,
         "ngram_jaccard": f"""
             WITH t AS (

@@ -134,3 +134,20 @@ def test_file_size_probe(spark, sf_dir):
     mb = file_size_mb(p)
     assert mb > 0
     assert mb == round(os.path.getsize(p) / (1024 * 1024), 2)
+
+
+def test_curation_funnel_all_reasons(spark):
+    from external_benchmarks_spark.pipeline.curate import curated, curation_funnel
+
+    good = "the quick brown fox jumps over the lazy dog and keeps running far " * 3
+    rows = [
+        (0, good),              # kept (and keeper of the dup group)
+        (1, good),              # duplicate of 0
+        (2, "hi"),              # too_short
+        (3, "!!! ??? ... ;; ## %%"),  # low_quality (6 tokens, all punctuation)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    funnel = {r.reason: r.cnt for r in curation_funnel(df).collect()}
+    assert funnel == {"kept": 1, "duplicate": 1, "too_short": 1, "low_quality": 1}
+    kept = curated(df).collect()
+    assert [r.doc_id for r in kept] == [0]
