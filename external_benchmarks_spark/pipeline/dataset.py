@@ -10,6 +10,7 @@ README.md:49-53).
 
 from __future__ import annotations
 
+import math
 from collections.abc import Mapping
 
 from pyspark.sql import Column, DataFrame
@@ -65,6 +66,109 @@ def add_derived_columns(df: DataFrame) -> DataFrame:
     if text_cols:
         out = out.withColumn("combined_text", F.concat_ws(" ", *text_cols))
     return out
+
+
+_VOCAB = [
+    "alpha", "bolt", "cable", "drive", "ember", "frame", "grid", "hinge",
+    "input", "joint", "kernel", "lever", "motor", "node", "optic", "panel",
+    "quartz", "rotor", "socket", "tuner", "unit", "valve", "wheel", "xenon",
+    "yield", "zoom", "amber", "blade", "cover", "diode", "edge", "fiber",
+    "gauge", "handle", "iron", "jack", "kit", "lens", "mount", "nozzle",
+    "oring", "plug", "quill", "rail", "spring", "tube", "vent", "wire",
+    "axle", "beam",
+]
+
+_CATEGORY_WEIGHTS = [
+    ("Books", 410), ("Automotive", 150), ("Tools & Home Improvement", 130),
+    ("All Beauty", 80), ("Computers", 30), ("Buy a Kindle", 30),
+    ("Garden", 25), ("Toys", 25), ("Music", 20), ("Office", 20),
+    ("Pet Supplies", 20), ("Grocery", 15), ("Sports", 15), ("Baby", 10),
+    ("Software", 10), ("Appliances", 3),  # remainder -> null (0.7%)
+]
+
+_SOURCES = [
+    "Books", "Automotive", "Tools_and_Home_Improvement", "Electronics",
+    "Beauty_and_Personal_Care",
+]
+
+
+def _h(seed: int, tag: int) -> Column:
+    """Deterministic per-row uniform in [0, 1000) from (id, seed, tag)."""
+    return F.pmod(F.xxhash64(F.col("id"), F.lit(seed), F.lit(tag)), F.lit(1000))
+
+
+def _words(seed: int, tag: int, min_n: int, max_n: int) -> Column:
+    n = (F.pmod(F.xxhash64(F.col("id"), F.lit(seed), F.lit(tag)), F.lit(max_n - min_n + 1)) + min_n).cast("int")
+    vocab = F.array(*[F.lit(w) for w in _VOCAB])
+    return F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.element_at(
+                vocab,
+                (F.pmod(F.xxhash64(F.col("id"), F.lit(seed), F.lit(tag), i), F.lit(len(_VOCAB))) + 1).cast("int"),
+            ),
+        ),
+    )
+
+
+def make_products_fixture(spark, n: int = 10_000, seed: int = 42) -> DataFrame:
+    """The FIXTURES.md `products` table: a deterministic, fully
+    Spark-side generator of the reference's 17-column data model
+    (schemas.PRODUCT_SCHEMA), with the reference's null rates and the
+    skewed category mix (Books ~41%). No driver-side loops — scales to
+    any n. (The per-half embedding-norm constraint in FIXTURES.md is
+    relaxed to small integers: exactness matters more than geometry for
+    the oracle tests that consume this.)
+    """
+    df = spark.range(n).select(F.col("id"))
+
+    acc = 0
+    r = _h(seed, 1)
+    thresholds = []
+    for name, w in _CATEGORY_WEIGHTS:
+        thresholds.append((acc + w, name))
+        acc += w
+    cat_expr = F.lit(None).cast("string")
+    for bound, name in reversed(thresholds):
+        cat_expr = F.when(r < bound, F.lit(name)).otherwise(cat_expr)
+
+    u_rating = _h(seed, 2) / 1000.0
+    u_rn = _h(seed, 3) / 1000.0
+    u_price = _h(seed, 4) / 1000.0
+
+    out = df.select(
+        "id",
+        F.concat(F.lit("P"), F.lpad((F.col("id") % 9000).cast("string"), 5, "0")).alias("parent_asin"),
+        _words(seed, 10, 2, 12).alias("title"),
+        F.when(_h(seed, 11) < 50, F.lit("")).otherwise(_words(seed, 12, 1, 60)).alias("description"),
+        F.when(_h(seed, 13) < 100, F.lit("")).otherwise(_words(seed, 14, 1, 40)).alias("features"),
+        # skewed-high ratings, one decimal, median ~4.4 (5 - 2.5u^2)
+        F.round(F.greatest(F.lit(1.0), 5.0 - 2.5 * u_rating * u_rating), 1).alias("average_rating"),
+        # log-uniform 1..300k heavy tail
+        (F.floor(F.exp(u_rn * math.log(300_000))) + 1).cast("long").alias("rating_number"),
+        F.when(_h(seed, 5) < 420, F.lit(None).cast("double"))
+         .otherwise(F.round(0.01 + u_price * 6999.99, 2)).alias("price"),
+        cat_expr.alias("main_category"),
+        F.concat_ws(" > ", _words(seed, 15, 1, 3)).alias("categories"),
+        F.when(_h(seed, 6) < 26, F.lit(None).cast("string"))
+         .otherwise(F.concat(F.lit("store_"), _h(seed, 7).cast("string"))).alias("store"),
+        F.concat(
+            F.lit('{"brand": "'), F.element_at(F.array(*[F.lit(w) for w in _VOCAB[:12]]), (_h(seed, 8) % 12 + 1).cast("int")),
+            F.lit('", "weight": '),
+            F.when(_h(seed, 9) < 300, F.lit('"null"')).otherwise((_h(seed, 9) % 50).cast("string")),
+            F.lit("}"),
+        ).alias("details"),
+        F.element_at(F.array(*[F.lit(s) for s in _SOURCES]), (_h(seed, 16) % len(_SOURCES) + 1).cast("int")).alias("source_dataset"),
+        F.transform(F.sequence(F.lit(0), F.lit(7)),
+                    lambda i: (F.pmod(F.xxhash64(F.col("id"), F.lit(seed), F.lit(20), i), F.lit(7)) - 3).cast("float")).alias("embedding"),
+    )
+    return add_derived_columns(out).drop("id").select(
+        "parent_asin", "title", "description", "features", "combined_text",
+        "average_rating", "rating_number", "price", "main_category",
+        "categories", "store", "details", "source_dataset", "has_price",
+        "rating_tier", "review_volume", "embedding",
+    )
 
 
 def scale_variants(

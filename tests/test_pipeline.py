@@ -151,3 +151,28 @@ def test_curation_funnel_all_reasons(spark):
     assert funnel == {"kept": 1, "duplicate": 1, "too_short": 1, "low_quality": 1}
     kept = curated(df).collect()
     assert [r.doc_id for r in kept] == [0]
+
+
+def test_products_fixture_matches_pinned_schema(spark):
+    """FIXTURES.md products generator: pinned 17-column schema, reference
+    null rates and category skew, deterministic across calls."""
+    from external_benchmarks_spark.pipeline.dataset import make_products_fixture
+    from external_benchmarks_spark.schemas import validate_schema
+
+    p = make_products_fixture(spark, n=4000, seed=42)
+    validate_schema(p)  # raises on drift
+    n = p.count()
+    assert n == 4000
+    null_price = p.filter(F.col("price").isNull()).count() / n
+    assert 0.35 < null_price < 0.50  # ~42% (reference benchmark_10k:84)
+    books = p.filter(F.col("main_category") == "Books").count() / n
+    assert 0.35 < books < 0.47  # ~41% hot key (summary_report.md:34-38)
+    computers = p.filter(F.col("main_category") == "Computers").count() / n
+    assert 0.01 < computers < 0.06  # ~3% -> the selective templates
+    # determinism: same seed -> identical content
+    again = make_products_fixture(spark, n=4000, seed=42)
+    assert p.exceptAll(again).count() == 0 and again.exceptAll(p).count() == 0
+    # embeddings: 8 small ints, exactly representable
+    row = p.select("embedding").first()
+    assert len(row.embedding) == 8
+    assert all(-3 <= v <= 3 and float(v).is_integer() for v in row.embedding)
