@@ -1,0 +1,47 @@
+"""Watermarked stream-stream interval join — the attribution pattern
+(click joined to the impression that preceded it within a horizon).
+
+Both sides carry watermarks and the join predicate bounds the event-time
+distance, so Spark can evict buffered state: an impression is held only
+until (its ts + horizon) passes the click watermark — bounded state on
+two unbounded streams, the requirement for running this at 100 TB/day.
+The reference has no stream-stream workload; this completes the
+streaming surface alongside upsert, windows, stateful sessions, and
+ingest dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    horizon: str = "1 hour",
+    left_watermark: str = "30 minutes",
+    right_watermark: str = "30 minutes",
+) -> DataFrame:
+    """left row joins right rows with right_ts in [left_ts - horizon, left_ts].
+
+    Column names (other than ``on``) must be disjoint; the right ts column
+    is exposed as ``right_ts_out``. Inner join — rows with no partner in
+    the horizon are dropped (use the batch operators/rangejoin for outer
+    semantics on bounded data).
+    """
+    l_marked = left.withWatermark(left_ts, left_watermark)
+    r_marked = (
+        right.withColumnRenamed(right_ts, "right_ts_out")
+        .withColumnRenamed(on, "_r_key")
+        .withWatermark("right_ts_out", right_watermark)
+    )
+    cond = (
+        (F.col(on) == F.col("_r_key"))
+        & (F.col("right_ts_out") <= F.col(left_ts))
+        & (F.col("right_ts_out") >= F.col(left_ts) - F.expr(f"INTERVAL {horizon}"))
+    )
+    return l_marked.join(r_marked, cond, "inner").drop("_r_key")
