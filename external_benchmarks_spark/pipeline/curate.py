@@ -69,3 +69,33 @@ def curated(
         .filter(F.col("reason") == "kept")
         .drop("reason")
     )
+
+
+def curated_with_metrics(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    content_col: str = "text",
+    min_tokens: int = 5,
+    min_quality: float = 0.5,
+):
+    """Curated corpus + an Observation carrying the funnel counts.
+
+    ``df.observe`` piggybacks the accounting on whatever action consumes
+    the curated frame (usually the write) — ONE pass produces both the
+    clean dataset and its dataset-card numbers, where a separate
+    curation_funnel() call would re-scan the corpus. Returns
+    (curated_df, observation); read observation.get after an action runs.
+    """
+    from pyspark.sql import Observation
+
+    flagged = curation_flags(df, key_col, content_col, min_tokens, min_quality)
+    obs = Observation("curation_funnel")
+    observed = flagged.observe(
+        obs,
+        F.count(F.lit(1)).alias("total"),
+        *[
+            F.sum((F.col("reason") == r).cast("long")).alias(r)
+            for r in REASONS
+        ],
+    )
+    return observed.filter(F.col("reason") == "kept").drop("reason"), obs

@@ -176,3 +176,19 @@ def test_products_fixture_matches_pinned_schema(spark):
     row = p.select("embedding").first()
     assert len(row.embedding) == 8
     assert all(-3 <= v <= 3 and float(v).is_integer() for v in row.embedding)
+
+
+def test_curated_with_metrics_one_pass(spark):
+    """observe() piggybacks funnel accounting on the consuming action."""
+    from external_benchmarks_spark.pipeline.curate import curated_with_metrics
+
+    good = "the quick brown fox jumps over the lazy dog and keeps running far " * 3
+    df = spark.createDataFrame(
+        [(0, good), (1, good), (2, "hi"), (3, "!!! ??? ... ;; ## %%")],
+        ["doc_id", "text"],
+    )
+    kept, obs = curated_with_metrics(df)
+    assert [r.doc_id for r in kept.collect()] == [0]  # action triggers metrics
+    m = obs.get
+    assert m["total"] == 4
+    assert (m["kept"], m["duplicate"], m["too_short"], m["low_quality"]) == (1, 1, 1, 1)
