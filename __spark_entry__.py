@@ -336,6 +336,32 @@ def q_rank_lag(spark, sf):
     )
 
 
+def q_group_median(spark, sf):
+    # Holistic aggregate (exact interpolating median) PER GROUP — a
+    # different physical plan than the global quantile (sort within hash
+    # groups). percentile_approx is the documented 100 TB variant.
+    li = Catalog(spark, sf).lineitem
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("median_qty"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("median_price"),
+    )
+
+
+def q_date_parts(spark, sf):
+    # Date-function family over a real DATE column. dayofweek aligned to
+    # DuckDB's dow (0=Sunday) via -1.
+    o = Catalog(spark, sf).orders
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.month("o_orderdate").cast("bigint").alias("mo"),
+        F.dayofmonth("o_orderdate").cast("bigint").alias("dom"),
+        (F.dayofweek("o_orderdate") - 1).cast("bigint").alias("dow"),
+        F.quarter("o_orderdate").cast("bigint").alias("qtr"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+    )
+
+
 def q_multi_quantile(spark, sf):
     # Exact multi-quantile in one aggregate (interpolating percentile —
     # same formula as DuckDB quantile_cont).
@@ -894,6 +920,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "except_all": q_except_all,
         "rank_lag": q_rank_lag,
         "multi_quantile": q_multi_quantile,
+        "group_median": q_group_median,
+        "date_parts": q_date_parts,
         "deterministic_sample": q_deterministic_sample,
         "stratified_sample": q_stratified_sample,
         "derived_tiers": q_derived_tiers,
@@ -1142,6 +1170,22 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(lag(s_acctbal, 1) OVER w, 2) AS prev_bal
             FROM supplier
             WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+        """,
+        "group_median": """
+            SELECT l_returnflag,
+                   ROUND(CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE), 6) AS median_qty,
+                   ROUND(CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE), 6) AS median_price
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "date_parts": """
+            SELECT o_orderkey,
+                   CAST(year(o_orderdate) AS BIGINT) AS yr,
+                   CAST(month(o_orderdate) AS BIGINT) AS mo,
+                   CAST(day(o_orderdate) AS BIGINT) AS dom,
+                   CAST(dayofweek(o_orderdate) AS BIGINT) AS dow,
+                   CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+                   strftime(o_orderdate, '%Y-%m') AS ym
+            FROM orders
         """,
         "multi_quantile": """
             SELECT ROUND(CAST(quantile_cont(l_extendedprice, 0.25) AS DOUBLE), 6) AS p25,
