@@ -84,6 +84,11 @@ SESSION_GAP_US = 30 * 60 * 1_000_000
 
 DUCK_TOKS = r"list_filter(regexp_split_to_array(lower(text), '\s+'), t -> len(t) > 0)"
 
+from external_benchmarks_spark.operators.textprep import (  # noqa: E402
+    EMAIL_REGEX as _EMAIL_REGEX,
+    PHONE_REGEX as _PHONE_REGEX,
+)
+
 
 def _h32(expr: str) -> str:
     return f"CAST(('0x' || substr(md5({expr}), 1, 8)) AS BIGINT)"
@@ -765,6 +770,66 @@ def q_token_stats(spark, sf):
 
 
 # ---------------------------------------------------------------------------
+# Text preparation (operators/textprep.py): repetition, chunking, packing,
+# vocabulary encoding, splits, PII redaction
+# ---------------------------------------------------------------------------
+
+def q_repetition_stats(spark, sf):
+    from external_benchmarks_spark.operators.textprep import repetition_stats
+
+    return repetition_stats(Catalog(spark, sf).documents)
+
+
+def q_doc_chunks(spark, sf):
+    from external_benchmarks_spark.operators.textprep import chunk_documents
+
+    return chunk_documents(Catalog(spark, sf).documents, chunk_tokens=32)
+
+
+def q_sequence_pack(spark, sf):
+    from external_benchmarks_spark.operators.textprep import sequence_pack
+
+    return sequence_pack(Catalog(spark, sf).documents, budget=512)
+
+
+def q_vocab_encode(spark, sf):
+    from external_benchmarks_spark.operators.textprep import vocab_encode
+
+    return vocab_encode(Catalog(spark, sf).documents, vocab_size=64, max_len=16)
+
+
+def q_dataset_split(spark, sf):
+    from external_benchmarks_spark.operators.textprep import dataset_split
+
+    d = dataset_split(Catalog(spark, sf).documents)
+    return d.groupBy("source", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+def q_pii_redact(spark, sf):
+    from external_benchmarks_spark.operators.textprep import redact_pii
+
+    # The testdata carries no real PII, so a deterministic contact string
+    # is synthesized per customer and then redacted — exercising the
+    # regex count/replace path end-to-end with nonzero hit counts.
+    c = Catalog(spark, sf).customer.select(
+        "c_custkey",
+        F.concat(
+            F.col("c_name"),
+            F.lit(" <"),
+            F.lower(F.regexp_replace("c_name", "#", ".")),
+            F.lit("@example.com> +1-555-"),
+            F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+        ).alias("contact"),
+    )
+    return redact_pii(c, "contact").select(
+        "c_custkey", "n_emails", "n_phones", "contact_redacted"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Events surface (windowed agg, sessionization, as-of)
 # ---------------------------------------------------------------------------
 
@@ -956,6 +1021,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_terms": q_top_terms,
         "tfidf_top_terms": q_tfidf_top_terms,
         "approx_distinct": q_approx_distinct,
+        "repetition_stats": q_repetition_stats,
+        "doc_chunks": q_doc_chunks,
+        "sequence_pack": q_sequence_pack,
+        "vocab_encode": q_vocab_encode,
+        "dataset_split": q_dataset_split,
+        "pii_redact": q_pii_redact,
         "events_hourly": q_events_hourly,
         "events_sliding": q_events_sliding,
         "blob_metadata": q_blob_metadata,
@@ -1432,6 +1503,96 @@ def oracle_sql() -> dict[str, str]:
                           ORDER BY tfidf DESC, term) AS BIGINT) AS rn
               FROM scored)
             SELECT doc_id, term, tfidf, rn FROM ranked WHERE rn <= 3
+        """,
+        "repetition_stats": f"""
+            WITH t AS (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents),
+            g AS (SELECT doc_id, toks, len(toks) AS n,
+                    CASE WHEN len(toks) >= 2 THEN
+                      list_transform(generate_series(1, len(toks)-1),
+                                     i -> toks[i] || ' ' || toks[i+1])
+                    ELSE [] END AS bg,
+                    CASE WHEN len(toks) >= 3 THEN
+                      list_transform(generate_series(1, len(toks)-2),
+                                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                    ELSE [] END AS tg
+                  FROM t),
+            top AS (SELECT doc_id, MAX(cnt) AS max_cnt FROM (
+                      SELECT doc_id, tk, COUNT(*) AS cnt
+                      FROM (SELECT doc_id, unnest(toks) AS tk FROM t) GROUP BY 1, 2)
+                    GROUP BY 1)
+            SELECT g.doc_id, CAST(n AS BIGINT) AS n_tokens,
+                   CASE WHEN n > 0 THEN CAST(max_cnt AS DOUBLE) / n ELSE 0.0 END
+                     AS top_word_frac,
+                   CASE WHEN len(bg) > 0 THEN
+                     CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) / len(bg)
+                   ELSE 0.0 END AS dup_bigram_frac,
+                   CASE WHEN len(tg) > 0 THEN
+                     CAST(len(tg) - len(list_distinct(tg)) AS DOUBLE) / len(tg)
+                   ELSE 0.0 END AS dup_trigram_frac
+            FROM g LEFT JOIN top USING (doc_id)
+        """,
+        "doc_chunks": f"""
+            WITH t AS (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents),
+            c AS (SELECT doc_id, i AS chunk_id,
+                         list_slice(toks, i*32 + 1, i*32 + 32) AS chunk
+                  FROM t, UNNEST(generate_series(0,
+                         CAST(CEIL(len(toks) / 32.0) AS BIGINT) - 1)) AS u(i)
+                  WHERE len(toks) > 0)
+            SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+                   CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
+                   md5(array_to_string(chunk, ' ')) AS chunk_hash
+            FROM c
+        """,
+        "sequence_pack": f"""
+            WITH t AS (SELECT source, doc_id,
+                              CAST(len({DUCK_TOKS}) AS BIGINT) AS n_tokens
+                       FROM documents),
+            p AS (SELECT source, n_tokens,
+                    CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        - n_tokens) / 512.0) AS BIGINT) AS pack_id
+                  FROM t)
+            SELECT source, pack_id, COUNT(*) AS n_docs, SUM(n_tokens) AS sum_tokens
+            FROM p GROUP BY 1, 2
+        """,
+        "vocab_encode": f"""
+            WITH t AS (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents),
+            tc AS (SELECT tk AS term, COUNT(*) AS cnt
+                   FROM (SELECT unnest(toks) AS tk FROM t) GROUP BY 1
+                   ORDER BY cnt DESC, term LIMIT 64),
+            vocab AS (SELECT term,
+                        CAST(row_number() OVER (ORDER BY cnt DESC, term) AS BIGINT) AS tid
+                      FROM tc),
+            enc AS (SELECT doc_id, i AS pos, toks[i] AS term
+                    FROM t, UNNEST(generate_series(1, LEAST(len(toks), 16))) AS u(i)
+                    WHERE len(toks) > 0)
+            SELECT e.doc_id,
+                   string_agg(CAST(COALESCE(v.tid, -1) AS VARCHAR), '-' ORDER BY e.pos) AS ids,
+                   CAST(SUM(CASE WHEN v.tid IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+            FROM enc e LEFT JOIN vocab v USING (term)
+            GROUP BY e.doc_id
+        """,
+        "dataset_split": f"""
+            SELECT source,
+                   CASE WHEN {_h32("'split:' || CAST(doc_id AS VARCHAR)")} % 100 < 80 THEN 'train'
+                        WHEN {_h32("'split:' || CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'val'
+                        ELSE 'test' END AS split,
+                   COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+            FROM documents GROUP BY 1, 2
+        """,
+        "pii_redact": f"""
+            WITH c AS (
+              SELECT c_custkey,
+                     c_name || ' <' || lower(replace(c_name, '#', '.')) ||
+                     '@example.com> +1-555-' ||
+                     lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') AS contact
+              FROM customer)
+            SELECT c_custkey,
+                   CAST(len(regexp_extract_all(contact, '{_EMAIL_REGEX}')) AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(contact, '{_PHONE_REGEX}')) AS BIGINT) AS n_phones,
+                   regexp_replace(regexp_replace(contact, '{_EMAIL_REGEX}', '[EMAIL]', 'g'),
+                                  '{_PHONE_REGEX}', '[PHONE]', 'g') AS contact_redacted
+            FROM c
         """,
         "events_sliding": """
             SELECT strftime(ws, '%Y-%m-%d %H') AS window_start, event_type,

@@ -1,0 +1,253 @@
+"""Training-data text-preparation operators: repetition metrics, token-window
+chunking, sequence packing, vocabulary encoding, dataset splits, PII
+redaction.
+
+These are the curation ops a 100 TB pretraining pipeline runs after the
+quality scoring in ``functions/text.py`` and the dedup family in
+``operators/dedup.py``. The reference's dataset-production pipeline
+(/root/reference/README.md:45-56) stops at derived columns + uniform
+sampling; these extend it per the north-star brief.
+
+Scale design: every hot path is either a pure Catalyst expression (runs in
+whole-stage codegen, zero shuffle) or an explode->groupBy keyed by
+(doc_id, term) — a shuffle that partitions evenly because doc_id is unique.
+No Python UDFs, no driver-side materialization, no window over a global
+ordering except where explicitly bounded (vocabulary top-V after a
+distributed TakeOrderedAndProject).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from external_benchmarks_spark.functions.hashing import md5_hash32
+from external_benchmarks_spark.functions.text import tokens
+
+# Dialect-portable PII patterns (valid in both Java regex and RE2).
+EMAIL_REGEX = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PHONE_REGEX = "\\+1-555-[0-9]{4}"
+
+
+def _ngrams(toks: Column, n: int) -> Column:
+    """Adjacent n-grams (space-joined) of a token array; [] below n tokens.
+
+    transform over an index sequence instead of explode: stays inside
+    codegen, no shuffle. Guarded with `when` because Spark's
+    sequence(0, -1) would count DOWN, not produce an empty array.
+    """
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + 1 + k) for k in range(n)]
+            ),
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition quality metrics per document.
+
+    - top_word_frac: fraction of tokens that are the single most frequent
+      token (explode -> groupBy(doc_id, term): even keyed shuffle).
+    - dup_bigram_frac / dup_trigram_frac: fraction of n-gram occurrences
+      that are repeats (1 - distinct/total), computed per-row with
+      array_distinct — pure codegen, no shuffle at all.
+
+    Each ratio is a single integer/integer division, so Spark and the
+    DuckDB oracle are bit-identical without rounding.
+    """
+    toks = tokens(F.col("text"))
+    base = docs.select(
+        "doc_id", toks.alias("toks"), F.size(toks).cast("long").alias("n_tokens")
+    )
+    bg, tg = _ngrams(F.col("toks"), 2), _ngrams(F.col("toks"), 3)
+
+    def dup_frac(g: Column) -> Column:
+        return F.when(
+            F.size(g) > 0,
+            (F.size(g) - F.size(F.array_distinct(g))) / F.size(g),
+        ).otherwise(F.lit(0.0))
+
+    per_row = base.select(
+        "doc_id",
+        "n_tokens",
+        "toks",
+        dup_frac(bg).alias("dup_bigram_frac"),
+        dup_frac(tg).alias("dup_trigram_frac"),
+    )
+    top = (
+        per_row.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").alias("max_cnt"))
+    )
+    return (
+        per_row.drop("toks")
+        .join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.when(
+                F.col("n_tokens") > 0, F.col("max_cnt") / F.col("n_tokens")
+            )
+            .otherwise(F.lit(0.0))
+            .alias("top_word_frac"),
+            "dup_bigram_frac",
+            "dup_trigram_frac",
+        )
+    )
+
+
+def chunk_documents(docs: DataFrame, chunk_tokens: int = 32) -> DataFrame:
+    """Split each document into fixed-size token windows (context chunks).
+
+    The doc -> chunks fan-out every pretraining tokenizer pipeline needs.
+    Pure codegen: transform(sequence) builds the chunk list per row, one
+    posexplode emits chunks; no shuffle, output partitioning inherits the
+    scan. Empty documents produce no chunks.
+    """
+    toks = tokens(F.col("text"))
+    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
+    chunks = F.when(
+        F.size(toks) > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.slice(toks, i * chunk_tokens + 1, chunk_tokens),
+        ),
+    )
+    return (
+        docs.select("doc_id", F.posexplode(chunks).alias("chunk_id", "chunk"))
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.size("chunk").cast("long").alias("n_chunk_tokens"),
+            F.md5(F.array_join(F.col("chunk"), " ")).alias("chunk_hash"),
+        )
+    )
+
+
+def sequence_pack(
+    docs: DataFrame, budget: int = 512, part_col: str = "source"
+) -> DataFrame:
+    """Assign documents to fixed token-budget packs (training sequences).
+
+    Offset-based packing: within each shard (`part_col`), documents are
+    laid out in doc_id order and a document belongs to the pack where its
+    starting token offset falls. Deterministic, single window pass, and
+    shard-parallel — the window partitions by `part_col`, so at 100 TB the
+    shuffle is per-shard, never global. (True first-fit bin packing needs
+    sequential state; offset packing is the streaming-friendly variant
+    with at most one straddle per boundary.)
+
+    Returns one row per (shard, pack_id): n_docs, sum_tokens.
+    """
+    tok = tokens(F.col("text"))
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    per_doc = docs.select(
+        part_col, "doc_id", F.size(tok).cast("long").alias("n_tokens")
+    ).withColumn(
+        "pack_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(budget)),
+    )
+    return per_doc.groupBy(part_col, "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+    )
+
+
+def build_vocab(docs: DataFrame, vocab_size: int = 64) -> DataFrame:
+    """Top-V corpus vocabulary with dense integer ids.
+
+    Term counts via explode->groupBy (map-side partial agg keeps the
+    shuffle at |vocabulary|), then TakeOrderedAndProject for the top-V —
+    the full term set never funnels through one partition; only the V
+    survivors see the (tiny) row_number window.
+    """
+    term_counts = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("term"))
+        .limit(vocab_size)
+    )
+    rank_w = Window.orderBy(F.desc("cnt"), F.asc("term"))
+    return term_counts.select(
+        "term", F.row_number().over(rank_w).cast("long").alias("tid")
+    )
+
+
+def vocab_encode(
+    docs: DataFrame, vocab_size: int = 64, max_len: int = 16
+) -> DataFrame:
+    """Encode each document's first `max_len` tokens as vocabulary ids.
+
+    The vocabulary (<= vocab_size rows) is broadcast, so encoding is a
+    map-side join — no shuffle of the corpus. OOV tokens encode as -1.
+    Output: doc_id, ids ('-'-joined id string), n_oov.
+    """
+    vocab = build_vocab(docs, vocab_size)
+    toks = tokens(F.col("text"))
+    enc = docs.select(
+        "doc_id", F.posexplode(F.slice(toks, 1, max_len)).alias("pos", "term")
+    )
+    joined = enc.join(F.broadcast(vocab), "term", "left")
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col("pos"), F.coalesce("tid", F.lit(-1)).alias("tid")))
+    )
+    return joined.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(ordered, lambda s: s["tid"].cast("string")), "-"
+        ).alias("ids"),
+        F.sum(F.col("tid").isNull().cast("long")).alias("n_oov"),
+    )
+
+
+def dataset_split(
+    docs: DataFrame,
+    key_col: str = "doc_id",
+    weights: tuple[int, int] = (80, 10),
+    salt: str = "split:",
+) -> DataFrame:
+    """Deterministic hash-based train/val/test assignment.
+
+    Buckets on the cross-engine md5 hash (functions/hashing.py) of the
+    key, so the split is stable across runs, engines, and cluster sizes —
+    the property random()-based splits lack. Pure codegen, no shuffle
+    until the caller aggregates.
+    """
+    bucket = md5_hash32(F.concat(F.lit(salt), F.col(key_col).cast("string"))) % 100
+    train_hi, val_hi = weights[0], weights[0] + weights[1]
+    return docs.withColumn(
+        "split",
+        F.when(bucket < train_hi, F.lit("train"))
+        .when(bucket < val_hi, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+
+
+def redact_pii(df: DataFrame, text_col: str) -> DataFrame:
+    """Count and redact email/phone patterns in a text column.
+
+    Adds n_emails, n_phones, and `<text_col>_redacted` with matches
+    replaced by [EMAIL] / [PHONE] placeholders. Regexes are restricted to
+    a dialect both Java regex and RE2 (DuckDB oracle) accept. Pure
+    codegen — regexp ops are JVM-side.
+    """
+    c = F.col(text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(c, EMAIL_REGEX, "[EMAIL]"), PHONE_REGEX, "[PHONE]"
+    )
+    return df.withColumn(
+        "n_emails", F.regexp_count(c, F.lit(EMAIL_REGEX)).cast("long")
+    ).withColumn(
+        "n_phones", F.regexp_count(c, F.lit(PHONE_REGEX)).cast("long")
+    ).withColumn(f"{text_col}_redacted", redacted)

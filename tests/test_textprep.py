@@ -1,0 +1,123 @@
+"""Operator-level invariants for operators/textprep.py (oracle parity is
+covered by test_oracle_queries.py; these check semantic properties)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from external_benchmarks_spark.catalog import Catalog
+from external_benchmarks_spark.functions.text import token_count
+from external_benchmarks_spark.operators.textprep import (
+    build_vocab,
+    chunk_documents,
+    dataset_split,
+    redact_pii,
+    repetition_stats,
+    sequence_pack,
+    vocab_encode,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def _docs(spark):
+    return Catalog(spark, SF_DIR).documents
+
+
+def test_chunks_conserve_tokens(spark):
+    """Sum of chunk sizes == doc token count; all chunks full except last."""
+    d = _docs(spark)
+    chunks = chunk_documents(d, chunk_tokens=32)
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.sum("n_chunk_tokens").alias("sum_chunk"),
+        F.max("chunk_id").alias("last_id"),
+        F.count(F.lit(1)).alias("n_chunks"),
+    )
+    orig = d.select("doc_id", token_count("text").cast("long").alias("n_tokens"))
+    j = per_doc.join(orig, "doc_id").collect()
+    assert len(j) > 0
+    for r in j:
+        assert r.sum_chunk == r.n_tokens, r
+        assert r.n_chunks == r.last_id + 1, r
+    # every non-final chunk is exactly the chunk size
+    bad = (
+        chunks.join(per_doc.select("doc_id", "last_id"), "doc_id")
+        .filter((F.col("chunk_id") < F.col("last_id")) & (F.col("n_chunk_tokens") != 32))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_sequence_pack_budget(spark):
+    """Every pack's token start-offset span is within one budget window."""
+    packs = sequence_pack(_docs(spark), budget=512).collect()
+    assert len(packs) > 0
+    # pack ids per source are contiguous from 0
+    by_src = {}
+    for r in packs:
+        by_src.setdefault(r.source, []).append(r.pack_id)
+    for src, ids in by_src.items():
+        ids.sort()
+        assert ids == list(range(len(ids))), (src, ids)
+    # conservation: total tokens across packs == corpus tokens
+    total = sum(r.sum_tokens for r in packs)
+    corpus = (
+        _docs(spark)
+        .select(token_count("text").cast("long").alias("n"))
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+    assert total == corpus
+
+
+def test_repetition_bounds(spark):
+    rows = repetition_stats(_docs(spark)).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0.0 <= r.top_word_frac <= 1.0
+        assert 0.0 <= r.dup_bigram_frac <= 1.0
+        assert 0.0 <= r.dup_trigram_frac <= 1.0
+        # trigrams repeat no more often than bigrams on the same text
+        assert r.dup_trigram_frac <= r.dup_bigram_frac + 1e-12
+
+
+def test_vocab_deterministic_and_dense(spark):
+    v1 = {(r.term, r.tid) for r in build_vocab(_docs(spark), 64).collect()}
+    v2 = {(r.term, r.tid) for r in build_vocab(_docs(spark), 64).collect()}
+    assert v1 == v2
+    tids = sorted(t for _, t in v1)
+    assert tids == list(range(1, len(tids) + 1))
+
+
+def test_vocab_encode_shape(spark):
+    enc = vocab_encode(_docs(spark), vocab_size=64, max_len=16).collect()
+    assert len(enc) > 0
+    for r in enc:
+        ids = r.ids.split("-") if r.ids else []
+        # "-1" splits into ["", "1"] — count OOV via the raw string instead
+        assert r.n_oov == r.ids.count("--1") + (1 if r.ids.startswith("-1") else 0)
+        assert len([i for i in ids if i]) >= 1
+
+
+def test_dataset_split_stable_and_total(spark):
+    d = _docs(spark)
+    s = dataset_split(d)
+    counts = {r.split: r.cnt for r in s.groupBy("split").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert sum(counts.values()) == d.count()
+    # splits are disjoint by construction; stability: same assignment twice
+    a = {(r.doc_id, r.split) for r in s.select("doc_id", "split").collect()}
+    b = {(r.doc_id, r.split) for r in dataset_split(d).select("doc_id", "split").collect()}
+    assert a == b
+
+
+def test_redact_pii_removes_patterns(spark):
+    df = spark.createDataFrame(
+        [(1, "mail me at a.b@x.io or call +1-555-1234 twice +1-555-9999")],
+        ["id", "t"],
+    )
+    r = redact_pii(df, "t").collect()[0]
+    assert r.n_emails == 1 and r.n_phones == 2
+    assert "@" not in r.t_redacted
+    assert "[EMAIL]" in r.t_redacted and "[PHONE]" in r.t_redacted
