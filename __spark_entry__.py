@@ -26,6 +26,7 @@ from pyspark.sql.window import Window
 from external_benchmarks_spark.catalog import Catalog
 from external_benchmarks_spark.functions.hashing import (
     MERSENNE_61,
+    md5_hash32,
     minhash_params,
 )
 from external_benchmarks_spark.functions.text import (
@@ -830,6 +831,55 @@ def q_pii_redact(spark, sf):
 
 
 # ---------------------------------------------------------------------------
+# Ingest-format round-trips (sources/roundtrip.py): JSONL / CSV / ORC
+# ---------------------------------------------------------------------------
+
+def _rt(spark, sf, table, fmt):
+    from external_benchmarks_spark.sources.roundtrip import roundtrip_table
+
+    tag = os.path.basename(sf.rstrip("/"))
+    return roundtrip_table(Catalog(spark, sf).table(table), spark, fmt, tag)
+
+
+def q_jsonl_roundtrip(spark, sf):
+    # documents -> JSONL files -> read back (pinned schema) -> aggregate.
+    # sum_text_hash makes the oracle comparison sensitive to ANY payload
+    # corruption in the round-trip, not just row counts.
+    rt = _rt(spark, sf, "documents", "json")
+    return rt.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(md5_hash32(F.col("text"))).alias("sum_text_hash"),
+    )
+
+
+def q_csv_roundtrip(spark, sf):
+    # customer -> CSV (header, quoted) -> read back; doubles survive via
+    # shortest-round-trip formatting, verified against parquet-side sums.
+    rt = _rt(spark, sf, "customer", "csv")
+    return rt.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.sum(F.round(F.col("c_acctbal") * 100, 0).cast("long")).alias(
+            "sum_bal_cents"
+        ),
+        F.sum(md5_hash32(F.col("c_name"))).alias("sum_name_hash"),
+    )
+
+
+def q_orc_roundtrip(spark, sf):
+    # orders -> ORC -> read back; exercises the third columnar format
+    # including DATE round-tripping.
+    rt = _rt(spark, sf, "orders", "orc")
+    return rt.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+            "sum_price_cents"
+        ),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("max_date"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Events surface (windowed agg, sessionization, as-of)
 # ---------------------------------------------------------------------------
 
@@ -1027,6 +1077,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_encode": q_vocab_encode,
         "dataset_split": q_dataset_split,
         "pii_redact": q_pii_redact,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
+        "csv_roundtrip": q_csv_roundtrip,
+        "orc_roundtrip": q_orc_roundtrip,
         "events_hourly": q_events_hourly,
         "events_sliding": q_events_sliding,
         "blob_metadata": q_blob_metadata,
@@ -1579,6 +1632,23 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'test' END AS split,
                    COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
             FROM documents GROUP BY 1, 2
+        """,
+        "jsonl_roundtrip": f"""
+            SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars,
+                   SUM({_h32("text")}) AS sum_text_hash
+            FROM documents GROUP BY 1, 2
+        """,
+        "csv_roundtrip": f"""
+            SELECT c_mktsegment, COUNT(*) AS n_cust,
+                   SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS sum_bal_cents,
+                   SUM({_h32("c_name")}) AS sum_name_hash
+            FROM customer GROUP BY 1
+        """,
+        "orc_roundtrip": """
+            SELECT o_orderpriority, COUNT(*) AS n_orders,
+                   SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS sum_price_cents,
+                   strftime(MAX(o_orderdate), '%Y-%m-%d') AS max_date
+            FROM orders GROUP BY 1
         """,
         "pii_redact": f"""
             WITH c AS (
