@@ -944,6 +944,17 @@ def q_image_decode(spark, sf):
     return decode_image_stub(docs, "blob")
 
 
+def q_audio_decode(spark, sf):
+    # Audio twin of image_decode: mapInPandas, stubbed kernel, real
+    # Arrow-batch plumbing. Rows-only check (no SQL oracle).
+    from external_benchmarks_spark.multimodal.binaryops import decode_audio_stub
+
+    docs = Catalog(spark, sf).documents.withColumn(
+        "blob", F.encode(F.col("text"), "UTF-8")
+    )
+    return decode_audio_stub(docs, "blob")
+
+
 def q_sessionize(spark, sf):
     return sess_ops.sessionize(
         Catalog(spark, sf).events, ts_col="ts_us", gap=SESSION_GAP_US
@@ -1084,6 +1095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding": q_events_sliding,
         "blob_metadata": q_blob_metadata,
         "image_decode": q_image_decode,
+        "audio_decode": q_audio_decode,
         "sessionize": q_sessionize,
         "asof_last_event": q_asof_last_event,
         "asof_join_generic": q_asof_join_generic,

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     FloatType,
     IntegerType,
     LongType,
@@ -49,6 +50,24 @@ IMAGE_FEATURES_SCHEMA = StructType(
         StructField("width", IntegerType()),
         StructField("height", IntegerType()),
         StructField("feature", ArrayType(FloatType())),
+    ]
+)
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("duration_ms", LongType()),
+        StructField("mfcc", ArrayType(FloatType())),
+    ]
+)
+
+THUMBNAIL_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("thumb", BinaryType()),
     ]
 )
 
@@ -89,6 +108,65 @@ def decode_image_stub(df: DataFrame, blob_col: str, key_col: str = "doc_id", dim
             yield pd.DataFrame(recs, columns=["doc_id", "width", "height", "feature"])
 
     return df.select(key_col, blob_col).mapInPandas(run, IMAGE_FEATURES_SCHEMA)
+
+
+def decode_audio_stub(
+    df: DataFrame, blob_col: str, key_col: str = "doc_id", n_mfcc: int = 8
+) -> DataFrame:
+    """mapInPandas audio decode+featurize (stubbed kernel, real plumbing).
+
+    A real implementation would demux/resample with torchaudio/soundfile
+    and compute MFCCs per batch; the stub derives sample_rate, duration,
+    and the coefficient vector deterministically from the blob digest so
+    the batch shape, schema, and partitioning are exercised for real.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for key, blob in zip(pdf[key_col], pdf[blob_col]):
+                b = bytes(blob) if blob is not None else b""
+                h = hashlib.md5(b).digest()
+                sample_rate = (8000, 16000, 22050, 44100)[h[0] % 4]
+                # STUB duration: bytes at a fake fixed bitrate
+                duration_ms = len(b) * 1000 // max(sample_rate // 500, 1)
+                rng = np.random.RandomState(int.from_bytes(h[4:8], "big"))
+                mfcc = rng.randn(n_mfcc).astype(np.float32)
+                recs.append((key, sample_rate, duration_ms, list(mfcc)))
+            yield pd.DataFrame(
+                recs, columns=["doc_id", "sample_rate", "duration_ms", "mfcc"]
+            )
+
+    return df.select(key_col, blob_col).mapInPandas(run, AUDIO_FEATURES_SCHEMA)
+
+
+def resize_image_stub(
+    df: DataFrame,
+    blob_col: str,
+    key_col: str = "doc_id",
+    width: int = 32,
+    height: int = 32,
+) -> DataFrame:
+    """mapInPandas binary->binary thumbnail resize (stubbed kernel).
+
+    Real impl: PIL decode -> resize -> re-encode. The stub emits a
+    deterministic width*height-byte payload derived from the source
+    digest, preserving the production property under test: binary in,
+    fixed-size binary out, batch-at-a-time through Arrow.
+    """
+    out_len = width * height
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for key, blob in zip(pdf[key_col], pdf[blob_col]):
+                b = bytes(blob) if blob is not None else b""
+                seed = hashlib.md5(b).digest()
+                reps = out_len // len(seed) + 1
+                recs.append((key, width, height, (seed * reps)[:out_len]))
+            yield pd.DataFrame(recs, columns=["doc_id", "width", "height", "thumb"])
+
+    return df.select(key_col, blob_col).mapInPandas(run, THUMBNAIL_SCHEMA)
 
 
 def frame_sample_stub(

@@ -3,9 +3,10 @@ plain term-frequency query (training-data pipelines use it for keyword
 extraction and quality filtering).
 
 Shape: ONE explode pass builds the (doc, term, tf) table; document
-frequency is a count window over term on that table (no second explode,
-no self-join); per-doc ranking is a window over doc_id. Each shuffle key
-(term; doc) is well-spread.
+frequency is a groupBy(term) count of that table — map-side partial
+aggregation shrinks the shuffle to |vocabulary| — broadcast-joined back,
+so the full tf table is never reshuffled by term; per-doc ranking is a
+window over doc_id. Shuffles: tf agg, tiny dfreq agg, rank-by-doc.
 
 Ranking determinism: Spark's Math.log and DuckDB's std::log can disagree
 in the last ulp, so the rank ORDER BY uses the score rounded to 6
@@ -33,11 +34,11 @@ def tfidf_top_terms(
         F.col(key_col), F.explode(tokens(F.col(content_col))).alias("term")
     )
     tf = toks.groupBy(key_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    # doc_freq as a COUNT window over term on the TF table (one row per
-    # (doc, term)): the token explode runs ONCE and there is no self-join
-    # recomputing it — plan is explode -> agg -> window, two shuffles.
-    dfreq_w = Window.partitionBy("term")
-    scored = tf.withColumn("doc_freq", F.count(F.lit(1)).over(dfreq_w)).withColumn(
+    # doc_freq: aggregate the tf table to |vocabulary| rows and broadcast
+    # it back. A count-window over term would reshuffle the ENTIRE tf
+    # table by term; this shuffles only map-side-combined partials.
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    scored = tf.join(F.broadcast(dfreq), "term").withColumn(
         "tfidf",
         F.round(
             F.col("tf")

@@ -7,8 +7,10 @@ import pyspark.sql.functions as F
 from external_benchmarks_spark.catalog import Catalog
 from external_benchmarks_spark.multimodal.binaryops import (
     blob_metadata,
+    decode_audio_stub,
     decode_image_stub,
     frame_sample_stub,
+    resize_image_stub,
 )
 
 
@@ -43,6 +45,36 @@ def test_decode_image_stub_shape_and_determinism(spark, sf_dir):
     }
     assert rows_a == rows_b
     assert all(len(v[2]) == 8 for v in rows_a.values())
+
+
+def test_decode_audio_stub_shape_and_determinism(spark, sf_dir):
+    blobs = _with_blobs(spark, sf_dir).limit(50)
+    a = decode_audio_stub(blobs, "blob", n_mfcc=8)
+    assert a.schema.simpleString() == (
+        "struct<doc_id:bigint,sample_rate:int,duration_ms:bigint,mfcc:array<float>>"
+    )
+    rows_a = {r.doc_id: (r.sample_rate, r.duration_ms, tuple(r.mfcc)) for r in a.collect()}
+    rows_b = {
+        r.doc_id: (r.sample_rate, r.duration_ms, tuple(r.mfcc))
+        for r in decode_audio_stub(blobs, "blob", n_mfcc=8).collect()
+    }
+    assert rows_a == rows_b
+    for sr, dur, mfcc in rows_a.values():
+        assert sr in (8000, 16000, 22050, 44100)
+        assert dur >= 0 and len(mfcc) == 8
+
+
+def test_resize_image_stub_fixed_payload(spark, sf_dir):
+    blobs = _with_blobs(spark, sf_dir).limit(20)
+    t = resize_image_stub(blobs, "blob", width=32, height=32)
+    assert t.schema.simpleString() == (
+        "struct<doc_id:bigint,width:int,height:int,thumb:binary>"
+    )
+    rows = t.collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert (r.width, r.height) == (32, 32)
+        assert len(bytes(r.thumb)) == 32 * 32
 
 
 def test_frame_sample_explodes(spark, sf_dir):
