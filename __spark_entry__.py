@@ -106,6 +106,13 @@ def _in_list(words) -> str:
 QVEC_SQL = _vec_lit(QVEC)
 EMB_DBL = "CAST(embedding AS DOUBLE[])"
 
+from external_benchmarks_spark.operators.quantize import (  # noqa: E402
+    quantize_vector as _quantize_vector,
+)
+
+_QQ, QQ_SCALE = _quantize_vector(QVEC)
+QQ_SQL = _vec_lit(_QQ)
+
 
 # ---------------------------------------------------------------------------
 # entry: flagship query (driver smoke check at sf0.001)
@@ -831,6 +838,22 @@ def q_pii_redact(spark, sf):
 
 
 # ---------------------------------------------------------------------------
+# Embedding quantization (operators/quantize.py)
+# ---------------------------------------------------------------------------
+
+def q_quantize_embeddings(spark, sf):
+    from external_benchmarks_spark.operators.quantize import quantization_report
+
+    return quantization_report(Catalog(spark, sf).embeddings)
+
+
+def q_quant_dot_topk(spark, sf):
+    from external_benchmarks_spark.operators.quantize import quantized_dot_topk
+
+    return quantized_dot_topk(Catalog(spark, sf).embeddings, QVEC, k=100)
+
+
+# ---------------------------------------------------------------------------
 # Ingest-format round-trips (sources/roundtrip.py): JSONL / CSV / ORC
 # ---------------------------------------------------------------------------
 
@@ -1091,6 +1114,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "csv_roundtrip": q_csv_roundtrip,
         "orc_roundtrip": q_orc_roundtrip,
+        "quantize_embeddings": q_quantize_embeddings,
+        "quant_dot_topk": q_quant_dot_topk,
         "events_hourly": q_events_hourly,
         "events_sliding": q_events_sliding,
         "blob_metadata": q_blob_metadata,
@@ -1644,6 +1669,43 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'test' END AS split,
                    COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
             FROM documents GROUP BY 1, 2
+        """,
+        "quantize_embeddings": f"""
+            WITH t AS (SELECT vec_id, {EMB_DBL} AS e FROM embeddings),
+            s AS (SELECT vec_id, e,
+                    CASE WHEN list_max(list_transform(e, x -> abs(x))) > 0
+                         THEN list_max(list_transform(e, x -> abs(x))) / 127.0
+                         ELSE 1.0 END AS scale
+                  FROM t),
+            q AS (SELECT vec_id, e, scale,
+                    list_transform(e, x -> CAST(round(x / scale) AS INT)) AS qv
+                  FROM s)
+            SELECT vec_id, scale,
+                   CAST(list_sum(qv) AS BIGINT) AS q_sum,
+                   CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_abs_sum,
+                   COALESCE(list_sum(list_transform(generate_series(1, len(qv)),
+                            i -> abs(qv[i] * scale - e[i]))), 0.0) AS recon_err
+            FROM q
+        """,
+        "quant_dot_topk": f"""
+            WITH t AS (SELECT vec_id, {EMB_DBL} AS e FROM embeddings),
+            s AS (SELECT vec_id, e,
+                    CASE WHEN list_max(list_transform(e, x -> abs(x))) > 0
+                         THEN list_max(list_transform(e, x -> abs(x))) / 127.0
+                         ELSE 1.0 END AS scale
+                  FROM t),
+            q AS (SELECT vec_id, scale,
+                    list_transform(e, x -> CAST(round(x / scale) AS INT)) AS qv
+                  FROM s),
+            scored AS (
+              SELECT vec_id,
+                     CAST(list_dot_product(CAST(qv AS DOUBLE[]), {QQ_SQL}) AS BIGINT)
+                       AS score_q,
+                     scale
+              FROM q)
+            SELECT vec_id, score_q,
+                   CAST(score_q AS DOUBLE) * scale * {QQ_SCALE!r} AS approx_score
+            FROM scored ORDER BY score_q DESC, vec_id LIMIT 100
         """,
         "jsonl_roundtrip": f"""
             SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars,

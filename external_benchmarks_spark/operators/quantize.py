@@ -1,0 +1,115 @@
+"""Embedding quantization: per-vector symmetric int8 with integer-exact
+quantized scoring.
+
+At the reference's 10M x 2,688-dim scale the embedding column is ~243 GB
+as float64 and ~60 GB as int8 (reference README.md:29, SURVEY.md §7.4
+recommends float32; int8 halves that again). Quantized scoring is also
+the SIMD-friendly hot loop real vector stores run. This module keeps the
+whole path inside Catalyst codegen:
+
+- scale = max|x| / 127 (array_max — order-independent, so Spark and the
+  DuckDB oracle agree bit-for-bit; no fold-order hazard).
+- q_i = round(x_i / scale) as INT in [-127, 127].
+- quantized dot product accumulates int*int products in BIGINT — exact
+  integer arithmetic, which makes the top-k hash-matchable against the
+  oracle with zero floating-point tolerance.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _to_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def quantize_vector(vals: Sequence[float]) -> tuple[list[int], float]:
+    """Driver-side quantization of a query vector (mirrors the column op)."""
+    amax = max(abs(float(v)) for v in vals)
+    scale = amax / 127.0 if amax > 0 else 1.0
+    q = [int(round(float(v) / scale)) for v in vals]
+    return q, scale
+
+
+def quantize_embeddings(
+    df: DataFrame, emb_col: str = "embedding", key_col: str = "vec_id"
+) -> DataFrame:
+    """Adds per-vector `scale` (double) and `qvec` (array<int>) columns."""
+    out = df.select(key_col, _to_double(F.col(emb_col)).alias("_e"))
+    amax = F.array_max(F.transform(F.col("_e"), F.abs))
+    scale = F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(1.0))
+    out = out.withColumn("scale", scale)
+    q = F.transform(
+        F.col("_e"), lambda x: F.round(x / F.col("scale"), 0).cast("int")
+    )
+    return out.withColumn("qvec", q).drop("_e")
+
+
+def quantization_report(
+    df: DataFrame, emb_col: str = "embedding", key_col: str = "vec_id"
+) -> DataFrame:
+    """Per-vector quantization diagnostics (all cross-engine-exact).
+
+    q_sum / q_abs_sum are integer checksums of the quantized vector;
+    recon_err is the summed |dequantized - original| reconstruction error
+    (left-to-right fold, same IEEE op order as the oracle's list_sum).
+    """
+    arr = _to_double(F.col(emb_col))
+    base = df.select(key_col, arr.alias("e"))
+    amax = F.array_max(F.transform(F.col("e"), F.abs))
+    scale = F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(1.0))
+    base = base.withColumn("scale", scale)
+    q = F.transform(
+        F.col("e"), lambda x: F.round(x / F.col("scale"), 0).cast("int")
+    )
+    base = base.withColumn("q", q)
+    long0 = F.lit(0).cast("bigint")
+    return base.select(
+        key_col,
+        "scale",
+        F.aggregate("q", long0, lambda acc, x: acc + x).alias("q_sum"),
+        F.aggregate("q", long0, lambda acc, x: acc + F.abs(x)).alias("q_abs_sum"),
+        F.aggregate(
+            F.zip_with(
+                "q", "e", lambda qi, xi: F.abs(qi * F.col("scale") - xi)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("recon_err"),
+    )
+
+
+def quantized_dot_topk(
+    df: DataFrame,
+    query: Sequence[float],
+    k: int = 100,
+    emb_col: str = "embedding",
+    key_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k by int8-quantized dot product against a quantized query.
+
+    score_q = sum(q_i * qq_i) in BIGINT (exact); approx_score rescales it
+    back to the float domain. Plans as scan -> codegen projection ->
+    TakeOrderedAndProject: per-partition top-k heaps, one driver merge —
+    no global sort, no shuffle of the table.
+    """
+    qq, qscale = quantize_vector(query)
+    quant = quantize_embeddings(df, emb_col, key_col)
+    qq_lit = F.array(*[F.lit(int(v)) for v in qq])
+    score_q = F.aggregate(
+        F.zip_with("qvec", qq_lit, lambda a, b: (a.cast("bigint") * b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    scored = quant.select(
+        key_col,
+        score_q.alias("score_q"),
+        (score_q.cast("double") * F.col("scale") * F.lit(qscale)).alias(
+            "approx_score"
+        ),
+    )
+    return scored.orderBy(F.desc("score_q"), F.asc(key_col)).limit(k)

@@ -1,0 +1,65 @@
+"""Semantic checks for operators/quantize.py (oracle parity is covered by
+test_oracle_queries.py)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from external_benchmarks_spark.catalog import Catalog
+from external_benchmarks_spark.functions.vector import dot_product_literal
+from external_benchmarks_spark.operators.quantize import (
+    quantization_report,
+    quantize_embeddings,
+    quantize_vector,
+    quantized_dot_topk,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+QVEC_DIM = 64
+QVEC = [float((i * 37) % 13 - 6) for i in range(QVEC_DIM)]
+
+
+def _emb(spark):
+    return Catalog(spark, SF_DIR).embeddings
+
+
+def test_quantized_values_in_range(spark):
+    q = quantize_embeddings(_emb(spark))
+    bad = q.select(
+        F.array_max(F.transform("qvec", F.abs)).alias("m")
+    ).filter(F.col("m") > 127).count()
+    assert bad == 0
+
+
+def test_reconstruction_error_bound(spark):
+    # per-dim error <= scale/2 (round-to-nearest), so summed error over
+    # 64 dims <= 32.0000001 * scale
+    rep = quantization_report(_emb(spark))
+    viol = rep.filter(F.col("recon_err") > 32.001 * F.col("scale")).count()
+    assert viol == 0
+
+
+def test_quantized_topk_recall_vs_exact(spark):
+    emb = _emb(spark)
+    k = 50
+    exact = [
+        r.vec_id
+        for r in emb.select(
+            "vec_id", dot_product_literal("embedding", QVEC).alias("s")
+        )
+        .orderBy(F.desc("s"), F.asc("vec_id"))
+        .limit(k)
+        .collect()
+    ]
+    quant = [r.vec_id for r in quantized_dot_topk(emb, QVEC, k=k).collect()]
+    overlap = len(set(exact) & set(quant)) / k
+    assert overlap >= 0.9, overlap
+
+
+def test_quantize_vector_roundtrip():
+    q, scale = quantize_vector([1.0, -2.0, 0.5, 4.0])
+    assert max(abs(v) for v in q) == 127
+    assert all(abs(v * scale - x) <= scale / 2 + 1e-12
+               for v, x in zip(q, [1.0, -2.0, 0.5, 4.0]))
