@@ -838,6 +838,35 @@ def q_pii_redact(spark, sf):
 
 
 # ---------------------------------------------------------------------------
+# Near-dup clustering (operators/graph.py) + keep-best representative
+# ---------------------------------------------------------------------------
+
+def q_neardup_components(spark, sf):
+    # pairs -> connected components -> cluster sizes: the step between
+    # near-dup pair mining and actual deduplication. Iterative min-label
+    # propagation (non-SQL-expressible in one query); the oracle replays
+    # it with a recursive CTE over the SAME edge definition.
+    from external_benchmarks_spark.operators.graph import (
+        component_sizes,
+        connected_components,
+    )
+
+    edges = embedding_neardup_pairs(
+        Catalog(spark, sf).embeddings, block_col="label", threshold=0.2
+    )
+    return component_sizes(connected_components(edges))
+
+
+def q_dedup_keep_best(spark, sf):
+    # Quality-ranked representative per fingerprint group (vs exact_dedup's
+    # arbitrary min-id keeper).
+    from external_benchmarks_spark.operators.dedup import keep_best
+
+    d = Catalog(spark, sf).documents
+    return keep_best(d, fingerprint("text"), quality_score("text"))
+
+
+# ---------------------------------------------------------------------------
 # Embedding quantization (operators/quantize.py)
 # ---------------------------------------------------------------------------
 
@@ -1116,6 +1145,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orc_roundtrip": q_orc_roundtrip,
         "quantize_embeddings": q_quantize_embeddings,
         "quant_dot_topk": q_quant_dot_topk,
+        "neardup_components": q_neardup_components,
+        "dedup_keep_best": q_dedup_keep_best,
         "events_hourly": q_events_hourly,
         "events_sliding": q_events_sliding,
         "blob_metadata": q_blob_metadata,
@@ -1669,6 +1700,49 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'test' END AS split,
                    COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
             FROM documents GROUP BY 1, 2
+        """,
+        "neardup_components": """
+            WITH RECURSIVE p AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM embeddings a JOIN embeddings b
+                ON a.label = b.label AND a.vec_id < b.vec_id
+              WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+                    / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                       * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))
+                    >= 0.2),
+            e AS (SELECT id_a AS a, id_b AS b FROM p
+                  UNION SELECT id_b AS a, id_a AS b FROM p),
+            reach(n, m) AS (
+              SELECT a, a FROM e
+              UNION
+              SELECT r.n, e2.b FROM reach r JOIN e e2 ON r.m = e2.a),
+            comp AS (SELECT n, MIN(m) AS component FROM reach GROUP BY n)
+            SELECT component, COUNT(*) AS n_members FROM comp GROUP BY 1
+        """,
+        "dedup_keep_best": f"""
+            WITH t AS (SELECT doc_id, text, {DUCK_TOKS} AS toks FROM documents),
+            m AS (SELECT doc_id,
+                     md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS grp,
+                     CAST(len(toks) AS BIGINT) AS n_tokens,
+                     CASE WHEN len(toks) > 0 THEN
+                       CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks)
+                     ELSE 0.0 END AS atl,
+                     CASE WHEN len(text) > 0 THEN
+                       CAST(len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / len(text)
+                     ELSE 0.0 END AS pr
+                  FROM t),
+            q AS (SELECT doc_id, grp,
+                    0.5 * LEAST(CAST(n_tokens AS DOUBLE), 100.0) / 100.0
+                      + 0.3 * (1.0 - pr)
+                      + 0.2 * LEAST(atl, 8.0) / 8.0 AS score
+                  FROM m),
+            r AS (SELECT doc_id, grp, score,
+                         row_number() OVER (PARTITION BY grp ORDER BY score DESC, doc_id) AS rn,
+                         COUNT(*) OVER (PARTITION BY grp) AS n
+                  FROM q)
+            SELECT grp AS group_key, doc_id AS keeper_id,
+                   CAST(n AS BIGINT) AS n_members, score AS keeper_score
+            FROM r WHERE rn = 1
         """,
         "quantize_embeddings": f"""
             WITH t AS (SELECT vec_id, {EMB_DBL} AS e FROM embeddings),

@@ -49,6 +49,37 @@ def exact_dedup_groups(
     )
 
 
+def keep_best(
+    df: DataFrame,
+    group: Column,
+    score: Column,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """One representative per group: highest score, key as tiebreak.
+
+    The canonical post-clustering step — after exact hashing, MinHash
+    bands, or connected components assign a group, keep the
+    highest-quality member instead of the arbitrary minimum id. One
+    shuffle (both window functions share the partition spec).
+    """
+    from pyspark.sql.window import Window
+
+    base = df.select(F.col(key_col), group.alias("grp"), score.alias("score"))
+    w = Window.partitionBy("grp").orderBy(F.desc("score"), F.asc(key_col))
+    wg = Window.partitionBy("grp")
+    return (
+        base.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(wg))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("grp").alias("group_key"),
+            F.col(key_col).alias("keeper_id"),
+            F.col("n_members").cast("long").alias("n_members"),
+            F.col("score").alias("keeper_score"),
+        )
+    )
+
+
 def word_shingles(text: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles as strings ('w1 w2 w3')."""
     toks = tokens(text)

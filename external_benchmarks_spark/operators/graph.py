@@ -1,0 +1,66 @@
+"""Connected components over a pair/edge table — the clustering step
+between near-duplicate PAIRS (operators/dedup.py emits them) and dedup
+GROUPS (keep one representative per component).
+
+Spark-first shape: Pregel-style min-label propagation expressed as plain
+DataFrame joins — each round is `labels(node) := min(labels(node),
+min(labels(neighbor)))`, one keyed shuffle per round, converging in
+O(graph diameter) rounds. Near-dup graphs are unions of small cliques,
+so the diameter is tiny (2-3 rounds typical). `localCheckpoint`
+truncates lineage each round so plans stay O(1) deep; the driver only
+sees a one-row convergence aggregate per round, never edge data.
+
+At 1000-executor scale the same loop holds (each round is a shuffle by
+node id); for adversarially long path graphs, switch to alternating
+large-star/small-star (Kiveris et al., "Connected Components in
+MapReduce"), which converges in O(log n) rounds with the same
+join-groupBy primitives.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(node, component) for every node incident to an edge; component is
+    the minimum node id reachable from the node."""
+    sym = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint()
+    )
+    # Labels only ever decrease, so sum(component) is a strictly
+    # decreasing convergence measure: unchanged sum == fixpoint.
+    prev = labels.agg(F.sum("component")).collect()[0][0]
+    for _ in range(max_iter):
+        cand = sym.join(labels, sym["a"] == labels["node"]).select(
+            F.col("b").alias("node"), F.col("component")
+        )
+        labels = (
+            labels.union(cand)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()
+        )
+        cur = labels.agg(F.sum("component")).collect()[0][0]
+        if cur == prev:
+            break
+        prev = cur
+    return labels
+
+
+def component_sizes(components: DataFrame) -> DataFrame:
+    return components.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )

@@ -1,0 +1,43 @@
+"""Connected-components operator invariants (oracle parity is covered by
+test_oracle_queries.py's recursive-CTE comparison)."""
+
+from __future__ import annotations
+
+from external_benchmarks_spark.operators.graph import (
+    component_sizes,
+    connected_components,
+)
+
+
+def _cc(spark, pairs):
+    edges = spark.createDataFrame(pairs, ["id_a", "id_b"])
+    return {r.node: r.component for r in connected_components(edges).collect()}
+
+
+def test_two_triangles_and_bridge(spark):
+    # {1,2,3} clique, {10,11,12} clique, bridge 3-10 merges them; {20,21} apart
+    pairs = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (3, 10), (20, 21)]
+    comp = _cc(spark, pairs)
+    assert {comp[n] for n in (1, 2, 3, 10, 11, 12)} == {1}
+    assert comp[20] == comp[21] == 20
+
+
+def test_path_graph_converges(spark):
+    # worst case for min-label propagation: a long path
+    n = 33
+    comp = _cc(spark, [(i, i + 1) for i in range(n)])
+    assert set(comp.values()) == {0}
+    assert len(comp) == n + 1
+
+
+def test_edges_endpoints_share_component(spark):
+    pairs = [(i, (i * 7) % 20) for i in range(1, 20) if i != (i * 7) % 20]
+    edges = spark.createDataFrame(pairs, ["id_a", "id_b"])
+    comp = {r.node: r.component for r in connected_components(edges).collect()}
+    for a, b in pairs:
+        assert comp[a] == comp[b], (a, b)
+    sizes = {
+        r.component: r.n_members
+        for r in component_sizes(connected_components(edges)).collect()
+    }
+    assert sum(sizes.values()) == len(comp)
