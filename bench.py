@@ -188,6 +188,12 @@ def headline_queries():
         "lang_id": q["lang_id"],
         "text_quality": q["text_quality"],
         "token_stats": q["token_stats"],
+        "repetition_stats": q["repetition_stats"],
+        "doc_chunks": q["doc_chunks"],
+        "vocab_encode": q["vocab_encode"],
+        "dedup_keep_best": q["dedup_keep_best"],
+        "quant_dot_topk": q["quant_dot_topk"],
+        "neardup_components": q["neardup_components"],
         # Events surface
         "events_hourly": q["events_hourly"],
         "sessionize": q["sessionize"],

@@ -31,9 +31,12 @@ def connected_components(
 ) -> DataFrame:
     """(node, component) for every node incident to an edge; component is
     the minimum node id reachable from the node."""
-    sym = edges.select(
-        F.col(src).alias("a"), F.col(dst).alias("b")
-    ).union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    # Materialize the edge list ONCE, before symmetrizing: upstream
+    # `edges` is often an expensive similarity self-join, and both the
+    # union's two branches and every propagation round would otherwise
+    # recompute it from scratch.
+    base = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint()
+    sym = base.union(base.select(F.col("b").alias("a"), F.col("a").alias("b")))
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
