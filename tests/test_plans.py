@@ -131,3 +131,48 @@ def test_dedup_single_md5_pass(spark, sf_dir):
     for df in (minhash_signature(docs), simhash(docs)):
         opt = df._jdf.queryExecution().optimizedPlan().toString()
         assert opt.count("md5") == 1
+
+
+def test_doc_chunks_no_shuffle(spark, sf_dir):
+    """Chunking is pure fan-out: transform + posexplode, zero Exchange."""
+    from external_benchmarks_spark.operators.textprep import chunk_documents
+
+    plan = _plan(chunk_documents(Catalog(spark, sf_dir).documents))
+    assert "Exchange" not in plan, plan
+
+
+def test_dataset_split_no_shuffle(spark, sf_dir):
+    from external_benchmarks_spark.operators.textprep import dataset_split
+
+    plan = _plan(dataset_split(Catalog(spark, sf_dir).documents))
+    assert "Exchange" not in plan, plan
+
+
+def test_vocab_encode_broadcasts_vocab(spark, sf_dir):
+    """Corpus encoding must join the vocab as a broadcast, and the top-V
+    must plan as TakeOrderedAndProject (no global sort of term counts)."""
+    from external_benchmarks_spark.operators.textprep import vocab_encode
+
+    plan = _plan(vocab_encode(Catalog(spark, sf_dir).documents))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_quantized_topk_plan(spark, sf_dir):
+    """Quantize + score + top-k stays scan -> project -> TakeOrdered."""
+    from external_benchmarks_spark.operators.quantize import quantized_dot_topk
+
+    plan = _plan(quantized_dot_topk(Catalog(spark, sf_dir).embeddings, entry_mod.QVEC))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan, plan
+
+
+def test_tfidf_broadcasts_dfreq(spark, sf_dir):
+    """Doc-frequency joins back as a broadcast — the tf table is never
+    reshuffled by term."""
+    from external_benchmarks_spark.operators.tfidf import tfidf_top_terms
+
+    plan = _plan(tfidf_top_terms(Catalog(spark, sf_dir).documents))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
