@@ -996,6 +996,16 @@ def q_image_decode(spark, sf):
     return decode_image_stub(docs, "blob")
 
 
+def q_group_embedding_stats(spark, sf):
+    # applyInPandas grouped numpy kernel (per-category geometry). No SQL
+    # oracle: numpy's pairwise summation differs from SQL fold order in
+    # the last ulp by design (rows-only check; tests assert 1e-9 agreement
+    # with the pure-SQL dim_stats path).
+    from external_benchmarks_spark.operators.grouped import group_embedding_stats
+
+    return group_embedding_stats(Catalog(spark, sf).embeddings)
+
+
 def q_audio_decode(spark, sf):
     # Audio twin of image_decode: mapInPandas, stubbed kernel, real
     # Arrow-batch plumbing. Rows-only check (no SQL oracle).
@@ -1152,6 +1162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blob_metadata": q_blob_metadata,
         "image_decode": q_image_decode,
         "audio_decode": q_audio_decode,
+        "group_embedding_stats": q_group_embedding_stats,
         "sessionize": q_sessionize,
         "asof_last_event": q_asof_last_event,
         "asof_join_generic": q_asof_join_generic,
