@@ -506,6 +506,42 @@ def q_array_funcs(spark, sf):
     )
 
 
+def q_date_arith(spark, sf):
+    # Date arithmetic family: add/sub days, month arithmetic, truncation,
+    # diffs — the temporal scalar surface beyond date_parts' extraction.
+    o = Catalog(spark, sf).orders
+    return o.select(
+        "o_orderkey",
+        F.date_add(F.col("o_orderdate"), 30).cast("string").alias("plus30"),
+        F.date_sub(F.col("o_orderdate"), 7).cast("string").alias("minus7"),
+        F.add_months(F.col("o_orderdate"), 2).cast("string").alias("plus2mo"),
+        F.trunc(F.col("o_orderdate"), "month").cast("string").alias("month_start"),
+        F.last_day(F.col("o_orderdate")).cast("string").alias("month_end"),
+        F.datediff(F.lit("1998-12-31").cast("date"), F.col("o_orderdate"))
+        .cast("long")
+        .alias("days_to_eoy"),
+    )
+
+
+def q_null_funcs(spark, sf):
+    # Null-handling family over the 41%-null analog: coalesce, nullif,
+    # nvl2-style CASE, greatest/least with nulls.
+    c = Catalog(spark, sf).customer
+    return c.select(
+        "c_custkey",
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("(b)"))
+        .alias("seg_or_b"),
+        F.when(F.col("c_acctbal") < 0, None)
+        .otherwise(F.col("c_acctbal"))
+        .alias("bal_nonneg"),
+        F.greatest(F.col("c_acctbal"), F.lit(0.0)).alias("bal_floor0"),
+        F.least(F.col("c_nationkey").cast("long"), F.lit(10).cast("long")).alias(
+            "nat_cap10"
+        ),
+        (F.col("c_acctbal").isNull().cast("long")).alias("bal_is_null"),
+    )
+
+
 def q_json_extract(spark, sf):
     # JSON blob field extraction — the reference's `details` column is a
     # stringified JSON blob it never parses (README.md:17); we expose the
@@ -857,6 +893,19 @@ def q_neardup_components(spark, sf):
     return component_sizes(connected_components(edges))
 
 
+def q_doc_pagerank(spark, sf):
+    # Centrality inside near-dup clusters (canonical-doc selection /
+    # sampling weights). Iterative; float partial-sum order varies by
+    # partitioning, so rows-only check (test oracle: numpy power
+    # iteration agrees to 1e-9).
+    from external_benchmarks_spark.operators.graph import pagerank
+
+    edges = embedding_neardup_pairs(
+        Catalog(spark, sf).embeddings, block_col="label", threshold=0.2
+    )
+    return pagerank(edges, n_iter=5)
+
+
 def q_dedup_keep_best(spark, sf):
     # Quality-ranked representative per fingerprint group (vs exact_dedup's
     # arbitrary min-id keeper).
@@ -1118,6 +1167,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_funcs": q_string_funcs,
         "array_funcs": q_array_funcs,
         "json_extract": q_json_extract,
+        "date_arith": q_date_arith,
+        "null_funcs": q_null_funcs,
         "dot_topk": q_dot_topk,
         "l2_norm": q_l2_norm,
         "ann_bruteforce": q_ann_bruteforce,
@@ -1156,6 +1207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_embeddings": q_quantize_embeddings,
         "quant_dot_topk": q_quant_dot_topk,
         "neardup_components": q_neardup_components,
+        "doc_pagerank": q_doc_pagerank,
         "dedup_keep_best": q_dedup_keep_best,
         "events_hourly": q_events_hourly,
         "events_sliding": q_events_sliding,
@@ -1455,6 +1507,26 @@ def oracle_sql() -> dict[str, str]:
                    list_contains(toks, 'the') AS has_the,
                    toks[-1] AS last_token
             FROM t
+        """,
+        "date_arith": """
+            SELECT o_orderkey,
+                   CAST(CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS VARCHAR) AS plus30,
+                   CAST(CAST(o_orderdate - INTERVAL 7 DAY AS DATE) AS VARCHAR) AS minus7,
+                   CAST(CAST(o_orderdate + INTERVAL 2 MONTH AS DATE) AS VARCHAR) AS plus2mo,
+                   CAST(date_trunc('month', o_orderdate) AS VARCHAR) AS month_start,
+                   CAST(last_day(o_orderdate) AS VARCHAR) AS month_end,
+                   CAST(datediff('day', o_orderdate, DATE '1998-12-31') AS BIGINT)
+                     AS days_to_eoy
+            FROM orders
+        """,
+        "null_funcs": """
+            SELECT c_custkey,
+                   COALESCE(NULLIF(c_mktsegment, 'BUILDING'), '(b)') AS seg_or_b,
+                   CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal_nonneg,
+                   GREATEST(c_acctbal, 0.0) AS bal_floor0,
+                   LEAST(CAST(c_nationkey AS BIGINT), 10) AS nat_cap10,
+                   CAST(c_acctbal IS NULL AS BIGINT) AS bal_is_null
+            FROM customer
         """,
         "json_extract": """
             SELECT event_id,

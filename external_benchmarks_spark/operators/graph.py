@@ -67,3 +67,41 @@ def component_sizes(components: DataFrame) -> DataFrame:
     return components.groupBy("component").agg(
         F.count(F.lit(1)).alias("n_members")
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    damping: float = 0.85,
+    n_iter: int = 10,
+) -> DataFrame:
+    """PageRank over the undirected edge graph (fixed iteration count).
+
+    Same distributed shape as connected_components: one shuffle per
+    round (contributions grouped by destination), lineage truncated per
+    round. Every node here is incident to an edge, so there are no
+    dangling-mass corrections. Scores are the centrality of a document
+    inside its near-dup cluster — pipelines use it to pick canonical
+    representatives or weight sampling.
+    """
+    base = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint()
+    sym = base.union(base.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    degrees = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    n_nodes = degrees.count()
+    ranks = degrees.select(
+        F.col("a").alias("node"), F.lit(1.0 / n_nodes).alias("rank")
+    ).localCheckpoint()
+    teleport = (1.0 - damping) / n_nodes
+    for _ in range(n_iter):
+        contrib = (
+            sym.join(degrees, "a")
+            .join(ranks, sym["a"] == ranks["node"])
+            .select(F.col("b").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
+        )
+        ranks = (
+            contrib.groupBy("node")
+            .agg((F.lit(teleport) + F.lit(damping) * F.sum("c")).alias("rank"))
+            .localCheckpoint()
+        )
+    return ranks

@@ -3,9 +3,12 @@ test_oracle_queries.py's recursive-CTE comparison)."""
 
 from __future__ import annotations
 
+import numpy as np
+
 from external_benchmarks_spark.operators.graph import (
     component_sizes,
     connected_components,
+    pagerank,
 )
 
 
@@ -28,6 +31,28 @@ def test_path_graph_converges(spark):
     comp = _cc(spark, [(i, i + 1) for i in range(n)])
     assert set(comp.values()) == {0}
     assert len(comp) == n + 1
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    pairs = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (10, 11)]
+    edges = spark.createDataFrame(pairs, ["id_a", "id_b"])
+    got = {r.node: r.rank for r in pagerank(edges, n_iter=10).collect()}
+
+    # reference: dense power iteration with identical update rule
+    nodes = sorted({n for p in pairs for n in p})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    adj = np.zeros((n, n))
+    for a, b in pairs:
+        adj[idx[a]][idx[b]] = adj[idx[b]][idx[a]] = 1.0
+    deg = adj.sum(axis=1)
+    r = np.full(n, 1.0 / n)
+    for _ in range(10):
+        r = (1 - 0.85) / n + 0.85 * (adj.T @ (r / deg))
+    for node, i in idx.items():
+        assert abs(got[node] - r[i]) < 1e-9, (node, got[node], r[i])
+    # ranks form a probability-ish distribution (sums to ~1 with no dangling)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
 
 
 def test_edges_endpoints_share_component(spark):
