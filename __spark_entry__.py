@@ -1045,6 +1045,24 @@ def q_image_decode(spark, sf):
     return decode_image_stub(docs, "blob")
 
 
+def q_details_prune(spark, sf):
+    # The reference's "details has redundant nulls, 20-30% prunable"
+    # (README.md:17) as a measurable op on the deterministic products
+    # fixture (FIXTURES.md). No DuckDB oracle (the fixture generator is
+    # Spark-side xxhash64): rows-only check; tests assert the saving band.
+    from external_benchmarks_spark.pipeline.dataset import (
+        make_products_fixture,
+        prune_details,
+    )
+
+    p = prune_details(make_products_fixture(spark, n=2000))
+    return p.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("details_bytes").alias("bytes_before"),
+        F.sum("pruned_bytes").alias("bytes_after"),
+    )
+
+
 def q_group_embedding_stats(spark, sf):
     # applyInPandas grouped numpy kernel (per-category geometry). No SQL
     # oracle: numpy's pairwise summation differs from SQL fold order in
@@ -1215,6 +1233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_decode": q_image_decode,
         "audio_decode": q_audio_decode,
         "group_embedding_stats": q_group_embedding_stats,
+        "details_prune": q_details_prune,
         "sessionize": q_sessionize,
         "asof_last_event": q_asof_last_event,
         "asof_join_generic": q_asof_join_generic,

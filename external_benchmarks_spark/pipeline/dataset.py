@@ -30,6 +30,30 @@ def union_sources(sources: Mapping[str, DataFrame]) -> DataFrame:
     return out
 
 
+def prune_details(df: DataFrame, details_col: str = "details") -> DataFrame:
+    """Strip redundant null entries from the `details` JSON blob.
+
+    The reference notes `details` carries "redundant nulls, 20-30%
+    prunable" but never parses it (reference README.md:17); this is that
+    pruning as a first-class op: from_json -> map_filter -> to_json, all
+    Catalyst (codegen, no shuffle, no Python). Adds
+    `<col>_pruned` plus before/after byte counts so the saving is
+    measurable per row.
+    """
+    from pyspark.sql.types import MapType, StringType
+
+    parsed = F.from_json(F.col(details_col), MapType(StringType(), StringType()))
+    kept = F.map_filter(
+        parsed, lambda k, v: v.isNotNull() & (v != "null") & (v != "")
+    )
+    pruned = F.to_json(kept)
+    return (
+        df.withColumn(f"{details_col}_pruned", pruned)
+        .withColumn("details_bytes", F.length(F.col(details_col)).cast("long"))
+        .withColumn("pruned_bytes", F.length(pruned).cast("long"))
+    )
+
+
 def rating_tier(avg_rating: Column) -> Column:
     """excellent [4.5,5] / high [4.0,4.5) / medium [3.0,4.0) / low (<3.0)
     — reference reports/summary_report.md:26-31."""

@@ -192,3 +192,24 @@ def test_curated_with_metrics_one_pass(spark):
     m = obs.get
     assert m["total"] == 4
     assert (m["kept"], m["duplicate"], m["too_short"], m["low_quality"]) == (1, 1, 1, 1)
+
+
+def test_prune_details_strips_redundant_nulls(spark):
+    from external_benchmarks_spark.pipeline.dataset import (
+        make_products_fixture,
+        prune_details,
+    )
+    from pyspark.sql import functions as F
+
+    p = prune_details(make_products_fixture(spark, n=500))
+    r = p.agg(
+        F.sum("details_bytes").alias("b"), F.sum("pruned_bytes").alias("a")
+    ).collect()[0]
+    # the reference notes 20-30% prunable (README.md:17); the fixture's
+    # null rate puts it in that neighborhood
+    assert 0.10 <= 1 - r.a / r.b <= 0.35
+    rows = p.select("details", "details_pruned").limit(200).collect()
+    for row in rows:
+        assert '"null"' not in row.details_pruned
+        # pruning only removes entries, never adds
+        assert len(row.details_pruned) <= len(row.details)
