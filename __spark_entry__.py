@@ -852,6 +852,18 @@ def q_dataset_split(spark, sf):
     )
 
 
+def q_weighted_sample(spark, sf):
+    # Quality-weighted deterministic subsample: P(keep) = 0.5 * quality.
+    from external_benchmarks_spark.operators.textprep import weighted_sample
+
+    d = Catalog(spark, sf).documents
+    kept = weighted_sample(d, quality_score("text"), rate=0.5)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
 def q_pii_redact(spark, sf):
     from external_benchmarks_spark.operators.textprep import redact_pii
 
@@ -1218,6 +1230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_pack": q_sequence_pack,
         "vocab_encode": q_vocab_encode,
         "dataset_split": q_dataset_split,
+        "weighted_sample": q_weighted_sample,
         "pii_redact": q_pii_redact,
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "csv_roundtrip": q_csv_roundtrip,
@@ -1899,6 +1912,28 @@ def oracle_sql() -> dict[str, str]:
                    SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS sum_price_cents,
                    strftime(MAX(o_orderdate), '%Y-%m-%d') AS max_date
             FROM orders GROUP BY 1
+        """,
+        "weighted_sample": f"""
+            WITH t AS (SELECT doc_id, source, n_chars, text, {DUCK_TOKS} AS toks FROM documents),
+            m AS (SELECT doc_id, source, n_chars,
+                     CAST(len(toks) AS BIGINT) AS n_tokens,
+                     CASE WHEN len(toks) > 0 THEN
+                       CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks)
+                     ELSE 0.0 END AS atl,
+                     CASE WHEN len(text) > 0 THEN
+                       CAST(len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / len(text)
+                     ELSE 0.0 END AS pr
+                  FROM t),
+            q AS (SELECT doc_id, source, n_chars,
+                    0.5 * LEAST(CAST(n_tokens AS DOUBLE), 100.0) / 100.0
+                      + 0.3 * (1.0 - pr)
+                      + 0.2 * LEAST(atl, 8.0) / 8.0 AS quality
+                  FROM m)
+            SELECT source, COUNT(*) AS n_kept, SUM(n_chars) AS sum_chars
+            FROM q
+            WHERE {_h32("'ws:' || CAST(doc_id AS VARCHAR)")} % 1000000
+                  < FLOOR(0.5 * quality * 1000000.0)
+            GROUP BY 1
         """,
         "pii_redact": f"""
             WITH c AS (

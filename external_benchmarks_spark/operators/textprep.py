@@ -234,6 +234,28 @@ def dataset_split(
     )
 
 
+def weighted_sample(
+    docs: DataFrame,
+    score: Column,
+    rate: float = 0.5,
+    key_col: str = "doc_id",
+    salt: str = "ws:",
+) -> DataFrame:
+    """Quality-weighted deterministic subsample.
+
+    Acceptance probability = rate * score (score in [0,1]): a document is
+    kept iff hash(key) % 10^6 < floor(rate * score * 10^6). Deterministic
+    (cross-engine md5 hash, no RNG), so the sample is reproducible across
+    runs, engines, and cluster sizes — and the comparison in the
+    acceptance test is integer-exact. Pure codegen, no shuffle.
+    """
+    bucket = (
+        md5_hash32(F.concat(F.lit(salt), F.col(key_col).cast("string"))) % 1_000_000
+    )
+    threshold = F.floor(F.lit(rate) * score * F.lit(1_000_000.0))
+    return docs.filter(bucket < threshold)
+
+
 def redact_pii(df: DataFrame, text_col: str) -> DataFrame:
     """Count and redact email/phone patterns in a text column.
 
