@@ -1963,10 +1963,14 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "events_hourly": """
-            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
-                   event_type, COUNT(*) AS cnt,
-                   ROUND(SUM(value), 4) AS sum_value, ROUND(AVG(value), 6) AS avg_value
-            FROM events GROUP BY 1, 2
+            WITH a AS (
+              SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+                     event_type, COUNT(*) AS cnt,
+                     ROUND(SUM(value), 4) AS sum_value
+              FROM events GROUP BY 1, 2)
+            SELECT hour, event_type, cnt, sum_value,
+                   ROUND(sum_value / cnt, 6) AS avg_value
+            FROM a
         """,
         "sessionize": f"""
             WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events),

@@ -22,13 +22,17 @@ def hourly_rollup(df: DataFrame, ts_col: str = "ts", type_col: str = "event_type
     logic is F.window(ts, '1 hour') + watermark.
     """
     hour = F.date_format(F.date_trunc("hour", F.col(ts_col)), "yyyy-MM-dd HH")
-    return (
-        df.groupBy(hour.alias("hour"), F.col(type_col))
-        .agg(
-            F.count(F.lit(1)).alias("cnt"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
-        )
+    agg = df.groupBy(hour.alias("hour"), F.col(type_col)).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+    # avg derived from the ROUNDED sum, not a separate AVG aggregate: the
+    # raw partial-sum order differs between Spark partitions and the
+    # DuckDB oracle's sequential scan, and at enough groups one average
+    # lands on a 6-decimal rounding boundary (seen at sf0.1). The rounded
+    # sum is bit-identical cross-engine, so sum/cnt is too.
+    return agg.withColumn(
+        "avg_value", F.round(F.col("sum_value") / F.col("cnt"), 6)
     )
 
 
