@@ -349,6 +349,25 @@ def q_rank_lag(spark, sf):
     )
 
 
+def q_window_extras(spark, sf):
+    # The rest of the analytic-function family: ntile, percent_rank,
+    # cume_dist, lead, first_value. percent_rank/cume_dist are ratios of
+    # integer ranks — single division, bit-identical cross-engine.
+    from pyspark.sql.window import Window as W
+
+    s = Catalog(spark, sf).supplier
+    w = W.partitionBy("s_nationkey").orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+    return s.select(
+        "s_nationkey",
+        "s_suppkey",
+        F.ntile(4).over(w).cast("bigint").alias("bal_quartile"),
+        F.percent_rank().over(w).alias("bal_pct_rank"),
+        F.cume_dist().over(w).alias("bal_cume"),
+        F.round(F.lead("s_acctbal", 1).over(w), 2).alias("next_bal"),
+        F.round(F.first_value("s_acctbal").over(w), 2).alias("top_bal"),
+    )
+
+
 def q_group_median(spark, sf):
     # Holistic aggregate (exact interpolating median) PER GROUP — a
     # different physical plan than the global quantile (sort within hash
@@ -1182,6 +1201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_agg": q_cube_agg,
         "grouping_sets": q_grouping_sets,
         "moving_avg": q_moving_avg,
+        "window_extras": q_window_extras,
         "pivot_agg": q_pivot_agg,
         "unpivot": q_unpivot,
         "except_all": q_except_all,
@@ -1455,6 +1475,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT s_nationkey, s_suppkey,
                    CAST(dense_rank() OVER w AS BIGINT) AS bal_rank,
                    ROUND(lag(s_acctbal, 1) OVER w, 2) AS prev_bal
+            FROM supplier
+            WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+        """,
+        "window_extras": """
+            SELECT s_nationkey, s_suppkey,
+                   CAST(ntile(4) OVER w AS BIGINT) AS bal_quartile,
+                   percent_rank() OVER w AS bal_pct_rank,
+                   cume_dist() OVER w AS bal_cume,
+                   ROUND(lead(s_acctbal, 1) OVER w, 2) AS next_bal,
+                   ROUND(first_value(s_acctbal) OVER w, 2) AS top_bal
             FROM supplier
             WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
         """,
