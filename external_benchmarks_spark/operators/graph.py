@@ -89,6 +89,10 @@ def pagerank(
     sym = base.union(base.select(F.col("b").alias("a"), F.col("a").alias("b")))
     degrees = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
     n_nodes = degrees.count()
+    if n_nodes == 0:
+        return degrees.select(
+            F.col("a").alias("node"), F.lit(0.0).alias("rank")
+        )
     ranks = degrees.select(
         F.col("a").alias("node"), F.lit(1.0 / n_nodes).alias("rank")
     ).localCheckpoint()

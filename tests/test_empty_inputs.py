@@ -1,0 +1,51 @@
+"""Operators must be total: empty inputs produce empty (not crashed)
+outputs. At 100 TB a filter chain regularly empties a partition or a
+whole input (e.g. a new source with no documents yet)."""
+
+from __future__ import annotations
+
+import os
+
+from external_benchmarks_spark.catalog import Catalog
+from external_benchmarks_spark.functions.text import quality_score
+from external_benchmarks_spark.operators.dedup import (
+    exact_dedup_groups,
+    keep_best,
+    minhash_signature,
+)
+from external_benchmarks_spark.operators.graph import (
+    connected_components,
+    pagerank,
+)
+from external_benchmarks_spark.operators.quantize import quantization_report
+from external_benchmarks_spark.operators.textprep import (
+    chunk_documents,
+    repetition_stats,
+    sequence_pack,
+    vocab_encode,
+)
+from external_benchmarks_spark.functions.text import fingerprint
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def test_text_operators_on_empty(spark):
+    empty = Catalog(spark, SF_DIR).documents.limit(0)
+    assert repetition_stats(empty).count() == 0
+    assert chunk_documents(empty).count() == 0
+    assert sequence_pack(empty).count() == 0
+    assert vocab_encode(empty).count() == 0
+    assert minhash_signature(empty).count() == 0
+    assert exact_dedup_groups(empty).count() == 0
+    assert keep_best(empty, fingerprint("text"), quality_score("text")).count() == 0
+
+
+def test_graph_operators_on_empty(spark):
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(empty).count() == 0
+    assert pagerank(empty).count() == 0
+
+
+def test_quantize_on_empty(spark):
+    empty = Catalog(spark, SF_DIR).embeddings.limit(0)
+    assert quantization_report(empty).count() == 0
