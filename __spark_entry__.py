@@ -463,6 +463,16 @@ def q_stratified_sample(spark, sf):
     )
 
 
+def q_stratified_fixed_n(spark, sf):
+    # Exactly-N-per-stratum deterministic sample (hash order, no RNG).
+    from external_benchmarks_spark.operators.sampling import stratified_fixed_n
+
+    c = Catalog(spark, sf).customer
+    return stratified_fixed_n(c, "c_mktsegment", "c_custkey", 20).select(
+        "c_mktsegment", "c_custkey"
+    )
+
+
 def q_derived_tiers(spark, sf):
     # Derived categorical production — the reference's rating_tier pattern
     # (reports/summary_report.md:26-31) applied to customer balances.
@@ -1211,6 +1221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_parts": q_date_parts,
         "deterministic_sample": q_deterministic_sample,
         "stratified_sample": q_stratified_sample,
+        "stratified_fixed_n": q_stratified_fixed_n,
         "derived_tiers": q_derived_tiers,
         "null_profile": q_null_profile,
         "scalar_funcs": q_scalar_funcs,
@@ -1525,6 +1536,14 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": """
             SELECT l_returnflag, COUNT(*) AS sampled_cnt FROM lineitem
             WHERE l_orderkey % 10 = 0 GROUP BY l_returnflag
+        """,
+        "stratified_fixed_n": f"""
+            WITH r AS (
+              SELECT c_mktsegment, c_custkey,
+                     row_number() OVER (PARTITION BY c_mktsegment
+                       ORDER BY {_h32("'sfn:' || CAST(c_custkey AS VARCHAR)")}, c_custkey) AS rn
+              FROM customer)
+            SELECT c_mktsegment, c_custkey FROM r WHERE rn <= 20
         """,
         "derived_tiers": """
             SELECT CASE WHEN c_acctbal >= 7500.0 THEN 'excellent'

@@ -38,3 +38,26 @@ def stratified_sample_mod(
         sampled.groupBy(stratum_col)
         .agg(F.count(F.lit(1)).alias("sampled_cnt"))
     )
+
+
+def stratified_fixed_n(
+    df: DataFrame, stratum_col: str, key_col: str, n_per_stratum: int
+) -> DataFrame:
+    """Exactly n rows per stratum, chosen by hash order — deterministic
+    (no engine RNG), reproducible across cluster sizes, and unbiased
+    within each stratum because the md5 ordering is independent of any
+    data column. One shuffle (window by stratum); at 100 TB prefer
+    pre-aggregating candidates per partition when n is tiny relative to
+    stratum size (rank <= n survives partial top-k pushdown via AQE).
+    """
+    from pyspark.sql.window import Window
+
+    from external_benchmarks_spark.functions.hashing import md5_hash32
+
+    h = md5_hash32(F.concat(F.lit("sfn:"), F.col(key_col).cast("string")))
+    w = Window.partitionBy(stratum_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_per_stratum)
+        .drop("_rn")
+    )
