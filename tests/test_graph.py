@@ -8,6 +8,7 @@ import numpy as np
 from external_benchmarks_spark.operators.graph import (
     component_sizes,
     connected_components,
+    connected_components_star,
     pagerank,
 )
 
@@ -31,6 +32,29 @@ def test_path_graph_converges(spark):
     comp = _cc(spark, [(i, i + 1) for i in range(n)])
     assert set(comp.values()) == {0}
     assert len(comp) == n + 1
+
+
+def test_star_cc_equals_simple_cc(spark):
+    """large-star/small-star must produce identical components to
+    min-label propagation on assorted topologies."""
+    cases = [
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (3, 10), (20, 21)],
+        [(i, i + 1) for i in range(25)],  # long path (star CC's raison d'etre)
+        [(i, (i * 7) % 20) for i in range(1, 20) if i != (i * 7) % 20],
+        [(0, 1)],
+        [(5, 5), (5, 6)],  # self-loop tolerated
+    ]
+    for pairs in cases:
+        edges = spark.createDataFrame(pairs, ["id_a", "id_b"])
+        simple = {r.node: r.component for r in connected_components(edges).collect()}
+        star = {r.node: r.component for r in connected_components_star(edges).collect()}
+        # star drops isolated self-loop-only nodes the same way the
+        # simple CC keeps them; compare on the shared node set
+        for n in set(simple) & set(star):
+            assert simple[n] == star[n], (pairs, n)
+        # every true (non-self-loop) edge endpoint must be labeled by star
+        real_nodes = {n for a, b in pairs if a != b for n in (a, b)}
+        assert real_nodes <= set(star), pairs
 
 
 def test_pagerank_matches_numpy_power_iteration(spark):
