@@ -64,6 +64,31 @@ class UpsertTable:
         with open(tmp, "w") as f:
             json.dump(m, f)
         os.replace(tmp, self._manifest_path())  # atomic swap
+        # Commit log for time travel: each write also snapshots the
+        # manifest under _commits/<k>.json (Delta-transaction-log analog;
+        # a JSON map per commit, never rewritten).
+        cdir = os.path.join(self.root, "_commits")
+        os.makedirs(cdir, exist_ok=True)
+        existing = [int(e.split(".")[0]) for e in os.listdir(cdir)]
+        k = max(existing, default=-1) + 1  # monotonic even after vacuum pruning
+        with open(os.path.join(cdir, f"{k}.json"), "w") as f:
+            json.dump(m, f)
+
+    def _commit_manifest(self, commit: int) -> dict[str, int]:
+        path = os.path.join(self.root, "_commits", f"{commit}.json")
+        if not os.path.exists(path):
+            raise ValueError(
+                f"commit {commit} not found (vacuumed or never written)"
+            )
+        with open(path) as f:
+            return {k: int(v) for k, v in json.load(f).items()}
+
+    def history(self) -> list[int]:
+        """Commit ids still readable (ascending)."""
+        cdir = os.path.join(self.root, "_commits")
+        if not os.path.isdir(cdir):
+            return []
+        return sorted(int(e.split(".")[0]) for e in os.listdir(cdir))
 
     def _bucket_paths(self, manifest: dict[str, int], buckets=None) -> list[str]:
         items = manifest.items() if buckets is None else (
@@ -89,10 +114,15 @@ class UpsertTable:
         ]
         self._write_manifest({b: 0 for b in present})
 
-    def read(self) -> DataFrame:
+    def read(self, at_commit: int | None = None) -> DataFrame:
         """Snapshot read: resolve the manifest once; the returned frame is
-        pinned to those version directories."""
-        manifest = self._read_manifest()
+        pinned to those version directories. ``at_commit`` time-travels to
+        an earlier commit (valid until vacuum() drops its versions)."""
+        manifest = (
+            self._read_manifest()
+            if at_commit is None
+            else self._commit_manifest(at_commit)
+        )
         paths = self._bucket_paths(manifest)
         if not paths:
             raise ValueError(f"empty table at {self.root}")
@@ -170,10 +200,13 @@ class UpsertTable:
 
     def vacuum(self, keep_latest: bool = True) -> None:
         """Drop version directories no longer referenced by the manifest
-        (single-writer; call when no readers hold older snapshots)."""
+        (single-writer; call when no readers hold older snapshots).
+        Commits whose versions are dropped become unreadable — their log
+        entries are removed too (Delta VACUUM retention analog)."""
+        current = self._read_manifest()
         live = {
             os.path.join(self.root, f"v={v}", f"bucket={b}")
-            for b, v in self._read_manifest().items()
+            for b, v in current.items()
         }
         for entry in os.listdir(self.root):
             if not entry.startswith("v="):
@@ -185,6 +218,19 @@ class UpsertTable:
                     shutil.rmtree(p, ignore_errors=True)
             if not any(e.startswith("bucket=") for e in os.listdir(vdir)):
                 shutil.rmtree(vdir, ignore_errors=True)
+        # prune commit-log entries that reference vacuumed bucket versions
+        cdir = os.path.join(self.root, "_commits")
+        if os.path.isdir(cdir):
+            for entry in os.listdir(cdir):
+                path = os.path.join(cdir, entry)
+                with open(path) as f:
+                    m = {k: int(v) for k, v in json.load(f).items()}
+                refs = {
+                    os.path.join(self.root, f"v={v}", f"bucket={b}")
+                    for b, v in m.items()
+                }
+                if not refs <= live and m != current:
+                    os.remove(path)
 
 
 def upsert_batch(table: UpsertTable, batch_df: DataFrame, batch_id: int) -> None:

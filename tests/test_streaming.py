@@ -115,3 +115,33 @@ def test_upsert_compact_merges_versions(spark):
         assert after == before
         versions = [e for e in _os.listdir(_os.path.join(d, "t")) if e.startswith("v=")]
         assert len(versions) == 1
+
+
+def test_time_travel_and_vacuum_pruning(spark):
+    with tempfile.TemporaryDirectory() as d:
+        t = UpsertTable(spark, os.path.join(d, "t"), key_col="id", n_buckets=4)
+        t.init(_base(spark))
+        c0 = t.history()[-1]
+        t.upsert(
+            spark.createDataFrame(
+                [(0, "v2 title", 1.0, 1)], ["id", "title", "price", "op_ts"]
+            )
+        )
+        c1 = t.history()[-1]
+        assert c1 > c0
+        # latest sees the update; commit 0 still sees the original
+        assert t.read().filter(F.col("id") == 0).collect()[0].title == "v2 title"
+        old = t.read(at_commit=c0).filter(F.col("id") == 0).collect()[0]
+        assert old.title == "title 0"
+        assert t.read(at_commit=c0).count() == 100
+        # vacuum drops the superseded bucket version -> commit 0 unreadable
+        t.vacuum()
+        assert c0 not in t.history()
+        assert c1 in t.history()
+        try:
+            t.read(at_commit=c0)
+            raise AssertionError("expected vacuumed commit to be unreadable")
+        except ValueError:
+            pass
+        # current snapshot unaffected
+        assert t.read().count() == 100
