@@ -126,15 +126,25 @@ class UpsertTable:
         paths = self._bucket_paths(manifest)
         if not paths:
             raise ValueError(f"empty table at {self.root}")
+        # mergeSchema: buckets written before a schema evolution lack the
+        # new columns; merging footers fills them with nulls. Footer-only
+        # cost, bounded by bucket count (not data size).
         return (
             self.spark.read.option("basePath", self.root)
+            .option("mergeSchema", "true")
             .parquet(*paths)
             .drop("v", "bucket")
         )
 
-    def upsert(self, updates: DataFrame) -> None:
+    def upsert(self, updates: DataFrame, evolve_schema: bool = False) -> None:
         """MERGE semantics: delete matching keys, insert all update rows.
-        Last-writer-wins within a batch by highest ``op_ts`` if present."""
+        Last-writer-wins within a batch by highest ``op_ts`` if present.
+
+        ``evolve_schema=True`` is the Delta mergeSchema analog: columns
+        new in `updates` are added (null for untouched rows of rewritten
+        buckets and for rows in buckets this batch doesn't touch — parquet
+        schema merging fills them on read); columns missing from
+        `updates` read as null for the new rows."""
         # One row per key (last-writer-wins by op_ts when present): a single
         # window pass — one shuffle on the key — replaces the
         # aggregate+join+distinct chain.
@@ -161,11 +171,15 @@ class UpsertTable:
         if base_paths:
             base = (
                 self.spark.read.option("basePath", self.root)
+                .option("mergeSchema", "true")
                 .parquet(*base_paths)
                 .drop("v")
             )
             survivors = base.join(F.broadcast(keys), self.key_col, "left_anti")
-            merged = survivors.unionByName(upd.select(*survivors.columns))
+            if evolve_schema:
+                merged = survivors.unionByName(upd, allowMissingColumns=True)
+            else:
+                merged = survivors.unionByName(upd.select(*survivors.columns))
         # Old versions are read, the NEW version directory is written: no
         # in-place overwrite, no memory barrier, readers keep their snapshot.
         (
@@ -186,6 +200,7 @@ class UpsertTable:
         new_version = max(manifest.values(), default=-1) + 1
         current = (
             self.spark.read.option("basePath", self.root)
+            .option("mergeSchema", "true")
             .parquet(*self._bucket_paths(manifest))
             .drop("v")
         )

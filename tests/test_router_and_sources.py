@@ -121,3 +121,39 @@ def test_stream_hourly_rollup_matches_batch(spark, sf_dir):
         for r in hourly_rollup(Catalog(spark, sf_dir).events).collect()
     }
     assert got == want
+
+
+def test_rate_source_streams_through_engine(spark):
+    """Built-in rate source -> engine transformations -> foreachBatch:
+    proves the streaming surface accepts an unbounded generator source,
+    not just file sources."""
+    collected = []
+
+    def sink(df, batch_id):
+        rows = df.collect()
+        if rows:
+            collected.append(rows)
+
+    stream = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 200)
+        .load()
+        .withColumn("event_type", F.when(F.col("value") % 2 == 0, "click").otherwise("view"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    q = (
+        stream.writeStream.outputMode("complete")
+        .foreachBatch(sink)
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 20
+        while time.time() < deadline and not collected:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert collected, "no batches observed from rate source"
+    types = {r.event_type for rows in collected for r in rows}
+    assert types <= {"click", "view"} and types

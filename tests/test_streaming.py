@@ -145,3 +145,24 @@ def test_time_travel_and_vacuum_pruning(spark):
             pass
         # current snapshot unaffected
         assert t.read().count() == 100
+
+
+def test_upsert_schema_evolution(spark):
+    with tempfile.TemporaryDirectory() as d:
+        t = UpsertTable(spark, os.path.join(d, "t"), key_col="id", n_buckets=4)
+        t.init(_base(spark))
+        updates = spark.createDataFrame(
+            [(0, "evolved", 5.0, 1, "en")],
+            ["id", "title", "price", "op_ts", "lang"],  # NEW column: lang
+        )
+        t.upsert(updates, evolve_schema=True)
+        out = t.read()
+        assert "lang" in out.columns
+        assert out.filter(F.col("id") == 0).collect()[0].lang == "en"
+        # pre-evolution rows (touched and untouched buckets) read as null
+        assert out.filter(F.col("lang").isNull()).count() == 99
+        assert out.count() == 100
+        # compact folds everything to one schema-uniform version
+        t.compact()
+        out2 = t.read()
+        assert out2.count() == 100 and "lang" in out2.columns
