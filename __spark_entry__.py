@@ -535,6 +535,23 @@ def q_array_funcs(spark, sf):
     )
 
 
+def q_map_funcs(spark, sf):
+    # MapType surface: construction, size, key/value access, lookup.
+    # (map_filter pruning is exercised by details_prune.)
+    c = Catalog(spark, sf).customer
+    m = F.create_map(
+        F.lit("seg"), F.col("c_mktsegment"),
+        F.lit("nat"), F.col("c_nationkey").cast("string"),
+    )
+    return c.select(
+        "c_custkey",
+        F.size(m).cast("long").alias("n_keys"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
+        F.element_at(m, "seg").alias("seg_val"),
+        F.element_at(m, "missing").alias("missing_val"),
+    )
+
+
 def q_date_arith(spark, sf):
     # Date arithmetic family: add/sub days, month arithmetic, truncation,
     # diffs — the temporal scalar surface beyond date_parts' extraction.
@@ -1230,6 +1247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract": q_json_extract,
         "date_arith": q_date_arith,
         "null_funcs": q_null_funcs,
+        "map_funcs": q_map_funcs,
         "dot_topk": q_dot_topk,
         "l2_norm": q_l2_norm,
         "ann_bruteforce": q_ann_bruteforce,
@@ -1587,6 +1605,18 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(toks[1:3], ',') AS first3,
                    list_contains(toks, 'the') AS has_the,
                    toks[-1] AS last_token
+            FROM t
+        """,
+        "map_funcs": """
+            WITH t AS (
+              SELECT c_custkey,
+                     MAP {'seg': c_mktsegment, 'nat': CAST(c_nationkey AS VARCHAR)} AS m
+              FROM customer)
+            SELECT c_custkey,
+                   CAST(cardinality(m) AS BIGINT) AS n_keys,
+                   array_to_string(list_sort(map_keys(m)), ',') AS keys_sorted,
+                   map_extract(m, 'seg')[1] AS seg_val,
+                   map_extract(m, 'missing')[1] AS missing_val
             FROM t
         """,
         "date_arith": """
