@@ -222,12 +222,26 @@ def main() -> None:
         times[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {times[name]:.3f}s ({n} rows)", file=sys.stderr)
 
+    # BASELINE.md maps the reference's "100 ms p95 @ 20 QPS" read SLAs to
+    # batch p95s: run each selectivity template repeatedly (warm) and
+    # report the p95 wall time alongside the cold single-run numbers.
+    read_p95: dict[str, float] = {}
+    for sel in ("10pct", "1pct", "0.1pct", "0.01pct"):
+        reps = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            _vector_template(sel)(spark, SF_DIR).count()
+            reps.append(time.perf_counter() - t0)
+        reps.sort()
+        read_p95[f"vtopk_{sel}"] = round(reps[-1] if len(reps) < 20 else reps[18], 3)
+
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     result = {
         "metric": "headline_query_wall_time",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
+        "read_p95": read_p95,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(result))
