@@ -25,7 +25,6 @@ from pyspark.sql import functions as F
 
 from external_benchmarks_spark.functions.hashing import (
     MERSENNE_61,
-    md5_hash32,
     minhash_params,
 )
 from external_benchmarks_spark.functions.text import tokens
