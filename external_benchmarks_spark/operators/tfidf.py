@@ -27,8 +27,15 @@ def tfidf_top_terms(
     key_col: str = "doc_id",
     content_col: str = "text",
     top_n: int = 3,
+    broadcast_dfreq: bool = True,
 ) -> DataFrame:
-    """Top-n terms per document by tf * ln((N+1)/(df+1))."""
+    """Top-n terms per document by tf * ln((N+1)/(df+1)).
+
+    ``broadcast_dfreq=False`` for web-scale vocabularies (100M+ distinct
+    terms) where the doc-frequency table exceeds broadcast limits — the
+    join falls back to a shuffle join on term, which AQE sizes; the tf
+    table is then shuffled by term once (still never twice).
+    """
     n_docs = df.count()  # metadata-fast count; reused as a literal below
     toks = df.select(
         F.col(key_col), F.explode(tokens(F.col(content_col))).alias("term")
@@ -38,7 +45,9 @@ def tfidf_top_terms(
     # it back. A count-window over term would reshuffle the ENTIRE tf
     # table by term; this shuffles only map-side-combined partials.
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
-    scored = tf.join(F.broadcast(dfreq), "term").withColumn(
+    if broadcast_dfreq:
+        dfreq = F.broadcast(dfreq)
+    scored = tf.join(dfreq, "term").withColumn(
         "tfidf",
         F.round(
             F.col("tf")
