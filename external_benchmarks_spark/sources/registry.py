@@ -49,3 +49,25 @@ def read_dataset(spark: SparkSession, spec: DatasetSpec) -> DataFrame:
 def read_jsonl(spark: SparkSession, path: str, schema: StructType | None = None) -> DataFrame:
     """The reference's raw-ingest format (one JSON object per line)."""
     return read_dataset(spark, DatasetSpec("jsonl", path, "json", schema))
+
+
+def read_jsonl_permissive(
+    spark: SparkSession, path: str, schema: StructType
+) -> DataFrame:
+    """JSONL ingest that quarantines malformed lines instead of failing.
+
+    Real ingest corpora always carry some broken records; PERMISSIVE mode
+    nulls the data columns and captures the raw line in `_corrupt`, so
+    the pipeline can route bad rows to a quarantine sink and keep going
+    (count them with `_corrupt IS NOT NULL`). Schema is required — the
+    corrupt-record column must be declared in it.
+    """
+    from pyspark.sql.types import StringType, StructField
+
+    full = StructType(list(schema.fields) + [StructField("_corrupt", StringType())])
+    return (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(path)
+    )

@@ -157,3 +157,29 @@ def test_rate_source_streams_through_engine(spark):
     assert collected, "no batches observed from rate source"
     types = {r.event_type for rows in collected for r in rows}
     assert types <= {"click", "view"} and types
+
+
+def test_jsonl_permissive_quarantines_bad_lines(spark):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from external_benchmarks_spark.sources.registry import read_jsonl_permissive
+
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "in.jsonl")
+        with open(path, "w") as f:
+            f.write('{"doc_id": 1, "text": "good row"}\n')
+            f.write('{"doc_id": 2 "text": "MISSING COMMA"}\n')  # malformed
+            f.write('{"doc_id": 3, "text": "also good"}\n')
+            f.write('not json at all\n')
+        schema = StructType(
+            [StructField("doc_id", LongType()), StructField("text", StringType())]
+        )
+        df = read_jsonl_permissive(spark, path, schema).cache()
+        good = df.filter(F.col("_corrupt").isNull())
+        bad = df.filter(F.col("_corrupt").isNotNull())
+        assert good.count() == 2
+        assert bad.count() == 2
+        assert {r.doc_id for r in good.collect()} == {1, 3}
+        # the raw broken line is preserved for quarantine
+        assert any("MISSING COMMA" in r._corrupt for r in bad.collect())
+        df.unpersist()
