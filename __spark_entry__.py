@@ -1063,6 +1063,17 @@ def q_top_terms(spark, sf):
     )
 
 
+def q_approx_quantile(spark, sf):
+    # Sketch-based quantiles — the 100 TB variant of multi_quantile (the
+    # exact holistic form stays for oracle parity). No oracle: approx
+    # sketches differ across engines by design (rows-only check).
+    li = Catalog(spark, sf).lineitem
+    pct = F.percentile_approx(
+        "l_extendedprice", F.array(*[F.lit(x) for x in (0.25, 0.5, 0.75, 0.95)]), 10000
+    )
+    return li.agg(pct.alias("approx_pcts"))
+
+
 def q_approx_distinct(spark, sf):
     # HLL distinct — the 100 TB variant of distinct_count. No oracle:
     # HLL implementations differ across engines by design (rows-only check).
@@ -1274,6 +1285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_terms": q_top_terms,
         "tfidf_top_terms": q_tfidf_top_terms,
         "approx_distinct": q_approx_distinct,
+        "approx_quantile": q_approx_quantile,
         "repetition_stats": q_repetition_stats,
         "doc_chunks": q_doc_chunks,
         "sequence_pack": q_sequence_pack,
