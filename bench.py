@@ -44,7 +44,13 @@ def _vt_layout(spark, sf) -> str:
     work, outside the timed region); every template's `label == 0` then
     prunes to 1/|labels| of the files at PLANNING time."""
     if sf not in _VT_LAYOUT:
+        # Key the cached layout on a content fingerprint of the source
+        # parquet (mtime+size), not just the path: regenerated testdata at
+        # the same path must invalidate the cache, not serve stale data.
+        src = os.path.join(sf, "embeddings.parquet")
+        st = os.stat(src)
         tag = sf.rstrip("/").replace("/", "_").lstrip("_")
+        tag = f"{tag}_{int(st.st_mtime)}_{st.st_size}"
         out = os.path.join(tempfile.gettempdir(), f"ebs_vtopk_layout_{tag}")
         if not os.path.exists(os.path.join(out, "_SUCCESS")):
             shutil.rmtree(out, ignore_errors=True)

@@ -43,23 +43,28 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .localCheckpoint()
     )
-    # Labels only ever decrease, so sum(component) is a strictly
-    # decreasing convergence measure: unchanged sum == fixpoint.
-    prev = labels.agg(F.sum("component")).collect()[0][0]
+    # Labels only ever decrease; the fixpoint test counts rows whose label
+    # actually changed this round (an anti-join on (node, component)), an
+    # overflow-proof signal — a 64-bit sum(component) could wrap at
+    # billions-of-nodes scale and alias two distinct states.
     for _ in range(max_iter):
         cand = sym.join(labels, sym["a"] == labels["node"]).select(
             F.col("b").alias("node"), F.col("component")
         )
-        labels = (
+        new_labels = (
             labels.union(cand)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
             .localCheckpoint()
         )
-        cur = labels.agg(F.sum("component")).collect()[0][0]
-        if cur == prev:
+        changed = (
+            new_labels.join(labels, ["node", "component"], "left_anti")
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
             break
-        prev = cur
     return labels
 
 

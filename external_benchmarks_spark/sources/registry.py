@@ -61,10 +61,19 @@ def read_jsonl_permissive(
     the pipeline can route bad rows to a quarantine sink and keep going
     (count them with `_corrupt IS NOT NULL`). Schema is required — the
     corrupt-record column must be declared in it.
+
+    Caveat (Spark semantics): a query that references ONLY `_corrupt`
+    raises; cache the frame or select at least one data column alongside
+    it before filtering on corrupt-ness.
     """
     from pyspark.sql.types import StringType, StructField
 
-    full = StructType(list(schema.fields) + [StructField("_corrupt", StringType())])
+    if any(f.name == "_corrupt" for f in schema.fields):
+        full = schema  # caller already declared the corrupt-record column
+    else:
+        full = StructType(
+            list(schema.fields) + [StructField("_corrupt", StringType())]
+        )
     return (
         spark.read.schema(full)
         .option("mode", "PERMISSIVE")

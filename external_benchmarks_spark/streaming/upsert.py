@@ -150,8 +150,13 @@ class UpsertTable:
         # aggregate+join+distinct chain.
         from pyspark.sql.window import Window
 
+        # Without op_ts there is no user-defined order; break ties by a
+        # stable hash of the whole row so reruns pick the SAME winner
+        # (F.lit(1) would leave the choice to partition arrival order).
         order = (
-            [F.col("op_ts").desc()] if "op_ts" in updates.columns else [F.lit(1)]
+            [F.col("op_ts").desc()]
+            if "op_ts" in updates.columns
+            else [F.xxhash64(*[F.col(c) for c in updates.columns]).asc()]
         )
         w = Window.partitionBy(self.key_col).orderBy(*order)
         upd = (
