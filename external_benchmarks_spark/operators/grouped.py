@@ -38,12 +38,21 @@ GROUP_EMB_STATS_SCHEMA = StructType(
 
 
 def group_embedding_stats(
-    df: DataFrame, group_col: str = "label", emb_col: str = "embedding"
+    df: DataFrame,
+    group_col: str = "label",
+    emb_col: str = "embedding",
+    order_col: str | None = "vec_id",
 ) -> DataFrame:
     """Per-group embedding geometry: centroid norm, mean vector norm, and
-    mean distance-to-centroid (spread). One numpy kernel per group."""
+    mean distance-to-centroid (spread). One numpy kernel per group.
+
+    ``order_col`` (when present) fixes each group's row order inside the
+    kernel so float summation order — and therefore the result — is
+    identical across runs regardless of shuffle arrival order."""
 
     def stats(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        if order_col is not None and order_col in pdf.columns:
+            pdf = pdf.sort_values(order_col)
         mat = np.vstack(pdf[emb_col].to_numpy()).astype(np.float64, copy=False)
         centroid = mat.mean(axis=0)
         norms = np.linalg.norm(mat, axis=1)
@@ -61,8 +70,11 @@ def group_embedding_stats(
             columns=[f.name for f in GROUP_EMB_STATS_SCHEMA.fields],
         )
 
+    cols = [group_col, emb_col]
+    if order_col is not None and order_col in df.columns:
+        cols.append(order_col)
     return (
-        df.select(group_col, emb_col)
+        df.select(*cols)
         .groupBy(group_col)
         .applyInPandas(stats, GROUP_EMB_STATS_SCHEMA)
     )

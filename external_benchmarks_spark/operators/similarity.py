@@ -166,6 +166,37 @@ def ivf_fit(
     return np.vstack([np.asarray(c, dtype=np.float64) for c in model.clusterCenters()])
 
 
+def sampled_centroids(
+    df: DataFrame,
+    n_centroids: int = 16,
+    key_col: str = "vec_id",
+    emb_col: str = "embedding",
+    normalize: bool = True,
+) -> np.ndarray:
+    """Deterministic IVF centroids WITHOUT Lloyd iterations: the rows that
+    sort first by ``md5(key)`` — a seeded-hash uniform sample that any SQL
+    engine reproduces exactly (``ORDER BY md5(CAST(key AS VARCHAR)), key
+    LIMIT n``), which makes the whole IVF pipeline (assign → probe → top-k)
+    independently auditable by an external oracle. Trades a few recall
+    points vs the adaptive ``ivf_fit`` KMeans centroids; use that fit for
+    production recall, this one when the index must be engine-portable.
+    Only (n_centroids × dim) doubles reach the driver."""
+    rows = (
+        df.select(
+            F.col(key_col).alias("k"),
+            F.col(emb_col).cast("array<double>").alias("e"),
+        )
+        .orderBy(F.md5(F.col(key_col).cast("string")), F.col(key_col))
+        .limit(n_centroids)
+        .collect()
+    )
+    mat = np.vstack([np.asarray(r["e"], dtype=np.float64) for r in rows])
+    if normalize:
+        n = np.linalg.norm(mat, axis=1, keepdims=True)
+        mat = mat / np.where(n == 0.0, 1.0, n)
+    return mat
+
+
 def ivf_assign_udf(centroids: np.ndarray, metric: str = "cosine"):
     """Nearest-centroid id — one Arrow-batched matmul.
 
