@@ -1304,6 +1304,25 @@ def q_audio_decode(spark, sf):
     return decode_audio(docs, "blob")
 
 
+def q_embed_inference(spark, sf):
+    # Real encoder inference over documents.text (pipeline/embedding:
+    # sentence-transformers when installed, else the feature-hashed
+    # n-gram embedding — deterministic, unit-norm). The oracle checks the
+    # encoder's contract: every non-empty text embeds to a unit-norm
+    # vector of exactly `dim` components (hash values themselves are
+    # engine-internal; cosine-geometry behavior is asserted in
+    # tests/test_pipeline.py).
+    from external_benchmarks_spark.pipeline.embedding import embed_text_udf
+
+    d = Catalog(spark, sf).documents
+    emb = embed_text_udf(dim=64)(F.coalesce(F.col("text"), F.lit("")))
+    return d.select(
+        "doc_id",
+        F.size(emb).alias("n_dims"),
+        F.round(l2_norm(emb), 4).alias("l2"),
+    )
+
+
 def q_sessionize(spark, sf):
     return sess_ops.sessionize(
         Catalog(spark, sf).events, ts_col="ts_us", gap=SESSION_GAP_US
@@ -1423,6 +1442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_agg": q_range_join_agg,
         "lsh_ann_topk": q_lsh_ann_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
+        "embed_inference": q_embed_inference,
         # --- round-1-verified relational core (48/48 green in r01) -------
         "count_star": q_count_star,
         "group_share_topn": q_group_share_topn,
@@ -1913,6 +1933,12 @@ def oracle_sql() -> dict[str, str]:
         "doc_pagerank": _pagerank_sql(),
         "image_decode": _image_decode_sql(),
         "audio_decode": _audio_decode_sql(),
+        "embed_inference": """
+            SELECT doc_id, 64 AS n_dims,
+                   CASE WHEN text IS NOT NULL AND LENGTH(text) > 0
+                        THEN 1.0 ELSE 0.0 END AS l2
+            FROM documents
+        """,
         "ann_recall": "SELECT 0 AS query_id, TRUE AS recall_ok",
         "approx_distinct": """
             SELECT COUNT(DISTINCT l_orderkey) AS exact_orders,

@@ -2,17 +2,27 @@
 production (README.md:52-55: BAAI/bge-small-en-v1.5, 384 dims per field,
 7 fields concatenated to 2,688).
 
-Spark shape: an Arrow-batched pandas UDF so the model runs once per
-executor and scores whole batches; ``mapInPandas`` variant keeps the
-model cached across batches within a task. The actual transformer is NOT
-available in this container, so the model call is stubbed with a
-deterministic fake (seeded by token content) behind the same signature —
-the Spark plumbing (schema, batching, concat) is real and tested.
+Spark shape: an Arrow-batched pandas UDF so the encoder runs once per
+executor and scores whole batches; the ``mapInPandas`` variant keeps it
+cached across batches within a task.
+
+Encoder tiers (selected at runtime):
+
+1. ``sentence-transformers`` when importable (import-gated — not in this
+   container): the reference's actual model.
+2. ``hashed_ngram_encode`` — a REAL, dependency-free text embedding via
+   the feature-hashing trick (char n-gram counts signed-hashed into
+   ``dim`` buckets, L2-normalized; the HashingVectorizer construction
+   from Weinberger et al., "Feature Hashing for Large Scale Multitask
+   Learning", ICML 2009). Deterministic across processes/executors
+   (crc32, no Python hash seed), so embeddings are reproducible and
+   near-duplicate texts land close in cosine space — real retrieval
+   semantics, not a random stand-in.
 """
 
 from __future__ import annotations
 
-import hashlib
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -22,6 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, FloatType
 
 DEFAULT_DIM = 384
+NGRAM = 3
 
 # The reference's seven embedded fields (README.md:52-55).
 EMBED_FIELDS = (
@@ -34,23 +45,62 @@ EMBED_FIELDS = (
     "store",
 )
 
+try:  # pragma: no cover - model not present in this container
+    from sentence_transformers import SentenceTransformer  # type: ignore
 
-def _fake_encode(texts: "pd.Series", dim: int) -> np.ndarray:
-    """Deterministic stand-in for a sentence-transformer encode() call.
+    _MODEL: SentenceTransformer | None = None
 
-    Each text hashes to a seed; the unit-normalized vector is stable across
-    processes/executors. Swap this single function for
-    ``SentenceTransformer.encode`` in a real deployment.
-    """
-    out = np.empty((len(texts), dim), dtype=np.float32)
+    def _model_encode(texts: pd.Series, dim: int) -> np.ndarray:
+        global _MODEL
+        if _MODEL is None:
+            _MODEL = SentenceTransformer("BAAI/bge-small-en-v1.5")
+        out = _MODEL.encode(list(texts.fillna("")), normalize_embeddings=True)
+        return np.asarray(out, dtype=np.float32)
+
+    HAVE_MODEL = True
+except ImportError:
+    HAVE_MODEL = False
+
+
+def hashed_ngram_encode(
+    texts: "pd.Series | list[str]", dim: int, n: int = NGRAM
+) -> np.ndarray:
+    """Feature-hashed char n-gram embedding: each n-gram crc32-hashes to a
+    bucket in [0, dim) with a ±1 sign bit; counts accumulate and the
+    vector is L2-normalized. Empty/whitespace text embeds to the zero
+    vector (callers treat it as "no content", same as the reference's
+    empty-field handling)."""
+    out = np.zeros((len(texts), dim), dtype=np.float32)
     for i, t in enumerate(texts):
-        seed = int.from_bytes(
-            hashlib.md5((t or "").encode("utf-8")).digest()[:4], "big"
-        )
-        rng = np.random.RandomState(seed)
-        v = rng.randn(dim).astype(np.float32)
-        out[i] = v / (np.linalg.norm(v) or 1.0)
+        s = (t or "").lower()
+        if len(s) < n:
+            grams = [s] if s else []
+        else:
+            grams = [s[j : j + n] for j in range(len(s) - n + 1)]
+        if not grams:
+            continue
+        hs = np.frombuffer(
+            b"".join(
+                zlib.crc32(g.encode("utf-8")).to_bytes(4, "little") for g in grams
+            ),
+            dtype=np.uint32,
+        ).astype(np.int64)
+        buckets = hs % dim
+        signs = np.where((hs >> 16) & 1, 1.0, -1.0)
+        v = np.zeros(dim, dtype=np.float64)
+        np.add.at(v, buckets, signs)
+        nrm = float(np.linalg.norm(v))
+        if nrm:
+            out[i] = (v / nrm).astype(np.float32)
     return out
+
+
+def encode_batch(texts: "pd.Series", dim: int) -> np.ndarray:
+    """One encoder call per Arrow batch: the transformer when available,
+    else the hashed n-gram embedding. Unit-norm float32 either way."""
+    if HAVE_MODEL and dim == DEFAULT_DIM:  # pragma: no cover
+        return _model_encode(texts, dim)
+    return hashed_ngram_encode(texts, dim)
 
 
 def embed_text_udf(dim: int = DEFAULT_DIM):
@@ -63,7 +113,7 @@ def embed_text_udf(dim: int = DEFAULT_DIM):
 
     @F.pandas_udf(ArrayType(FloatType()))
     def embed(texts: pd.Series) -> pd.Series:
-        mat = _fake_encode(texts, dim)
+        mat = encode_batch(texts, dim)
         return pd.Series(list(mat))
 
     return embed
@@ -72,8 +122,9 @@ def embed_text_udf(dim: int = DEFAULT_DIM):
 def embed_fields(df: DataFrame, fields=EMBED_FIELDS, dim: int = DEFAULT_DIM) -> DataFrame:
     """Per-field embedding + concatenation (README.md:52-55): each text
     field embeds to ``dim`` floats; the product embedding is their concat
-    (so each field-block is unit-norm => total L2 = sqrt(n_fields),
-    the invariant the reference reports at benchmark_10k/README.md:70)."""
+    (so each non-empty field-block is unit-norm => total L2 =
+    sqrt(n_nonempty_fields), the invariant the reference reports at
+    benchmark_10k/README.md:70)."""
     embed = embed_text_udf(dim)
     out = df
     vec_cols: list[Column] = []
@@ -87,9 +138,9 @@ def embed_fields(df: DataFrame, fields=EMBED_FIELDS, dim: int = DEFAULT_DIM) -> 
 
 def reembed_batch(pdf_iter: Iterator[pd.DataFrame], text_col: str, dim: int) -> Iterator[pd.DataFrame]:
     """mapInPandas body for the upsert path: re-embed changed rows with the
-    model held once per task (streaming/upsert.py)."""
+    encoder held once per task (streaming/upsert.py)."""
     for pdf in pdf_iter:
-        mat = _fake_encode(pdf[text_col], dim)
+        mat = encode_batch(pdf[text_col], dim)
         pdf = pdf.copy()
         pdf["embedding"] = list(mat)
         yield pdf

@@ -85,3 +85,75 @@ def test_frame_sample_explodes(spark, sf_dir):
             Catalog(spark, sf_dir).documents.limit(5).collect()}
     for doc_id, n in per_doc.items():
         assert n == max(lens[doc_id] // 10, 1)
+
+
+# --- REAL codec paths (multimodal/codecs.py) -------------------------------
+
+
+def test_png_codec_roundtrip():
+    import numpy as np
+
+    from external_benchmarks_spark.multimodal.codecs import decode_png, encode_png
+
+    rng = np.random.RandomState(7)
+    for shape in [(1, 1), (9, 13), (16, 8), (6, 6, 3)]:
+        img = rng.randint(0, 256, size=shape).astype(np.uint8)
+        out = decode_png(encode_png(img))
+        assert out.shape == img.shape and (out == img).all()
+
+
+def test_png_decode_rejects_non_png():
+    import pytest as _pytest
+
+    from external_benchmarks_spark.multimodal.codecs import decode_png
+
+    with _pytest.raises(ValueError):
+        decode_png(b"definitely not a png")
+
+
+def test_wav_codec_roundtrip():
+    import numpy as np
+
+    from external_benchmarks_spark.multimodal.codecs import (
+        decode_wav,
+        encode_wav_pcm16,
+    )
+
+    rng = np.random.RandomState(11)
+    s = rng.randint(-32768, 32767, size=777).astype(np.int16)
+    rate, back = decode_wav(encode_wav_pcm16(s, 22050))
+    assert rate == 22050 and (back == s).all()
+
+
+def test_decode_image_real_kernel(spark, sf_dir):
+    from external_benchmarks_spark.multimodal.binaryops import (
+        decode_image,
+        make_image_blobs,
+    )
+
+    docs = make_image_blobs(Catalog(spark, sf_dir).documents.select("doc_id").limit(25))
+    rows = decode_image(docs, "blob").collect()
+    assert len(rows) == 25
+    for r in rows:
+        k = r.doc_id
+        assert (r.width, r.height) == (8 + k % 9, 8 + k % 7)
+        expected = [(k + rr) % 256 for rr in range(r.height)]
+        assert r.min_px == min(expected) and r.max_px == max(expected)
+        assert abs(r.mean_px - sum(expected) / len(expected)) < 1e-9
+
+
+def test_decode_audio_real_kernel(spark, sf_dir):
+    from external_benchmarks_spark.multimodal.binaryops import (
+        decode_audio,
+        make_audio_blobs,
+    )
+
+    docs = make_audio_blobs(Catalog(spark, sf_dir).documents.select("doc_id").limit(25))
+    rows = decode_audio(docs, "blob").collect()
+    assert len(rows) == 25
+    for r in rows:
+        k = r.doc_id
+        amp = (k % 100) * 256
+        assert r.n_samples == 64 + k % 37
+        assert r.sample_rate == 16000
+        assert r.peak == amp and r.rms == float(amp)

@@ -64,13 +64,15 @@ def test_scale_variants_deterministic(spark):
 def test_embed_fields_concat_and_norm(spark):
     df = add_derived_columns(_products(spark, 20))
     out = embed_fields(df, fields=("title", "description"), dim=16)
-    rows = out.select("id", "embedding").collect()
+    rows = out.select("id", "title", "description", "embedding").collect()
     assert all(len(r.embedding) == 32 for r in rows)
-    # each 16-dim field block is unit-norm => total L2 = sqrt(2)
-    # (the reference's norm invariant, benchmark_10k/README.md:70)
-    for r in rows[:5]:
+    # each NON-EMPTY 16-dim field block is unit-norm => total L2 =
+    # sqrt(#non-empty fields) — the reference's norm invariant
+    # (benchmark_10k/README.md:70); empty text embeds to the zero block.
+    for r in rows[:10]:
+        expected = sum(1 for t in (r.title, r.description) if t)
         norm = math.sqrt(sum(x * x for x in r.embedding))
-        assert abs(norm - math.sqrt(2)) < 1e-3
+        assert abs(norm - math.sqrt(expected)) < 1e-3
     # determinism: same text -> same vector
     again = embed_fields(df, fields=("title", "description"), dim=16)
     r1 = {r.id: r.embedding for r in rows}
@@ -213,3 +215,30 @@ def test_prune_details_strips_redundant_nulls(spark):
         assert '"null"' not in row.details_pruned
         # pruning only removes entries, never adds
         assert len(row.details_pruned) <= len(row.details)
+
+
+def test_hashed_ngram_encoder_geometry():
+    """The fallback encoder is a REAL embedding (feature hashing), not a
+    random fake: near-duplicate texts must land close in cosine space and
+    unrelated texts far; empty text embeds to the zero vector."""
+    import numpy as np
+
+    from external_benchmarks_spark.pipeline.embedding import hashed_ngram_encode
+
+    m = hashed_ngram_encode(
+        [
+            "the quick brown fox jumps over the lazy dog",
+            "the quick brown fox jumped over the lazy dog",
+            "completely different content about spark sql engines",
+            "",
+        ],
+        128,
+    )
+    norms = np.linalg.norm(m, axis=1)
+    assert abs(norms[0] - 1.0) < 1e-6 and abs(norms[2] - 1.0) < 1e-6
+    assert norms[3] == 0.0
+    assert float(m[0] @ m[1]) > 0.7
+    assert float(m[0] @ m[2]) < 0.4
+    # deterministic across calls (crc32, no hash seed)
+    again = hashed_ngram_encode(["the quick brown fox jumps over the lazy dog"], 128)
+    assert (again[0] == m[0]).all()
