@@ -1,0 +1,152 @@
+"""PNG figure sink — parity with the reference's matplotlib plots
+(reference scripts/generate_benchmark_reports.py:312-550: null-count
+bars, categorical top-10 bars, numeric histograms, text-length and
+embedding-norm distributions) WITHOUT the matplotlib dependency: charts
+rasterize onto a numpy RGB canvas and encode through the pure-stdlib PNG
+writer (multimodal/codecs.py).
+
+Scale note: everything plotted is an already-reduced aggregate (top-10
+lists, 25-bin histograms, per-column null counts) — the figures render
+driver-side from tiny stats dicts; no dataset rows are ever collected.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from external_benchmarks_spark.multimodal.codecs import encode_png
+
+BG = (255, 255, 255)
+FG = (40, 40, 40)
+BAR = (66, 120, 200)
+GRID = (220, 220, 220)
+
+# 3x5 bitmap glyphs for axis value labels (digits + sign/point/exponent).
+_GLYPHS = {
+    "0": ["111", "101", "101", "101", "111"],
+    "1": ["010", "110", "010", "010", "111"],
+    "2": ["111", "001", "111", "100", "111"],
+    "3": ["111", "001", "111", "001", "111"],
+    "4": ["101", "101", "111", "001", "001"],
+    "5": ["111", "100", "111", "001", "111"],
+    "6": ["111", "100", "111", "101", "111"],
+    "7": ["111", "001", "010", "010", "010"],
+    "8": ["111", "101", "111", "101", "111"],
+    "9": ["111", "101", "111", "001", "111"],
+    ".": ["000", "000", "000", "000", "010"],
+    "-": ["000", "000", "111", "000", "000"],
+    "+": ["000", "010", "111", "010", "000"],
+    "e": ["000", "111", "110", "100", "111"],
+    "%": ["101", "001", "010", "100", "101"],
+    " ": ["000", "000", "000", "000", "000"],
+}
+
+
+def _blank(w: int, h: int) -> np.ndarray:
+    img = np.empty((h, w, 3), dtype=np.uint8)
+    img[:] = BG
+    return img
+
+
+def _rect(img: np.ndarray, x0: int, y0: int, x1: int, y1: int, color) -> None:
+    h, w = img.shape[:2]
+    x0, x1 = max(0, min(x0, x1)), min(w, max(x0, x1))
+    y0, y1 = max(0, min(y0, y1)), min(h, max(y0, y1))
+    img[y0:y1, x0:x1] = color
+
+
+def _text(img: np.ndarray, x: int, y: int, s: str, color=FG, scale: int = 1) -> None:
+    cx = x
+    for ch in s:
+        g = _GLYPHS.get(ch)
+        if g is None:
+            cx += 4 * scale
+            continue
+        for r, row in enumerate(g):
+            for c, bit in enumerate(row):
+                if bit == "1":
+                    _rect(
+                        img,
+                        cx + c * scale,
+                        y + r * scale,
+                        cx + (c + 1) * scale,
+                        y + (r + 1) * scale,
+                        color,
+                    )
+        cx += 4 * scale
+
+
+def _fmt(v: float) -> str:
+    s = f"{v:.4g}"
+    return s.replace("E", "e")
+
+
+def bar_chart(
+    values: list[float], width: int = 640, height: int = 360
+) -> np.ndarray:
+    """Vertical bar chart of a reduced series (e.g. top-10 counts).
+    Y-axis min/max labels, light gridlines, uniform bar width."""
+    img = _blank(width, height)
+    ml, mr, mt, mb = 48, 12, 12, 24
+    px0, py0, px1, py1 = ml, mt, width - mr, height - mb
+    vmax = max([v for v in values if v is not None] + [0.0]) or 1.0
+    for gy in range(5):
+        y = py0 + (py1 - py0) * gy // 4
+        _rect(img, px0, y, px1, y + 1, GRID)
+        _text(img, 4, y - 2, _fmt(vmax * (1 - gy / 4)))
+    n = max(len(values), 1)
+    span = (px1 - px0) / n
+    for i, v in enumerate(values):
+        if v is None:
+            continue
+        bh = int((py1 - py0) * (v / vmax))
+        x0 = int(px0 + i * span + span * 0.15)
+        x1 = int(px0 + (i + 1) * span - span * 0.15)
+        _rect(img, x0, py1 - bh, max(x1, x0 + 1), py1, BAR)
+    _rect(img, px0, py1, px1, py1 + 1, FG)
+    _rect(img, px0, py0, px0 + 1, py1, FG)
+    return img
+
+
+def histogram_chart(
+    counts: list[int], lo: float, hi: float, width: int = 640, height: int = 360
+) -> np.ndarray:
+    """Histogram: contiguous bars plus x-range labels."""
+    img = bar_chart([float(c) for c in counts], width, height)
+    _text(img, 48, height - 16, _fmt(lo))
+    s = _fmt(hi)
+    _text(img, width - 12 - 4 * len(s), height - 16, s)
+    return img
+
+
+def save_png(img: np.ndarray, path: str) -> str:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(encode_png(img))
+    return path
+
+
+def render_report_figures(report: dict, out_dir: str, name: str) -> list[str]:
+    """Render the reference's figure set from an already-computed stats
+    dict (pipeline/report.dataset_report): null-count bars, per-categorical
+    top-10 bars, per-numeric histograms. Returns written paths."""
+    written: list[str] = []
+    nulls = report.get("null_counts") or {}
+    if nulls:
+        img = bar_chart([float(v) for v in nulls.values()])
+        written.append(save_png(img, os.path.join(out_dir, f"{name}_nulls.png")))
+    for col, s in (report.get("categorical") or {}).items():
+        vals = [float(t["count"]) for t in s.get("top", [])]
+        if vals:
+            img = bar_chart(vals)
+            written.append(
+                save_png(img, os.path.join(out_dir, f"{name}_cat_{col}.png"))
+            )
+    for col, s in (report.get("histograms") or {}).items():
+        img = histogram_chart(s["counts"], s["min"], s["max"])
+        written.append(
+            save_png(img, os.path.join(out_dir, f"{name}_hist_{col}.png"))
+        )
+    return written

@@ -5,9 +5,11 @@ SURVEY.md §0.3).
 Every statistic aggregates IN SPARK; only tiny aggregate rows reach the
 driver, where markdown/JSON render (the reference materializes whole
 datasets on one machine for the 10k path, :65-87 — here the same report
-works at any scale). PNG plots are intentionally out of scope for this
-engine (no matplotlib dependency); the stats dict contains everything the
-reference plots.
+works at any scale). PNG plots render through pipeline/plots.py — a
+dependency-free rasterizer over the stdlib PNG writer
+(multimodal/codecs.py), covering the reference's figure set
+(generate_benchmark_reports.py:312-550) without matplotlib; matplotlib
+output can be swapped in where available.
 """
 
 from __future__ import annotations
@@ -80,6 +82,20 @@ def dataset_report(
             "avg": r["avg_len"], "min": r["min_len"], "max": r["max_len"],
         }
 
+    # Histogram series for the figure sink (reference plt.hist, :287-301):
+    # one extra aggregate per numeric column, 25 bins, reduced in Spark.
+    report["histograms"] = {}
+    for c in numeric_cols:
+        s = report["numeric"][c]
+        if s["min"] is None or s["max"] is None or s["min"] == s["max"]:
+            continue
+        lo, hi = float(s["min"]), float(s["max"])
+        rows = S.histogram(df, c, lo, hi, bins=25).collect()
+        counts = [0] * 25
+        for r in rows:
+            counts[int(r["bucket"])] = int(r["cnt"])
+        report["histograms"][c] = {"min": lo, "max": hi, "counts": counts}
+
     if emb_col and emb_col in df.columns:
         geo = df.agg(
             F.round(F.avg(F.size(emb_col)), 2).alias("dim"),
@@ -147,9 +163,18 @@ def render_markdown(report: dict, title: str) -> str:
     return "\n".join(lines) + "\n"
 
 
-def write_report(report: dict, out_dir: str, name: str) -> None:
+def write_report(
+    report: dict, out_dir: str, name: str, figures: bool = True
+) -> list[str]:
+    """JSON + markdown + (by default) PNG figures. Returns written paths."""
     os.makedirs(out_dir, exist_ok=True)
-    with open(os.path.join(out_dir, f"{name}.json"), "w") as f:
+    paths = [os.path.join(out_dir, f"{name}.json"), os.path.join(out_dir, f"{name}.md")]
+    with open(paths[0], "w") as f:
         json.dump(report, f, indent=2, default=str)
-    with open(os.path.join(out_dir, f"{name}.md"), "w") as f:
+    with open(paths[1], "w") as f:
         f.write(render_markdown(report, name))
+    if figures:
+        from external_benchmarks_spark.pipeline.plots import render_report_figures
+
+        paths += render_report_figures(report, out_dir, name)
+    return paths

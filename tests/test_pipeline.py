@@ -242,3 +242,24 @@ def test_hashed_ngram_encoder_geometry():
     # deterministic across calls (crc32, no hash seed)
     again = hashed_ngram_encode(["the quick brown fox jumps over the lazy dog"], 128)
     assert (again[0] == m[0]).all()
+
+
+def test_report_png_figures(spark, sf_dir, tmp_path):
+    """The figure sink writes real, decodable PNGs for the reference's
+    plot set (nulls bar, categorical top-10 bars, numeric histograms)."""
+    from external_benchmarks_spark.multimodal.codecs import decode_png
+    from external_benchmarks_spark.pipeline.report import dataset_report, write_report
+
+    docs = Catalog(spark, sf_dir).documents
+    rep = dataset_report(
+        docs, numeric_cols=["n_chars"], cat_cols=["lang"], text_cols=["text"]
+    )
+    assert "n_chars" in rep["histograms"]
+    assert sum(rep["histograms"]["n_chars"]["counts"]) == rep["total_records"]
+    paths = write_report(rep, str(tmp_path), "docs")
+    pngs = [p for p in paths if p.endswith(".png")]
+    assert len(pngs) >= 3
+    for p in pngs:
+        with open(p, "rb") as f:
+            img = decode_png(f.read())
+        assert img.ndim == 3 and img.shape[0] > 100 and img.shape[1] > 100
