@@ -73,3 +73,85 @@ def test_salted_join_left_keeps_unmatched(spark):
     out = salted_join(left, right, on="k", spread_col="v", n_salts=4, how="left")
     rows = {(r.k, r.r) for r in out.collect()}
     assert rows == {(1, "r1"), (2, None), (3, None)}
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """With broadcast disabled and tiny skew thresholds, AQE must detect
+    the hot key's shuffle partition and split it (skew=true in the final
+    adaptive plan) — the runtime half of the skew story (the salted
+    operators are the planning-time half)."""
+    keys = [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.coalescePartitions.enabled",
+    ]
+    old = {}
+    for k in keys:
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        # pad must be NON-FOLDABLE and kept in the output: a literal would
+        # be constant-folded past the shuffle (column pruning), shrinking
+        # the hot partition below the skew threshold.
+        left = spark.range(50_000).select(
+            F.when(F.col("id") % 10 < 8, F.lit(0))
+            .otherwise(F.col("id") % 500)
+            .cast("long")
+            .alias("k"),
+            F.concat(F.lit("x" * 60), F.col("id").cast("string")).alias("pad"),
+        )
+        right = spark.range(500).select(
+            F.col("id").alias("k"), F.lit("r").alias("rv")
+        )
+        j = left.join(right, "k").select("k", "pad", "rv")
+        assert len(j.collect()) == 50_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_salted_join_balances_reducers(spark):
+    """Load-independent skew evidence: after hash-partitioning on the join
+    key, the 41%-hot key owns ~41% of one reducer's rows; partitioning on
+    (key, salt) caps every reducer near uniform. This is the balance the
+    wall-clock bench pair (bench.py skew_join_naive/salted) buys."""
+    n, parts = 100_000, 16
+    left = spark.range(n).select(
+        F.when(F.col("id") % 100 < 41, F.lit(0))
+        .otherwise((F.col("id") % 997) + 1)
+        .cast("long")
+        .alias("k"),
+        F.col("id").cast("string").alias("pad"),
+    )
+
+    def max_partition_rows(df):
+        rows = (
+            df.select(F.spark_partition_id().alias("p"))
+            .groupBy("p")
+            .count()
+            .collect()
+        )
+        return max(r["count"] for r in rows)
+
+    naive = max_partition_rows(left.repartition(parts, "k"))
+    salted = max_partition_rows(
+        left.withColumn("_salt", _salt("pad", parts)).repartition(parts, "k", "_salt")
+    )
+    assert naive >= 0.41 * n  # the hot key serializes on one reducer
+    assert salted <= 0.15 * n  # salt caps the hot reducer near uniform
