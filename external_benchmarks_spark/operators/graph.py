@@ -43,28 +43,27 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .localCheckpoint()
     )
-    # Labels only ever decrease; the fixpoint test counts rows whose label
-    # actually changed this round (an anti-join on (node, component)), an
-    # overflow-proof signal — a 64-bit sum(component) could wrap at
-    # billions-of-nodes scale and alias two distinct states.
+    # Labels only ever decrease, so sum(component) is a strictly
+    # decreasing convergence measure: unchanged sum == fixpoint. Summed
+    # as DECIMAL(38,0) — exact and overflow-free at any realistic scale
+    # (a 64-bit long sum could wrap at billions of nodes with large ids
+    # and alias two distinct states).
+    dec = F.sum(F.col("component").cast("decimal(38,0)"))
+    prev = labels.agg(dec).collect()[0][0]
     for _ in range(max_iter):
         cand = sym.join(labels, sym["a"] == labels["node"]).select(
             F.col("b").alias("node"), F.col("component")
         )
-        new_labels = (
+        labels = (
             labels.union(cand)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.join(labels, ["node", "component"], "left_anti")
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        cur = labels.agg(dec).collect()[0][0]
+        if cur == prev:
             break
+        prev = cur
     return labels
 
 

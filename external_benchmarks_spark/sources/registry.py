@@ -35,6 +35,54 @@ class DatasetSpec:
             raise ValueError(f"unsupported format {self.format!r}; one of {SUPPORTED_FORMATS}")
 
 
+def stage_dataset(url: str, dest_dir: str, filename: str | None = None) -> str:
+    """Stage a published dataset file to local/shared storage — the
+    reference's ``wget`` step (reference README.md:37-43: parquet served
+    over HTTPS from a GCS bucket) as an engine helper.
+
+    - ``https://`` / ``http://`` / ``file://`` URLs download via urllib
+      with a ``.part`` temp file renamed on success (no torn files for a
+      concurrent reader).
+    - Already-staged files (same name, same size when the server reports
+      Content-Length) are reused — re-staging is a no-op.
+    - Plain local paths pass through untouched.
+
+    Scale note: run ONCE against shared storage (NFS/object store), not
+    per-executor; executors then read the staged path like any other.
+    ``gs://`` / ``s3://`` paths should instead be read directly by Spark
+    with the matching filesystem connector on the classpath.
+    """
+    import os
+    import shutil
+    import urllib.parse
+    import urllib.request
+
+    parsed = urllib.parse.urlparse(url)
+    if parsed.scheme in ("", None) or (len(parsed.scheme) == 1 and os.name == "nt"):
+        return url  # already a local path
+    if parsed.scheme not in ("http", "https", "file"):
+        raise ValueError(
+            f"stage_dataset handles http(s)/file URLs, got {parsed.scheme!r}; "
+            "read gs://s3:// paths directly through spark.read"
+        )
+    os.makedirs(dest_dir, exist_ok=True)
+    name = filename or os.path.basename(parsed.path) or "dataset"
+    dest = os.path.join(dest_dir, name)
+    with urllib.request.urlopen(url) as resp:
+        length = resp.headers.get("Content-Length")
+        if (
+            os.path.exists(dest)
+            and length is not None
+            and os.path.getsize(dest) == int(length)
+        ):
+            return dest
+        tmp = dest + ".part"
+        with open(tmp, "wb") as f:
+            shutil.copyfileobj(resp, f)
+    os.replace(tmp, dest)
+    return dest
+
+
 def read_dataset(spark: SparkSession, spec: DatasetSpec) -> DataFrame:
     reader = spark.read.format(spec.format)
     if spec.schema is not None:

@@ -183,3 +183,37 @@ def test_jsonl_permissive_quarantines_bad_lines(spark):
         # the raw broken line is preserved for quarantine
         assert any("MISSING COMMA" in r._corrupt for r in bad.collect())
         df.unpersist()
+
+
+def test_stage_dataset_file_url(spark, sf_dir, tmp_path):
+    """Staging (the reference's wget step) via a file:// URL: download,
+    atomic rename, reuse-when-already-staged, then read through the
+    normal dataset path."""
+    import os
+
+    from external_benchmarks_spark.sources.registry import (
+        DatasetSpec,
+        read_dataset,
+        stage_dataset,
+    )
+
+    src = os.path.join(sf_dir, "region.parquet")
+    url = "file://" + src
+    staged = stage_dataset(url, str(tmp_path))
+    assert os.path.exists(staged) and staged.endswith("region.parquet")
+    assert os.path.getsize(staged) == os.path.getsize(src)
+    mtime = os.path.getmtime(staged)
+    assert stage_dataset(url, str(tmp_path)) == staged  # no-op re-stage
+    df = read_dataset(spark, DatasetSpec("region", staged, "parquet"))
+    assert df.count() == spark.read.parquet(src).count()
+    # local plain paths pass through
+    assert stage_dataset(src, str(tmp_path)) == src
+
+
+def test_stage_dataset_rejects_object_store_schemes(tmp_path):
+    import pytest as _pytest
+
+    from external_benchmarks_spark.sources.registry import stage_dataset
+
+    with _pytest.raises(ValueError):
+        stage_dataset("gs://bucket/x.parquet", str(tmp_path))
