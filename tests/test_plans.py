@@ -176,3 +176,38 @@ def test_tfidf_broadcasts_dfreq(spark, sf_dir):
     plan = _plan(tfidf_top_terms(Catalog(spark, sf_dir).documents))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_embed_inference_is_arrow_vectorized(spark, sf_dir):
+    """The encoder must run as ArrowEvalPython (vectorized pandas_udf
+    batches), never row-at-a-time BatchEvalPython."""
+    plan = _plan(entry_mod.q_embed_inference(spark, sf_dir))
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_lsh_candidate_filter_stays_in_codegen(spark, sf_dir):
+    """sign-LSH probe: the heavy dot products run in ONE Arrow batch hop
+    (bucket bits), while the popcount candidate filter and the top-k stay
+    JVM-side (codegen Filter + TakeOrderedAndProject) — no second Python
+    round-trip."""
+    plan = _plan(entry_mod.q_lsh_ann_topk(spark, sf_dir))
+    assert plan.count("ArrowEvalPython") == 1
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_decode_kernels_are_map_in_pandas(spark, sf_dir):
+    """Multimodal decode: blobs flow through mapInPandas (Arrow batches of
+    bytes), with the scan pruned to key+blob only."""
+    plan = _plan(entry_mod.q_image_decode(spark, sf_dir))
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_ivf_sampled_assignment_single_arrow_pass(spark, sf_dir):
+    """Deterministic-IVF query: one Arrow pass assigns cells, the probe
+    is a codegen isin filter, top-k is TakeOrderedAndProject."""
+    plan = _plan(entry_mod.q_ivf_ann_topk(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan

@@ -21,3 +21,59 @@ def test_explained_variance_monotone(spark, sf_dir):
     assert len(ev) == 4
     assert all(ev[i] >= ev[i + 1] for i in range(3))  # sorted components
     assert 0 < sum(ev) <= 1.0 + 1e-9
+
+
+def test_tsne_separates_structured_clusters(spark):
+    """t-SNE on two well-separated gaussian blobs must produce two
+    separated 2-D clusters (inter-centroid distance >> intra spread)."""
+    import numpy as np
+
+    from external_benchmarks_spark.operators.projection import tsne_project
+
+    rng = np.random.RandomState(0)
+    a = rng.randn(60, 16) * 0.05
+    b = rng.randn(60, 16) * 0.05
+    b[:, 0] += 10.0
+    rows = [(i, [float(v) for v in a[i]]) for i in range(60)] + [
+        (100 + i, [float(v) for v in b[i]]) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r.vec_id: np.array(r.tsne) for r in tsne_project(df, max_rows=200, perplexity=15.0, n_iter=500).collect()}
+    assert len(out) == 120 and all(len(v) == 2 for v in out.values())
+    # structure preservation: each point's 2-D nearest neighbors are
+    # overwhelmingly from its own cluster (kNN purity — robust to
+    # t-SNE's cluster-expanding geometry)
+    ids = sorted(out)
+    y = np.vstack([out[i] for i in ids])
+    lab = np.array([0 if i < 100 else 1 for i in ids])
+    d = ((y[:, None, :] - y[None, :, :]) ** 2).sum(-1)
+    np.fill_diagonal(d, np.inf)
+    nn = np.argsort(d, axis=1)[:, :5]
+    purity = (lab[nn] == lab[:, None]).mean()
+    assert purity > 0.9, purity
+    # determinism: same seed -> same layout
+    again = {r.vec_id: np.array(r.tsne) for r in tsne_project(df, max_rows=200, perplexity=15.0, n_iter=500).collect()}
+    assert all(np.allclose(out[k], again[k]) for k in out)
+
+
+def test_spectral_project_separates_components(spark):
+    """Laplacian eigenmaps: two disconnected kNN blobs land at clearly
+    different coordinates along the first nontrivial eigenvectors."""
+    import numpy as np
+
+    from external_benchmarks_spark.operators.projection import spectral_project
+
+    rng = np.random.RandomState(1)
+    a = rng.randn(40, 8) * 0.05
+    b = rng.randn(40, 8) * 0.05 + 5.0
+    rows = [(i, [float(v) for v in a[i]]) for i in range(40)] + [
+        (100 + i, [float(v) for v in b[i]]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r.vec_id: np.array(r.spectral) for r in spectral_project(df, n_neighbors=5).collect()}
+    assert len(out) == 80
+    ca = np.mean([out[i][0] for i in range(40)])
+    cb = np.mean([out[100 + i][0] for i in range(40)])
+    ia = np.std([out[i][0] for i in range(40)])
+    ib = np.std([out[100 + i][0] for i in range(40)])
+    assert abs(ca - cb) > 5.0 * max(ia, ib, 1e-9)
