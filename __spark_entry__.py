@@ -1323,6 +1323,34 @@ def q_embed_inference(spark, sf):
     )
 
 
+DECON_N = 5
+MIX_RATES = {f"src{i}": (0.9 if i % 2 == 0 else 0.2) for i in range(16)}
+
+
+def q_decontaminate(spark, sf):
+    # Benchmark decontamination (operators/textprep.decontaminate): docs
+    # with doc_id % 19 == 0 stand in for the eval corpus; training docs
+    # sharing any distinct 5-gram with it are flagged. Broadcast semi-join
+    # on the gram — the corpus itself never shuffles.
+    from external_benchmarks_spark.operators.textprep import decontaminate
+
+    d = Catalog(spark, sf).documents
+    bench = d.filter(F.col("doc_id") % 19 == 0)
+    train = d.filter(F.col("doc_id") % 19 != 0)
+    return decontaminate(train, bench, n=DECON_N)
+
+
+def q_mixture_sample(spark, sf):
+    # Domain-mixture sampling (operators/sampling.mixture_sample): even
+    # sources kept at 90%, odd at 20%, src16+ dropped — the deterministic
+    # md5 inclusion test is replicated verbatim in the oracle.
+    from external_benchmarks_spark.operators.sampling import mixture_sample
+
+    d = Catalog(spark, sf).documents
+    s = mixture_sample(d, "source", "doc_id", MIX_RATES)
+    return s.groupBy("source").agg(F.count(F.lit(1)).alias("cnt"))
+
+
 def q_sessionize(spark, sf):
     return sess_ops.sessionize(
         Catalog(spark, sf).events, ts_col="ts_us", gap=SESSION_GAP_US
@@ -1443,6 +1471,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_topk": q_lsh_ann_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
         "embed_inference": q_embed_inference,
+        "decontaminate": q_decontaminate,
+        "mixture_sample": q_mixture_sample,
         # --- round-1-verified relational core (48/48 green in r01) -------
         "count_star": q_count_star,
         "group_share_topn": q_group_share_topn,
@@ -1938,6 +1968,33 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN text IS NOT NULL AND LENGTH(text) > 0
                         THEN 1.0 ELSE 0.0 END AS l2
             FROM documents
+        """,
+        "decontaminate": f"""
+            WITH t AS (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents),
+            g AS (SELECT doc_id,
+                         list_distinct(CASE WHEN len(toks) >= {DECON_N}
+                           THEN list_transform(
+                                  generate_series(1, len(toks) - {DECON_N - 1}),
+                                  i -> array_to_string(toks[i:i+{DECON_N - 1}], ' '))
+                           ELSE CAST([] AS VARCHAR[]) END) AS grams
+                  FROM t),
+            bg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 19 = 0),
+            dg AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 19 <> 0),
+            hits AS (SELECT doc_id, COUNT(*) AS n_hits FROM dg
+                     WHERE gram IN (SELECT gram FROM bg) GROUP BY doc_id)
+            SELECT d.doc_id,
+                   COALESCE(h.n_hits, 0) AS n_hits,
+                   COALESCE(h.n_hits, 0) > 0 AS contaminated
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 19 <> 0) d
+            LEFT JOIN hits h USING (doc_id)
+        """,
+        "mixture_sample": f"""
+            SELECT source, COUNT(*) AS cnt FROM documents
+            WHERE {_h32("('mix:' || CAST(doc_id AS VARCHAR))")} % 10000 <
+                  CASE source
+                    {" ".join(f"WHEN '{s}' THEN {int(r * 10000)}" for s, r in sorted(MIX_RATES.items()))}
+                    ELSE 0 END
+            GROUP BY source
         """,
         "ann_recall": "SELECT 0 AS query_id, TRUE AS recall_ok",
         "approx_distinct": """

@@ -61,3 +61,28 @@ def stratified_fixed_n(
         .filter(F.col("_rn") <= n_per_stratum)
         .drop("_rn")
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    source_col: str,
+    key_col: str,
+    rates: dict[str, float],
+    precision: int = 10_000,
+) -> DataFrame:
+    """Domain-mixture sampling: keep each source at its own deterministic
+    rate — the knob every LLM pre-training corpus turns (upweight curated
+    sources, downsample crawl). Inclusion is a stable md5 test of the key
+    (md5_hash32(key) % precision < rate * precision): reproducible across
+    engines and cluster sizes, no RNG, and filter-pushdown friendly.
+    Sources absent from ``rates`` are dropped (rate 0)."""
+    from external_benchmarks_spark.functions.hashing import md5_hash32
+
+    h = md5_hash32(F.concat(F.lit("mix:"), F.col(key_col).cast("string"))) % precision
+    thresh = None
+    for src, rate in sorted(rates.items()):
+        cond = F.col(source_col) == src
+        val = F.lit(int(rate * precision))
+        thresh = F.when(cond, val) if thresh is None else thresh.when(cond, val)
+    thresh = thresh.otherwise(F.lit(0)) if thresh is not None else F.lit(0)
+    return df.filter(h < thresh)

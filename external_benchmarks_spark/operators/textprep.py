@@ -273,3 +273,44 @@ def redact_pii(df: DataFrame, text_col: str) -> DataFrame:
     ).withColumn(
         "n_phones", F.regexp_count(c, F.lit(PHONE_REGEX)).cast("long")
     ).withColumn(f"{text_col}_redacted", redacted)
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share any
+    word n-gram with an evaluation corpus (the standard pre-training
+    hygiene step — GPT-3 App. C / PaLM-style n-gram overlap checks).
+
+    Shape for 100 TB: the BENCHMARK side is small by nature (eval sets),
+    so its distinct n-gram set broadcasts; the training side explodes to
+    (doc, gram) and left-semi joins — a map-side hash probe per gram, no
+    shuffle of the corpus. Returns (key, n_hits, contaminated) where
+    n_hits counts DISTINCT overlapping n-grams.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.length(t) > 0
+    )
+    grams = F.array_distinct(_ngrams(toks, n))
+    doc_grams = docs.select(
+        F.col(key_col), F.explode(grams).alias("gram")
+    )
+    bench_grams = benchmark.select(F.explode(grams).alias("gram")).distinct()
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "gram", "left_semi")
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        docs.select(key_col)
+        .join(hits, key_col, "left")
+        .select(
+            key_col,
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

@@ -121,3 +121,44 @@ def test_redact_pii_removes_patterns(spark):
     assert r.n_emails == 1 and r.n_phones == 2
     assert "@" not in r.t_redacted
     assert "[EMAIL]" in r.t_redacted and "[PHONE]" in r.t_redacted
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    from external_benchmarks_spark.operators.textprep import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"],
+    )
+    train = spark.createDataFrame(
+        [
+            (0, "intro text then the quick brown fox jumps right here"),  # 5-gram hit
+            (1, "completely unrelated content about spark and parquet files"),
+            (2, "quick brown fox jumps over something"),  # another hit
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: (r.n_hits, r.contaminated) for r in
+            decontaminate(train, bench, n=5).collect()}
+    assert rows[0][1] is True and rows[0][0] >= 1
+    assert rows[1] == (0, False)
+    assert rows[2][1] is True
+
+
+def test_mixture_sample_rates_and_determinism(spark, sf_dir):
+    from external_benchmarks_spark.catalog import Catalog
+    from external_benchmarks_spark.operators.sampling import mixture_sample
+
+    docs = Catalog(spark, sf_dir).documents
+    rates = {"src0": 1.0, "src1": 0.5, "src2": 0.0}
+    out = mixture_sample(docs, "source", "doc_id", rates)
+    got = {r.source: r.cnt for r in
+           out.groupBy("source").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    full = {r.source: r.cnt for r in
+            docs.groupBy("source").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert got["src0"] == full["src0"]          # rate 1.0 keeps everything
+    assert "src2" not in got                    # rate 0 drops the source
+    assert set(got) == {"src0", "src1"}         # unlisted sources dropped
+    assert 0 < got["src1"] < full["src1"]       # strict subsample
+    again = mixture_sample(docs, "source", "doc_id", rates).count()
+    assert again == out.count()                 # deterministic
