@@ -1965,8 +1965,8 @@ def oracle_sql() -> dict[str, str]:
         "audio_decode": _audio_decode_sql(),
         "embed_inference": """
             SELECT doc_id, 64 AS n_dims,
-                   CASE WHEN text IS NOT NULL AND LENGTH(text) > 0
-                        THEN 1.0 ELSE 0.0 END AS l2
+                   CAST(CASE WHEN text IS NOT NULL AND LENGTH(text) > 0
+                        THEN 1.0 ELSE 0.0 END AS DOUBLE) AS l2
             FROM documents
         """,
         "decontaminate": f"""
@@ -2026,8 +2026,8 @@ def oracle_sql() -> dict[str, str]:
                   || '}' AS pruned_j
               FROM documents)
             SELECT COUNT(*) AS n_rows,
-                   SUM(LENGTH(full_j)) AS bytes_before,
-                   SUM(LENGTH(pruned_j)) AS bytes_after
+                   CAST(SUM(LENGTH(full_j)) AS BIGINT) AS bytes_before,
+                   CAST(SUM(LENGTH(pruned_j)) AS BIGINT) AS bytes_after
             FROM j
         """,
         "group_embedding_stats": """
@@ -2088,7 +2088,7 @@ def oracle_sql() -> dict[str, str]:
             FROM p
         """,
         "salted_group_agg": """
-            SELECT lang, COUNT(*) AS cnt, SUM(n_chars) AS sum_chars,
+            SELECT lang, COUNT(*) AS cnt, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
                    MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
                    ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(n_chars), 6) AS avg_chars
             FROM documents GROUP BY lang
@@ -2261,7 +2261,7 @@ def oracle_sql() -> dict[str, str]:
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                         - n_tokens) / 512.0) AS BIGINT) AS pack_id
                   FROM t)
-            SELECT source, pack_id, COUNT(*) AS n_docs, SUM(n_tokens) AS sum_tokens
+            SELECT source, pack_id, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
             FROM p GROUP BY 1, 2
         """,
         "vocab_encode": f"""
@@ -2286,7 +2286,7 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN {_h32("'split:' || CAST(doc_id AS VARCHAR)")} % 100 < 80 THEN 'train'
                         WHEN {_h32("'split:' || CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'val'
                         ELSE 'test' END AS split,
-                   COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+                   COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
             FROM documents GROUP BY 1, 2
         """,
         "neardup_components": """
@@ -2370,19 +2370,19 @@ def oracle_sql() -> dict[str, str]:
             FROM scored ORDER BY score_q DESC, vec_id LIMIT 100
         """,
         "jsonl_roundtrip": f"""
-            SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars,
-                   SUM({_h32("text")}) AS sum_text_hash
+            SELECT lang, source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(SUM({_h32("text")}) AS BIGINT) AS sum_text_hash
             FROM documents GROUP BY 1, 2
         """,
         "csv_roundtrip": f"""
             SELECT c_mktsegment, COUNT(*) AS n_cust,
-                   SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS sum_bal_cents,
-                   SUM({_h32("c_name")}) AS sum_name_hash
+                   CAST(SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS sum_bal_cents,
+                   CAST(SUM({_h32("c_name")}) AS BIGINT) AS sum_name_hash
             FROM customer GROUP BY 1
         """,
         "orc_roundtrip": """
             SELECT o_orderpriority, COUNT(*) AS n_orders,
-                   SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS sum_price_cents,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_price_cents,
                    strftime(MAX(o_orderdate), '%Y-%m-%d') AS max_date
             FROM orders GROUP BY 1
         """,
@@ -2402,7 +2402,7 @@ def oracle_sql() -> dict[str, str]:
                       + 0.3 * (1.0 - pr)
                       + 0.2 * LEAST(atl, 8.0) / 8.0 AS quality
                   FROM m)
-            SELECT source, COUNT(*) AS n_kept, SUM(n_chars) AS sum_chars
+            SELECT source, COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
             FROM q
             WHERE {_h32("'ws:' || CAST(doc_id AS VARCHAR)")} % 1000000
                   < FLOOR(0.5 * quality * 1000000.0)
