@@ -1409,6 +1409,17 @@ def q_asof_join_generic(spark, sf):
     ).select("event_id", "user_id", "ts_us", "purchase_value")
 
 
+def q_lm_score(spark, sf):
+    # Corpus bigram-LM cross-entropy per document (operators/lm.lm_score):
+    # the CCNet-style perplexity quality signal. Laplace-smoothed
+    # probabilities are exact integer divisions; each -ln term is 1e-6
+    # fixed-point so the per-doc sum is an integer — hash-stable across
+    # engines and shuffle orders.
+    from external_benchmarks_spark.operators.lm import lm_score
+
+    return lm_score(Catalog(spark, sf).documents)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1522,6 +1533,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_query_topk": q_multi_query_topk,
         "embedding_neardup": q_embedding_neardup,
         "pairwise_cosine_stats": q_pairwise_cosine_stats,
+        # --- added this round; rotate into the checked window next round -
+        "lm_score": q_lm_score,
     }
 
 
@@ -2493,5 +2506,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT l.event_id, l.user_id, l.ts_us, r.purchase_value
             FROM l ASOF LEFT JOIN r
               ON l.user_id = r.user_id AND l.ts_us >= r.p_ts
+        """,
+        "lm_score": f"""
+            WITH t AS (SELECT doc_id, {DUCK_TOKS} AS tk FROM documents),
+            b AS (
+              SELECT doc_id,
+                     unnest(list_transform(generate_series(1, len(tk) - 1),
+                                           i -> tk[i] || ' ' || tk[i + 1])) AS bg
+              FROM t),
+            bgc AS (SELECT bg, COUNT(*) AS c_bg FROM b GROUP BY bg),
+            ctx AS (SELECT split_part(bg, ' ', 1) AS w1, COUNT(*) AS c_ctx
+                    FROM b GROUP BY 1),
+            v AS (SELECT COUNT(DISTINCT u) AS vocab
+                  FROM (SELECT unnest(tk) AS u FROM t)),
+            s AS (
+              SELECT doc_id,
+                     CAST(ROUND(-ln(CAST(c_bg + 1 AS DOUBLE)
+                                    / CAST(c_ctx + vocab AS DOUBLE))
+                                * 1000000, 0) AS BIGINT) AS nll_fp
+              FROM b
+              JOIN bgc USING (bg)
+              JOIN ctx ON split_part(b.bg, ' ', 1) = ctx.w1
+              CROSS JOIN v),
+            per AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+                           CAST(SUM(nll_fp) AS BIGINT) AS nll_fp_sum
+                    FROM s GROUP BY doc_id)
+            SELECT d.doc_id,
+                   COALESCE(per.n_bigrams, 0) AS n_bigrams,
+                   COALESCE(per.nll_fp_sum, 0) AS nll_fp_sum,
+                   CASE WHEN per.n_bigrams > 0
+                        THEN CAST(per.nll_fp_sum AS DOUBLE)
+                             / CAST(per.n_bigrams * 1000000 AS DOUBLE)
+                        ELSE 0.0 END AS avg_xent
+            FROM documents d LEFT JOIN per USING (doc_id)
         """,
     }
