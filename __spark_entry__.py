@@ -1420,6 +1420,15 @@ def q_lm_score(spark, sf):
     return lm_score(Catalog(spark, sf).documents)
 
 
+def q_dup_span_stats(spark, sf):
+    # Fraction of each doc's 8-token spans duplicated corpus-wide — the
+    # distributed span-fingerprint analog of suffix-array exact-substring
+    # dedup (operators/dedup.dup_span_stats docstring has the shuffle map).
+    from external_benchmarks_spark.operators.dedup import dup_span_stats
+
+    return dup_span_stats(Catalog(spark, sf).documents, n=8)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1535,6 +1544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pairwise_cosine_stats": q_pairwise_cosine_stats,
         # --- added this round; rotate into the checked window next round -
         "lm_score": q_lm_score,
+        "dup_span_stats": q_dup_span_stats,
     }
 
 
@@ -2538,6 +2548,35 @@ def oracle_sql() -> dict[str, str]:
                         THEN CAST(per.nll_fp_sum AS DOUBLE)
                              / CAST(per.n_bigrams * 1000000 AS DOUBLE)
                         ELSE 0.0 END AS avg_xent
+            FROM documents d LEFT JOIN per USING (doc_id)
+        """,
+        "dup_span_stats": f"""
+            WITH t AS (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     unnest(CASE WHEN len(toks) >= 8 THEN
+                       list_transform(generate_series(1, len(toks) - 7),
+                                      i -> array_to_string(toks[i:i+7], ' '))
+                     ELSE [] END) AS sh
+              FROM t),
+            occ AS (SELECT doc_id,
+                           CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) AS h
+                    FROM sh),
+            cnt AS (SELECT h, COUNT(*) AS c_tot, COUNT(DISTINCT doc_id) AS c_docs
+                    FROM occ GROUP BY h),
+            per AS (SELECT doc_id, COUNT(*) AS n_spans,
+                           SUM(CASE WHEN c_tot >= 2 THEN 1 ELSE 0 END) AS n_dup_spans,
+                           SUM(CASE WHEN c_docs >= 2 THEN 1 ELSE 0 END) AS n_cross_doc_spans
+                    FROM occ JOIN cnt USING (h) GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(COALESCE(per.n_spans, 0) AS BIGINT) AS n_spans,
+                   CAST(COALESCE(per.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+                   CAST(COALESCE(per.n_cross_doc_spans, 0) AS BIGINT)
+                     AS n_cross_doc_spans,
+                   CASE WHEN per.n_spans > 0
+                        THEN CAST(per.n_dup_spans AS DOUBLE)
+                             / CAST(per.n_spans AS DOUBLE)
+                        ELSE 0.0 END AS dup_frac
             FROM documents d LEFT JOIN per USING (doc_id)
         """,
     }

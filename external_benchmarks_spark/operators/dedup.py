@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from external_benchmarks_spark.functions.hashing import (
     MERSENNE_61,
+    md5_hash64,
     minhash_params,
 )
 from external_benchmarks_spark.functions.text import tokens
@@ -310,4 +311,77 @@ def embedding_neardup_pairs(
     cos = dot_product("emb_a", "emb_b") / (F.col("_norm_a") * F.col("_norm_b"))
     return pairs.select("id_a", "id_b", cos.alias("cosine")).filter(
         F.col("cosine") >= threshold
+    )
+
+
+def dup_span_stats(
+    docs: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_repeat: int = 2,
+) -> DataFrame:
+    """Exact substring-duplication signal per document (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): the
+    fraction of a doc's n-token spans that occur elsewhere in the corpus.
+
+    Where the paper builds a corpus suffix array (a single-machine
+    construction), the distributed equivalent is span fingerprinting:
+    every n-token window is hashed, hashes are counted corpus-wide, and
+    each occurrence learns whether its span repeats. Same signal —
+    "how much of this doc is duplicated text" — with only keyed shuffles.
+
+    Returns (doc_id, n_spans, n_dup_spans, n_cross_doc_spans, dup_frac):
+    - n_dup_spans: spans occurring >= min_repeat times corpus-wide
+      (within-doc repeats count).
+    - n_cross_doc_spans: spans present in >= 2 distinct docs.
+    - dup_frac: n_dup_spans / n_spans — one exact integer division, so
+      the oracle hash-matches without rounding.
+
+    Scale shape: explode (x ~doc_len rows), one groupBy on a 60-bit span
+    hash (uniform key — no skew unless the corpus shares one span
+    pathologically, which the dedup itself is about to remove), one
+    many-to-one join back, one integer-sum groupBy(doc_id). Shuffle
+    payload is (hash, doc_id) — never the text. Docs shorter than n
+    tokens surface with zero counts via the final left join.
+    """
+    occ = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(text_col, n)).alias("sh"),
+    ).select("doc_id", md5_hash64("sh").alias("h"))
+    counts = occ.groupBy("h").agg(
+        F.count(F.lit(1)).alias("c_tot"),
+        F.count_distinct("doc_id").alias("c_docs"),
+    )
+    per = (
+        occ.join(counts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(
+                F.when(F.col("c_tot") >= min_repeat, 1).otherwise(0)
+            ).alias("n_dup_spans"),
+            F.sum(F.when(F.col("c_docs") >= 2, 1).otherwise(0)).alias(
+                "n_cross_doc_spans"
+            ),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+            F.coalesce("n_cross_doc_spans", F.lit(0))
+            .cast("long")
+            .alias("n_cross_doc_spans"),
+            F.when(
+                F.col("n_spans") > 0,
+                F.col("n_dup_spans").cast("double")
+                / F.col("n_spans").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_frac"),
+        )
     )

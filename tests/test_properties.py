@@ -123,3 +123,29 @@ def test_embedding_norm_invariant(spark, titles):
     norms = [r.n for r in out.select(l2_norm("embedding").alias("n")).collect()]
     for n in norms:
         assert abs(n - 2.0**0.5) < 1e-6
+
+
+def test_dup_span_stats_exact_counts(spark):
+    """Hand-built corpus where every span count is known: cross-doc dup,
+    within-doc repeat, and a doc too short to have any 8-token span."""
+    from external_benchmarks_spark.operators.dedup import dup_span_stats
+
+    rot = "p q r s t u v w"
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i"),      # 2 spans; first shared with doc 2
+            (2, "a b c d e f g h x"),      # 2 spans; first shared with doc 1
+            (3, "a b"),                    # too short: zero spans
+            (4, f"{rot} {rot}"),           # 9 spans; the 8-gram repeats at
+                                           # offsets 0 and 8 (within-doc only)
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in dup_span_stats(docs, n=8).collect()}
+    assert (got[1].n_spans, got[1].n_dup_spans, got[1].n_cross_doc_spans) == (2, 1, 1)
+    assert got[1].dup_frac == 0.5
+    assert (got[2].n_spans, got[2].n_dup_spans, got[2].n_cross_doc_spans) == (2, 1, 1)
+    assert (got[3].n_spans, got[3].n_dup_spans, got[3].n_cross_doc_spans) == (0, 0, 0)
+    assert got[3].dup_frac == 0.0
+    assert (got[4].n_spans, got[4].n_dup_spans, got[4].n_cross_doc_spans) == (9, 2, 0)
+    assert abs(got[4].dup_frac - 2 / 9) < 1e-12
