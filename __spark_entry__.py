@@ -1429,6 +1429,23 @@ def q_dup_span_stats(spark, sf):
     return dup_span_stats(Catalog(spark, sf).documents, n=8)
 
 
+def q_gopher_rules(spark, sf):
+    # Gopher Appendix-A rule filter (operators/quality.gopher_rules): all
+    # metrics + keep decision in one shuffle-free codegen'd projection.
+    from external_benchmarks_spark.operators.quality import gopher_rules
+
+    return gopher_rules(Catalog(spark, sf).documents)
+
+
+def q_dsir_weights(spark, sf):
+    # DSIR hashed-bigram importance weights toward the English subcorpus
+    # (operators/quality.dsir_weights): fixed-point log-ratio sums.
+    from external_benchmarks_spark.operators.quality import dsir_weights
+
+    docs = Catalog(spark, sf).documents
+    return dsir_weights(docs, is_target=(F.col("lang") == "en"))
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1545,6 +1562,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- added this round; rotate into the checked window next round -
         "lm_score": q_lm_score,
         "dup_span_stats": q_dup_span_stats,
+        "gopher_rules": q_gopher_rules,
+        "dsir_weights": q_dsir_weights,
     }
 
 
@@ -2577,6 +2596,79 @@ def oracle_sql() -> dict[str, str]:
                         THEN CAST(per.n_dup_spans AS DOUBLE)
                              / CAST(per.n_spans AS DOUBLE)
                         ELSE 0.0 END AS dup_frac
+            FROM documents d LEFT JOIN per USING (doc_id)
+        """,
+        "gopher_rules": f"""
+            WITH t AS (SELECT doc_id, COALESCE(text, '') AS text,
+                         list_filter(regexp_split_to_array(
+                             lower(COALESCE(text, '')), '\\s+'),
+                           t -> len(t) > 0) AS toks
+                       FROM documents),
+            m AS (SELECT doc_id,
+                    CAST(len(toks) AS BIGINT) AS n_words,
+                    COALESCE(list_sum(list_transform(toks, t -> len(t))), 0)
+                      AS wl_sum,
+                    (length(text) - length(replace(text, '#', ''))) AS n_hash,
+                    CAST((length(text) - length(replace(text, '...', ''))) / 3
+                         AS BIGINT) AS n_ellipsis,
+                    len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))
+                      AS alpha_words,
+                    CAST(len(list_filter(
+                        ['the','be','to','of','and','that','have','with'],
+                        w -> list_contains(toks, w))) AS BIGINT) AS stop_hits
+                  FROM t),
+            d AS (SELECT doc_id, n_words,
+                    CASE WHEN n_words > 0 THEN CAST(wl_sum AS DOUBLE)
+                         / CAST(n_words AS DOUBLE) ELSE 0.0 END
+                      AS mean_word_len,
+                    CASE WHEN n_words > 0
+                         THEN CAST(n_hash + n_ellipsis AS DOUBLE)
+                              / CAST(n_words AS DOUBLE) ELSE 0.0 END
+                      AS symbol_ratio,
+                    CASE WHEN n_words > 0 THEN CAST(alpha_words AS DOUBLE)
+                         / CAST(n_words AS DOUBLE) ELSE 0.0 END
+                      AS alpha_word_frac,
+                    stop_hits
+                  FROM m)
+            SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+                   alpha_word_frac, stop_hits,
+                   (n_words BETWEEN 50 AND 100000)
+                   AND (mean_word_len BETWEEN 3.0 AND 10.0)
+                   AND (symbol_ratio < 0.1)
+                   AND (alpha_word_frac > 0.80)
+                   AND (stop_hits >= 2) AS keep
+            FROM d
+        """,
+        "dsir_weights": f"""
+            WITH t AS (SELECT doc_id, (lang = 'en') AS is_tgt,
+                              {DUCK_TOKS} AS tk FROM documents),
+            o AS (SELECT doc_id, is_tgt, ({_h32('bg')}) % 256 AS b
+                  FROM (SELECT doc_id, is_tgt,
+                          unnest(list_transform(
+                              generate_series(1, len(tk) - 1),
+                              i -> tk[i] || ' ' || tk[i + 1])) AS bg
+                        FROM t)),
+            bc AS (SELECT b, COUNT(*) AS c_raw,
+                          SUM(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS c_tgt
+                   FROM o GROUP BY b),
+            tot AS (SELECT SUM(c_raw) AS tot_raw, SUM(c_tgt) AS tot_tgt
+                    FROM bc),
+            lr AS (SELECT b,
+                     CAST(ROUND(ln(
+                         CAST((c_tgt + 1) * (tot_raw + 256) AS DOUBLE)
+                       / CAST((c_raw + 1) * (tot_tgt + 256) AS DOUBLE))
+                       * 1000000, 0) AS BIGINT) AS lr_fp
+                   FROM bc CROSS JOIN tot),
+            per AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+                           CAST(SUM(lr_fp) AS BIGINT) AS weight_fp
+                    FROM o JOIN lr USING (b) GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(COALESCE(per.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                   CAST(COALESCE(per.weight_fp, 0) AS BIGINT) AS weight_fp,
+                   CASE WHEN per.n_bigrams > 0
+                        THEN CAST(per.weight_fp AS DOUBLE)
+                             / CAST(per.n_bigrams * 1000000 AS DOUBLE)
+                        ELSE 0.0 END AS avg_logratio
             FROM documents d LEFT JOIN per USING (doc_id)
         """,
     }
