@@ -1446,6 +1446,22 @@ def q_dsir_weights(spark, sf):
     return dsir_weights(docs, is_target=(F.col("lang") == "en"))
 
 
+def q_cluster_profile(spark, sf):
+    # Per-cluster size/cohesion audit over the deterministic-centroid
+    # assignment (similarity.cluster_profile) — the quota-setting input of
+    # cluster-then-sample curation. Same hash-sampled centroids as
+    # ivf_ann_topk, so the full pipeline replays in DuckDB.
+    from external_benchmarks_spark.operators.similarity import (
+        cluster_profile,
+        ivf_assign,
+        sampled_centroids,
+    )
+
+    e = Catalog(spark, sf).embeddings
+    centroids = sampled_centroids(e, n_centroids=IVF_N_CENTROIDS)
+    return cluster_profile(ivf_assign(e, centroids), centroids)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1564,6 +1580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_span_stats": q_dup_span_stats,
         "gopher_rules": q_gopher_rules,
         "dsir_weights": q_dsir_weights,
+        "cluster_profile": q_cluster_profile,
     }
 
 
@@ -2597,6 +2614,45 @@ def oracle_sql() -> dict[str, str]:
                              / CAST(per.n_spans AS DOUBLE)
                         ELSE 0.0 END AS dup_frac
             FROM documents d LEFT JOIN per USING (doc_id)
+        """,
+        "cluster_profile": f"""
+            WITH sel AS (
+              SELECT vec_id, {EMB_DBL} AS e FROM embeddings
+              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+              LIMIT {IVF_N_CENTROIDS}),
+            cent AS (
+              SELECT row_number() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid,
+                     list_transform(e, x -> x / sqrt(list_dot_product(e, e)))
+                       AS cv
+              FROM sel),
+            scores AS (
+              SELECT emb.vec_id, cent.cid,
+                     list_dot_product({EMB_DBL}, cent.cv) AS d
+              FROM embeddings emb CROSS JOIN cent),
+            assign AS (
+              SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY d DESC, cid) AS rn
+                FROM scores) WHERE rn = 1),
+            fp AS (
+              SELECT a.cid AS cluster_id,
+                     CAST(ROUND(CASE WHEN sqrt(list_dot_product(
+                                        {EMB_DBL}, {EMB_DBL})) > 0.0
+                       THEN list_dot_product({EMB_DBL}, cent.cv)
+                            / sqrt(list_dot_product({EMB_DBL}, {EMB_DBL}))
+                       ELSE 0.0 END * 1000000, 0) AS BIGINT) AS cos_fp
+              FROM embeddings emb
+              JOIN assign a USING (vec_id)
+              JOIN cent ON cent.cid = a.cid)
+            SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+                   COUNT(*) AS n_members,
+                   CAST(SUM(cos_fp) AS BIGINT) AS cohesion_fp,
+                   CAST(MIN(cos_fp) AS BIGINT) AS min_cos_fp,
+                   CAST(SUM(cos_fp) AS DOUBLE)
+                     / CAST(COUNT(*) * 1000000 AS DOUBLE) AS avg_cos
+            FROM fp GROUP BY cluster_id
         """,
         "gopher_rules": f"""
             WITH t AS (SELECT doc_id, COALESCE(text, '') AS text,

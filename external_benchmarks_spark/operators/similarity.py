@@ -34,7 +34,9 @@ from pyspark.sql.types import LongType
 
 from external_benchmarks_spark.functions.vector import (
     cosine_similarity_literal,
+    dot_product,
     dot_product_literal,
+    l2_norm,
 )
 
 
@@ -440,4 +442,62 @@ def pairwise_cosine_stats(
         F.round(F.stddev_samp(cos), 6).alias("std_cos"),
         F.round(F.min(cos), 6).alias("min_cos"),
         F.round(F.max(cos), 6).alias("max_cos"),
+    )
+
+
+def cluster_profile(
+    assigned: DataFrame,
+    centroids: np.ndarray,
+    emb_col: str = "embedding",
+    cluster_col: str = "centroid_id",
+) -> DataFrame:
+    """Exact per-cluster geometry after centroid assignment — the audit
+    step of corpus clustering (cluster-then-sample curation pipelines need
+    cluster sizes and cohesion before deciding per-cluster quotas).
+
+    Returns (cluster_id, n_members, cohesion_fp, min_cos_fp, avg_cos):
+    per-member cosine to the OWN cluster's centroid is rounded to 1e-6
+    fixed-point (one ln-free libm-safe op chain: HOF dot product +
+    sqrt, bit-identical in DuckDB per functions/vector.dot_product), then
+    summed / min'd as integers — order-independent across partitions.
+    avg_cos derives from the exact integer sum, so the whole row
+    hash-matches an independent SQL replication.
+
+    Scale shape: the (k x dim) centroid matrix rides along as a literal
+    array indexed by element_at — no join, no broadcast table; one
+    groupBy on k keys (map-side partials collapse every partition to
+    <= k rows before the shuffle).
+    """
+    cent_lit = F.array(
+        *[
+            F.array(*[F.lit(float(v)) for v in row])
+            for row in np.asarray(centroids, dtype=np.float64)
+        ]
+    )
+    cv = F.element_at(cent_lit, F.col(cluster_col).cast("int") + 1)
+    e = F.col(emb_col).cast("array<double>")
+    norm = l2_norm(e)
+    cos = F.when(norm > 0.0, dot_product(e, cv) / norm).otherwise(F.lit(0.0))
+    cos_fp = F.round(cos * 1_000_000, 0).cast("bigint")
+    return (
+        assigned.select(
+            F.col(cluster_col).cast("bigint").alias("cluster_id"),
+            cos_fp.alias("cos_fp"),
+        )
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("cos_fp").alias("cohesion_fp"),
+            F.min("cos_fp").alias("min_cos_fp"),
+        )
+        .select(
+            "cluster_id",
+            "n_members",
+            "cohesion_fp",
+            "min_cos_fp",
+            (
+                F.col("cohesion_fp").cast("double")
+                / (F.col("n_members") * 1_000_000).cast("double")
+            ).alias("avg_cos"),
+        )
     )

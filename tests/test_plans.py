@@ -211,3 +211,37 @@ def test_ivf_sampled_assignment_single_arrow_pass(spark, sf_dir):
     plan = _plan(entry_mod.q_ivf_ann_topk(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_gopher_rules_shuffle_free(spark, sf_dir):
+    """The rule filter is one codegen'd projection: no Exchange at all."""
+    plan = _plan(entry_mod.q_gopher_rules(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan  # pure Catalyst, no Python
+
+
+def test_dsir_logratio_table_broadcasts(spark, sf_dir):
+    """The n_buckets-row log-ratio table must broadcast onto the bigram
+    occurrence stream — the occurrence table is never shuffled to join it."""
+    plan = _plan(entry_mod.q_dsir_weights(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "partial_sum" in plan  # map-side combine on both groupBys
+
+
+def test_dup_span_shuffles_only_keyed(spark, sf_dir):
+    """Span fingerprinting: shuffles are hash-keyed (span hash / doc_id),
+    never a cartesian or a global sort."""
+    plan = _plan(entry_mod.q_dup_span_stats(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    )
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_cluster_profile_groups_map_side(spark, sf_dir):
+    """Centroid matrix rides as a literal (no join); the k-key groupBy
+    collapses map-side before the shuffle."""
+    plan = _plan(entry_mod.q_cluster_profile(spark, sf_dir))
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert plan.count("BroadcastHashJoin") == 0  # no centroid join needed

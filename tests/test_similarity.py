@@ -165,3 +165,22 @@ def test_ivf_sampled_fit_still_recalls(spark, sf_dir):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.9, f"sampled-fit IVF recall {recall} < 0.9"
+
+
+def test_cluster_profile_partitions_table(spark, sf_dir):
+    """Cluster sizes sum to the table size, every cohesion average is a
+    valid cosine, and cohesion_fp is exactly the sum its avg derives from."""
+    from external_benchmarks_spark.operators.similarity import (
+        cluster_profile,
+        ivf_assign,
+        sampled_centroids,
+    )
+
+    emb = Catalog(spark, sf_dir).embeddings
+    cents = sampled_centroids(emb, n_centroids=8)
+    prof = cluster_profile(ivf_assign(emb, cents), cents).collect()
+    assert sum(r.n_members for r in prof) == emb.count()
+    for r in prof:
+        assert -1.0 - 1e-6 <= r.avg_cos <= 1.0 + 1e-6
+        assert r.min_cos_fp <= r.cohesion_fp / r.n_members
+        assert r.avg_cos == r.cohesion_fp / (r.n_members * 1_000_000)
