@@ -31,18 +31,30 @@ TESTDATA_TABLES = (
 
 
 def _normalize_events(df: DataFrame) -> DataFrame:
-    """events.ts arrives as ns-since-epoch long (nanosAsLong); expose both
-    ``ts_ns`` (exact long) and ``ts`` (microsecond timestamp, ns//1000 —
-    bit-identical to what DuckDB's parquet reader produces)."""
+    """Normalize events.ts across testdata vintages and expose integer
+    companions: ``ts`` (microsecond timestamp), ``ts_us`` (exact long
+    microseconds), ``ts_ns`` (exact long nanoseconds).
+
+    The driver's parquet has shipped ``ts`` either as TIMESTAMP(NANOS)
+    (read as ns-since-epoch long under nanosAsLong) or as plain
+    TIMESTAMP(MICROS); both converge to the same three columns so every
+    downstream operator is vintage-independent.
+    """
     from pyspark.sql import functions as F
 
-    if dict(df.dtypes).get("ts") == "bigint":
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
         # Integer division (DIV), not float division: ts_ns ~ 1.7e18 exceeds
         # double's 53-bit mantissa, so `/ 1000` would misround microseconds.
         df = (
             df.withColumnRenamed("ts", "ts_ns")
             .withColumn("ts_us", F.expr("ts_ns DIV 1000"))
             .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+        )
+    elif dt is not None:
+        df = (
+            df.withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
+            .withColumn("ts_ns", F.col("ts_us") * F.lit(1000))
         )
     return df
 
