@@ -70,17 +70,17 @@ _VT_DF: dict[str, "object"] = {}
 
 
 def _vt_serving_df(spark, sf):
-    """The SERVING copy of the index layout: read once, persisted in
-    executor memory, shared by every template invocation — the
-    amortization that moves warm read p95 toward Spark's per-job floor
-    (planning + file listing drop out of the hot path; the label filter
-    prunes cached batches via in-memory partition stats). At 100 TB the
-    disk layout's directory pruning is the cold path; a hot working set
-    would be pinned the same way."""
+    """The SERVING copy of the index layout: the label-partitioned DISK
+    layout, read once per sf (file listing amortized) and served with
+    planning-time partition pruning — `label == 0` prunes to 1/|labels| of
+    the directories before any task launches. Measured in r2 that a
+    `.persist()`ed unpartitioned in-memory copy is SLOWER here (warm p95
+    0.49-1.73 s vs 0.27-0.29 s): InMemoryRelation loses directory-level
+    pruning and re-filters every cached batch, while the OS page cache
+    already makes the pruned disk read warm. At 100 TB the same holds —
+    partition pruning beats a cache that must scan all batches."""
     if sf not in _VT_DF:
-        df = spark.read.parquet(_vt_layout(spark, sf)).persist()
-        df.count()  # materialize outside any timed region
-        _VT_DF[sf] = df
+        _VT_DF[sf] = spark.read.parquet(_vt_layout(spark, sf))
     return _VT_DF[sf]
 
 
@@ -140,6 +140,12 @@ def _upsert_table(spark, sf):
         t.init(Catalog(spark, sf).embeddings)
     else:
         t.vacuum()  # keep reruns from accumulating version dirs
+    # Warm the MERGE path (first MERGE in a session pays Arrow/exchange
+    # warm-up): the SLA analog is the reference's SUSTAINED 2 s write p95
+    # at 20 QPS, so the timed entry measures a steady-state batch. The
+    # warm-up re-upserts 100 rows with their original values — content
+    # no-op, one extra version dir (vacuumed on reruns).
+    t.upsert(Catalog(spark, sf).embeddings.limit(100).withColumn("op_ts", F.lit(0)))
     return t
 
 

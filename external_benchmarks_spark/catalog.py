@@ -37,8 +37,10 @@ def _normalize_events(df: DataFrame) -> DataFrame:
 
     The driver's parquet has shipped ``ts`` either as TIMESTAMP(NANOS)
     (read as ns-since-epoch long under nanosAsLong) or as plain
-    TIMESTAMP(MICROS); both converge to the same three columns so every
-    downstream operator is vintage-independent.
+    TIMESTAMP(MICROS) (read as timestamp / timestamp_ntz); all vintages
+    converge to the same three columns — ``ts`` always ends up TIMESTAMP
+    (LTZ), which ``withWatermark`` requires — so every downstream operator
+    is vintage-independent.
     """
     from pyspark.sql import functions as F
 
@@ -51,10 +53,29 @@ def _normalize_events(df: DataFrame) -> DataFrame:
             .withColumn("ts_us", F.expr("ts_ns DIV 1000"))
             .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
         )
-    elif dt is not None:
+    elif dt in ("timestamp", "timestamp_ntz"):
+        if dt == "timestamp":
+            ts_us = F.unix_micros(F.col("ts"))
+        else:
+            # NTZ wall-clock interpreted as UTC. A cast (implicit or via
+            # to_utc_timestamp) would go through the SESSION timezone and
+            # silently shift epochs on non-UTC sessions, diverging from the
+            # ns-long vintage and the DuckDB oracle's epoch_us — so derive
+            # the epoch arithmetically from wall-clock fields instead.
+            ts_us = (
+                F.unix_date(F.col("ts").cast("date")).cast("long") * F.lit(86400000000)
+                + (F.hour("ts") * 3600 + F.minute("ts") * 60).cast("long") * F.lit(1000000)
+                + F.expr("CAST(extract(second FROM ts) * 1000000 AS BIGINT)")
+            )
         df = (
-            df.withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
+            df.withColumn("ts_us", ts_us)
             .withColumn("ts_ns", F.col("ts_us") * F.lit(1000))
+            .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+        )
+    elif dt is not None:
+        raise TypeError(
+            f"events.ts has unsupported dtype {dt!r}; expected bigint (ns-long "
+            "vintage), timestamp, or timestamp_ntz"
         )
     return df
 

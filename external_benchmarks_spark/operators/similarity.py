@@ -463,27 +463,33 @@ def cluster_profile(
     avg_cos derives from the exact integer sum, so the whole row
     hash-matches an independent SQL replication.
 
-    Scale shape: the (k x dim) centroid matrix rides along as a literal
-    array indexed by element_at — no join, no broadcast table; one
-    groupBy on k keys (map-side partials collapse every partition to
-    <= k rows before the shuffle).
+    Scale shape: the (k x dim) centroid matrix is a BROADCAST side table
+    equi-joined on cluster_id — at realistic clustering scale (k=4096,
+    dim=768 ~ 25 MB) a plan-literal array would bloat every task's
+    serialized plan and Catalyst analysis, while a broadcast ships once
+    per executor. One groupBy on k keys after the join (map-side partials
+    collapse every partition to <= k rows before the shuffle).
     """
-    cent_lit = F.array(
-        *[
-            F.array(*[F.lit(float(v)) for v in row])
-            for row in np.asarray(centroids, dtype=np.float64)
-        ]
+    spark = assigned.sparkSession
+    cent_rows = [
+        (int(i), [float(v) for v in row])
+        for i, row in enumerate(np.asarray(centroids, dtype=np.float64))
+    ]
+    cent_df = spark.createDataFrame(
+        cent_rows, schema="cluster_id bigint, _centroid array<double>"
     )
-    cv = F.element_at(cent_lit, F.col(cluster_col).cast("int") + 1)
     e = F.col(emb_col).cast("array<double>")
+    cv = F.col("_centroid")
     norm = l2_norm(e)
     cos = F.when(norm > 0.0, dot_product(e, cv) / norm).otherwise(F.lit(0.0))
     cos_fp = F.round(cos * 1_000_000, 0).cast("bigint")
     return (
         assigned.select(
             F.col(cluster_col).cast("bigint").alias("cluster_id"),
-            cos_fp.alias("cos_fp"),
+            F.col(emb_col),
         )
+        .join(F.broadcast(cent_df), "cluster_id")
+        .select(F.col("cluster_id"), cos_fp.alias("cos_fp"))
         .groupBy("cluster_id")
         .agg(
             F.count(F.lit(1)).alias("n_members"),

@@ -50,6 +50,9 @@ class UpsertTable:
         self.root = root
         self.key_col = key_col
         self.n_buckets = n_buckets
+        # Lazily-learned schema of the bucket files; lets steady-state
+        # MERGEs read base buckets without a footer-inference job.
+        self._base_schema = None
 
     # -- manifest ----------------------------------------------------------
     def _manifest_path(self) -> str:
@@ -136,6 +139,58 @@ class UpsertTable:
             .drop("v", "bucket")
         )
 
+    # Micro-batches up to this size are deduped driver-side in ONE job;
+    # larger batches take the distributed window + broadcast-anti-join
+    # path. 10k rows of keyed updates is far above the reference's
+    # 100-row batches and still trivially driver-sized.
+    SMALL_BATCH_MAX = 10_000
+
+    def _small_batch(self, updates: DataFrame):
+        """Try the one-job micro-batch path: pull `limit(MAX+1)` rows with
+        their bucket (and dedup-order hash when op_ts is absent) attached,
+        so ONE collect serves dedup, the touched-bucket probe, and the
+        delete-key set. Returns (upd_df, touched, key_vals) or None when
+        the batch exceeds the threshold."""
+        has_ts = "op_ts" in updates.columns
+        probe = updates.withColumn(
+            "bucket", _bucket(F.col(self.key_col), self.n_buckets)
+        )
+        if not has_ts:
+            probe = probe.withColumn(
+                "_h", F.xxhash64(*[F.col(c) for c in updates.columns])
+            )
+        rows = probe.limit(self.SMALL_BATCH_MAX + 1).collect()
+        if len(rows) > self.SMALL_BATCH_MAX:
+            return None
+        # Last-writer-wins per key: highest op_ts, else lowest whole-row
+        # hash — the same winner the distributed window path picks.
+        best: dict = {}
+
+        def ts_key(r):
+            v = r["op_ts"]
+            # NULL op_ts sorts below every real value (the window's
+            # `desc()` puts nulls last), without assuming numeric op_ts.
+            return (v is not None, v)
+
+        for r in rows:
+            k = r[self.key_col]
+            if k not in best:
+                best[k] = r
+            elif has_ts:
+                if ts_key(r) > ts_key(best[k]):
+                    best[k] = r
+            elif r["_h"] < best[k]["_h"]:
+                best[k] = r
+        cols = [*updates.columns, "bucket"]
+        schema = probe.select(*cols).schema
+        data = [tuple(r[c] for c in cols) for r in best.values()]
+        # One partition: createDataFrame would otherwise slice a 100-row
+        # batch across defaultParallelism empty tasks in the write job.
+        upd = self.spark.createDataFrame(data, schema=schema).coalesce(1)
+        touched = sorted({r["bucket"] for r in best.values()})
+        key_vals = [k for k in best if k is not None]
+        return upd, touched, key_vals
+
     def upsert(self, updates: DataFrame, evolve_schema: bool = False) -> None:
         """MERGE semantics: delete matching keys, insert all update rows.
         Last-writer-wins within a batch by highest ``op_ts`` if present.
@@ -144,43 +199,75 @@ class UpsertTable:
         new in `updates` are added (null for untouched rows of rewritten
         buckets and for rows in buckets this batch doesn't touch — parquet
         schema merging fills them on read); columns missing from
-        `updates` read as null for the new rows."""
-        # One row per key (last-writer-wins by op_ts when present): a single
-        # window pass — one shuffle on the key — replaces the
-        # aggregate+join+distinct chain.
-        from pyspark.sql.window import Window
+        `updates` read as null for the new rows.
 
-        # Without op_ts there is no user-defined order; break ties by a
-        # stable hash of the whole row so reruns pick the SAME winner
-        # (F.lit(1) would leave the choice to partition arrival order).
-        order = (
-            [F.col("op_ts").desc()]
-            if "op_ts" in updates.columns
-            else [F.xxhash64(*[F.col(c) for c in updates.columns]).asc()]
-        )
-        w = Window.partitionBy(self.key_col).orderBy(*order)
-        upd = (
-            updates.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
-        upd = upd.withColumn("bucket", _bucket(F.col(self.key_col), self.n_buckets))
-        touched = [r["bucket"] for r in upd.select("bucket").distinct().collect()]
+        Write-latency shape (the reference's 2 s p95 target): a micro-batch
+        MERGE is two Spark jobs — one bounded collect of the batch, one
+        rewrite of the touched buckets. The batch dedup, bucket probe, and
+        delete-key set all come out of the single collect; the base-bucket
+        schema is cached on the instance after the first MERGE so later
+        MERGEs skip parquet footer inference (a per-job driver cost that
+        dominated the 100-row-batch latency)."""
+        small = self._small_batch(updates)
+        if small is not None:
+            upd, touched, key_vals = small
+            inline_keys = True
+        else:
+            # One row per key via a single window pass — one shuffle on the
+            # key. Without op_ts there is no user-defined order; break ties
+            # by a stable hash of the whole row so reruns pick the SAME
+            # winner (F.lit(1) would leave it to partition arrival order).
+            from pyspark.sql.window import Window
+
+            order = (
+                [F.col("op_ts").desc()]
+                if "op_ts" in updates.columns
+                else [F.xxhash64(*[F.col(c) for c in updates.columns]).asc()]
+            )
+            w = Window.partitionBy(self.key_col).orderBy(*order)
+            upd = (
+                updates.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+                .withColumn("bucket", _bucket(F.col(self.key_col), self.n_buckets))
+                # Materialize ONCE: the bucket probe and the write below
+                # would otherwise recompute the scan + window shuffle.
+                .localCheckpoint()
+            )
+            touched = sorted(
+                r["bucket"] for r in upd.select("bucket").distinct().collect()
+            )
+            key_vals = []
+            inline_keys = False
         if not touched:
             return
         manifest = self._read_manifest()
         new_version = max(manifest.values(), default=-1) + 1
         base_paths = self._bucket_paths(manifest, touched)
-        keys = upd.select(self.key_col).distinct()
         merged = upd
         if base_paths:
+            if self._base_schema is not None and not evolve_schema:
+                # Explicit schema: no footer-inference job. Discovered
+                # partition values (bucket, v) still come from the dirs.
+                reader = self.spark.read.schema(self._base_schema)
+            else:
+                reader = self.spark.read.option("mergeSchema", "true")
             base = (
-                self.spark.read.option("basePath", self.root)
-                .option("mergeSchema", "true")
-                .parquet(*base_paths)
-                .drop("v")
+                reader.option("basePath", self.root).parquet(*base_paths).drop("v")
             )
-            survivors = base.join(F.broadcast(keys), self.key_col, "left_anti")
+            if inline_keys:
+                # NULL-keyed base rows survive (an anti-join would never
+                # match them); NULL update keys delete nothing.
+                if not key_vals:
+                    survivors = base
+                else:
+                    survivors = base.filter(
+                        F.col(self.key_col).isNull()
+                        | ~F.col(self.key_col).isin(key_vals)
+                    )
+            else:
+                keys = upd.select(self.key_col).distinct()
+                survivors = base.join(F.broadcast(keys), self.key_col, "left_anti")
             if evolve_schema:
                 merged = survivors.unionByName(upd, allowMissingColumns=True)
             else:
@@ -196,6 +283,11 @@ class UpsertTable:
         for b in touched:
             manifest[str(b)] = new_version
         self._write_manifest(manifest)
+        # Cache the merged-bucket schema (incl. the bucket partition column
+        # and the v dir column Spark discovers) for the next MERGE's base
+        # read; evolution invalidates any stale cache naturally because the
+        # new schema is recorded here after the write.
+        self._base_schema = merged.schema.add("v", "integer")
 
     def compact(self) -> None:
         """Rewrite every bucket at one fresh version (small files from
