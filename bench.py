@@ -127,11 +127,17 @@ def _index_build(spark, sf):
     return spark.read.parquet(out).limit(1)
 
 
+_UPSERT_TABLES: dict[str, "object"] = {}
+
+
 def _upsert_table(spark, sf):
-    """Seeded bucketed upsert table, cached per-sf in the tempdir: seeding
-    is index-build work, not part of the write-SLA measurement."""
+    """Seeded bucketed upsert table, cached per-sf in the tempdir AND
+    memoized per-process: seeding/compaction is index-build work, not part
+    of the write-SLA measurement (the timed entry must not re-trigger it)."""
     from external_benchmarks_spark.streaming.upsert import UpsertTable
 
+    if sf in _UPSERT_TABLES:
+        return _UPSERT_TABLES[sf]
     tag = sf.rstrip("/").replace("/", "_").lstrip("_")
     root = os.path.join(tempfile.gettempdir(), f"ebs_upsert_bench_{tag}")
     t = UpsertTable(spark, root, key_col="vec_id", n_buckets=8)
@@ -139,13 +145,17 @@ def _upsert_table(spark, sf):
         shutil.rmtree(root, ignore_errors=True)
         t.init(Catalog(spark, sf).embeddings)
     else:
-        t.vacuum()  # keep reruns from accumulating version dirs
+        # Reruns accumulate version dirs AND file fragments (each MERGE
+        # adds a file per touched bucket); compact() folds every bucket
+        # back to one file and vacuums — all outside the timed region.
+        t.compact()
     # Warm the MERGE path (first MERGE in a session pays Arrow/exchange
     # warm-up): the SLA analog is the reference's SUSTAINED 2 s write p95
     # at 20 QPS, so the timed entry measures a steady-state batch. The
     # warm-up re-upserts 100 rows with their original values — content
     # no-op, one extra version dir (vacuumed on reruns).
     t.upsert(Catalog(spark, sf).embeddings.limit(100).withColumn("op_ts", F.lit(0)))
+    _UPSERT_TABLES[sf] = t
     return t
 
 
@@ -377,6 +387,10 @@ def headline_queries():
         "text_quality": q["text_quality"],
         "token_stats": q["token_stats"],
         "repetition_stats": q["repetition_stats"],
+        "lm_score": q["lm_score"],
+        "dup_span_stats": q["dup_span_stats"],
+        "gopher_rules": q["gopher_rules"],
+        "dsir_weights": q["dsir_weights"],
         "doc_chunks": q["doc_chunks"],
         "vocab_encode": q["vocab_encode"],
         "dedup_keep_best": q["dedup_keep_best"],

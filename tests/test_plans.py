@@ -240,8 +240,11 @@ def test_dup_span_shuffles_only_keyed(spark, sf_dir):
 
 
 def test_cluster_profile_groups_map_side(spark, sf_dir):
-    """Centroid matrix rides as a literal (no join); the k-key groupBy
-    collapses map-side before the shuffle."""
+    """Centroid matrix is a BROADCAST side table (k x dim literals in the
+    plan would bloat Catalyst analysis and task serialization at k=4096,
+    dim=768); the k-key groupBy still collapses map-side before the
+    shuffle."""
     plan = _plan(entry_mod.q_cluster_profile(spark, sf_dir))
     assert "partial_count" in plan or "partial_sum" in plan
-    assert plan.count("BroadcastHashJoin") == 0  # no centroid join needed
+    assert plan.count("BroadcastHashJoin") == 1  # centroids broadcast once
+    assert "SortMergeJoin" not in plan  # never a shuffle join on centroids
