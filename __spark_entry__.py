@@ -1207,6 +1207,37 @@ def q_events_hourly(spark, sf):
     return sess_ops.hourly_rollup(Catalog(spark, sf).events)
 
 
+def q_stream_events_hourly(spark, sf):
+    # TRUE Structured Streaming execution of the hourly rollup: file
+    # stream -> watermark -> tumbling window -> complete-mode memory sink,
+    # availableNow trigger (streaming/windows.stream_hourly_rollup). The
+    # lambda-architecture contract makes it oracle-able: the streamed
+    # result is row-identical to the batch rollup, so the same SQL checks
+    # a real watermarked streaming query end-to-end.
+    import tempfile
+    import uuid
+
+    from external_benchmarks_spark.streaming.windows import stream_hourly_rollup
+
+    events = Catalog(spark, sf).events.select("ts", "event_type", "value")
+    d = tempfile.mkdtemp(prefix="ebs_stream_hourly_")
+    src = os.path.join(d, "src")
+    events.write.parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    name = "stream_hourly_" + uuid.uuid4().hex[:8]
+    q = (
+        stream_hourly_rollup(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(d, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def q_events_sliding(spark, sf):
     return sess_ops.sliding_rollup(
         Catalog(spark, sf).events, window="2 hours", slide="1 hour"
@@ -1482,6 +1513,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": q_gopher_rules,
         "dsir_weights": q_dsir_weights,
         "cluster_profile": q_cluster_profile,
+        # new in round 3: a REAL watermarked Structured Streaming query,
+        # oracle-able because streaming == batch (lambda contract)
+        "stream_events_hourly": q_stream_events_hourly,
         # --- round-2-verified window (50/50 green in r02) ----------------
         "ann_recall": q_ann_recall,
         "dim_stats": q_dim_stats,
@@ -2496,6 +2530,18 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "events_hourly": """
+            WITH a AS (
+              SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+                     event_type, COUNT(*) AS cnt,
+                     ROUND(SUM(value), 4) AS sum_value
+              FROM events GROUP BY 1, 2)
+            SELECT hour, event_type, cnt, sum_value,
+                   ROUND(sum_value / cnt, 6) AS avg_value
+            FROM a
+        """,
+        # The streaming rollup must equal the batch rollup row-for-row
+        # (complete-mode availableNow over the same events): same oracle.
+        "stream_events_hourly": """
             WITH a AS (
               SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
                      event_type, COUNT(*) AS cnt,

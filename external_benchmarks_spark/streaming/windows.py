@@ -33,8 +33,12 @@ def stream_hourly_rollup(
         .agg(
             F.count(F.lit(1)).alias("cnt"),
             F.round(F.sum("value"), 4).alias("sum_value"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
         )
+        # avg derived from the ROUNDED sum exactly like the batch rollup
+        # (operators/sessions.hourly_rollup): the rounded sum is
+        # bit-identical across engines and partition orders, so streaming,
+        # batch, and the DuckDB oracle agree to the last bit.
+        .withColumn("avg_value", F.round(F.col("sum_value") / F.col("cnt"), 6))
         .select(
             F.date_format(F.col("win.start"), "yyyy-MM-dd HH").alias("hour"),
             type_col,
