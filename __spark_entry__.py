@@ -1207,6 +1207,37 @@ def q_events_hourly(spark, sf):
     return sess_ops.hourly_rollup(Catalog(spark, sf).events)
 
 
+def _events_file_stream(spark, sf, cols):
+    """Materialize the (catalog-normalized) events selection to a temp
+    parquet dir and open it as a file stream — the standard way to drive
+    a finite Structured Streaming run over testdata."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="ebs_stream_src_")
+    src = os.path.join(d, "src")
+    Catalog(spark, sf).events.select(*cols).write.parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    return stream, d
+
+
+def _stream_to_table(spark, out_stream, ckpt_root, mode):
+    """Run a streaming DataFrame to completion (availableNow) into a
+    uniquely-named memory sink; return the sink table."""
+    import uuid
+
+    name = "stream_q_" + uuid.uuid4().hex[:8]
+    q = (
+        out_stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", os.path.join(ckpt_root, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def q_stream_events_hourly(spark, sf):
     # TRUE Structured Streaming execution of the hourly rollup: file
     # stream -> watermark -> tumbling window -> complete-mode memory sink,
@@ -1214,28 +1245,50 @@ def q_stream_events_hourly(spark, sf):
     # lambda-architecture contract makes it oracle-able: the streamed
     # result is row-identical to the batch rollup, so the same SQL checks
     # a real watermarked streaming query end-to-end.
-    import tempfile
-    import uuid
-
     from external_benchmarks_spark.streaming.windows import stream_hourly_rollup
 
-    events = Catalog(spark, sf).events.select("ts", "event_type", "value")
-    d = tempfile.mkdtemp(prefix="ebs_stream_hourly_")
-    src = os.path.join(d, "src")
-    events.write.parquet(src)
-    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
-    name = "stream_hourly_" + uuid.uuid4().hex[:8]
-    q = (
-        stream_hourly_rollup(stream)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", os.path.join(d, "ck"))
-        .trigger(availableNow=True)
-        .start()
+    stream, d = _events_file_stream(spark, sf, ["ts", "event_type", "value"])
+    return _stream_to_table(spark, stream_hourly_rollup(stream), d, "complete")
+
+
+def q_stream_events_sliding(spark, sf):
+    # Watermarked SLIDING-window streaming aggregate (2h window / 1h
+    # slide): same expression as the batch sliding_rollup after
+    # withWatermark, so the unrolled-window SQL oracle checks it too.
+    stream, d = _events_file_stream(spark, sf, ["ts", "event_type", "value"])
+    out = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(
+            F.window(F.col("ts"), "2 hours", "1 hour").alias("win"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH").alias("window_start"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
     )
-    q.awaitTermination()
-    return spark.table(name)
+    return _stream_to_table(spark, out, d, "complete")
+
+
+def q_stream_dedup_keys(spark, sf):
+    # Streaming exact dedup: dropDuplicates state across the whole stream,
+    # projected to the key columns so the kept-row arrival order cannot
+    # leak into the result — the output multiset IS `SELECT DISTINCT`.
+    # (The production op is streaming/dedup.stream_dedup_keys, which
+    # bounds state with dropDuplicatesWithinWatermark; that variant can
+    # re-admit a key whose duplicates arrive beyond the watermark, so the
+    # globally-deterministic form is the one under oracle.)
+    stream, d = _events_file_stream(spark, sf, ["user_id", "event_type"])
+    out = stream.dropDuplicates(["user_id", "event_type"]).select(
+        "user_id", "event_type"
+    )
+    return _stream_to_table(spark, out, d, "append")
 
 
 def q_events_sliding(spark, sf):
@@ -1513,9 +1566,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": q_gopher_rules,
         "dsir_weights": q_dsir_weights,
         "cluster_profile": q_cluster_profile,
-        # new in round 3: a REAL watermarked Structured Streaming query,
-        # oracle-able because streaming == batch (lambda contract)
+        # new in round 3: REAL Structured Streaming queries, oracle-able
+        # because streaming == batch (lambda contract)
         "stream_events_hourly": q_stream_events_hourly,
+        "stream_events_sliding": q_stream_events_sliding,
+        "stream_dedup_keys": q_stream_dedup_keys,
         # --- round-2-verified window (50/50 green in r02) ----------------
         "ann_recall": q_ann_recall,
         "dim_stats": q_dim_stats,
@@ -2550,6 +2605,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT hour, event_type, cnt, sum_value,
                    ROUND(sum_value / cnt, 6) AS avg_value
             FROM a
+        """,
+        "stream_events_sliding": """
+            SELECT strftime(ws, '%Y-%m-%d %H') AS window_start, event_type,
+                   COUNT(*) AS cnt, ROUND(SUM(value), 4) AS sum_value
+            FROM (
+              SELECT date_trunc('hour', ts) - TO_HOURS(o) AS ws, event_type, value
+              FROM events, UNNEST([0, 1]) AS t(o)
+            ) GROUP BY 1, 2
+        """,
+        "stream_dedup_keys": """
+            SELECT DISTINCT user_id, event_type FROM events
         """,
         "sessionize": f"""
             WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events),
