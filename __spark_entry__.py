@@ -1308,6 +1308,23 @@ def q_blob_metadata(spark, sf):
     return blob_metadata(docs, "blob")
 
 
+def q_image_decode_multiformat(spark, sf):
+    # Rotating container formats (PNG/BMP/GIF by doc_id % 3, all REAL
+    # pure-stdlib encoders+decoders incl. GIF's LZW) through the same
+    # decode->featurize pipeline; the gradient content is identical
+    # across formats, so ONE arithmetic SQL oracle hash-checks all three
+    # codecs end to end. JPEG is also implemented (baseline DCT,
+    # multimodal/codecs.py) but lossy, hence pytest-verified (PSNR),
+    # not oracle-verified.
+    from external_benchmarks_spark.multimodal.binaryops import (
+        decode_image,
+        make_multiformat_image_blobs,
+    )
+
+    docs = Catalog(spark, sf).documents.select("doc_id")
+    return decode_image(make_multiformat_image_blobs(docs), "blob")
+
+
 def q_image_decode(spark, sf):
     # REAL image pipeline: encode a gradient PNG per doc (real zlib/struct
     # encoder), decode it back with a real byte-level PNG decoder
@@ -1571,6 +1588,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_events_hourly": q_stream_events_hourly,
         "stream_events_sliding": q_stream_events_sliding,
         "stream_dedup_keys": q_stream_dedup_keys,
+        # new in round 3: PNG+BMP+GIF decoders under one oracle
+        "image_decode_multiformat": q_image_decode_multiformat,
         # --- round-2-verified window (50/50 green in r02) ----------------
         "ann_recall": q_ann_recall,
         "dim_stats": q_dim_stats,
@@ -2111,6 +2130,8 @@ def oracle_sql() -> dict[str, str]:
         "ivf_ann_topk": _ivf_ann_sql(),
         "doc_pagerank": _pagerank_sql(),
         "image_decode": _image_decode_sql(),
+        # identical gradient content in rotating containers -> same oracle
+        "image_decode_multiformat": _image_decode_sql(),
         "audio_decode": _audio_decode_sql(),
         "embed_inference": """
             SELECT doc_id, 64 AS n_dims,

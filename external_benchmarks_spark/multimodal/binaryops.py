@@ -3,16 +3,19 @@ with typed metadata.
 
 Two tiers of decode kernel:
 
-- REAL decoders for PNG and WAV/PCM16 (``decode_image`` /
-  ``decode_audio``): genuine byte-level parsing via
-  multimodal/codecs.py (pure stdlib zlib/struct/wave — full PNG filter
-  reversal, RIFF container parse). PIL is preferred when installed
-  (import-gated); the pure decoder is the always-available fallback.
+- REAL decoders for PNG, BMP, GIF (incl. LZW), baseline JPEG, and
+  WAV/PCM16 (``decode_image`` auto-dispatches on magic bytes via
+  multimodal/codecs.py — pure stdlib/numpy: full PNG filter reversal,
+  GIF variable-width LZW, JPEG Huffman+DCT, RIFF container parse). PIL
+  is preferred when installed (import-gated); the pure decoders are the
+  always-available fallback. The lossless formats are oracle-verified
+  (``image_decode``, ``image_decode_multiformat``); JPEG is
+  PSNR-verified in pytest because it is lossy by design.
 - STUB kernels (``decode_image_stub`` etc., clearly marked) for formats
-  the container can't parse (JPEG/MP3/MP4) — deterministic fakes that
+  the container can't parse (MP3/MP4 video) — deterministic fakes that
   keep the Spark-side plumbing (schemas, Arrow batch shapes, mapInPandas
   signatures, partitioning) real and tested; swapping in
-  PIL/torchaudio/pyav is a one-function change per kernel.
+  torchaudio/pyav is a one-function change per kernel.
 
 Design for 100 TB: blobs never pass through Python row-at-a-time; each
 mapInPandas batch receives a pandas column of bytes (Arrow buffers),
@@ -135,6 +138,35 @@ def make_image_blobs(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
     return df.withColumn("blob", gen(F.col(key_col)))
 
 
+def make_multiformat_image_blobs(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
+    """Same deterministic gradient as make_image_blobs, but the container
+    format rotates by key: PNG, BMP, or GIF (all REAL encoders,
+    multimodal/codecs.py). BMP/GIF carry the gray value replicated into
+    RGB, so the luminance statistics are IDENTICAL to the PNG path — the
+    one SQL oracle checks three container formats and their decoders."""
+    from external_benchmarks_spark.multimodal.codecs import (
+        encode_bmp,
+        encode_gif,
+        encode_png,
+    )
+
+    encoders = (encode_png, encode_bmp, encode_gif)
+
+    @F.pandas_udf(BinaryType())
+    def gen(keys: pd.Series) -> pd.Series:
+        out = []
+        for k in keys:
+            k = int(k)
+            w, h = 8 + k % 9, 8 + k % 7
+            img = (
+                (k + np.arange(h, dtype=np.int64)) % 256
+            ).astype(np.uint8)[:, None] * np.ones((1, w), dtype=np.uint8)
+            out.append(encoders[k % 3](img))
+        return pd.Series(out)
+
+    return df.withColumn("blob", gen(F.col(key_col)))
+
+
 def decode_image(df: DataFrame, blob_col: str, key_col: str = "doc_id") -> DataFrame:
     """mapInPandas image decode with a REAL kernel: PIL when installed,
     else the pure-stdlib PNG decoder (multimodal/codecs.py). Emits pixel
@@ -148,10 +180,12 @@ def decode_image(df: DataFrame, blob_col: str, key_col: str = "doc_id") -> DataF
 
             return np.asarray(Image.open(io.BytesIO(b)).convert("L"))
     except ImportError:
-        from external_benchmarks_spark.multimodal.codecs import decode_png
+        from external_benchmarks_spark.multimodal.codecs import decode_image_auto
 
         def _open(b: bytes) -> np.ndarray:
-            arr = decode_png(b)
+            # magic-byte dispatch: PNG/BMP/GIF/JPEG all decode with the
+            # pure-stdlib codecs (multimodal/codecs.py)
+            arr = decode_image_auto(b)
             # luminance reduce for RGB; grayscale passes through
             return arr if arr.ndim == 2 else arr.mean(axis=2).astype(np.uint8)
 

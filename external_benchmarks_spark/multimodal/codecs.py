@@ -145,3 +145,622 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
         rate = f.getframerate()
         frames = f.readframes(f.getnframes())
     return rate, np.frombuffer(frames, dtype="<i2")
+
+
+# ---------------------------------------------------------------------------
+# BMP (Windows BITMAPINFOHEADER, 24-bit uncompressed) — spec: MS docs /
+# Windows BMP file format, public since Windows 3.0.
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """Encode (h, w) grayscale or (h, w, 3) RGB uint8 as a 24-bit BMP
+    (BI_RGB, bottom-up rows, 4-byte row padding, BGR byte order)."""
+    arr = np.asarray(img, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = np.stack([arr] * 3, axis=2)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(f"unsupported image shape {arr.shape}")
+    h, w = arr.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    pad = b"\x00" * (stride - w * 3)
+    # bottom-up scanlines, BGR
+    body = b"".join(arr[r, :, ::-1].tobytes() + pad for r in range(h - 1, -1, -1))
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 14 + 40)
+    return header + info + body
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """Decode a 24-bit uncompressed BMP to (h, w, 3) uint8 RGB. Handles
+    bottom-up and top-down (negative height) row orders."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (offset,) = struct.unpack("<I", data[10:14])
+    hdr_size, w, h = struct.unpack("<Iii", data[14:26])
+    planes, bpp, comp = struct.unpack("<HHI", data[26:34])
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp} compression={comp})")
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    out = np.zeros((h, w, 3), dtype=np.uint8)
+    for r in range(h):
+        src = offset + r * stride
+        row = np.frombuffer(data[src : src + w * 3], dtype=np.uint8).reshape(w, 3)
+        dst = r if top_down else h - 1 - r
+        out[dst] = row[:, ::-1]  # BGR -> RGB
+    return out
+
+
+# ---------------------------------------------------------------------------
+# GIF (GIF87a/89a, palette + LZW) — spec: CompuServe GIF89a specification
+# (public, 1990); LZW variable-width codes per Appendix F.
+# ---------------------------------------------------------------------------
+
+
+def _gif_lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
+    """GIF-flavor LZW: variable code width, little-endian bit packing,
+    CLEAR emitted first and whenever the table fills to 4096."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {(i,): i for i in range(1 << min_code_size)}
+    next_code = eoi + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    seq: tuple = ()
+    for px in indices.tolist():
+        cand = seq + (px,)
+        if cand in table:
+            seq = cand
+            continue
+        emit(table[seq], width)
+        table[cand] = next_code
+        next_code += 1
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        if next_code >= 4096:
+            emit(clear, width)
+            table = {(i,): i for i in range(1 << min_code_size)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        seq = (px,)
+    if seq:
+        emit(table[seq], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, n_px: int) -> np.ndarray:
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    width = min_code_size + 1
+    table: list[tuple] = [(i,) for i in range(1 << min_code_size)] + [(), ()]
+    out: list[int] = []
+    acc = 0
+    nbits = 0
+    prev: tuple | None = None
+    pos = 0
+    while len(out) < n_px and (pos < len(data) or nbits >= width):
+        while nbits < width and pos < len(data):
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        if nbits < width:
+            break
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = [(i,) for i in range(1 << min_code_size)] + [(), ()]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + (entry[0],))
+        else:  # the KwKwK case
+            entry = prev + (prev[0],)
+            table.append(entry)
+        out.extend(entry)
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    return np.asarray(out[:n_px], dtype=np.int32)
+
+
+def encode_gif(img: np.ndarray) -> bytes:
+    """Encode (h, w) grayscale or (h, w, 3) RGB uint8 (<= 256 distinct
+    colors) as a single-frame GIF89a with a global palette."""
+    arr = np.asarray(img, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = np.stack([arr] * 3, axis=2)
+    h, w = arr.shape[:2]
+    flat = arr.reshape(-1, 3)
+    palette, indices = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError(f"GIF needs <= 256 colors, got {len(palette)}")
+    pal_bits = max(1, int(np.ceil(np.log2(max(2, len(palette))))))
+    pal_size = 1 << pal_bits
+    pal_bytes = np.zeros((pal_size, 3), dtype=np.uint8)
+    pal_bytes[: len(palette)] = palette
+    min_code_size = max(2, pal_bits)
+    lzw = _gif_lzw_encode(indices.astype(np.int32), min_code_size)
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((pal_bits - 1) << 4) | (pal_bits - 1), 0, 0)
+    out += pal_bytes.tobytes()
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)  # image descriptor
+    out += bytes([min_code_size])
+    for i in range(0, len(lzw), 255):  # sub-blocks
+        chunk = lzw[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+def decode_gif(data: bytes) -> np.ndarray:
+    """Decode the first frame of a GIF87a/89a (global or local palette,
+    no interlace) to (h, w, 3) uint8 RGB."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    w, h, flags, _bg, _ar = struct.unpack("<HHBBB", data[6:13])
+    pos = 13
+    palette = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        palette = np.frombuffer(data[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(data):
+        b0 = data[pos]
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif b0 == 0x2C:  # image descriptor
+            _l, _t, iw, ih, iflags = struct.unpack("<HHHHB", data[pos + 1 : pos + 10])
+            pos += 10
+            if iflags & 0x40:
+                raise ValueError("interlaced GIF unsupported")
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                palette = np.frombuffer(
+                    data[pos : pos + 3 * n], dtype=np.uint8
+                ).reshape(n, 3)
+                pos += 3 * n
+            min_code_size = data[pos]
+            pos += 1
+            lzw = bytearray()
+            while data[pos] != 0:
+                ln = data[pos]
+                lzw += data[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            if palette is None:
+                raise ValueError("GIF frame has no palette")
+            idx = _gif_lzw_decode(bytes(lzw), min_code_size, iw * ih)
+            return palette[idx].reshape(ih, iw, 3)
+        elif b0 == 0x3B:
+            break
+        else:
+            raise ValueError(f"bad GIF block 0x{b0:02x}")
+    raise ValueError("GIF has no image data")
+
+
+# ---------------------------------------------------------------------------
+# JPEG (baseline DCT, ITU-T T.81 / ISO 10918-1, public spec) — 4:4:4, no
+# subsampling. The Huffman tables are self-defined canonical tables
+# (every baseline decoder reads tables from the DHT segment, so any
+# valid canonical table yields a spec-conformant file; Annex K's tables
+# are only a compression optimization).
+# ---------------------------------------------------------------------------
+
+_JPEG_QL = np.array([  # Annex K luminance quantization (quality 50 base)
+    [16, 11, 10, 16, 24, 40, 51, 61],
+    [12, 12, 14, 19, 26, 58, 60, 55],
+    [14, 13, 16, 24, 40, 57, 69, 56],
+    [14, 17, 22, 29, 51, 87, 80, 62],
+    [18, 22, 37, 56, 68, 109, 103, 77],
+    [24, 35, 55, 64, 81, 104, 113, 92],
+    [49, 64, 78, 87, 103, 121, 120, 101],
+    [72, 92, 95, 98, 112, 100, 103, 99],
+], dtype=np.int64)
+
+_JPEG_QC = np.array([  # Annex K chrominance quantization
+    [17, 18, 24, 47, 99, 99, 99, 99],
+    [18, 21, 26, 66, 99, 99, 99, 99],
+    [24, 26, 56, 99, 99, 99, 99, 99],
+    [47, 66, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+], dtype=np.int64)
+
+
+def _zigzag_order() -> np.ndarray:
+    """The 64-entry zigzag permutation, generated (anti-diagonal walk)."""
+    order = []
+    for s in range(15):
+        ij = [(i, s - i) for i in range(max(0, s - 7), min(8, s + 1))]
+        if s % 2 == 0:
+            ij.reverse()  # even diagonals run bottom-left -> top-right
+        order.extend(i * 8 + j for i, j in ij)
+    return np.asarray(order, dtype=np.int64)
+
+
+_ZZ = _zigzag_order()
+
+_DCT = np.zeros((8, 8))
+for _k in range(8):
+    for _n in range(8):
+        _DCT[_k, _n] = (np.sqrt(0.125) if _k == 0 else 0.5) * np.cos(
+            (2 * _n + 1) * _k * np.pi / 16
+        )
+
+
+def _jpeg_tables(quality: int):
+    q = max(1, min(100, int(quality)))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    ql = np.clip((_JPEG_QL * scale + 50) // 100, 1, 255)
+    qc = np.clip((_JPEG_QC * scale + 50) // 100, 1, 255)
+    return ql, qc
+
+
+# Canonical Huffman: all 12 DC categories at code length 4; all 162 AC
+# symbols (EOB, ZRL, run 0-15 x size 1-10) at code length 8. Valid
+# (2^4 > 12, 2^8 > 162, all-ones never assigned), trivially invertible.
+_DC_SYMS = list(range(12))
+_AC_SYMS = [0x00, 0xF0] + [r * 16 + s for r in range(16) for s in range(1, 11)]
+_AC_SYMS = sorted(set(_AC_SYMS))
+_DC_CODE = {sym: (i, 4) for i, sym in enumerate(_DC_SYMS)}
+_AC_CODE = {sym: (i, 8) for i, sym in enumerate(_AC_SYMS)}
+
+
+def _dht(cls: int, tid: int, syms: list, length: int) -> bytes:
+    bits = [0] * 16
+    bits[length - 1] = len(syms)
+    payload = bytes([cls << 4 | tid]) + bytes(bits) + bytes(syms)
+    return b"\xff\xc4" + struct.pack(">H", len(payload) + 2) + payload
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int):
+        self.acc = (self.acc << length) | code
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self):
+        if self.n:
+            pad = 8 - self.n
+            b = ((self.acc << pad) | ((1 << pad) - 1)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+            self.n = 0
+            self.acc = 0
+
+
+def _cat(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+def _cat_bits(v: int) -> tuple[int, int]:
+    """JPEG magnitude coding: category + extra bits (ones' complement
+    for negatives)."""
+    c = _cat(v)
+    return c, (v if v >= 0 else v + (1 << c) - 1)
+
+
+def _encode_block(bw: _BitWriter, block: np.ndarray, qt: np.ndarray, pred: int) -> int:
+    coef = _DCT @ (block.astype(np.float64) - 128.0) @ _DCT.T
+    q = np.round(coef / qt).astype(np.int64).ravel()[_ZZ]
+    dc = int(q[0])
+    c, bits = _cat_bits(dc - pred)
+    code, ln = _DC_CODE[c]
+    bw.write(code, ln)
+    if c:
+        bw.write(bits, c)
+    run = 0
+    last_nz = int(np.max(np.nonzero(q)[0])) if np.any(q) else 0
+    for i in range(1, 64):
+        v = int(q[i])
+        if i > last_nz:
+            code, ln = _AC_CODE[0x00]  # EOB
+            bw.write(code, ln)
+            break
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            code, ln = _AC_CODE[0xF0]  # ZRL
+            bw.write(code, ln)
+            run -= 16
+        c, bits = _cat_bits(v)
+        code, ln = _AC_CODE[run * 16 + c]
+        bw.write(code, ln)
+        bw.write(bits, c)
+        run = 0
+    return dc
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
+    """Encode (h, w) grayscale or (h, w, 3) RGB uint8 as baseline JPEG
+    (4:4:4, self-defined canonical Huffman tables in DHT)."""
+    arr = np.asarray(img, dtype=np.uint8)
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    ql, qc = _jpeg_tables(quality)
+    if gray:
+        planes = [(arr.astype(np.float64), ql, 0)]
+    else:
+        r, g, b = (arr[..., i].astype(np.float64) for i in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [(y, ql, 0), (cb, qc, 1), (cr, qc, 1)]
+    bh, bw8 = (h + 7) // 8, (w + 7) // 8
+    out = bytearray(b"\xff\xd8")  # SOI
+    for tid, qt in ((0, ql),) if gray else ((0, ql), (1, qc)):
+        payload = bytes([tid]) + bytes(qt.ravel()[_ZZ].astype(np.uint8))
+        out += b"\xff\xdb" + struct.pack(">H", len(payload) + 2) + payload
+    ncomp = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for cid in range(1, ncomp + 1):
+        sof += bytes([cid, 0x11, 0 if cid == 1 else 1])
+    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    out += _dht(0, 0, _DC_SYMS, 4) + _dht(1, 0, _AC_SYMS, 8)
+    if not gray:
+        out += _dht(0, 1, _DC_SYMS, 4) + _dht(1, 1, _AC_SYMS, 8)
+    sos = bytes([ncomp])
+    for cid in range(1, ncomp + 1):
+        t = 0 if cid == 1 else 0x11
+        sos += bytes([cid, t])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+    bwr = _BitWriter()
+    preds = [0] * ncomp
+    for by in range(bh):
+        for bx in range(bw8):  # interleaved MCU = one 8x8 block per comp
+            for ci, (plane, qt, _tid) in enumerate(planes):
+                blk = np.full((8, 8), 128.0)
+                ys, xs = by * 8, bx * 8
+                sub = plane[ys : min(ys + 8, h), xs : min(xs + 8, w)]
+                blk[: sub.shape[0], : sub.shape[1]] = sub
+                # edge padding (replicate) avoids ringing against the 128 fill
+                if sub.shape[0] < 8:
+                    blk[sub.shape[0] :, : sub.shape[1]] = sub[-1:, :]
+                if sub.shape[1] < 8:
+                    blk[:, sub.shape[1] :] = blk[:, sub.shape[1] - 1 : sub.shape[1]]
+                preds[ci] = _encode_block(bwr, blk, qt, preds[ci])
+    bwr.flush()
+    out += bwr.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self):
+        while self.n <= 24 and self.pos < len(self.data):
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos < len(self.data) and self.data[self.pos] == 0x00:
+                    self.pos += 1  # stuffed byte
+                else:
+                    # a real marker: stop feeding (pad with zeros)
+                    self.pos = len(self.data)
+                    break
+            self.acc = (self.acc << 8) | b
+            self.n += 8
+
+    def read(self, length: int) -> int:
+        if length == 0:
+            return 0
+        self._fill()
+        if self.n < length:  # pad tail with zeros
+            self.acc <<= length - self.n
+            self.n = length
+        v = (self.acc >> (self.n - length)) & ((1 << length) - 1)
+        self.n -= length
+        self.acc &= (1 << self.n) - 1
+        return v
+
+
+def _extend(v: int, c: int) -> int:
+    return v if v >= (1 << (c - 1)) else v - (1 << c) + 1
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Decode a baseline (SOF0) non-subsampled JPEG to (h, w) or
+    (h, w, 3) uint8. Huffman tables come from the DHT segments, so files
+    from any conformant encoder decode (1x1 sampling only)."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    qts: dict[int, np.ndarray] = {}
+    huff: dict[tuple, dict] = {}
+    comps = []
+    h = w = None
+    scan = None
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = data[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack(">H", data[pos : pos + 2])
+        seg = data[pos + 2 : pos + seglen]
+        if marker == 0xDB:
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                t = np.zeros(64, dtype=np.int64)
+                t[_ZZ] = np.frombuffer(seg[p + 1 : p + 65], dtype=np.uint8)
+                qts[tq] = t.reshape(8, 8)
+                p += 65
+        elif marker == 0xC0:
+            _prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            p = 6
+            for _ in range(nc):
+                cid, samp, tq = seg[p], seg[p + 1], seg[p + 2]
+                if samp != 0x11:
+                    raise ValueError("subsampled JPEG unsupported (1x1 only)")
+                comps.append({"id": cid, "tq": tq})
+                p += 3
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError("only baseline SOF0 supported")
+        elif marker == 0xC4:
+            p = 0
+            while p < len(seg):
+                cls, tid = seg[p] >> 4, seg[p] & 0xF
+                bits = seg[p + 1 : p + 17]
+                nsym = sum(bits)
+                vals = seg[p + 17 : p + 17 + nsym]
+                table = {}
+                code = 0
+                vi = 0
+                for ln in range(1, 17):
+                    for _ in range(bits[ln - 1]):
+                        table[(ln, code)] = vals[vi]
+                        code += 1
+                        vi += 1
+                    code <<= 1
+                huff[(cls, tid)] = table
+                p += 17 + nsym
+        elif marker == 0xDA:
+            ns = seg[0]
+            stabs = {}
+            p = 1
+            for _ in range(ns):
+                cid, t = seg[p], seg[p + 1]
+                stabs[cid] = (t >> 4, t & 0xF)
+                p += 2
+            scan = (stabs, pos + seglen)
+            break
+        pos += seglen
+    if scan is None or h is None:
+        raise ValueError("JPEG missing SOS/SOF")
+    stabs, dpos = scan
+    br = _BitReader(data[dpos:])
+
+    def read_sym(table: dict) -> int:
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | br.read(1)
+            if (ln, code) in table:
+                return table[(ln, code)]
+        raise ValueError("bad Huffman code")
+
+    bh, bw8 = (h + 7) // 8, (w + 7) // 8
+    planes = [np.zeros((bh * 8, bw8 * 8)) for _ in comps]
+    preds = [0] * len(comps)
+    for by in range(bh):
+        for bx in range(bw8):
+            for ci, comp in enumerate(comps):
+                dct_t, act_t = stabs[comp["id"]]
+                dc_tab, ac_tab = huff[(0, dct_t)], huff[(1, act_t)]
+                q = np.zeros(64, dtype=np.int64)
+                c = read_sym(dc_tab)
+                diff = _extend(br.read(c), c) if c else 0
+                preds[ci] += diff
+                q[0] = preds[ci]
+                i = 1
+                while i < 64:
+                    rs = read_sym(ac_tab)
+                    if rs == 0x00:  # EOB
+                        break
+                    if rs == 0xF0:  # ZRL
+                        i += 16
+                        continue
+                    i += rs >> 4
+                    size = rs & 0xF
+                    if i > 63:
+                        break
+                    q[i] = _extend(br.read(size), size)
+                    i += 1
+                coef = np.zeros(64, dtype=np.float64)
+                coef[_ZZ] = q
+                block = coef.reshape(8, 8) * qts[comp["tq"]]
+                pix = _DCT.T @ block @ _DCT + 128.0
+                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = pix
+    planes = [p[:h, :w] for p in planes]
+    if len(planes) == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Format sniffing / auto-dispatch
+# ---------------------------------------------------------------------------
+
+
+def sniff_image_format(data: bytes) -> str:
+    """Identify an image blob by magic bytes: png | bmp | gif | jpeg."""
+    if data[:8] == _PNG_SIG:
+        return "png"
+    if data[:2] == b"BM":
+        return "bmp"
+    if data[:4] == b"GIF8":
+        return "gif"
+    if data[:2] == b"\xff\xd8":
+        return "jpeg"
+    raise ValueError("unknown image format")
+
+
+def decode_image_auto(data: bytes) -> np.ndarray:
+    """Decode any supported format (PNG/BMP/GIF/JPEG) to a uint8 array —
+    (h, w) grayscale or (h, w, 3) RGB depending on the file."""
+    fmt = sniff_image_format(data)
+    if fmt == "png":
+        return decode_png(data)
+    if fmt == "bmp":
+        return decode_bmp(data)
+    if fmt == "gif":
+        return decode_gif(data)
+    return decode_jpeg(data)

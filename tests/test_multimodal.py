@@ -157,3 +157,114 @@ def test_decode_audio_real_kernel(spark, sf_dir):
         assert r.n_samples == 64 + k % 37
         assert r.sample_rate == 16000
         assert r.peak == amp and r.rms == float(amp)
+
+
+# --- round-3 codecs: BMP, GIF (LZW), baseline JPEG, auto-dispatch ---------
+
+
+def test_bmp_roundtrip_exact():
+    import numpy as np
+
+    from external_benchmarks_spark.multimodal.codecs import decode_bmp, encode_bmp
+
+    rng = np.random.default_rng(7)
+    for shape in [(5, 7), (16, 9), (1, 1)]:
+        rgb = rng.integers(0, 256, (*shape, 3)).astype(np.uint8)
+        assert (decode_bmp(encode_bmp(rgb)) == rgb).all()
+        g = rng.integers(0, 256, shape).astype(np.uint8)
+        assert (decode_bmp(encode_bmp(g)) == np.stack([g] * 3, axis=2)).all()
+
+
+def test_gif_roundtrip_exact_with_lzw_growth():
+    import numpy as np
+
+    from external_benchmarks_spark.multimodal.codecs import decode_gif, encode_gif
+
+    rng = np.random.default_rng(11)
+    # 256 distinct values force code-width growth past 9 bits and a
+    # table reset at 4096 entries on a 64x97 image.
+    big = rng.integers(0, 256, (64, 97)).astype(np.uint8)
+    assert (decode_gif(encode_gif(big)) == np.stack([big] * 3, axis=2)).all()
+    rgb = (rng.integers(0, 6, (40, 40, 3)) * 40).astype(np.uint8)
+    assert (decode_gif(encode_gif(rgb)) == rgb).all()
+
+
+def test_jpeg_roundtrip_quality():
+    import numpy as np
+
+    from external_benchmarks_spark.multimodal.codecs import decode_jpeg, encode_jpeg
+
+    x = np.linspace(0, 255, 96)
+    g = np.clip(np.add.outer(x, x / 2) / 1.5, 0, 255).astype(np.uint8)
+    d = decode_jpeg(encode_jpeg(g, quality=90))
+    assert d.shape == g.shape
+    err = d.astype(float) - g.astype(float)
+    psnr = 10 * np.log10(255**2 / max((err**2).mean(), 1e-9))
+    assert psnr > 40, psnr  # smooth gradients survive q90 nearly losslessly
+
+    h, w = 40, 56
+    rgb = np.zeros((h, w, 3), np.uint8)
+    rgb[..., 0] = np.linspace(0, 255, w, dtype=np.uint8)[None, :]
+    rgb[..., 1] = np.linspace(0, 255, h, dtype=np.uint8)[:, None]
+    rgb[..., 2] = 77
+    d = decode_jpeg(encode_jpeg(rgb, quality=92))
+    assert d.shape == rgb.shape
+    err = d.astype(float) - rgb.astype(float)
+    assert 10 * np.log10(255**2 / (err**2).mean()) > 38
+
+    # non-multiple-of-8 dimensions: edge blocks pad, output crops back
+    odd = np.clip(np.add.outer(np.arange(13) * 9, np.arange(21) * 5), 0, 255).astype(
+        np.uint8
+    )
+    d2 = decode_jpeg(encode_jpeg(odd, quality=85))
+    assert d2.shape == odd.shape
+    assert abs(d2.astype(int) - odd.astype(int)).max() < 40
+
+
+def test_image_auto_dispatch():
+    import numpy as np
+    import pytest
+
+    from external_benchmarks_spark.multimodal.codecs import (
+        decode_image_auto,
+        encode_bmp,
+        encode_gif,
+        encode_jpeg,
+        encode_png,
+        sniff_image_format,
+    )
+
+    g = (np.arange(64, dtype=np.uint8).reshape(8, 8) * 3).astype(np.uint8)
+    for enc, fmt in [
+        (encode_png, "png"),
+        (encode_bmp, "bmp"),
+        (encode_gif, "gif"),
+        (encode_jpeg, "jpeg"),
+    ]:
+        blob = enc(g)
+        assert sniff_image_format(blob) == fmt
+        decode_image_auto(blob)  # must not raise
+    with pytest.raises(ValueError):
+        sniff_image_format(b"\x00\x01\x02\x03garbage")
+
+
+def test_multiformat_blobs_match_png_stats(spark, sf_dir):
+    """PNG/BMP/GIF containers of the same gradient must produce identical
+    decoded statistics — the property the shared SQL oracle relies on."""
+    from external_benchmarks_spark.multimodal.binaryops import (
+        decode_image,
+        make_image_blobs,
+        make_multiformat_image_blobs,
+    )
+    from external_benchmarks_spark.catalog import Catalog
+
+    docs = Catalog(spark, sf_dir).documents.select("doc_id").limit(60)
+    a = {
+        r.doc_id: (r.width, r.height, r.mean_px, r.min_px, r.max_px)
+        for r in decode_image(make_image_blobs(docs), "blob").collect()
+    }
+    b = {
+        r.doc_id: (r.width, r.height, r.mean_px, r.min_px, r.max_px)
+        for r in decode_image(make_multiformat_image_blobs(docs), "blob").collect()
+    }
+    assert a == b and len(a) == 60
