@@ -1325,6 +1325,21 @@ def q_image_decode_multiformat(spark, sf):
     return decode_image(make_multiformat_image_blobs(docs), "blob")
 
 
+def q_video_frame_sample(spark, sf):
+    # REAL video-pipeline shape end to end: encode an animated GIF per
+    # doc (multi-frame container, real LZW encoder), demux it, sample
+    # every 2nd frame, emit per-frame luminance stats — one blob -> many
+    # frame rows. Frame pixels derive from (doc_id, frame_idx) by
+    # arithmetic, so the SQL oracle recomputes every statistic.
+    from external_benchmarks_spark.multimodal.binaryops import (
+        frame_sample,
+        make_video_blobs,
+    )
+
+    docs = Catalog(spark, sf).documents.select("doc_id")
+    return frame_sample(make_video_blobs(docs), "blob", every_n=2)
+
+
 def q_image_decode(spark, sf):
     # REAL image pipeline: encode a gradient PNG per doc (real zlib/struct
     # encoder), decode it back with a real byte-level PNG decoder
@@ -1588,8 +1603,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_events_hourly": q_stream_events_hourly,
         "stream_events_sliding": q_stream_events_sliding,
         "stream_dedup_keys": q_stream_dedup_keys,
-        # new in round 3: PNG+BMP+GIF decoders under one oracle
+        # new in round 3: PNG+BMP+GIF decoders under one oracle, and the
+        # animated-GIF demux / frame-sampling video pipeline
         "image_decode_multiformat": q_image_decode_multiformat,
+        "video_frame_sample": q_video_frame_sample,
         # --- round-2-verified window (50/50 green in r02) ----------------
         "ann_recall": q_ann_recall,
         "dim_stats": q_dim_stats,
@@ -2132,6 +2149,30 @@ def oracle_sql() -> dict[str, str]:
         "image_decode": _image_decode_sql(),
         # identical gradient content in rotating containers -> same oracle
         "image_decode_multiformat": _image_decode_sql(),
+        # frame f of doc k is the gradient shifted by 7f; every-2nd-frame
+        # sampling of 3 + k%4 frames
+        "video_frame_sample": """
+            WITH f AS (
+              SELECT doc_id,
+                     CAST(8 + doc_id % 9 AS BIGINT) AS w,
+                     CAST(8 + doc_id % 7 AS BIGINT) AS h,
+                     o AS frame_idx
+              FROM documents, UNNEST(generate_series(0, 6)) AS t(o)
+              WHERE o < 3 + doc_id % 4 AND o % 2 = 0),
+            v AS (SELECT doc_id, frame_idx, w, h,
+                         list_transform(generate_series(0, h - 1),
+                                        r -> (doc_id + 7 * frame_idx + r) % 256)
+                           AS vals
+                  FROM f)
+            SELECT doc_id,
+                   CAST(frame_idx AS INTEGER) AS frame_idx,
+                   CAST(w AS INTEGER) AS width,
+                   CAST(h AS INTEGER) AS height,
+                   CAST(w * list_sum(vals) AS DOUBLE) / (w * h) AS mean_px,
+                   CAST(list_min(vals) AS INTEGER) AS min_px,
+                   CAST(list_max(vals) AS INTEGER) AS max_px
+            FROM v
+        """,
         "audio_decode": _audio_decode_sql(),
         "embed_inference": """
             SELECT doc_id, 64 AS n_dims,

@@ -367,3 +367,110 @@ def frame_sample_stub(
         F.col(key_col),
         F.explode(F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)))).alias("frame_idx"),
     )
+
+
+FRAME_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("mean_px", DoubleType()),
+        StructField("min_px", IntegerType()),
+        StructField("max_px", IntegerType()),
+    ]
+)
+
+
+def resize_image(
+    df: DataFrame,
+    blob_col: str,
+    key_col: str = "doc_id",
+    width: int = 32,
+    height: int = 32,
+) -> DataFrame:
+    """REAL binary->binary thumbnail kernel: decode (any supported
+    format via magic bytes), integer nearest-neighbor resize, re-encode
+    as PNG. Same Arrow-batch shape as resize_image_stub; PIL swaps in
+    transparently when installed."""
+    from external_benchmarks_spark.multimodal.codecs import (
+        decode_image_auto,
+        encode_png,
+        resize_nearest,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for key, blob in zip(pdf[key_col], pdf[blob_col]):
+                img = decode_image_auto(bytes(blob))
+                thumb = resize_nearest(img, width, height)
+                recs.append((int(key), width, height, encode_png(thumb)))
+            yield pd.DataFrame(recs, columns=["doc_id", "width", "height", "thumb"])
+
+    return df.select(key_col, blob_col).mapInPandas(run, THUMBNAIL_SCHEMA)
+
+
+def make_video_blobs(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
+    """Generate a REAL multi-frame container per row (animated GIF89a —
+    the one video-like format with a full pure-stdlib codec here):
+    3 + key % 4 frames of the deterministic gradient, frame f's rows
+    being (key + 7*f + r) % 256. Every per-frame statistic is integer
+    arithmetic on (key, f), so frame sampling is SQL-oracle-checkable."""
+    from external_benchmarks_spark.multimodal.codecs import encode_gif_frames
+
+    @F.pandas_udf(BinaryType())
+    def gen(keys: pd.Series) -> pd.Series:
+        out = []
+        for k in keys:
+            k = int(k)
+            w, h = 8 + k % 9, 8 + k % 7
+            frames = []
+            for f in range(3 + k % 4):
+                img = (
+                    (k + 7 * f + np.arange(h, dtype=np.int64)) % 256
+                ).astype(np.uint8)[:, None] * np.ones((1, w), dtype=np.uint8)
+                frames.append(img)
+            out.append(encode_gif_frames(frames))
+        return pd.Series(out)
+
+    return df.withColumn("blob", gen(F.col(key_col)))
+
+
+def frame_sample(
+    df: DataFrame, blob_col: str, key_col: str = "doc_id", every_n: int = 2
+) -> DataFrame:
+    """REAL video frame sampling: demux an animated GIF, keep every
+    ``every_n``-th frame, emit per-frame luminance statistics. One blob
+    -> many frame rows (the explode/partition shape of video pipelines);
+    a pyav-backed kernel for MP4 has the identical signature."""
+    from external_benchmarks_spark.multimodal.codecs import decode_gif_frames
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for key, blob in zip(pdf[key_col], pdf[blob_col]):
+                frames = decode_gif_frames(bytes(blob))
+                for i in range(0, len(frames), every_n):
+                    img = frames[i]
+                    gray = img if img.ndim == 2 else img.mean(axis=2).astype(np.uint8)
+                    recs.append(
+                        (
+                            int(key),
+                            int(i),
+                            int(gray.shape[1]),
+                            int(gray.shape[0]),
+                            float(gray.mean()),
+                            int(gray.min()),
+                            int(gray.max()),
+                        )
+                    )
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    "doc_id", "frame_idx", "width", "height",
+                    "mean_px", "min_px", "max_px",
+                ],
+            )
+
+    return df.select(key_col, blob_col).mapInPandas(run, FRAME_STATS_SCHEMA)

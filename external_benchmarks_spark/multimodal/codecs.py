@@ -286,15 +286,24 @@ def _gif_lzw_decode(data: bytes, min_code_size: int, n_px: int) -> np.ndarray:
     return np.asarray(out[:n_px], dtype=np.int32)
 
 
-def encode_gif(img: np.ndarray) -> bytes:
-    """Encode (h, w) grayscale or (h, w, 3) RGB uint8 (<= 256 distinct
-    colors) as a single-frame GIF89a with a global palette."""
-    arr = np.asarray(img, dtype=np.uint8)
-    if arr.ndim == 2:
-        arr = np.stack([arr] * 3, axis=2)
-    h, w = arr.shape[:2]
-    flat = arr.reshape(-1, 3)
-    palette, indices = np.unique(flat, axis=0, return_inverse=True)
+def encode_gif_frames(frames: list, delay_cs: int = 10) -> bytes:
+    """Encode a list of same-size (h, w) gray / (h, w, 3) RGB uint8 frames
+    as an animated GIF89a: one global palette over the union of colors
+    (<= 256), a graphic-control extension + image descriptor per frame —
+    the standard animation layout."""
+    arrs = []
+    for img in frames:
+        a = np.asarray(img, dtype=np.uint8)
+        if a.ndim == 2:
+            a = np.stack([a] * 3, axis=2)
+        arrs.append(a)
+    if not arrs:
+        raise ValueError("no frames")
+    h, w = arrs[0].shape[:2]
+    if any(a.shape[:2] != (h, w) for a in arrs):
+        raise ValueError("frames must share dimensions")
+    flat = np.concatenate([a.reshape(-1, 3) for a in arrs])
+    palette, inverse = np.unique(flat, axis=0, return_inverse=True)
     if len(palette) > 256:
         raise ValueError(f"GIF needs <= 256 colors, got {len(palette)}")
     pal_bits = max(1, int(np.ceil(np.log2(max(2, len(palette))))))
@@ -302,32 +311,46 @@ def encode_gif(img: np.ndarray) -> bytes:
     pal_bytes = np.zeros((pal_size, 3), dtype=np.uint8)
     pal_bytes[: len(palette)] = palette
     min_code_size = max(2, pal_bits)
-    lzw = _gif_lzw_encode(indices.astype(np.int32), min_code_size)
     out = bytearray()
     out += b"GIF89a"
     out += struct.pack("<HHBBB", w, h, 0x80 | ((pal_bits - 1) << 4) | (pal_bits - 1), 0, 0)
     out += pal_bytes.tobytes()
-    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)  # image descriptor
-    out += bytes([min_code_size])
-    for i in range(0, len(lzw), 255):  # sub-blocks
-        chunk = lzw[i : i + 255]
-        out += bytes([len(chunk)]) + chunk
-    out += b"\x00\x3b"  # block terminator + trailer
+    px_per = h * w
+    for f in range(len(arrs)):
+        if len(arrs) > 1:
+            # graphic-control extension: disposal=1 (leave), given delay
+            out += b"\x21\xf9\x04" + struct.pack("<BHB", 0x04, delay_cs, 0) + b"\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        out += bytes([min_code_size])
+        idx = inverse[f * px_per : (f + 1) * px_per].astype(np.int32)
+        lzw = _gif_lzw_encode(idx, min_code_size)
+        for i in range(0, len(lzw), 255):  # sub-blocks
+            chunk = lzw[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"  # block terminator
+    out += b"\x3b"  # trailer
     return bytes(out)
 
 
-def decode_gif(data: bytes) -> np.ndarray:
-    """Decode the first frame of a GIF87a/89a (global or local palette,
-    no interlace) to (h, w, 3) uint8 RGB."""
+def encode_gif(img: np.ndarray) -> bytes:
+    """Encode (h, w) grayscale or (h, w, 3) RGB uint8 (<= 256 distinct
+    colors) as a single-frame GIF89a with a global palette."""
+    return encode_gif_frames([img])
+
+
+def decode_gif_frames(data: bytes, max_frames: int | None = None) -> list:
+    """Decode every frame of a GIF87a/89a (global or per-frame local
+    palettes, no interlace) to a list of (h, w, 3) uint8 RGB arrays."""
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
     w, h, flags, _bg, _ar = struct.unpack("<HHBBB", data[6:13])
     pos = 13
-    palette = None
+    global_pal = None
     if flags & 0x80:
         n = 2 << (flags & 0x07)
-        palette = np.frombuffer(data[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
+        global_pal = np.frombuffer(data[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
         pos += 3 * n
+    frames: list = []
     while pos < len(data):
         b0 = data[pos]
         if b0 == 0x21:  # extension: label + sub-blocks
@@ -340,6 +363,7 @@ def decode_gif(data: bytes) -> np.ndarray:
             pos += 10
             if iflags & 0x40:
                 raise ValueError("interlaced GIF unsupported")
+            palette = global_pal
             if iflags & 0x80:
                 n = 2 << (iflags & 0x07)
                 palette = np.frombuffer(
@@ -353,15 +377,25 @@ def decode_gif(data: bytes) -> np.ndarray:
                 ln = data[pos]
                 lzw += data[pos + 1 : pos + 1 + ln]
                 pos += 1 + ln
+            pos += 1  # block terminator
             if palette is None:
                 raise ValueError("GIF frame has no palette")
             idx = _gif_lzw_decode(bytes(lzw), min_code_size, iw * ih)
-            return palette[idx].reshape(ih, iw, 3)
+            frames.append(palette[idx].reshape(ih, iw, 3))
+            if max_frames is not None and len(frames) >= max_frames:
+                return frames
         elif b0 == 0x3B:
             break
         else:
             raise ValueError(f"bad GIF block 0x{b0:02x}")
-    raise ValueError("GIF has no image data")
+    if not frames:
+        raise ValueError("GIF has no image data")
+    return frames
+
+
+def decode_gif(data: bytes) -> np.ndarray:
+    """Decode the first frame of a GIF to (h, w, 3) uint8 RGB."""
+    return decode_gif_frames(data, max_frames=1)[0]
 
 
 # ---------------------------------------------------------------------------
@@ -764,3 +798,14 @@ def decode_image_auto(data: bytes) -> np.ndarray:
     if fmt == "gif":
         return decode_gif(data)
     return decode_jpeg(data)
+
+
+def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resize with pure integer source indexing
+    (src_row = dst_row * h // height) — deterministic across platforms,
+    no float rounding anywhere."""
+    arr = np.asarray(img, dtype=np.uint8)
+    h, w = arr.shape[:2]
+    ri = (np.arange(height, dtype=np.int64) * h) // height
+    ci = (np.arange(width, dtype=np.int64) * w) // width
+    return arr[ri][:, ci]

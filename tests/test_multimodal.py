@@ -268,3 +268,64 @@ def test_multiformat_blobs_match_png_stats(spark, sf_dir):
         for r in decode_image(make_multiformat_image_blobs(docs), "blob").collect()
     }
     assert a == b and len(a) == 60
+
+
+def test_animated_gif_frames_roundtrip():
+    import numpy as np
+
+    from external_benchmarks_spark.multimodal.codecs import (
+        decode_gif_frames,
+        encode_gif_frames,
+    )
+
+    rng = np.random.default_rng(5)
+    frames = [(rng.integers(0, 8, (11, 14)) * 30).astype(np.uint8) for _ in range(5)]
+    back = decode_gif_frames(encode_gif_frames(frames))
+    assert len(back) == 5
+    for f, b in zip(frames, back):
+        assert (b == np.stack([f] * 3, axis=2)).all()
+
+
+def test_resize_image_real_kernel(spark, sf_dir):
+    """Decode -> integer nearest-neighbor resize -> PNG re-encode; the
+    thumbnail must itself decode to the expected fixed geometry with
+    pixel values drawn from the source gradient."""
+    import numpy as np
+
+    from external_benchmarks_spark.catalog import Catalog
+    from external_benchmarks_spark.multimodal.binaryops import (
+        make_multiformat_image_blobs,
+        resize_image,
+    )
+    from external_benchmarks_spark.multimodal.codecs import decode_png
+
+    docs = Catalog(spark, sf_dir).documents.select("doc_id").limit(30)
+    rows = resize_image(
+        make_multiformat_image_blobs(docs), "blob", width=16, height=12
+    ).collect()
+    assert len(rows) == 30
+    for r in rows:
+        img = decode_png(bytes(r.thumb))
+        gray = img if img.ndim == 2 else img.mean(axis=2).astype(np.uint8)
+        assert gray.shape == (12, 16)
+        k = int(r.doc_id)
+        # nearest-neighbor preserves exact source values: row 0 of the
+        # thumb is row 0 of the source gradient, i.e. k % 256
+        assert int(gray[0, 0]) == k % 256
+
+
+def test_frame_sample_counts(spark, sf_dir):
+    from external_benchmarks_spark.catalog import Catalog
+    from external_benchmarks_spark.multimodal.binaryops import (
+        frame_sample,
+        make_video_blobs,
+    )
+
+    docs = Catalog(spark, sf_dir).documents.select("doc_id").limit(40)
+    rows = frame_sample(make_video_blobs(docs), "blob", every_n=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r.frame_idx)
+    for k, idxs in by_doc.items():
+        n = 3 + k % 4
+        assert sorted(idxs) == list(range(0, n, 2))
