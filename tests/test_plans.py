@@ -248,3 +248,17 @@ def test_cluster_profile_groups_map_side(spark, sf_dir):
     assert "partial_count" in plan or "partial_sum" in plan
     assert plan.count("BroadcastHashJoin") == 1  # centroids broadcast once
     assert "SortMergeJoin" not in plan  # never a shuffle join on centroids
+
+
+def test_multimodal_decode_plans_are_map_only(spark, sf_dir):
+    """Blob generate -> decode -> featurize must never shuffle: the whole
+    pipeline is pandas-UDF projections over the scan, so it scales out
+    with zero data movement (one blob -> many rows for video is a
+    map-side explode inside mapInPandas, not an Exchange)."""
+    for q in (
+        entry_mod.q_image_decode_multiformat,
+        entry_mod.q_video_frame_sample,
+    ):
+        plan = _plan(q(spark, sf_dir))
+        assert "Exchange" not in plan, plan
+        assert "MapInPandas" in plan or "ArrowEvalPython" in plan
