@@ -438,6 +438,26 @@ def main() -> None:
         read_p95[f"vtopk_{sel}"] = round(reps[-1] if len(reps) < 20 else reps[18], 3)
     print(f"# read_p95: {read_p95}", file=sys.stderr)
 
+    # The SERVING read path (external_benchmarks_spark/serving.py): the
+    # same Spark-built layout answered without a Spark job per query —
+    # the architecture the reference's 100 ms p95 SLA actually describes.
+    # Results are bit-identical to the Spark query (tests/test_serving.py);
+    # reported in milliseconds, separately from the Spark-job p95s above.
+    from external_benchmarks_spark.serving import VectorServingIndex
+
+    sidx = VectorServingIndex(_vt_layout(spark, SF_DIR))
+    serving_p95: dict[str, float] = {}
+    mods = {"10pct": None, "1pct": 10, "0.1pct": 100, "0.01pct": 1000}
+    for sel, mod in mods.items():
+        reps = []
+        for _ in range(50):
+            t0 = time.perf_counter()
+            sidx.topk(QVEC, k=100, label=0, key_mod=mod)
+            reps.append(time.perf_counter() - t0)
+        reps.sort()
+        serving_p95[f"vtopk_{sel}_ms"] = round(reps[int(round(0.95 * 50)) - 1] * 1000, 3)
+    print(f"# serving_read_p95_ms: {serving_p95}", file=sys.stderr)
+
     times: dict[str, float] = {}
     for name, fn in headline_queries().items():
         t0 = time.perf_counter()
@@ -463,6 +483,7 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "read_p95": read_p95,
+        "serving_read_p95_ms": serving_p95,
         "mixed_rw": rw,
         "embed_docs_per_sec": embed_rate,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

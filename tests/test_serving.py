@@ -1,0 +1,90 @@
+"""Serving tier vs Spark query parity + latency sanity."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry_mod
+from external_benchmarks_spark.catalog import Catalog
+from external_benchmarks_spark.operators.topk import filtered_vector_topk
+from external_benchmarks_spark.serving import VectorServingIndex
+
+
+@pytest.fixture(scope="module")
+def layout(spark, sf_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("serving") / "layout")
+    (
+        Catalog(spark, sf_dir).embeddings.repartition("label")
+        .sortWithinPartitions("vec_id")
+        .write.partitionBy("label")
+        .parquet(out)
+    )
+    return out
+
+
+TEMPLATES = [  # (label filter, key_mod) — the four reference templates
+    (0, None),
+    (0, 10),
+    (0, 100),
+    (0, 1000),
+]
+
+
+def test_serving_matches_spark_query_exactly(spark, sf_dir, layout):
+    """Same parquet, same float64 math, same (-score, key) order — the
+    serving read must be bit-identical to the Spark query."""
+    idx = VectorServingIndex(layout)
+    for label, mod in TEMPLATES:
+        pred = F.col("label") == label
+        if mod is not None:
+            pred = pred & (F.col("vec_id") % mod == 0)
+        want = [
+            (r.vec_id, r.score)
+            for r in filtered_vector_topk(
+                Catalog(spark, sf_dir).embeddings,
+                entry_mod.QVEC,
+                pred,
+                k=100,
+                use_arrow_fast_path=True,
+            ).collect()
+        ]
+        got = idx.topk(entry_mod.QVEC, k=100, label=label, key_mod=mod)
+        assert [g[0] for g in got] == [w[0] for w in want]
+        assert all(g[1] == w[1] for g, w in zip(got, want)), "scores must be exact"
+
+
+def test_serving_all_partitions(spark, sf_dir, layout):
+    """label=None scans every in-memory partition — equals the
+    unfiltered Spark top-k."""
+    idx = VectorServingIndex(layout)
+    want = [
+        r.vec_id
+        for r in filtered_vector_topk(
+            Catalog(spark, sf_dir).embeddings, entry_mod.QVEC, None, k=50
+        ).collect()
+    ]
+    got = [g[0] for g in idx.topk(entry_mod.QVEC, k=50)]
+    assert got == want
+
+
+def test_serving_latency_under_sla(layout):
+    """Warm serving reads must clear the reference's 100 ms p95 — this is
+    the read path the SLA describes, not a Spark job per query."""
+    idx = VectorServingIndex(layout)
+    times = []
+    for _ in range(50):
+        t0 = time.perf_counter()
+        idx.topk(entry_mod.QVEC, k=100, label=0, key_mod=10)
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    p95 = times[int(round(0.95 * len(times))) - 1]
+    assert p95 < 0.1, f"serving p95 {p95*1000:.1f} ms"
+
+
+def test_serving_empty_selection(layout):
+    idx = VectorServingIndex(layout)
+    assert idx.topk(entry_mod.QVEC, k=10, label=10**9) == []
