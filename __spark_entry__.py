@@ -1234,7 +1234,12 @@ def _stream_to_table(spark, out_stream, ckpt_root, mode):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    # availableNow terminates on its own in seconds at these scales; the
+    # timeout is a guard so a wedged stream can never stall the driver's
+    # whole correctness pass.
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(f"streaming query {name} did not finish in 300 s")
     return spark.table(name)
 
 
