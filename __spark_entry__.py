@@ -1044,6 +1044,19 @@ def q_neardup_components(spark, sf):
     return component_sizes(connected_components(edges))
 
 
+def q_neardup_triangles(spark, sf):
+    # Per-node triangle participation on the near-dup graph (clustering-
+    # coefficient numerator — clique-like dup clusters are triangle-dense,
+    # chains are not). Two equi-joins enumerate each x<y<z triangle once;
+    # the oracle replays the identical joins over the same edge set.
+    from external_benchmarks_spark.operators.graph import triangle_participation
+
+    edges = embedding_neardup_pairs(
+        Catalog(spark, sf).embeddings, block_col="label", threshold=0.2
+    )
+    return triangle_participation(edges)
+
+
 def q_doc_pagerank(spark, sf):
     # Centrality inside near-dup clusters (canonical-doc selection /
     # sampling weights). The oracle UNROLLS the same 5 power iterations
@@ -1612,6 +1625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # animated-GIF demux / frame-sampling video pipeline
         "image_decode_multiformat": q_image_decode_multiformat,
         "video_frame_sample": q_video_frame_sample,
+        "neardup_triangles": q_neardup_triangles,
         # --- round-2-verified window (50/50 green in r02) ----------------
         "ann_recall": q_ann_recall,
         "dim_stats": q_dim_stats,
@@ -2151,6 +2165,29 @@ def oracle_sql() -> dict[str, str]:
         "lsh_ann_topk": _lsh_ann_sql(),
         "ivf_ann_topk": _ivf_ann_sql(),
         "doc_pagerank": _pagerank_sql(),
+        "neardup_triangles": """
+            WITH e0 AS (
+              SELECT a.vec_id AS s, b.vec_id AS t
+              FROM embeddings a JOIN embeddings b
+                ON a.label = b.label AND a.vec_id < b.vec_id
+              WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[]))
+                    / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                             CAST(a.embedding AS DOUBLE[])))
+                       * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                               CAST(b.embedding AS DOUBLE[]))))
+                    >= 0.2),
+            tri AS (
+              SELECT e1.s AS x, e1.t AS y, e2.t AS z
+              FROM e0 e1
+              JOIN e0 e2 ON e2.s = e1.t
+              JOIN e0 e3 ON e3.s = e1.s AND e3.t = e2.t),
+            nodes AS (
+              SELECT x AS node FROM tri
+              UNION ALL SELECT y FROM tri
+              UNION ALL SELECT z FROM tri)
+            SELECT node, COUNT(*) AS n_triangles FROM nodes GROUP BY node
+        """,
         "image_decode": _image_decode_sql(),
         # identical gradient content in rotating containers -> same oracle
         "image_decode_multiformat": _image_decode_sql(),

@@ -192,3 +192,37 @@ def pagerank(
             .localCheckpoint()
         )
     return ranks
+
+
+def triangle_participation(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """(node, n_triangles): how many triangles each node belongs to — the
+    clustering-coefficient numerator, a standard density signal on
+    near-dup graphs (clique-like clusters triangle-heavily; chains don't).
+
+    Shape: canonicalize to lo < hi, then two equi-joins enumerate each
+    triangle exactly once as (x < y < z); an explode + groupBy counts per
+    node. Both joins key on node ids — shuffle-partitioned, no cross
+    product. At web scale the standard refinement is degree-ordering
+    (orient edges from low to high degree) to bound the join fan-out;
+    near-dup graphs have bounded block sizes so the plain form holds.
+    """
+    c = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("lo"),
+            F.greatest(F.col(src), F.col(dst)).alias("hi"),
+        )
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
+    )
+    e1 = c.select(F.col("lo").alias("x"), F.col("hi").alias("y"))
+    e2 = c.select(F.col("lo").alias("y"), F.col("hi").alias("z"))
+    e3 = c.select(F.col("lo").alias("x"), F.col("hi").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    nodes = tri.select(
+        F.explode(F.array(F.col("x"), F.col("y"), F.col("z"))).alias("node")
+    )
+    return nodes.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))

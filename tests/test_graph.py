@@ -90,3 +90,14 @@ def test_edges_endpoints_share_component(spark):
         for r in component_sizes(connected_components(edges)).collect()
     }
     assert sum(sizes.values()) == len(comp)
+
+
+def test_triangle_participation_known_graph(spark):
+    """K4 has 4 triangles; every node is in exactly C(3,2)=3 of them. A
+    pendant vertex attached to the K4 is in none."""
+    from external_benchmarks_spark.operators.graph import triangle_participation
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges = spark.createDataFrame(k4 + [(3, 9)], ["id_a", "id_b"])
+    got = {r.node: r.n_triangles for r in triangle_participation(edges).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
