@@ -1044,6 +1044,16 @@ def q_neardup_components(spark, sf):
     return component_sizes(connected_components(edges))
 
 
+def q_sentence_split(spark, sf):
+    # Sentence segmentation: split on terminal-punctuation runs + space —
+    # a regex whose semantics agree across Java/RE2/Python, so the fan-out
+    # hash-matches the DuckDB oracle. Catalyst form (zero shuffle); the
+    # UDTF variant of the same contract is equality-tested in pytest.
+    from external_benchmarks_spark.operators.textprep import split_sentences
+
+    return split_sentences(Catalog(spark, sf).documents)
+
+
 def q_neardup_triangles(spark, sf):
     # Per-node triangle participation on the near-dup graph (clustering-
     # coefficient numerator — clique-like dup clusters are triangle-dense,
@@ -1626,6 +1636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_decode_multiformat": q_image_decode_multiformat,
         "video_frame_sample": q_video_frame_sample,
         "neardup_triangles": q_neardup_triangles,
+        "sentence_split": q_sentence_split,
         # --- round-2-verified window (50/50 green in r02) ----------------
         "ann_recall": q_ann_recall,
         "dim_stats": q_dim_stats,
@@ -2165,6 +2176,22 @@ def oracle_sql() -> dict[str, str]:
         "lsh_ann_topk": _lsh_ann_sql(),
         "ivf_ann_topk": _ivf_ann_sql(),
         "doc_pagerank": _pagerank_sql(),
+        "sentence_split": r"""
+            WITH s AS (
+              SELECT doc_id,
+                     regexp_split_to_array(text, '[.!?]+[ \t\n]+') AS parts
+              FROM documents WHERE text IS NOT NULL),
+            u AS (
+              SELECT doc_id,
+                     unnest(parts) AS sentence,
+                     generate_subscripts(parts, 1) AS ord
+              FROM s)
+            SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY ord)
+                        AS INTEGER) AS sent_idx,
+                   sentence
+            FROM u WHERE sentence <> ''
+        """,
         "neardup_triangles": """
             WITH e0 AS (
               SELECT a.vec_id AS s, b.vec_id AS t

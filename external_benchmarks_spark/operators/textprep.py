@@ -314,3 +314,57 @@ def decontaminate(
             (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def split_sentences(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, sent_idx, sentence): split on terminal punctuation runs
+    followed by whitespace — the regex `[.!?]+[ \\t\\n]+` evaluates
+    identically in Java (Spark), RE2 (DuckDB), and Python `re`, which is
+    what makes the result hash-checkable across engines. Pure Catalyst:
+    split -> drop empties -> posexplode; zero shuffle, fan-out only
+    (the production form; the UDTF below is the same contract through
+    Spark's Python-UDTF surface)."""
+    parts = F.filter(
+        F.split(F.col(text_col), r"[.!?]+[ \t\n]+"), lambda x: x != F.lit("")
+    )
+    return (
+        docs.select(F.col(id_col), F.posexplode(parts).alias("pos", "sentence"))
+        .select(
+            id_col,
+            (F.col("pos") + 1).cast("int").alias("sent_idx"),
+            "sentence",
+        )
+    )
+
+
+def split_sentences_udtf(spark, docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """The SAME sentence-split contract through Spark's Python UDTF
+    surface (one eval per row, variable rows out) — completing the UDF
+    matrix: pandas_udf scalar, mapInPandas, applyInPandas,
+    applyInPandasWithState, and UDTF. Row-at-a-time Python is the slow
+    path by this repo's own rules, so `split_sentences` (pure Catalyst)
+    is the production form; equality of the two is asserted in
+    tests/test_textprep.py."""
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id: bigint, sent_idx: int, sentence: string")
+    class SplitSentences:
+        def eval(self, doc_id, text):
+            if text is None:
+                return
+            idx = 0
+            for part in re.split(r"[.!?]+[ \t\n]+", text):
+                if part != "":
+                    idx += 1
+                    yield doc_id, idx, part
+
+    spark.udtf.register("split_sentences_udtf", SplitSentences)
+    docs.select(id_col, text_col).createOrReplaceTempView("_udtf_docs_in")
+    return spark.sql(
+        f"SELECT s.* FROM _udtf_docs_in d, "
+        f"LATERAL split_sentences_udtf(d.{id_col}, d.{text_col}) s"
+    )

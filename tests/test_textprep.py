@@ -162,3 +162,18 @@ def test_mixture_sample_rates_and_determinism(spark, sf_dir):
     assert 0 < got["src1"] < full["src1"]       # strict subsample
     again = mixture_sample(docs, "source", "doc_id", rates).count()
     assert again == out.count()                 # deterministic
+
+
+def test_split_sentences_udtf_matches_catalyst(spark, sf_dir):
+    """The Python-UDTF surface and the Catalyst form implement the same
+    contract — identical (doc_id, sent_idx, sentence) multisets."""
+    from external_benchmarks_spark.catalog import Catalog
+    from external_benchmarks_spark.operators.textprep import (
+        split_sentences,
+        split_sentences_udtf,
+    )
+
+    docs = Catalog(spark, sf_dir).documents.limit(80)
+    a = sorted(map(tuple, split_sentences(docs).collect()))
+    b = sorted(map(tuple, split_sentences_udtf(spark, docs).collect()))
+    assert a == b and len(a) > 0
