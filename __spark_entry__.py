@@ -1044,6 +1044,18 @@ def q_neardup_components(spark, sf):
     return component_sizes(connected_components(edges))
 
 
+BM25_TERMS = ["spark", "hash", "merge", "window"]
+
+
+def q_bm25_topk(spark, sf):
+    # BM25 ranked retrieval for a fixed 4-term query (operators/tfidf.
+    # bm25_topk): per-(doc,term) contributions in 1e-6 fixed point, summed
+    # as integers, so the oracle replays the identical arithmetic.
+    from external_benchmarks_spark.operators.tfidf import bm25_topk
+
+    return bm25_topk(Catalog(spark, sf).documents, BM25_TERMS, k=20)
+
+
 def q_sentence_split(spark, sf):
     # Sentence segmentation: split on terminal-punctuation runs + space —
     # a regex whose semantics agree across Java/RE2/Python, so the fan-out
@@ -1637,6 +1649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frame_sample": q_video_frame_sample,
         "neardup_triangles": q_neardup_triangles,
         "sentence_split": q_sentence_split,
+        "bm25_topk": q_bm25_topk,
         # --- round-2-verified window (50/50 green in r02) ----------------
         "ann_recall": q_ann_recall,
         "dim_stats": q_dim_stats,
@@ -2176,6 +2189,34 @@ def oracle_sql() -> dict[str, str]:
         "lsh_ann_topk": _lsh_ann_sql(),
         "ivf_ann_topk": _ivf_ann_sql(),
         "doc_pagerank": _pagerank_sql(),
+        "bm25_topk": f"""
+            WITH base AS (SELECT doc_id, {DUCK_TOKS} AS toks
+                          FROM documents WHERE text IS NOT NULL),
+            dl AS (SELECT doc_id, len(toks) AS dl FROM base),
+            stats AS (SELECT COUNT(*) AS n,
+                             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+                      FROM dl),
+            toks AS (SELECT doc_id, unnest(toks) AS term FROM base),
+            tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+                   WHERE term IN ('spark', 'hash', 'merge', 'window')
+                   GROUP BY doc_id, term),
+            dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+            contrib AS (
+              SELECT tf.doc_id,
+                     CAST(ROUND(
+                       ln((CAST(stats.n AS DOUBLE) - dfreq.df + 0.5)
+                          / (dfreq.df + 0.5) + 1.0)
+                       * (tf.tf * (1.2 + 1.0))
+                       / (tf.tf + 1.2 * (1.0 - 0.75
+                                         + 0.75 * dl.dl / stats.avgdl))
+                       * 1000000.0) AS BIGINT) AS fp
+              FROM tf JOIN dfreq USING (term)
+                      JOIN dl ON tf.doc_id = dl.doc_id, stats)
+            SELECT doc_id,
+                   CAST(SUM(fp) AS DOUBLE) / 1000000.0 AS bm25
+            FROM contrib GROUP BY doc_id
+            ORDER BY bm25 DESC, doc_id LIMIT 20
+        """,
         "sentence_split": r"""
             WITH s AS (
               SELECT doc_id,

@@ -61,3 +61,59 @@ def tfidf_top_terms(
         .filter(F.col("rn") <= top_n)
         .select(key_col, "term", "tfidf", "rn")
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    key_col: str = "doc_id",
+    content_col: str = "text",
+) -> DataFrame:
+    """BM25 ranked retrieval (Robertson-Sparck Jones, the Lucene idf
+    variant): top-k documents for a bag of query terms.
+
+    Shape: the term filter lands BEFORE the tf aggregation, so only
+    query-term occurrences ever shuffle (|q| terms x matching docs, not
+    the corpus vocabulary); doc length comes from a per-row size() with
+    no explode; per-(doc,term) contributions are rounded to 1e-6
+    fixed-point BIGINT and summed as integers, so the per-doc sum is
+    partition-order-independent and hash-matches the SQL oracle exactly
+    (the lm_score pattern). TakeOrderedAndProject for the top-k.
+    """
+    base = df.filter(F.col(content_col).isNotNull())
+    dl = base.select(
+        F.col(key_col), F.size(tokens(F.col(content_col))).alias("dl")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("total")
+    ).collect()[0]
+    n_docs, avgdl = int(stats["n"]), float(stats["total"]) / int(stats["n"])
+    toks = base.select(
+        F.col(key_col), F.explode(tokens(F.col(content_col))).alias("term")
+    ).filter(F.col("term").isin([t.lower() for t in query_terms]))
+    tf = toks.groupBy(key_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # dfreq is |q| rows -> broadcast; dl is corpus-sized -> keyed join
+    # (AQE picks the strategy; the tf side is already filtered to docs
+    # containing query terms, so the shuffle is match-bounded).
+    scored = tf.join(F.broadcast(dfreq), "term").join(dl, key_col)
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))
+    contrib = idf * (F.col("tf") * (k1 + 1.0)) / denom
+    fp = F.round(contrib * 1_000_000.0, 0).cast("bigint")
+    return (
+        scored.select(F.col(key_col), fp.alias("fp"))
+        .groupBy(key_col)
+        .agg(F.sum("fp").alias("score_fp"))
+        .select(
+            key_col,
+            (F.col("score_fp").cast("double") / 1_000_000.0).alias("bm25"),
+        )
+        .orderBy(F.desc("bm25"), F.asc(key_col))
+        .limit(k)
+    )
