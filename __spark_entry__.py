@@ -1044,6 +1044,26 @@ def q_neardup_components(spark, sf):
     return component_sizes(connected_components(edges))
 
 
+def q_session_window_agg(spark, sf):
+    # Spark-NATIVE session windows (F.session_window: merge events whose
+    # gap < 30 min), complementing the manual running-sum sessionize.
+    # Bounds exported as exact epoch micros; the oracle derives the same
+    # islands with lag/gap logic (new session when diff >= gap, matching
+    # session_window's half-open [start, last+gap) merge rule).
+    e = Catalog(spark, sf).events
+    sw = F.session_window(F.col("ts"), "30 minutes")
+    return (
+        e.groupBy(sw.alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "cnt",
+        )
+    )
+
+
 BM25_TERMS = ["spark", "hash", "merge", "window"]
 
 
@@ -1650,6 +1670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_triangles": q_neardup_triangles,
         "sentence_split": q_sentence_split,
         "bm25_topk": q_bm25_topk,
+        "session_window_agg": q_session_window_agg,
         # --- round-2-verified window (50/50 green in r02) ----------------
         "ann_recall": q_ann_recall,
         "dim_stats": q_dim_stats,
@@ -2189,6 +2210,25 @@ def oracle_sql() -> dict[str, str]:
         "lsh_ann_topk": _lsh_ann_sql(),
         "ivf_ann_topk": _ivf_ann_sql(),
         "doc_pagerank": _pagerank_sql(),
+        "session_window_agg": f"""
+            WITH e AS (SELECT user_id, epoch_us(ts) AS tsu FROM events),
+            flags AS (
+              SELECT user_id, tsu,
+                     CASE WHEN lag(tsu) OVER w IS NULL
+                            OR tsu - lag(tsu) OVER w >= {SESSION_GAP_US}
+                          THEN 1 ELSE 0 END AS ns
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu)),
+            sess AS (
+              SELECT user_id, tsu,
+                     SUM(ns) OVER (PARTITION BY user_id ORDER BY tsu
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+              FROM flags)
+            SELECT user_id,
+                   MIN(tsu) AS session_start_us,
+                   MAX(tsu) + {SESSION_GAP_US} AS session_end_us,
+                   COUNT(*) AS cnt
+            FROM sess GROUP BY user_id, sid
+        """,
         "bm25_topk": f"""
             WITH base AS (SELECT doc_id, {DUCK_TOKS} AS toks
                           FROM documents WHERE text IS NOT NULL),
