@@ -1044,6 +1044,22 @@ def q_neardup_components(spark, sf):
     return component_sizes(connected_components(edges))
 
 
+def q_semdedup(spark, sf):
+    # SemDeDup (Abbas et al. 2023): cluster-blocked pairwise cosine, keep
+    # the member farthest from its centroid in each duplicate
+    # neighborhood (similarity.semdedup). Deterministic sampled centroids
+    # + fixed-point cosines make the whole pipeline SQL-replayable.
+    from external_benchmarks_spark.operators.similarity import (
+        ivf_assign,
+        sampled_centroids,
+        semdedup,
+    )
+
+    e = Catalog(spark, sf).embeddings
+    centroids = sampled_centroids(e, n_centroids=IVF_N_CENTROIDS)
+    return semdedup(ivf_assign(e, centroids), centroids, threshold=0.2)
+
+
 def q_session_window_agg(spark, sf):
     # Spark-NATIVE session windows (F.session_window: merge events whose
     # gap < 30 min), complementing the manual running-sum sessionize.
@@ -1671,6 +1687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sentence_split": q_sentence_split,
         "bm25_topk": q_bm25_topk,
         "session_window_agg": q_session_window_agg,
+        "semdedup": q_semdedup,
         # --- round-2-verified window (50/50 green in r02) ----------------
         "ann_recall": q_ann_recall,
         "dim_stats": q_dim_stats,
@@ -2210,6 +2227,59 @@ def oracle_sql() -> dict[str, str]:
         "lsh_ann_topk": _lsh_ann_sql(),
         "ivf_ann_topk": _ivf_ann_sql(),
         "doc_pagerank": _pagerank_sql(),
+        "semdedup": f"""
+            WITH sel AS (
+              SELECT vec_id, {EMB_DBL} AS e FROM embeddings
+              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+              LIMIT {IVF_N_CENTROIDS}),
+            cent AS (
+              SELECT row_number() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid,
+                     list_transform(e, x -> x / sqrt(list_dot_product(e, e)))
+                       AS cv
+              FROM sel),
+            scores AS (
+              SELECT emb.vec_id, cent.cid,
+                     list_dot_product({EMB_DBL}, cent.cv) AS d
+              FROM embeddings emb CROSS JOIN cent),
+            assign AS (
+              SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY d DESC, cid) AS rn
+                FROM scores) WHERE rn = 1),
+            pc AS (
+              SELECT emb.vec_id, a.cid AS cluster_id,
+                     CAST(ROUND(CASE WHEN sqrt(list_dot_product(
+                                        {EMB_DBL}, {EMB_DBL})) > 0.0
+                       THEN list_dot_product({EMB_DBL}, cent.cv)
+                            / sqrt(list_dot_product({EMB_DBL}, {EMB_DBL}))
+                       ELSE 0.0 END * 1000000, 0) AS BIGINT) AS cos_fp
+              FROM embeddings emb
+              JOIN assign a USING (vec_id)
+              JOIN cent ON cent.cid = a.cid),
+            pairs AS (
+              SELECT x.vec_id AS ia, y.vec_id AS ib
+              FROM (SELECT emb.vec_id, {EMB_DBL} AS e, a.cid
+                    FROM embeddings emb JOIN assign a USING (vec_id)) x
+              JOIN (SELECT emb.vec_id, {EMB_DBL} AS e, a.cid
+                    FROM embeddings emb JOIN assign a USING (vec_id)) y
+                ON x.cid = y.cid AND x.vec_id < y.vec_id
+              WHERE list_dot_product(x.e, y.e)
+                    / (sqrt(list_dot_product(x.e, x.e))
+                       * sqrt(list_dot_product(y.e, y.e))) >= 0.2),
+            sym AS (SELECT ia AS a, ib AS b FROM pairs
+                    UNION ALL SELECT ib, ia FROM pairs),
+            dropped AS (
+              SELECT DISTINCT sym.a
+              FROM sym
+              JOIN pc pa ON pa.vec_id = sym.a
+              JOIN pc pb ON pb.vec_id = sym.b
+              WHERE pb.cos_fp < pa.cos_fp
+                 OR (pb.cos_fp = pa.cos_fp AND sym.b < sym.a))
+            SELECT vec_id, CAST(cluster_id AS BIGINT) AS cluster_id
+            FROM pc WHERE vec_id NOT IN (SELECT a FROM dropped)
+        """,
         "session_window_agg": f"""
             WITH e AS (SELECT user_id, epoch_us(ts) AS tsu FROM events),
             flags AS (

@@ -470,26 +470,9 @@ def cluster_profile(
     per executor. One groupBy on k keys after the join (map-side partials
     collapse every partition to <= k rows before the shuffle).
     """
-    spark = assigned.sparkSession
-    cent_rows = [
-        (int(i), [float(v) for v in row])
-        for i, row in enumerate(np.asarray(centroids, dtype=np.float64))
-    ]
-    cent_df = spark.createDataFrame(
-        cent_rows, schema="cluster_id bigint, _centroid array<double>"
-    )
-    e = F.col(emb_col).cast("array<double>")
-    cv = F.col("_centroid")
-    norm = l2_norm(e)
-    cos = F.when(norm > 0.0, dot_product(e, cv) / norm).otherwise(F.lit(0.0))
-    cos_fp = F.round(cos * 1_000_000, 0).cast("bigint")
     return (
-        assigned.select(
-            F.col(cluster_col).cast("bigint").alias("cluster_id"),
-            F.col(emb_col),
-        )
-        .join(F.broadcast(cent_df), "cluster_id")
-        .select(F.col("cluster_id"), cos_fp.alias("cos_fp"))
+        centroid_cosine_fp(assigned, centroids, emb_col=emb_col, cluster_col=cluster_col)
+        .select("cluster_id", "cos_fp")
         .groupBy("cluster_id")
         .agg(
             F.count(F.lit(1)).alias("n_members"),
@@ -507,3 +490,93 @@ def cluster_profile(
             ).alias("avg_cos"),
         )
     )
+
+
+def centroid_cosine_fp(
+    assigned: DataFrame,
+    centroids: np.ndarray,
+    key_col: str = "vec_id",
+    emb_col: str = "embedding",
+    cluster_col: str = "centroid_id",
+) -> DataFrame:
+    """(key, cluster_id, cos_fp): each row's cosine to its OWN cluster's
+    centroid, rounded to 1e-6 fixed point — the shared per-row kernel of
+    cluster_profile (aggregate audit) and semdedup (per-row keep rule).
+    Centroids ride as a broadcast side table equi-joined on cluster_id;
+    the op chain (HOF dot + sqrt) is bit-identical in DuckDB."""
+    spark = assigned.sparkSession
+    cent_rows = [
+        (int(i), [float(v) for v in row])
+        for i, row in enumerate(np.asarray(centroids, dtype=np.float64))
+    ]
+    cent_df = spark.createDataFrame(
+        cent_rows, schema="cluster_id bigint, _centroid array<double>"
+    )
+    e = F.col(emb_col).cast("array<double>")
+    cv = F.col("_centroid")
+    norm = l2_norm(e)
+    cos = F.when(norm > 0.0, dot_product(e, cv) / norm).otherwise(F.lit(0.0))
+    cos_fp = F.round(cos * 1_000_000, 0).cast("bigint")
+    return (
+        assigned.select(
+            F.col(key_col),
+            F.col(cluster_col).cast("bigint").alias("cluster_id"),
+            F.col(emb_col),
+        )
+        .join(F.broadcast(cent_df), "cluster_id")
+        .select(F.col(key_col), F.col("cluster_id"), cos_fp.alias("cos_fp"))
+    )
+
+
+def semdedup(
+    assigned: DataFrame,
+    centroids: np.ndarray,
+    threshold: float = 0.2,
+    key_col: str = "vec_id",
+    emb_col: str = "embedding",
+    cluster_col: str = "centroid_id",
+) -> DataFrame:
+    """Semantic deduplication (Abbas et al. 2023, "SemDeDup"): within each
+    cluster, find pairs with cosine >= threshold and keep only the member
+    FARTHEST from the centroid in each duplicate neighborhood — the
+    published keep-low-centroid-similarity rule, made deterministic by
+    tie-breaking on the key. Returns the surviving (key, cluster_id).
+
+    Shape: the pairwise check is BLOCKED by cluster (operators/dedup.
+    embedding_neardup_pairs — never an all-pairs join); the keep rule is
+    one symmetric join against the per-row centroid-cosine table and a
+    left-anti join back. All joins keyed; oracle replays the identical
+    arithmetic (deterministic sampled centroids + fixed-point cosines).
+    """
+    from external_benchmarks_spark.operators.dedup import embedding_neardup_pairs
+
+    percos = centroid_cosine_fp(
+        assigned, centroids, key_col=key_col, emb_col=emb_col, cluster_col=cluster_col
+    )
+    pairs = embedding_neardup_pairs(
+        assigned,
+        block_col=cluster_col,
+        key_col=key_col,
+        emb_col=emb_col,
+        threshold=threshold,
+    ).select("id_a", "id_b")
+    sym = pairs.union(pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")))
+    pa = percos.select(
+        F.col(key_col).alias("id_a"), F.col("cos_fp").alias("_fp_a")
+    )
+    pb = percos.select(
+        F.col(key_col).alias("id_b"), F.col("cos_fp").alias("_fp_b")
+    )
+    # drop a row iff some tau-neighbor sits strictly closer to "keep":
+    # smaller (cos_fp, key) — i.e. the neighborhood's minimum survives.
+    dropped = (
+        sym.join(pa, "id_a")
+        .join(pb, "id_b")
+        .filter(
+            (F.col("_fp_b") < F.col("_fp_a"))
+            | ((F.col("_fp_b") == F.col("_fp_a")) & (F.col("id_b") < F.col("id_a")))
+        )
+        .select(F.col("id_a").alias(key_col))
+        .distinct()
+    )
+    return percos.join(dropped, key_col, "left_anti").select(key_col, "cluster_id")
