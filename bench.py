@@ -323,12 +323,14 @@ def _p95(xs):
     return xs[min(len(xs) - 1, int(round(0.95 * len(xs))) - 1)] if xs else None
 
 
-def mixed_rw(spark, sf, n_reads: int = 10, n_writes: int = 5):
+def mixed_rw(spark, sf, n_reads: int = 20, n_writes: int = 20):
     """The reference's concurrent read/write scenario (README.md:69-70:
     sustained single-object updates WHILE serving filtered reads): a
     writer thread applies keyed upsert batches as the main thread runs
     1%-selectivity reads; both p95s reported. One shared session — Spark
-    schedules the jobs concurrently across the local[32] slots."""
+    schedules the jobs concurrently across the local[32] slots. 20
+    samples per side so the p95 is a real tail statistic (with n=5 it
+    degenerates to the max and one noisy sample owns the headline)."""
     import threading
 
     t = _upsert_table(spark, sf)
@@ -403,6 +405,10 @@ def headline_queries():
         "asof_join_generic": q["asof_join_generic"],
         "range_join_agg": q["range_join_agg"],
         "tfidf_top_terms": q["tfidf_top_terms"],
+        "bm25_topk": q["bm25_topk"],
+        "semdedup": q["semdedup"],
+        "sentence_split": q["sentence_split"],
+        "session_window_agg": q["session_window_agg"],
         "salted_group_agg": q["salted_group_agg"],
         # Embedding inference throughput + skew-mitigation evidence
         "embed_batch": _embed_batch,
