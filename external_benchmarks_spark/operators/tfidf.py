@@ -90,7 +90,12 @@ def bm25_topk(
     stats = dl.agg(
         F.count(F.lit(1)).alias("n"), F.sum("dl").alias("total")
     ).collect()[0]
-    n_docs, avgdl = int(stats["n"]), float(stats["total"]) / int(stats["n"])
+    n_docs = int(stats["n"])
+    if n_docs == 0:
+        return df.sparkSession.createDataFrame(
+            [], f"{key_col} bigint, bm25 double"
+        )
+    avgdl = float(stats["total"]) / n_docs
     toks = base.select(
         F.col(key_col), F.explode(tokens(F.col(content_col))).alias("term")
     ).filter(F.col("term").isin([t.lower() for t in query_terms]))

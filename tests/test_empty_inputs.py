@@ -49,3 +49,29 @@ def test_graph_operators_on_empty(spark):
 def test_quantize_on_empty(spark):
     empty = Catalog(spark, SF_DIR).embeddings.limit(0)
     assert quantization_report(empty).count() == 0
+
+
+def test_round3_operators_on_empty(spark):
+    import numpy as np
+
+    from external_benchmarks_spark.multimodal.binaryops import frame_sample
+    from external_benchmarks_spark.operators.graph import triangle_participation
+    from external_benchmarks_spark.operators.similarity import semdedup
+    from external_benchmarks_spark.operators.textprep import split_sentences
+    from external_benchmarks_spark.operators.tfidf import bm25_topk
+
+    no_edges = spark.createDataFrame([], "id_a long, id_b long")
+    assert triangle_participation(no_edges).count() == 0
+
+    no_docs = Catalog(spark, SF_DIR).documents.limit(0)
+    assert split_sentences(no_docs).count() == 0
+    assert bm25_topk(no_docs, ["spark"]).count() == 0
+
+    no_vecs = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, centroid_id int"
+    )
+    cents = np.zeros((2, 4), dtype=np.float64)
+    assert semdedup(no_vecs, cents).count() == 0
+
+    no_blobs = spark.createDataFrame([], "doc_id long, blob binary")
+    assert frame_sample(no_blobs, "blob").count() == 0
