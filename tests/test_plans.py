@@ -262,3 +262,27 @@ def test_multimodal_decode_plans_are_map_only(spark, sf_dir):
         plan = _plan(q(spark, sf_dir))
         assert "Exchange" not in plan, plan
         assert "MapInPandas" in plan or "ArrowEvalPython" in plan
+
+
+def test_bm25_broadcasts_dfreq_only(spark, sf_dir):
+    """dfreq (|q| rows) broadcasts; doc-length joins keyed; top-k plans
+    as TakeOrderedAndProject; nothing quadratic."""
+    plan = _plan(entry_mod.q_bm25_topk(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_semdedup_no_cartesian(spark, sf_dir):
+    """Pairwise work is cluster-blocked (equi-join on the block key) and
+    centroids broadcast — never an all-pairs product."""
+    plan = _plan(entry_mod.q_semdedup(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_sentence_split_no_shuffle(spark, sf_dir):
+    """Fan-out only: split -> filter -> posexplode, zero Exchange."""
+    plan = _plan(entry_mod.q_sentence_split(spark, sf_dir))
+    assert "Exchange" not in plan, plan
