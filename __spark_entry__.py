@@ -1060,6 +1060,40 @@ def q_semdedup(spark, sf):
     return semdedup(ivf_assign(e, centroids), centroids, threshold=0.2)
 
 
+def q_cluster_representatives(spark, sf):
+    # k most-central members per cluster (similarity.cluster_representatives)
+    # — prototype selection over the same deterministic assignment, so the
+    # oracle replays assignment + cosine + window rank exactly.
+    from external_benchmarks_spark.operators.similarity import (
+        cluster_representatives,
+        ivf_assign,
+        sampled_centroids,
+    )
+
+    e = Catalog(spark, sf).embeddings
+    centroids = sampled_centroids(e, n_centroids=IVF_N_CENTROIDS)
+    return cluster_representatives(ivf_assign(e, centroids), centroids, k=5)
+
+
+def q_cluster_sample(spark, sf):
+    # Per-cluster quota sampling (sampling.cluster_sample): even clusters
+    # at 25%, odd at 75% — deterministic md5 inclusion, the quota step
+    # after cluster_profile decides rates.
+    from external_benchmarks_spark.operators.sampling import cluster_sample
+    from external_benchmarks_spark.operators.similarity import (
+        ivf_assign,
+        sampled_centroids,
+    )
+
+    e = Catalog(spark, sf).embeddings
+    centroids = sampled_centroids(e, n_centroids=IVF_N_CENTROIDS)
+    rates = {cid: (0.25 if cid % 2 == 0 else 0.75) for cid in range(IVF_N_CENTROIDS)}
+    kept = cluster_sample(ivf_assign(e, centroids), rates)
+    return kept.select(
+        "vec_id", F.col("centroid_id").cast("bigint").alias("cluster_id")
+    )
+
+
 def q_session_window_agg(spark, sf):
     # Spark-NATIVE session windows (F.session_window: merge events whose
     # gap < 30 min), complementing the manual running-sum sessionize.
@@ -1688,6 +1722,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "session_window_agg": q_session_window_agg,
         "semdedup": q_semdedup,
+        "cluster_representatives": q_cluster_representatives,
+        "cluster_sample": q_cluster_sample,
         # --- round-2-verified window (50/50 green in r02) ----------------
         "ann_recall": q_ann_recall,
         "dim_stats": q_dim_stats,
@@ -2227,6 +2263,71 @@ def oracle_sql() -> dict[str, str]:
         "lsh_ann_topk": _lsh_ann_sql(),
         "ivf_ann_topk": _ivf_ann_sql(),
         "doc_pagerank": _pagerank_sql(),
+        "cluster_representatives": f"""
+            WITH sel AS (
+              SELECT vec_id, {EMB_DBL} AS e FROM embeddings
+              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+              LIMIT {IVF_N_CENTROIDS}),
+            cent AS (
+              SELECT row_number() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid,
+                     list_transform(e, x -> x / sqrt(list_dot_product(e, e)))
+                       AS cv
+              FROM sel),
+            scores AS (
+              SELECT emb.vec_id, cent.cid,
+                     list_dot_product({EMB_DBL}, cent.cv) AS d
+              FROM embeddings emb CROSS JOIN cent),
+            assign AS (
+              SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY d DESC, cid) AS rn
+                FROM scores) WHERE rn = 1),
+            pc AS (
+              SELECT emb.vec_id, a.cid AS cluster_id,
+                     CAST(ROUND(CASE WHEN sqrt(list_dot_product(
+                                        {EMB_DBL}, {EMB_DBL})) > 0.0
+                       THEN list_dot_product({EMB_DBL}, cent.cv)
+                            / sqrt(list_dot_product({EMB_DBL}, {EMB_DBL}))
+                       ELSE 0.0 END * 1000000, 0) AS BIGINT) AS cos_fp
+              FROM embeddings emb
+              JOIN assign a USING (vec_id)
+              JOIN cent ON cent.cid = a.cid)
+            SELECT vec_id, CAST(cluster_id AS BIGINT) AS cluster_id, cos_fp,
+                   rn
+            FROM (SELECT vec_id, cluster_id, cos_fp,
+                         CAST(row_number() OVER (PARTITION BY cluster_id
+                              ORDER BY cos_fp DESC, vec_id) AS BIGINT) AS rn
+                  FROM pc)
+            WHERE rn <= 5
+        """,
+        "cluster_sample": f"""
+            WITH sel AS (
+              SELECT vec_id, {EMB_DBL} AS e FROM embeddings
+              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+              LIMIT {IVF_N_CENTROIDS}),
+            cent AS (
+              SELECT row_number() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid,
+                     list_transform(e, x -> x / sqrt(list_dot_product(e, e)))
+                       AS cv
+              FROM sel),
+            scores AS (
+              SELECT emb.vec_id, cent.cid,
+                     list_dot_product({EMB_DBL}, cent.cv) AS d
+              FROM embeddings emb CROSS JOIN cent),
+            assign AS (
+              SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY d DESC, cid) AS rn
+                FROM scores) WHERE rn = 1)
+            SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id
+            FROM assign
+            WHERE {_h32("('cs:' || CAST(vec_id AS VARCHAR))")} % 10000 <
+                  CASE WHEN cid % 2 = 0 THEN 2500 ELSE 7500 END
+        """,
         "semdedup": f"""
             WITH sel AS (
               SELECT vec_id, {EMB_DBL} AS e FROM embeddings

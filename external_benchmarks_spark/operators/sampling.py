@@ -86,3 +86,28 @@ def mixture_sample(
         thresh = F.when(cond, val) if thresh is None else thresh.when(cond, val)
     thresh = thresh.otherwise(F.lit(0)) if thresh is not None else F.lit(0)
     return df.filter(h < thresh)
+
+
+def cluster_sample(
+    assigned: DataFrame,
+    rates: dict[int, float],
+    key_col: str = "vec_id",
+    cluster_col: str = "centroid_id",
+    precision: int = 10_000,
+) -> DataFrame:
+    """Per-cluster deterministic sampling — the quota step of
+    cluster-then-sample curation (downsample bloated clusters, keep rare
+    ones whole, as SemDeDup/SSL-prototype pipelines do after profiling).
+    Same stable md5 inclusion test as mixture_sample (engine- and
+    cluster-size-independent, pushdown-friendly); clusters absent from
+    ``rates`` are dropped."""
+    from external_benchmarks_spark.functions.hashing import md5_hash32
+
+    h = md5_hash32(F.concat(F.lit("cs:"), F.col(key_col).cast("string"))) % precision
+    thresh = None
+    for cid, rate in sorted(rates.items()):
+        cond = F.col(cluster_col).cast("bigint") == int(cid)
+        val = F.lit(int(rate * precision))
+        thresh = F.when(cond, val) if thresh is None else thresh.when(cond, val)
+    thresh = thresh.otherwise(F.lit(0)) if thresh is not None else F.lit(0)
+    return assigned.filter(h < thresh)

@@ -580,3 +580,31 @@ def semdedup(
         .distinct()
     )
     return percos.join(dropped, key_col, "left_anti").select(key_col, "cluster_id")
+
+
+def cluster_representatives(
+    assigned: DataFrame,
+    centroids: np.ndarray,
+    k: int = 5,
+    key_col: str = "vec_id",
+    emb_col: str = "embedding",
+    cluster_col: str = "centroid_id",
+) -> DataFrame:
+    """Top-k most-central members per cluster — the prototype-selection
+    primitive of cluster-then-curate pipelines (label the k nearest to
+    each centroid, audit a cluster by its exemplars). One window over the
+    per-row centroid-cosine table; ties broken by key. Shuffle: the
+    single window partition-by (cluster_id) — k x n_clusters rows out."""
+    from pyspark.sql.window import Window
+
+    pc = centroid_cosine_fp(
+        assigned, centroids, key_col=key_col, emb_col=emb_col, cluster_col=cluster_col
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("cos_fp"), F.asc(key_col)
+    )
+    return (
+        pc.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= k)
+        .select(key_col, "cluster_id", "cos_fp", "rn")
+    )
