@@ -1694,88 +1694,17 @@ def q_cluster_profile(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order is a correctness-evidence budget: the driver checks a
-    # window of entries in dict order each round, so entries without a
-    # hard-signal CORRECTNESS row yet are FRONT-LOADED (round 1 verified
-    # the first 50 — the relational core; round 2 the next 50; round 3
-    # fronts the 5 entries that landed after the r2 window was fixed —
-    # the only registry entries without a driver-green row). All entries
-    # pass the local mirror (tests/test_oracle_queries.py) either way, so
-    # rotation costs nothing.
+    # window of entries in dict order each round, so never-checked entries
+    # go first, then the STALEST driver-green entries. Round-4 window:
+    # new r4 entries + the r1-verified relational core (3 rounds stale).
+    # The r2-verified block follows (2 rounds stale, next rotation), and
+    # the freshly r3-verified 50 sit last. All entries pass the local
+    # mirror (tests/test_oracle_queries.py) either way, so rotation costs
+    # nothing.
     return {
-        # --- round-3 window: the 5 entries added after the r2 window ----
-        "lm_score": q_lm_score,
-        "dup_span_stats": q_dup_span_stats,
-        "gopher_rules": q_gopher_rules,
-        "dsir_weights": q_dsir_weights,
-        "cluster_profile": q_cluster_profile,
-        # new in round 3: REAL Structured Streaming queries, oracle-able
-        # because streaming == batch (lambda contract)
-        "stream_events_hourly": q_stream_events_hourly,
-        "stream_events_sliding": q_stream_events_sliding,
-        "stream_dedup_keys": q_stream_dedup_keys,
-        # new in round 3: PNG+BMP+GIF decoders under one oracle, and the
-        # animated-GIF demux / frame-sampling video pipeline
-        "image_decode_multiformat": q_image_decode_multiformat,
-        "video_frame_sample": q_video_frame_sample,
-        "neardup_triangles": q_neardup_triangles,
-        "sentence_split": q_sentence_split,
-        "bm25_topk": q_bm25_topk,
-        "session_window_agg": q_session_window_agg,
-        "semdedup": q_semdedup,
-        "cluster_representatives": q_cluster_representatives,
-        "cluster_sample": q_cluster_sample,
-        # --- round-2-verified window (50/50 green in r02) ----------------
-        "ann_recall": q_ann_recall,
-        "dim_stats": q_dim_stats,
-        "group_distinct": q_group_distinct,
-        "salted_group_agg": q_salted_group_agg,
-        "salted_join_agg": q_salted_join_agg,
-        "exact_dedup": q_exact_dedup,
-        "curation_funnel": q_curation_funnel,
-        "ngram_jaccard": q_ngram_jaccard,
-        "minhash_signature": q_minhash_signature,
-        "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "simhash": q_simhash,
-        "lang_id": q_lang_id,
-        "text_quality": q_text_quality,
-        "fingerprint": q_fingerprint,
-        "token_stats": q_token_stats,
-        "top_terms": q_top_terms,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "approx_distinct": q_approx_distinct,
-        "approx_quantile": q_approx_quantile,
-        "repetition_stats": q_repetition_stats,
-        "doc_chunks": q_doc_chunks,
-        "sequence_pack": q_sequence_pack,
-        "vocab_encode": q_vocab_encode,
-        "dataset_split": q_dataset_split,
-        "weighted_sample": q_weighted_sample,
-        "pii_redact": q_pii_redact,
-        "jsonl_roundtrip": q_jsonl_roundtrip,
-        "csv_roundtrip": q_csv_roundtrip,
-        "orc_roundtrip": q_orc_roundtrip,
-        "quantize_embeddings": q_quantize_embeddings,
-        "quant_dot_topk": q_quant_dot_topk,
-        "neardup_components": q_neardup_components,
-        "doc_pagerank": q_doc_pagerank,
-        "dedup_keep_best": q_dedup_keep_best,
-        "events_hourly": q_events_hourly,
-        "events_sliding": q_events_sliding,
-        "blob_metadata": q_blob_metadata,
-        "image_decode": q_image_decode,
-        "audio_decode": q_audio_decode,
-        "group_embedding_stats": q_group_embedding_stats,
-        "details_prune": q_details_prune,
-        "sessionize": q_sessionize,
-        "asof_last_event": q_asof_last_event,
-        "asof_join_generic": q_asof_join_generic,
-        "range_join_agg": q_range_join_agg,
-        "lsh_ann_topk": q_lsh_ann_topk,
-        "ivf_ann_topk": q_ivf_ann_topk,
-        "embed_inference": q_embed_inference,
-        "decontaminate": q_decontaminate,
-        "mixture_sample": q_mixture_sample,
-        # --- round-1-verified relational core (48/48 green in r01) -------
+        # --- new in round 4: never driver-checked -----------------------
+        # (inserted here as they land)
+        # --- round-1-verified relational core (stalest: r01) -------------
         "count_star": q_count_star,
         "group_share_topn": q_group_share_topn,
         "numeric_summary": q_numeric_summary,
@@ -1824,6 +1753,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_query_topk": q_multi_query_topk,
         "embedding_neardup": q_embedding_neardup,
         "pairwise_cosine_stats": q_pairwise_cosine_stats,
+        # --- round-2-verified block (next rotation candidate) ------------
+        "dedup_keep_best": q_dedup_keep_best,
+        "events_hourly": q_events_hourly,
+        "events_sliding": q_events_sliding,
+        "blob_metadata": q_blob_metadata,
+        "image_decode": q_image_decode,
+        "audio_decode": q_audio_decode,
+        "group_embedding_stats": q_group_embedding_stats,
+        "details_prune": q_details_prune,
+        "sessionize": q_sessionize,
+        "asof_last_event": q_asof_last_event,
+        "asof_join_generic": q_asof_join_generic,
+        "range_join_agg": q_range_join_agg,
+        "lsh_ann_topk": q_lsh_ann_topk,
+        "ivf_ann_topk": q_ivf_ann_topk,
+        "embed_inference": q_embed_inference,
+        "decontaminate": q_decontaminate,
+        "mixture_sample": q_mixture_sample,
+        # --- round-3-verified block (freshest driver rows) ---------------
+        "lm_score": q_lm_score,
+        "dup_span_stats": q_dup_span_stats,
+        "gopher_rules": q_gopher_rules,
+        "dsir_weights": q_dsir_weights,
+        "cluster_profile": q_cluster_profile,
+        "stream_events_hourly": q_stream_events_hourly,
+        "stream_events_sliding": q_stream_events_sliding,
+        "stream_dedup_keys": q_stream_dedup_keys,
+        "image_decode_multiformat": q_image_decode_multiformat,
+        "video_frame_sample": q_video_frame_sample,
+        "neardup_triangles": q_neardup_triangles,
+        "sentence_split": q_sentence_split,
+        "bm25_topk": q_bm25_topk,
+        "session_window_agg": q_session_window_agg,
+        "semdedup": q_semdedup,
+        "cluster_representatives": q_cluster_representatives,
+        "cluster_sample": q_cluster_sample,
+        "ann_recall": q_ann_recall,
+        "dim_stats": q_dim_stats,
+        "group_distinct": q_group_distinct,
+        "salted_group_agg": q_salted_group_agg,
+        "salted_join_agg": q_salted_join_agg,
+        "exact_dedup": q_exact_dedup,
+        "curation_funnel": q_curation_funnel,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_signature": q_minhash_signature,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash": q_simhash,
+        "lang_id": q_lang_id,
+        "text_quality": q_text_quality,
+        "fingerprint": q_fingerprint,
+        "token_stats": q_token_stats,
+        "top_terms": q_top_terms,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "approx_distinct": q_approx_distinct,
+        "approx_quantile": q_approx_quantile,
+        "repetition_stats": q_repetition_stats,
+        "doc_chunks": q_doc_chunks,
+        "sequence_pack": q_sequence_pack,
+        "vocab_encode": q_vocab_encode,
+        "dataset_split": q_dataset_split,
+        "weighted_sample": q_weighted_sample,
+        "pii_redact": q_pii_redact,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
+        "csv_roundtrip": q_csv_roundtrip,
+        "orc_roundtrip": q_orc_roundtrip,
+        "quantize_embeddings": q_quantize_embeddings,
+        "quant_dot_topk": q_quant_dot_topk,
+        "neardup_components": q_neardup_components,
+        "doc_pagerank": q_doc_pagerank,
     }
 
 
