@@ -1038,8 +1038,14 @@ def q_neardup_components(spark, sf):
         connected_components,
     )
 
+    # Arrow fast path: this consumer drops the cosine column, so the BLAS
+    # Gram-matmul scoring (boundary-exact vs the HOF fold) yields the
+    # identical edge set the oracle replays.
     edges = embedding_neardup_pairs(
-        Catalog(spark, sf).embeddings, block_col="label", threshold=0.2
+        Catalog(spark, sf).embeddings,
+        block_col="label",
+        threshold=0.2,
+        use_arrow_fast_path=True,
     )
     return component_sizes(connected_components(edges))
 
@@ -1057,7 +1063,14 @@ def q_semdedup(spark, sf):
 
     e = Catalog(spark, sf).embeddings
     centroids = sampled_centroids(e, n_centroids=IVF_N_CENTROIDS)
-    return semdedup(ivf_assign(e, centroids), centroids, threshold=0.2)
+    # Fast path is edge-set-identical (boundary pairs re-checked with the
+    # exact fold), so the SQL replay still hash-matches.
+    return semdedup(
+        ivf_assign(e, centroids),
+        centroids,
+        threshold=0.2,
+        use_arrow_fast_path=True,
+    )
 
 
 def q_cluster_representatives(spark, sf):
@@ -1144,7 +1157,10 @@ def q_neardup_triangles(spark, sf):
     from external_benchmarks_spark.operators.graph import triangle_participation
 
     edges = embedding_neardup_pairs(
-        Catalog(spark, sf).embeddings, block_col="label", threshold=0.2
+        Catalog(spark, sf).embeddings,
+        block_col="label",
+        threshold=0.2,
+        use_arrow_fast_path=True,
     )
     return triangle_participation(edges)
 
@@ -1159,7 +1175,10 @@ def q_doc_pagerank(spark, sf):
     from external_benchmarks_spark.operators.graph import pagerank
 
     edges = embedding_neardup_pairs(
-        Catalog(spark, sf).embeddings, block_col="label", threshold=0.2
+        Catalog(spark, sf).embeddings,
+        block_col="label",
+        threshold=0.2,
+        use_arrow_fast_path=True,
     )
     return pagerank(edges, n_iter=5).select(
         "node", F.round("rank", 6).alias("rank")

@@ -20,6 +20,8 @@ integer outputs hash-match the DuckDB oracle exactly.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -277,33 +279,211 @@ def simhash(
     )
 
 
+def _subblock_key(
+    df: DataFrame,
+    block_col: str,
+    emb_col: str,
+    max_block_rows: int,
+    key_col: str = "vec_id",
+    n_bits: int = 4,
+    seed: int = 1717,
+) -> DataFrame:
+    """Refine the blocking key for oversized blocks, bounding pair fan-out.
+
+    Two levels, both deterministic:
+
+    1. **Sign-LSH band** (similarity-preserving): blocks whose row count
+       exceeds ``max_block_rows`` get their key suffixed with an
+       ``n_bits``-bit hyperplane-sign band (seeded planes, dim inferred
+       from the data), splitting the block into up to 2^n_bits
+       sub-blocks. Near-duplicates land in the same sub-block with
+       probability (1 - theta/pi)^n_bits — high for cosine near 1 — so
+       this level rarely costs real pairs.
+    2. **Hash-salt fallback** (hard bound): a sub-block STILL over the
+       cap after banding — the adversarial case of a giant block of
+       near-identical vectors, which no similarity-preserving split can
+       separate — is salted by ``xxhash64(key) % ceil(n/cap)``, giving
+       expected sub-block size ~cap regardless of geometry.
+
+    Pairs are then mined only WITHIN a sub-block: the approximation only
+    ever DROPS candidate pairs (drop-only), never invents them, and
+    blocks at or under the cap are untouched (exact). Level 2 drops
+    cross-salt pairs indiscriminately — the documented price of a hard
+    memory/fan-out bound, the same trade MinHash-LSH banding makes.
+
+    Shape: two groupBy(count)+join rounds on the (sub-)block key — the
+    second reuses the first's partitioning — plus one Arrow-batched
+    matmul for the band. Opt-in via ``max_block_rows``.
+    """
+    from pyspark.sql.types import LongType
+
+    @F.pandas_udf(LongType())
+    def band(emb: pd.Series) -> pd.Series:
+        m = np.vstack(emb.to_numpy()).astype(np.float64, copy=False)
+        planes = np.random.RandomState(seed).randn(m.shape[1], n_bits)
+        bits = (m @ planes) > 0
+        return pd.Series((bits @ (1 << np.arange(n_bits))).astype(np.int64))
+
+    sizes = df.groupBy(block_col).agg(F.count(F.lit(1)).alias("_blk_n"))
+    banded = (
+        df.join(sizes, on=block_col)
+        .withColumn(
+            "_blk",
+            F.when(
+                F.col("_blk_n") > max_block_rows,
+                F.concat_ws(
+                    "#",
+                    F.col(block_col).cast("string"),
+                    band(F.col(emb_col)).cast("string"),
+                ),
+            ).otherwise(F.col(block_col).cast("string")),
+        )
+        .drop("_blk_n")
+    )
+    sub_sizes = banded.groupBy("_blk").agg(F.count(F.lit(1)).alias("_sub_n"))
+    n_salt = F.ceil(F.col("_sub_n") / F.lit(max_block_rows)).cast("bigint")
+    salt = F.pmod(F.xxhash64(F.col(key_col).cast("string")), n_salt)
+    return (
+        banded.join(sub_sizes, on="_blk")
+        .withColumn(
+            "_blk",
+            F.when(
+                F.col("_sub_n") > max_block_rows,
+                F.concat_ws("@", F.col("_blk"), salt.cast("string")),
+            ).otherwise(F.col("_blk")),
+        )
+        .drop("_sub_n")
+    )
+
+
+def _neardup_pairs_arrow(
+    df: DataFrame,
+    block_col: str,
+    key_col: str,
+    emb_col: str,
+    threshold: float,
+    chunk: int = 2048,
+) -> DataFrame:
+    """Arrow/BLAS pair scoring: one Gram matmul per block instead of a
+    per-pair Catalyst fold. Same edge SET as the HOF form: scores are
+    computed with numpy float64 BLAS (last-ulp differences possible), and
+    any pair within 1e-9 of the threshold is re-scored with the exact
+    left-to-right fold the HOF/oracle uses, so the >= threshold decision
+    is bit-identical. Emitted cosine values for boundary pairs use the
+    fold value; elsewhere the BLAS value (consumers of this path drop the
+    cosine column — oracle queries that hash it keep the HOF form).
+    """
+    import math
+
+    def _fold_cos(u: np.ndarray, v: np.ndarray) -> float:
+        dot = 0.0
+        na = 0.0
+        nb = 0.0
+        for x, y in zip(u.tolist(), v.tolist()):
+            dot += x * y
+        for x in u.tolist():
+            na += x * x
+        for y in v.tolist():
+            nb += y * y
+        denom = math.sqrt(na) * math.sqrt(nb)
+        return dot / denom if denom != 0.0 else float("nan")
+
+    def score_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
+             "cosine": pd.Series(dtype="float64")}
+        )
+        n = len(pdf)
+        if n < 2:
+            return empty
+        order = np.argsort(pdf[key_col].to_numpy(), kind="stable")
+        ids = pdf[key_col].to_numpy()[order].astype(np.int64)
+        m = np.vstack(pdf[emb_col].to_numpy()[order]).astype(np.float64)
+        norms = np.sqrt((m * m).sum(axis=1))
+        safe = np.where(norms == 0.0, 1.0, norms)
+        out_a, out_b, out_c = [], [], []
+        for s in range(0, n, chunk):
+            e = min(s + chunk, n)
+            cos = (m[s:e] @ m.T) / (safe[s:e, None] * safe[None, :])
+            # zero-norm rows: HOF yields NaN (0/0) -> excluded; force the
+            # same here regardless of threshold sign.
+            cos[norms[s:e] == 0.0, :] = np.nan
+            cos[:, norms == 0.0] = np.nan
+            ri, cj = np.nonzero(cos >= threshold - 1e-9)
+            gi = ri + s
+            keep = cj > gi  # id_a < id_b (rows sorted by id)
+            for i, j in zip(gi[keep].tolist(), cj[keep].tolist()):
+                c = float(cos[i - s, j])
+                if abs(c - threshold) <= 1e-9:
+                    c = _fold_cos(m[i], m[j])
+                    if not (c >= threshold):
+                        continue
+                out_a.append(ids[i])
+                out_b.append(ids[j])
+                out_c.append(c)
+        if not out_a:
+            return empty
+        return pd.DataFrame(
+            {"id_a": np.array(out_a, dtype=np.int64),
+             "id_b": np.array(out_b, dtype=np.int64),
+             "cosine": np.array(out_c, dtype=np.float64)}
+        )
+
+    return (
+        df.select(F.col(key_col), F.col("_blk"), F.col(emb_col))
+        .groupBy("_blk")
+        .applyInPandas(score_block, "id_a bigint, id_b bigint, cosine double")
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     block_col: str,
     key_col: str = "vec_id",
     emb_col: str = "embedding",
     threshold: float = 0.95,
+    use_arrow_fast_path: bool = False,
+    max_block_rows: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within a blocking key.
 
     Exact within-block verification; at 100 TB the block key comes from an
     LSH/IVF assignment (similarity.py) rather than a metadata column.
-    (An unrolled element_at dot was measured SLOWER than the HOF fold at
-    dim=64, so the fold stays.)
+
+    Two physical forms, one edge set:
+
+    - default: Catalyst HOF fold per pair — bit-identical to DuckDB's
+      ``list_dot_product`` chain, the oracle-parity form. (An unrolled
+      element_at dot was measured SLOWER than the HOF fold at dim=64.)
+    - ``use_arrow_fast_path``: one BLAS Gram matmul per block via
+      applyInPandas, with an exact-fold re-check for threshold-boundary
+      pairs — the 100 TB scoring shape (pattern:
+      similarity._per_query_ivf_arrow). Use for consumers that drop the
+      cosine column (components, pagerank, triangles, semdedup).
+
+    ``max_block_rows`` caps pair fan-out for degenerate giant blocks by
+    sub-blocking them with a secondary sign-LSH band (_subblock_key) —
+    approximate (drop-only) above the cap, exact at or below it.
     """
+    if max_block_rows is not None:
+        blocked = _subblock_key(df, block_col, emb_col, max_block_rows, key_col)
+    else:
+        blocked = df.withColumn("_blk", F.col(block_col))
+    if use_arrow_fast_path:
+        return _neardup_pairs_arrow(blocked, block_col, key_col, emb_col, threshold)
     # Norms are precomputed per ROW (n traversals), not per PAIR (n^2/block
     # traversals as the naive cosine_similarity(emb_a, emb_b) would do) —
     # the per-pair work is then a single dot-product fold. Values are
     # bit-identical either way (same IEEE ops), so oracle parity holds.
-    a = df.select(
+    a = blocked.select(
         F.col(key_col).alias("id_a"),
-        F.col(block_col).alias("_blk"),
+        F.col("_blk"),
         F.col(emb_col).alias("emb_a"),
         l2_norm(emb_col).alias("_norm_a"),
     )
-    b = df.select(
+    b = blocked.select(
         F.col(key_col).alias("id_b"),
-        F.col(block_col).alias("_blk"),
+        F.col("_blk"),
         F.col(emb_col).alias("emb_b"),
         l2_norm(emb_col).alias("_norm_b"),
     )

@@ -509,9 +509,19 @@ def centroid_cosine_fp(
         (int(i), [float(v) for v in row])
         for i, row in enumerate(np.asarray(centroids, dtype=np.float64))
     ]
-    cent_df = spark.createDataFrame(
-        cent_rows, schema="cluster_id bigint, _centroid array<double>"
-    )
+    # Arrow path: a pandas-backed createDataFrame plans as a JVM-local
+    # LocalTableScan, so evaluating the broadcast side touches no Python
+    # workers (a plain createDataFrame parallelizes pickled slices — each
+    # pays a Python-worker round-trip; see streaming/upsert.py:202).
+    try:
+        cent_df = spark.createDataFrame(
+            pd.DataFrame(cent_rows, columns=["cluster_id", "_centroid"]),
+            schema="cluster_id bigint, _centroid array<double>",
+        )
+    except Exception:
+        cent_df = spark.createDataFrame(
+            cent_rows, schema="cluster_id bigint, _centroid array<double>"
+        )
     e = F.col(emb_col).cast("array<double>")
     cv = F.col("_centroid")
     norm = l2_norm(e)
@@ -535,6 +545,8 @@ def semdedup(
     key_col: str = "vec_id",
     emb_col: str = "embedding",
     cluster_col: str = "centroid_id",
+    use_arrow_fast_path: bool = False,
+    max_block_rows: int | None = None,
 ) -> DataFrame:
     """Semantic deduplication (Abbas et al. 2023, "SemDeDup"): within each
     cluster, find pairs with cosine >= threshold and keep only the member
@@ -550,6 +562,11 @@ def semdedup(
     """
     from external_benchmarks_spark.operators.dedup import embedding_neardup_pairs
 
+    if use_arrow_fast_path:
+        return _semdedup_arrow(
+            assigned, centroids, threshold, key_col, emb_col, cluster_col,
+            max_block_rows,
+        )
     percos = centroid_cosine_fp(
         assigned, centroids, key_col=key_col, emb_col=emb_col, cluster_col=cluster_col
     )
@@ -559,6 +576,8 @@ def semdedup(
         key_col=key_col,
         emb_col=emb_col,
         threshold=threshold,
+        use_arrow_fast_path=use_arrow_fast_path,
+        max_block_rows=max_block_rows,
     ).select("id_a", "id_b")
     sym = pairs.union(pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")))
     pa = percos.select(
@@ -580,6 +599,115 @@ def semdedup(
         .distinct()
     )
     return percos.join(dropped, key_col, "left_anti").select(key_col, "cluster_id")
+
+
+def _semdedup_arrow(
+    assigned: DataFrame,
+    centroids: np.ndarray,
+    threshold: float,
+    key_col: str,
+    emb_col: str,
+    cluster_col: str,
+    max_block_rows: int | None,
+) -> DataFrame:
+    """SemDeDup fast path: the whole per-cluster computation — pairwise
+    Gram matmul, per-row centroid cosine, and the keep-farthest rule — in
+    ONE applyInPandas over the cluster blocks, followed by a single
+    anti-join. Eliminates the three percos scans and two pair joins of
+    the declarative form (the oracle-parity HOF form keeps that shape).
+
+    Bit-parity with the HOF form is preserved at every decision boundary:
+    - pair threshold: BLAS cosines within 1e-9 of the threshold are
+      re-scored with the exact left-to-right fold;
+    - fixed-point centroid cosine: values within 1e-6 of a .5 rounding
+      boundary are re-derived with the fold and rounded exactly as
+      Spark's ``round`` does (BigDecimal.valueOf HALF_UP ==
+      ``Decimal(repr(v))`` HALF_UP).
+    Outside those bands the float64 arithmetics agree by a >1e-9 margin.
+    """
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from external_benchmarks_spark.operators.dedup import _subblock_key
+
+    cmat = np.asarray(centroids, dtype=np.float64)
+
+    def _fold_dot(u: np.ndarray, v: np.ndarray) -> float:
+        acc = 0.0
+        for x, y in zip(u.tolist(), v.tolist()):
+            acc += x * y
+        return acc
+
+    def _fold_norm(u: np.ndarray) -> float:
+        acc = 0.0
+        for x in u.tolist():
+            acc += x * x
+        return math.sqrt(acc)
+
+    def _spark_round_fp(v: float) -> int:
+        return int(Decimal(repr(v)).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+
+    def drop_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        empty = pd.DataFrame({"_drop_id": pd.Series(dtype="int64")})
+        if n < 2:
+            return empty
+        order = np.argsort(pdf[key_col].to_numpy(), kind="stable")
+        ids = pdf[key_col].to_numpy()[order].astype(np.int64)
+        cid = int(pdf[cluster_col].iloc[0])
+        m = np.vstack(pdf[emb_col].to_numpy()[order]).astype(np.float64)
+        norms = np.sqrt((m * m).sum(axis=1))
+        safe = np.where(norms == 0.0, 1.0, norms)
+        # per-row centroid cosine -> 1e-6 fixed point (HOF: dot/row_norm,
+        # 0.0 for zero-norm rows; centroids arrive unit-normalized)
+        v = np.where(norms == 0.0, 0.0, (m @ cmat[cid]) / safe) * 1_000_000.0
+        fp = np.where(v >= 0.0, np.floor(v + 0.5), np.ceil(v - 0.5)).astype(np.int64)
+        near = np.abs(np.abs(v) % 1.0 - 0.5) <= 1e-6
+        for i in np.nonzero(near)[0].tolist():
+            nf = _fold_norm(m[i])
+            cosf = _fold_dot(m[i], cmat[cid]) / nf if nf > 0.0 else 0.0
+            fp[i] = _spark_round_fp(cosf * 1_000_000.0)
+        # pairwise cosines; drop the (fp, id)-larger endpoint of each pair
+        cos = (m @ m.T) / (safe[:, None] * safe[None, :])
+        cos[norms == 0.0, :] = np.nan
+        cos[:, norms == 0.0] = np.nan
+        ri, cj = np.nonzero(cos >= threshold - 1e-9)
+        dropped: set[int] = set()
+        for i, j in zip(ri.tolist(), cj.tolist()):
+            if j <= i:
+                continue
+            c = float(cos[i, j])
+            if abs(c - threshold) <= 1e-9:
+                na, nb = _fold_norm(m[i]), _fold_norm(m[j])
+                denom = na * nb
+                c = _fold_dot(m[i], m[j]) / denom if denom != 0.0 else float("nan")
+                if not (c >= threshold):
+                    continue
+            # drop the neighborhood's (fp, id)-maximum endpoint
+            loser = j if (fp[j], ids[j]) > (fp[i], ids[i]) else i
+            dropped.add(int(ids[loser]))
+        if not dropped:
+            return empty
+        return pd.DataFrame({"_drop_id": np.array(sorted(dropped), dtype=np.int64)})
+
+    if max_block_rows is not None:
+        blocked = _subblock_key(assigned, cluster_col, emb_col, max_block_rows, key_col)
+    else:
+        blocked = assigned.withColumn("_blk", F.col(cluster_col))
+    dropped = (
+        blocked.select(F.col(key_col), F.col("_blk"), F.col(cluster_col), F.col(emb_col))
+        .groupBy("_blk")
+        .applyInPandas(drop_block, "_drop_id bigint")
+        .select(F.col("_drop_id").alias(key_col))
+        .distinct()
+    )
+    return (
+        assigned.select(
+            F.col(key_col), F.col(cluster_col).cast("bigint").alias("cluster_id")
+        )
+        .join(dropped, key_col, "left_anti")
+        .select(key_col, "cluster_id")
+    )
 
 
 def cluster_representatives(
