@@ -340,26 +340,42 @@ def encode_gif(img: np.ndarray) -> bytes:
 
 def decode_gif_frames(data: bytes, max_frames: int | None = None) -> list:
     """Decode every frame of a GIF87a/89a (global or per-frame local
-    palettes, no interlace) to a list of (h, w, 3) uint8 RGB arrays."""
+    palettes, no interlace) to a list of (h, w, 3) uint8 RGB arrays.
+
+    Frames are COMPOSITED onto the logical-screen canvas: each frame's
+    left/top offset, transparency index, and disposal method (1 leave,
+    2 restore-to-background, 3 restore-to-previous) are honored, so
+    animated GIFs with partial-frame updates yield correct full-canvas
+    per-frame pixels (and hence correct per-frame statistics)."""
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
-    w, h, flags, _bg, _ar = struct.unpack("<HHBBB", data[6:13])
+    w, h, flags, bg, _ar = struct.unpack("<HHBBB", data[6:13])
     pos = 13
     global_pal = None
     if flags & 0x80:
         n = 2 << (flags & 0x07)
         global_pal = np.frombuffer(data[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
         pos += 3 * n
+    background = np.zeros((h, w, 3), dtype=np.uint8)
+    if global_pal is not None and bg < len(global_pal):
+        background[:] = global_pal[bg]
+    canvas = background.copy()
+    disposal, tidx = 0, None  # pending graphic-control state
     frames: list = []
     while pos < len(data):
         b0 = data[pos]
         if b0 == 0x21:  # extension: label + sub-blocks
+            label = data[pos + 1]
+            if label == 0xF9 and data[pos + 2] >= 4:
+                packed = data[pos + 3]
+                disposal = (packed >> 2) & 0x7
+                tidx = data[pos + 6] if packed & 0x1 else None
             pos += 2
             while data[pos] != 0:
                 pos += 1 + data[pos]
             pos += 1
         elif b0 == 0x2C:  # image descriptor
-            _l, _t, iw, ih, iflags = struct.unpack("<HHHHB", data[pos + 1 : pos + 10])
+            fl, ft, iw, ih, iflags = struct.unpack("<HHHHB", data[pos + 1 : pos + 10])
             pos += 10
             if iflags & 0x40:
                 raise ValueError("interlaced GIF unsupported")
@@ -380,8 +396,25 @@ def decode_gif_frames(data: bytes, max_frames: int | None = None) -> list:
             pos += 1  # block terminator
             if palette is None:
                 raise ValueError("GIF frame has no palette")
-            idx = _gif_lzw_decode(bytes(lzw), min_code_size, iw * ih)
-            frames.append(palette[idx].reshape(ih, iw, 3))
+            if fl + iw > w or ft + ih > h:
+                raise ValueError("GIF frame rectangle exceeds logical screen")
+            idx = _gif_lzw_decode(bytes(lzw), min_code_size, iw * ih).reshape(ih, iw)
+            prev = canvas.copy() if disposal == 3 else None
+            patch = palette[idx]
+            target = canvas[ft : ft + ih, fl : fl + iw]
+            if tidx is not None:
+                mask = idx != tidx
+                target[mask] = patch[mask]
+            else:
+                target[:] = patch
+            frames.append(canvas.copy())
+            if disposal == 2:
+                canvas[ft : ft + ih, fl : fl + iw] = background[
+                    ft : ft + ih, fl : fl + iw
+                ]
+            elif disposal == 3 and prev is not None:
+                canvas = prev
+            disposal, tidx = 0, None
             if max_frames is not None and len(frames) >= max_frames:
                 return frames
         elif b0 == 0x3B:
@@ -546,9 +579,14 @@ def _encode_block(bw: _BitWriter, block: np.ndarray, qt: np.ndarray, pred: int) 
     return dc
 
 
-def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
+def encode_jpeg(
+    img: np.ndarray, quality: int = 90, restart_interval: int = 0
+) -> bytes:
     """Encode (h, w) grayscale or (h, w, 3) RGB uint8 as baseline JPEG
-    (4:4:4, self-defined canonical Huffman tables in DHT)."""
+    (4:4:4, self-defined canonical Huffman tables in DHT).
+    ``restart_interval`` > 0 writes a DRI segment and RSTn markers every
+    that many MCUs (predictors reset, stream byte-aligned) — the decoder
+    conformance case for files from encoders that use restarts."""
     arr = np.asarray(img, dtype=np.uint8)
     gray = arr.ndim == 2
     h, w = arr.shape[:2]
@@ -574,6 +612,8 @@ def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
     out += _dht(0, 0, _DC_SYMS, 4) + _dht(1, 0, _AC_SYMS, 8)
     if not gray:
         out += _dht(0, 1, _DC_SYMS, 4) + _dht(1, 1, _AC_SYMS, 8)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     sos = bytes([ncomp])
     for cid in range(1, ncomp + 1):
         t = 0 if cid == 1 else 0x11
@@ -582,8 +622,14 @@ def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
     out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
     bwr = _BitWriter()
     preds = [0] * ncomp
+    mcu = 0
     for by in range(bh):
         for bx in range(bw8):  # interleaved MCU = one 8x8 block per comp
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bwr.flush()  # byte-align (1-padded) before the marker
+                bwr.out += bytes([0xFF, 0xD0 + ((mcu // restart_interval - 1) % 8)])
+                preds = [0] * ncomp
+            mcu += 1
             for ci, (plane, qt, _tid) in enumerate(planes):
                 blk = np.full((8, 8), 128.0)
                 ys, xs = by * 8, bx * 8
@@ -611,16 +657,36 @@ class _BitReader:
     def _fill(self):
         while self.n <= 24 and self.pos < len(self.data):
             b = self.data[self.pos]
-            self.pos += 1
             if b == 0xFF:
-                if self.pos < len(self.data) and self.data[self.pos] == 0x00:
-                    self.pos += 1  # stuffed byte
+                if (
+                    self.pos + 1 < len(self.data)
+                    and self.data[self.pos + 1] == 0x00
+                ):
+                    self.pos += 2  # stuffed byte
                 else:
-                    # a real marker: stop feeding (pad with zeros)
-                    self.pos = len(self.data)
+                    # a real marker: stop feeding (pad with zeros); pos
+                    # stays AT the marker so restart() can consume RSTn
                     break
+            else:
+                self.pos += 1
             self.acc = (self.acc << 8) | b
             self.n += 8
+
+    def restart(self):
+        """Consume an RSTn marker at the current position and resume
+        bit-reading after it (JPEG restart-interval support). Discards
+        any pending bits (the entropy stream is byte-aligned before each
+        RSTn by spec)."""
+        self.acc = 0
+        self.n = 0
+        if (
+            self.pos + 1 < len(self.data)
+            and self.data[self.pos] == 0xFF
+            and 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            self.pos += 2
+        else:
+            raise ValueError("expected RSTn marker at restart interval")
 
     def read(self, length: int) -> int:
         if length == 0:
@@ -641,8 +707,10 @@ def _extend(v: int, c: int) -> int:
 
 def decode_jpeg(data: bytes) -> np.ndarray:
     """Decode a baseline (SOF0) non-subsampled JPEG to (h, w) or
-    (h, w, 3) uint8. Huffman tables come from the DHT segments, so files
-    from any conformant encoder decode (1x1 sampling only)."""
+    (h, w, 3) uint8. Huffman tables come from the DHT segments and
+    DRI/RSTn restart intervals are honored (DC predictors reset, reader
+    realigned at each marker), so files from any conformant encoder
+    decode (1x1 sampling only)."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     pos = 2
@@ -651,6 +719,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     comps = []
     h = w = None
     scan = None
+    restart_interval = 0
     while pos < len(data):
         if data[pos] != 0xFF:
             pos += 1
@@ -702,6 +771,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     code <<= 1
                 huff[(cls, tid)] = table
                 p += 17 + nsym
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:
             ns = seg[0]
             stabs = {}
@@ -729,8 +800,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     bh, bw8 = (h + 7) // 8, (w + 7) // 8
     planes = [np.zeros((bh * 8, bw8 * 8)) for _ in comps]
     preds = [0] * len(comps)
+    mcu = 0
     for by in range(bh):
         for bx in range(bw8):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                br.restart()
+                preds = [0] * len(comps)
+            mcu += 1
             for ci, comp in enumerate(comps):
                 dct_t, act_t = stabs[comp["id"]]
                 dc_tab, ac_tab = huff[(0, dct_t)], huff[(1, act_t)]

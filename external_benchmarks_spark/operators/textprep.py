@@ -362,9 +362,23 @@ def split_sentences_udtf(spark, docs: DataFrame, text_col: str = "text", id_col:
                     idx += 1
                     yield doc_id, idx, part
 
-    spark.udtf.register("split_sentences_udtf", SplitSentences)
-    docs.select(id_col, text_col).createOrReplaceTempView("_udtf_docs_in")
-    return spark.sql(
-        f"SELECT s.* FROM _udtf_docs_in d, "
-        f"LATERAL split_sentences_udtf(d.{id_col}, d.{text_col}) s"
+    import uuid
+
+    # Unique names per call: a fixed view/function name would let
+    # concurrent callers on the same session clobber each other's input
+    # mid-query (same pattern as _stream_to_table's memory-sink names).
+    tag = uuid.uuid4().hex
+    fn = f"split_sentences_udtf_{tag}"
+    view = f"_udtf_docs_in_{tag}"
+    spark.udtf.register(fn, SplitSentences)
+    docs.select(id_col, text_col).createOrReplaceTempView(view)
+    out = spark.sql(
+        f"SELECT s.* FROM {view} d, "
+        f"LATERAL {fn}(d.{id_col}, d.{text_col}) s"
     )
+    # Materialization happens lazily after this returns; localCheckpoint
+    # would defeat the laziness, so drop only the VIEW binding — the plan
+    # already holds the resolved relation, and the registered UDTF stays
+    # (harmless, name-spaced by the tag).
+    spark.catalog.dropTempView(view)
+    return out

@@ -95,9 +95,17 @@ class VectorServingIndex:
             scores = mat @ q
             if len(ids) > k:
                 # partial-select the partition's own top-k before the merge
-                # (per-partition heap, exactly TakeOrderedAndProject's shape)
+                # (per-partition heap, exactly TakeOrderedAndProject's shape).
+                # Ties at the k-th score are resolved by id — the full
+                # (-score, id) order — so the pruned set is exactly what the
+                # Spark query would keep (bit-identical parity contract).
                 idx = np.argpartition(-scores, k - 1)[:k]
-                ids, scores = ids[idx], scores[idx]
+                thresh = scores[idx].min()
+                above = np.nonzero(scores > thresh)[0]
+                at = np.nonzero(scores == thresh)[0]
+                at = at[np.argsort(ids[at])[: k - len(above)]]
+                sel = np.concatenate([above, at])
+                ids, scores = ids[sel], scores[sel]
             best_ids.append(ids)
             best_scores.append(scores)
         if not best_ids:

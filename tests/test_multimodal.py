@@ -329,3 +329,96 @@ def test_frame_sample_counts(spark, sf_dir):
     for k, idxs in by_doc.items():
         n = 3 + k % 4
         assert sorted(idxs) == list(range(0, n, 2))
+
+
+def test_jpeg_restart_interval_roundtrip():
+    """DRI/RSTn conformance: a restart-interval stream must decode to the
+    exact same pixels as the same image without restarts."""
+    import numpy as np
+
+    from external_benchmarks_spark.multimodal.codecs import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(0)
+    img = (
+        (np.linspace(0, 255, 40 * 56).reshape(40, 56) + rng.randn(40, 56) * 8)
+        .clip(0, 255)
+        .astype(np.uint8)
+    )
+    plain = decode_jpeg(encode_jpeg(img, quality=90))
+    for ri in (1, 2, 5, 7):
+        rst = decode_jpeg(encode_jpeg(img, quality=90, restart_interval=ri))
+        assert np.array_equal(plain, rst), f"restart_interval={ri}"
+    rgb = rng.randint(0, 256, (24, 24, 3), dtype=np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(rgb, quality=95)),
+        decode_jpeg(encode_jpeg(rgb, quality=95, restart_interval=3)),
+    )
+
+
+def _craft_gif(frames_spec):
+    """Build a 4x4 GIF89a from (left, top, iw, ih, indices, (disposal, tidx))."""
+    import struct
+
+    import numpy as np
+
+    from external_benchmarks_spark.multimodal.codecs import _gif_lzw_encode
+
+    pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [0, 0, 0]], np.uint8)
+    gif = bytearray(b"GIF89a")
+    gif += struct.pack("<HHBBB", 4, 4, 0x80 | (1 << 4) | 1, 3, 0)
+    gif += pal.tobytes()
+    for left, top, iw, ih, idx, (disposal, tidx) in frames_spec:
+        packed = (disposal << 2) | (1 if tidx is not None else 0)
+        gif += (
+            b"\x21\xf9\x04"
+            + bytes([packed, 0, 0, tidx if tidx is not None else 0])
+            + b"\x00"
+        )
+        gif += b"\x2c" + struct.pack("<HHHHB", left, top, iw, ih, 0)
+        gif += bytes([2])
+        lzw = _gif_lzw_encode(np.asarray(idx, np.int32), 2)
+        for i in range(0, len(lzw), 255):
+            c = lzw[i : i + 255]
+            gif += bytes([len(c)]) + c
+        gif += b"\x00"
+    gif += b"\x3b"
+    return bytes(gif), pal
+
+
+def test_gif_partial_frame_compositing():
+    """Frames with offsets/disposal/transparency composite onto the
+    logical-screen canvas (external animated GIFs decode correctly)."""
+    import numpy as np
+
+    from external_benchmarks_spark.multimodal.codecs import decode_gif_frames
+
+    gif, pal = _craft_gif(
+        [
+            (0, 0, 4, 4, [0] * 16, (1, None)),  # full red
+            (1, 1, 2, 2, [1] * 4, (1, None)),  # green patch, leave
+            (0, 0, 2, 2, [2] * 4, (2, None)),  # blue patch, restore-bg
+            (0, 0, 4, 4, [1, 3, 1, 3] * 4, (1, 3)),  # checker, idx 3 clear
+        ]
+    )
+    fr = decode_gif_frames(gif)
+    assert len(fr) == 4
+    assert all(f.shape == (4, 4, 3) for f in fr)  # full canvas, not sub-rects
+    # frame 2 = green patch OVER the red frame 1
+    assert np.array_equal(fr[1][1:3, 1:3], np.tile(pal[1], (2, 2, 1)))
+    assert np.array_equal(fr[1][0, :], np.tile(pal[0], (4, 1)))
+    # frame 3 shows the blue patch; its disposal=2 restores that rect to bg
+    assert np.array_equal(fr[2][0:2, 0:2], np.tile(pal[2], (2, 2, 1)))
+    # frame 4: drawn pixel, transparent-over-restored-bg, transparent-over-red
+    assert np.array_equal(fr[3][0, 0], pal[1])
+    assert np.array_equal(fr[3][0, 1], pal[3])
+    assert np.array_equal(fr[3][3, 1], pal[0])
+
+
+def test_gif_oversized_frame_rect_rejected():
+    import pytest
+
+    from external_benchmarks_spark.multimodal.codecs import decode_gif_frames
+
+    gif, _ = _craft_gif([(3, 3, 2, 2, [0] * 4, (1, None))])
+    with pytest.raises(ValueError, match="exceeds logical screen"):
+        decode_gif_frames(gif)

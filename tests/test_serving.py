@@ -88,3 +88,24 @@ def test_serving_latency_under_sla(layout):
 def test_serving_empty_selection(layout):
     idx = VectorServingIndex(layout)
     assert idx.topk(entry_mod.QVEC, k=10, label=10**9) == []
+
+
+def test_serving_tie_break_at_k_boundary(tmp_path):
+    """Exact score ties at the k-th boundary must resolve by smallest id —
+    the full (-score, id) order of the Spark query (parity contract)."""
+    import pandas as pd
+
+    # 30 identical vectors (all tie on any query) with shuffled ids
+    ids = [17, 3, 25, 8, 1, 29, 12, 6, 22, 4, 19, 2, 27, 9, 5,
+           13, 28, 7, 21, 10, 15, 26, 11, 23, 0, 18, 14, 24, 16, 20]
+    pdf = pd.DataFrame(
+        {"vec_id": ids, "embedding": [[1.0, 2.0]] * 30, "label": [0] * 30}
+    )
+    out = tmp_path / "layout" / "label=0"
+    out.mkdir(parents=True)
+    pdf[["vec_id", "embedding"]].to_parquet(out / "part.parquet")
+    from external_benchmarks_spark.serving import VectorServingIndex
+
+    idx = VectorServingIndex(str(tmp_path / "layout"))
+    got = [g[0] for g in idx.topk([1.0, 0.0], k=10, label=0)]
+    assert got == sorted(ids)[:10]
