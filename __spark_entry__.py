@@ -1437,6 +1437,36 @@ def q_blob_metadata(spark, sf):
     return blob_metadata(docs, "blob")
 
 
+def q_mp3_metadata(spark, sf):
+    # REAL MP3 pipeline: generate MPEG-1 Layer III streams (valid sync
+    # words, computed frame lengths, ID3v2 tags on every 4th doc), parse
+    # them with the frame-header walker (multimodal/codecs.
+    # parse_mp3_metadata). Every field is integer arithmetic on doc_id,
+    # so the oracle re-derives all of it in SQL.
+    from external_benchmarks_spark.multimodal.binaryops import (
+        make_mp3_blobs,
+        mp3_metadata,
+    )
+
+    docs = make_mp3_blobs(Catalog(spark, sf).documents.select("doc_id"))
+    return mp3_metadata(docs, "blob")
+
+
+def q_mp4_metadata(spark, sf):
+    # REAL MP4 pipeline: generate ISO-BMFF files (ftyp/moov/mvhd/trak/
+    # mdhd/hdlr/mdat), walk the box tree for movie duration, track
+    # counts by handler type, and the audio mdhd sample rate
+    # (multimodal/codecs.parse_mp4_metadata). Arithmetic oracle on
+    # doc_id.
+    from external_benchmarks_spark.multimodal.binaryops import (
+        make_mp4_blobs,
+        mp4_metadata,
+    )
+
+    docs = make_mp4_blobs(Catalog(spark, sf).documents.select("doc_id"))
+    return mp4_metadata(docs, "blob")
+
+
 def q_image_decode_multiformat(spark, sf):
     # Rotating container formats (PNG/BMP/GIF by doc_id % 3, all REAL
     # pure-stdlib encoders+decoders incl. GIF's LZW) through the same
@@ -1722,7 +1752,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # nothing.
     return {
         # --- new in round 4: never driver-checked -----------------------
-        # (inserted here as they land)
+        "mp3_metadata": q_mp3_metadata,
+        "mp4_metadata": q_mp4_metadata,
         # --- round-1-verified relational core (stalest: r01) -------------
         "count_star": q_count_star,
         "group_share_topn": q_group_share_topn,
@@ -2982,6 +3013,40 @@ def oracle_sql() -> dict[str, str]:
         "blob_metadata": """
             SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
                    substring(sha256(text), 1, 16) AS sha_prefix
+            FROM documents
+        """,
+        # Arithmetic re-derivation of the MP3 frame-header walk: doc k
+        # encodes 4 + k%6 MPEG-1 L3 frames at sample rate (44100, 48000,
+        # 32000)[k%3] and bitrate (32,40,48,56,64)[k%5]; duration is the
+        # parser's exact integer total_samples*1000 // sample_rate.
+        "mp3_metadata": """
+            WITH v AS (SELECT doc_id,
+                              CASE doc_id % 3 WHEN 0 THEN 44100
+                                              WHEN 1 THEN 48000
+                                              ELSE 32000 END AS sr,
+                              CAST(4 + doc_id % 6 AS INTEGER) AS nf
+                       FROM documents)
+            SELECT doc_id,
+                   CAST(sr AS INTEGER) AS sample_rate,
+                   CAST(CASE doc_id % 5 WHEN 0 THEN 32 WHEN 1 THEN 40
+                                        WHEN 2 THEN 48 WHEN 3 THEN 56
+                                        ELSE 64 END AS INTEGER) AS bitrate_kbps,
+                   nf AS n_frames,
+                   CAST((nf * 1152 * 1000) // sr AS BIGINT) AS duration_ms
+            FROM v
+        """,
+        # Arithmetic re-derivation of the ISO-BMFF box walk: doc k has
+        # 1 + k%2 video and k%3 audio tracks, movie duration
+        # 500*(1 + k%8) ms at timescale 1000, audio mdhd timescale
+        # (0, 16000, 44100)[k%3].
+        "mp4_metadata": """
+            SELECT doc_id,
+                   CAST(1 + doc_id % 2 + doc_id % 3 AS INTEGER) AS n_tracks,
+                   CAST(1 + doc_id % 2 AS INTEGER) AS n_video,
+                   CAST(doc_id % 3 AS INTEGER) AS n_audio,
+                   CAST(500 * (1 + doc_id % 8) AS BIGINT) AS duration_ms,
+                   CAST(CASE doc_id % 3 WHEN 0 THEN 0 WHEN 1 THEN 16000
+                                        ELSE 44100 END AS INTEGER) AS audio_rate
             FROM documents
         """,
         "events_hourly": """

@@ -11,11 +11,12 @@ Two tiers of decode kernel:
   always-available fallback. The lossless formats are oracle-verified
   (``image_decode``, ``image_decode_multiformat``); JPEG is
   PSNR-verified in pytest because it is lossy by design.
-- STUB kernels (``decode_image_stub`` etc., clearly marked) for formats
-  the container can't parse (MP3/MP4 video) — deterministic fakes that
-  keep the Spark-side plumbing (schemas, Arrow batch shapes, mapInPandas
-  signatures, partitioning) real and tested; swapping in
-  torchaudio/pyav is a one-function change per kernel.
+- REAL metadata parsers for MP3 (frame-header walk, ID3v2 skip) and MP4
+  (ISO-BMFF box walk) — parsing only, no audio/video codec: duration,
+  sample rate, bitrate, track counts (``mp3_metadata``,
+  ``mp4_metadata``; both oracle-verified via arithmetic fixtures). A
+  torchaudio/pyav-backed sample decoder would slot in with the same
+  mapInPandas signature.
 
 Design for 100 TB: blobs never pass through Python row-at-a-time; each
 mapInPandas batch receives a pandas column of bytes (Arrow buffers),
@@ -27,7 +28,6 @@ memory.
 
 from __future__ import annotations
 
-import hashlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -51,24 +51,6 @@ BLOB_META_SCHEMA = StructType(
         StructField("doc_id", LongType()),
         StructField("n_bytes", LongType()),
         StructField("sha_prefix", StringType()),
-    ]
-)
-
-IMAGE_FEATURES_SCHEMA = StructType(
-    [
-        StructField("doc_id", LongType()),
-        StructField("width", IntegerType()),
-        StructField("height", IntegerType()),
-        StructField("feature", ArrayType(FloatType())),
-    ]
-)
-
-AUDIO_FEATURES_SCHEMA = StructType(
-    [
-        StructField("doc_id", LongType()),
-        StructField("sample_rate", IntegerType()),
-        StructField("duration_ms", LongType()),
-        StructField("mfcc", ArrayType(FloatType())),
     ]
 )
 
@@ -268,105 +250,145 @@ def decode_audio(df: DataFrame, blob_col: str, key_col: str = "doc_id") -> DataF
     return df.select(key_col, blob_col).mapInPandas(run, AUDIO_STATS_SCHEMA)
 
 
-def _decode_stub(blob: bytes, dim: int = 8) -> tuple[int, int, np.ndarray]:
-    """STUB image decode: a real implementation would be PIL.Image.open.
+MP3_META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("bitrate_kbps", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("duration_ms", LongType()),
+    ]
+)
 
-    Deterministic fake: dimensions and feature vector derive from the blob
-    digest, so tests are stable and the pipeline shape is real.
-    """
-    h = hashlib.md5(blob or b"").digest()
-    width = 64 + h[0]
-    height = 64 + h[1]
-    seed = int.from_bytes(h[2:6], "big")
-    rng = np.random.RandomState(seed)
-    feat = rng.randn(dim).astype(np.float32)
-    return width, height, feat
+MP4_META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_tracks", IntegerType()),
+        StructField("n_video", IntegerType()),
+        StructField("n_audio", IntegerType()),
+        StructField("duration_ms", LongType()),
+        StructField("audio_rate", IntegerType()),
+    ]
+)
 
 
-def decode_image_stub(df: DataFrame, blob_col: str, key_col: str = "doc_id", dim: int = 8) -> DataFrame:
-    """mapInPandas image decode+featurize (stubbed kernel, real plumbing)."""
+def make_mp3_blobs(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
+    """Generate a REAL MPEG-1 Layer III stream per row (valid sync words
+    and computed frame lengths; codecs.encode_mp3_frames): doc k gets
+    sample-rate index k%3, bitrate index 1+k%5, 4+k%6 frames, and every
+    4th doc an ID3v2 tag of k%40 body bytes — so every parsed field is
+    integer arithmetic on the key, SQL-oracle-checkable."""
+    from external_benchmarks_spark.multimodal.codecs import encode_mp3_frames
+
+    @F.pandas_udf(BinaryType())
+    def gen(keys: pd.Series) -> pd.Series:
+        out = []
+        for k in keys:
+            k = int(k)
+            out.append(
+                encode_mp3_frames(
+                    sr_idx=k % 3,
+                    br_idx=1 + k % 5,
+                    n_frames=4 + k % 6,
+                    fill_key=k,
+                    id3_pad=(k % 40) if k % 4 == 0 else 0,
+                )
+            )
+        return pd.Series(out)
+
+    return df.withColumn("blob", gen(F.col(key_col)))
+
+
+def mp3_metadata(df: DataFrame, blob_col: str, key_col: str = "doc_id") -> DataFrame:
+    """REAL MP3 metadata: walk the frame headers (ID3v2 skip, sync check,
+    bitrate/sample-rate tables, per-frame length stepping) and emit
+    sample_rate / bitrate / frame count / exact integer duration.
+    Parsing only, no audio decode — the header walk any tag scanner or
+    audio indexer performs (reference treats audio as opaque blobs +
+    metadata; codecs.parse_mp3_metadata)."""
+    from external_benchmarks_spark.multimodal.codecs import parse_mp3_metadata
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             recs = []
             for key, blob in zip(pdf[key_col], pdf[blob_col]):
-                w, hgt, feat = _decode_stub(bytes(blob) if blob is not None else b"", dim)
-                recs.append((key, w, hgt, list(feat)))
-            yield pd.DataFrame(recs, columns=["doc_id", "width", "height", "feature"])
-
-    return df.select(key_col, blob_col).mapInPandas(run, IMAGE_FEATURES_SCHEMA)
-
-
-def decode_audio_stub(
-    df: DataFrame, blob_col: str, key_col: str = "doc_id", n_mfcc: int = 8
-) -> DataFrame:
-    """mapInPandas audio decode+featurize (stubbed kernel, real plumbing).
-
-    A real implementation would demux/resample with torchaudio/soundfile
-    and compute MFCCs per batch; the stub derives sample_rate, duration,
-    and the coefficient vector deterministically from the blob digest so
-    the batch shape, schema, and partitioning are exercised for real.
-    """
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            recs = []
-            for key, blob in zip(pdf[key_col], pdf[blob_col]):
-                b = bytes(blob) if blob is not None else b""
-                h = hashlib.md5(b).digest()
-                sample_rate = (8000, 16000, 22050, 44100)[h[0] % 4]
-                # STUB duration: bytes at a fake fixed bitrate
-                duration_ms = len(b) * 1000 // max(sample_rate // 500, 1)
-                rng = np.random.RandomState(int.from_bytes(h[4:8], "big"))
-                mfcc = rng.randn(n_mfcc).astype(np.float32)
-                recs.append((key, sample_rate, duration_ms, list(mfcc)))
+                m = parse_mp3_metadata(bytes(blob))
+                recs.append(
+                    (
+                        int(key),
+                        m["sample_rate"],
+                        m["bitrate_kbps"],
+                        m["n_frames"],
+                        m["duration_ms"],
+                    )
+                )
             yield pd.DataFrame(
-                recs, columns=["doc_id", "sample_rate", "duration_ms", "mfcc"]
+                recs,
+                columns=[
+                    "doc_id", "sample_rate", "bitrate_kbps", "n_frames", "duration_ms",
+                ],
             )
 
-    return df.select(key_col, blob_col).mapInPandas(run, AUDIO_FEATURES_SCHEMA)
+    return df.select(key_col, blob_col).mapInPandas(run, MP3_META_SCHEMA)
 
 
-def resize_image_stub(
-    df: DataFrame,
-    blob_col: str,
-    key_col: str = "doc_id",
-    width: int = 32,
-    height: int = 32,
-) -> DataFrame:
-    """mapInPandas binary->binary thumbnail resize (stubbed kernel).
+def make_mp4_blobs(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
+    """Generate a REAL ISO-BMFF (MP4) file per row (ftyp/moov/mvhd/trak/
+    mdhd/hdlr/mdat; codecs.encode_mp4): doc k gets duration
+    500*(1+k%8) ms, 1+k%2 video tracks, k%3 audio tracks at rate
+    (0|16000|44100) — all parsed fields are integer arithmetic on the
+    key, SQL-oracle-checkable."""
+    from external_benchmarks_spark.multimodal.codecs import encode_mp4
 
-    Real impl: PIL decode -> resize -> re-encode. The stub emits a
-    deterministic width*height-byte payload derived from the source
-    digest, preserving the production property under test: binary in,
-    fixed-size binary out, batch-at-a-time through Arrow.
-    """
-    out_len = width * height
+    @F.pandas_udf(BinaryType())
+    def gen(keys: pd.Series) -> pd.Series:
+        out = []
+        for k in keys:
+            k = int(k)
+            out.append(
+                encode_mp4(
+                    duration_ms=500 * (1 + k % 8),
+                    n_video=1 + k % 2,
+                    n_audio=k % 3,
+                    audio_rate=(0, 16000, 44100)[k % 3],
+                    fill_key=k,
+                )
+            )
+        return pd.Series(out)
+
+    return df.withColumn("blob", gen(F.col(key_col)))
+
+
+def mp4_metadata(df: DataFrame, blob_col: str, key_col: str = "doc_id") -> DataFrame:
+    """REAL MP4 metadata: walk the ISO-BMFF box tree (mvhd timescale/
+    duration, per-trak hdlr handler types, first audio mdhd timescale as
+    sample rate). Parsing only, no codec (codecs.parse_mp4_metadata)."""
+    from external_benchmarks_spark.multimodal.codecs import parse_mp4_metadata
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             recs = []
             for key, blob in zip(pdf[key_col], pdf[blob_col]):
-                b = bytes(blob) if blob is not None else b""
-                seed = hashlib.md5(b).digest()
-                reps = out_len // len(seed) + 1
-                recs.append((key, width, height, (seed * reps)[:out_len]))
-            yield pd.DataFrame(recs, columns=["doc_id", "width", "height", "thumb"])
+                m = parse_mp4_metadata(bytes(blob))
+                recs.append(
+                    (
+                        int(key),
+                        m["n_tracks"],
+                        m["n_video"],
+                        m["n_audio"],
+                        m["duration_ms"],
+                        m["audio_rate"],
+                    )
+                )
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    "doc_id", "n_tracks", "n_video", "n_audio", "duration_ms",
+                    "audio_rate",
+                ],
+            )
 
-    return df.select(key_col, blob_col).mapInPandas(run, THUMBNAIL_SCHEMA)
-
-
-def frame_sample_stub(
-    df: DataFrame, blob_col: str, key_col: str = "doc_id", every_n: int = 10
-) -> DataFrame:
-    """STUB video frame sampling: real impl would demux with pyav; here each
-    'frame' is a byte-slice index — the explode/partition shape is what
-    matters at scale (one blob -> many frame rows)."""
-    n_frames = (F.length(F.col(blob_col)) / every_n).cast("int")
-    return df.select(
-        F.col(key_col),
-        F.explode(F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)))).alias("frame_idx"),
-    )
+    return df.select(key_col, blob_col).mapInPandas(run, MP4_META_SCHEMA)
 
 
 FRAME_STATS_SCHEMA = StructType(

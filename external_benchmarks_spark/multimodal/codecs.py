@@ -885,3 +885,261 @@ def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
     ri = (np.arange(height, dtype=np.int64) * h) // height
     ci = (np.arange(width, dtype=np.int64) * w) // width
     return arr[ri][:, ci]
+
+
+# ---------------------------------------------------------------------------
+# MP3 (MPEG-1/2/2.5 audio frame headers, ISO 11172-3 / 13818-3 public
+# spec) — header-walk metadata only, no audio decode. Retires the former
+# deterministic-fake audio kernel: the parser reads real sync words,
+# bitrate/sample-rate indices, and padding to step frame to frame.
+# ---------------------------------------------------------------------------
+
+# bitrate tables in kbps, indexed [version_group][layer][bitrate_index]
+_MP3_BITRATES_V1 = {
+    1: [0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448],
+    2: [0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384],
+    3: [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320],
+}
+_MP3_BITRATES_V2 = {
+    1: [0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256],
+    2: [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+    3: [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+}
+_MP3_RATES = {  # [version_bits][sample_rate_index]
+    3: [44100, 48000, 32000],  # MPEG-1
+    2: [22050, 24000, 16000],  # MPEG-2
+    0: [11025, 12000, 8000],  # MPEG-2.5
+}
+
+
+def _mp3_frame(pos: int, data: bytes):
+    """Parse one MP3 frame header at ``pos``; returns
+    (frame_len, sample_rate, bitrate_kbps, samples_per_frame) or None if
+    the bytes at ``pos`` are not a valid sync/header."""
+    if pos + 4 > len(data):
+        return None
+    b0, b1, b2, _b3 = data[pos : pos + 4]
+    if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+        return None
+    version_bits = (b1 >> 3) & 0x3  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+    layer_bits = (b1 >> 1) & 0x3  # 3=Layer I, 2=Layer II, 1=Layer III
+    if version_bits == 1 or layer_bits == 0:
+        return None
+    layer = 4 - layer_bits  # 1, 2, 3
+    br_idx = (b2 >> 4) & 0xF
+    sr_idx = (b2 >> 2) & 0x3
+    padding = (b2 >> 1) & 0x1
+    if br_idx in (0, 15) or sr_idx == 3:
+        return None  # free-format / reserved
+    table = _MP3_BITRATES_V1 if version_bits == 3 else _MP3_BITRATES_V2
+    bitrate = table[layer][br_idx] * 1000
+    sample_rate = _MP3_RATES[version_bits][sr_idx]
+    if layer == 1:
+        frame_len = (12 * bitrate // sample_rate + padding) * 4
+        samples = 384
+    else:
+        per = 144 if (layer == 2 or version_bits == 3) else 72
+        frame_len = per * bitrate // sample_rate + padding
+        samples = 1152 if (layer == 2 or version_bits == 3) else 576
+    return frame_len, sample_rate, bitrate // 1000, samples
+
+
+def parse_mp3_metadata(data: bytes) -> dict:
+    """Walk the MP3 frame headers: skip an ID3v2 tag if present, then
+    step frame to frame via each header's computed length. Returns
+    sample_rate / bitrate_kbps of the first frame, total frame count,
+    and duration_ms = total_samples * 1000 // sample_rate (exact integer
+    arithmetic — oracle-checkable)."""
+    pos = 0
+    if data[:3] == b"ID3" and len(data) >= 10:
+        size = 0
+        for b in data[6:10]:  # synchsafe 7-bit bytes
+            size = (size << 7) | (b & 0x7F)
+        pos = 10 + size
+    n_frames = 0
+    total_samples = 0
+    sample_rate = 0
+    bitrate_kbps = 0
+    while True:
+        fr = _mp3_frame(pos, data)
+        if fr is None:
+            break
+        frame_len, sr, br, samples = fr
+        if n_frames == 0:
+            sample_rate, bitrate_kbps = sr, br
+        n_frames += 1
+        total_samples += samples
+        pos += frame_len
+    if n_frames == 0:
+        raise ValueError("no MP3 frames found")
+    return {
+        "sample_rate": sample_rate,
+        "bitrate_kbps": bitrate_kbps,
+        "n_frames": n_frames,
+        "duration_ms": total_samples * 1000 // sample_rate,
+    }
+
+
+def encode_mp3_frames(
+    sr_idx: int, br_idx: int, n_frames: int, fill_key: int = 0, id3_pad: int = 0
+) -> bytes:
+    """Emit a structurally valid MPEG-1 Layer III stream: ``n_frames``
+    frames with real sync words and correct computed frame lengths
+    (payload is deterministic filler — header-level validity only, which
+    is all the metadata parser reads). ``id3_pad`` > 0 prepends an ID3v2
+    tag of that body size to exercise tag skipping."""
+    out = bytearray()
+    if id3_pad:
+        size = bytes(
+            [(id3_pad >> 21) & 0x7F, (id3_pad >> 14) & 0x7F, (id3_pad >> 7) & 0x7F, id3_pad & 0x7F]
+        )
+        out += b"ID3" + bytes([4, 0, 0]) + size + bytes((fill_key + i) % 256 for i in range(id3_pad))
+    bitrate = _MP3_BITRATES_V1[3][br_idx] * 1000
+    sample_rate = _MP3_RATES[3][sr_idx]
+    frame_len = 144 * bitrate // sample_rate  # padding bit 0
+    header = bytes([0xFF, 0xFB, (br_idx << 4) | (sr_idx << 2), 0xC0])
+    for f in range(n_frames):
+        out += header
+        out += bytes((fill_key + f + i) % 256 for i in range(frame_len - 4))
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# MP4 (ISO base media file format, ISO 14496-12 public spec) — box-walk
+# metadata only, no codec. Retires the former byte-slice video stub.
+# ---------------------------------------------------------------------------
+
+def _mp4_box(btype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", len(payload) + 8) + btype + payload
+
+
+def _mp4_fullbox(btype: bytes, version: int, flags: int, body: bytes) -> bytes:
+    return _mp4_box(btype, bytes([version]) + flags.to_bytes(3, "big") + body)
+
+
+def _iter_boxes(data: bytes, start: int, end: int):
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack(">I", data[pos : pos + 4])
+        btype = data[pos + 4 : pos + 8]
+        body_off = pos + 8
+        if size == 1:  # 64-bit largesize
+            (size,) = struct.unpack(">Q", data[pos + 8 : pos + 16])
+            body_off = pos + 16
+        elif size == 0:  # to end of enclosing box
+            size = end - pos
+        if size < 8 or pos + size > end:
+            raise ValueError("malformed MP4 box")
+        yield btype, body_off, pos + size
+        pos += size
+
+
+def parse_mp4_metadata(data: bytes) -> dict:
+    """Walk the ISO-BMFF box tree: mvhd gives movie timescale/duration,
+    each trak's hdlr gives the handler type ('vide'/'soun'), and the
+    first audio track's mdhd timescale is the audio sample rate (the
+    standard convention). Parsing only — no sample tables, no codec."""
+    timescale = duration = 0
+    n_video = n_audio = n_tracks = 0
+    audio_rate = 0
+    moov = None
+    for btype, off, boxend in _iter_boxes(data, 0, len(data)):
+        if btype == b"moov":
+            moov = (off, boxend)
+    if moov is None:
+        raise ValueError("no moov box")
+    for btype, off, boxend in _iter_boxes(data, *moov):
+        if btype == b"mvhd":
+            version = data[off]
+            if version == 1:
+                timescale, duration = struct.unpack(">IQ", data[off + 20 : off + 32])
+            else:
+                timescale, duration = struct.unpack(">II", data[off + 12 : off + 20])
+        elif btype == b"trak":
+            n_tracks += 1
+            handler = b""
+            mdhd_ts = 0
+            for t2, o2, e2 in _iter_boxes(data, off, boxend):
+                if t2 != b"mdia":
+                    continue
+                for t3, o3, e3 in _iter_boxes(data, o2, e2):
+                    if t3 == b"mdhd":
+                        v = data[o3]
+                        if v == 1:
+                            (mdhd_ts,) = struct.unpack(">I", data[o3 + 20 : o3 + 24])
+                        else:
+                            (mdhd_ts,) = struct.unpack(">I", data[o3 + 12 : o3 + 16])
+                    elif t3 == b"hdlr":
+                        handler = data[o3 + 8 : o3 + 12]
+            if handler == b"vide":
+                n_video += 1
+            elif handler == b"soun":
+                n_audio += 1
+                if audio_rate == 0:
+                    audio_rate = mdhd_ts
+    if timescale == 0:
+        raise ValueError("mvhd missing or zero timescale")
+    return {
+        "n_tracks": n_tracks,
+        "n_video": n_video,
+        "n_audio": n_audio,
+        "duration_ms": duration * 1000 // timescale,
+        "audio_rate": audio_rate,
+    }
+
+
+def encode_mp4(
+    duration_ms: int,
+    n_video: int = 1,
+    n_audio: int = 0,
+    audio_rate: int = 44100,
+    fill_key: int = 0,
+) -> bytes:
+    """Emit a structurally valid ISO-BMFF file: ftyp + moov{mvhd +
+    trak{tkhd, mdia{mdhd, hdlr}}*} + mdat filler. Metadata-complete
+    (timescale/duration/handlers), sample tables omitted — the subset
+    the metadata parser (and any box walker) reads."""
+    timescale = 1000
+    mvhd = _mp4_fullbox(
+        b"mvhd",
+        0,
+        0,
+        struct.pack(">IIII", 0, 0, timescale, duration_ms * timescale // 1000)
+        + struct.pack(">I", 0x00010000)  # rate 1.0
+        + struct.pack(">H", 0x0100)  # volume
+        + b"\x00" * 10
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24
+        + struct.pack(">I", n_video + n_audio + 1),
+    )
+    traks = b""
+    track_id = 1
+    for kind in ["vide"] * n_video + ["soun"] * n_audio:
+        ts = 90000 if kind == "vide" else audio_rate
+        tkhd = _mp4_fullbox(
+            b"tkhd",
+            0,
+            7,
+            struct.pack(">IIII", 0, 0, track_id, 0)
+            + struct.pack(">I", duration_ms * timescale // 1000)
+            + b"\x00" * 60,
+        )
+        mdhd = _mp4_fullbox(
+            b"mdhd",
+            0,
+            0,
+            struct.pack(">IIII", 0, 0, ts, duration_ms * ts // 1000)
+            + struct.pack(">HH", 0x55C4, 0),  # language 'und'
+        )
+        hdlr = _mp4_fullbox(
+            b"hdlr",
+            0,
+            0,
+            struct.pack(">I", 0) + kind.encode() + b"\x00" * 12 + b"handler\x00",
+        )
+        traks += _mp4_box(b"trak", tkhd + _mp4_box(b"mdia", mdhd + hdlr))
+        track_id += 1
+    moov = _mp4_box(b"moov", mvhd + traks)
+    ftyp = _mp4_box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    mdat = _mp4_box(b"mdat", bytes((fill_key + i) % 256 for i in range(16 + fill_key % 32)))
+    return ftyp + moov + mdat

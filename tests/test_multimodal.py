@@ -1,4 +1,4 @@
-"""Multimodal binary-column plumbing (decode kernels stubbed, Spark shape real)."""
+"""Multimodal binary-column plumbing and codec correctness."""
 
 from __future__ import annotations
 
@@ -7,10 +7,10 @@ import pyspark.sql.functions as F
 from external_benchmarks_spark.catalog import Catalog
 from external_benchmarks_spark.multimodal.binaryops import (
     blob_metadata,
-    decode_audio_stub,
-    decode_image_stub,
-    frame_sample_stub,
-    resize_image_stub,
+    make_mp3_blobs,
+    make_mp4_blobs,
+    mp3_metadata,
+    mp4_metadata,
 )
 
 
@@ -32,59 +32,68 @@ def test_blob_metadata(spark, sf_dir):
         assert len(r.sha_prefix) == 16
 
 
-def test_decode_image_stub_shape_and_determinism(spark, sf_dir):
-    blobs = _with_blobs(spark, sf_dir).limit(50)
-    a = decode_image_stub(blobs, "blob", dim=8)
-    assert a.schema.simpleString() == (
-        "struct<doc_id:bigint,width:int,height:int,feature:array<float>>"
+def test_mp3_metadata_matches_key_arithmetic(spark, sf_dir):
+    """Real MP3 frame-header walk over generated MPEG-1 L3 streams: every
+    parsed field equals the fixture's integer arithmetic on doc_id."""
+    docs = Catalog(spark, sf_dir).documents.select("doc_id").limit(60)
+    out = mp3_metadata(make_mp3_blobs(docs), "blob")
+    assert out.schema.simpleString() == (
+        "struct<doc_id:bigint,sample_rate:int,bitrate_kbps:int,"
+        "n_frames:int,duration_ms:bigint>"
     )
-    rows_a = {r.doc_id: (r.width, r.height, tuple(r.feature)) for r in a.collect()}
-    rows_b = {
-        r.doc_id: (r.width, r.height, tuple(r.feature))
-        for r in decode_image_stub(blobs, "blob", dim=8).collect()
-    }
-    assert rows_a == rows_b
-    assert all(len(v[2]) == 8 for v in rows_a.values())
+    for r in out.collect():
+        k = r.doc_id
+        sr = (44100, 48000, 32000)[k % 3]
+        assert r.sample_rate == sr
+        assert r.bitrate_kbps == (32, 40, 48, 56, 64)[k % 5]
+        assert r.n_frames == 4 + k % 6
+        assert r.duration_ms == (4 + k % 6) * 1152 * 1000 // sr
 
 
-def test_decode_audio_stub_shape_and_determinism(spark, sf_dir):
-    blobs = _with_blobs(spark, sf_dir).limit(50)
-    a = decode_audio_stub(blobs, "blob", n_mfcc=8)
-    assert a.schema.simpleString() == (
-        "struct<doc_id:bigint,sample_rate:int,duration_ms:bigint,mfcc:array<float>>"
+def test_mp3_parser_id3_and_junk_handling():
+    import pytest
+
+    from external_benchmarks_spark.multimodal.codecs import (
+        encode_mp3_frames,
+        parse_mp3_metadata,
     )
-    rows_a = {r.doc_id: (r.sample_rate, r.duration_ms, tuple(r.mfcc)) for r in a.collect()}
-    rows_b = {
-        r.doc_id: (r.sample_rate, r.duration_ms, tuple(r.mfcc))
-        for r in decode_audio_stub(blobs, "blob", n_mfcc=8).collect()
-    }
-    assert rows_a == rows_b
-    for sr, dur, mfcc in rows_a.values():
-        assert sr in (8000, 16000, 22050, 44100)
-        assert dur >= 0 and len(mfcc) == 8
+
+    with_tag = encode_mp3_frames(sr_idx=1, br_idx=2, n_frames=3, id3_pad=37)
+    no_tag = encode_mp3_frames(sr_idx=1, br_idx=2, n_frames=3)
+    assert parse_mp3_metadata(with_tag) == parse_mp3_metadata(no_tag)
+    # trailing garbage stops the walk cleanly
+    assert parse_mp3_metadata(no_tag + b"\x00garbage")["n_frames"] == 3
+    with pytest.raises(ValueError, match="no MP3 frames"):
+        parse_mp3_metadata(b"not audio at all")
 
 
-def test_resize_image_stub_fixed_payload(spark, sf_dir):
-    blobs = _with_blobs(spark, sf_dir).limit(20)
-    t = resize_image_stub(blobs, "blob", width=32, height=32)
-    assert t.schema.simpleString() == (
-        "struct<doc_id:bigint,width:int,height:int,thumb:binary>"
+def test_mp4_metadata_matches_key_arithmetic(spark, sf_dir):
+    """Real ISO-BMFF box walk over generated MP4s: track counts, movie
+    duration, and audio rate all equal the fixture arithmetic."""
+    docs = Catalog(spark, sf_dir).documents.select("doc_id").limit(60)
+    out = mp4_metadata(make_mp4_blobs(docs), "blob")
+    assert out.schema.simpleString() == (
+        "struct<doc_id:bigint,n_tracks:int,n_video:int,n_audio:int,"
+        "duration_ms:bigint,audio_rate:int>"
     )
-    rows = t.collect()
-    assert len(rows) == 20
-    for r in rows:
-        assert (r.width, r.height) == (32, 32)
-        assert len(bytes(r.thumb)) == 32 * 32
+    for r in out.collect():
+        k = r.doc_id
+        assert r.n_video == 1 + k % 2
+        assert r.n_audio == k % 3
+        assert r.n_tracks == r.n_video + r.n_audio
+        assert r.duration_ms == 500 * (1 + k % 8)
+        assert r.audio_rate == (0, 16000, 44100)[k % 3]
 
 
-def test_frame_sample_explodes(spark, sf_dir):
-    blobs = _with_blobs(spark, sf_dir).limit(5)
-    frames = frame_sample_stub(blobs, "blob", every_n=10)
-    per_doc = {r.doc_id: r["count"] for r in frames.groupBy("doc_id").count().collect()}
-    lens = {r.doc_id: len(r.text.encode()) for r in
-            Catalog(spark, sf_dir).documents.limit(5).collect()}
-    for doc_id, n in per_doc.items():
-        assert n == max(lens[doc_id] // 10, 1)
+def test_mp4_parser_rejects_malformed():
+    import pytest
+
+    from external_benchmarks_spark.multimodal.codecs import parse_mp4_metadata
+
+    with pytest.raises(ValueError):
+        parse_mp4_metadata(b"\x00\x00\x00\x08free")  # no moov
+    with pytest.raises(ValueError):
+        parse_mp4_metadata(b"\x00\x00\x00\x03xx")  # malformed size
 
 
 # --- REAL codec paths (multimodal/codecs.py) -------------------------------
