@@ -15,22 +15,35 @@ consistent snapshot — never a half-rewritten directory — and the writer
 never materializes data in memory (old and new versions are different
 directories, so no checkpoint barrier is needed). On a Delta/Iceberg
 deployment ``upsert_batch`` collapses to a single ``MERGE INTO``; the
-API and semantics here are identical, single-writer.
+API and semantics here are identical, single-writer — ENFORCED by an
+exclusive writer lease (``_lock``, O_CREAT|O_EXCL with a TTL for
+crashed writers): a concurrent writer raises ConcurrentWriteError
+loudly rather than interleaving manifest swaps.
 
 Layout:  <root>/v=<j>/bucket=<i>/*.parquet  +  <root>/_manifest.json
 """
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import shutil
+import time
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 DEFAULT_BUCKETS = 16
 MANIFEST = "_manifest.json"
+LOCKFILE = "_lock"
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Another writer holds this table's lease — the single-writer
+    contract would be violated. Loud by design: the caller must retry,
+    route through one writer, or investigate the stale holder."""
 
 
 def _bucket(col, n: int):
@@ -45,14 +58,84 @@ class UpsertTable:
     (file-level rewrite, like Delta without the transaction log's history).
     """
 
-    def __init__(self, spark: SparkSession, root: str, key_col: str, n_buckets: int = DEFAULT_BUCKETS):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        key_col: str,
+        n_buckets: int = DEFAULT_BUCKETS,
+        lease_ttl_s: float = 300.0,
+    ):
         self.spark = spark
         self.root = root
         self.key_col = key_col
         self.n_buckets = n_buckets
+        self.lease_ttl_s = lease_ttl_s
         # Lazily-learned schema of the bucket files; lets steady-state
         # MERGEs read base buckets without a footer-inference job.
         self._base_schema = None
+        self._lease_token: str | None = None
+
+    # -- writer lease ------------------------------------------------------
+    @contextlib.contextmanager
+    def _writer_lease(self, op: str):
+        """Exclusive writer lease via O_CREAT|O_EXCL on <root>/_lock.
+
+        Every mutating op (init/upsert/compact/vacuum) runs inside the
+        lease; a second writer fails LOUDLY with ConcurrentWriteError
+        instead of silently interleaving manifest swaps (the corruption
+        mode the single-writer contract forbids). A lease older than
+        ``lease_ttl_s`` is presumed orphaned (crashed writer) and is
+        broken — mutating ops are idempotent-at-rest (version dirs are
+        only referenced once the manifest swap lands), so breaking a
+        dead writer's lease never exposes partial state. Reentrant
+        within one instance (compact -> vacuum). On shared/object
+        storage without O_EXCL semantics, point ``root`` at a posix
+        scratch or replace this with the store's conditional-put."""
+        if self._lease_token is not None:  # reentrant (compact->vacuum)
+            yield
+            return
+        os.makedirs(self.root, exist_ok=True)
+        path = os.path.join(self.root, LOCKFILE)
+        token = uuid.uuid4().hex
+        payload = json.dumps(
+            {"token": token, "pid": os.getpid(), "op": op, "ts": time.time()}
+        ).encode()
+        while True:
+            try:
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, payload)
+                os.close(fd)
+                break
+            except FileExistsError:
+                try:
+                    with open(path) as f:
+                        holder = json.load(f)
+                except (OSError, ValueError):
+                    holder = {}
+                age = time.time() - float(holder.get("ts", 0))
+                if age > self.lease_ttl_s:
+                    with contextlib.suppress(FileNotFoundError):
+                        os.unlink(path)  # break the orphaned lease, retry
+                    continue
+                raise ConcurrentWriteError(
+                    f"writer lease on {self.root} held by "
+                    f"pid={holder.get('pid')} op={holder.get('op')} "
+                    f"(age {age:.1f}s < ttl {self.lease_ttl_s}s); "
+                    f"refusing concurrent {op}"
+                ) from None
+        self._lease_token = token
+        try:
+            yield
+        finally:
+            self._lease_token = None
+            try:
+                with open(path) as f:
+                    cur = json.load(f)
+                if cur.get("token") == token:  # release only our own lease
+                    os.unlink(path)
+            except (OSError, ValueError):
+                pass
 
     # -- manifest ----------------------------------------------------------
     def _manifest_path(self) -> str:
@@ -103,6 +186,10 @@ class UpsertTable:
 
     # -- table API ---------------------------------------------------------
     def init(self, df: DataFrame) -> None:
+        with self._writer_lease("init"):
+            self._init_impl(df)
+
+    def _init_impl(self, df: DataFrame) -> None:
         (
             df.withColumn("bucket", _bucket(F.col(self.key_col), self.n_buckets))
             .repartition(F.col("bucket"))
@@ -221,6 +308,10 @@ class UpsertTable:
         return upd, touched, key_vals
 
     def upsert(self, updates: DataFrame, evolve_schema: bool = False) -> None:
+        with self._writer_lease("upsert"):
+            self._upsert_impl(updates, evolve_schema)
+
+    def _upsert_impl(self, updates: DataFrame, evolve_schema: bool = False) -> None:
         """MERGE semantics: delete matching keys, insert all update rows.
         Last-writer-wins within a batch by highest ``op_ts`` if present.
 
@@ -328,7 +419,12 @@ class UpsertTable:
     def compact(self) -> None:
         """Rewrite every bucket at one fresh version (small files from
         many micro-batches merge back to one file per bucket), then drop
-        the stale versions. The Delta OPTIMIZE analog; single-writer."""
+        the stale versions. The Delta OPTIMIZE analog; single-writer
+        (enforced by the writer lease)."""
+        with self._writer_lease("compact"):
+            self._compact_impl()
+
+    def _compact_impl(self) -> None:
         manifest = self._read_manifest()
         new_version = max(manifest.values(), default=-1) + 1
         current = (
@@ -349,9 +445,13 @@ class UpsertTable:
 
     def vacuum(self, keep_latest: bool = True) -> None:
         """Drop version directories no longer referenced by the manifest
-        (single-writer; call when no readers hold older snapshots).
+        (lease-guarded; call when no readers hold older snapshots).
         Commits whose versions are dropped become unreadable — their log
         entries are removed too (Delta VACUUM retention analog)."""
+        with self._writer_lease("vacuum"):
+            self._vacuum_impl(keep_latest)
+
+    def _vacuum_impl(self, keep_latest: bool = True) -> None:
         current = self._read_manifest()
         live = {
             os.path.join(self.root, f"v={v}", f"bucket={b}")

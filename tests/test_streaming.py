@@ -166,3 +166,68 @@ def test_upsert_schema_evolution(spark):
         t.compact()
         out2 = t.read()
         assert out2.count() == 100 and "lang" in out2.columns
+
+
+def test_concurrent_writer_fails_loudly(spark):
+    """Two writers on one table: the second fails with
+    ConcurrentWriteError and the table stays uncorrupted."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from external_benchmarks_spark.streaming.upsert import (
+        LOCKFILE,
+        ConcurrentWriteError,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        root = os.path.join(d, "t")
+        t1 = UpsertTable(spark, root, key_col="id", n_buckets=4)
+        t1.init(_base(spark))
+        t2 = UpsertTable(spark, root, key_col="id", n_buckets=4)
+        updates = spark.createDataFrame(
+            [(0, "w2", 1.0, 1)], ["id", "title", "price", "op_ts"]
+        )
+        with t1._writer_lease("upsert"):  # writer 1 mid-flight
+            with _pytest.raises(ConcurrentWriteError, match="refusing concurrent"):
+                t2.upsert(updates)
+        # lease released -> writer 2 proceeds; no corruption either way
+        t2.upsert(updates)
+        out = t2.read()
+        assert out.count() == 100
+        assert out.filter(F.col("id") == 0).collect()[0].title == "w2"
+        assert not os.path.exists(os.path.join(root, LOCKFILE))
+
+
+def test_stale_lease_is_broken(spark):
+    """A crashed writer's orphaned lease (older than the TTL) is broken
+    and the new writer proceeds."""
+    import json as _json
+    import time as _time
+
+    from external_benchmarks_spark.streaming.upsert import LOCKFILE
+
+    with tempfile.TemporaryDirectory() as d:
+        root = os.path.join(d, "t")
+        t = UpsertTable(spark, root, key_col="id", n_buckets=4, lease_ttl_s=5.0)
+        t.init(_base(spark))
+        with open(os.path.join(root, LOCKFILE), "w") as f:
+            _json.dump({"token": "dead", "pid": -1, "op": "upsert",
+                        "ts": _time.time() - 60.0}, f)
+        t.upsert(
+            spark.createDataFrame([(0, "alive", 2.0, 1)],
+                                  ["id", "title", "price", "op_ts"])
+        )
+        assert t.read().filter(F.col("id") == 0).collect()[0].title == "alive"
+        assert not os.path.exists(os.path.join(root, LOCKFILE))
+
+
+def test_compact_vacuum_reentrant_lease(spark):
+    """compact() -> vacuum() nests the lease without deadlock or error."""
+    with tempfile.TemporaryDirectory() as d:
+        t = UpsertTable(spark, os.path.join(d, "t"), key_col="id", n_buckets=2)
+        t.init(_base(spark, 20))
+        t.upsert(spark.createDataFrame([(0, "u", 9.0, 1)],
+                                       ["id", "title", "price", "op_ts"]))
+        t.compact()
+        assert t.read().count() == 20
