@@ -361,6 +361,132 @@ def mixed_rw(spark, sf, n_reads: int = 20, n_writes: int = 20):
     }
 
 
+def serving_under_load(spark, sf, qps: int = 20, duration_s: int = 30):
+    """The reference's mixed test at the SLA's own layer (README.md:69-70:
+    sustained 20 QPS reads with concurrent single-object upserts): drive
+    the serving tier at a paced ``qps`` for ``duration_s`` while a writer
+    thread applies keyed upsert batches on the same machine/session.
+    Reports the serving p95 under load and the layout refresh time — the
+    STALENESS bound: a new Spark-built layout becomes visible to serving
+    after one VectorServingIndex reload, so refresh_s is the maximum age
+    of served data after a write lands in the layout."""
+    import threading
+
+    from external_benchmarks_spark.serving import VectorServingIndex
+
+    layout = _vt_layout(spark, sf)
+    t0 = time.perf_counter()
+    sidx = VectorServingIndex(layout)
+    refresh_s = time.perf_counter() - t0
+
+    t = _upsert_table(spark, sf)
+    stop = threading.Event()
+    write_times: list[float] = []
+
+    def writer():
+        i = 0
+        while not stop.is_set():
+            updates = (
+                Catalog(spark, sf).embeddings.limit(100)
+                .withColumn("label", F.lit(80 + i % 8))
+                .withColumn("op_ts", F.lit(1000 + i))
+            )
+            w0 = time.perf_counter()
+            t.upsert(updates)
+            write_times.append(time.perf_counter() - w0)
+            i += 1
+
+    th = threading.Thread(target=writer)
+    th.start()
+    lat: list[float] = []
+    interval = 1.0 / qps
+    n = duration_s * qps
+    start = time.perf_counter()
+    for i in range(n):
+        target = start + i * interval
+        now = time.perf_counter()
+        if target > now:
+            time.sleep(target - now)
+        q0 = time.perf_counter()
+        sidx.topk(QVEC, k=100, label=i % 4, key_mod=10)
+        lat.append(time.perf_counter() - q0)
+    stop.set()
+    th.join()
+    lat.sort()
+    return {
+        "qps": qps,
+        "duration_s": duration_s,
+        "n_queries": len(lat),
+        "p50_ms": round(lat[len(lat) // 2] * 1000, 3),
+        "p95_ms": round(_p95(lat) * 1000, 3),
+        "writer_batches": len(write_times),
+        "write_p95_s": round(_p95(write_times), 3) if write_times else None,
+        "layout_refresh_s": round(refresh_s, 3),
+    }
+
+
+def dim2688_leg(spark, sf, dim: int = 2688):
+    """Full-width realism leg: the reference's production embedding is
+    7 fields x 384 = 2,688 float32 dims (reference README.md:52-55).
+    Runs embed -> index-layout build -> filtered vector top-k -> serving
+    read at that width, proving the Arrow batch sizing (10k-row batches
+    x 2688 dims ~ 100 MB float32) and the serving memory math at the
+    real dimensionality rather than the testdata's 64."""
+    import numpy as np
+
+    from external_benchmarks_spark.operators.topk import filtered_vector_topk
+    from external_benchmarks_spark.pipeline.embedding import (
+        embed_text_udf,
+        hashed_ngram_encode,
+    )
+    from external_benchmarks_spark.serving import VectorServingIndex
+
+    d = Catalog(spark, sf).documents.select("doc_id", "text")
+    embed = embed_text_udf(dim=dim)
+    emb = d.select(
+        F.col("doc_id").alias("vec_id"),
+        (F.col("doc_id") % 8).cast("int").alias("label"),
+        embed(F.coalesce(F.col("text"), F.lit(""))).alias("embedding"),
+    )
+    out: dict[str, float] = {"dim": dim}
+    # 1) inference throughput at full width (one pass, vectors forced)
+    t0 = time.perf_counter()
+    n_docs = emb.agg(F.sum(F.size("embedding"))).collect()[0][0] // dim
+    out["embed_s"] = round(time.perf_counter() - t0, 3)
+    out["embed_docs_per_sec"] = round(n_docs / out["embed_s"], 1)
+    # 2) index build: the partitioned+sorted serving layout (re-embeds —
+    #    that recompute IS the real build cost)
+    layout = os.path.join(tempfile.gettempdir(), "ebs_dim2688_layout")
+    shutil.rmtree(layout, ignore_errors=True)
+    t0 = time.perf_counter()
+    (
+        emb.repartition("label")
+        .sortWithinPartitions("vec_id")
+        .write.mode("overwrite")
+        .partitionBy("label")
+        .parquet(layout)
+    )
+    out["index_build_s"] = round(time.perf_counter() - t0, 3)
+    # 3) Spark filtered top-k at full width (Arrow/BLAS scoring)
+    qvec = [float(x) for x in hashed_ngram_encode(["filtered vector query"], dim)[0]]
+    base = spark.read.parquet(layout)
+    pred = (F.col("label") == 0) & (F.col("vec_id") % 10 == 0)
+    filtered_vector_topk(base, qvec, pred, k=100, use_arrow_fast_path=True).count()
+    t0 = time.perf_counter()
+    filtered_vector_topk(base, qvec, pred, k=100, use_arrow_fast_path=True).count()
+    out["vtopk_s"] = round(time.perf_counter() - t0, 3)
+    # 4) serving reads at full width
+    sidx = VectorServingIndex(layout)
+    reps = []
+    for _ in range(50):
+        t0 = time.perf_counter()
+        sidx.topk(qvec, k=100, label=0, key_mod=10)
+        reps.append(time.perf_counter() - t0)
+    out["serving_p95_ms"] = round(_p95(reps) * 1000, 3)
+    out["serving_rows"] = int(sum(len(ids) for ids, _ in sidx.partitions.values()))
+    return out
+
+
 def headline_queries():
     q = entry_mod.queries()
     return {
@@ -492,6 +618,14 @@ def main() -> None:
     rw = mixed_rw(spark, SF_DIR)
     print(f"# mixed_rw: {rw}", file=sys.stderr)
 
+    # Sustained serving QPS under concurrent write load + staleness bound.
+    load = serving_under_load(spark, SF_DIR)
+    print(f"# serving_under_load: {load}", file=sys.stderr)
+
+    # Full-width (2,688-dim) realism leg.
+    d2688 = dim2688_leg(spark, SF_DIR)
+    print(f"# dim2688: {d2688}", file=sys.stderr)
+
     # Embedding throughput in docs/sec (the index-build ingest cost).
     n_docs = Catalog(spark, SF_DIR).documents.count()
     embed_rate = (
@@ -507,6 +641,8 @@ def main() -> None:
         "queries_cold": times_cold,
         "read_p95": read_p95,
         "serving_read_p95_ms": serving_p95,
+        "serving_under_load": load,
+        "dim2688": d2688,
         "mixed_rw": rw,
         "embed_docs_per_sec": embed_rate,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

@@ -190,3 +190,39 @@ def spectral_project(
     emb = vecs[:, 1 : 1 + n_components]
     out = [(kk, [float(v) for v in row]) for kk, row in zip(keys, emb)]
     return spark.createDataFrame(out, [key_col, "spectral"])
+
+
+def umap_project(
+    df: DataFrame,
+    n_components: int = 2,
+    n_neighbors: int = 10,
+    max_rows: int = 2000,
+    key_col: str = "vec_id",
+    emb_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """True UMAP (McInnes et al. 2018) on a bounded sample, via the
+    optional ``umap-learn`` dependency — the exact reference projection
+    (reference scripts/generate_benchmark_reports.py:471-478). Raises
+    ImportError with a pointer to ``spectral_project`` (UMAP's own
+    spectral initialization, always available) when the dependency is
+    absent; tests/test_projection.py carries a skip-marked test so the
+    path is exercised wherever umap-learn IS installed."""
+    try:
+        import umap  # type: ignore
+    except ImportError as e:  # pragma: no cover - dep absent in container
+        raise ImportError(
+            "umap-learn is not installed; use spectral_project (the "
+            "Laplacian-eigenmaps initialization UMAP itself starts from)"
+        ) from e
+    spark = df.sparkSession
+    keys, x = _sample_matrix(df, max_rows, key_col, emb_col, seed)
+    reducer = umap.UMAP(
+        n_components=n_components,
+        n_neighbors=min(n_neighbors, max(2, x.shape[0] - 1)),
+        random_state=seed,
+        init="spectral",
+    )
+    emb = reducer.fit_transform(x)
+    out = [(kk, [float(v) for v in row]) for kk, row in zip(keys, emb)]
+    return spark.createDataFrame(out, [key_col, "umap"])

@@ -77,3 +77,48 @@ def test_spectral_project_separates_components(spark):
     ia = np.std([out[i][0] for i in range(40)])
     ib = np.std([out[100 + i][0] for i in range(40)])
     assert abs(ca - cb) > 5.0 * max(ia, ib, 1e-9)
+
+
+def test_umap_project_requires_or_uses_dep(spark, sf_dir):
+    """umap-learn absent: clean ImportError pointing at spectral_project.
+    Present: real UMAP output with the right shape (skip-marked so the
+    optional path runs wherever the dep exists)."""
+    import pytest
+
+    from external_benchmarks_spark.catalog import Catalog
+    from external_benchmarks_spark.operators.projection import umap_project
+
+    try:
+        import umap  # noqa: F401
+
+        have = True
+    except ImportError:
+        have = False
+    e = Catalog(spark, sf_dir).embeddings
+    if not have:
+        with pytest.raises(ImportError, match="spectral_project"):
+            umap_project(e, max_rows=50)
+        pytest.skip("umap-learn not installed; fallback contract verified")
+    out = umap_project(e, n_components=2, max_rows=50).collect()
+    assert len(out) == min(50, e.count())
+    assert all(len(r.umap) == 2 for r in out)
+
+
+def test_sentence_transformer_encode_contract(spark):
+    """Skip-marked: where sentence-transformers IS installed, the model
+    path must produce unit-norm vectors at the model's native dim —
+    the same contract the hashed fallback satisfies."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from external_benchmarks_spark.pipeline import embedding as emb_mod
+
+    if not emb_mod.HAVE_MODEL:
+        pytest.skip("sentence-transformers not installed")
+    mat = emb_mod.encode_batch(
+        pd.Series(["hello world", "spark engine"]), emb_mod.DEFAULT_DIM
+    )
+    assert mat.shape == (2, emb_mod.DEFAULT_DIM)
+    norms = np.linalg.norm(mat, axis=1)
+    assert np.allclose(norms, 1.0, atol=1e-3)
