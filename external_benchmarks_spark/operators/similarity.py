@@ -182,7 +182,14 @@ def sampled_centroids(
     independently auditable by an external oracle. Trades a few recall
     points vs the adaptive ``ivf_fit`` KMeans centroids; use that fit for
     production recall, this one when the index must be engine-portable.
-    Only (n_centroids × dim) doubles reach the driver."""
+    Only (n_centroids × dim) doubles reach the driver.
+
+    Scale shape: ``orderBy(md5).limit(n)`` plans as
+    **TakeOrderedAndProject** — per-partition top-n heaps + one driver
+    merge of n×partitions rows, NOT a global sort-shuffle (plan-asserted
+    in tests/test_plans.py). The md5 evaluation is one codegen'd pass
+    over the scan; at 100 TB this is a map-only job whose driver traffic
+    is n rows per partition."""
     rows = (
         df.select(
             F.col(key_col).alias("k"),

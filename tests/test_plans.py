@@ -286,3 +286,38 @@ def test_sentence_split_no_shuffle(spark, sf_dir):
     """Fan-out only: split -> filter -> posexplode, zero Exchange."""
     plan = _plan(entry_mod.q_sentence_split(spark, sf_dir))
     assert "Exchange" not in plan, plan
+
+
+def test_sampled_centroids_no_global_sort(spark, sf_dir):
+    """The deterministic centroid sample (ORDER BY md5 LIMIT n) must plan
+    as TakeOrderedAndProject — per-partition heaps + driver merge of
+    n x partitions rows — never a sort-shuffle of the table."""
+    e = Catalog(spark, sf_dir).embeddings
+    q = (
+        e.select(
+            F.col("vec_id").alias("k"),
+            F.col("embedding").cast("array<double>").alias("e"),
+        )
+        .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(16)
+    )
+    plan = _plan(q)
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan and "Sort " not in plan
+
+
+def test_neardup_arrow_fast_path_single_shuffle(spark, sf_dir):
+    """The Arrow pair scorer is one hash-shuffle on the block key into
+    applyInPandas — no extra Exchange, no join, no sort."""
+    from external_benchmarks_spark.operators.dedup import embedding_neardup_pairs
+
+    df = embedding_neardup_pairs(
+        Catalog(spark, sf_dir).embeddings,
+        block_col="label",
+        threshold=0.2,
+        use_arrow_fast_path=True,
+    )
+    plan = _plan(df)
+    assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsInArrow" in plan
+    assert plan.count("Exchange") == 1  # the groupBy(block) shuffle only
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
