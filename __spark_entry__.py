@@ -1205,9 +1205,14 @@ def q_quantize_embeddings(spark, sf):
 
 
 def q_quant_dot_topk(spark, sf):
+    # Arrow fast path: integer matmul per batch is exact in any order,
+    # and quantization boundary values re-derive Spark's HALF_UP exactly
+    # — bit-identical to the HOF form, same oracle hash.
     from external_benchmarks_spark.operators.quantize import quantized_dot_topk
 
-    return quantized_dot_topk(Catalog(spark, sf).embeddings, QVEC, k=100)
+    return quantized_dot_topk(
+        Catalog(spark, sf).embeddings, QVEC, k=100, use_arrow_fast_path=True
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -89,6 +89,7 @@ def quantized_dot_topk(
     k: int = 100,
     emb_col: str = "embedding",
     key_col: str = "vec_id",
+    use_arrow_fast_path: bool = False,
 ) -> DataFrame:
     """Top-k by int8-quantized dot product against a quantized query.
 
@@ -96,8 +97,52 @@ def quantized_dot_topk(
     back to the float domain. Plans as scan -> codegen projection ->
     TakeOrderedAndProject: per-partition top-k heaps, one driver merge —
     no global sort, no shuffle of the table.
+
+    ``use_arrow_fast_path`` quantizes and scores each Arrow batch with
+    one int64 matmul — BIT-IDENTICAL to the HOF form by construction:
+    integer products/sums are exact in any order, the scale chain uses
+    the same IEEE ops, and quantization values within 1e-9 of a .5
+    rounding boundary are re-derived with Spark's exact
+    BigDecimal-HALF_UP semantics (the only place float order could leak).
     """
+    import numpy as np
+    import pandas as pd
+
     qq, qscale = quantize_vector(query)
+    if use_arrow_fast_path:
+        from decimal import ROUND_HALF_UP, Decimal
+
+        qarr = np.asarray(qq, dtype=np.int64)
+
+        def score_batches(batches):
+            for pdf in batches:
+                m = np.vstack(pdf[emb_col].to_numpy()).astype(np.float64)
+                amax = np.abs(m).max(axis=1)
+                scale = np.where(amax > 0.0, amax / 127.0, 1.0)
+                v = m / scale[:, None]
+                q = np.where(v >= 0.0, np.floor(v + 0.5), np.ceil(v - 0.5))
+                near = np.abs(np.abs(v) % 1.0 - 0.5) <= 1e-9
+                for i, j in zip(*np.nonzero(near)):
+                    q[i, j] = float(
+                        Decimal(repr(float(v[i, j]))).quantize(
+                            Decimal(1), rounding=ROUND_HALF_UP
+                        )
+                    )
+                sq = q.astype(np.int64) @ qarr
+                ap = (sq.astype(np.float64) * scale) * qscale
+                yield pd.DataFrame(
+                    {
+                        key_col: pdf[key_col].to_numpy(),
+                        "score_q": sq,
+                        "approx_score": ap,
+                    }
+                )
+
+        scored = df.select(key_col, emb_col).mapInPandas(
+            score_batches,
+            f"{key_col} bigint, score_q bigint, approx_score double",
+        )
+        return scored.orderBy(F.desc("score_q"), F.asc(key_col)).limit(k)
     quant = quantize_embeddings(df, emb_col, key_col)
     qq_lit = F.array(*[F.lit(int(v)) for v in qq])
     score_q = F.aggregate(

@@ -67,3 +67,44 @@ def test_quantize_vector_roundtrip():
     assert max(abs(v) for v in q) == 127
     assert all(abs(v * scale - x) <= scale / 2 + 1e-12
                for v, x in zip(q, [1.0, -2.0, 0.5, 4.0]))
+
+
+def test_quantized_topk_fast_path_bit_identical(spark, sf_dir):
+    """Arrow int64-matmul scoring must equal the HOF form row-for-row:
+    integer sums are order-exact and quantization boundaries re-derive
+    Spark's HALF_UP."""
+    import __spark_entry__ as entry_mod
+    from external_benchmarks_spark.catalog import Catalog
+    from external_benchmarks_spark.operators.quantize import quantized_dot_topk
+
+    e = Catalog(spark, sf_dir).embeddings
+    slow = [tuple(r) for r in quantized_dot_topk(e, entry_mod.QVEC, k=50).collect()]
+    fast = [
+        tuple(r)
+        for r in quantized_dot_topk(
+            e, entry_mod.QVEC, k=50, use_arrow_fast_path=True
+        ).collect()
+    ]
+    assert slow == fast
+
+
+def test_quantization_half_up_boundary():
+    """A vector engineered so x/scale lands exactly on .5 must round away
+    from zero on both paths (Spark round == BigDecimal HALF_UP)."""
+    import pandas as pd
+
+    from external_benchmarks_spark.operators.quantize import quantized_dot_topk
+    from external_benchmarks_spark.session import get_spark
+
+    # amax = 127 -> scale = 1.0 -> v == x exactly; 2.5 and -2.5 are ties
+    vec = [127.0, 2.5, -2.5, 0.5]
+    spark = get_spark("tests", shuffle_partitions=8)
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [1], "embedding": [vec]}),
+        schema="vec_id bigint, embedding array<double>",
+    )
+    qv = [1.0, 1.0, 1.0, 1.0]
+    slow = quantized_dot_topk(df, qv, k=1).collect()[0]
+    fast = quantized_dot_topk(df, qv, k=1, use_arrow_fast_path=True).collect()[0]
+    # HALF_UP: 2.5 -> 3, -2.5 -> -3, 0.5 -> 1 ... query quantizes too
+    assert tuple(slow) == tuple(fast)
