@@ -150,3 +150,89 @@ def render_report_figures(report: dict, out_dir: str, name: str) -> list[str]:
             save_png(img, os.path.join(out_dir, f"{name}_hist_{col}.png"))
         )
     return written
+
+
+_PALETTE = [
+    (66, 120, 200),
+    (220, 95, 60),
+    (60, 170, 110),
+    (150, 90, 200),
+    (200, 170, 50),
+    (70, 180, 200),
+    (200, 90, 150),
+    (120, 120, 120),
+]
+
+
+def scatter_chart(
+    xs: list[float],
+    ys: list[float],
+    labels: list[int] | None = None,
+    width: int = 640,
+    height: int = 480,
+) -> np.ndarray:
+    """2-D scatter — the reference's PCA/t-SNE/UMAP report figure
+    (reference scripts/generate_benchmark_reports.py:449-478) without
+    matplotlib: points rasterize as 3x3 squares colored by label
+    (8-color palette, cycling), with min/max axis labels and light
+    gridlines. Input is an already-bounded projection sample (the
+    projection operators cap at max_rows), so this renders driver-side
+    from a few thousand floats."""
+    img = _blank(width, height)
+    ml, mr, mt, mb = 48, 12, 12, 24
+    px0, py0, px1, py1 = ml, mt, width - mr, height - mb
+    if not xs:
+        return img
+    xlo, xhi = min(xs), max(xs)
+    ylo, yhi = min(ys), max(ys)
+    xspan = (xhi - xlo) or 1.0
+    yspan = (yhi - ylo) or 1.0
+    for g in range(5):
+        y = py0 + (py1 - py0) * g // 4
+        _rect(img, px0, y, px1, y + 1, GRID)
+        _text(img, 4, y - 2, _fmt(yhi - yspan * g / 4))
+        x = px0 + (px1 - px0) * g // 4
+        _rect(img, x, py0, x + 1, py1, GRID)
+    for i, (x, y) in enumerate(zip(xs, ys)):
+        color = _PALETTE[(labels[i] if labels else 0) % len(_PALETTE)]
+        cx = px0 + int((px1 - px0 - 1) * (x - xlo) / xspan)
+        cy = py1 - int((py1 - py0 - 1) * (y - ylo) / yspan)
+        _rect(
+            img,
+            max(px0, cx - 1),
+            max(py0, cy - 1),
+            min(px1, cx + 2),
+            min(py1, cy + 2),
+            color,
+        )
+    _rect(img, px0, py1, px1, py1 + 1, FG)
+    _rect(img, px0, py0, px0 + 1, py1, FG)
+    _text(img, px0, height - 16, _fmt(xlo))
+    s = _fmt(xhi)
+    _text(img, width - mr - 4 * len(s), height - 16, s)
+    return img
+
+
+def projection_figure(
+    df,
+    vec_col: str,
+    out_path: str,
+    label_df=None,
+    key_col: str = "vec_id",
+    label_col: str = "label",
+) -> str:
+    """Render a projection DataFrame (key, [x, y]) — the output of
+    pca_project / tsne_project / spectral_project / umap_project — as a
+    scatter PNG, optionally colored by a label join. The projection is
+    already a bounded sample, so the collect here is the same few
+    thousand rows the reference hands matplotlib."""
+    proj = df
+    if label_df is not None:
+        proj = proj.join(label_df.select(key_col, label_col), key_col, "left")
+    rows = proj.collect()
+    xs = [float(r[vec_col][0]) for r in rows]
+    ys = [float(r[vec_col][1]) for r in rows]
+    labels = None
+    if label_df is not None:
+        labels = [int(r[label_col]) if r[label_col] is not None else 0 for r in rows]
+    return save_png(scatter_chart(xs, ys, labels), out_path)

@@ -122,3 +122,26 @@ def test_sentence_transformer_encode_contract(spark):
     assert mat.shape == (2, emb_mod.DEFAULT_DIM)
     norms = np.linalg.norm(mat, axis=1)
     assert np.allclose(norms, 1.0, atol=1e-3)
+
+
+def test_projection_scatter_figure(spark, sf_dir, tmp_path):
+    """PCA scatter figure: real PNG out, points actually rasterized,
+    labels colored from the join (the reference's report page figure)."""
+    import numpy as np
+
+    from external_benchmarks_spark.catalog import Catalog
+    from external_benchmarks_spark.multimodal.codecs import decode_png
+    from external_benchmarks_spark.operators.projection import pca_project
+    from external_benchmarks_spark.pipeline.plots import projection_figure
+
+    e = Catalog(spark, sf_dir).embeddings
+    proj = pca_project(e, k=2)
+    out = projection_figure(
+        proj, "pc", str(tmp_path / "pca.png"), label_df=e
+    )
+    img = decode_png(open(out, "rb").read())
+    assert img.shape == (480, 640, 3)
+    # plotted pixels: non-white, non-grid colors present
+    flat = img.reshape(-1, 3)
+    colored = np.abs(flat.astype(int) - 255).sum(axis=1) > 150
+    assert colored.sum() > 50
