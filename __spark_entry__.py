@@ -81,6 +81,10 @@ MH_PARAMS = minhash_params(MINHASH_K, seed=42)
 
 SESSION_GAP_US = 30 * 60 * 1_000_000
 
+# Count-min sketch shape shared by the Spark query and its SQL oracle.
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
 # --- DuckDB SQL fragments mirroring functions/text.py + hashing.py ---------
 
 DUCK_TOKS = r"list_filter(regexp_split_to_array(lower(text), '\s+'), t -> len(t) > 0)"
@@ -1472,6 +1476,70 @@ def q_mp4_metadata(spark, sf):
     return mp4_metadata(docs, "blob")
 
 
+def q_cms_heavy_hitters(spark, sf):
+    # Count-min sketch heavy hitters (operators/sketch.py): the
+    # fixed-size mergeable-aggregate tier of "top terms" — the sketch
+    # shuffle is depth*width cells per partition regardless of corpus
+    # size, and scoring is a broadcast join against the 1024-cell
+    # sketch. md5-hash family -> DuckDB replays the sketch
+    # cell-for-cell, so estimates (not just ranks) hash-match.
+    from external_benchmarks_spark.operators.sketch import cms_heavy_hitters
+
+    return cms_heavy_hitters(
+        Catalog(spark, sf).documents, k=20, depth=CMS_DEPTH, width=CMS_WIDTH
+    )
+
+
+def q_event_funnel(spark, sf):
+    # First-touch conversion funnel signup -> click -> purchase
+    # (operators/funnel.py): conditional MIN per stage in one
+    # groupBy(user), strict-order conversion flags, single output row.
+    from external_benchmarks_spark.operators.funnel import event_funnel
+
+    return event_funnel(Catalog(spark, sf).events)
+
+
+def q_event_transitions(spark, sf):
+    # First-order event-type transition matrix with per-source shares;
+    # lead() over (user, ts, event_id) — one window pass, O(types^2)
+    # output (operators/funnel.py).
+    from external_benchmarks_spark.operators.funnel import event_transitions
+
+    return event_transitions(Catalog(spark, sf).events)
+
+
+def q_bucketed_join_agg(spark, sf):
+    # orders x lineitem through the BUCKETED layout
+    # (pipeline/bucketing.py): both sides written bucketBy(orderkey)
+    # into the same bucket count, so the join compiles to an
+    # Exchange-free SortMergeJoin (plan asserted in tests/test_plans.py)
+    # — the amortize-the-shuffle-into-the-layout story at 100 TB.
+    # Values are layout-independent, hence the plain-SQL oracle.
+    from external_benchmarks_spark.pipeline.bucketing import bucketed_pair
+
+    c = Catalog(spark, sf)
+    tag = os.path.basename(sf.rstrip("/")).replace(".", "_")
+    o, li = bucketed_pair(
+        spark,
+        c.orders.select("o_orderkey", "o_orderpriority"),
+        c.lineitem.select("l_orderkey", "l_extendedprice", "l_discount"),
+        left_key="o_orderkey",
+        right_key="l_orderkey",
+        n_buckets=8,
+        tag=tag,
+    )
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
+
+
 def q_image_decode_multiformat(spark, sf):
     # Rotating container formats (PNG/BMP/GIF by doc_id % 3, all REAL
     # pure-stdlib encoders+decoders incl. GIF's LZW) through the same
@@ -1759,6 +1827,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 4: never driver-checked -----------------------
         "mp3_metadata": q_mp3_metadata,
         "mp4_metadata": q_mp4_metadata,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
+        "event_funnel": q_event_funnel,
+        "event_transitions": q_event_transitions,
+        "bucketed_join_agg": q_bucketed_join_agg,
         # --- round-1-verified relational core (stalest: r01) -------------
         "count_star": q_count_star,
         "group_share_topn": q_group_share_topn,
@@ -2011,6 +2083,45 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT doc_id, {b} AS band, md5(concat_ws(',', {parts})) AS bh FROM sig"
         )
     band_union = " UNION ALL ".join(band_selects)
+
+    # Count-min sketch: the same (row r, bucket b) cells on both engines.
+    cms_hashes = [
+        _h32("concat('" + str(j) + ":', token)") for j in range(CMS_DEPTH)
+    ]
+    cms_cells = " UNION ALL ".join(
+        f"SELECT {j} AS r, {h} % {CMS_WIDTH} AS b FROM occ"
+        for j, h in enumerate(cms_hashes)
+    )
+    cms_probes = " UNION ALL ".join(
+        f"SELECT token, {j} AS r, {h} % {CMS_WIDTH} AS b FROM cand"
+        for j, h in enumerate(cms_hashes)
+    )
+
+    # First-touch funnel: conditional MIN per stage + strict-order flags.
+    from external_benchmarks_spark.operators.funnel import DEFAULT_STAGES
+
+    funnel_mins = ", ".join(
+        f"MIN(CASE WHEN event_type = '{s}' THEN ts END) AS t{i}"
+        for i, s in enumerate(DEFAULT_STAGES)
+    )
+    funnel_flags = ["(t0 IS NOT NULL) AS r0"]
+    prev = "(t0 IS NOT NULL)"
+    for i in range(1, len(DEFAULT_STAGES)):
+        cur = f"({prev} AND t{i} IS NOT NULL AND t{i} > t{i - 1})"
+        funnel_flags.append(f"{cur} AS r{i}")
+        prev = cur
+    funnel_flags_sql = ", ".join(funnel_flags)
+    funnel_sums = ", ".join(
+        f"CAST(SUM(CASE WHEN r{i} THEN 1 ELSE 0 END) AS BIGINT) AS stage{i}_users"
+        for i in range(len(DEFAULT_STAGES))
+    )
+    funnel_shares = ", ".join(
+        f"ROUND(CAST(stage{i}_users AS DOUBLE) / stage0_users, 6) AS stage{i}_share"
+        for i in range(1, len(DEFAULT_STAGES))
+    )
+    funnel_users = ", ".join(
+        f"stage{i}_users" for i in range(len(DEFAULT_STAGES))
+    )
 
     return {
         "count_star": "SELECT COUNT(*) AS cnt FROM lineitem",
@@ -3053,6 +3164,47 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE doc_id % 3 WHEN 0 THEN 0 WHEN 1 THEN 16000
                                         ELSE 44100 END AS INTEGER) AS audio_rate
             FROM documents
+        """,
+        "cms_heavy_hitters": f"""
+            WITH occ AS (SELECT unnest({DUCK_TOKS}) AS token FROM documents),
+            cells AS ({cms_cells}),
+            sketch AS (SELECT r, b, COUNT(*) AS cnt FROM cells GROUP BY r, b),
+            cand AS (SELECT DISTINCT token FROM occ),
+            probes AS ({cms_probes}),
+            est AS (
+              SELECT token, CAST(MIN(cnt) AS BIGINT) AS est_count
+              FROM probes JOIN sketch USING (r, b) GROUP BY token)
+            SELECT token, est_count FROM est
+            ORDER BY est_count DESC, token LIMIT 20
+        """,
+        "event_funnel": f"""
+            WITH firsts AS (
+              SELECT user_id, {funnel_mins} FROM events GROUP BY user_id),
+            flags AS (SELECT {funnel_flags_sql} FROM firsts),
+            sums AS (SELECT {funnel_sums} FROM flags)
+            SELECT {funnel_users}, {funnel_shares} FROM sums
+        """,
+        "event_transitions": """
+            WITH seq AS (
+              SELECT event_type,
+                     lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+              FROM events),
+            pairs AS (
+              SELECT event_type AS from_type, next_type AS to_type,
+                     COUNT(*) AS transitions
+              FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2)
+            SELECT from_type, to_type, CAST(transitions AS BIGINT) AS transitions,
+                   ROUND(CAST(transitions AS DOUBLE) /
+                         SUM(transitions) OVER (PARTITION BY from_type), 6)
+                     AS share_of_from
+            FROM pairs ORDER BY from_type, to_type
+        """,
+        "bucketed_join_agg": """
+            SELECT o_orderpriority, COUNT(*) AS n_items,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            GROUP BY o_orderpriority
         """,
         "events_hourly": """
             WITH a AS (

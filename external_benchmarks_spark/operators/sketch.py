@@ -1,0 +1,139 @@
+"""Frequency sketches: count-min heavy hitters over token streams.
+
+Count-min sketch (Cormode & Muthukrishnan, "An improved data stream
+summary: the count-min sketch and its applications", J. Algorithms 2005):
+``depth`` independent hash rows of ``width`` counters; every occurrence
+increments ``counter[j][h_j(x)]``; the frequency estimate is
+``min_j counter[j][h_j(x)]`` — never an underestimate, overestimate
+bounded by ``e * N / width`` with probability ``1 - e^-depth``.
+
+Why this is the 100 TB shape for "top terms" when the vocabulary itself
+is too large to group on: the sketch is a FIXED-SIZE (depth x width)
+mergeable aggregate — partial sketches combine by cell-wise addition, so
+the shuffle moves at most ``depth * width`` rows per partition regardless
+of corpus size, and the finished sketch broadcasts to score any candidate
+stream. Contrast `operators/tfidf.top_terms`, which shuffles one row per
+distinct term.
+
+Hashing uses the md5-prefix family (`functions/hashing.md5_hash32`) so
+the DuckDB oracle replays the identical sketch cell-for-cell
+(SURVEY.md §5.3 determinism rules); production at scale can swap in
+``F.xxhash64`` via the ``hash_fn`` parameter.
+
+Reference parity: extends the reference's value_counts/top-terms surface
+(scripts/generate_benchmark_reports.py:151-161, the DuckDB
+``GROUP BY category ORDER BY count DESC`` path) with the sketch tier its
+own 10M-row "fast path" hints at but never builds.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from external_benchmarks_spark.functions.hashing import md5_hash32
+
+HashFn = Callable[[Column], Column]
+
+
+def _cell(token: Column, row: int, width: int, hash_fn: HashFn) -> Column:
+    """Bucket index of `token` in sketch row `row` (seeded by prefix)."""
+    return hash_fn(F.concat(F.lit(f"{row}:"), token)) % width
+
+
+def cms_sketch(
+    occurrences: DataFrame,
+    token_col: str = "token",
+    depth: int = 4,
+    width: int = 256,
+    hash_fn: HashFn = md5_hash32,
+) -> DataFrame:
+    """Build a count-min sketch from one-row-per-occurrence input.
+
+    Returns (row, bucket, cnt) — at most depth*width rows. The explode
+    multiplies rows by `depth`, but partial (map-side) aggregation
+    collapses each partition to <= depth*width cells before the shuffle,
+    so the exchange is O(partitions * depth * width), independent of N.
+    """
+    tok = F.col(token_col)
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("row"),
+                _cell(tok, j, width, hash_fn).alias("bucket"),
+            )
+            for j in range(depth)
+        ]
+    )
+    return (
+        occurrences.select(F.explode(cells).alias("rb"))
+        .groupBy(F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    candidates: DataFrame,
+    sketch: DataFrame,
+    token_col: str = "token",
+    depth: int = 4,
+    width: int = 256,
+    hash_fn: HashFn = md5_hash32,
+) -> DataFrame:
+    """Estimated frequency (min over rows) for each candidate token.
+
+    The sketch side is a bounded depth*width table -> broadcast join; the
+    candidate stream never shuffles.
+    """
+    tok = F.col(token_col)
+    probes = candidates.select(
+        token_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("row"),
+                        _cell(tok, j, width, hash_fn).alias("bucket"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("rb"),
+    )
+    return (
+        probes.join(
+            F.broadcast(sketch),
+            (F.col("rb.row") == sketch["row"])
+            & (F.col("rb.bucket") == sketch["bucket"]),
+        )
+        .groupBy(token_col)
+        .agg(F.min("cnt").alias("est_count"))
+    )
+
+
+def cms_heavy_hitters(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 20,
+    depth: int = 4,
+    width: int = 256,
+    hash_fn: HashFn = md5_hash32,
+) -> DataFrame:
+    """Top-k most frequent whitespace tokens by count-min estimate.
+
+    Candidate tokens here are the exact distinct set (fine at test scale
+    and required for the cross-engine oracle); at 100 TB candidates come
+    from per-partition local frequent-items (Misra-Gries) or the ingest
+    stream itself — the sketch-scoring half is unchanged either way.
+
+    Output: (token, est_count), est_count >= true count, ordered by
+    (est_count DESC, token) for deterministic hashing.
+    """
+    from external_benchmarks_spark.functions.text import tokens
+
+    occ = docs.select(F.explode(tokens(text_col)).alias("token"))
+    sketch = cms_sketch(occ, "token", depth, width, hash_fn)
+    est = cms_estimate(occ.distinct(), sketch, "token", depth, width, hash_fn)
+    return est.orderBy(F.desc("est_count"), "token").limit(k)

@@ -1,0 +1,91 @@
+"""Bucketed-table layout: shuffle-free co-located fact/fact joins.
+
+At 100 TB the dominant cost of joining two fact tables (orders x
+lineitem) is the pairwise shuffle — both sides exchange on the key every
+time the join runs. Writing each table ONCE bucketed by the join key
+(`DataFrameWriter.bucketBy(n, key).sortBy(key)`) hash-partitions the
+files on disk by Spark's Murmur3; any later equi-join between two tables
+bucketed into the SAME bucket count on the SAME key compiles to a
+SortMergeJoin with NO Exchange on either side — bucket i of A joins
+bucket i of B directly off the scan, and with sortBy the per-bucket sort
+is free too. This is the amortize-the-shuffle-into-the-layout story the
+reference's "create index" step implies (README.md:57-60): pay the
+partitioning once at write time, reuse it for every query.
+
+Caveats encoded here:
+- Both sides must agree on bucket count (Spark won't coalesce mismatched
+  buckets into a co-located plan before 3.1's bucket coalescing, and
+  even then only for ratios).
+- Bucketed metadata lives in the session catalog; this module writes
+  EXTERNAL parquet tables (explicit path) so the data location is ours
+  and re-registration in a fresh session is one `saveAsTable` replay.
+- One file per bucket per writing task: repartition by the key first so
+  each bucket is a single file (small-files guard).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def bucket_root(tag: str) -> str:
+    """Deterministic scratch root (safe to overwrite every run)."""
+    return os.path.join(tempfile.gettempdir(), f"spark_graft_buckets_{tag}")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    n_buckets: int,
+    path: str,
+    sort: bool = True,
+) -> None:
+    """Write `df` as an external parquet table bucketed by `key`.
+
+    repartition(n_buckets, key) aligns write tasks with buckets so each
+    bucket lands as ONE file instead of one-per-input-partition.
+    """
+    writer = (
+        df.repartition(n_buckets, F.col(key))
+        .write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, key)
+    )
+    if sort:
+        writer = writer.sortBy(key)
+    writer.option("path", path).saveAsTable(table)
+
+
+def bucketed_pair(
+    spark: SparkSession,
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    n_buckets: int,
+    tag: str,
+    names: tuple[str, str] = ("bk_left", "bk_right"),
+) -> tuple[DataFrame, DataFrame]:
+    """Co-locate two tables on their join keys, return catalog handles.
+
+    The keys may be named differently per side (o_orderkey vs
+    l_orderkey); what matters is that each side is bucketed on ITS join
+    column with the same bucket count. The returned DataFrames carry the
+    bucket spec, so an equi-join on (left_key == right_key) produces an
+    Exchange-free SortMergeJoin (asserted in tests/test_plans.py).
+    """
+    root = bucket_root(tag)
+    lname = f"{names[0]}_{tag}"
+    rname = f"{names[1]}_{tag}"
+    write_bucketed(
+        left, lname, left_key, n_buckets, os.path.join(root, names[0])
+    )
+    write_bucketed(
+        right, rname, right_key, n_buckets, os.path.join(root, names[1])
+    )
+    return spark.table(lname), spark.table(rname)

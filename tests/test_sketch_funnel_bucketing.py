@@ -1,0 +1,184 @@
+"""Round-4 additions: count-min heavy hitters, event funnels/transitions,
+bucketed co-located joins. Properties + physical-plan shapes; exact
+cross-engine values are covered by test_oracle_queries.py."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from external_benchmarks_spark.catalog import Catalog
+from external_benchmarks_spark.functions.text import tokens
+from external_benchmarks_spark.operators.funnel import (
+    event_funnel,
+    event_transitions,
+)
+from external_benchmarks_spark.operators.sketch import (
+    cms_heavy_hitters,
+    cms_sketch,
+)
+from external_benchmarks_spark.pipeline.bucketing import bucketed_pair
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch
+# ---------------------------------------------------------------------------
+
+def test_cms_never_underestimates(spark, sf_dir):
+    docs = Catalog(spark, sf_dir).documents
+    est = {
+        r["token"]: r["est_count"]
+        for r in cms_heavy_hitters(docs, k=50, width=64).collect()
+    }
+    exact = {
+        r["token"]: r["cnt"]
+        for r in docs.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert est, "no heavy hitters returned"
+    for tok, e in est.items():
+        assert e >= exact[tok], f"CMS underestimated {tok}: {e} < {exact[tok]}"
+
+
+def test_cms_keeps_true_heavy_hitters(spark, sf_dir):
+    # Estimates never undercount, so the true most-frequent token keeps
+    # an estimate >= its true count; only collision-inflated tokens can
+    # outrank it, and with depth=4 a token needs ALL rows inflated —
+    # vanishingly unlikely to displace the top-1 out of the top-10 even
+    # at a deliberately tiny width.
+    docs = Catalog(spark, sf_dir).documents
+    top = cms_heavy_hitters(docs, k=10, width=64).collect()
+    true_top = (
+        docs.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "token")
+        .limit(1)
+        .collect()[0]
+    )
+    by_tok = {r["token"]: r["est_count"] for r in top}
+    assert true_top["token"] in by_tok
+    assert by_tok[true_top["token"]] >= true_top["cnt"]
+
+
+def test_cms_sketch_is_bounded(spark, sf_dir):
+    docs = Catalog(spark, sf_dir).documents
+    occ = docs.select(F.explode(tokens("text")).alias("token"))
+    sk = cms_sketch(occ, depth=3, width=32)
+    rows = sk.collect()
+    assert len(rows) <= 3 * 32
+    assert {r["row"] for r in rows} <= {0, 1, 2}
+    assert all(0 <= r["bucket"] < 32 for r in rows)
+    # total mass per row == total token occurrences (each occurrence
+    # lands in exactly one bucket per row)
+    n_occ = occ.count()
+    per_row = {}
+    for r in rows:
+        per_row[r["row"]] = per_row.get(r["row"], 0) + r["cnt"]
+    assert all(v == n_occ for v in per_row.values())
+
+
+def test_cms_scoring_broadcasts_sketch(spark, sf_dir):
+    plan = _plan(cms_heavy_hitters(Catalog(spark, sf_dir).documents, k=10))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Funnel / transitions
+# ---------------------------------------------------------------------------
+
+def test_funnel_counts_monotone(spark, sf_dir):
+    row = event_funnel(Catalog(spark, sf_dir).events).collect()[0]
+    assert row["stage0_users"] >= row["stage1_users"] >= row["stage2_users"]
+    assert row["stage2_users"] >= 0
+    ev = Catalog(spark, sf_dir).events
+    signup_users = (
+        ev.where(F.col("event_type") == "signup")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert row["stage0_users"] == signup_users
+
+
+def test_transitions_conservation(spark, sf_dir):
+    ev = Catalog(spark, sf_dir).events
+    res = event_transitions(ev).collect()
+    total_transitions = sum(r["transitions"] for r in res)
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    # each user with k events contributes exactly k-1 transitions
+    assert total_transitions == n_events - n_users
+    # per-source shares sum to 1
+    shares: dict[str, float] = {}
+    for r in res:
+        shares[r["from_type"]] = shares.get(r["from_type"], 0.0) + r["share_of_from"]
+    for src, s in shares.items():
+        assert abs(s - 1.0) < 1e-4, (src, s)
+
+
+# ---------------------------------------------------------------------------
+# Bucketed co-located join
+# ---------------------------------------------------------------------------
+
+def test_bucketed_join_no_exchange(spark, sf_dir):
+    c = Catalog(spark, sf_dir)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try:
+        o, li = bucketed_pair(
+            spark,
+            c.orders.select("o_orderkey", "o_orderpriority"),
+            c.lineitem.select("l_orderkey", "l_extendedprice"),
+            left_key="o_orderkey",
+            right_key="l_orderkey",
+            n_buckets=4,
+            tag="t_nx",
+        )
+        joined = o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        assert plan.count("Bucketed: true") == 2
+        # contrast: the same join off the raw parquet shuffles both sides
+        raw = c.orders.select("o_orderkey", "o_orderpriority").join(
+            c.lineitem.select("l_orderkey", "l_extendedprice"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        assert "Exchange" in _plan(raw)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bucketed_join_matches_plain_join(spark, sf_dir):
+    c = Catalog(spark, sf_dir)
+    o, li = bucketed_pair(
+        spark,
+        c.orders.select("o_orderkey", "o_orderpriority"),
+        c.lineitem.select("l_orderkey", "l_extendedprice"),
+        left_key="o_orderkey",
+        right_key="l_orderkey",
+        n_buckets=4,
+        tag="t_eq",
+    )
+    bucketed = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_extendedprice"), 2).alias("s"))
+    )
+    plain = (
+        c.orders.join(
+            c.lineitem, F.col("o_orderkey") == F.col("l_orderkey")
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_extendedprice"), 2).alias("s"))
+    )
+    assert sorted(map(tuple, bucketed.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
