@@ -1340,17 +1340,21 @@ def q_events_hourly(spark, sf):
     return sess_ops.hourly_rollup(Catalog(spark, sf).events)
 
 
-def _events_file_stream(spark, sf, cols):
-    """Materialize the (catalog-normalized) events selection to a temp
+def _table_file_stream(spark, sf, table, cols):
+    """Materialize a (catalog-normalized) table selection to a temp
     parquet dir and open it as a file stream — the standard way to drive
     a finite Structured Streaming run over testdata."""
     import tempfile
 
     d = tempfile.mkdtemp(prefix="ebs_stream_src_")
     src = os.path.join(d, "src")
-    Catalog(spark, sf).events.select(*cols).write.parquet(src)
+    Catalog(spark, sf).table(table).select(*cols).write.parquet(src)
     stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
     return stream, d
+
+
+def _events_file_stream(spark, sf, cols):
+    return _table_file_stream(spark, sf, "events", cols)
 
 
 def _stream_to_table(spark, out_stream, ckpt_root, mode):
@@ -1427,6 +1431,35 @@ def q_stream_dedup_keys(spark, sf):
         "user_id", "event_type"
     )
     return _stream_to_table(spark, out, d, "append")
+
+
+def q_stream_heavy_hitters(spark, sf):
+    # STREAMING count-min maintenance: the document stream explodes to
+    # sketch cells and the complete-mode streaming aggregation IS the
+    # CMS — its state is hard-bounded at depth*width rows no matter how
+    # long the stream runs (the bounded-state streaming frequency
+    # tracker). cms_sketch works unchanged on the streaming DataFrame;
+    # the finished sketch then scores candidates batch-side, so the
+    # result — and therefore the oracle — is identical to the batch
+    # cms_heavy_hitters.
+    from external_benchmarks_spark.operators.sketch import (
+        cms_estimate,
+        cms_sketch,
+    )
+    from external_benchmarks_spark.functions.text import tokens as _toks
+
+    stream, d = _table_file_stream(spark, sf, "documents", ["text"])
+    occ_s = stream.select(F.explode(_toks("text")).alias("token"))
+    sketch = _stream_to_table(
+        spark, cms_sketch(occ_s, depth=CMS_DEPTH, width=CMS_WIDTH), d, "complete"
+    )
+    occ_b = Catalog(spark, sf).documents.select(
+        F.explode(_toks("text")).alias("token")
+    )
+    est = cms_estimate(
+        occ_b.distinct(), sketch, depth=CMS_DEPTH, width=CMS_WIDTH
+    )
+    return est.orderBy(F.desc("est_count"), "token").limit(20)
 
 
 def q_events_sliding(spark, sf):
@@ -1831,6 +1864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_funnel": q_event_funnel,
         "event_transitions": q_event_transitions,
         "bucketed_join_agg": q_bucketed_join_agg,
+        "stream_heavy_hitters": q_stream_heavy_hitters,
         # --- round-1-verified relational core (stalest: r01) -------------
         "count_star": q_count_star,
         "group_share_topn": q_group_share_topn,
@@ -2123,7 +2157,7 @@ def oracle_sql() -> dict[str, str]:
         f"stage{i}_users" for i in range(len(DEFAULT_STAGES))
     )
 
-    return {
+    oracles = {
         "count_star": "SELECT COUNT(*) AS cnt FROM lineitem",
         "group_share_topn": """
             SELECT o_orderpriority, COUNT(*) AS cnt,
@@ -3463,3 +3497,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN per USING (doc_id)
         """,
     }
+    # The streaming CMS must equal the batch CMS cell-for-cell (complete-
+    # mode availableNow over the same documents): same oracle.
+    oracles["stream_heavy_hitters"] = oracles["cms_heavy_hitters"]
+    return oracles
