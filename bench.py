@@ -375,6 +375,16 @@ def _shuffle_join_agg(spark, sf):
     )
 
 
+def _cms_mg(spark, sf):
+    """Production CMS candidates: bounded per-partition Misra-Gries
+    instead of distinct() over the token stream (the 100 TB path)."""
+    from external_benchmarks_spark.operators.sketch import cms_heavy_hitters
+
+    return cms_heavy_hitters(
+        Catalog(spark, sf).documents, k=20, candidates="mg", mg_counters=512
+    )
+
+
 def _p95(xs):
     xs = sorted(xs)
     return xs[min(len(xs) - 1, int(round(0.95 * len(xs))) - 1)] if xs else None
@@ -594,6 +604,7 @@ def headline_queries():
         "session_window_agg": q["session_window_agg"],
         "salted_group_agg": q["salted_group_agg"],
         "cms_heavy_hitters": q["cms_heavy_hitters"],
+        "cms_heavy_hitters_mg": _cms_mg,
         "event_funnel": q["event_funnel"],
         "event_transitions": q["event_transitions"],
         # Co-located-join evidence pair (same SMJ, +/- the exchanges)

@@ -113,6 +113,53 @@ def cms_estimate(
     )
 
 
+def mg_candidates(
+    occurrences: DataFrame,
+    token_col: str = "token",
+    n_counters: int = 512,
+) -> DataFrame:
+    """Per-partition Misra-Gries frequent-items candidates.
+
+    Classic MG (Misra & Gries, "Finding repeated elements", Sci. Comput.
+    Program. 1982) with `n_counters` counters per partition: any token
+    whose partition frequency exceeds n_p/n_counters survives its
+    partition, and by pigeonhole any GLOBAL (N/n_counters)-heavy hitter
+    exceeds that bound in at least one partition — so the union of
+    per-partition survivors is a SUPERSET of the global heavy hitters.
+    Output size is bounded at n_counters * partitions rows regardless of
+    vocabulary size; this is the production candidate source for
+    cms_heavy_hitters at corpus scales where `distinct()` on the token
+    stream is itself the bottleneck.
+
+    mapInPandas with O(n_counters) state per partition; Arrow-batched,
+    never materializes the partition.
+    """
+    import pandas as pd
+
+    out_schema = f"{token_col} string"
+
+    def mg(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for tok in pdf[token_col]:
+                if tok in counters:
+                    counters[tok] += 1
+                elif len(counters) < n_counters:
+                    counters[tok] = 1
+                else:
+                    # decrement-all step; drop zeros
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        yield pd.DataFrame({token_col: list(counters.keys())})
+
+    return occurrences.select(token_col).mapInPandas(mg, out_schema).distinct()
+
+
 def cms_heavy_hitters(
     docs: DataFrame,
     text_col: str = "text",
@@ -120,13 +167,17 @@ def cms_heavy_hitters(
     depth: int = 4,
     width: int = 256,
     hash_fn: HashFn = md5_hash32,
+    candidates: str = "exact",
+    mg_counters: int = 512,
 ) -> DataFrame:
     """Top-k most frequent whitespace tokens by count-min estimate.
 
-    Candidate tokens here are the exact distinct set (fine at test scale
-    and required for the cross-engine oracle); at 100 TB candidates come
-    from per-partition local frequent-items (Misra-Gries) or the ingest
-    stream itself — the sketch-scoring half is unchanged either way.
+    candidates="exact": the full distinct token set — required for the
+    cross-engine oracle, fine while the vocabulary fits a shuffle.
+    candidates="mg": per-partition Misra-Gries survivors (mg_candidates)
+    — bounded candidate volume at any corpus size; returns the same
+    top-k whenever mg_counters is large enough that the true top-k are
+    (N/mg_counters)-heavy (tested), the 100 TB path.
 
     Output: (token, est_count), est_count >= true count, ordered by
     (est_count DESC, token) for deterministic hashing.
@@ -135,5 +186,9 @@ def cms_heavy_hitters(
 
     occ = docs.select(F.explode(tokens(text_col)).alias("token"))
     sketch = cms_sketch(occ, "token", depth, width, hash_fn)
-    est = cms_estimate(occ.distinct(), sketch, "token", depth, width, hash_fn)
+    if candidates == "mg":
+        cand = mg_candidates(occ, "token", mg_counters)
+    else:
+        cand = occ.distinct()
+    est = cms_estimate(cand, sketch, "token", depth, width, hash_fn)
     return est.orderBy(F.desc("est_count"), "token").limit(k)

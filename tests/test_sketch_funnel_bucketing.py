@@ -83,6 +83,33 @@ def test_cms_sketch_is_bounded(spark, sf_dir):
     assert all(v == n_occ for v in per_row.values())
 
 
+def test_mg_candidates_yield_same_topk(spark, sf_dir):
+    # The production candidate path (bounded per-partition Misra-Gries)
+    # must return the same top-k as exact candidates when the counter
+    # budget covers the head of the distribution.
+    docs = Catalog(spark, sf_dir).documents
+    exact = cms_heavy_hitters(docs, k=10, candidates="exact").collect()
+    mg = cms_heavy_hitters(docs, k=10, candidates="mg", mg_counters=512).collect()
+    assert [(r["token"], r["est_count"]) for r in mg] == [
+        (r["token"], r["est_count"]) for r in exact
+    ]
+
+
+def test_mg_candidate_volume_bounded(spark):
+    # Skewed synthetic stream: one hot token + a long distinct tail that
+    # exceeds the counter budget. MG must keep output <= counters *
+    # partitions, actually prune the tail, and never evict the heavy
+    # hitter (its count stays positive through every decrement round).
+    from external_benchmarks_spark.operators.sketch import mg_candidates
+
+    rows = [("hot",)] * 500 + [(f"tail{i}",) for i in range(400)]
+    occ = spark.createDataFrame(rows, "token string").repartition(4)
+    cand = [r["token"] for r in mg_candidates(occ, n_counters=16).collect()]
+    assert len(cand) <= 16 * 4
+    assert len(cand) < 401  # pruned the tail
+    assert "hot" in cand
+
+
 def test_cms_scoring_broadcasts_sketch(spark, sf_dir):
     plan = _plan(cms_heavy_hitters(Catalog(spark, sf_dir).documents, k=10))
     assert "BroadcastHashJoin" in plan
