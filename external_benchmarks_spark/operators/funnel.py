@@ -55,9 +55,11 @@ def event_funnel(
             for i, r in enumerate(reached)
         ]
     )
+    # try_divide: a corpus where nobody reaches stage 0 yields NULL
+    # shares instead of an ANSI-mode divide-by-zero job failure.
     shares = [
         F.round(
-            F.col(f"stage{i}_users") / F.col("stage0_users"), 6
+            F.try_divide(F.col(f"stage{i}_users"), F.col("stage0_users")), 6
         ).alias(f"stage{i}_share")
         for i in range(1, len(stages))
     ]

@@ -75,3 +75,31 @@ def test_round3_operators_on_empty(spark):
 
     no_blobs = spark.createDataFrame([], "doc_id long, blob binary")
     assert frame_sample(no_blobs, "blob").count() == 0
+
+
+def test_sketch_funnel_on_empty(spark):
+    from pyspark.sql import functions as F
+
+    from external_benchmarks_spark.functions.text import tokens
+    from external_benchmarks_spark.operators.funnel import (
+        event_funnel,
+        event_transitions,
+    )
+    from external_benchmarks_spark.operators.sketch import (
+        cms_heavy_hitters,
+        cms_sketch,
+        mg_candidates,
+    )
+
+    empty_docs = Catalog(spark, SF_DIR).documents.limit(0)
+    assert cms_heavy_hitters(empty_docs).count() == 0
+    assert cms_heavy_hitters(empty_docs, candidates="mg").count() == 0
+    empty_occ = empty_docs.select(F.explode(tokens("text")).alias("token"))
+    assert cms_sketch(empty_occ).count() == 0
+    assert mg_candidates(empty_occ).count() == 0
+
+    empty_events = Catalog(spark, SF_DIR).events.limit(0)
+    assert event_transitions(empty_events).count() == 0
+    # funnel is a global agg: one row of zero counts with NULL shares
+    row = event_funnel(empty_events).collect()[0]
+    assert row["stage0_users"] in (0, None)

@@ -149,3 +149,89 @@ def test_dup_span_stats_exact_counts(spark):
     assert got[3].dup_frac == 0.0
     assert (got[4].n_spans, got[4].n_dup_spans, got[4].n_cross_doc_spans) == (9, 2, 0)
     assert abs(got[4].dup_frac - 2 / 9) < 1e-12
+
+
+@PROP
+@given(st.lists(texts, min_size=1, max_size=25))
+def test_cms_estimate_bounds(spark, docs):
+    """CMS invariants on arbitrary corpora: every estimate is >= the true
+    count and <= the total occurrence count (a full-collision row can
+    never exceed the stream length)."""
+    from external_benchmarks_spark.operators.sketch import cms_heavy_hitters
+
+    df = spark.createDataFrame(list(enumerate(docs)), ["doc_id", "text"])
+    got = cms_heavy_hitters(df, k=100, width=16).collect()
+    true: dict[str, int] = {}
+    total = 0
+    for t in docs:
+        for tok in t.split():
+            true[tok] = true.get(tok, 0) + 1
+            total += 1
+    assert len(got) == min(100, len(true))
+    for r in got:
+        assert true[r.token] <= r.est_count <= total
+
+
+@PROP
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 3),
+            st.integers(0, 1000),
+            st.sampled_from(["signup", "click", "purchase", "error"]),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_funnel_and_transitions_vs_bruteforce(spark, events):
+    """Funnel counts and the transition matrix match a row-by-row Python
+    reference on arbitrary event streams."""
+    from external_benchmarks_spark.operators.funnel import (
+        event_funnel,
+        event_transitions,
+    )
+
+    rows = [
+        (u, int(ts) * 60_000_000, i, ty) for i, (u, ts, ty) in enumerate(events)
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "event_type"])
+
+    # brute-force funnel (first-touch, strictly increasing)
+    firsts: dict[int, dict[str, int]] = {}
+    for u, ts, _i, ty in rows:
+        d = firsts.setdefault(u, {})
+        if ty not in d or ts < d[ty]:
+            d[ty] = ts
+    s0 = sum(1 for d in firsts.values() if "signup" in d)
+    s1 = sum(
+        1
+        for d in firsts.values()
+        if "signup" in d and "click" in d and d["click"] > d["signup"]
+    )
+    s2 = sum(
+        1
+        for d in firsts.values()
+        if "signup" in d
+        and "click" in d
+        and d["click"] > d["signup"]
+        and "purchase" in d
+        and d["purchase"] > d["click"]
+    )
+    frow = event_funnel(df).collect()[0]
+    assert (frow.stage0_users, frow.stage1_users, frow.stage2_users) == (s0, s1, s2)
+
+    # brute-force transitions: per user ordered by (ts, event_id)
+    want: dict[tuple[str, str], int] = {}
+    by_user: dict[int, list[tuple[int, int, str]]] = {}
+    for u, ts, i, ty in rows:
+        by_user.setdefault(u, []).append((ts, i, ty))
+    for seq in by_user.values():
+        seq.sort()
+        for (_, _, a), (_, _, b) in zip(seq, seq[1:]):
+            want[(a, b)] = want.get((a, b), 0) + 1
+    got = {
+        (r.from_type, r.to_type): r.transitions
+        for r in event_transitions(df).collect()
+    }
+    assert got == want
