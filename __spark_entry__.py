@@ -1573,6 +1573,24 @@ def q_bucketed_join_agg(spark, sf):
     )
 
 
+def q_pyds_docgen(spark, sf):
+    # Custom connector via the Spark 4 Python DataSource API
+    # (sources/pydatasource.py): partitions() plans 8 independent row
+    # ranges, each read by one task. The generator is arithmetic on
+    # doc_id only, so DuckDB re-derives every row from generate_series
+    # and the whole connector (planning, per-partition reads, schema)
+    # is value-hash-checked end to end.
+    from external_benchmarks_spark.sources.pydatasource import register
+
+    register(spark)
+    return (
+        spark.read.format("docgen")
+        .option("n_docs", 1000)
+        .option("n_partitions", 8)
+        .load()
+    )
+
+
 def q_image_decode_multiformat(spark, sf):
     # Rotating container formats (PNG/BMP/GIF by doc_id % 3, all REAL
     # pure-stdlib encoders+decoders incl. GIF's LZW) through the same
@@ -1865,6 +1883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": q_event_transitions,
         "bucketed_join_agg": q_bucketed_join_agg,
         "stream_heavy_hitters": q_stream_heavy_hitters,
+        "pyds_docgen": q_pyds_docgen,
         # --- round-1-verified relational core (stalest: r01) -------------
         "count_star": q_count_star,
         "group_share_topn": q_group_share_topn,
@@ -3500,4 +3519,19 @@ def oracle_sql() -> dict[str, str]:
     # The streaming CMS must equal the batch CMS cell-for-cell (complete-
     # mode availableNow over the same documents): same oracle.
     oracles["stream_heavy_hitters"] = oracles["cms_heavy_hitters"]
+
+    # Python DataSource generator: DuckDB re-derives every row from
+    # generate_series with the same wordlist + arithmetic (sources/
+    # pydatasource.gen_text).
+    from external_benchmarks_spark.sources.pydatasource import GEN_WORDS
+
+    words_sql = "[" + ", ".join(f"'{w}'" for w in GEN_WORDS) + "]"
+    oracles["pyds_docgen"] = f"""
+        SELECT i AS doc_id,
+               array_to_string(
+                 list_transform(range(1 + i % 7),
+                                j -> ({words_sql})[CAST((i * 31 + j * 17) % 16 AS INTEGER) + 1]),
+                 ' ') AS text
+        FROM range(1000) t(i)
+    """
     return oracles
