@@ -1573,6 +1573,155 @@ def q_bucketed_join_agg(spark, sf):
     )
 
 
+def q_tpch_q1(spark, sf):
+    # TPC-H Q1 pricing summary (classic shape: wide scan -> map-side
+    # partial agg on a 6-value group key). Dates adapted to the testdata
+    # range (1995-2001).
+    li = Catalog(spark, sf).lineitem.where(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_tpch_q3(spark, sf):
+    # TPC-H Q3 shipping priority: two joins narrowing to open orders of
+    # one segment, top-10 by revenue. o_orderpriority stands in for the
+    # schema's absent o_shippriority.
+    c = Catalog(spark, sf)
+    cut = F.lit("1998-03-15").cast("timestamp")
+    cust = c.customer.where(F.col("c_mktsegment") == "BUILDING")
+    orders = c.orders.where(F.col("o_orderdate") < cut)
+    li = c.lineitem.where(F.col("l_shipdate") > cut)
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "o_orderdate", "o_orderkey")
+        .limit(10)
+    )
+
+
+def q_tpch_q5(spark, sf):
+    # TPC-H Q5 local supplier volume: 6-way join (region->nation->
+    # customer/supplier->orders->lineitem) with the local-supplier
+    # constraint c_nationkey = s_nationkey; dims broadcast.
+    c = Catalog(spark, sf)
+    return (
+        c.region.where(F.col("r_name") == "ASIA")
+        .join(c.nation, F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(c.customer, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(
+            c.orders,
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")),
+        )
+        .join(c.lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            c.supplier,
+            (F.col("s_suppkey") == F.col("l_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+def q_variant_extract(spark, sf):
+    # Spark 4 VariantType: parse the JSON blob ONCE into the binary
+    # variant encoding, then do typed path extraction — the
+    # semi-structured pattern at 100 TB (parse at ingest, extract many
+    # times without re-parsing strings; contrast q_json_extract's
+    # per-access get_json_object).
+    e = Catalog(spark, sf).events
+    v = e.select("event_type", F.parse_json("props").alias("v"))
+    k = F.variant_get("v", "$.k", "bigint")
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+def q_hll_merge(spark, sf):
+    # Mergeable HLL sketches (Apache DataSketches via F.hll_sketch_agg):
+    # one fixed-size sketch per partition-of-the-data (here per lang),
+    # then hll_union_agg merges them WITHOUT rescanning — the incremental
+    # distinct-count architecture at 100 TB (store sketches per
+    # ingest batch, union at query time). Estimates are engine-specific,
+    # so the oracled contract (like approx_distinct) is the exact count
+    # plus the merged estimate's error band.
+    docs = Catalog(spark, sf).documents
+    per_lang = docs.groupBy("lang").agg(
+        F.hll_sketch_agg("doc_id").alias("sk")
+    )
+    merged = per_lang.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+        F.count(F.lit(1)).alias("n_sketches"),
+    )
+    exact = docs.agg(F.countDistinct("doc_id").alias("exact_docs"))
+    return exact.crossJoin(merged).select(
+        "exact_docs",
+        "n_sketches",
+        (
+            F.abs(F.col("est") - F.col("exact_docs"))
+            <= 0.05 * F.col("exact_docs")
+        ).alias("merged_within_5pct"),
+    )
+
+
+def q_outer_join_profile(spark, sf):
+    # FULL OUTER join with unmatched-side profiling (the one join shape
+    # the registry lacked): null counting on both sides + coalesce'd
+    # revenue. At scale this is the same shuffle as the inner join; the
+    # null-preserving merge is free.
+    c = Catalog(spark, sf)
+    j = c.customer.join(
+        c.orders, F.col("c_custkey") == F.col("o_custkey"), "full_outer"
+    )
+    return j.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_orderkey").isNull().cast("long")).alias(
+            "customers_without_orders"
+        ),
+        F.sum(F.col("c_custkey").isNull().cast("long")).alias(
+            "orders_without_customers"
+        ),
+        F.round(F.sum(F.coalesce(F.col("o_totalprice"), F.lit(0.0))), 2).alias(
+            "total_revenue"
+        ),
+    )
+
+
 def q_pyds_docgen(spark, sf):
     # Custom connector via the Spark 4 Python DataSource API
     # (sources/pydatasource.py): partitions() plans 8 independent row
@@ -1884,6 +2033,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucketed_join_agg": q_bucketed_join_agg,
         "stream_heavy_hitters": q_stream_heavy_hitters,
         "pyds_docgen": q_pyds_docgen,
+        "outer_join_profile": q_outer_join_profile,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
+        "hll_merge": q_hll_merge,
+        "variant_extract": q_variant_extract,
         # --- round-1-verified relational core (stalest: r01) -------------
         "count_star": q_count_star,
         "group_share_topn": q_group_share_topn,
@@ -3533,5 +3688,73 @@ def oracle_sql() -> dict[str, str]:
                                 j -> ({words_sql})[CAST((i * 31 + j * 17) % 16 AS INTEGER) + 1]),
                  ' ') AS text
         FROM range(1000) t(i)
+    """
+
+    oracles["outer_join_profile"] = """
+        SELECT COUNT(*) AS n_rows,
+               CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS customers_without_orders,
+               CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS orders_without_customers,
+               ROUND(SUM(COALESCE(o_totalprice, 0.0)), 2) AS total_revenue
+        FROM customer FULL OUTER JOIN orders ON c_custkey = o_custkey
+    """
+
+    oracles["tpch_q1"] = """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+                 AS sum_charge,
+               ROUND(AVG(l_quantity), 6) AS avg_qty,
+               ROUND(AVG(l_extendedprice), 6) AS avg_price,
+               ROUND(AVG(l_discount), 6) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """
+    oracles["tpch_q3"] = """
+        SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+               o_orderpriority,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer
+          JOIN orders ON c_custkey = o_custkey
+          JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-03-15'
+          AND l_shipdate > TIMESTAMP '1998-03-15'
+        GROUP BY 1, 2, 3
+        ORDER BY revenue DESC, o_orderdate, o_orderkey LIMIT 10
+    """
+    oracles["tpch_q5"] = """
+        SELECT n_name,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM region
+          JOIN nation ON n_regionkey = r_regionkey
+          JOIN customer ON c_nationkey = n_nationkey
+          JOIN orders ON o_custkey = c_custkey
+          JOIN lineitem ON l_orderkey = o_orderkey
+          JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY n_name
+    """
+    oracles["hll_merge"] = """
+        SELECT COUNT(DISTINCT doc_id) AS exact_docs,
+               COUNT(DISTINCT lang) AS n_sketches,
+               true AS merged_within_5pct
+        FROM documents
+    """
+    oracles["variant_extract"] = """
+        SELECT event_type, COUNT(*) AS n_events,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+                 AS sum_k,
+               CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+                 AS min_k,
+               CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+                 AS max_k
+        FROM events GROUP BY event_type
     """
     return oracles

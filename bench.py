@@ -574,6 +574,9 @@ def headline_queries():
         "numeric_summary": q["numeric_summary"],
         "window_topk": q["window_topk"],
         "cube_agg": q["cube_agg"],
+        "tpch_q1": q["tpch_q1"],
+        "tpch_q3": q["tpch_q3"],
+        "tpch_q5": q["tpch_q5"],
         # Training-data pipeline surface
         "exact_dedup": q["exact_dedup"],
         "minhash_signature": q["minhash_signature"],

@@ -321,3 +321,20 @@ def test_neardup_arrow_fast_path_single_shuffle(spark, sf_dir):
     assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsInArrow" in plan
     assert plan.count("Exchange") == 1  # the groupBy(block) shuffle only
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_tpch_q5_broadcasts_all_dims(spark, sf_dir):
+    """The 6-way Q5 join tree: every dim side fits the broadcast
+    threshold at test scale, so no sort-merge anywhere; at production
+    scale AQE re-plans the fact-fact edges while dims stay broadcast."""
+    plan = _plan(entry_mod.q_tpch_q5(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_tpch_q1_partial_agg(spark, sf_dir):
+    """Q1 is THE map-side-combine query: partial aggregation must sit
+    below the single exchange."""
+    plan = _plan(entry_mod.q_tpch_q1(spark, sf_dir))
+    assert "partial_sum" in plan or "partial_count" in plan
+    assert plan.count("Exchange") <= 2  # agg shuffle (+ tiny final sort)
