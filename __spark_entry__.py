@@ -1655,6 +1655,32 @@ def q_tpch_q5(spark, sf):
     )
 
 
+def q_fuzzy_name_pairs(spark, sf):
+    # Blocked fuzzy linkage over part names (operators/linkage.py):
+    # first-token block -> length-bound prune -> Levenshtein <= 2.
+    # The distance is the standard unit-cost edit distance in both
+    # engines, so pairs AND distances hash-match.
+    from external_benchmarks_spark.operators.linkage import (
+        fuzzy_blocked_pairs,
+    )
+
+    return fuzzy_blocked_pairs(Catalog(spark, sf).part, "p_name", max_dist=2)
+
+
+def q_value_drift(spark, sf):
+    # PSI drift of the events value distribution per quarter vs the
+    # first quarter (operators/drift.py): fixed 10-bin [0,500] grid,
+    # Laplace smoothing, per-bin terms rounded to integer micro-units
+    # before summing (fixed-point; cross-engine integer-exact).
+    from external_benchmarks_spark.operators.drift import psi_drift
+
+    e = Catalog(spark, sf).events
+    period = F.concat(
+        F.year("ts").cast("string"), F.lit("Q"), F.quarter("ts").cast("string")
+    )
+    return psi_drift(e, "value", period, n_bins=10, lo=0.0, hi=500.0)
+
+
 def q_variant_extract(spark, sf):
     # Spark 4 VariantType: parse the JSON blob ONCE into the binary
     # variant encoding, then do typed path extraction — the
@@ -2039,6 +2065,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": q_tpch_q5,
         "hll_merge": q_hll_merge,
         "variant_extract": q_variant_extract,
+        "fuzzy_name_pairs": q_fuzzy_name_pairs,
+        "value_drift": q_value_drift,
         # --- round-1-verified relational core (stalest: r01) -------------
         "count_star": q_count_star,
         "group_share_topn": q_group_share_topn,
@@ -3756,5 +3784,48 @@ def oracle_sql() -> dict[str, str]:
                CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
                  AS max_k
         FROM events GROUP BY event_type
+    """
+    oracles["fuzzy_name_pairs"] = """
+        WITH n AS (
+          SELECT DISTINCT p_name AS name, split_part(p_name, ' ', 1) AS blk
+          FROM part WHERE p_name IS NOT NULL)
+        SELECT a.name AS name_a, b.name AS name_b,
+               CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+        FROM n a JOIN n b
+          ON a.blk = b.blk AND a.name < b.name
+         AND abs(len(a.name) - len(b.name)) <= 2
+        WHERE levenshtein(a.name, b.name) BETWEEN 1 AND 2
+        ORDER BY name_a, name_b
+    """
+    oracles["value_drift"] = """
+        WITH binned AS (
+          SELECT year(ts) || 'Q' || quarter(ts) AS period,
+                 LEAST(GREATEST(CAST(floor(value / 50.0) AS BIGINT), 0), 9) AS bin
+          FROM events),
+        counts AS (SELECT period, bin, COUNT(*) AS c FROM binned GROUP BY 1, 2),
+        grid AS (
+          SELECT p.period, g.bin
+          FROM (SELECT DISTINCT period FROM counts) p, range(10) g(bin)),
+        dense AS (
+          SELECT grid.period, grid.bin, COALESCE(counts.c, 0) AS c
+          FROM grid LEFT JOIN counts USING (period, bin)),
+        shares AS (
+          SELECT period, bin, c,
+                 CAST(c + 1 AS DOUBLE)
+                   / CAST(SUM(c) OVER (PARTITION BY period) + 10 AS DOUBLE) AS p
+          FROM dense),
+        base AS (
+          SELECT bin, p AS q FROM shares
+          WHERE period = (SELECT MIN(period) FROM shares)),
+        terms AS (
+          SELECT s.period, s.c,
+                 CAST(ROUND((s.p - base.q) * ln(s.p / base.q) * 1000000, 0)
+                      AS BIGINT) AS term_fp
+          FROM shares s JOIN base USING (bin)
+          WHERE s.period <> (SELECT MIN(period) FROM shares))
+        SELECT period, CAST(SUM(c) AS BIGINT) AS n_rows,
+               CAST(SUM(term_fp) AS BIGINT) AS psi_fp,
+               ROUND(SUM(term_fp) / 1000000.0, 6) AS psi
+        FROM terms GROUP BY period ORDER BY period
     """
     return oracles

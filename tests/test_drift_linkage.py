@@ -1,0 +1,79 @@
+"""PSI drift monitoring and blocked fuzzy linkage (round-4)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from external_benchmarks_spark.operators.drift import psi_drift
+from external_benchmarks_spark.operators.linkage import fuzzy_blocked_pairs
+
+
+def _drift_df(spark, shift: float):
+    # period A: uniform-ish values 0..400; period B: same + `shift`
+    rows = [("A", float(v % 400)) for v in range(0, 2000)] + [
+        ("B", float(v % 400) + shift) for v in range(0, 2000)
+    ]
+    return spark.createDataFrame(rows, "period string, value double")
+
+
+def test_psi_zero_on_identical_distributions(spark):
+    out = psi_drift(
+        _drift_df(spark, 0.0), "value", F.col("period"), n_bins=10, lo=0, hi=500
+    ).collect()
+    assert len(out) == 1 and out[0]["period"] == "B"
+    assert out[0]["psi_fp"] == 0
+    assert out[0]["n_rows"] == 2000
+
+
+def test_psi_detects_shift(spark):
+    small = psi_drift(
+        _drift_df(spark, 20.0), "value", F.col("period"), n_bins=10, lo=0, hi=500
+    ).collect()[0]["psi"]
+    large = psi_drift(
+        _drift_df(spark, 100.0), "value", F.col("period"), n_bins=10, lo=0, hi=500
+    ).collect()[0]["psi"]
+    assert 0 < small < large
+    assert large > 0.25  # a 2-bin shift is "major drift" on the PSI scale
+
+
+def test_psi_handles_out_of_range_values(spark):
+    # values beyond [lo, hi) clamp into the edge bins, never a crash
+    rows = [("A", -50.0), ("A", 1e9), ("B", -50.0), ("B", 1e9)]
+    out = psi_drift(
+        spark.createDataFrame(rows, "period string, value double"),
+        "value",
+        F.col("period"),
+    ).collect()
+    assert out[0]["psi_fp"] == 0  # identical (clamped) distributions
+
+
+def test_fuzzy_pairs_vs_bruteforce(spark):
+    names = [
+        "red widget", "red gadget", "red widgets", "blue widget",
+        "red bolt", "blue bolt", "blue colt", "green ring",
+    ]
+    df = spark.createDataFrame([(n,) for n in names], "p_name string")
+    got = {
+        (r.name_a, r.name_b, r.dist)
+        for r in fuzzy_blocked_pairs(df, "p_name", max_dist=2).collect()
+    }
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    want = set()
+    for a in names:
+        for b in names:
+            if a < b and a.split()[0] == b.split()[0] and 1 <= lev(a, b) <= 2:
+                want.add((a, b, lev(a, b)))
+    assert got == want
+    # cross-block near-pairs are intentionally invisible (blocking
+    # trade-off): "blue bolt" vs "red bolt" absent
+    assert ("blue bolt", "red bolt", 2) not in got
