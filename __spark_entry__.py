@@ -1657,26 +1657,30 @@ def q_tpch_q5(spark, sf):
 
 def q_fuzzy_name_pairs(spark, sf):
     # Blocked fuzzy linkage over part names (operators/linkage.py):
-    # first-token block -> length-bound prune -> Levenshtein <= 2.
-    # The distance is the standard unit-cost edit distance in both
-    # engines, so pairs AND distances hash-match.
+    # first-token block -> length-bound prune -> Levenshtein <= 3 (the
+    # part vocabulary's nearest intra-block neighbors sit at distance 3:
+    # bolt/rod, ring/rod). The distance is the standard unit-cost edit
+    # distance in both engines, so pairs AND distances hash-match.
     from external_benchmarks_spark.operators.linkage import (
         fuzzy_blocked_pairs,
     )
 
-    return fuzzy_blocked_pairs(Catalog(spark, sf).part, "p_name", max_dist=2)
+    return fuzzy_blocked_pairs(Catalog(spark, sf).part, "p_name", max_dist=3)
 
 
 def q_value_drift(spark, sf):
-    # PSI drift of the events value distribution per quarter vs the
-    # first quarter (operators/drift.py): fixed 10-bin [0,500] grid,
-    # Laplace smoothing, per-bin terms rounded to integer micro-units
-    # before summing (fixed-point; cross-engine integer-exact).
+    # PSI drift of the events value distribution per 5-day ingest period
+    # vs the first period (operators/drift.py; the testdata spans one
+    # month, so calendar quarters would collapse to a single period):
+    # fixed 10-bin [0,500] grid, Laplace smoothing, per-bin terms
+    # rounded to integer micro-units before summing (fixed-point;
+    # cross-engine integer-exact).
     from external_benchmarks_spark.operators.drift import psi_drift
 
     e = Catalog(spark, sf).events
     period = F.concat(
-        F.year("ts").cast("string"), F.lit("Q"), F.quarter("ts").cast("string")
+        F.lit("P"),
+        F.floor((F.dayofmonth("ts") - 1) / 5).cast("bigint").cast("string"),
     )
     return psi_drift(e, "value", period, n_bins=10, lo=0.0, hi=500.0)
 
@@ -3793,13 +3797,14 @@ def oracle_sql() -> dict[str, str]:
                CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
         FROM n a JOIN n b
           ON a.blk = b.blk AND a.name < b.name
-         AND abs(len(a.name) - len(b.name)) <= 2
-        WHERE levenshtein(a.name, b.name) BETWEEN 1 AND 2
+         AND abs(len(a.name) - len(b.name)) <= 3
+        WHERE levenshtein(a.name, b.name) BETWEEN 1 AND 3
         ORDER BY name_a, name_b
     """
     oracles["value_drift"] = """
         WITH binned AS (
-          SELECT year(ts) || 'Q' || quarter(ts) AS period,
+          SELECT 'P' || CAST(CAST(floor((day(ts) - 1) / 5) AS BIGINT) AS VARCHAR)
+                   AS period,
                  LEAST(GREATEST(CAST(floor(value / 50.0) AS BIGINT), 0), 9) AS bin
           FROM events),
         counts AS (SELECT period, bin, COUNT(*) AS c FROM binned GROUP BY 1, 2),
