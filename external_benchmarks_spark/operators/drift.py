@@ -52,8 +52,15 @@ def psi_drift(
             F.lit(n_bins - 1),
         ).alias("bin"),
     )
-    counts = binned.groupBy("period", "bin").agg(
-        F.count(F.lit(1)).alias("c")
+    # ONE pass over the data; everything downstream is arithmetic over
+    # the <= periods*bins row aggregate. localCheckpoint materializes it
+    # so the grid/totals/baseline branches don't each re-scan the input
+    # (the graph.py device — without it the plan re-reads the source
+    # once per CTE reference).
+    counts = (
+        binned.groupBy("period", "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
     )
     periods = counts.select("period").distinct()
     bins = F.explode(F.array(*[F.lit(i) for i in range(n_bins)])).alias("bin")
