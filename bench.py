@@ -375,6 +375,33 @@ def _shuffle_join_agg(spark, sf):
     )
 
 
+_INV_IDX_CACHE: dict[str, str] = {}
+
+
+def _inverted_index(spark, sf):
+    """BM25 postings layout, built once per sf outside the timed region
+    (like _ivf_layout); queries then read only the query terms' term
+    buckets via partition pruning."""
+    from external_benchmarks_spark.operators.tfidf import build_inverted_index
+
+    if sf not in _INV_IDX_CACHE:
+        tag = sf.rstrip("/").replace("/", "_").lstrip("_")
+        out = os.path.join(tempfile.gettempdir(), f"ebs_inv_idx_{tag}")
+        build_inverted_index(Catalog(spark, sf).documents, out, n_term_buckets=64)
+        _INV_IDX_CACHE[sf] = out
+    return _INV_IDX_CACHE[sf]
+
+
+def _bm25_indexed(spark, sf):
+    """bm25_topk off the materialized postings: partition-pruned scan,
+    no corpus re-tokenization, bit-identical scores (tested)."""
+    from external_benchmarks_spark.operators.tfidf import bm25_from_index
+
+    return bm25_from_index(
+        spark, _inverted_index(spark, sf), entry_mod.BM25_TERMS, k=20
+    )
+
+
 def _cms_mg(spark, sf):
     """Production CMS candidates: bounded per-partition Misra-Gries
     instead of distinct() over the token stream (the 100 TB path)."""
@@ -602,6 +629,7 @@ def headline_queries():
         "range_join_agg": q["range_join_agg"],
         "tfidf_top_terms": q["tfidf_top_terms"],
         "bm25_topk": q["bm25_topk"],
+        "bm25_indexed": _bm25_indexed,
         "semdedup": q["semdedup"],
         "sentence_split": q["sentence_split"],
         "session_window_agg": q["session_window_agg"],
@@ -630,6 +658,7 @@ def main() -> None:
     _upsert_table(spark, SF_DIR)  # seed outside the timed region
     _ivf_layout(spark, SF_DIR)  # index build happens here, probes are timed
     _bucketed_tables(spark, SF_DIR)  # bucketed write here, joins are timed
+    _inverted_index(spark, SF_DIR)  # postings build here, queries are timed
 
     # BASELINE.md maps the reference's "100 ms p95 @ 20 QPS" read SLAs to
     # batch p95s: run each selectivity template repeatedly (warm) and

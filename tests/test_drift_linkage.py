@@ -77,3 +77,42 @@ def test_fuzzy_pairs_vs_bruteforce(spark):
     # cross-block near-pairs are intentionally invisible (blocking
     # trade-off): "blue bolt" vs "red bolt" absent
     assert ("blue bolt", "red bolt", 2) not in got
+
+
+def test_bm25_index_matches_direct(spark, sf_dir, tmp_path):
+    """The partition-pruned postings layout must reproduce bm25_topk
+    bit-for-bit (same fixed-point math, different physical plan)."""
+    from external_benchmarks_spark.catalog import Catalog
+    from external_benchmarks_spark.operators.tfidf import (
+        bm25_from_index,
+        bm25_topk,
+        build_inverted_index,
+    )
+
+    import __spark_entry__ as entry_mod
+
+    docs = Catalog(spark, sf_dir).documents
+    idx = str(tmp_path / "inv_idx")
+    build_inverted_index(docs, idx, n_term_buckets=16)
+    direct = bm25_topk(docs, entry_mod.BM25_TERMS, k=20).collect()
+    indexed = bm25_from_index(
+        spark, idx, entry_mod.BM25_TERMS, k=20, n_term_buckets=16
+    ).collect()
+    assert [tuple(r) for r in direct] == [tuple(r) for r in indexed]
+
+
+def test_bm25_index_scan_is_partition_pruned(spark, sf_dir, tmp_path):
+    from external_benchmarks_spark.catalog import Catalog
+    from external_benchmarks_spark.operators.tfidf import (
+        bm25_from_index,
+        build_inverted_index,
+    )
+
+    docs = Catalog(spark, sf_dir).documents
+    idx = str(tmp_path / "inv_idx2")
+    build_inverted_index(docs, idx, n_term_buckets=16)
+    df = bm25_from_index(spark, idx, ["the", "data"], n_term_buckets=16)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = next(l for l in plan.splitlines() if "FileScan" in l)
+    pf = scan.split("PartitionFilters")[1]
+    assert "term_bucket" in pf[: pf.index("]")]
