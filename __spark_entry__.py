@@ -1143,6 +1143,25 @@ def q_bm25_topk(spark, sf):
     return bm25_topk(Catalog(spark, sf).documents, BM25_TERMS, k=20)
 
 
+def q_bm25_indexed(spark, sf):
+    # Same query through the INVERTED-INDEX layout (operators/tfidf.
+    # build_inverted_index): postings partitioned by term bucket, scoring
+    # reads only the query terms' buckets. Scores are bit-identical to
+    # bm25_topk (shared fixed-point math), so the same SQL oracle checks
+    # the whole build->prune->score path end to end.
+    import tempfile
+
+    from external_benchmarks_spark.operators.tfidf import (
+        bm25_from_index,
+        build_inverted_index,
+    )
+
+    tag = os.path.basename(sf.rstrip("/")).replace(".", "_")
+    idx = os.path.join(tempfile.gettempdir(), f"ebs_q_inv_idx_{tag}")
+    build_inverted_index(Catalog(spark, sf).documents, idx, n_term_buckets=64)
+    return bm25_from_index(spark, idx, BM25_TERMS, k=20, n_term_buckets=64)
+
+
 def q_sentence_split(spark, sf):
     # Sentence segmentation: split on terminal-punctuation runs + space —
     # a regex whose semantics agree across Java/RE2/Python, so the fan-out
@@ -2048,11 +2067,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order is a correctness-evidence budget: the driver checks a
     # window of entries in dict order each round, so never-checked entries
     # go first, then the STALEST driver-green entries. Round-4 window:
-    # new r4 entries + the r1-verified relational core (3 rounds stale).
-    # The r2-verified block follows (2 rounds stale, next rotation), and
-    # the freshly r3-verified 50 sit last. All entries pass the local
-    # mirror (tests/test_oracle_queries.py) either way, so rotation costs
-    # nothing.
+    # the 19 new r4 entries, then as much of the r1-verified relational
+    # core (3 rounds stale) as fits — new-entry evidence outranks
+    # re-greening, so the r1 tail rotates to the r5 front instead. The
+    # r2 block follows, the freshly r3-verified 50 sit last. All entries
+    # pass the local mirror (tests/test_oracle_queries.py) either way,
+    # so rotation costs nothing.
     return {
         # --- new in round 4: never driver-checked -----------------------
         "mp3_metadata": q_mp3_metadata,
@@ -2071,6 +2091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "variant_extract": q_variant_extract,
         "fuzzy_name_pairs": q_fuzzy_name_pairs,
         "value_drift": q_value_drift,
+        "bm25_indexed": q_bm25_indexed,
         # --- round-1-verified relational core (stalest: r01) -------------
         "count_star": q_count_star,
         "group_share_topn": q_group_share_topn,
@@ -3706,6 +3727,9 @@ def oracle_sql() -> dict[str, str]:
     # The streaming CMS must equal the batch CMS cell-for-cell (complete-
     # mode availableNow over the same documents): same oracle.
     oracles["stream_heavy_hitters"] = oracles["cms_heavy_hitters"]
+    # The inverted-index path is bit-identical to the direct BM25 (same
+    # fixed-point contribution arithmetic): same oracle.
+    oracles["bm25_indexed"] = oracles["bm25_topk"]
 
     # Python DataSource generator: DuckDB re-derives every row from
     # generate_series with the same wordlist + arithmetic (sources/
