@@ -1721,6 +1721,15 @@ def q_variant_extract(spark, sf):
     )
 
 
+def q_gap_filled_hourly(spark, sf):
+    # Hourly rollup with explicit zero-filled gaps (operators/sessions.
+    # gap_filled_hourly): dense calendar from F.sequence over the 1-row
+    # span aggregate, never a driver loop. At sf0.01 the events table
+    # occupies 3,385 of 3,600 (hour, type) cells, so the zero-fill path
+    # is genuinely exercised.
+    return sess_ops.gap_filled_hourly(Catalog(spark, sf).events)
+
+
 def q_hll_merge(spark, sf):
     # Mergeable HLL sketches (Apache DataSketches via F.hll_sketch_agg):
     # one fixed-size sketch per partition-of-the-data (here per lang),
@@ -2092,6 +2101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_name_pairs": q_fuzzy_name_pairs,
         "value_drift": q_value_drift,
         "bm25_indexed": q_bm25_indexed,
+        "gap_filled_hourly": q_gap_filled_hourly,
         # --- round-1-verified relational core (stalest: r01) -------------
         "count_star": q_count_star,
         "group_share_topn": q_group_share_topn,
@@ -3730,6 +3740,26 @@ def oracle_sql() -> dict[str, str]:
     # The inverted-index path is bit-identical to the direct BM25 (same
     # fixed-point contribution arithmetic): same oracle.
     oracles["bm25_indexed"] = oracles["bm25_topk"]
+
+    oracles["gap_filled_hourly"] = """
+        WITH rolled AS (
+          SELECT date_trunc('hour', ts) AS h, event_type,
+                 COUNT(*) AS cnt, ROUND(SUM(value), 4) AS sum_value
+          FROM events GROUP BY 1, 2),
+        span AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM rolled),
+        hours AS (
+          SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+          FROM span),
+        types AS (SELECT DISTINCT event_type FROM rolled)
+        SELECT strftime(hours.h, '%Y-%m-%d %H') AS hour, types.event_type,
+               CAST(COALESCE(rolled.cnt, 0) AS BIGINT) AS cnt,
+               COALESCE(rolled.sum_value, 0.0) AS sum_value
+        FROM hours CROSS JOIN types
+        LEFT JOIN rolled
+          ON rolled.h = hours.h AND rolled.event_type = types.event_type
+        ORDER BY hour, types.event_type
+    """
+    return oracles
 
     # Python DataSource generator: DuckDB re-derives every row from
     # generate_series with the same wordlist + arithmetic (sources/

@@ -126,3 +126,49 @@ def last_event_before(
         F.date_format(F.col(ts_col), "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
         F.date_format(asof, "yyyy-MM-dd HH:mm:ss").alias("last_purchase_ts"),
     )
+
+
+def gap_filled_hourly(
+    df: DataFrame, ts_col: str = "ts", type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Hourly rollup with ZERO-FILLED gaps — the resample step every
+    time-series pipeline needs before windowed models: missing
+    (hour, type) cells appear as explicit zeros instead of silently
+    vanishing (downstream moving averages over a sparse rollup are
+    wrong, not just incomplete).
+
+    Shape: the real rollup is one groupBy scan; the dense calendar
+    comes from F.sequence over the observed [min, max] hour — a 1-row
+    aggregate exploded engine-side (never a driver loop) — cross-joined
+    with the distinct type set (both broadcast-trivial), left-joined by
+    the rollup. At 100 TB the only data-sized work is still the one
+    rollup shuffle.
+    """
+    hour = F.date_trunc("hour", F.col(ts_col))
+    rolled = (
+        df.groupBy(hour.alias("h"), type_col)
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum(value_col), 4).alias("sum_value"),
+        )
+        .localCheckpoint()  # tiny; stops the grid branches re-scanning
+    )
+    span = rolled.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    hours = span.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("interval 1 hour"))
+        ).alias("h")
+    )
+    types = rolled.select(type_col).distinct()
+    return (
+        hours.crossJoin(F.broadcast(types))
+        .join(rolled, ["h", type_col], "left")
+        .select(
+            F.date_format("h", "yyyy-MM-dd HH").alias("hour"),
+            type_col,
+            F.coalesce("cnt", F.lit(0)).alias("cnt"),
+            F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+        )
+        .orderBy("hour", type_col)
+    )

@@ -116,3 +116,18 @@ def test_bm25_index_scan_is_partition_pruned(spark, sf_dir, tmp_path):
     scan = next(l for l in plan.splitlines() if "FileScan" in l)
     pf = scan.split("PartitionFilters")[1]
     assert "term_bucket" in pf[: pf.index("]")]
+
+
+def test_gap_filled_hourly_zero_fills(spark, sf_dir):
+    from external_benchmarks_spark.catalog import Catalog
+    from external_benchmarks_spark.operators.sessions import gap_filled_hourly
+
+    ev = Catalog(spark, sf_dir).events
+    out = gap_filled_hourly(ev).collect()
+    hours = {r["hour"] for r in out}
+    types = {r["event_type"] for r in out}
+    assert len(out) == len(hours) * len(types)  # dense grid
+    assert any(r["cnt"] == 0 for r in out)  # gaps are explicit zeros
+    assert sum(r["cnt"] for r in out) == ev.count()  # nothing lost
+    zero_rows = [r for r in out if r["cnt"] == 0]
+    assert all(r["sum_value"] == 0.0 for r in zero_rows)
