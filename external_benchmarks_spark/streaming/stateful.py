@@ -124,3 +124,104 @@ def stateful_sessionize(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas (Spark 4's successor stateful API)
+# ---------------------------------------------------------------------------
+
+FUNNEL_STAGES = ("signup", "click", "purchase")
+FUNNEL_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", StringType()),
+        StructField("stage", LongType()),
+    ]
+)
+
+
+def streaming_funnel_stage(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Running per-user funnel stage via ``transformWithStateInPandas``
+    (the Spark 4 arbitrary-state API that supersedes
+    applyInPandasWithState: typed state handles, composable state
+    variables, timers).
+
+    State per user = the first-touch timestamp of each stage (3 longs in
+    a ValueState). The emitted stage counts strictly-ordered first
+    touches (operators/funnel.event_funnel semantics), computed from the
+    timestamp mins — so the result is independent of ARRIVAL order and,
+    after an availableNow pass, equals the batch funnel stage per user
+    (asserted in tests/test_stateful_streaming.py).
+
+    Scale shape: identical to the sessionizer — one shuffle on user per
+    micro-batch, O(1) state per key.
+
+    Requires ``protobuf`` (the transformWithState control channel is
+    proto-based); environments without it should use the
+    applyInPandasWithState operators above — the test for this path is
+    skip-marked where the dependency is absent (COVERAGE.md
+    optional-dependency policy, same as sentence-transformers/umap).
+    """
+    try:
+        from google.protobuf import descriptor as _  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "transformWithStateInPandas needs the 'protobuf' package "
+            "(pip install protobuf); use stateful_sessionize/"
+            "applyInPandasWithState where it is unavailable"
+        ) from e
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    stages = FUNNEL_STAGES
+
+    class FunnelProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._touch = handle.getValueState(
+                "first_touch", "t0 long, t1 long, t2 long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._touch.exists():
+                t = list(self._touch.get())
+            else:
+                t = [None, None, None]
+            for pdf in rows:
+                for ty, ts in zip(pdf[type_col], pdf[ts_col]):
+                    if ty in stages:
+                        i = stages.index(ty)
+                        us = int(pd.Timestamp(ts).value // 1000)
+                        if t[i] is None or us < t[i]:
+                            t[i] = us
+            self._touch.update(tuple(t))
+            stage = 0
+            prev = None
+            for i in range(len(stages)):
+                if t[i] is None:
+                    break
+                if i > 0 and not (t[i] > prev):
+                    break
+                prev = t[i]
+                stage = i + 1
+            yield pd.DataFrame({"user_id": [key[0]], "stage": [stage]})
+
+        def close(self) -> None:
+            pass
+
+    prepared = events.select(
+        F.col(user_col).cast("string").alias("user_id"),
+        F.col(type_col).alias(type_col),
+        F.col(ts_col).cast("timestamp").alias(ts_col),
+    )
+    return prepared.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=FunnelProcessor(),
+        outputStructType=FUNNEL_OUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

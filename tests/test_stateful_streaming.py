@@ -135,3 +135,74 @@ def test_stateful_sessionize_agrees_with_batch_operator(spark):
         batch = sessionize(batch_df, user_col="user_id", ts_col="ts_us").collect()
         want = {(r.user_id, r.n_sessions, r.total_events) for r in batch}
         assert got == want
+
+
+def test_transform_with_state_funnel_matches_batch(spark, sf_dir):
+    """Spark 4 transformWithStateInPandas: the running funnel-stage
+    tracker, driven availableNow over real testdata events, must end at
+    exactly the batch first-touch funnel stage for every user.
+
+    Skip-marked where protobuf (the transformWithState control channel)
+    is absent — the sandbox ships without it; the operator raises a
+    guided ImportError there (asserted in the fallback branch)."""
+    import pytest
+
+    from external_benchmarks_spark.catalog import Catalog
+    from external_benchmarks_spark.streaming.stateful import (
+        streaming_funnel_stage,
+    )
+
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError, match="protobuf"):
+            streaming_funnel_stage(
+                Catalog(spark, sf_dir).events.select(
+                    "user_id", "event_type", "ts"
+                )
+            )
+        pytest.skip("protobuf not installed: transformWithState path")
+
+    ev = Catalog(spark, sf_dir).events.select("user_id", "event_type", "ts")
+    d = tempfile.mkdtemp(prefix="ebs_tws_")
+    src = os.path.join(d, "src")
+    ev.write.parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+
+    got: dict[str, int] = {}
+    q = (
+        streaming_funnel_stage(stream)
+        .writeStream.foreachBatch(
+            lambda df, bid: got.update(
+                {r.user_id: r.stage for r in df.collect()}
+            )
+        )
+        .option("checkpointLocation", os.path.join(d, "ck"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(300)
+    finally:
+        q.stop()
+
+    # batch reference: strictly-ordered first-touch stage per user
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t0"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t1"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t2"),
+    )
+    want: dict[str, int] = {}
+    for r in firsts.collect():
+        stage = 0
+        if r.t0 is not None:
+            stage = 1
+            if r.t1 is not None and r.t1 > r.t0:
+                stage = 2
+                if r.t2 is not None and r.t2 > r.t1:
+                    stage = 3
+        want[str(r.user_id)] = stage
+    assert got == want
