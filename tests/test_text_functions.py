@@ -109,3 +109,25 @@ def test_product_schema_validation(spark):
         validate_schema(drifted)
     with pytest.raises(SchemaMismatch, match="missing column"):
         validate_schema(empty.drop("store"))
+
+
+def test_map_in_arrow_token_count_equals_catalyst(spark, sf_dir):
+    """mapInArrow surface: the Arrow-kernel token counter must agree
+    with the Catalyst token_count on every document."""
+    import pyspark.sql.functions as F
+
+    from external_benchmarks_spark.catalog import Catalog
+    from external_benchmarks_spark.functions.arrowops import token_count_arrow
+    from external_benchmarks_spark.functions.text import token_count
+
+    docs = Catalog(spark, sf_dir).documents
+    arrow = {
+        r["doc_id"]: r["n_tokens"] for r in token_count_arrow(docs).collect()
+    }
+    catalyst = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id", token_count("text").alias("n")
+        ).collect()
+    }
+    assert arrow == catalyst
