@@ -2356,16 +2356,23 @@ def oracle_sql() -> dict[str, str]:
     band_union = " UNION ALL ".join(band_selects)
 
     # Count-min sketch: the same (row r, bucket b) cells on both engines.
-    cms_hashes = [
-        _h32("concat('" + str(j) + ":', token)") for j in range(CMS_DEPTH)
-    ]
+    # One md5 base hash per token, then universal-hash row derivation
+    # (operators/sketch._cell — same coefficients via minhash_params).
+    from external_benchmarks_spark.operators.sketch import (
+        CMS_SEED as _CMS_SEED,
+    )
+
+    cms_params = minhash_params(CMS_DEPTH, seed=_CMS_SEED)
+    cms_h = _h32("token")
     cms_cells = " UNION ALL ".join(
-        f"SELECT {j} AS r, {h} % {CMS_WIDTH} AS b FROM occ"
-        for j, h in enumerate(cms_hashes)
+        f"SELECT {j} AS r, (({a} * {cms_h} + {b}) % {MERSENNE_61})"
+        f" % {CMS_WIDTH} AS b FROM occ"
+        for j, (a, b) in enumerate(cms_params)
     )
     cms_probes = " UNION ALL ".join(
-        f"SELECT token, {j} AS r, {h} % {CMS_WIDTH} AS b FROM cand"
-        for j, h in enumerate(cms_hashes)
+        f"SELECT token, {j} AS r, (({a} * {cms_h} + {b}) % {MERSENNE_61})"
+        f" % {CMS_WIDTH} AS b FROM cand"
+        for j, (a, b) in enumerate(cms_params)
     )
 
     # First-touch funnel: conditional MIN per stage + strict-order flags.

@@ -15,10 +15,12 @@ of corpus size, and the finished sketch broadcasts to score any candidate
 stream. Contrast `operators/tfidf.top_terms`, which shuffles one row per
 distinct term.
 
-Hashing uses the md5-prefix family (`functions/hashing.md5_hash32`) so
-the DuckDB oracle replays the identical sketch cell-for-cell
-(SURVEY.md §5.3 determinism rules); production at scale can swap in
-``F.xxhash64`` via the ``hash_fn`` parameter.
+Hashing: ONE md5-prefix base hash per occurrence
+(`functions/hashing.md5_hash32` — cross-engine stable), then each
+row's bucket is a universal-hash multiply-add-mod on it (the MinHash
+coefficient device), so hashing cost is depth-independent and the
+DuckDB oracle replays the sketch cell-for-cell (SURVEY.md §5.3).
+Production at scale can swap in ``F.xxhash64`` via ``hash_fn``.
 
 Reference parity: extends the reference's value_counts/top-terms surface
 (scripts/generate_benchmark_reports.py:151-161, the DuckDB
@@ -33,14 +35,27 @@ from typing import Callable
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from external_benchmarks_spark.functions.hashing import md5_hash32
+from external_benchmarks_spark.functions.hashing import (
+    MERSENNE_61,
+    md5_hash32,
+    minhash_params,
+)
 
 HashFn = Callable[[Column], Column]
 
+# Universal-hash coefficients for the sketch rows (the MinHash device):
+# the base md5 hash is computed ONCE per occurrence and each row's
+# bucket is one multiply-add-mod on it — depth-independent hashing cost.
+CMS_SEED = 7
 
-def _cell(token: Column, row: int, width: int, hash_fn: HashFn) -> Column:
-    """Bucket index of `token` in sketch row `row` (seeded by prefix)."""
-    return hash_fn(F.concat(F.lit(f"{row}:"), token)) % width
+
+def _row_params(depth: int) -> list[tuple[int, int]]:
+    return minhash_params(depth, seed=CMS_SEED)
+
+
+def _cell(h: Column, a: int, b: int, width: int) -> Column:
+    """Bucket of base-hash `h` in the row keyed by (a, b)."""
+    return ((F.lit(a) * h + F.lit(b)) % MERSENNE_61) % width
 
 
 def cms_sketch(
@@ -57,14 +72,14 @@ def cms_sketch(
     collapses each partition to <= depth*width cells before the shuffle,
     so the exchange is O(partitions * depth * width), independent of N.
     """
-    tok = F.col(token_col)
+    h = hash_fn(F.col(token_col))
     cells = F.array(
         *[
             F.struct(
                 F.lit(j).alias("row"),
-                _cell(tok, j, width, hash_fn).alias("bucket"),
+                _cell(h, a, b, width).alias("bucket"),
             )
-            for j in range(depth)
+            for j, (a, b) in enumerate(_row_params(depth))
         ]
     )
     return (
@@ -87,7 +102,7 @@ def cms_estimate(
     The sketch side is a bounded depth*width table -> broadcast join; the
     candidate stream never shuffles.
     """
-    tok = F.col(token_col)
+    h = hash_fn(F.col(token_col))
     probes = candidates.select(
         token_col,
         F.explode(
@@ -95,9 +110,9 @@ def cms_estimate(
                 *[
                     F.struct(
                         F.lit(j).alias("row"),
-                        _cell(tok, j, width, hash_fn).alias("bucket"),
+                        _cell(h, a, b, width).alias("bucket"),
                     )
-                    for j in range(depth)
+                    for j, (a, b) in enumerate(_row_params(depth))
                 ]
             )
         ).alias("rb"),
