@@ -3766,7 +3766,6 @@ def oracle_sql() -> dict[str, str]:
           ON rolled.h = hours.h AND rolled.event_type = types.event_type
         ORDER BY hour, types.event_type
     """
-    return oracles
 
     # Python DataSource generator: DuckDB re-derives every row from
     # generate_series with the same wordlist + arithmetic (sources/
