@@ -209,3 +209,32 @@ def test_bucketed_join_matches_plain_join(spark, sf_dir):
     assert sorted(map(tuple, bucketed.collect())) == sorted(
         map(tuple, plain.collect())
     )
+
+
+def test_bucketed_write_one_file_per_bucket(spark, sf_dir):
+    # the repartition-before-bucketBy small-files guard: each bucket is
+    # exactly one data file, so scans open n_buckets files, not
+    # n_buckets * input_partitions
+    import glob
+    import os
+
+    from external_benchmarks_spark.pipeline.bucketing import (
+        bucket_root,
+        bucketed_pair,
+    )
+
+    c = Catalog(spark, sf_dir)
+    bucketed_pair(
+        spark,
+        c.orders.select("o_orderkey", "o_orderpriority"),
+        c.lineitem.select("l_orderkey", "l_extendedprice"),
+        left_key="o_orderkey",
+        right_key="l_orderkey",
+        n_buckets=4,
+        tag="t_files",
+    )
+    for side in ("bk_left", "bk_right"):
+        files = glob.glob(
+            os.path.join(bucket_root("t_files"), side, "part-*.parquet")
+        )
+        assert len(files) == 4, files
