@@ -1757,6 +1757,91 @@ def q_hll_merge(spark, sf):
     )
 
 
+def q_tpch_q6(spark, sf):
+    # TPC-H Q6 forecasting-revenue change: the pure scan-filter-agg
+    # shape — every predicate pushes to the parquet scan, one partial
+    # agg, no shuffle of data rows.
+    li = Catalog(spark, sf).lineitem
+    return li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        )
+    )
+
+
+def q_tpch_q10(spark, sf):
+    # TPC-H Q10 returned-item reporting: top-20 customers by revenue
+    # lost to returns in one quarter; nation broadcast, the orders date
+    # filter prunes before the fact-fact join.
+    c = Catalog(spark, sf)
+    return (
+        c.customer.join(
+            c.orders.where(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+            ),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(
+            c.lineitem.where(F.col("l_returnflag") == "R"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(c.nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            # per-line cents summed as integers (the lm/bm25 fixed-point
+            # device): ROUND(SUM(double)) straddled a half-cent boundary
+            # between engines at sf0.01 — integer summation is
+            # order-independent, so the hash can't flip.
+            (
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice")
+                        * (1 - F.col("l_discount"))
+                        * 100.0,
+                        0,
+                    ).cast("bigint")
+                )
+                / 100.0
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+def q_tpch_q14(spark, sf):
+    # TPC-H Q14 promotion effect: conditional revenue share over one
+    # month (p_type = 'PROMO' adapts the LIKE 'PROMO%' of the spec to
+    # this schema's enum-valued p_type).
+    c = Catalog(spark, sf)
+    li = c.lineitem.where(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(
+            F.broadcast(c.part.select("p_partkey", "p_type")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                6,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
 def q_outer_join_profile(spark, sf):
     # FULL OUTER join with unmatched-side profiling (the one join shape
     # the registry lacked): null counting on both sides + coalesce'd
@@ -2102,6 +2187,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_drift": q_value_drift,
         "bm25_indexed": q_bm25_indexed,
         "gap_filled_hourly": q_gap_filled_hourly,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q14": q_tpch_q14,
         # --- round-1-verified relational core (stalest: r01) -------------
         "count_star": q_count_star,
         "group_share_topn": q_group_share_topn,
@@ -3792,6 +3880,39 @@ def oracle_sql() -> dict[str, str]:
         FROM customer FULL OUTER JOIN orders ON c_custkey = o_custkey
     """
 
+    oracles["tpch_q6"] = """
+        SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24
+    """
+    oracles["tpch_q10"] = """
+        SELECT c_custkey, c_name, n_name,
+               SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100.0, 0)
+                        AS BIGINT)) / 100.0 AS revenue
+        FROM customer
+          JOIN orders ON c_custkey = o_custkey
+          JOIN lineitem ON l_orderkey = o_orderkey
+          JOIN nation ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-04-01'
+          AND l_returnflag = 'R'
+        GROUP BY 1, 2, 3
+        ORDER BY revenue DESC, c_custkey LIMIT 20
+    """
+    oracles["tpch_q14"] = """
+        SELECT ROUND(100.0 *
+               SUM(CASE WHEN p_type = 'PROMO'
+                        THEN l_extendedprice * (1 - l_discount)
+                        ELSE 0.0 END)
+               / SUM(l_extendedprice * (1 - l_discount)), 6)
+                 AS promo_revenue_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+          AND l_shipdate < TIMESTAMP '1996-10-01'
+    """
     oracles["tpch_q1"] = """
         SELECT l_returnflag, l_linestatus,
                ROUND(SUM(l_quantity), 2) AS sum_qty,

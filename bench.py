@@ -604,6 +604,9 @@ def headline_queries():
         "tpch_q1": q["tpch_q1"],
         "tpch_q3": q["tpch_q3"],
         "tpch_q5": q["tpch_q5"],
+        "tpch_q6": q["tpch_q6"],
+        "tpch_q10": q["tpch_q10"],
+        "tpch_q14": q["tpch_q14"],
         # Training-data pipeline surface
         "exact_dedup": q["exact_dedup"],
         "minhash_signature": q["minhash_signature"],
