@@ -338,3 +338,23 @@ def test_tpch_q1_partial_agg(spark, sf_dir):
     plan = _plan(entry_mod.q_tpch_q1(spark, sf_dir))
     assert "partial_sum" in plan or "partial_count" in plan
     assert plan.count("Exchange") <= 2  # agg shuffle (+ tiny final sort)
+
+
+def test_tpch_q6_predicates_pushed(spark, sf_dir):
+    """Q6 is the pushdown showcase: every filter must reach the scan
+    (PushedFilters) and the plan must contain no join and no data-row
+    exchange (single partial->final agg)."""
+    plan = _plan(entry_mod.q_tpch_q6(spark, sf_dir))
+    scan = next(l for l in plan.splitlines() if "FileScan" in l)
+    # toString truncates long filter lists — assert on the un-truncated
+    # head of PushedFilters (all three columns appear there as IsNotNull)
+    pushed = scan.split("PushedFilters: [")[1]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert f"IsNotNull({col})" in pushed, (col, pushed[:200])
+    assert "Join" not in plan
+
+
+def test_tpch_q10_broadcasts_nation(spark, sf_dir):
+    plan = _plan(entry_mod.q_tpch_q10(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan  # top-20, never a global sort
