@@ -1149,16 +1149,25 @@ def q_bm25_indexed(spark, sf):
     # reads only the query terms' buckets. Scores are bit-identical to
     # bm25_topk (shared fixed-point math), so the same SQL oracle checks
     # the whole build->prune->score path end to end.
+    # The build is FINGERPRINTED (pipeline/layout): first call per
+    # source version builds, every later call reuses the on-disk layout
+    # and runs a pure pruned read — no WriteFiles in steady state. The
+    # path carries the Spark application id so concurrent sessions on
+    # one host never race on the same postings directory.
     import tempfile
 
     from external_benchmarks_spark.operators.tfidf import (
         bm25_from_index,
-        build_inverted_index,
+        ensure_inverted_index,
     )
 
     tag = os.path.basename(sf.rstrip("/")).replace(".", "_")
-    idx = os.path.join(tempfile.gettempdir(), f"ebs_q_inv_idx_{tag}")
-    build_inverted_index(Catalog(spark, sf).documents, idx, n_term_buckets=64)
+    app = spark.sparkContext.applicationId
+    idx = os.path.join(tempfile.gettempdir(), f"ebs_q_inv_idx_{tag}_{app}")
+    c = Catalog(spark, sf)
+    ensure_inverted_index(
+        c.documents, idx, [c.path("documents")], n_term_buckets=64
+    )
     return bm25_from_index(spark, idx, BM25_TERMS, k=20, n_term_buckets=64)
 
 
@@ -1537,8 +1546,15 @@ def q_cms_heavy_hitters(spark, sf):
     # cell-for-cell, so estimates (not just ranks) hash-match.
     from external_benchmarks_spark.operators.sketch import cms_heavy_hitters
 
+    # candidates="exact" pinned HERE (library default is the bounded
+    # "mg" path): the DuckDB oracle replays the sketch over the full
+    # distinct token set, so the query must enumerate the same set.
     return cms_heavy_hitters(
-        Catalog(spark, sf).documents, k=20, depth=CMS_DEPTH, width=CMS_WIDTH
+        Catalog(spark, sf).documents,
+        k=20,
+        depth=CMS_DEPTH,
+        width=CMS_WIDTH,
+        candidates="exact",
     )
 
 
@@ -1567,10 +1583,19 @@ def q_bucketed_join_agg(spark, sf):
     # Exchange-free SortMergeJoin (plan asserted in tests/test_plans.py)
     # — the amortize-the-shuffle-into-the-layout story at 100 TB.
     # Values are layout-independent, hence the plain-SQL oracle.
+    # Fingerprinted layout (pipeline/layout): the first call per source
+    # version pays the two bucketed writes; every later call reuses the
+    # on-disk tables and the query is a pure Exchange-free bucketed
+    # read. Tag carries the application id so sessions never share (or
+    # race on) a scratch layout.
     from external_benchmarks_spark.pipeline.bucketing import bucketed_pair
 
     c = Catalog(spark, sf)
-    tag = os.path.basename(sf.rstrip("/")).replace(".", "_")
+    tag = (
+        os.path.basename(sf.rstrip("/")).replace(".", "_")
+        + "_"
+        + spark.sparkContext.applicationId.replace("-", "_")
+    )
     o, li = bucketed_pair(
         spark,
         c.orders.select("o_orderkey", "o_orderpriority"),
@@ -1579,37 +1604,64 @@ def q_bucketed_join_agg(spark, sf):
         right_key="l_orderkey",
         n_buckets=8,
         tag=tag,
+        source_paths=[c.path("orders"), c.path("lineitem")],
     )
     return (
         o.join(li, o["o_orderkey"] == li["l_orderkey"])
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            (
+                F.sum(
+                    _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                )
+                / 100.0
             ).alias("revenue"),
         )
     )
 
 
+def _cents(col):
+    """Per-row integer cents (the Q10 fixed-point device): summing
+    BIGINT cents is order-independent, so ROUND(SUM(double), 2)'s
+    half-cent partial-sum-order hazard between engines cannot occur.
+    Lossless here: every money/qty/rate column in the testdata is an
+    exact 2-decimal value."""
+    return F.round(col * 100.0, 0).cast("bigint")
+
+
 def q_tpch_q1(spark, sf):
     # TPC-H Q1 pricing summary (classic shape: wide scan -> map-side
     # partial agg on a 6-value group key). Dates adapted to the testdata
-    # range (1995-2001).
+    # range (1995-2001). All sums (and the avg numerators) go through
+    # the integer-cents device; averages divide the exact cent sum by
+    # the exact count, so ROUND sees the identical double in both
+    # engines.
     li = Catalog(spark, sf).lineitem.where(
         F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
     )
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    n = F.count(F.lit(1))
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            (F.sum(_cents(F.col("l_quantity"))) / 100.0).alias("sum_qty"),
+            (F.sum(_cents(F.col("l_extendedprice"))) / 100.0).alias(
+                "sum_base_price"
+            ),
+            (F.sum(_cents(disc)) / 100.0).alias("sum_disc_price"),
+            (F.sum(_cents(disc * (1 + F.col("l_tax")))) / 100.0).alias(
+                "sum_charge"
+            ),
+            F.round(F.sum(_cents(F.col("l_quantity"))) / 100.0 / n, 6).alias(
+                "avg_qty"
+            ),
+            F.round(
+                F.sum(_cents(F.col("l_extendedprice"))) / 100.0 / n, 6
+            ).alias("avg_price"),
+            F.round(F.sum(_cents(F.col("l_discount"))) / 100.0 / n, 6).alias(
+                "avg_disc"
+            ),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -1634,8 +1686,11 @@ def q_tpch_q3(spark, sf):
             "o_orderpriority",
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            (
+                F.sum(
+                    _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                )
+                / 100.0
             ).alias("revenue")
         )
         .orderBy(F.desc("revenue"), "o_orderdate", "o_orderkey")
@@ -1666,8 +1721,11 @@ def q_tpch_q5(spark, sf):
         )
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            (
+                F.sum(
+                    _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                )
+                / 100.0
             ).alias("revenue")
         )
         .orderBy(F.desc("revenue"), "n_name")
@@ -1742,9 +1800,13 @@ def q_hll_merge(spark, sf):
     per_lang = docs.groupBy("lang").agg(
         F.hll_sketch_agg("doc_id").alias("sk")
     )
+    # n_sketches mirrors the oracle's COUNT(DISTINCT lang): one sketch
+    # per NON-NULL lang group (COUNT(lang) over the grouped rows skips
+    # the NULL-lang group exactly like DISTINCT does), while the union
+    # still merges every sketch including the NULL group's.
     merged = per_lang.agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
-        F.count(F.lit(1)).alias("n_sketches"),
+        F.count(F.col("lang")).alias("n_sketches"),
     )
     exact = docs.agg(F.countDistinct("doc_id").alias("exact_docs"))
     return exact.crossJoin(merged).select(
@@ -1825,7 +1887,8 @@ def q_tpch_q14(spark, sf):
         (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
     )
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev_fp = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    zero = F.lit(0).cast("bigint")
     return (
         li.join(
             F.broadcast(c.part.select("p_partkey", "p_type")),
@@ -1834,8 +1897,10 @@ def q_tpch_q14(spark, sf):
         .agg(
             F.round(
                 100.0
-                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
-                / F.sum(rev),
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", rev_fp).otherwise(zero)
+                )
+                / F.sum(rev_fp),
                 6,
             ).alias("promo_revenue_pct")
         )
@@ -1859,9 +1924,10 @@ def q_outer_join_profile(spark, sf):
         F.sum(F.col("c_custkey").isNull().cast("long")).alias(
             "orders_without_customers"
         ),
-        F.round(F.sum(F.coalesce(F.col("o_totalprice"), F.lit(0.0))), 2).alias(
-            "total_revenue"
-        ),
+        (
+            F.sum(_cents(F.coalesce(F.col("o_totalprice"), F.lit(0.0))))
+            / 100.0
+        ).alias("total_revenue"),
     )
 
 
@@ -2481,8 +2547,12 @@ def oracle_sql() -> dict[str, str]:
         f"CAST(SUM(CASE WHEN r{i} THEN 1 ELSE 0 END) AS BIGINT) AS stage{i}_users"
         for i in range(len(DEFAULT_STAGES))
     )
+    # CASE guard mirrors Spark's try_divide: zero stage-0 users -> NULL
+    # share in BOTH engines (DuckDB would otherwise emit inf/NaN).
     funnel_shares = ", ".join(
-        f"ROUND(CAST(stage{i}_users AS DOUBLE) / stage0_users, 6) AS stage{i}_share"
+        f"CASE WHEN stage0_users = 0 THEN NULL "
+        f"ELSE ROUND(CAST(stage{i}_users AS DOUBLE) / stage0_users, 6) END "
+        f"AS stage{i}_share"
         for i in range(1, len(DEFAULT_STAGES))
     )
     funnel_users = ", ".join(
@@ -3568,7 +3638,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bucketed_join_agg": """
             SELECT o_orderpriority, COUNT(*) AS n_items,
-                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                   SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100.0, 0)
+                            AS BIGINT)) / 100.0 AS revenue
             FROM orders JOIN lineitem ON o_orderkey = l_orderkey
             GROUP BY o_orderpriority
         """,
@@ -3876,7 +3947,8 @@ def oracle_sql() -> dict[str, str]:
                  AS customers_without_orders,
                CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
                  AS orders_without_customers,
-               ROUND(SUM(COALESCE(o_totalprice, 0.0)), 2) AS total_revenue
+               SUM(CAST(ROUND(COALESCE(o_totalprice, 0.0) * 100.0, 0)
+                        AS BIGINT)) / 100.0 AS total_revenue
         FROM customer FULL OUTER JOIN orders ON c_custkey = o_custkey
     """
 
@@ -3902,12 +3974,19 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY 1, 2, 3
         ORDER BY revenue DESC, c_custkey LIMIT 20
     """
+    # Integer-cents fixed point everywhere a double would be summed
+    # (the Q10 device): per-row ROUND(x*100) AS BIGINT, exact integer
+    # summation, divide back — immune to partial-sum order across
+    # engines/partition counts. Averages divide the exact cent sum by
+    # COUNT(*) so ROUND's input double is identical in both engines.
     oracles["tpch_q14"] = """
         SELECT ROUND(100.0 *
                SUM(CASE WHEN p_type = 'PROMO'
-                        THEN l_extendedprice * (1 - l_discount)
-                        ELSE 0.0 END)
-               / SUM(l_extendedprice * (1 - l_discount)), 6)
+                        THEN CAST(ROUND(l_extendedprice * (1 - l_discount)
+                                        * 100.0, 0) AS BIGINT)
+                        ELSE CAST(0 AS BIGINT) END)
+               / SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100.0, 0)
+                          AS BIGINT)), 6)
                  AS promo_revenue_pct
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE l_shipdate >= TIMESTAMP '1996-09-01'
@@ -3915,14 +3994,20 @@ def oracle_sql() -> dict[str, str]:
     """
     oracles["tpch_q1"] = """
         SELECT l_returnflag, l_linestatus,
-               ROUND(SUM(l_quantity), 2) AS sum_qty,
-               ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-               ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
-                 AS sum_charge,
-               ROUND(AVG(l_quantity), 6) AS avg_qty,
-               ROUND(AVG(l_extendedprice), 6) AS avg_price,
-               ROUND(AVG(l_discount), 6) AS avg_disc,
+               SUM(CAST(ROUND(l_quantity * 100.0, 0) AS BIGINT)) / 100.0
+                 AS sum_qty,
+               SUM(CAST(ROUND(l_extendedprice * 100.0, 0) AS BIGINT)) / 100.0
+                 AS sum_base_price,
+               SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100.0, 0)
+                        AS BIGINT)) / 100.0 AS sum_disc_price,
+               SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                              * 100.0, 0) AS BIGINT)) / 100.0 AS sum_charge,
+               ROUND(SUM(CAST(ROUND(l_quantity * 100.0, 0) AS BIGINT))
+                     / 100.0 / COUNT(*), 6) AS avg_qty,
+               ROUND(SUM(CAST(ROUND(l_extendedprice * 100.0, 0) AS BIGINT))
+                     / 100.0 / COUNT(*), 6) AS avg_price,
+               ROUND(SUM(CAST(ROUND(l_discount * 100.0, 0) AS BIGINT))
+                     / 100.0 / COUNT(*), 6) AS avg_disc,
                COUNT(*) AS count_order
         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         GROUP BY l_returnflag, l_linestatus
@@ -3930,7 +4015,8 @@ def oracle_sql() -> dict[str, str]:
     oracles["tpch_q3"] = """
         SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
                o_orderpriority,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100.0, 0)
+                        AS BIGINT)) / 100.0 AS revenue
         FROM customer
           JOIN orders ON c_custkey = o_custkey
           JOIN lineitem ON o_orderkey = l_orderkey
@@ -3942,7 +4028,8 @@ def oracle_sql() -> dict[str, str]:
     """
     oracles["tpch_q5"] = """
         SELECT n_name,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100.0, 0)
+                        AS BIGINT)) / 100.0 AS revenue
         FROM region
           JOIN nation ON n_regionkey = r_regionkey
           JOIN customer ON c_nationkey = n_nationkey

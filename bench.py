@@ -382,12 +382,15 @@ def _inverted_index(spark, sf):
     """BM25 postings layout, built once per sf outside the timed region
     (like _ivf_layout); queries then read only the query terms' term
     buckets via partition pruning."""
-    from external_benchmarks_spark.operators.tfidf import build_inverted_index
+    from external_benchmarks_spark.operators.tfidf import ensure_inverted_index
 
     if sf not in _INV_IDX_CACHE:
         tag = sf.rstrip("/").replace("/", "_").lstrip("_")
         out = os.path.join(tempfile.gettempdir(), f"ebs_inv_idx_{tag}")
-        build_inverted_index(Catalog(spark, sf).documents, out, n_term_buckets=64)
+        c = Catalog(spark, sf)
+        ensure_inverted_index(
+            c.documents, out, [c.path("documents")], n_term_buckets=64
+        )
         _INV_IDX_CACHE[sf] = out
     return _INV_IDX_CACHE[sf]
 

@@ -100,7 +100,11 @@ def cms_estimate(
     """Estimated frequency (min over rows) for each candidate token.
 
     The sketch side is a bounded depth*width table -> broadcast join; the
-    candidate stream never shuffles.
+    candidate stream never shuffles. LEFT join + coalesce(0): a candidate
+    hashing to a cell no occurrence touched has a true CMS estimate of 0
+    for that row, and min() must see the 0 — an inner join would silently
+    drop the empty cell and over-estimate (or drop the candidate
+    entirely when every cell is empty).
     """
     h = hash_fn(F.col(token_col))
     probes = candidates.select(
@@ -122,9 +126,14 @@ def cms_estimate(
             F.broadcast(sketch),
             (F.col("rb.row") == sketch["row"])
             & (F.col("rb.bucket") == sketch["bucket"]),
+            "left",
         )
         .groupBy(token_col)
-        .agg(F.min("cnt").alias("est_count"))
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("bigint"))).alias(
+                "est_count"
+            )
+        )
     )
 
 
@@ -182,17 +191,20 @@ def cms_heavy_hitters(
     depth: int = 4,
     width: int = 256,
     hash_fn: HashFn = md5_hash32,
-    candidates: str = "exact",
+    candidates: str = "mg",
     mg_counters: int = 512,
 ) -> DataFrame:
     """Top-k most frequent whitespace tokens by count-min estimate.
 
-    candidates="exact": the full distinct token set — required for the
-    cross-engine oracle, fine while the vocabulary fits a shuffle.
-    candidates="mg": per-partition Misra-Gries survivors (mg_candidates)
-    — bounded candidate volume at any corpus size; returns the same
-    top-k whenever mg_counters is large enough that the true top-k are
-    (N/mg_counters)-heavy (tested), the 100 TB path.
+    candidates="mg" (DEFAULT): per-partition Misra-Gries survivors
+    (mg_candidates) — bounded candidate volume at any corpus size;
+    returns the same top-k whenever mg_counters is large enough that the
+    true top-k are (N/mg_counters)-heavy (tested). This is the 100 TB
+    path, so a naive caller gets the bounded plan.
+    candidates="exact": the full distinct token set — a
+    vocabulary-sized shuffle; pinned inside the cross-engine oracle
+    query (which must enumerate every candidate) and fine while the
+    vocabulary fits a shuffle.
 
     Output: (token, est_count), est_count >= true count, ordered by
     (est_count DESC, token) for deterministic hashing.

@@ -136,29 +136,10 @@ def _term_bucket_py(term: str, n_buckets: int) -> int:
     return int(hashlib.md5(term.encode()).hexdigest()[:8], 16) % n_buckets
 
 
-def build_inverted_index(
-    df: DataFrame,
-    out_path: str,
-    key_col: str = "doc_id",
-    content_col: str = "text",
-    n_term_buckets: int = 64,
-) -> None:
-    """Materialize the BM25 postings layout ONCE (the IVF-cells idea
-    applied to terms): (term, doc_id, tf, df, dl) partitioned on
-    term_bucket = md5_hash32(term) % n_term_buckets. Query-time scoring
-    then reads ONLY the buckets containing the query's terms — partition
-    pruning for text retrieval, |q|/n_buckets of the index instead of a
-    corpus re-tokenization per query (bm25_topk's shape).
-
-    Denormalizing df (per-term doc frequency) and dl (doc length) into
-    the postings row trades ~2 ints/row for a query plan with ZERO
-    corpus-sized joins: score = f(row, corpus constants). Corpus stats
-    (n_docs, avgdl) land in a 1-row side table.
-    """
-    import os
-
-    from external_benchmarks_spark.functions.hashing import md5_hash32
-
+def _tf_dl(
+    df: DataFrame, key_col: str, content_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """(per-(doc,term) tf table, per-doc length table) for non-null docs."""
     base = df.filter(F.col(content_col).isNotNull())
     dl = base.select(
         F.col(key_col), F.size(tokens(F.col(content_col))).alias("dl")
@@ -170,23 +151,200 @@ def build_inverted_index(
         .groupBy(key_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    postings = (
-        tf.join(F.broadcast(dfreq), "term")
-        .join(dl, key_col)
-        .withColumn("term_bucket", md5_hash32(F.col("term")) % n_term_buckets)
+    return tf, dl
+
+
+def _write_postings(
+    tf: DataFrame,
+    dl: DataFrame,
+    out_path: str,
+    key_col: str,
+    n_term_buckets: int,
+    mode: str = "overwrite",
+) -> None:
+    import os
+
+    from external_benchmarks_spark.functions.hashing import md5_hash32
+
+    postings = tf.join(dl, key_col).withColumn(
+        "term_bucket", md5_hash32(F.col("term")) % n_term_buckets
     )
     (
         postings.repartition(F.col("term_bucket"))
         .sortWithinPartitions("term", key_col)
-        .write.mode("overwrite")
+        .write.mode(mode)
         .partitionBy("term_bucket")
         .parquet(os.path.join(out_path, "postings"))
     )
+
+
+def build_inverted_index(
+    df: DataFrame,
+    out_path: str,
+    key_col: str = "doc_id",
+    content_col: str = "text",
+    n_term_buckets: int = 64,
+) -> None:
+    """Materialize the BM25 postings layout ONCE (the IVF-cells idea
+    applied to terms), in three incrementally-maintainable pieces:
+
+    - ``postings/``: (doc_id, term, tf, dl) partitioned on
+      term_bucket = md5_hash32(term) % n_term_buckets. Query-time
+      scoring reads ONLY the buckets containing the query's terms —
+      partition pruning for text retrieval, |q|/n_buckets of the index
+      instead of a corpus re-tokenization per query (bm25_topk's shape).
+      New documents APPEND here (their rows land in their term buckets)
+      without touching existing rows, because nothing corpus-global is
+      denormalized into a posting: tf and dl are per-document facts.
+    - ``dfreq/``: (term, df) partitioned on the same term_bucket —
+      |vocabulary| rows, read pruned to the query's buckets and
+      broadcast. Kept OUT of the postings rows precisely so that
+      appending documents only rewrites the AFFECTED dfreq buckets, not
+      every posting of every touched term.
+    - ``stats/``: one row (n_docs, sum_dl) — mergeable counters (sum_dl
+      instead of a precomputed avgdl, so an append is add-and-rewrite of
+      one row; avgdl = sum_dl/n_docs is derived at query time with the
+      same float division bm25_topk performs).
+    """
+    import os
+
+    from external_benchmarks_spark.functions.hashing import md5_hash32
+
+    tf, dl = _tf_dl(df, key_col, content_col)
+    _write_postings(tf, dl, out_path, key_col, n_term_buckets)
+    dfreq = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .withColumn("term_bucket", md5_hash32(F.col("term")) % n_term_buckets)
+    )
+    (
+        dfreq.repartition(F.col("term_bucket"))
+        .write.mode("overwrite")
+        .partitionBy("term_bucket")
+        .parquet(os.path.join(out_path, "dfreq"))
+    )
     dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
-        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        F.sum("dl").cast("bigint").alias("sum_dl"),
     ).write.mode("overwrite").parquet(os.path.join(out_path, "stats"))
+
+
+def ensure_inverted_index(
+    df: DataFrame,
+    out_path: str,
+    source_paths: list[str],
+    key_col: str = "doc_id",
+    content_col: str = "text",
+    n_term_buckets: int = 64,
+) -> bool:
+    """Build the inverted index only if the source changed since the
+    last build (pipeline/layout fingerprint: file path+size+mtime, no
+    Spark job). Returns True when a build ran, False on reuse — the
+    steady-state query path is then a pure partition-pruned READ with no
+    WriteFiles anywhere (the amortized layout contract)."""
+    from external_benchmarks_spark.pipeline.layout import (
+        layout_is_current,
+        record_layout,
+        source_fingerprint,
+    )
+
+    fp = source_fingerprint(
+        source_paths, extra={"n_term_buckets": n_term_buckets, "v": 2}
+    )
+    if layout_is_current(out_path, fp):
+        return False
+    build_inverted_index(df, out_path, key_col, content_col, n_term_buckets)
+    record_layout(out_path, fp)
+    return True
+
+
+def append_to_inverted_index(
+    spark,
+    index_path: str,
+    new_docs: DataFrame,
+    key_col: str = "doc_id",
+    content_col: str = "text",
+    n_term_buckets: int = 64,
+) -> None:
+    """Incrementally index NEW documents (keys not already indexed)
+    without a full rebuild — the upsert-side maintenance path.
+
+    Cost is O(delta + affected buckets), not O(corpus):
+    - postings: pure APPEND of the new docs' rows into their term
+      buckets (existing files untouched).
+    - dfreq: only the buckets containing a delta term are rewritten
+      (dynamic partition overwrite), merged as old df + delta df.
+    - stats: one-row add-and-rewrite of the mergeable counters.
+
+    Equivalence to a full rebuild is exact (tested bit-identical):
+    every piece is an associative merge of per-document facts.
+    """
+    import os
+
+    from external_benchmarks_spark.functions.hashing import md5_hash32
+
+    tf, dl = _tf_dl(new_docs, key_col, content_col)
+    # Cache: tf/dl feed postings, dfreq delta, and the stats delta.
+    tf = tf.localCheckpoint(eager=True)
+    dl = dl.localCheckpoint(eager=True)
+
+    _write_postings(tf, dl, index_path, key_col, n_term_buckets, mode="append")
+
+    delta_df = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .withColumn("term_bucket", md5_hash32(F.col("term")) % n_term_buckets)
+        .localCheckpoint(eager=True)
+    )
+    affected = sorted(
+        r["term_bucket"]
+        for r in delta_df.select("term_bucket").distinct().collect()
+    )
+    dfreq_path = os.path.join(index_path, "dfreq")
+    old = spark.read.parquet(dfreq_path).where(
+        F.col("term_bucket").isin(affected)
+    )
+    merged = (
+        old.select("term", F.col("df").alias("df_old"))
+        .join(
+            delta_df.select("term", F.col("df").alias("df_new")),
+            "term",
+            "full_outer",
+        )
+        .select(
+            "term",
+            (
+                F.coalesce(F.col("df_old"), F.lit(0))
+                + F.coalesce(F.col("df_new"), F.lit(0))
+            ).alias("df"),
+            (md5_hash32(F.col("term")) % n_term_buckets).alias("term_bucket"),
+        )
+        # The overwrite below deletes the partitions being read — break
+        # the read-your-writes cycle by materializing first.
+        .localCheckpoint(eager=True)
+    )
+    (
+        merged.repartition(F.col("term_bucket"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("term_bucket")
+        .parquet(dfreq_path)
+    )
+
+    stats_path = os.path.join(index_path, "stats")
+    old_stats = spark.read.parquet(stats_path).collect()[0]
+    delta_stats = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").cast("bigint").alias("s")
+    ).collect()[0]
+    spark.createDataFrame(
+        [
+            (
+                int(old_stats["n_docs"]) + int(delta_stats["n"]),
+                int(old_stats["sum_dl"]) + int(delta_stats["s"] or 0),
+            )
+        ],
+        "n_docs bigint, sum_dl bigint",
+    ).write.mode("overwrite").parquet(stats_path)
 
 
 def bm25_from_index(
@@ -200,21 +358,31 @@ def bm25_from_index(
     n_term_buckets: int = 64,
 ) -> DataFrame:
     """BM25 top-k off the materialized postings — bit-identical to
-    bm25_topk (same fixed-point contribution math, tested), but the scan
-    is partition-pruned to the query terms' buckets and the plan has no
-    corpus-sized join or explode at all."""
+    bm25_topk (same fixed-point contribution math, tested), but the
+    postings and dfreq scans are partition-pruned to the query terms'
+    buckets; the only join is posting rows x a broadcast |q|-row dfreq
+    slice — no corpus-sized join or explode at all."""
     import os
 
     terms = sorted({t.lower() for t in query_terms})
     buckets = sorted({_term_bucket_py(t, n_term_buckets) for t in terms})
     stats = spark.read.parquet(os.path.join(index_path, "stats")).collect()[0]
-    n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
+    n_docs = int(stats["n_docs"])
     if n_docs == 0:
         return spark.createDataFrame([], f"{key_col} bigint, bm25 double")
+    # Same float division bm25_topk performs driver-side.
+    avgdl = float(stats["sum_dl"]) / n_docs
+    dfreq = (
+        spark.read.parquet(os.path.join(index_path, "dfreq"))
+        .where(F.col("term_bucket").isin(buckets))
+        .where(F.col("term").isin(terms))
+        .select("term", "df")
+    )
     p = (
         spark.read.parquet(os.path.join(index_path, "postings"))
         .where(F.col("term_bucket").isin(buckets))
         .where(F.col("term").isin(terms))
+        .join(F.broadcast(dfreq), "term")
     )
     idf = F.log(
         (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0

@@ -70,6 +70,7 @@ def bucketed_pair(
     n_buckets: int,
     tag: str,
     names: tuple[str, str] = ("bk_left", "bk_right"),
+    source_paths: list[str] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Co-locate two tables on their join keys, return catalog handles.
 
@@ -78,14 +79,46 @@ def bucketed_pair(
     column with the same bucket count. The returned DataFrames carry the
     bucket spec, so an equi-join on (left_key == right_key) produces an
     Exchange-free SortMergeJoin (asserted in tests/test_plans.py).
+
+    With ``source_paths``, the layout is FINGERPRINTED
+    (pipeline/layout): when both tables are already registered in this
+    session's catalog and the source files haven't changed, the write
+    is skipped entirely and the existing on-disk layout is returned —
+    the steady-state query is a pure bucketed read (no WriteFiles).
+    Without ``source_paths`` every call rewrites (the explicit-rebuild
+    path, kept for tests and one-off layouts).
     """
+    from external_benchmarks_spark.pipeline.layout import (
+        layout_is_current,
+        record_layout,
+        source_fingerprint,
+    )
+
     root = bucket_root(tag)
     lname = f"{names[0]}_{tag}"
     rname = f"{names[1]}_{tag}"
+    fp = None
+    if source_paths is not None:
+        fp = source_fingerprint(
+            source_paths,
+            extra={"n_buckets": n_buckets, "keys": [left_key, right_key]},
+        )
+        # Catalog registration is session-scoped, so reuse requires both
+        # the fingerprint match AND the tables in THIS session's catalog
+        # (tag callers include the application id, making the path
+        # session-scoped too — no cross-session races on the files).
+        if (
+            layout_is_current(root, fp)
+            and spark.catalog.tableExists(lname)
+            and spark.catalog.tableExists(rname)
+        ):
+            return spark.table(lname), spark.table(rname)
     write_bucketed(
         left, lname, left_key, n_buckets, os.path.join(root, names[0])
     )
     write_bucketed(
         right, rname, right_key, n_buckets, os.path.join(root, names[1])
     )
+    if fp is not None:
+        record_layout(root, fp)
     return spark.table(lname), spark.table(rname)

@@ -118,6 +118,115 @@ def test_bm25_index_scan_is_partition_pruned(spark, sf_dir, tmp_path):
     assert "term_bucket" in pf[: pf.index("]")]
 
 
+def test_ensure_inverted_index_reuses_unchanged_layout(spark, sf_dir, tmp_path):
+    """Steady state is a pure read: the second ensure call must detect
+    the unchanged source via the fingerprint and NOT rewrite anything."""
+    import os
+
+    from external_benchmarks_spark.catalog import Catalog
+    from external_benchmarks_spark.operators.tfidf import (
+        bm25_from_index,
+        ensure_inverted_index,
+    )
+
+    c = Catalog(spark, sf_dir)
+    idx = str(tmp_path / "inv_idx_ensure")
+    src = [c.path("documents")]
+    assert ensure_inverted_index(c.documents, idx, src, n_term_buckets=16)
+    before = {
+        os.path.join(r, f): os.stat(os.path.join(r, f)).st_mtime_ns
+        for r, _d, fs in os.walk(idx)
+        for f in fs
+    }
+    assert not ensure_inverted_index(c.documents, idx, src, n_term_buckets=16)
+    after = {
+        os.path.join(r, f): os.stat(os.path.join(r, f)).st_mtime_ns
+        for r, _d, fs in os.walk(idx)
+        for f in fs
+    }
+    assert before == after  # zero files rewritten on reuse
+    # A parameter change is a layout change -> rebuild triggers.
+    assert ensure_inverted_index(c.documents, idx, src, n_term_buckets=8)
+    out = bm25_from_index(spark, idx, ["the"], k=5, n_term_buckets=8)
+    assert out.count() > 0
+
+
+def test_append_to_inverted_index_equals_full_rebuild(spark, sf_dir, tmp_path):
+    """Delta maintenance contract: full build over docs[A+B] must equal
+    build over A then append B — bit-identical BM25 answers (postings
+    append + affected-dfreq-bucket merge + mergeable stats)."""
+    from external_benchmarks_spark.catalog import Catalog
+    from external_benchmarks_spark.operators.tfidf import (
+        append_to_inverted_index,
+        bm25_from_index,
+        build_inverted_index,
+    )
+
+    import __spark_entry__ as entry_mod
+
+    docs = Catalog(spark, sf_dir).documents
+    cut = F.col("doc_id") % 10 < 8
+    base, delta = docs.where(cut), docs.where(~cut)
+
+    full_idx = str(tmp_path / "idx_full")
+    build_inverted_index(docs, full_idx, n_term_buckets=16)
+    inc_idx = str(tmp_path / "idx_inc")
+    build_inverted_index(base, inc_idx, n_term_buckets=16)
+    append_to_inverted_index(spark, inc_idx, delta, n_term_buckets=16)
+
+    for terms in (entry_mod.BM25_TERMS, ["the", "data"]):
+        want = bm25_from_index(
+            spark, full_idx, terms, k=50, n_term_buckets=16
+        ).collect()
+        got = bm25_from_index(
+            spark, inc_idx, terms, k=50, n_term_buckets=16
+        ).collect()
+        assert [tuple(r) for r in want] == [tuple(r) for r in got]
+
+
+def test_append_touches_only_affected_dfreq_buckets(spark, tmp_path):
+    """The dfreq merge must rewrite ONLY buckets containing a delta
+    term; untouched buckets keep their original files."""
+    import os
+
+    from external_benchmarks_spark.operators.tfidf import (
+        _term_bucket_py,
+        append_to_inverted_index,
+        build_inverted_index,
+    )
+
+    base = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "gamma delta"), (2, "alpha gamma")],
+        "doc_id bigint, text string",
+    )
+    delta = spark.createDataFrame([(3, "alpha")], "doc_id bigint, text string")
+    idx = str(tmp_path / "idx_buckets")
+    build_inverted_index(base, idx, n_term_buckets=16)
+
+    def bucket_mtimes():
+        out = {}
+        droot = os.path.join(idx, "dfreq")
+        for d in os.listdir(droot):
+            if not d.startswith("term_bucket="):
+                continue
+            full = os.path.join(droot, d)
+            out[d] = max(
+                os.stat(os.path.join(full, f)).st_mtime_ns
+                for f in os.listdir(full)
+                if not f.startswith(("_", "."))
+            )
+        return out
+
+    before = bucket_mtimes()
+    append_to_inverted_index(spark, idx, delta, n_term_buckets=16)
+    after = bucket_mtimes()
+    hot = f"term_bucket={_term_bucket_py('alpha', 16)}"
+    assert after[hot] > before[hot]
+    for b, m in before.items():
+        if b != hot:
+            assert after[b] == m, f"untouched dfreq bucket {b} was rewritten"
+
+
 def test_gap_filled_hourly_zero_fills(spark, sf_dir):
     from external_benchmarks_spark.catalog import Catalog
     from external_benchmarks_spark.operators.sessions import gap_filled_hourly

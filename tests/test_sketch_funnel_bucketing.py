@@ -110,6 +110,30 @@ def test_mg_candidate_volume_bounded(spark):
     assert "hot" in cand
 
 
+def test_cms_estimate_reports_zero_for_unseen_candidates(spark):
+    """General candidate-stream contract: a candidate whose cells no
+    occurrence touched must report est 0, not vanish (left join +
+    coalesce; an inner join would drop empty cells or the candidate)."""
+    from external_benchmarks_spark.operators.sketch import (
+        cms_estimate,
+        cms_sketch,
+    )
+
+    occ = spark.createDataFrame(
+        [("a",), ("a",), ("b",)], "token string"
+    )
+    sketch = cms_sketch(occ, width=4096)  # wide: collisions improbable
+    cand = spark.createDataFrame(
+        [("a",), ("never_in_stream_xyz",)], "token string"
+    )
+    got = {
+        r["token"]: r["est_count"]
+        for r in cms_estimate(cand, sketch, width=4096).collect()
+    }
+    assert got["a"] == 2
+    assert got["never_in_stream_xyz"] == 0
+
+
 def test_cms_scoring_broadcasts_sketch(spark, sf_dir):
     plan = _plan(cms_heavy_hitters(Catalog(spark, sf_dir).documents, k=10))
     assert "BroadcastHashJoin" in plan
@@ -209,6 +233,44 @@ def test_bucketed_join_matches_plain_join(spark, sf_dir):
     assert sorted(map(tuple, bucketed.collect())) == sorted(
         map(tuple, plain.collect())
     )
+
+
+def test_bucketed_pair_reuses_unchanged_layout(spark, sf_dir):
+    """With source_paths, the second call must skip both saveAsTable
+    writes (fingerprint + catalog hit) and return the existing layout."""
+    import os
+
+    from external_benchmarks_spark.pipeline.bucketing import bucket_root
+
+    c = Catalog(spark, sf_dir)
+    srcs = [c.path("orders"), c.path("lineitem")]
+
+    def build():
+        return bucketed_pair(
+            spark,
+            c.orders.select("o_orderkey", "o_orderpriority"),
+            c.lineitem.select("l_orderkey", "l_extendedprice"),
+            left_key="o_orderkey",
+            right_key="l_orderkey",
+            n_buckets=4,
+            tag="t_reuse",
+            source_paths=srcs,
+        )
+
+    def mtimes():
+        out = {}
+        for r, _d, fs in os.walk(bucket_root("t_reuse")):
+            for f in fs:
+                p = os.path.join(r, f)
+                out[p] = os.stat(p).st_mtime_ns
+        return out
+
+    o1, li1 = build()
+    n1 = (o1.count(), li1.count())
+    before = mtimes()
+    o2, li2 = build()
+    assert mtimes() == before  # zero files rewritten on reuse
+    assert (o2.count(), li2.count()) == n1
 
 
 def test_bucketed_write_one_file_per_bucket(spark, sf_dir):
