@@ -584,6 +584,43 @@ def dim2688_leg(spark, sf, dim: int = 2688):
     return out
 
 
+def index_refresh_leg(spark, sf):
+    """Incremental inverted-index maintenance vs full rebuild: at 100 TB
+    a per-upsert O(corpus) rebuild is a non-starter; the append path is
+    O(delta + affected term buckets) and bit-identical to a rebuild
+    (tests/test_drift_linkage.py)."""
+    import uuid
+
+    from external_benchmarks_spark.operators.tfidf import (
+        append_to_inverted_index,
+        build_inverted_index,
+    )
+
+    docs = Catalog(spark, sf).documents
+    idx = os.path.join(
+        tempfile.gettempdir(), f"ebs_refresh_idx_{uuid.uuid4().hex[:8]}"
+    )
+    t0 = time.perf_counter()
+    build_inverted_index(docs, idx, n_term_buckets=64)
+    full_s = time.perf_counter() - t0
+    max_id = int(docs.agg(F.max("doc_id")).collect()[0][0])
+    new = spark.createDataFrame(
+        [
+            (max_id + 1 + i, f"incremental doc {i} spark hash merge window data")
+            for i in range(100)
+        ],
+        "doc_id bigint, text string",
+    )
+    t0 = time.perf_counter()
+    append_to_inverted_index(spark, idx, new, n_term_buckets=64)
+    append_s = time.perf_counter() - t0
+    shutil.rmtree(idx, ignore_errors=True)
+    return {
+        "full_rebuild_s": round(full_s, 3),
+        "append_100_s": round(append_s, 3),
+    }
+
+
 def headline_queries():
     q = entry_mod.queries()
     return {
@@ -739,6 +776,12 @@ def main() -> None:
     d2688 = dim2688_leg(spark, SF_DIR)
     print(f"# dim2688: {d2688}", file=sys.stderr)
 
+    # Incremental index maintenance: appending 100 docs must cost a
+    # small fraction of a full rebuild (delta postings + affected dfreq
+    # buckets + one-row stats; equivalence to rebuild is tested).
+    refresh = index_refresh_leg(spark, SF_DIR)
+    print(f"# index_refresh: {refresh}", file=sys.stderr)
+
     # Embedding throughput in docs/sec (the index-build ingest cost).
     n_docs = Catalog(spark, SF_DIR).documents.count()
     embed_rate = (
@@ -756,6 +799,7 @@ def main() -> None:
         "serving_read_p95_ms": serving_p95,
         "serving_under_load": load,
         "dim2688": d2688,
+        "index_refresh": refresh,
         "mixed_rw": rw,
         "embed_docs_per_sec": embed_rate,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
