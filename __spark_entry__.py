@@ -1738,11 +1738,16 @@ def q_fuzzy_name_pairs(spark, sf):
     # part vocabulary's nearest intra-block neighbors sit at distance 3:
     # bolt/rod, ring/rod). The distance is the standard unit-cost edit
     # distance in both engines, so pairs AND distances hash-match.
+    # max_block_rows routes through the capped plan; the part blocks
+    # (<= 8 names) sit far under the cap, so results are exactly the
+    # plain blocking the oracle replays (cap is a no-op below it).
     from external_benchmarks_spark.operators.linkage import (
         fuzzy_blocked_pairs,
     )
 
-    return fuzzy_blocked_pairs(Catalog(spark, sf).part, "p_name", max_dist=3)
+    return fuzzy_blocked_pairs(
+        Catalog(spark, sf).part, "p_name", max_dist=3, max_block_rows=1000
+    )
 
 
 def q_value_drift(spark, sf):
