@@ -1936,6 +1936,116 @@ def q_outer_join_profile(spark, sf):
     )
 
 
+def q_tpch_q4(spark, sf):
+    # TPC-H Q4 order-priority checking — the canonical EXISTS shape.
+    # Written as a correlated subquery ON PURPOSE: Catalyst must
+    # decorrelate it to a left-semi join (RewritePredicateSubquery),
+    # never a per-row subquery execution (plan-asserted in
+    # tests/test_plans.py). Predicate adapted to this schema: "has a
+    # returned line" stands in for l_commitdate < l_receiptdate (the
+    # testdata carries no commit/receipt dates).
+    c = Catalog(spark, sf)
+    c.register_views(("orders", "lineitem"))
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+          AND o_orderdate < TIMESTAMP '1996-10-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
+
+
+def q_tpch_q17(spark, sf):
+    # TPC-H Q17 small-quantity-order revenue — the correlated SCALAR
+    # subquery shape (per-part 0.2*avg threshold). Catalyst decorrelates
+    # to a per-partkey aggregate joined back (no per-row subquery;
+    # plan-asserted). l_quantity is integer-valued, so the per-part AVG
+    # is exact-sum/count in both engines — the threshold cannot straddle
+    # a partial-sum-order boundary. Revenue through the integer-cents
+    # device; p_size < 15 adapts the spec's absent p_container.
+    c = Catalog(spark, sf)
+    c.register_views(("part", "lineitem"))
+    return spark.sql(
+        """
+        SELECT ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100.0, 0)
+                                   AS BIGINT)) AS DOUBLE)
+                     / 100.0 / 7.0, 2) AS avg_yearly
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#2' AND p_size < 15
+          AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                            FROM lineitem l2
+                            WHERE l2.l_partkey = p_partkey)
+        """
+    )
+
+
+def q_tpch_q21(spark, sf):
+    # TPC-H Q21 suppliers-who-kept-orders-waiting — the double
+    # correlation shape: EXISTS (another supplier on the order) AND NOT
+    # EXISTS (another supplier with a returned line). Catalyst must
+    # plan ONE left-semi and ONE left-anti join on l_orderkey
+    # (plan-asserted), both decorrelated. Adapted: "only supplier with
+    # a returned line on a multi-supplier finished order" (no
+    # commit/receipt dates in this schema).
+    c = Catalog(spark, sf)
+    c.register_views(("supplier", "orders", "lineitem"))
+    return spark.sql(
+        """
+        SELECT s_name, COUNT(*) AS numwait
+        FROM supplier
+          JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+          JOIN orders ON o_orderkey = l1.l_orderkey
+        WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_returnflag = 'R')
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 20
+        """
+    )
+
+
+def q_tpch_q22(spark, sf):
+    # TPC-H Q22 global-sales-opportunity — uncorrelated scalar subquery
+    # (above-average balance threshold) + correlated NOT EXISTS (no
+    # recent orders), decorrelated to a left-anti join (plan-asserted).
+    # The threshold is integer-cents/COUNT so both engines compare
+    # against the identical double; totacctbal through the cents
+    # device. Adapted: nationkey stands in for the absent phone prefix,
+    # "no 1997 orders" for "no orders" (every testdata customer has
+    # lifetime orders).
+    c = Catalog(spark, sf)
+    c.register_views(("customer", "orders"))
+    return spark.sql(
+        """
+        SELECT c_nationkey AS nation, COUNT(*) AS numcust,
+               CAST(SUM(CAST(ROUND(c_acctbal * 100.0, 0) AS BIGINT))
+                    AS DOUBLE) / 100.0 AS totacctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT CAST(SUM(CAST(ROUND(c_acctbal * 100.0, 0)
+                                               AS BIGINT)) AS DOUBLE)
+                                  / 100.0 / COUNT(*)
+                           FROM customer WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '1997-01-01'
+                            AND o_orderdate < TIMESTAMP '1998-01-01')
+        GROUP BY c_nationkey
+        ORDER BY nation
+        """
+    )
+
+
 def q_pyds_docgen(spark, sf):
     # Custom connector via the Spark 4 Python DataSource API
     # (sources/pydatasource.py): partitions() plans 8 independent row
@@ -2231,66 +2341,20 @@ def q_cluster_profile(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order is a correctness-evidence budget: the driver checks a
     # window of entries in dict order each round, so never-checked entries
-    # go first, then the STALEST driver-green entries. Round-4 window:
-    # the 19 new r4 entries, then as much of the r1-verified relational
-    # core (3 rounds stale) as fits — new-entry evidence outranks
-    # re-greening, so the r1 tail rotates to the r5 front instead. The
-    # r2 block follows, the freshly r3-verified 50 sit last. All entries
-    # pass the local mirror (tests/test_oracle_queries.py) either way,
-    # so rotation costs nothing.
+    # go first, then the STALEST driver-green entries. Round-5 window
+    # (50): the 4 new correlated-subquery entries, the 19 r1-verified
+    # tail (3 rounds stale), the 17 r2-verified block, topped up with
+    # the 10 stalest r3 entries. Union coverage stays 140/140 with max
+    # staleness <= 2 rounds; the freshly r4-verified 50 sit last. All
+    # entries pass the local mirror (tests/test_oracle_queries.py)
+    # either way, so rotation costs nothing.
     return {
-        # --- new in round 4: never driver-checked -----------------------
-        "mp3_metadata": q_mp3_metadata,
-        "mp4_metadata": q_mp4_metadata,
-        "cms_heavy_hitters": q_cms_heavy_hitters,
-        "event_funnel": q_event_funnel,
-        "event_transitions": q_event_transitions,
-        "bucketed_join_agg": q_bucketed_join_agg,
-        "stream_heavy_hitters": q_stream_heavy_hitters,
-        "pyds_docgen": q_pyds_docgen,
-        "outer_join_profile": q_outer_join_profile,
-        "tpch_q1": q_tpch_q1,
-        "tpch_q3": q_tpch_q3,
-        "tpch_q5": q_tpch_q5,
-        "hll_merge": q_hll_merge,
-        "variant_extract": q_variant_extract,
-        "fuzzy_name_pairs": q_fuzzy_name_pairs,
-        "value_drift": q_value_drift,
-        "bm25_indexed": q_bm25_indexed,
-        "gap_filled_hourly": q_gap_filled_hourly,
-        "tpch_q6": q_tpch_q6,
-        "tpch_q10": q_tpch_q10,
-        "tpch_q14": q_tpch_q14,
-        # --- round-1-verified relational core (stalest: r01) -------------
-        "count_star": q_count_star,
-        "group_share_topn": q_group_share_topn,
-        "numeric_summary": q_numeric_summary,
-        "text_length_stats": q_text_length_stats,
-        "selective_filter": q_selective_filter,
-        "inlist_filter": q_inlist_filter,
-        "global_topk": q_global_topk,
-        "window_topk": q_window_topk,
-        "join_agg": q_join_agg,
-        "region_rollup": q_region_rollup,
-        "semi_join": q_semi_join,
-        "anti_join": q_anti_join,
-        "histogram": q_histogram,
-        "distinct_count": q_distinct_count,
-        "exact_median": q_exact_median,
-        "correlation": q_correlation,
-        "except_setop": q_except_setop,
-        "intersect_setop": q_intersect_setop,
-        "rollup_agg": q_rollup_agg,
-        "cube_agg": q_cube_agg,
-        "grouping_sets": q_grouping_sets,
-        "moving_avg": q_moving_avg,
-        "window_extras": q_window_extras,
-        "pivot_agg": q_pivot_agg,
-        "unpivot": q_unpivot,
-        "except_all": q_except_all,
-        "rank_lag": q_rank_lag,
-        "multi_quantile": q_multi_quantile,
-        "group_median": q_group_median,
+        # --- new in round 5: never driver-checked -----------------------
+        "tpch_q4": q_tpch_q4,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q21": q_tpch_q21,
+        "tpch_q22": q_tpch_q22,
+        # --- stalest: last verified r1 -----------------------------------
         "date_parts": q_date_parts,
         "deterministic_sample": q_deterministic_sample,
         "stratified_sample": q_stratified_sample,
@@ -2310,7 +2374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_query_topk": q_multi_query_topk,
         "embedding_neardup": q_embedding_neardup,
         "pairwise_cosine_stats": q_pairwise_cosine_stats,
-        # --- round-2-verified block (next rotation candidate) ------------
+        # --- last verified r2 --------------------------------------------
         "dedup_keep_best": q_dedup_keep_best,
         "events_hourly": q_events_hourly,
         "events_sliding": q_events_sliding,
@@ -2328,7 +2392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_inference": q_embed_inference,
         "decontaminate": q_decontaminate,
         "mixture_sample": q_mixture_sample,
-        # --- round-3-verified block (freshest driver rows) ---------------
+        # --- last verified r3 (head tops up the 50-entry window) ---------
         "lm_score": q_lm_score,
         "dup_span_stats": q_dup_span_stats,
         "gopher_rules": q_gopher_rules,
@@ -2379,6 +2443,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quant_dot_topk": q_quant_dot_topk,
         "neardup_components": q_neardup_components,
         "doc_pagerank": q_doc_pagerank,
+        # --- freshly r4-verified (rotate forward again in r6+) -----------
+        "mp3_metadata": q_mp3_metadata,
+        "mp4_metadata": q_mp4_metadata,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
+        "event_funnel": q_event_funnel,
+        "event_transitions": q_event_transitions,
+        "bucketed_join_agg": q_bucketed_join_agg,
+        "stream_heavy_hitters": q_stream_heavy_hitters,
+        "pyds_docgen": q_pyds_docgen,
+        "outer_join_profile": q_outer_join_profile,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
+        "hll_merge": q_hll_merge,
+        "variant_extract": q_variant_extract,
+        "fuzzy_name_pairs": q_fuzzy_name_pairs,
+        "value_drift": q_value_drift,
+        "bm25_indexed": q_bm25_indexed,
+        "gap_filled_hourly": q_gap_filled_hourly,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q14": q_tpch_q14,
+        "count_star": q_count_star,
+        "group_share_topn": q_group_share_topn,
+        "numeric_summary": q_numeric_summary,
+        "text_length_stats": q_text_length_stats,
+        "selective_filter": q_selective_filter,
+        "inlist_filter": q_inlist_filter,
+        "global_topk": q_global_topk,
+        "window_topk": q_window_topk,
+        "join_agg": q_join_agg,
+        "region_rollup": q_region_rollup,
+        "semi_join": q_semi_join,
+        "anti_join": q_anti_join,
+        "histogram": q_histogram,
+        "distinct_count": q_distinct_count,
+        "exact_median": q_exact_median,
+        "correlation": q_correlation,
+        "except_setop": q_except_setop,
+        "intersect_setop": q_intersect_setop,
+        "rollup_agg": q_rollup_agg,
+        "cube_agg": q_cube_agg,
+        "grouping_sets": q_grouping_sets,
+        "moving_avg": q_moving_avg,
+        "window_extras": q_window_extras,
+        "pivot_agg": q_pivot_agg,
+        "unpivot": q_unpivot,
+        "except_all": q_except_all,
+        "rank_lag": q_rank_lag,
+        "multi_quantile": q_multi_quantile,
+        "group_median": q_group_median,
     }
 
 
@@ -4045,6 +4160,63 @@ def oracle_sql() -> dict[str, str]:
           AND o_orderdate >= TIMESTAMP '1996-01-01'
           AND o_orderdate < TIMESTAMP '1997-01-01'
         GROUP BY n_name
+    """
+    # Correlated-subquery shapes (Q4/Q17/Q21/Q22): the SQL text is
+    # engine-portable ANSI, so the oracle IS the query string — DuckDB
+    # plans its own decorrelation; Spark's is plan-asserted in
+    # tests/test_plans.py.
+    oracles["tpch_q4"] = """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+          AND o_orderdate < TIMESTAMP '1996-10-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """
+    oracles["tpch_q17"] = """
+        SELECT ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100.0, 0)
+                                   AS BIGINT)) AS DOUBLE)
+                     / 100.0 / 7.0, 2) AS avg_yearly
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#2' AND p_size < 15
+          AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                            FROM lineitem l2
+                            WHERE l2.l_partkey = p_partkey)
+    """
+    oracles["tpch_q21"] = """
+        SELECT s_name, COUNT(*) AS numwait
+        FROM supplier
+          JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+          JOIN orders ON o_orderkey = l1.l_orderkey
+        WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_returnflag = 'R')
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 20
+    """
+    oracles["tpch_q22"] = """
+        SELECT c_nationkey AS nation, COUNT(*) AS numcust,
+               CAST(SUM(CAST(ROUND(c_acctbal * 100.0, 0) AS BIGINT))
+                    AS DOUBLE) / 100.0 AS totacctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT CAST(SUM(CAST(ROUND(c_acctbal * 100.0, 0)
+                                               AS BIGINT)) AS DOUBLE)
+                                  / 100.0 / COUNT(*)
+                           FROM customer WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '1997-01-01'
+                            AND o_orderdate < TIMESTAMP '1998-01-01')
+        GROUP BY c_nationkey
+        ORDER BY nation
     """
     oracles["hll_merge"] = """
         SELECT COUNT(DISTINCT doc_id) AS exact_docs,

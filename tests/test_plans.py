@@ -358,3 +358,40 @@ def test_tpch_q10_broadcasts_nation(spark, sf_dir):
     plan = _plan(entry_mod.q_tpch_q10(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan  # top-20, never a global sort
+
+
+def test_tpch_q4_exists_decorrelates_to_semi_join(spark, sf_dir):
+    """The EXISTS must compile to ONE left-semi join on l_orderkey —
+    never a per-outer-row subquery execution (no SubqueryExec in the
+    physical plan)."""
+    plan = _plan(entry_mod.q_tpch_q4(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "Subquery" not in plan  # fully decorrelated
+
+
+def test_tpch_q17_correlated_scalar_decorrelates_to_agg_join(spark, sf_dir):
+    """The per-part 0.2*avg(quantity) threshold must decorrelate to a
+    per-partkey Aggregate joined back to the probe side: no SubqueryExec,
+    and an avg() aggregate appears inside the join tree."""
+    plan = _plan(entry_mod.q_tpch_q17(spark, sf_dir))
+    assert "Subquery" not in plan  # rewritten, not re-executed per row
+    assert "avg(" in plan  # the decorrelated per-part aggregate
+    assert plan.count("Join") >= 2  # part join + threshold join
+
+
+def test_tpch_q21_plans_semi_and_anti(spark, sf_dir):
+    """EXISTS -> left-semi, NOT EXISTS -> left-anti, both decorrelated
+    onto the l_orderkey join key."""
+    plan = _plan(entry_mod.q_tpch_q21(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "Subquery" not in plan
+
+
+def test_tpch_q22_not_exists_decorrelates_to_anti_join(spark, sf_dir):
+    """Correlated NOT EXISTS -> left-anti join. The UNcorrelated scalar
+    threshold legitimately stays a one-off Subquery node (evaluated
+    once, broadcast as a literal) — assert it is the only subquery
+    shape left."""
+    plan = _plan(entry_mod.q_tpch_q22(spark, sf_dir))
+    assert "LeftAnti" in plan
