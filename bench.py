@@ -581,6 +581,49 @@ def dim2688_leg(spark, sf, dim: int = 2688):
         reps.append(time.perf_counter() - t0)
     out["serving_p95_ms"] = round(_p95(reps) * 1000, 3)
     out["serving_rows"] = int(sum(len(ids) for ids, _ in sidx.partitions.values()))
+    # 5) ANN recall at the reference's real width (README.md:76 demands
+    #    >=0.9 average recall over the 2,688-dim embeddings): IVF
+    #    (spherical-KMeans cells, nprobe=12/16) and multi-probe sign-LSH
+    #    vs the exact brute-force top-100. Arrow scoring is mandatory at
+    #    this width (the unrolled scorer overflows the JVM analyzer).
+    from external_benchmarks_spark.operators.similarity import (
+        bruteforce_topk,
+        ivf_assign,
+        ivf_fit,
+        ivf_topk,
+        lsh_bucketed_topk,
+    )
+
+    emb_c = base.cache()
+    try:
+        exact = {
+            r.vec_id
+            for r in bruteforce_topk(
+                emb_c, qvec, k=100, use_arrow_fast_path=True
+            ).collect()
+        }
+        t0 = time.perf_counter()
+        centroids = ivf_fit(emb_c, n_centroids=16, seed=42)
+        out["ivf_fit_s"] = round(time.perf_counter() - t0, 3)
+        assigned = ivf_assign(emb_c, centroids)
+        ivf = {
+            r.vec_id
+            for r in ivf_topk(
+                assigned, centroids, qvec, k=100, nprobe=12,
+                use_arrow_fast_path=True,
+            ).collect()
+        }
+        out["recall"] = round(len(exact & ivf) / len(exact), 3)
+        lsh = {
+            r.vec_id
+            for r in lsh_bucketed_topk(
+                emb_c, qvec, k=100, n_planes=8, min_matching_bits=2,
+                use_arrow_fast_path=True,
+            ).collect()
+        }
+        out["lsh_recall"] = round(len(exact & lsh) / len(exact), 3)
+    finally:
+        emb_c.unpersist()
     return out
 
 

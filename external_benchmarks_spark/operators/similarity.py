@@ -105,6 +105,7 @@ def lsh_bucketed_topk(
     n_planes: int = 8,
     min_matching_bits: int = 3,
     seed: int = 42,
+    use_arrow_fast_path: bool = False,
 ) -> DataFrame:
     """ANN: score only rows whose LSH bucket is Hamming-close to the query's.
 
@@ -114,7 +115,13 @@ def lsh_bucketed_topk(
     wide probe (>=3 of 8 bits, ~80% scanned) — uniform data is LSH's
     worst case; clustered real-world embeddings prune far better. The
     recall/speed trade-off is asserted in tests/test_similarity.py per the
-    reference's >90% recall requirement (README.md:76).
+    reference's >90% recall requirement (README.md:76), at BOTH the
+    testdata's 64 dims and the reference's production 2,688.
+
+    ``use_arrow_fast_path`` is REQUIRED beyond ~1k dims: the
+    oracle-parity scorer unrolls one expression term per dimension and
+    a 2,688-term tree overflows the JVM analyzer stack; the Arrow
+    scorer is one BLAS matvec per batch at any width.
     """
     planes = hyperplanes(len(qvec), n_planes, seed)
     qbucket = sum(
@@ -126,7 +133,10 @@ def lsh_bucketed_topk(
     x = bucket.bitwiseXOR(F.lit(qbucket).cast("bigint"))
     pop = sum((F.shiftright(x, i) % 2).cast("int") for i in range(n_planes))
     cand = df.filter(pop <= (n_planes - min_matching_bits))
-    return bruteforce_topk(cand, qvec, k, key_col, emb_col, metric="cosine")
+    return bruteforce_topk(
+        cand, qvec, k, key_col, emb_col, metric="cosine",
+        use_arrow_fast_path=use_arrow_fast_path,
+    )
 
 
 def ivf_fit(
