@@ -1576,6 +1576,21 @@ def q_event_transitions(spark, sf):
     return event_transitions(Catalog(spark, sf).events)
 
 
+def q_event_transitions_ranged(spark, sf):
+    # Same transition matrix through the HOT-KEY scale path
+    # (operators/funnel.event_transitions_ranged): range-partitioned by
+    # (user, ts, id) — balanced by volume, a 38%-mass user splits
+    # across tasks instead of landing on one — with per-partition
+    # Arrow counting and a driver-side boundary stitch of
+    # O(numPartitions) rows. Output is identical to the window form,
+    # so the same SQL oracle checks it.
+    from external_benchmarks_spark.operators.funnel import (
+        event_transitions_ranged,
+    )
+
+    return event_transitions_ranged(Catalog(spark, sf).events)
+
+
 def q_bucketed_join_agg(spark, sf):
     # orders x lineitem through the BUCKETED layout
     # (pipeline/bucketing.py): both sides written bucketBy(orderkey)
@@ -2354,6 +2369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q17": q_tpch_q17,
         "tpch_q21": q_tpch_q21,
         "tpch_q22": q_tpch_q22,
+        "event_transitions_ranged": q_event_transitions_ranged,
         # --- stalest: last verified r1 -----------------------------------
         "date_parts": q_date_parts,
         "deterministic_sample": q_deterministic_sample,
@@ -4022,6 +4038,8 @@ def oracle_sql() -> dict[str, str]:
     }
     # The streaming CMS must equal the batch CMS cell-for-cell (complete-
     # mode availableNow over the same documents): same oracle.
+    # Identical output contract to the window form -> same oracle.
+    oracles["event_transitions_ranged"] = oracles["event_transitions"]
     oracles["stream_heavy_hitters"] = oracles["cms_heavy_hitters"]
     # The inverted-index path is bit-identical to the direct BM25 (same
     # fixed-point contribution arithmetic): same oracle.

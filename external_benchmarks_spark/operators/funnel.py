@@ -100,3 +100,131 @@ def event_transitions(
             F.col("transitions") / F.sum("transitions").over(w_src), 6
         ).alias("share_of_from"),
     ).orderBy("from_type", "to_type")
+
+
+def event_transitions_ranged(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """`event_transitions` for HOT-KEY streams — identical output,
+    different shuffle geometry.
+
+    The window form hash-partitions by user, so one user holding (say)
+    38% of a 100 TB stream lands on ONE task — the straggler/OOM shape
+    the Zipf ladder in SCALE.md measures. This form range-partitions by
+    (user, ts, id): the range partitioner balances by VOLUME, splitting
+    a hot user across as many partitions as its mass needs. Each
+    partition counts its adjacent same-user pairs locally in one
+    Arrow-batched pass with O(types^2) state; the only rows crossing
+    task boundaries afterwards are one (first, last) boundary row per
+    partition, stitched driver-side (numPartitions rows, not data).
+
+    Per-user ordering across partitions is exactly the global
+    (user, ts, id) sort order, so local-adjacent + boundary-stitch
+    enumerates precisely the pairs lead() would — equality-tested
+    against event_transitions on skewed fixtures.
+    """
+    import json
+
+    import pandas as pd
+
+    sel = events.select(user_col, ts_col, id_col, type_col)
+    if num_partitions is None:
+        num_partitions = sel.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions"
+        )
+        num_partitions = int(num_partitions)
+    ordered = (
+        sel.repartitionByRange(
+            num_partitions, F.col(user_col), F.col(ts_col), F.col(id_col)
+        )
+        .sortWithinPartitions(user_col, ts_col, id_col)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+
+    out_schema = (
+        "kind string, pid int, from_type string, to_type string, cnt bigint, "
+        "user string"
+    )
+
+    def count_partition(batches):
+        counts: dict[tuple[str, str], int] = {}
+        prev_user = None
+        prev_type = None
+        first = None
+        pid = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if pid is None:
+                pid = int(pdf["_pid"].iloc[0])
+            users = pdf[user_col].astype(str).tolist()
+            types = pdf[type_col].tolist()
+            if first is None:
+                first = (users[0], types[0])
+            for u, t in zip(users, types):
+                if prev_user == u:
+                    key = (prev_type, t)
+                    counts[key] = counts.get(key, 0) + 1
+                prev_user, prev_type = u, t
+        rows = [
+            ("pair", pid, f, t, c, None) for (f, t), c in counts.items()
+        ]
+        if first is not None:
+            rows.append(("first", pid, first[1], None, 0, first[0]))
+            rows.append(("last", pid, prev_type, None, 0, prev_user))
+        yield pd.DataFrame(
+            rows,
+            columns=["kind", "pid", "from_type", "to_type", "cnt", "user"],
+        )
+
+    mixed = ordered.mapInPandas(count_partition, out_schema).cache()
+    try:
+        # Boundary stitch: 2 rows per non-empty partition reach the
+        # driver — O(numPartitions), independent of data size.
+        bounds = (
+            mixed.where(F.col("kind") != "pair")
+            .select("kind", "pid", "from_type", "user")
+            .collect()
+        )
+        firsts = {r["pid"]: r for r in bounds if r["kind"] == "first"}
+        lasts = {r["pid"]: r for r in bounds if r["kind"] == "last"}
+        extra: dict[tuple[str, str], int] = {}
+        pids = sorted(firsts)
+        for prev_pid, next_pid in zip(pids, pids[1:]):
+            last, nxt = lasts[prev_pid], firsts[next_pid]
+            if last["user"] == nxt["user"]:
+                key = (last["from_type"], nxt["from_type"])
+                extra[key] = extra.get(key, 0) + 1
+        spark = events.sparkSession
+        pair_counts = mixed.where(F.col("kind") == "pair").select(
+            "from_type", F.col("to_type"), F.col("cnt")
+        )
+        if extra:
+            extra_df = spark.createDataFrame(
+                [(f, t, c) for (f, t), c in extra.items()],
+                "from_type string, to_type string, cnt bigint",
+            )
+            pair_counts = pair_counts.unionByName(extra_df)
+        pairs = pair_counts.groupBy("from_type", "to_type").agg(
+            F.sum("cnt").alias("transitions")
+        )
+        w_src = Window.partitionBy("from_type")
+        return (
+            pairs.select(
+                "from_type",
+                "to_type",
+                "transitions",
+                F.round(
+                    F.col("transitions") / F.sum("transitions").over(w_src), 6
+                ).alias("share_of_from"),
+            )
+            .orderBy("from_type", "to_type")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        mixed.unpersist()

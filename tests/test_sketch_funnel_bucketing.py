@@ -174,6 +174,54 @@ def test_transitions_conservation(spark, sf_dir):
         assert abs(s - 1.0) < 1e-4, (src, s)
 
 
+def test_transitions_ranged_equals_window_form(spark, sf_dir):
+    """The range-partitioned transition counter (hot-key scale path)
+    must reproduce the window form row-for-row on real data."""
+    from external_benchmarks_spark.operators.funnel import (
+        event_transitions_ranged,
+    )
+
+    ev = Catalog(spark, sf_dir).events
+    want = [tuple(r) for r in event_transitions(ev).collect()]
+    got = [tuple(r) for r in event_transitions_ranged(ev).collect()]
+    assert want == got
+
+
+def test_transitions_ranged_survives_single_user_stream(spark):
+    """Adversarial hot key: EVERY event belongs to one user, so the
+    window form's hash partitioning puts the whole stream on one task.
+    The ranged form must still return identical counts — its range
+    partitioner splits the user across partitions and the boundary
+    stitch rejoins the seams (one per partition border)."""
+    import pandas as pd
+
+    from external_benchmarks_spark.operators.funnel import (
+        event_transitions_ranged,
+    )
+
+    n = 5000
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(n),
+            "user_id": [42] * n,
+            "event_type": [
+                ["signup", "click", "purchase", "view"][i % 4]
+                for i in range(n)
+            ],
+            "ts": pd.to_datetime(range(n), unit="s"),
+        }
+    )
+    ev = spark.createDataFrame(pdf).repartition(16)
+    want = [tuple(r) for r in event_transitions(ev).collect()]
+    got = [
+        tuple(r)
+        for r in event_transitions_ranged(ev, num_partitions=16).collect()
+    ]
+    assert want == got
+    # every seam is a real transition here: n-1 total transitions
+    assert sum(r[2] for r in got) == n - 1
+
+
 # ---------------------------------------------------------------------------
 # Bucketed co-located join
 # ---------------------------------------------------------------------------
