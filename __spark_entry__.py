@@ -2061,6 +2061,406 @@ def q_tpch_q22(spark, sf):
     )
 
 
+# --- Round 5: the remaining 12 TPC-H shapes (full 22-query suite) -------
+# Adaptations to this schema (no partsupp / commitdate / receiptdate /
+# shipmode / comment columns) are documented per query. Lineitem's
+# (l_partkey, l_suppkey) pairs stand in for partsupp throughout; every
+# double sum goes through the integer-cents device. SQL-shared shapes
+# (subquery-centric) run the IDENTICAL ANSI text on both engines; the
+# join/agg-centric shapes are DataFrame API with broadcast hints.
+
+
+def q_tpch_q2(spark, sf):
+    # TPC-H Q2 minimum-cost supplier: correlated scalar MIN subquery
+    # over a CTE that itself joins three dims — the deepest
+    # decorrelation shape in the suite (Catalyst rewrites to a
+    # per-partkey min-aggregate joined back; plan-asserted). partsupp
+    # stands in as the distinct (l_partkey, l_suppkey) pairs with
+    # supplycost = min unit price, rounded to integer cents per row so
+    # the MIN and the equality predicate are cross-engine exact.
+    c = Catalog(spark, sf)
+    c.register_views(("part", "supplier", "nation", "region", "lineitem"))
+    return spark.sql(
+        """
+        WITH ps AS (
+          SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                 MIN(CAST(ROUND(l_extendedprice / l_quantity * 100.0, 0)
+                          AS BIGINT)) AS ps_cost_c
+          FROM lineitem GROUP BY 1, 2)
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_type,
+               CAST(ps_cost_c AS DOUBLE) / 100.0 AS supplycost
+        FROM part
+          JOIN ps ON p_partkey = ps_partkey
+          JOIN supplier ON s_suppkey = ps_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+        WHERE p_size = 15 AND r_name = 'EUROPE'
+          AND ps_cost_c = (SELECT MIN(ps2.ps_cost_c)
+                           FROM ps ps2
+                             JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+                             JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+                             JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+                           WHERE ps2.ps_partkey = p_partkey
+                             AND r2.r_name = 'EUROPE')
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 100
+        """
+    )
+
+
+def q_tpch_q7(spark, sf):
+    # TPC-H Q7 volume shipping between two nations by ship year: the
+    # two-role-dimension shape (nation joined twice under different
+    # aliases). Both nation dims broadcast pre-filtered to the pair, so
+    # the only shuffles are the two fact-fact joins; the OR pair
+    # predicate evaluates map-side after the broadcasts.
+    c = Catalog(spark, sf)
+    n1 = c.nation.where(F.col("n_name").isin("NATION_1", "NATION_2")).select(
+        F.col("n_nationkey").alias("supp_nkey"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    n2 = c.nation.where(F.col("n_name").isin("NATION_1", "NATION_2")).select(
+        F.col("n_nationkey").alias("cust_nkey"),
+        F.col("n_name").alias("cust_nation"),
+    )
+    li = c.lineitem.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    return (
+        c.supplier.join(F.broadcast(n1), F.col("s_nationkey") == F.col("supp_nkey"))
+        .join(li, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(c.orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c.customer, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cust_nkey"))
+        .where(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(
+            (
+                F.sum(
+                    _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                ).cast("double")
+                / 100.0
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q_tpch_q8(spark, sf):
+    # TPC-H Q8 national market share: NATION_1's share of AMERICA-market
+    # ECONOMY-part revenue by order year. Part, both nation roles, and
+    # region all broadcast; the share divides two exact integer-cent
+    # sums, so ROUND sees the identical double in both engines.
+    c = Catalog(spark, sf)
+    econ_parts = c.part.where(F.col("p_type") == "ECONOMY").select("p_partkey")
+    amer = (
+        c.region.where(F.col("r_name") == "AMERICA")
+        .join(c.nation, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(F.col("n_nationkey").alias("mkt_nkey"))
+    )
+    supp_nation = c.nation.select(
+        F.col("n_nationkey").alias("supp_nkey"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    orders = c.orders.where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    vol_c = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    zero = F.lit(0).cast("bigint")
+    return (
+        c.lineitem.join(
+            F.broadcast(econ_parts), F.col("l_partkey") == F.col("p_partkey")
+        )
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c.customer, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(amer), F.col("c_nationkey") == F.col("mkt_nkey"))
+        .join(c.supplier, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("supp_nkey"))
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_1", vol_c).otherwise(
+                        zero
+                    )
+                ).cast("double")
+                / F.sum(vol_c).cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+def q_tpch_q9(spark, sf):
+    # TPC-H Q9 product-type profit by supplier nation and order year.
+    # No partsupp.ps_supplycost in this schema: cost stands in as
+    # 0.5 * p_retailprice per unit (documented constant margin), so
+    # amount = revenue_cents - cost_cents stays integer-exact. Part
+    # (filtered by the '%bolt%' name pattern) and nation broadcast.
+    c = Catalog(spark, sf)
+    bolt_parts = c.part.where(F.col("p_name").like("%bolt%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    amount_c = _cents(
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ) - _cents(F.col("p_retailprice") * 0.5 * F.col("l_quantity"))
+    return (
+        c.lineitem.join(
+            F.broadcast(bolt_parts), F.col("l_partkey") == F.col("p_partkey")
+        )
+        .join(c.supplier, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(c.orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            F.broadcast(c.nation), F.col("n_nationkey") == F.col("s_nationkey")
+        )
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg((F.sum(amount_c).cast("double") / 100.0).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+def q_tpch_q11(spark, sf):
+    # TPC-H Q11 important stock: per-part value held by one nation's
+    # suppliers, HAVING > fraction-of-total — the uncorrelated scalar
+    # subquery in HAVING (Catalyst plans it as an independent subquery
+    # result broadcast into the filter, one extra pass over the SAME
+    # grouped intermediate, never per-row).
+    c = Catalog(spark, sf)
+    c.register_views(("supplier", "nation", "lineitem"))
+    return spark.sql(
+        """
+        WITH ps AS (
+          SELECT l_partkey, l_suppkey,
+                 SUM(CAST(ROUND(l_extendedprice * 100.0, 0) AS BIGINT)) AS val_c
+          FROM lineitem GROUP BY 1, 2)
+        SELECT l_partkey AS ps_partkey,
+               CAST(SUM(val_c) AS DOUBLE) / 100.0 AS value
+        FROM ps JOIN supplier ON s_suppkey = l_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_3'
+        GROUP BY l_partkey
+        HAVING CAST(SUM(val_c) AS DOUBLE) > (
+          SELECT CAST(SUM(val_c) AS DOUBLE) * 0.001
+          FROM ps JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+          WHERE n_name = 'NATION_3')
+        ORDER BY value DESC, ps_partkey
+        """
+    )
+
+
+def q_tpch_q12(spark, sf):
+    # TPC-H Q12 shipping-mode priority counts, adapted: l_linestatus
+    # stands in for the absent l_shipmode and the ship-year window for
+    # the commit/receipt-date lateness predicate. Pure conditional
+    # integer counting — cross-engine exact with no fixed point needed.
+    c = Catalog(spark, sf)
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        c.orders.join(
+            c.lineitem.where(
+                (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            ),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("bigint").alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(~hi, 1).otherwise(0)).cast("bigint").alias(
+                "low_line_count"
+            ),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+def q_tpch_q13(spark, sf):
+    # TPC-H Q13 customer order-count distribution: LEFT OUTER join with
+    # a join-side filter (the one outer-join-with-ON-predicate shape in
+    # the suite) feeding a double aggregation. o_orderpriority <>
+    # '1-URGENT' stands in for the spec's comment NOT LIKE filter.
+    c = Catalog(spark, sf)
+    c.register_views(("customer", "orders"))
+    return spark.sql(
+        """
+        SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+        FROM (SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+              FROM customer LEFT JOIN orders
+                ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+              GROUP BY c_custkey) c_orders
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+        """
+    )
+
+
+def q_tpch_q15(spark, sf):
+    # TPC-H Q15 top supplier: the revenue CTE is referenced twice (once
+    # as the join input, once under MAX) — the classic
+    # view-plus-scalar-subquery shape. MAX over exact integer cents, so
+    # the tie predicate cannot straddle an engine boundary.
+    c = Catalog(spark, sf)
+    c.register_views(("supplier", "lineitem"))
+    return spark.sql(
+        """
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+                 SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100.0, 0)
+                          AS BIGINT)) AS total_revenue_c
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1996-04-01'
+          GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name,
+               CAST(total_revenue_c AS DOUBLE) / 100.0 AS total_revenue
+        FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue_c = (SELECT MAX(total_revenue_c) FROM revenue)
+        ORDER BY s_suppkey
+        """
+    )
+
+
+def q_tpch_q16(spark, sf):
+    # TPC-H Q16 parts/supplier relationship: NOT IN subquery (Catalyst
+    # plans a null-aware anti join — plan-asserted) over the
+    # partsupp stand-in, then COUNT(DISTINCT supplier). "Suppliers with
+    # complaints" adapts to negative account balance.
+    c = Catalog(spark, sf)
+    c.register_views(("part", "supplier", "lineitem"))
+    return spark.sql(
+        """
+        SELECT p_brand, p_type, p_size,
+               CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+          JOIN part ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#1'
+          AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35, 40)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                WHERE s_acctbal < 0.0)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        """
+    )
+
+
+def q_tpch_q18(spark, sf):
+    # TPC-H Q18 large-volume customers: IN over a grouped-HAVING
+    # subquery on the same fact table (planned as a self-join semi on
+    # l_orderkey after the aggregate — plan-asserted, no per-row
+    # subquery). Threshold 300 units in integer cents. EXTRACT(YEAR)
+    # replaces the spec's raw date output so both engines emit the
+    # identical integer.
+    c = Catalog(spark, sf)
+    c.register_views(("customer", "orders", "lineitem"))
+    return spark.sql(
+        """
+        SELECT c_name, c_custkey, o_orderkey,
+               CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+               o_totalprice,
+               CAST(SUM(CAST(ROUND(l_quantity * 100.0, 0) AS BIGINT))
+                    AS DOUBLE) / 100.0 AS sum_qty
+        FROM customer JOIN orders ON c_custkey = o_custkey
+          JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                             GROUP BY l_orderkey
+                             HAVING SUM(CAST(ROUND(l_quantity * 100.0, 0)
+                                             AS BIGINT)) > 30000)
+        GROUP BY c_name, c_custkey, o_orderkey, o_year, o_totalprice
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 100
+        """
+    )
+
+
+def q_tpch_q19(spark, sf):
+    # TPC-H Q19 discounted revenue: the disjunctive mixed-table
+    # predicate (three OR'd conjunct blocks spanning part and lineitem
+    # attrs). Part broadcasts; the disjunction evaluates map-side after
+    # the join, and Catalyst still pushes the per-table prefilters
+    # (brand IN, quantity range) below it.
+    c = Catalog(spark, sf)
+    parts = c.part.where(
+        F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+    ).select("p_partkey", "p_brand", "p_size")
+    j = c.lineitem.join(
+        F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey")
+    )
+    br = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(1, 35)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return j.where(br).agg(
+        (
+            F.sum(
+                _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).cast("double")
+            / 100.0
+        ).alias("revenue")
+    )
+
+
+def q_tpch_q20(spark, sf):
+    # TPC-H Q20 potential part promotion: nested IN subqueries with a
+    # correlated scalar aggregate in HAVING (supplier shipped more than
+    # half of the part's 1996 volume). The deepest nesting in the
+    # suite; Catalyst decorrelates the HAVING subquery to a per-partkey
+    # aggregate joined into the grouped stand-in partsupp, then plans
+    # the outer IN as a semi join.
+    c = Catalog(spark, sf)
+    c.register_views(("supplier", "nation", "part", "lineitem"))
+    return spark.sql(
+        """
+        SELECT s_name, s_acctbal
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_3'
+          AND s_suppkey IN (
+            SELECT li.l_suppkey FROM lineitem li
+            WHERE li.l_partkey IN (SELECT p_partkey FROM part
+                                   WHERE p_type = 'PROMO')
+            GROUP BY li.l_suppkey, li.l_partkey
+            HAVING SUM(CAST(ROUND(li.l_quantity * 100.0, 0) AS BIGINT)) >
+                   (SELECT 0.5 * SUM(CAST(ROUND(l2.l_quantity * 100.0, 0)
+                                          AS BIGINT))
+                    FROM lineitem l2
+                    WHERE l2.l_partkey = li.l_partkey
+                      AND l2.l_shipdate >= TIMESTAMP '1996-01-01'
+                      AND l2.l_shipdate < TIMESTAMP '1997-01-01'))
+        ORDER BY s_name
+        """
+    )
+
+
 def q_pyds_docgen(spark, sf):
     # Custom connector via the Spark 4 Python DataSource API
     # (sources/pydatasource.py): partitions() plans 8 independent row
@@ -2357,18 +2757,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order is a correctness-evidence budget: the driver checks a
     # window of entries in dict order each round, so never-checked entries
     # go first, then the STALEST driver-green entries. Round-5 window
-    # (50): the 4 new correlated-subquery entries, the 19 r1-verified
-    # tail (3 rounds stale), the 17 r2-verified block, topped up with
-    # the 10 stalest r3 entries. Union coverage stays 140/140 with max
-    # staleness <= 2 rounds; the freshly r4-verified 50 sit last. All
-    # entries pass the local mirror (tests/test_oracle_queries.py)
-    # either way, so rotation costs nothing.
+    # (50): the 17 never-checked round-5 entries (4 correlated-subquery
+    # shapes + the 12 TPC-H completions + the ranged transitions), the
+    # 19 r1-verified tail (3 rounds stale), then 14 of the r2-verified
+    # block. The 3 r2 entries pushed past the window (decontaminate,
+    # mixture_sample, embed_inference) rotate first in r6; every entry
+    # passes the local mirror (tests/test_oracle_queries.py) either way,
+    # so rotation costs nothing.
     return {
         # --- new in round 5: never driver-checked -----------------------
         "tpch_q4": q_tpch_q4,
         "tpch_q17": q_tpch_q17,
         "tpch_q21": q_tpch_q21,
         "tpch_q22": q_tpch_q22,
+        "tpch_q2": q_tpch_q2,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q18": q_tpch_q18,
+        "tpch_q19": q_tpch_q19,
+        "tpch_q20": q_tpch_q20,
         "event_transitions_ranged": q_event_transitions_ranged,
         # --- stalest: last verified r1 -----------------------------------
         "date_parts": q_date_parts,
@@ -4235,6 +4648,206 @@ def oracle_sql() -> dict[str, str]:
                             AND o_orderdate < TIMESTAMP '1998-01-01')
         GROUP BY c_nationkey
         ORDER BY nation
+    """
+    # Round-5 TPC-H completions. Subquery-centric shapes (Q2, Q11, Q13,
+    # Q15, Q16, Q18, Q20) are engine-portable ANSI, so the oracle IS the
+    # Spark query text; the DataFrame-API shapes (Q7, Q8, Q9, Q12, Q19)
+    # get the equivalent SQL with the same integer-cents fixed point and
+    # CAST(... AS DOUBLE) divisions so both engines emit bit-identical
+    # doubles.
+    oracles["tpch_q2"] = """
+        WITH ps AS (
+          SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                 MIN(CAST(ROUND(l_extendedprice / l_quantity * 100.0, 0)
+                          AS BIGINT)) AS ps_cost_c
+          FROM lineitem GROUP BY 1, 2)
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_type,
+               CAST(ps_cost_c AS DOUBLE) / 100.0 AS supplycost
+        FROM part
+          JOIN ps ON p_partkey = ps_partkey
+          JOIN supplier ON s_suppkey = ps_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+        WHERE p_size = 15 AND r_name = 'EUROPE'
+          AND ps_cost_c = (SELECT MIN(ps2.ps_cost_c)
+                           FROM ps ps2
+                             JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+                             JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+                             JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+                           WHERE ps2.ps_partkey = p_partkey
+                             AND r2.r_name = 'EUROPE')
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 100
+    """
+    oracles["tpch_q7"] = """
+        SELECT supp_nation, cust_nation, l_year,
+               CAST(SUM(vol_c) AS DOUBLE) / 100.0 AS revenue
+        FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                     CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+                     CAST(ROUND(l_extendedprice * (1 - l_discount) * 100.0, 0)
+                          AS BIGINT) AS vol_c
+              FROM supplier
+                JOIN lineitem ON s_suppkey = l_suppkey
+                JOIN orders ON o_orderkey = l_orderkey
+                JOIN customer ON c_custkey = o_custkey
+                JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                JOIN nation n2 ON c_nationkey = n2.n_nationkey
+              WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                  OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+                AND l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1998-01-01') shipping
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year
+    """
+    oracles["tpch_q8"] = """
+        SELECT o_year,
+               ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_1' THEN vol_c
+                                   ELSE CAST(0 AS BIGINT) END) AS DOUBLE)
+                     / CAST(SUM(vol_c) AS DOUBLE), 6) AS mkt_share
+        FROM (SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+                     CAST(ROUND(l_extendedprice * (1 - l_discount) * 100.0, 0)
+                          AS BIGINT) AS vol_c,
+                     n2.n_name AS supp_nation
+              FROM part
+                JOIN lineitem ON p_partkey = l_partkey
+                JOIN supplier ON s_suppkey = l_suppkey
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation n1 ON c_nationkey = n1.n_nationkey
+                JOIN region ON n1.n_regionkey = r_regionkey
+                JOIN nation n2 ON s_nationkey = n2.n_nationkey
+              WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+                AND o_orderdate >= TIMESTAMP '1996-01-01'
+                AND o_orderdate < TIMESTAMP '1998-01-01') all_nations
+        GROUP BY o_year ORDER BY o_year
+    """
+    oracles["tpch_q9"] = """
+        SELECT nation, o_year, CAST(SUM(amount_c) AS DOUBLE) / 100.0
+                 AS sum_profit
+        FROM (SELECT n_name AS nation,
+                     CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+                     CAST(ROUND(l_extendedprice * (1 - l_discount) * 100.0, 0)
+                          AS BIGINT)
+                     - CAST(ROUND(p_retailprice * 0.5 * l_quantity * 100.0, 0)
+                            AS BIGINT) AS amount_c
+              FROM part
+                JOIN lineitem ON p_partkey = l_partkey
+                JOIN supplier ON s_suppkey = l_suppkey
+                JOIN orders ON o_orderkey = l_orderkey
+                JOIN nation ON s_nationkey = n_nationkey
+              WHERE p_name LIKE '%bolt%') profit
+        GROUP BY nation, o_year
+        ORDER BY nation, o_year DESC
+    """
+    oracles["tpch_q11"] = """
+        WITH ps AS (
+          SELECT l_partkey, l_suppkey,
+                 SUM(CAST(ROUND(l_extendedprice * 100.0, 0) AS BIGINT)) AS val_c
+          FROM lineitem GROUP BY 1, 2)
+        SELECT l_partkey AS ps_partkey,
+               CAST(SUM(val_c) AS DOUBLE) / 100.0 AS value
+        FROM ps JOIN supplier ON s_suppkey = l_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_3'
+        GROUP BY l_partkey
+        HAVING CAST(SUM(val_c) AS DOUBLE) > (
+          SELECT CAST(SUM(val_c) AS DOUBLE) * 0.001
+          FROM ps JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+          WHERE n_name = 'NATION_3')
+        ORDER BY value DESC, ps_partkey
+    """
+    oracles["tpch_q12"] = """
+        SELECT l_linestatus,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY l_linestatus ORDER BY l_linestatus
+    """
+    oracles["tpch_q13"] = """
+        SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+        FROM (SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+              FROM customer LEFT JOIN orders
+                ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+              GROUP BY c_custkey) c_orders
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """
+    oracles["tpch_q15"] = """
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+                 SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100.0, 0)
+                          AS BIGINT)) AS total_revenue_c
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1996-04-01'
+          GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name,
+               CAST(total_revenue_c AS DOUBLE) / 100.0 AS total_revenue
+        FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue_c = (SELECT MAX(total_revenue_c) FROM revenue)
+        ORDER BY s_suppkey
+    """
+    oracles["tpch_q16"] = """
+        SELECT p_brand, p_type, p_size,
+               CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+          JOIN part ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#1'
+          AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35, 40)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                WHERE s_acctbal < 0.0)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """
+    oracles["tpch_q18"] = """
+        SELECT c_name, c_custkey, o_orderkey,
+               CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+               o_totalprice,
+               CAST(SUM(CAST(ROUND(l_quantity * 100.0, 0) AS BIGINT))
+                    AS DOUBLE) / 100.0 AS sum_qty
+        FROM customer JOIN orders ON c_custkey = o_custkey
+          JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                             GROUP BY l_orderkey
+                             HAVING SUM(CAST(ROUND(l_quantity * 100.0, 0)
+                                             AS BIGINT)) > 30000)
+        GROUP BY c_name, c_custkey, o_orderkey, o_year, o_totalprice
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 100
+    """
+    oracles["tpch_q19"] = """
+        SELECT CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100.0,
+                                   0) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+               AND l_quantity >= 1 AND l_quantity <= 11)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+               AND l_quantity >= 10 AND l_quantity <= 20)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+               AND l_quantity >= 20 AND l_quantity <= 30)
+    """
+    oracles["tpch_q20"] = """
+        SELECT s_name, s_acctbal
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_3'
+          AND s_suppkey IN (
+            SELECT li.l_suppkey FROM lineitem li
+            WHERE li.l_partkey IN (SELECT p_partkey FROM part
+                                   WHERE p_type = 'PROMO')
+            GROUP BY li.l_suppkey, li.l_partkey
+            HAVING SUM(CAST(ROUND(li.l_quantity * 100.0, 0) AS BIGINT)) >
+                   (SELECT 0.5 * SUM(CAST(ROUND(l2.l_quantity * 100.0, 0)
+                                          AS BIGINT))
+                    FROM lineitem l2
+                    WHERE l2.l_partkey = li.l_partkey
+                      AND l2.l_shipdate >= TIMESTAMP '1996-01-01'
+                      AND l2.l_shipdate < TIMESTAMP '1997-01-01'))
+        ORDER BY s_name
     """
     oracles["hll_merge"] = """
         SELECT COUNT(DISTINCT doc_id) AS exact_docs,

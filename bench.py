@@ -690,6 +690,15 @@ def headline_queries():
         "tpch_q6": q["tpch_q6"],
         "tpch_q10": q["tpch_q10"],
         "tpch_q14": q["tpch_q14"],
+        # Round-5 completions — the four heaviest of the remaining 12:
+        # Q2 (decorrelated min-cost over the partsupp stand-in, the one
+        # SMJ self-join), Q9 (4-join profit rollup over full lineitem),
+        # Q18 (grouped-HAVING semi self-join), Q21 (double correlation:
+        # semi + anti on the same fact).
+        "tpch_q2": q["tpch_q2"],
+        "tpch_q9": q["tpch_q9"],
+        "tpch_q18": q["tpch_q18"],
+        "tpch_q21": q["tpch_q21"],
         # Training-data pipeline surface
         "exact_dedup": q["exact_dedup"],
         "minhash_signature": q["minhash_signature"],

@@ -395,3 +395,65 @@ def test_tpch_q22_not_exists_decorrelates_to_anti_join(spark, sf_dir):
     shape left."""
     plan = _plan(entry_mod.q_tpch_q22(spark, sf_dir))
     assert "LeftAnti" in plan
+
+
+def test_tpch_q2_min_cost_decorrelates(spark, sf_dir):
+    """The correlated MIN(ps_cost) subquery — itself a 3-dim join over
+    the partsupp CTE — must decorrelate to a per-partkey min-aggregate
+    joined back: no SubqueryExec, a min() aggregate in the join tree,
+    and no cartesian product anywhere."""
+    plan = _plan(entry_mod.q_tpch_q2(spark, sf_dir))
+    assert "Subquery" not in plan
+    assert "min(" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q7_q8_q9_broadcast_all_dims(spark, sf_dir):
+    """The three multi-dimension volume queries must broadcast every
+    dimension (nation roles, region, filtered part, supplier): the only
+    allowed shuffles are fact-fact joins, and Q7/Q8/Q9 have none that
+    need SortMergeJoin at these dim sizes."""
+    for q in (entry_mod.q_tpch_q7, entry_mod.q_tpch_q8, entry_mod.q_tpch_q9):
+        plan = _plan(q(spark, sf_dir))
+        assert "SortMergeJoin" not in plan, q.__name__
+        assert "CartesianProduct" not in plan, q.__name__
+        assert "BroadcastHashJoin" in plan, q.__name__
+
+
+def test_tpch_q11_q15_scalar_subquery_evaluated_once(spark, sf_dir):
+    """Q11's fraction-of-total HAVING threshold and Q15's MAX(revenue)
+    are UNcorrelated scalars: they may appear as one-off Subquery nodes
+    (evaluated once, folded to a literal) but must never become a
+    per-row nested-loop shape."""
+    for q in (entry_mod.q_tpch_q11, entry_mod.q_tpch_q15):
+        plan = _plan(q(spark, sf_dir))
+        assert "BroadcastNestedLoopJoin" not in plan, q.__name__
+        assert "CartesianProduct" not in plan, q.__name__
+
+
+def test_tpch_q16_not_in_plans_anti_join(spark, sf_dir):
+    """NOT IN (complaint suppliers) must compile to a (null-aware)
+    left-anti join, never a per-row membership subquery."""
+    plan = _plan(entry_mod.q_tpch_q16(spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "Subquery" not in plan
+
+
+def test_tpch_q18_q20_in_subqueries_plan_semi_joins(spark, sf_dir):
+    """Q18's grouped-HAVING IN and Q20's nested INs (with a correlated
+    scalar agg inside the HAVING) must all decorrelate to left-semi
+    joins — zero residual subquery execution."""
+    for q in (entry_mod.q_tpch_q18, entry_mod.q_tpch_q20):
+        plan = _plan(q(spark, sf_dir))
+        assert "LeftSemi" in plan, q.__name__
+        assert "Subquery" not in plan, q.__name__
+
+
+def test_tpch_q19_single_broadcast_join(spark, sf_dir):
+    """The disjunctive mixed-table predicate must not break the single
+    broadcast part join or degenerate into a cartesian/nested-loop
+    fallback."""
+    plan = _plan(entry_mod.q_tpch_q19(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
