@@ -263,3 +263,105 @@ def test_report_png_figures(spark, sf_dir, tmp_path):
         with open(p, "rb") as f:
             img = decode_png(f.read())
         assert img.ndim == 3 and img.shape[0] > 100 and img.shape[1] > 100
+
+
+def test_ivf_append_equals_rebuild_then_compacts(spark, sf_dir):
+    """Delta IVF maintenance: appending new vectors (frozen centroids)
+    must give bit-identical probe results to a full rebuild, and
+    compaction must fold the appended small files without changing
+    results."""
+    from external_benchmarks_spark.operators.similarity import (
+        ivf_assign,
+        ivf_topk,
+        sampled_centroids,
+    )
+    from external_benchmarks_spark.pipeline.index import (
+        append_to_index_layout,
+        compact_layout_partitions,
+    )
+
+    emb = Catalog(spark, sf_dir).embeddings
+    centroids = sampled_centroids(emb, n_centroids=8)
+    qvec = [float((i * 37) % 19 - 9) / 10.0 for i in range(64)]
+    old = emb.filter(F.col("vec_id") % 5 != 0)
+    new = emb.filter(F.col("vec_id") % 5 == 0)
+
+    def probe(path):
+        back = spark.read.parquet(path)
+        return [
+            (r[0], round(r[1], 9))
+            for r in ivf_topk(
+                back, centroids, qvec, k=50, nprobe=4, key_col="vec_id"
+            ).collect()
+        ]
+
+    with tempfile.TemporaryDirectory() as d:
+        incr = os.path.join(d, "incr")
+        full = os.path.join(d, "full")
+        build_index_layout(
+            ivf_assign(old, centroids), incr, partition_col="centroid_id"
+        )
+        # two appends to accumulate small files per cell
+        append_to_index_layout(
+            new.filter(F.col("vec_id") % 10 == 0), incr, centroids=centroids
+        )
+        append_to_index_layout(
+            new.filter(F.col("vec_id") % 10 == 5), incr, centroids=centroids
+        )
+        build_index_layout(
+            ivf_assign(emb, centroids), full, partition_col="centroid_id"
+        )
+        assert probe(incr) == probe(full)
+
+        def max_files(path):
+            best = 0
+            for sub in os.listdir(path):
+                if sub.startswith("centroid_id="):
+                    n = sum(
+                        1
+                        for f in os.listdir(os.path.join(path, sub))
+                        if not f.startswith(("_", "."))
+                    )
+                    best = max(best, n)
+            return best
+
+        before = max_files(incr)
+        assert before > 1  # appends really did add files
+        compacted = compact_layout_partitions(
+            spark, incr, partition_col="centroid_id", max_files_per_partition=1
+        )
+        assert compacted  # at least one dirty cell folded
+        assert max_files(incr) <= before
+        assert probe(incr) == probe(full)  # results unchanged
+
+
+def test_compact_skips_clean_partitions(spark, sf_dir):
+    """A layout already at one file per cell is a no-op for compaction
+    (no rewrite, empty return)."""
+    from external_benchmarks_spark.operators.similarity import (
+        ivf_assign,
+        sampled_centroids,
+    )
+    from external_benchmarks_spark.pipeline.index import compact_layout_partitions
+
+    emb = Catalog(spark, sf_dir).embeddings
+    centroids = sampled_centroids(emb, n_centroids=8)
+    with tempfile.TemporaryDirectory() as d:
+        out = os.path.join(d, "idx")
+        build_index_layout(
+            ivf_assign(emb, centroids), out, partition_col="centroid_id"
+        )
+        mtimes = {
+            sub: os.path.getmtime(os.path.join(out, sub))
+            for sub in os.listdir(out)
+            if sub.startswith("centroid_id=")
+        }
+        assert (
+            compact_layout_partitions(
+                spark, out, partition_col="centroid_id",
+                max_files_per_partition=4,
+            )
+            == []
+        )
+        for sub, m in mtimes.items():
+            assert os.path.getmtime(os.path.join(out, sub)) == m
