@@ -658,9 +658,48 @@ def index_refresh_leg(spark, sf):
     append_to_inverted_index(spark, idx, new, n_term_buckets=64)
     append_s = time.perf_counter() - t0
     shutil.rmtree(idx, ignore_errors=True)
+
+    # Same contract for the vector index: cell-routed append with frozen
+    # centroids (bit-identical probes vs rebuild, tests/test_pipeline.py)
+    # + dirty-cell-only compaction.
+    from external_benchmarks_spark.operators.similarity import (
+        ivf_assign,
+        sampled_centroids,
+    )
+    from external_benchmarks_spark.pipeline.index import (
+        append_to_index_layout,
+        build_index_layout,
+        compact_layout_partitions,
+    )
+
+    emb = Catalog(spark, sf).embeddings
+    centroids = sampled_centroids(emb, n_centroids=16)
+    ivf_dir = os.path.join(
+        tempfile.gettempdir(), f"ebs_refresh_ivf_{uuid.uuid4().hex[:8]}"
+    )
+    t0 = time.perf_counter()
+    build_index_layout(
+        ivf_assign(emb, centroids), ivf_dir, partition_col="centroid_id"
+    )
+    ivf_full_s = time.perf_counter() - t0
+    delta = emb.filter(F.col("vec_id") % 997 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 10_000_000
+    )
+    t0 = time.perf_counter()
+    append_to_index_layout(delta, ivf_dir, centroids=centroids)
+    ivf_append_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    compact_layout_partitions(
+        spark, ivf_dir, partition_col="centroid_id", max_files_per_partition=1
+    )
+    ivf_compact_s = time.perf_counter() - t0
+    shutil.rmtree(ivf_dir, ignore_errors=True)
     return {
         "full_rebuild_s": round(full_s, 3),
         "append_100_s": round(append_s, 3),
+        "ivf_full_build_s": round(ivf_full_s, 3),
+        "ivf_append_s": round(ivf_append_s, 3),
+        "ivf_compact_s": round(ivf_compact_s, 3),
     }
 
 
