@@ -2461,6 +2461,63 @@ def q_tpch_q20(spark, sf):
     )
 
 
+# Late-interaction query tokens: the first 4 contiguous 8-dim slices of
+# QVEC. Width must divide EMB_DIM; both engines slice identically.
+MAXSIM_QTOKENS = [QVEC[i * 8 : (i + 1) * 8] for i in range(4)]
+
+
+def q_maxsim_topk(spark, sf):
+    # ColBERT-style late-interaction retrieval (operators/similarity.
+    # maxsim_topk): documents as bags of token vectors (the 8 contiguous
+    # 8-dim chunks of the packed embedding column), score = sum over
+    # query tokens of max over doc tokens of the dot product. Map-only
+    # scan -> TakeOrderedAndProject; per-token 1e-6 fixed point makes
+    # the score integer-exact across engines.
+    from external_benchmarks_spark.operators.similarity import maxsim_topk
+
+    return maxsim_topk(
+        Catalog(spark, sf).embeddings, MAXSIM_QTOKENS, k=20, n_chunks=8
+    )
+
+
+def q_hybrid_rrf(spark, sf):
+    # Hybrid retrieval: reciprocal-rank fusion (operators/topk.rrf_fuse)
+    # of the BM25 lexical top-50 over documents and the dot-product
+    # dense top-50 over the embedding sidecar table, joined on the
+    # shared id space. The fusion inputs are top-m bounded, so the
+    # full-outer merge is O(m) regardless of corpus size; ranks are
+    # deterministic (score desc, id) in both engines.
+    from pyspark.sql.window import Window as W
+
+    from external_benchmarks_spark.operators.tfidf import bm25_topk
+    from external_benchmarks_spark.operators.topk import (
+        filtered_vector_topk,
+        rrf_fuse,
+    )
+
+    c = Catalog(spark, sf)
+    bm = bm25_topk(c.documents, BM25_TERMS, k=50)
+    lex = bm.select(
+        F.col("doc_id").alias("id"),
+        F.row_number()
+        .over(W.orderBy(F.desc("bm25"), F.asc("doc_id")))
+        .alias("rank_lex"),
+    )
+    vec = filtered_vector_topk(
+        c.embeddings, QVEC, None, k=50, use_arrow_fast_path=False
+    )
+    dense = vec.select(
+        F.col("vec_id").alias("id"),
+        F.row_number()
+        .over(W.orderBy(F.desc("score"), F.asc("vec_id")))
+        .alias("rank_vec"),
+    )
+    return rrf_fuse(
+        lex, dense, key_col="id", rank_a_col="rank_lex",
+        rank_b_col="rank_vec", k=20,
+    )
+
+
 def q_pyds_docgen(spark, sf):
     # Custom connector via the Spark 4 Python DataSource API
     # (sources/pydatasource.py): partitions() plans 8 independent row
@@ -2757,13 +2814,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order is a correctness-evidence budget: the driver checks a
     # window of entries in dict order each round, so never-checked entries
     # go first, then the STALEST driver-green entries. Round-5 window
-    # (50): the 17 never-checked round-5 entries (4 correlated-subquery
-    # shapes + the 12 TPC-H completions + the ranged transitions), the
-    # 19 r1-verified tail (3 rounds stale), then 14 of the r2-verified
-    # block. The 3 r2 entries pushed past the window (decontaminate,
-    # mixture_sample, embed_inference) rotate first in r6; every entry
-    # passes the local mirror (tests/test_oracle_queries.py) either way,
-    # so rotation costs nothing.
+    # (50): the 19 never-checked round-5 entries (4 correlated-subquery
+    # shapes + the 12 TPC-H completions + maxsim/hybrid-RRF retrieval +
+    # the ranged transitions), the 19 r1-verified tail (3 rounds stale),
+    # then 12 of the r2-verified block. The 5 r2 entries pushed past the
+    # window (lsh/ivf_ann_topk, embed_inference, decontaminate,
+    # mixture_sample) rotate first in r6; every entry passes the local
+    # mirror (tests/test_oracle_queries.py) either way, so rotation
+    # costs nothing.
     return {
         # --- new in round 5: never driver-checked -----------------------
         "tpch_q4": q_tpch_q4,
@@ -2782,6 +2840,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q18": q_tpch_q18,
         "tpch_q19": q_tpch_q19,
         "tpch_q20": q_tpch_q20,
+        "maxsim_topk": q_maxsim_topk,
+        "hybrid_rrf": q_hybrid_rrf,
         "event_transitions_ranged": q_event_transitions_ranged,
         # --- stalest: last verified r1 -----------------------------------
         "date_parts": q_date_parts,
@@ -4908,5 +4968,79 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(term_fp) AS BIGINT) AS psi_fp,
                ROUND(SUM(term_fp) / 1000000.0, 6) AS psi
         FROM terms GROUP BY period ORDER BY period
+    """
+    # Late-interaction MaxSim: DuckDB slices the same 8 chunks of the
+    # embedding (1-based inclusive list slicing), takes the max chunk
+    # dot per query token, rounds each to 1e-6 fixed point, sums as
+    # integers — bit-identical to the Catalyst fold.
+    chunk_cols = []
+    for ti, qt in enumerate(MAXSIM_QTOKENS):
+        dots = ", ".join(
+            f"list_dot_product(({EMB_DBL})[{ci * 8 + 1}:{ci * 8 + 8}], "
+            f"{_vec_lit(qt)})"
+            for ci in range(8)
+        )
+        chunk_cols.append(
+            f"CAST(ROUND(greatest({dots}) * 1000000.0, 0) AS BIGINT)"
+            f" AS t{ti}"
+        )
+    maxsim_terms = " + ".join(f"t{ti}" for ti in range(len(MAXSIM_QTOKENS)))
+    oracles["maxsim_topk"] = f"""
+        WITH tok AS (
+          SELECT vec_id, {", ".join(chunk_cols)}
+          FROM embeddings)
+        SELECT vec_id,
+               CAST({maxsim_terms} AS DOUBLE) / 1000000.0 AS maxsim
+        FROM tok
+        ORDER BY maxsim DESC, vec_id LIMIT 20
+    """
+    # Hybrid RRF: the BM25 CTE replays bm25_topk at m=50, the dense CTE
+    # replays dot_topk at m=50; fusion = 1/(60+rank) with absent-list 0.
+    oracles["hybrid_rrf"] = f"""
+        WITH base AS (SELECT doc_id, {DUCK_TOKS} AS toks
+                      FROM documents WHERE text IS NOT NULL),
+        dl AS (SELECT doc_id, len(toks) AS dl FROM base),
+        stats AS (SELECT COUNT(*) AS n,
+                         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+                  FROM dl),
+        toks AS (SELECT doc_id, unnest(toks) AS term FROM base),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+               WHERE term IN {_in_list(BM25_TERMS)}
+               GROUP BY doc_id, term),
+        dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        contrib AS (
+          SELECT tf.doc_id,
+                 CAST(ROUND(
+                   ln((CAST(stats.n AS DOUBLE) - dfreq.df + 0.5)
+                      / (dfreq.df + 0.5) + 1.0)
+                   * (tf.tf * (1.2 + 1.0))
+                   / (tf.tf + 1.2 * (1.0 - 0.75
+                                     + 0.75 * dl.dl / stats.avgdl))
+                   * 1000000.0) AS BIGINT) AS fp
+          FROM tf JOIN dfreq USING (term)
+                  JOIN dl ON tf.doc_id = dl.doc_id, stats),
+        bm AS (
+          SELECT doc_id, CAST(SUM(fp) AS DOUBLE) / 1000000.0 AS bm25
+          FROM contrib GROUP BY doc_id
+          ORDER BY bm25 DESC, doc_id LIMIT 50),
+        lex AS (
+          SELECT doc_id AS id,
+                 ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id)
+                   AS rank_lex
+          FROM bm),
+        vtop AS (
+          SELECT vec_id, list_dot_product({EMB_DBL}, {QVEC_SQL}) AS score
+          FROM embeddings
+          ORDER BY score DESC, vec_id LIMIT 50),
+        dense AS (
+          SELECT vec_id AS id,
+                 ROW_NUMBER() OVER (ORDER BY score DESC, vec_id)
+                   AS rank_vec
+          FROM vtop)
+        SELECT COALESCE(lex.id, dense.id) AS id,
+               COALESCE(1.0 / (60 + rank_lex), 0.0)
+               + COALESCE(1.0 / (60 + rank_vec), 0.0) AS rrf
+        FROM lex FULL OUTER JOIN dense ON lex.id = dense.id
+        ORDER BY rrf DESC, id LIMIT 20
     """
     return oracles

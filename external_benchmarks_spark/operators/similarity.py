@@ -753,3 +753,60 @@ def cluster_representatives(
         .filter(F.col("rn") <= k)
         .select(key_col, "cluster_id", "cos_fp", "rn")
     )
+
+def maxsim_topk(
+    df: DataFrame,
+    query_tokens: Sequence[Sequence[float]],
+    k: int = 20,
+    n_chunks: int = 8,
+    key_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """ColBERT-style late-interaction MaxSim retrieval (Khattab &
+    Zaharia, SIGIR 2020): a document is a BAG of token vectors and
+    score(q, d) = sum over query tokens of max over doc tokens of the
+    dot product — finer-grained than single-vector retrieval because
+    each query token independently aligns to its best document token.
+
+    Document token vectors are the ``n_chunks`` contiguous slices of the
+    stored embedding (the packed multi-vector layout: one fixed-width
+    array column instead of an exploded token table — at 100 TB the
+    explode would multiply row count by tokens-per-doc and shuffle it;
+    the packed form keeps MaxSim a map-only scan feeding a
+    TakeOrderedAndProject top-k).
+
+    Pure Catalyst: slice -> zip_with product -> aggregate fold per
+    chunk dot, greatest() across chunks per query token, per-token
+    1e-6 fixed-point rounding summed as BIGINT so the score is
+    partition-order-independent and replayable by a SQL oracle.
+    """
+    e = F.col(emb_col).cast("array<double>")
+    width = len(query_tokens[0])
+    token_maxes = []
+    for qt in query_tokens:
+        if len(qt) != width:
+            raise ValueError("query tokens must share one width")
+        qlit = F.array(*[F.lit(float(x)) for x in qt])
+        chunk_dots = [
+            F.aggregate(
+                F.zip_with(
+                    F.slice(e, ci * width + 1, width), qlit, lambda a, b: a * b
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for ci in range(n_chunks)
+        ]
+        token_maxes.append(F.greatest(*chunk_dots))
+    total_fp = None
+    for tm in token_maxes:
+        fp = F.round(tm * 1_000_000.0, 0).cast("bigint")
+        total_fp = fp if total_fp is None else total_fp + fp
+    return (
+        df.select(
+            F.col(key_col),
+            (total_fp.cast("double") / 1_000_000.0).alias("maxsim"),
+        )
+        .orderBy(F.desc("maxsim"), F.asc(key_col))
+        .limit(k)
+    )

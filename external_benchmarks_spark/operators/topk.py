@@ -170,3 +170,42 @@ def recall_at_k(approx: DataFrame, exact: DataFrame, query_key: str, item_key: s
     return per_query_hits.join(totals, query_key).select(
         query_key, (F.col("hits") / F.col("total")).alias("recall")
     )
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    key_col: str = "id",
+    rank_a_col: str = "rank_a",
+    rank_b_col: str = "rank_b",
+    k: int = 20,
+    c: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two ranked candidate lists (Cormack,
+    Clarke & Buettcher, SIGIR 2009): score = sum over lists of
+    1/(c + rank), absent list contributing 0 — the standard hybrid
+    lexical+dense retrieval merge.
+
+    Inputs are (key, rank) DataFrames (rank 1-based). Both lists are
+    top-m bounded by construction, so the FULL OUTER join is two tiny
+    inputs regardless of corpus size — at 100 TB the expensive part is
+    producing the lists (BM25 index read, ANN probe), never the fusion.
+    1/(c+rank) is an exact-double of integers, evaluated in fixed
+    operand order, so fused scores hash-match a SQL oracle bit-for-bit.
+    """
+    a = ranked_a.select(F.col(key_col), F.col(rank_a_col))
+    b = ranked_b.select(F.col(key_col), F.col(rank_b_col))
+    j = a.join(b, key_col, "full_outer")
+    contrib_a = F.coalesce(
+        F.lit(1.0) / (F.lit(c) + F.col(rank_a_col)), F.lit(0.0)
+    )
+    contrib_b = F.coalesce(
+        F.lit(1.0) / (F.lit(c) + F.col(rank_b_col)), F.lit(0.0)
+    )
+    return (
+        j.select(
+            F.col(key_col),
+            (contrib_a + contrib_b).alias("rrf"),
+        )
+        .orderBy(F.desc("rrf"), F.asc(key_col))
+        .limit(k)
+    )

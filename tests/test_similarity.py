@@ -255,3 +255,51 @@ def test_cluster_profile_partitions_table(spark, sf_dir):
         assert -1.0 - 1e-6 <= r.avg_cos <= 1.0 + 1e-6
         assert r.min_cos_fp <= r.cohesion_fp / r.n_members
         assert r.avg_cos == r.cohesion_fp / (r.n_members * 1_000_000)
+
+
+def test_maxsim_self_retrieval(spark, sf_dir):
+    """A query made of a document's own token vectors must rank that
+    document first (each query token aligns perfectly to itself), and
+    MaxSim must dominate the single-vector whole-embedding dot for it."""
+    from external_benchmarks_spark.operators.similarity import maxsim_topk
+
+    emb = Catalog(spark, sf_dir).embeddings
+    target = emb.filter(F.col("vec_id") == 7).select("embedding").collect()
+    doc_vec = [float(x) for x in target[0][0]]
+    qtokens = [doc_vec[i * 8 : (i + 1) * 8] for i in range(8)]
+    top = maxsim_topk(emb, qtokens, k=5, n_chunks=8).collect()
+    assert top[0]["vec_id"] == 7
+
+
+def test_maxsim_plan_is_map_only_topk(spark, sf_dir):
+    """Packed multi-vector scoring must stay a map-only scan into
+    TakeOrderedAndProject — no explode-induced shuffle, no join."""
+    from external_benchmarks_spark.operators.similarity import maxsim_topk
+
+    import __spark_entry__ as em
+
+    df = maxsim_topk(
+        Catalog(spark, sf_dir).embeddings, em.MAXSIM_QTOKENS, k=20
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+    assert "Generate" not in plan  # no explode
+
+
+def test_rrf_fuse_semantics(spark):
+    """Both-list items outrank single-list items at comparable ranks;
+    an absent list contributes exactly zero."""
+    from external_benchmarks_spark.operators.topk import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], "id bigint, rank_a int"
+    )
+    b = spark.createDataFrame(
+        [(2, 1), (4, 2)], "id bigint, rank_b int"
+    )
+    out = {r["id"]: r["rrf"] for r in rrf_fuse(a, b, key_col="id").collect()}
+    assert out[2] == 1.0 / 62 + 1.0 / 61  # in both lists
+    assert out[1] == 1.0 / 61  # only list a
+    assert out[4] == 1.0 / 62  # only list b
+    assert max(out, key=out.get) == 2
