@@ -738,6 +738,9 @@ def headline_queries():
         "tpch_q9": q["tpch_q9"],
         "tpch_q18": q["tpch_q18"],
         "tpch_q21": q["tpch_q21"],
+        # Hybrid + late-interaction retrieval (r5)
+        "hybrid_rrf": q["hybrid_rrf"],
+        "maxsim_topk": q["maxsim_topk"],
         # Training-data pipeline surface
         "exact_dedup": q["exact_dedup"],
         "minhash_signature": q["minhash_signature"],
