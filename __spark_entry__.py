@@ -2518,6 +2518,19 @@ def q_hybrid_rrf(spark, sf):
     )
 
 
+def q_mmr_topk(spark, sf):
+    # MMR diversified top-k (operators/similarity.mmr_topk): distributed
+    # top-50 by cosine relevance, then the inherently-sequential greedy
+    # re-rank over the 50-row window driver-side, every comparison on
+    # half-away-from-zero 1e-6 fixed point. The DuckDB oracle replays
+    # the greedy with a recursive CTE over the same candidate set.
+    from external_benchmarks_spark.operators.similarity import mmr_topk
+
+    return mmr_topk(
+        Catalog(spark, sf).embeddings, QVEC, k=10, m=50, lam=0.7
+    )
+
+
 def q_pyds_docgen(spark, sf):
     # Custom connector via the Spark 4 Python DataSource API
     # (sources/pydatasource.py): partitions() plans 8 independent row
@@ -2842,6 +2855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q20": q_tpch_q20,
         "maxsim_topk": q_maxsim_topk,
         "hybrid_rrf": q_hybrid_rrf,
+        "mmr_topk": q_mmr_topk,
         "event_transitions_ranged": q_event_transitions_ranged,
         # --- stalest: last verified r1 -----------------------------------
         "date_parts": q_date_parts,
@@ -4993,6 +5007,55 @@ def oracle_sql() -> dict[str, str]:
                CAST({maxsim_terms} AS DOUBLE) / 1000000.0 AS maxsim
         FROM tok
         ORDER BY maxsim DESC, vec_id LIMIT 20
+    """
+    # MMR: the recursive CTE replays the driver-side greedy exactly —
+    # same candidate top-50 (identical rel doubles), same normalized
+    # vectors (list_transform x/sqrt(fold) = the Python fold), same
+    # 1e-6 fixed-point argmax with vec_id tie-break. The query norm is
+    # interpolated as the literal the Spark side used.
+    _mmr_qnorm = repr(float(_np.sqrt(_np.dot(QVEC, QVEC))))
+    oracles["mmr_topk"] = f"""
+        WITH RECURSIVE cand AS (
+          SELECT vec_id,
+                 list_transform({EMB_DBL},
+                   x -> x / sqrt(list_dot_product({EMB_DBL}, {EMB_DBL})))
+                   AS en,
+                 list_dot_product({EMB_DBL}, {QVEC_SQL})
+                   / (sqrt(list_dot_product({EMB_DBL}, {EMB_DBL}))
+                      * {_mmr_qnorm}) AS rel
+          FROM embeddings
+          ORDER BY rel DESC, vec_id LIMIT 50),
+        sel AS (
+          SELECT 1 AS step, [f.vec_id] AS ids, f.vec_id AS picked,
+                 CAST(ROUND(f.rel * 1000000.0, 0) AS BIGINT) AS score_fp
+          FROM (SELECT vec_id, rel FROM cand
+                ORDER BY rel DESC, vec_id LIMIT 1) f
+          UNION ALL
+          SELECT x.step + 1, list_append(x.ids, x.vec_id), x.vec_id,
+                 x.score_fp
+          FROM (
+            SELECT s.step, s.ids, c.vec_id,
+                   CAST(ROUND((0.7 * c.rel
+                               - (1.0 - 0.7)
+                                 * MAX(list_dot_product(c.en, s2.en)))
+                              * 1000000.0, 0) AS BIGINT) AS score_fp,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY s.step
+                     ORDER BY CAST(ROUND((0.7 * c.rel
+                               - (1.0 - 0.7)
+                                 * MAX(list_dot_product(c.en, s2.en)))
+                              * 1000000.0, 0) AS BIGINT) DESC,
+                              c.vec_id) AS rn
+            FROM sel s
+              JOIN cand c ON NOT list_contains(s.ids, c.vec_id)
+              JOIN cand s2 ON list_contains(s.ids, s2.vec_id)
+            WHERE s.step < 10
+            GROUP BY s.step, s.ids, c.vec_id, c.rel
+          ) x
+          WHERE x.rn = 1)
+        SELECT CAST(step AS BIGINT) AS mmr_rank, picked AS vec_id,
+               CAST(score_fp AS DOUBLE) / 1000000.0 AS mmr_score
+        FROM sel ORDER BY mmr_rank
     """
     # Hybrid RRF: the BM25 CTE replays bm25_topk at m=50, the dense CTE
     # replays dot_topk at m=50; fusion = 1/(60+rank) with absent-list 0.

@@ -810,3 +810,98 @@ def maxsim_topk(
         .orderBy(F.desc("maxsim"), F.asc(key_col))
         .limit(k)
     )
+
+def mmr_topk(
+    df: DataFrame,
+    qvec: Sequence[float],
+    k: int = 10,
+    m: int = 50,
+    lam: float = 0.7,
+    key_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified top-k (Carbonell &
+    Goldstein, SIGIR 1998): greedily pick argmax of
+    ``lam * relevance - (1 - lam) * max cosine-sim to already-selected``
+    — the standard de-redundancy re-rank for retrieval and for
+    diversity-aware training-data selection.
+
+    Two stages. Stage 1 is the corpus-sized, distributed part: top-m
+    candidates by cosine relevance (TakeOrderedAndProject — per-partition
+    heaps, no global sort). Stage 2 is the inherently sequential greedy
+    over m rows, run driver-side — m is small BY CONTRACT (the re-rank
+    window, like the pairwise-cosine <= 200 pattern), so this collect is
+    O(m * dim) bytes regardless of corpus size; the greedy is O(k * m)
+    fold dot products.
+
+    Oracle parity: relevance comes from the Catalyst HOF cosine
+    (left-to-right fold = DuckDB list_dot_product); driver arithmetic
+    uses the same sequential folds, and every greedy comparison happens
+    on half-away-from-zero 1e-6 fixed-point integers, so the selection
+    replays DuckDB's recursive-CTE greedy bit-for-bit.
+    """
+    import math
+
+    from external_benchmarks_spark.functions.vector import (
+        cosine_similarity_literal,
+    )
+
+    cand = (
+        df.select(
+            F.col(key_col),
+            F.col(emb_col).cast("array<double>").alias("e"),
+            cosine_similarity_literal(emb_col, qvec).alias("rel"),
+        )
+        .orderBy(F.desc("rel"), F.asc(key_col))
+        .limit(m)
+    )
+    rows = cand.collect()  # m rows by contract
+
+    def fold_dot(u, v):
+        acc = 0.0
+        for x, y in zip(u, v):
+            acc += x * y
+        return acc
+
+    def fp(x: float) -> int:
+        # half away from zero on the exact double, no +0.5 drift
+        y = x * 1_000_000.0
+        f = math.floor(abs(y))
+        r = f + 1 if abs(y) - f >= 0.5 else f
+        return int(math.copysign(r, y)) if y != 0.0 else 0
+
+    ids = [r[0] for r in rows]
+    rels = [float(r["rel"]) for r in rows]
+    ens = []
+    for r in rows:
+        e = [float(x) for x in r["e"]]
+        n = math.sqrt(fold_dot(e, e))
+        ens.append([x / n for x in e] if n else e)
+
+    if not rows:
+        out_rows = []
+    else:
+        # step 1: rows arrive sorted by (rel desc, id) — first wins
+        out_rows = [(1, ids[0], fp(rels[0]))]
+        chosen = [0]
+        remaining = set(range(1, len(rows)))
+        one_minus = 1.0 - lam
+        while len(out_rows) < k and remaining:
+            best_i, best_fp = None, None
+            for i in remaining:
+                msim = max(fold_dot(ens[i], ens[j]) for j in chosen)
+                s = fp(lam * rels[i] - one_minus * msim)
+                if (
+                    best_fp is None
+                    or s > best_fp
+                    or (s == best_fp and ids[i] < ids[best_i])
+                ):
+                    best_i, best_fp = i, s
+            out_rows.append((len(out_rows) + 1, ids[best_i], best_fp))
+            chosen.append(best_i)
+            remaining.discard(best_i)
+
+    return df.sparkSession.createDataFrame(
+        [(r, i, s / 1_000_000.0) for r, i, s in out_rows],
+        f"mmr_rank bigint, {key_col} bigint, mmr_score double",
+    )

@@ -303,3 +303,24 @@ def test_rrf_fuse_semantics(spark):
     assert out[1] == 1.0 / 61  # only list a
     assert out[4] == 1.0 / 62  # only list b
     assert max(out, key=out.get) == 2
+
+
+def test_mmr_diversifies_vs_pure_relevance(spark, sf_dir):
+    """MMR must (a) start from the most-relevant item, (b) never repeat
+    an item, and (c) with lam=0 pick maximally-dissimilar items —
+    diverging from the pure-relevance ranking."""
+    from external_benchmarks_spark.operators.similarity import (
+        bruteforce_topk,
+        mmr_topk,
+    )
+    import __spark_entry__ as em
+
+    emb = Catalog(spark, sf_dir).embeddings
+    rel = [r["vec_id"] for r in bruteforce_topk(emb, em.QVEC, k=10).collect()]
+    mmr = mmr_topk(emb, em.QVEC, k=10, m=50, lam=0.7).collect()
+    picked = [r["vec_id"] for r in sorted(mmr, key=lambda r: r["mmr_rank"])]
+    assert picked[0] == rel[0]  # greedy seeds with the top relevance
+    assert len(set(picked)) == len(picked)
+    diverse = mmr_topk(emb, em.QVEC, k=10, m=50, lam=0.0).collect()
+    div_ids = [r["vec_id"] for r in sorted(diverse, key=lambda r: r["mmr_rank"])]
+    assert div_ids != rel  # lam=0 ignores relevance after the seed
