@@ -457,3 +457,21 @@ def test_tpch_q19_single_broadcast_join(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") == 1
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_no_registry_query_plans_a_cartesian_product(spark, sf_dir):
+    """Sweeping guardrail over the ENTIRE registry: no entry may compile
+    to a CartesianProduct — the one physical operator that cannot
+    survive a scale-up (broadcast nested loops over small-by-contract
+    sides are fine and appear as BroadcastNestedLoopJoin instead). The
+    allowlist is intentionally empty; a new entry that needs a true
+    cartesian should redesign, not amend this test."""
+    allow: set[str] = set()
+    bad = {}
+    for name, fn in entry_mod.queries().items():
+        if name in allow:
+            continue
+        plan = _plan(fn(spark, sf_dir))
+        if "CartesianProduct" in plan:
+            bad[name] = True
+    assert not bad, f"cartesian products in: {sorted(bad)}"
