@@ -761,6 +761,7 @@ def maxsim_topk(
     n_chunks: int = 8,
     key_col: str = "vec_id",
     emb_col: str = "embedding",
+    use_arrow_fast_path: bool = False,
 ) -> DataFrame:
     """ColBERT-style late-interaction MaxSim retrieval (Khattab &
     Zaharia, SIGIR 2020): a document is a BAG of token vectors and
@@ -775,11 +776,36 @@ def maxsim_topk(
     the packed form keeps MaxSim a map-only scan feeding a
     TakeOrderedAndProject top-k).
 
-    Pure Catalyst: slice -> zip_with product -> aggregate fold per
-    chunk dot, greatest() across chunks per query token, per-token
-    1e-6 fixed-point rounding summed as BIGINT so the score is
-    partition-order-independent and replayable by a SQL oracle.
+    Two tiers like bruteforce_topk: the default pure-Catalyst form
+    (slice -> zip_with product -> aggregate fold per chunk dot,
+    greatest() across chunks per query token, per-token 1e-6
+    fixed-point rounding summed as BIGINT — partition-order-independent
+    and replayable by a SQL oracle) and an Arrow fast path
+    (``use_arrow_fast_path``) that scores each batch with ONE einsum
+    over the (batch, chunks, width) tensor — the production form at the
+    reference's 2,688-dim width, where a per-row HOF fold is 10-100x
+    slower. Same ranking; last-ulp score differences possible
+    (rank-parity-tested in tests/test_similarity.py).
     """
+    if use_arrow_fast_path:
+        from pyspark.sql.types import DoubleType
+
+        q = np.asarray(query_tokens, dtype=np.float64)  # (tokens, width)
+
+        @F.pandas_udf(DoubleType())
+        def _maxsim(emb: pd.Series) -> pd.Series:
+            m = np.vstack(emb.to_numpy()).astype(np.float64, copy=False)
+            b = m.reshape(len(m), n_chunks, -1)  # (batch, chunks, width)
+            sims = np.einsum("bcw,tw->bct", b, q)
+            return pd.Series(sims.max(axis=1).sum(axis=1))
+
+        return (
+            df.select(
+                F.col(key_col), _maxsim(F.col(emb_col)).alias("maxsim")
+            )
+            .orderBy(F.desc("maxsim"), F.asc(key_col))
+            .limit(k)
+        )
     e = F.col(emb_col).cast("array<double>")
     width = len(query_tokens[0])
     token_maxes = []

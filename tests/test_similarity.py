@@ -324,3 +324,36 @@ def test_mmr_diversifies_vs_pure_relevance(spark, sf_dir):
     diverse = mmr_topk(emb, em.QVEC, k=10, m=50, lam=0.0).collect()
     div_ids = [r["vec_id"] for r in sorted(diverse, key=lambda r: r["mmr_rank"])]
     assert div_ids != rel  # lam=0 ignores relevance after the seed
+
+
+def test_maxsim_arrow_fast_path_matches_hof(spark, sf_dir):
+    """The einsum fast path must produce the same ranking (and scores to
+    1e-6) as the oracle-parity Catalyst form, including at a
+    reference-like width (2,688 dims = 8 chunks x 336)."""
+    from external_benchmarks_spark.operators.similarity import maxsim_topk
+
+    import __spark_entry__ as em
+
+    emb = Catalog(spark, sf_dir).embeddings
+    hof = maxsim_topk(emb, em.MAXSIM_QTOKENS, k=20).collect()
+    fast = maxsim_topk(
+        emb, em.MAXSIM_QTOKENS, k=20, use_arrow_fast_path=True
+    ).collect()
+    assert [r["vec_id"] for r in hof] == [r["vec_id"] for r in fast]
+    for a, b in zip(hof, fast):
+        assert abs(a["maxsim"] - b["maxsim"]) < 1e-5
+
+    # wide synthetic check: 2,688 dims, 8 chunks of 336
+    import random
+
+    rnd = random.Random(7)
+    wide = spark.createDataFrame(
+        [(i, [rnd.uniform(-1, 1) for _ in range(2688)]) for i in range(40)],
+        "vec_id bigint, embedding array<double>",
+    )
+    qtok = [[rnd.uniform(-1, 1) for _ in range(336)] for _ in range(4)]
+    h = maxsim_topk(wide, qtok, k=10, n_chunks=8).collect()
+    f = maxsim_topk(
+        wide, qtok, k=10, n_chunks=8, use_arrow_fast_path=True
+    ).collect()
+    assert [r["vec_id"] for r in h] == [r["vec_id"] for r in f]
