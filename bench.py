@@ -622,6 +622,20 @@ def dim2688_leg(spark, sf, dim: int = 2688):
             ).collect()
         }
         out["lsh_recall"] = round(len(exact & lsh) / len(exact), 3)
+        # 6) late-interaction MaxSim at full width: 8 chunks x 336 dims,
+        #    einsum fast path (the Catalyst HOF tier is the oracle form;
+        #    rank parity is test-asserted — here we time the hot path).
+        from external_benchmarks_spark.operators.similarity import maxsim_topk
+
+        qtoks = [qvec[i * 336 : (i + 1) * 336] for i in range(4)]
+        maxsim_topk(
+            emb_c, qtoks, k=100, n_chunks=8, use_arrow_fast_path=True
+        ).count()
+        t0 = time.perf_counter()
+        maxsim_topk(
+            emb_c, qtoks, k=100, n_chunks=8, use_arrow_fast_path=True
+        ).count()
+        out["maxsim_s"] = round(time.perf_counter() - t0, 3)
     finally:
         emb_c.unpersist()
     return out
