@@ -787,6 +787,21 @@ def maxsim_topk(
     slower. Same ranking; last-ulp score differences possible
     (rank-parity-tested in tests/test_similarity.py).
     """
+    width = len(query_tokens[0])
+    for qt in query_tokens:
+        if len(qt) != width:
+            raise ValueError("query tokens must share one width")
+    # Both tiers fail loudly on a width mismatch instead of silently
+    # scoring partial chunks: slicing past the array end would null-pad
+    # (Catalyst) or mis-reshape (Arrow). assert_true is a per-row
+    # comparison, negligible next to the dot products.
+    need = n_chunks * width
+    df = df.filter(
+        F.assert_true(
+            F.size(F.col(emb_col)) == need,
+            F.lit(f"maxsim_topk: embedding length != n_chunks*width={need}"),
+        ).isNull()
+    )
     if use_arrow_fast_path:
         from pyspark.sql.types import DoubleType
 
@@ -807,11 +822,8 @@ def maxsim_topk(
             .limit(k)
         )
     e = F.col(emb_col).cast("array<double>")
-    width = len(query_tokens[0])
     token_maxes = []
     for qt in query_tokens:
-        if len(qt) != width:
-            raise ValueError("query tokens must share one width")
         qlit = F.array(*[F.lit(float(x)) for x in qt])
         chunk_dots = [
             F.aggregate(
@@ -823,7 +835,9 @@ def maxsim_topk(
             )
             for ci in range(n_chunks)
         ]
-        token_maxes.append(F.greatest(*chunk_dots))
+        token_maxes.append(
+            F.greatest(*chunk_dots) if len(chunk_dots) > 1 else chunk_dots[0]
+        )
     total_fp = None
     for tm in token_maxes:
         fp = F.round(tm * 1_000_000.0, 0).cast("bigint")
@@ -904,7 +918,7 @@ def mmr_topk(
         n = math.sqrt(fold_dot(e, e))
         ens.append([x / n for x in e] if n else e)
 
-    if not rows:
+    if not rows or k <= 0:
         out_rows = []
     else:
         # step 1: rows arrive sorted by (rel desc, id) — first wins
@@ -927,7 +941,15 @@ def mmr_topk(
             chosen.append(best_i)
             remaining.discard(best_i)
 
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("mmr_rank", LongType()),
+            StructField(key_col, df.schema[key_col].dataType),
+            StructField("mmr_score", DoubleType()),
+        ]
+    )
     return df.sparkSession.createDataFrame(
-        [(r, i, s / 1_000_000.0) for r, i, s in out_rows],
-        f"mmr_rank bigint, {key_col} bigint, mmr_score double",
+        [(r, i, s / 1_000_000.0) for r, i, s in out_rows], schema
     )

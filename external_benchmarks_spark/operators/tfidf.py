@@ -282,6 +282,13 @@ def append_to_inverted_index(
     import os
 
     from external_benchmarks_spark.functions.hashing import md5_hash32
+    from external_benchmarks_spark.pipeline.layout import invalidate_layout
+
+    # The index no longer matches any recorded source fingerprint: drop
+    # the marker FIRST so a crash mid-append can never leave a layout
+    # that ensure_inverted_index would reuse as "current" while its
+    # postings/dfreq/stats include (or half-include) the delta.
+    invalidate_layout(index_path)
 
     tf, dl = _tf_dl(new_docs, key_col, content_col)
     # Cache: tf/dl feed postings, dfreq delta, and the stats delta.

@@ -101,7 +101,14 @@ def bucketed_pair(
     if source_paths is not None:
         fp = source_fingerprint(
             source_paths,
-            extra={"n_buckets": n_buckets, "keys": [left_key, right_key]},
+            extra={
+                "n_buckets": n_buckets,
+                "keys": [left_key, right_key],
+                # the projected column sets are layout-defining too: a
+                # same-tag call with different columns must rebuild, not
+                # reuse a layout missing (or carrying extra) columns
+                "cols": [sorted(left.columns), sorted(right.columns)],
+            },
         )
         # Catalog registration is session-scoped, so reuse requires both
         # the fingerprint match AND the tables in THIS session's catalog

@@ -313,3 +313,36 @@ def test_gap_filled_hourly_zero_fills(spark, sf_dir):
     assert sum(r["cnt"] for r in out) == ev.count()  # nothing lost
     zero_rows = [r for r in out if r["cnt"] == 0]
     assert all(r["sum_value"] == 0.0 for r in zero_rows)
+
+
+def test_append_invalidates_inverted_index_fingerprint(spark, sf_dir, tmp_path):
+    """After an in-place append the layout no longer matches the
+    recorded source, so ensure_inverted_index must see it as stale and
+    rebuild from source instead of serving the appended mix."""
+    import os
+
+    from external_benchmarks_spark.operators.tfidf import (
+        append_to_inverted_index,
+        ensure_inverted_index,
+    )
+    from external_benchmarks_spark.pipeline.layout import layout_is_current
+
+    from external_benchmarks_spark.catalog import Catalog
+
+    docs = Catalog(spark, sf_dir).documents.limit(50).cache()
+    src = str(tmp_path / "src.parquet")
+    docs.write.parquet(src)
+    idx = str(tmp_path / "idx")
+    assert ensure_inverted_index(
+        spark.read.parquet(src), idx, [src], n_term_buckets=8
+    )
+    new = spark.createDataFrame(
+        [(10_000, "fresh appended doc")], "doc_id bigint, text string"
+    )
+    append_to_inverted_index(spark, idx, new, n_term_buckets=8)
+    marker = os.path.join(idx, "_layout_fingerprint.json")
+    assert not os.path.exists(marker)  # fingerprint dropped
+    # next ensure() rebuilds (returns True), restoring source-only state
+    assert ensure_inverted_index(
+        spark.read.parquet(src), idx, [src], n_term_buckets=8
+    )

@@ -357,3 +357,38 @@ def test_maxsim_arrow_fast_path_matches_hof(spark, sf_dir):
         wide, qtok, k=10, n_chunks=8, use_arrow_fast_path=True
     ).collect()
     assert [r["vec_id"] for r in h] == [r["vec_id"] for r in f]
+
+
+def test_maxsim_rejects_width_mismatch_and_handles_one_chunk(spark):
+    """Both tiers must fail loudly when n_chunks*width != embedding
+    length (no silent partial-chunk scoring), and n_chunks=1 must work
+    (single-token documents)."""
+    import pytest
+
+    from external_benchmarks_spark.operators.similarity import maxsim_topk
+
+    df = spark.createDataFrame(
+        [(0, [float(i) for i in range(64)])],
+        "vec_id bigint, embedding array<double>",
+    )
+    bad_q = [[1.0] * 16]  # 8 chunks x 16 = 128 != 64
+    with pytest.raises(Exception):
+        maxsim_topk(df, bad_q, k=1, n_chunks=8).collect()
+    with pytest.raises(Exception):
+        maxsim_topk(df, bad_q, k=1, n_chunks=8, use_arrow_fast_path=True).collect()
+    # one chunk of full width == plain dot product
+    one = maxsim_topk(df, [[1.0] * 64], k=1, n_chunks=1).collect()
+    assert one[0]["maxsim"] == float(sum(range(64)))
+
+
+def test_mmr_k_zero_and_string_keys(spark):
+    """k<=0 returns an empty frame; non-bigint keys keep their type."""
+    from external_benchmarks_spark.operators.similarity import mmr_topk
+
+    df = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [0.0, 1.0])],
+        "doc_key string, embedding array<double>",
+    )
+    assert mmr_topk(df, [1.0, 0.0], k=0, m=5, key_col="doc_key").count() == 0
+    got = mmr_topk(df, [1.0, 0.0], k=2, m=5, key_col="doc_key").collect()
+    assert [r["doc_key"] for r in sorted(got, key=lambda r: r["mmr_rank"])] == ["a", "b"]
