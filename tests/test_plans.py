@@ -463,15 +463,19 @@ def test_no_registry_query_plans_a_cartesian_product(spark, sf_dir):
     """Sweeping guardrail over the ENTIRE registry: no entry may compile
     to a CartesianProduct — the one physical operator that cannot
     survive a scale-up (broadcast nested loops over small-by-contract
-    sides are fine and appear as BroadcastNestedLoopJoin instead). The
-    allowlist is intentionally empty; a new entry that needs a true
-    cartesian should redesign, not amend this test."""
+    sides are fine and appear as BroadcastNestedLoopJoin instead) — nor
+    to a row-at-a-time Python UDF (BatchEvalPython; every Python
+    boundary in this repo is Arrow-batched and shows up as
+    ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas instead). The
+    allowlists are intentionally empty; a new entry that needs either
+    shape should redesign, not amend this test."""
     allow: set[str] = set()
     bad = {}
     for name, fn in entry_mod.queries().items():
         if name in allow:
             continue
         plan = _plan(fn(spark, sf_dir))
-        if "CartesianProduct" in plan:
-            bad[name] = True
-    assert not bad, f"cartesian products in: {sorted(bad)}"
+        hits = [p for p in ("CartesianProduct", "BatchEvalPython") if p in plan]
+        if hits:
+            bad[name] = hits
+    assert not bad, f"forbidden plan shapes: {bad}"
