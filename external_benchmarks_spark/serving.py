@@ -41,31 +41,82 @@ class VectorServingIndex:
         emb_col: str = "embedding",
         partition_col: str = "label",
     ):
-        import pyarrow.parquet as pq
-
+        self.layout_dir = layout_dir
         self.key_col = key_col
         self.emb_col = emb_col
         self.partition_col = partition_col
         self.partitions: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        # per-partition file signature (name, size) — lets refresh()
+        # reload only the partitions a delta append / compaction touched
+        self._sigs: dict[int, tuple] = {}
         prefix = f"{partition_col}="
         for entry in sorted(os.listdir(layout_dir)):
             if not entry.startswith(prefix):
                 continue
             label = int(entry.split("=", 1)[1])
-            tbl = pq.read_table(
-                os.path.join(layout_dir, entry), columns=[key_col, emb_col]
-            )
-            ids = tbl.column(key_col).to_numpy()
-            emb = tbl.column(emb_col).combine_chunks()
-            values = emb.values.to_numpy(zero_copy_only=False)
-            n = len(tbl)
-            dim = len(values) // max(n, 1)
-            # float64 scoring matrix — same dtype promotion as the Spark
-            # fast path (score_batch_udf does astype(float64) per batch)
-            mat = values.reshape(n, dim).astype(np.float64)
-            self.partitions[label] = (np.asarray(ids), mat)
+            self._load_partition(label)
         if not self.partitions:
             raise ValueError(f"no {prefix}* directories under {layout_dir}")
+
+    def _part_dir(self, label: int) -> str:
+        return os.path.join(
+            self.layout_dir, f"{self.partition_col}={label}"
+        )
+
+    def _signature(self, label: int) -> tuple:
+        d = self._part_dir(label)
+        return tuple(
+            sorted(
+                (f, os.path.getsize(os.path.join(d, f)))
+                for f in os.listdir(d)
+                if not f.startswith(("_", "."))
+            )
+        )
+
+    def _load_partition(self, label: int) -> None:
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(
+            self._part_dir(label), columns=[self.key_col, self.emb_col]
+        )
+        ids = tbl.column(self.key_col).to_numpy()
+        emb = tbl.column(self.emb_col).combine_chunks()
+        values = emb.values.to_numpy(zero_copy_only=False)
+        n = len(tbl)
+        dim = len(values) // max(n, 1)
+        # float64 scoring matrix — same dtype promotion as the Spark
+        # fast path (score_batch_udf does astype(float64) per batch)
+        mat = values.reshape(n, dim).astype(np.float64)
+        self.partitions[label] = (np.asarray(ids), mat)
+        self._sigs[label] = self._signature(label)
+
+    def refresh(self, labels=None) -> list[int]:
+        """Incremental layout refresh: reload ONLY partitions whose
+        on-disk file set changed (delta append, compaction), plus any
+        new partitions; drop removed ones. O(dirty cells), never
+        O(layout) — the serving-side completion of
+        pipeline/index.append_to_index_layout. Pass ``labels`` to force
+        specific partitions. Returns the reloaded labels."""
+        prefix = f"{self.partition_col}="
+        on_disk = {
+            int(e.split("=", 1)[1])
+            for e in os.listdir(self.layout_dir)
+            if e.startswith(prefix)
+        }
+        for gone in set(self.partitions) - on_disk:
+            del self.partitions[gone]
+            del self._sigs[gone]
+        todo = set(labels) if labels is not None else on_disk
+        refreshed = []
+        for label in sorted(todo & on_disk):
+            if (
+                labels is None
+                and self._sigs.get(label) == self._signature(label)
+            ):
+                continue
+            self._load_partition(label)
+            refreshed.append(label)
+        return refreshed
 
     def topk(
         self,

@@ -109,3 +109,41 @@ def test_serving_tie_break_at_k_boundary(tmp_path):
     idx = VectorServingIndex(str(tmp_path / "layout"))
     got = [g[0] for g in idx.topk([1.0, 0.0], k=10, label=0)]
     assert got == sorted(ids)[:10]
+
+
+def test_serving_incremental_refresh_only_dirty_cells(spark, sf_dir, tmp_path):
+    """After a delta append to ONE partition, refresh() must reload only
+    that partition (signature-diff), and answers must match a fresh
+    index built over the full layout."""
+    from external_benchmarks_spark.pipeline.index import (
+        append_to_index_layout,
+        build_index_layout,
+    )
+
+    emb = Catalog(spark, sf_dir).embeddings
+    layout = str(tmp_path / "srv_layout")
+    build_index_layout(emb, layout, partition_col="label")
+    idx = VectorServingIndex(layout)
+    assert idx.refresh() == []  # clean layout: nothing to do
+
+    mx = emb.agg(F.max("vec_id")).collect()[0][0]
+    delta = (
+        emb.filter(F.col("label") == 3)
+        .limit(5)
+        .select(
+            (F.col("vec_id") + mx + 1).alias("vec_id"),
+            "embedding",
+            F.lit(3).alias("label"),
+        )
+    )
+    append_to_index_layout(delta, layout, partition_col="label")
+    refreshed = idx.refresh()
+    assert refreshed == [3]  # only the appended partition reloaded
+
+    fresh = VectorServingIndex(layout)
+    q = entry_mod.QVEC
+    assert idx.topk(q, k=50, label=3) == fresh.topk(q, k=50, label=3)
+    assert idx.topk(q, k=50) == fresh.topk(q, k=50)
+    # forced refresh of an untouched partition is also exact
+    assert idx.refresh(labels=[0]) == [0]
+    assert idx.topk(q, k=20, label=0) == fresh.topk(q, k=20, label=0)
