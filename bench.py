@@ -510,6 +510,33 @@ def serving_under_load(spark, sf, qps: int = 20, duration_s: int = 30):
     stop.set()
     th.join()
     lat.sort()
+    # Staleness bound, incremental form: append a 100-row delta to ONE
+    # partition and reload only the dirty cell (serving.refresh) — the
+    # O(dirty)/O(layout) split that matters once the layout outgrows a
+    # single reload. Runs against a scratch COPY so the cached shared
+    # layout stays pristine for other legs and later runs.
+    import uuid
+
+    from external_benchmarks_spark.pipeline.index import append_to_index_layout
+
+    copy_dir = os.path.join(
+        tempfile.gettempdir(), f"ebs_srv_copy_{uuid.uuid4().hex[:8]}"
+    )
+    shutil.copytree(layout, copy_dir)
+    sidx2 = VectorServingIndex(copy_dir)
+    delta = (
+        Catalog(spark, sf).embeddings.limit(100)
+        .select(
+            (F.col("vec_id") + 50_000_000).alias("vec_id"),
+            "embedding",
+            F.lit(3).alias("label"),
+        )
+    )
+    append_to_index_layout(delta, copy_dir, partition_col="label")
+    r0 = time.perf_counter()
+    dirty = sidx2.refresh()
+    incr_refresh_s = time.perf_counter() - r0
+    shutil.rmtree(copy_dir, ignore_errors=True)
     return {
         "qps": qps,
         "duration_s": duration_s,
@@ -519,6 +546,8 @@ def serving_under_load(spark, sf, qps: int = 20, duration_s: int = 30):
         "writer_batches": len(write_times),
         "write_p95_s": round(_p95(write_times), 3) if write_times else None,
         "layout_refresh_s": round(refresh_s, 3),
+        "incremental_refresh_s": round(incr_refresh_s, 3),
+        "refreshed_cells": dirty,
     }
 
 
