@@ -124,8 +124,14 @@ def compact_layout_partitions(
     Single-writer contract: like the upsert table's writer lease
     (streaming/upsert.py), compaction must not race another writer on
     the same layout — run it from the maintenance job that owns the
-    layout. Readers are safe: dynamic overwrite swaps each partition's
-    file set atomically at commit.
+    layout. Spark QUERIES against the layout are safe (they resolve the
+    file list at plan time and the commit protocol publishes complete
+    files), but an external reader that lists the directory mid-commit
+    (e.g. the serving tier) can observe a partial file set — pair
+    compaction with serving's signature-based refresh() (a changed
+    signature means reload; re-check after load when strictness
+    matters) or use the UpsertTable's versioned buckets when readers
+    need snapshot isolation.
     """
     import os
 
