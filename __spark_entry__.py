@@ -1143,21 +1143,16 @@ def q_bm25_topk(spark, sf):
     return bm25_topk(Catalog(spark, sf).documents, BM25_TERMS, k=20)
 
 
-def q_bm25_indexed(spark, sf):
-    # Same query through the INVERTED-INDEX layout (operators/tfidf.
-    # build_inverted_index): postings partitioned by term bucket, scoring
-    # reads only the query terms' buckets. Scores are bit-identical to
-    # bm25_topk (shared fixed-point math), so the same SQL oracle checks
-    # the whole build->prune->score path end to end.
-    # The build is FINGERPRINTED (pipeline/layout): first call per
-    # source version builds, every later call reuses the on-disk layout
-    # and runs a pure pruned read — no WriteFiles in steady state. The
-    # path carries the Spark application id so concurrent sessions on
-    # one host never race on the same postings directory.
+def _ensured_bm25_index(spark, sf) -> str:
+    """Session-scoped, fingerprint-amortized inverted-index path shared
+    by every lexical-retrieval entry (bm25_indexed, hybrid_rrf): first
+    call per source version builds, every later call reuses the on-disk
+    layout — no WriteFiles in steady state. The path carries the Spark
+    application id so concurrent sessions on one host never race on the
+    same postings directory."""
     import tempfile
 
     from external_benchmarks_spark.operators.tfidf import (
-        bm25_from_index,
         ensure_inverted_index,
     )
 
@@ -1168,6 +1163,18 @@ def q_bm25_indexed(spark, sf):
     ensure_inverted_index(
         c.documents, idx, [c.path("documents")], n_term_buckets=64
     )
+    return idx
+
+
+def q_bm25_indexed(spark, sf):
+    # Same query through the INVERTED-INDEX layout (operators/tfidf.
+    # build_inverted_index): postings partitioned by term bucket, scoring
+    # reads only the query terms' buckets. Scores are bit-identical to
+    # bm25_topk (shared fixed-point math), so the same SQL oracle checks
+    # the whole build->prune->score path end to end.
+    from external_benchmarks_spark.operators.tfidf import bm25_from_index
+
+    idx = _ensured_bm25_index(spark, sf)
     return bm25_from_index(spark, idx, BM25_TERMS, k=20, n_term_buckets=64)
 
 
@@ -2482,21 +2489,27 @@ def q_maxsim_topk(spark, sf):
 
 def q_hybrid_rrf(spark, sf):
     # Hybrid retrieval: reciprocal-rank fusion (operators/topk.rrf_fuse)
-    # of the BM25 lexical top-50 over documents and the dot-product
-    # dense top-50 over the embedding sidecar table, joined on the
-    # shared id space. The fusion inputs are top-m bounded, so the
-    # full-outer merge is O(m) regardless of corpus size; ranks are
-    # deterministic (score desc, id) in both engines.
+    # of the BM25 lexical top-50 and the dot-product dense top-50 over
+    # the embedding sidecar table, joined on the shared id space. The
+    # lexical side reads the SHARED fingerprint-amortized inverted index
+    # (same layout as bm25_indexed; scores bit-identical to direct BM25,
+    # so the direct-form SQL oracle still checks it); the fusion inputs
+    # are top-m bounded, so the full-outer merge is O(m) regardless of
+    # corpus size; ranks are deterministic (score desc, id) in both
+    # engines.
     from pyspark.sql.window import Window as W
 
-    from external_benchmarks_spark.operators.tfidf import bm25_topk
+    from external_benchmarks_spark.operators.tfidf import bm25_from_index
     from external_benchmarks_spark.operators.topk import (
         filtered_vector_topk,
         rrf_fuse,
     )
 
     c = Catalog(spark, sf)
-    bm = bm25_topk(c.documents, BM25_TERMS, k=50)
+    bm = bm25_from_index(
+        spark, _ensured_bm25_index(spark, sf), BM25_TERMS, k=50,
+        n_term_buckets=64,
+    )
     lex = bm.select(
         F.col("doc_id").alias("id"),
         F.row_number()
