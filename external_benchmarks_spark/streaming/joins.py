@@ -45,3 +45,41 @@ def interval_join(
         & (F.col("right_ts_out") >= F.col(left_ts) - F.expr(f"INTERVAL {horizon}"))
     )
     return l_marked.join(r_marked, cond, "inner").drop("_r_key")
+
+
+def interval_join_outer(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    horizon: str = "1 hour",
+    left_watermark: str = "30 minutes",
+    right_watermark: str = "30 minutes",
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: like interval_join, but
+    left rows with no partner in the horizon are EMITTED with nulls once
+    the watermark proves no partner can still arrive (right watermark
+    past left_ts; Spark then evicts and null-pads).
+
+    Flush semantics to know at 100 TB: unmatched rows surface only when
+    the watermark ADVANCES PAST them — which happens between
+    micro-batches. On a bounded replay (availableNow) the tail of the
+    stream never sees a later batch, so unmatched rows near the end stay
+    buffered unless a later event (or a sentinel heartbeat, the pattern
+    used in tests/test_stream_join.py) advances the watermark. On a live
+    stream this is the normal steady state: results lag by watermark +
+    horizon, exactly the staleness the eviction bound buys.
+    """
+    l_marked = left.withWatermark(left_ts, left_watermark)
+    r_marked = (
+        right.withColumnRenamed(right_ts, "right_ts_out")
+        .withColumnRenamed(on, "_r_key")
+        .withWatermark("right_ts_out", right_watermark)
+    )
+    cond = (
+        (F.col(on) == F.col("_r_key"))
+        & (F.col("right_ts_out") <= F.col(left_ts))
+        & (F.col("right_ts_out") >= F.col(left_ts) - F.expr(f"INTERVAL {horizon}"))
+    )
+    return l_marked.join(r_marked, cond, "left_outer").drop("_r_key")
