@@ -392,3 +392,17 @@ def test_mmr_k_zero_and_string_keys(spark):
     assert mmr_topk(df, [1.0, 0.0], k=0, m=5, key_col="doc_key").count() == 0
     got = mmr_topk(df, [1.0, 0.0], k=2, m=5, key_col="doc_key").collect()
     assert [r["doc_key"] for r in sorted(got, key=lambda r: r["mmr_rank"])] == ["a", "b"]
+
+
+def test_mmr_fast_path_matches_fold_selection(spark, sf_dir):
+    """The numpy fast path must pick the same documents in the same
+    order as the oracle-parity fold form."""
+    from external_benchmarks_spark.operators.similarity import mmr_topk
+
+    import __spark_entry__ as em
+
+    emb = Catalog(spark, sf_dir).embeddings
+    a = mmr_topk(emb, em.QVEC, k=10, m=50).collect()
+    b = mmr_topk(emb, em.QVEC, k=10, m=50, use_arrow_fast_path=True).collect()
+    key = lambda rows: [(r["mmr_rank"], r["vec_id"]) for r in rows]
+    assert key(a) == key(b)
