@@ -665,6 +665,15 @@ def dim2688_leg(spark, sf, dim: int = 2688):
             emb_c, qtoks, k=100, n_chunks=8, use_arrow_fast_path=True
         ).count()
         out["maxsim_s"] = round(time.perf_counter() - t0, 3)
+        # 7) MMR diversified re-rank at full width (numpy fast path for
+        #    the m x m pair-sim matrix; the distributed top-m feeds it)
+        from external_benchmarks_spark.operators.similarity import mmr_topk
+
+        t0 = time.perf_counter()
+        mmr_topk(
+            emb_c, qvec, k=10, m=50, use_arrow_fast_path=True
+        ).count()
+        out["mmr_s"] = round(time.perf_counter() - t0, 3)
     finally:
         emb_c.unpersist()
     return out

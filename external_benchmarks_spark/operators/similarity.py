@@ -894,11 +894,21 @@ def mmr_topk(
         cosine_similarity_literal,
     )
 
+    if use_arrow_fast_path:
+        # HOF cosine unrolls one expression term per dimension and
+        # overflows the JVM analyzer beyond ~1k dims (the
+        # lsh_bucketed_topk caveat); the Arrow scorer is one BLAS
+        # matvec per batch at any width.
+        from external_benchmarks_spark.functions.vector import score_batch_udf
+
+        rel_col = score_batch_udf(qvec, normalize=True)(F.col(emb_col))
+    else:
+        rel_col = cosine_similarity_literal(emb_col, qvec)
     cand = (
         df.select(
             F.col(key_col),
             F.col(emb_col).cast("array<double>").alias("e"),
-            cosine_similarity_literal(emb_col, qvec).alias("rel"),
+            rel_col.alias("rel"),
         )
         .orderBy(F.desc("rel"), F.asc(key_col))
         .limit(m)
