@@ -103,3 +103,34 @@ def test_sketch_funnel_on_empty(spark):
     # funnel is a global agg: one row of zero counts with NULL shares
     row = event_funnel(empty_events).collect()[0]
     assert row["stage0_users"] in (0, None)
+
+
+def test_retrieval_ops_on_empty_inputs(spark):
+    """round-5 retrieval family: empty corpora/rank lists produce empty
+    results with the right schemas, never errors."""
+    from external_benchmarks_spark.operators.similarity import (
+        maxsim_topk,
+        mmr_topk,
+    )
+    from external_benchmarks_spark.operators.topk import rrf_fuse
+
+    import __spark_entry__ as em
+
+    empty_emb = Catalog(spark, SF_DIR).embeddings.limit(0)
+    assert maxsim_topk(empty_emb, em.MAXSIM_QTOKENS, k=5).count() == 0
+    assert (
+        maxsim_topk(
+            empty_emb, em.MAXSIM_QTOKENS, k=5, use_arrow_fast_path=True
+        ).count()
+        == 0
+    )
+    out = mmr_topk(empty_emb, em.QVEC, k=5, m=10)
+    assert out.count() == 0
+    assert out.columns == ["mmr_rank", "vec_id", "mmr_score"]
+
+    ea = spark.createDataFrame([], "id bigint, rank_a int")
+    eb = spark.createDataFrame([], "id bigint, rank_b int")
+    assert rrf_fuse(ea, eb, key_col="id").count() == 0
+    one = spark.createDataFrame([(7, 1)], "id bigint, rank_a int")
+    got = rrf_fuse(one, eb, key_col="id").collect()
+    assert [(r["id"], r["rrf"]) for r in got] == [(7, 1.0 / 61)]
