@@ -2531,6 +2531,21 @@ def q_hybrid_rrf(spark, sf):
     )
 
 
+BM25_BATCH = {0: ["spark", "hash"], 1: ["merge", "window"], 2: ["spark", "window"]}
+
+
+def q_bm25_batch(spark, sf):
+    # Batch-of-queries BM25 (operators/tfidf.bm25_batch): all three
+    # queries scored in ONE corpus pass — union-of-terms filter before
+    # the tf aggregation, broadcast (query, term) table, per-query
+    # row_number ranking. Scores are bit-identical to running each
+    # query alone (same fixed-point math), which the oracle replays
+    # with a VALUES join.
+    from external_benchmarks_spark.operators.tfidf import bm25_batch
+
+    return bm25_batch(Catalog(spark, sf).documents, BM25_BATCH, k=10)
+
+
 def q_mmr_topk(spark, sf):
     # MMR diversified top-k (operators/similarity.mmr_topk): distributed
     # top-50 by cosine relevance, then the inherently-sequential greedy
@@ -2870,6 +2885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maxsim_topk": q_maxsim_topk,
         "hybrid_rrf": q_hybrid_rrf,
         "mmr_topk": q_mmr_topk,
+        "bm25_batch": q_bm25_batch,
         "event_transitions_ranged": q_event_transitions_ranged,
         # --- stalest: last verified r1 -----------------------------------
         "date_parts": q_date_parts,
@@ -5021,6 +5037,50 @@ def oracle_sql() -> dict[str, str]:
                CAST({maxsim_terms} AS DOUBLE) / 1000000.0 AS maxsim
         FROM tok
         ORDER BY maxsim DESC, vec_id LIMIT 20
+    """
+    qt_values = ", ".join(
+        f"({qid}, '{t.lower()}')"
+        for qid, terms in sorted(BM25_BATCH.items())
+        for t in sorted(set(x.lower() for x in terms))
+    )
+    oracles["bm25_batch"] = f"""
+        WITH base AS (SELECT doc_id, {DUCK_TOKS} AS toks
+                      FROM documents WHERE text IS NOT NULL),
+        dl AS (SELECT doc_id, len(toks) AS dl FROM base),
+        stats AS (SELECT COUNT(*) AS n,
+                         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+                  FROM dl),
+        qt(query_id, term) AS (VALUES {qt_values}),
+        toks AS (SELECT doc_id, unnest(toks) AS term FROM base),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+               WHERE term IN (SELECT DISTINCT term FROM qt)
+               GROUP BY doc_id, term),
+        dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        contrib AS (
+          SELECT qt.query_id, tf.doc_id,
+                 CAST(ROUND(
+                   ln((CAST(stats.n AS DOUBLE) - dfreq.df + 0.5)
+                      / (dfreq.df + 0.5) + 1.0)
+                   * (tf.tf * (1.2 + 1.0))
+                   / (tf.tf + 1.2 * (1.0 - 0.75
+                                     + 0.75 * dl.dl / stats.avgdl))
+                   * 1000000.0) AS BIGINT) AS fp
+          FROM tf JOIN dfreq USING (term)
+                  JOIN qt USING (term)
+                  JOIN dl ON tf.doc_id = dl.doc_id, stats),
+        per_doc AS (
+          SELECT query_id, doc_id,
+                 CAST(SUM(fp) AS DOUBLE) / 1000000.0 AS bm25
+          FROM contrib GROUP BY query_id, doc_id),
+        ranked AS (
+          SELECT query_id, doc_id, bm25,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY bm25 DESC, doc_id) AS rank
+          FROM per_doc)
+        SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, bm25,
+               CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= 10
+        ORDER BY query_id, rank
     """
     # MMR: the recursive CTE replays the driver-side greedy exactly —
     # same candidate top-50 (identical rel doubles), same normalized

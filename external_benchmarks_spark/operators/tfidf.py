@@ -408,3 +408,84 @@ def bm25_from_index(
         .orderBy(F.desc("bm25"), F.asc(key_col))
         .limit(k)
     )
+
+
+def bm25_batch(
+    df: DataFrame,
+    queries: dict[int, list[str]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    key_col: str = "doc_id",
+    content_col: str = "text",
+) -> DataFrame:
+    """Batch-of-queries BM25: score EVERY query in ONE corpus pass — the
+    serving-throughput shape (amortize the scan over Q queries, the text
+    twin of operators/topk.per_query_topk).
+
+    The union of query terms filters the token stream BEFORE the tf
+    aggregation (only matching occurrences shuffle); the (query, term)
+    table is a broadcast of a few dozen rows; per-(query, doc)
+    contributions use the same 1e-6 fixed point as bm25_topk, so every
+    score is bit-identical to running that query alone — and to the SQL
+    oracle. Ranking is a per-query row_number window over the
+    match-bounded scored set, never the corpus.
+    """
+    base = df.filter(F.col(content_col).isNotNull())
+    dl = base.select(
+        F.col(key_col), F.size(tokens(F.col(content_col))).alias("dl")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("total")
+    ).collect()[0]
+    n_docs = int(stats["n"])
+    if n_docs == 0:
+        return df.sparkSession.createDataFrame(
+            [], f"query_id bigint, {key_col} bigint, bm25 double, rank bigint"
+        )
+    avgdl = float(stats["total"]) / n_docs
+    qt_rows = sorted(
+        {
+            (int(qid), t.lower())
+            for qid, terms in queries.items()
+            for t in terms
+        }
+    )
+    qt = df.sparkSession.createDataFrame(
+        qt_rows, "query_id bigint, term string"
+    )
+    all_terms = sorted({t for _, t in qt_rows})
+    toks = base.select(
+        F.col(key_col), F.explode(tokens(F.col(content_col))).alias("term")
+    ).filter(F.col("term").isin(all_terms))
+    tf = toks.groupBy(key_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(qt), "term")
+        .join(dl, key_col)
+    )
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))
+    contrib = idf * (F.col("tf") * (k1 + 1.0)) / denom
+    fp = F.round(contrib * 1_000_000.0, 0).cast("bigint")
+    per_doc = (
+        scored.select("query_id", F.col(key_col), fp.alias("fp"))
+        .groupBy("query_id", key_col)
+        .agg(F.sum("fp").alias("score_fp"))
+        .select(
+            "query_id",
+            key_col,
+            (F.col("score_fp").cast("double") / 1_000_000.0).alias("bm25"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("bm25"), F.asc(key_col)
+    )
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", key_col, "bm25", "rank")
+    )

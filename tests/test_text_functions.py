@@ -131,3 +131,23 @@ def test_map_in_arrow_token_count_equals_catalyst(spark, sf_dir):
         ).collect()
     }
     assert arrow == catalyst
+
+
+def test_bm25_batch_matches_individual_queries(spark, sf_dir):
+    """Each query's batch scores must be bit-identical to running that
+    query alone through bm25_topk."""
+    from external_benchmarks_spark.catalog import Catalog
+    from external_benchmarks_spark.operators.tfidf import bm25_batch, bm25_topk
+
+    docs = Catalog(spark, sf_dir).documents
+    batch = {0: ["spark", "hash"], 1: ["merge", "window"]}
+    got = bm25_batch(docs, batch, k=15).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["bm25"]))
+    for qid, terms in batch.items():
+        solo = [
+            (r["doc_id"], r["bm25"])
+            for r in bm25_topk(docs, terms, k=15).collect()
+        ]
+        assert sorted(by_q[qid], key=lambda t: (-t[1], t[0])) == solo, qid
