@@ -2546,6 +2546,34 @@ def q_bm25_batch(spark, sf):
     return bm25_batch(Catalog(spark, sf).documents, BM25_BATCH, k=10)
 
 
+def q_hybrid_rrf_batch(spark, sf):
+    # Per-query hybrid retrieval: bm25_batch's lexical rankings fused
+    # with per_query_topk's dense rankings (queries = embeddings
+    # 0/1/2 as query vectors, the multi_query_topk device) via
+    # rrf_fuse_per_query — Q queries end to end in two corpus passes
+    # plus an O(Q*m) merge.
+    from external_benchmarks_spark.operators.tfidf import bm25_batch
+    from external_benchmarks_spark.operators.topk import rrf_fuse_per_query
+
+    c = Catalog(spark, sf)
+    lex = bm25_batch(c.documents, BM25_BATCH, k=50).select(
+        "query_id", F.col("doc_id").alias("id"),
+        F.col("rank").alias("rank_lex"),
+    )
+    e = c.embeddings
+    queries = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    dense = per_query_topk(e, queries, k=50, item_key="vec_id").select(
+        "query_id", F.col("vec_id").alias("id"),
+        F.col("rank").cast("bigint").alias("rank_vec"),
+    )
+    return rrf_fuse_per_query(
+        lex, dense, query_col="query_id", key_col="id",
+        rank_a_col="rank_lex", rank_b_col="rank_vec", k=10,
+    )
+
+
 def q_mmr_topk(spark, sf):
     # MMR diversified top-k (operators/similarity.mmr_topk): distributed
     # top-50 by cosine relevance, then the inherently-sequential greedy
@@ -2855,15 +2883,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order is a correctness-evidence budget: the driver checks a
     # window of entries in dict order each round, so never-checked entries
     # go first, then the STALEST driver-green entries. Round-5 window
-    # (50): the 20 never-checked round-5 entries (4 correlated-subquery
-    # shapes + the 12 TPC-H completions + maxsim/hybrid-RRF/MMR
-    # retrieval + the ranged transitions), the 19 r1-verified tail
-    # (3 rounds stale), then 11 of the r2-verified block. The 6 r2
-    # entries pushed past the window (range_join_agg, lsh/ivf_ann_topk,
-    # embed_inference, decontaminate, mixture_sample) rotate first in
-    # r6; every entry passes the local mirror
-    # (tests/test_oracle_queries.py) either way, so rotation costs
-    # nothing.
+    # (50): the 22 never-checked round-5 entries (4 correlated-subquery
+    # shapes + the 12 TPC-H completions + maxsim / hybrid-RRF / MMR /
+    # bm25_batch / batched-hybrid retrieval + the ranged transitions),
+    # the 19 r1-verified tail (3 rounds stale), then 9 of the
+    # r2-verified block. The 8 r2 entries pushed past the window
+    # (asof_join_generic, range_join_agg, lsh/ivf_ann_topk,
+    # embed_inference, decontaminate, mixture_sample, sessionize-tail)
+    # rotate first in r6; every entry passes the local mirror
+    # (tests/test_oracle_queries.py) either way — and this session the
+    # ENTIRE mirror was additionally verified at sf0.1 — so rotation
+    # costs nothing.
     return {
         # --- new in round 5: never driver-checked -----------------------
         "tpch_q4": q_tpch_q4,
@@ -2886,6 +2916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf": q_hybrid_rrf,
         "mmr_topk": q_mmr_topk,
         "bm25_batch": q_bm25_batch,
+        "hybrid_rrf_batch": q_hybrid_rrf_batch,
         "event_transitions_ranged": q_event_transitions_ranged,
         # --- stalest: last verified r1 -----------------------------------
         "date_parts": q_date_parts,
@@ -5081,6 +5112,68 @@ def oracle_sql() -> dict[str, str]:
                CAST(rank AS BIGINT) AS rank
         FROM ranked WHERE rank <= 10
         ORDER BY query_id, rank
+    """
+    oracles["hybrid_rrf_batch"] = f"""
+        WITH base AS (SELECT doc_id, {DUCK_TOKS} AS toks
+                      FROM documents WHERE text IS NOT NULL),
+        dl AS (SELECT doc_id, len(toks) AS dl FROM base),
+        stats AS (SELECT COUNT(*) AS n,
+                         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+                  FROM dl),
+        qt(query_id, term) AS (VALUES {qt_values}),
+        toks AS (SELECT doc_id, unnest(toks) AS term FROM base),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+               WHERE term IN (SELECT DISTINCT term FROM qt)
+               GROUP BY doc_id, term),
+        dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        contrib AS (
+          SELECT qt.query_id, tf.doc_id,
+                 CAST(ROUND(
+                   ln((CAST(stats.n AS DOUBLE) - dfreq.df + 0.5)
+                      / (dfreq.df + 0.5) + 1.0)
+                   * (tf.tf * (1.2 + 1.0))
+                   / (tf.tf + 1.2 * (1.0 - 0.75
+                                     + 0.75 * dl.dl / stats.avgdl))
+                   * 1000000.0) AS BIGINT) AS fp
+          FROM tf JOIN dfreq USING (term)
+                  JOIN qt USING (term)
+                  JOIN dl ON tf.doc_id = dl.doc_id, stats),
+        per_doc AS (
+          SELECT query_id, doc_id,
+                 CAST(SUM(fp) AS DOUBLE) / 1000000.0 AS bm25
+          FROM contrib GROUP BY query_id, doc_id),
+        lex AS (
+          SELECT query_id, doc_id AS id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY bm25 DESC, doc_id) AS rank_lex
+          FROM per_doc
+          QUALIFY rank_lex <= 50),
+        qv AS (SELECT vec_id AS query_id, {EMB_DBL} AS qv
+               FROM embeddings WHERE vec_id < 3),
+        ds AS (SELECT qv.query_id, e.vec_id,
+                      list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                       qv.qv) AS score
+               FROM embeddings e CROSS JOIN qv),
+        dense AS (
+          SELECT query_id, vec_id AS id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY score DESC, vec_id) AS rank_vec
+          FROM ds
+          QUALIFY rank_vec <= 50),
+        fused AS (
+          SELECT COALESCE(lex.query_id, dense.query_id) AS query_id,
+                 COALESCE(lex.id, dense.id) AS id,
+                 COALESCE(1.0 / (60 + rank_lex), 0.0)
+                 + COALESCE(1.0 / (60 + rank_vec), 0.0) AS rrf
+          FROM lex FULL OUTER JOIN dense
+            ON lex.query_id = dense.query_id AND lex.id = dense.id)
+        SELECT query_id, id, rrf,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY rrf DESC, id) AS BIGINT)
+                 AS fused_rank
+        FROM fused
+        QUALIFY fused_rank <= 10
+        ORDER BY query_id, fused_rank
     """
     # MMR: the recursive CTE replays the driver-side greedy exactly —
     # same candidate top-50 (identical rel doubles), same normalized

@@ -209,3 +209,45 @@ def rrf_fuse(
         .orderBy(F.desc("rrf"), F.asc(key_col))
         .limit(k)
     )
+
+def rrf_fuse_per_query(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    query_col: str = "query_id",
+    key_col: str = "id",
+    rank_a_col: str = "rank_a",
+    rank_b_col: str = "rank_b",
+    k: int = 20,
+    c: int = 60,
+) -> DataFrame:
+    """Per-query reciprocal-rank fusion: rrf_fuse generalized to a BATCH
+    of queries (the serving shape — fuse bm25_batch's lexical rankings
+    with per_query_topk's dense rankings in one pass). The full-outer
+    merge joins on (query, key); both inputs are top-m-per-query
+    bounded, so the join is O(Q * m); ranking is a per-query
+    row_number window over that bounded set.
+    """
+    from pyspark.sql.window import Window
+
+    a = ranked_a.select(query_col, key_col, rank_a_col)
+    b = ranked_b.select(query_col, key_col, rank_b_col)
+    j = a.join(b, [query_col, key_col], "full_outer")
+    contrib_a = F.coalesce(
+        F.lit(1.0) / (F.lit(c) + F.col(rank_a_col)), F.lit(0.0)
+    )
+    contrib_b = F.coalesce(
+        F.lit(1.0) / (F.lit(c) + F.col(rank_b_col)), F.lit(0.0)
+    )
+    w = Window.partitionBy(query_col).orderBy(
+        F.desc("rrf"), F.asc(key_col)
+    )
+    return (
+        j.select(
+            F.col(query_col),
+            F.col(key_col),
+            (contrib_a + contrib_b).alias("rrf"),
+        )
+        .withColumn("fused_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("fused_rank") <= k)
+        .select(query_col, key_col, "rrf", "fused_rank")
+    )
