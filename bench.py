@@ -793,6 +793,8 @@ def headline_queries():
         # Hybrid + late-interaction retrieval (r5)
         "hybrid_rrf": q["hybrid_rrf"],
         "maxsim_topk": q["maxsim_topk"],
+        "bm25_batch": q["bm25_batch"],
+        "hybrid_rrf_batch": q["hybrid_rrf_batch"],
         # Training-data pipeline surface
         "exact_dedup": q["exact_dedup"],
         "minhash_signature": q["minhash_signature"],
