@@ -5074,8 +5074,10 @@ def oracle_sql() -> dict[str, str]:
         for qid, terms in sorted(BM25_BATCH.items())
         for t in sorted(set(x.lower() for x in terms))
     )
-    oracles["bm25_batch"] = f"""
-        WITH base AS (SELECT doc_id, {DUCK_TOKS} AS toks
+    # ONE copy of the batch-BM25 CTE chain (base..per_doc): both the
+    # bm25_batch and hybrid_rrf_batch oracles interpolate it, so the
+    # lexical arithmetic cannot drift between them.
+    bm25_batch_cte = f"""WITH base AS (SELECT doc_id, {DUCK_TOKS} AS toks
                       FROM documents WHERE text IS NOT NULL),
         dl AS (SELECT doc_id, len(toks) AS dl FROM base),
         stats AS (SELECT COUNT(*) AS n,
@@ -5102,7 +5104,9 @@ def oracle_sql() -> dict[str, str]:
         per_doc AS (
           SELECT query_id, doc_id,
                  CAST(SUM(fp) AS DOUBLE) / 1000000.0 AS bm25
-          FROM contrib GROUP BY query_id, doc_id),
+          FROM contrib GROUP BY query_id, doc_id)"""
+    oracles["bm25_batch"] = f"""
+        {bm25_batch_cte},
         ranked AS (
           SELECT query_id, doc_id, bm25,
                  ROW_NUMBER() OVER (PARTITION BY query_id
@@ -5114,34 +5118,7 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY query_id, rank
     """
     oracles["hybrid_rrf_batch"] = f"""
-        WITH base AS (SELECT doc_id, {DUCK_TOKS} AS toks
-                      FROM documents WHERE text IS NOT NULL),
-        dl AS (SELECT doc_id, len(toks) AS dl FROM base),
-        stats AS (SELECT COUNT(*) AS n,
-                         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
-                  FROM dl),
-        qt(query_id, term) AS (VALUES {qt_values}),
-        toks AS (SELECT doc_id, unnest(toks) AS term FROM base),
-        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
-               WHERE term IN (SELECT DISTINCT term FROM qt)
-               GROUP BY doc_id, term),
-        dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
-        contrib AS (
-          SELECT qt.query_id, tf.doc_id,
-                 CAST(ROUND(
-                   ln((CAST(stats.n AS DOUBLE) - dfreq.df + 0.5)
-                      / (dfreq.df + 0.5) + 1.0)
-                   * (tf.tf * (1.2 + 1.0))
-                   / (tf.tf + 1.2 * (1.0 - 0.75
-                                     + 0.75 * dl.dl / stats.avgdl))
-                   * 1000000.0) AS BIGINT) AS fp
-          FROM tf JOIN dfreq USING (term)
-                  JOIN qt USING (term)
-                  JOIN dl ON tf.doc_id = dl.doc_id, stats),
-        per_doc AS (
-          SELECT query_id, doc_id,
-                 CAST(SUM(fp) AS DOUBLE) / 1000000.0 AS bm25
-          FROM contrib GROUP BY query_id, doc_id),
+        {bm25_batch_cte},
         lex AS (
           SELECT query_id, doc_id AS id,
                  ROW_NUMBER() OVER (PARTITION BY query_id

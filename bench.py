@@ -523,20 +523,22 @@ def serving_under_load(spark, sf, qps: int = 20, duration_s: int = 30):
         tempfile.gettempdir(), f"ebs_srv_copy_{uuid.uuid4().hex[:8]}"
     )
     shutil.copytree(layout, copy_dir)
-    sidx2 = VectorServingIndex(copy_dir)
-    delta = (
-        Catalog(spark, sf).embeddings.limit(100)
-        .select(
-            (F.col("vec_id") + 50_000_000).alias("vec_id"),
-            "embedding",
-            F.lit(3).alias("label"),
+    try:
+        sidx2 = VectorServingIndex(copy_dir)
+        delta = (
+            Catalog(spark, sf).embeddings.limit(100)
+            .select(
+                (F.col("vec_id") + 50_000_000).alias("vec_id"),
+                "embedding",
+                F.lit(3).alias("label"),
+            )
         )
-    )
-    append_to_index_layout(delta, copy_dir, partition_col="label")
-    r0 = time.perf_counter()
-    dirty = sidx2.refresh()
-    incr_refresh_s = time.perf_counter() - r0
-    shutil.rmtree(copy_dir, ignore_errors=True)
+        append_to_index_layout(delta, copy_dir, partition_col="label")
+        r0 = time.perf_counter()
+        dirty = sidx2.refresh()
+        incr_refresh_s = time.perf_counter() - r0
+    finally:
+        shutil.rmtree(copy_dir, ignore_errors=True)
     return {
         "qps": qps,
         "duration_s": duration_s,

@@ -63,6 +63,20 @@ def tfidf_top_terms(
     )
 
 
+def bm25_contrib_fp(n_docs: int, avgdl: float, k1: float, b: float):
+    """The ONE copy of the per-(doc, term) BM25 fixed-point contribution
+    (Lucene idf variant, 1e-6 fixed point): every scorer — direct,
+    indexed, batch — builds its score from this expression over columns
+    (tf, df, dl), which is what keeps their results (and the shared SQL
+    oracles) bit-identical."""
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))
+    contrib = idf * (F.col("tf") * (k1 + 1.0)) / denom
+    return F.round(contrib * 1_000_000.0, 0).cast("bigint")
+
+
 def bm25_topk(
     df: DataFrame,
     query_terms: list[str],
@@ -105,12 +119,7 @@ def bm25_topk(
     # (AQE picks the strategy; the tf side is already filtered to docs
     # containing query terms, so the shuffle is match-bounded).
     scored = tf.join(F.broadcast(dfreq), "term").join(dl, key_col)
-    idf = F.log(
-        (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
-    )
-    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))
-    contrib = idf * (F.col("tf") * (k1 + 1.0)) / denom
-    fp = F.round(contrib * 1_000_000.0, 0).cast("bigint")
+    fp = bm25_contrib_fp(n_docs, avgdl, k1, b)
     return (
         scored.select(F.col(key_col), fp.alias("fp"))
         .groupBy(key_col)
@@ -391,12 +400,7 @@ def bm25_from_index(
         .where(F.col("term").isin(terms))
         .join(F.broadcast(dfreq), "term")
     )
-    idf = F.log(
-        (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
-    )
-    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))
-    contrib = idf * (F.col("tf") * (k1 + 1.0)) / denom
-    fp = F.round(contrib * 1_000_000.0, 0).cast("bigint")
+    fp = bm25_contrib_fp(n_docs, avgdl, k1, b)
     return (
         p.select(F.col(key_col), fp.alias("fp"))
         .groupBy(key_col)
@@ -465,12 +469,7 @@ def bm25_batch(
         .join(F.broadcast(qt), "term")
         .join(dl, key_col)
     )
-    idf = F.log(
-        (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
-    )
-    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))
-    contrib = idf * (F.col("tf") * (k1 + 1.0)) / denom
-    fp = F.round(contrib * 1_000_000.0, 0).cast("bigint")
+    fp = bm25_contrib_fp(n_docs, avgdl, k1, b)
     per_doc = (
         scored.select("query_id", F.col(key_col), fp.alias("fp"))
         .groupBy("query_id", key_col)

@@ -171,6 +171,12 @@ def recall_at_k(approx: DataFrame, exact: DataFrame, query_key: str, item_key: s
         query_key, (F.col("hits") / F.col("total")).alias("recall")
     )
 
+def _rrf_contrib(rank_col: str, c: int):
+    """The one copy of the RRF contribution: 1/(c + rank), 0 when the
+    item is absent from that list."""
+    return F.coalesce(F.lit(1.0) / (F.lit(c) + F.col(rank_col)), F.lit(0.0))
+
+
 def rrf_fuse(
     ranked_a: DataFrame,
     ranked_b: DataFrame,
@@ -195,16 +201,10 @@ def rrf_fuse(
     a = ranked_a.select(F.col(key_col), F.col(rank_a_col))
     b = ranked_b.select(F.col(key_col), F.col(rank_b_col))
     j = a.join(b, key_col, "full_outer")
-    contrib_a = F.coalesce(
-        F.lit(1.0) / (F.lit(c) + F.col(rank_a_col)), F.lit(0.0)
-    )
-    contrib_b = F.coalesce(
-        F.lit(1.0) / (F.lit(c) + F.col(rank_b_col)), F.lit(0.0)
-    )
     return (
         j.select(
             F.col(key_col),
-            (contrib_a + contrib_b).alias("rrf"),
+            (_rrf_contrib(rank_a_col, c) + _rrf_contrib(rank_b_col, c)).alias("rrf"),
         )
         .orderBy(F.desc("rrf"), F.asc(key_col))
         .limit(k)
@@ -232,12 +232,6 @@ def rrf_fuse_per_query(
     a = ranked_a.select(query_col, key_col, rank_a_col)
     b = ranked_b.select(query_col, key_col, rank_b_col)
     j = a.join(b, [query_col, key_col], "full_outer")
-    contrib_a = F.coalesce(
-        F.lit(1.0) / (F.lit(c) + F.col(rank_a_col)), F.lit(0.0)
-    )
-    contrib_b = F.coalesce(
-        F.lit(1.0) / (F.lit(c) + F.col(rank_b_col)), F.lit(0.0)
-    )
     w = Window.partitionBy(query_col).orderBy(
         F.desc("rrf"), F.asc(key_col)
     )
@@ -245,7 +239,7 @@ def rrf_fuse_per_query(
         j.select(
             F.col(query_col),
             F.col(key_col),
-            (contrib_a + contrib_b).alias("rrf"),
+            (_rrf_contrib(rank_a_col, c) + _rrf_contrib(rank_b_col, c)).alias("rrf"),
         )
         .withColumn("fused_rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("fused_rank") <= k)

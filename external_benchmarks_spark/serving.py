@@ -76,6 +76,12 @@ class VectorServingIndex:
     def _load_partition(self, label: int) -> None:
         import pyarrow.parquet as pq
 
+        # Signature BEFORE the read: if a writer appends between the
+        # snapshot and the read, the stored signature is stale and the
+        # next refresh() reloads — at worst one redundant reload, never
+        # a permanently missed update (the TOCTOU otherwise possible
+        # under a concurrent appender).
+        sig = self._signature(label)
         tbl = pq.read_table(
             self._part_dir(label), columns=[self.key_col, self.emb_col]
         )
@@ -88,7 +94,7 @@ class VectorServingIndex:
         # fast path (score_batch_udf does astype(float64) per batch)
         mat = values.reshape(n, dim).astype(np.float64)
         self.partitions[label] = (np.asarray(ids), mat)
-        self._sigs[label] = self._signature(label)
+        self._sigs[label] = sig
 
     def refresh(self, labels=None) -> list[int]:
         """Incremental layout refresh: reload ONLY partitions whose

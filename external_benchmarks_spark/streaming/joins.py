@@ -33,6 +33,26 @@ def interval_join(
     the horizon are dropped (use the batch operators/rangejoin for outer
     semantics on bounded data).
     """
+    return _interval_join(
+        left, right, on, left_ts, right_ts, horizon,
+        left_watermark, right_watermark, how="inner",
+    )
+
+
+def _interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    horizon: str,
+    left_watermark: str,
+    right_watermark: str,
+    how: str,
+) -> DataFrame:
+    """Shared builder: watermarks, right-side renames, and the interval
+    condition live in ONE place so the inner and outer variants cannot
+    drift."""
     l_marked = left.withWatermark(left_ts, left_watermark)
     r_marked = (
         right.withColumnRenamed(right_ts, "right_ts_out")
@@ -44,7 +64,7 @@ def interval_join(
         & (F.col("right_ts_out") <= F.col(left_ts))
         & (F.col("right_ts_out") >= F.col(left_ts) - F.expr(f"INTERVAL {horizon}"))
     )
-    return l_marked.join(r_marked, cond, "inner").drop("_r_key")
+    return l_marked.join(r_marked, cond, how).drop("_r_key")
 
 
 def interval_join_outer(
@@ -71,15 +91,7 @@ def interval_join_outer(
     stream this is the normal steady state: results lag by watermark +
     horizon, exactly the staleness the eviction bound buys.
     """
-    l_marked = left.withWatermark(left_ts, left_watermark)
-    r_marked = (
-        right.withColumnRenamed(right_ts, "right_ts_out")
-        .withColumnRenamed(on, "_r_key")
-        .withWatermark("right_ts_out", right_watermark)
+    return _interval_join(
+        left, right, on, left_ts, right_ts, horizon,
+        left_watermark, right_watermark, how="left_outer",
     )
-    cond = (
-        (F.col(on) == F.col("_r_key"))
-        & (F.col("right_ts_out") <= F.col(left_ts))
-        & (F.col("right_ts_out") >= F.col(left_ts) - F.expr(f"INTERVAL {horizon}"))
-    )
-    return l_marked.join(r_marked, cond, "left_outer").drop("_r_key")
