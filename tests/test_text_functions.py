@@ -151,3 +151,34 @@ def test_bm25_batch_matches_individual_queries(spark, sf_dir):
             for r in bm25_topk(docs, terms, k=15).collect()
         ]
         assert sorted(by_q[qid], key=lambda t: (-t[1], t[0])) == solo, qid
+
+
+def test_bm25_three_scorers_bit_identical(spark, sf_dir, tmp_path):
+    """Direct, indexed, and batch BM25 must produce bit-identical
+    (doc, score) sets for the same query — the contract the shared
+    bm25_contrib_fp helper exists to keep."""
+    from external_benchmarks_spark.catalog import Catalog
+    from external_benchmarks_spark.operators.tfidf import (
+        bm25_batch,
+        bm25_from_index,
+        bm25_topk,
+        build_inverted_index,
+    )
+
+    docs = Catalog(spark, sf_dir).documents
+    terms = ["spark", "window"]
+    direct = [(r["doc_id"], r["bm25"]) for r in bm25_topk(docs, terms, k=25).collect()]
+    idx = str(tmp_path / "idx3")
+    build_inverted_index(docs, idx, n_term_buckets=16)
+    indexed = [
+        (r["doc_id"], r["bm25"])
+        for r in bm25_from_index(spark, idx, terms, k=25, n_term_buckets=16).collect()
+    ]
+    batch = sorted(
+        (
+            (r["doc_id"], r["bm25"])
+            for r in bm25_batch(docs, {0: terms}, k=25).collect()
+        ),
+        key=lambda t: (-t[1], t[0]),
+    )
+    assert direct == indexed == batch
