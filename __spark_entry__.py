@@ -2574,6 +2574,33 @@ def q_hybrid_rrf_batch(spark, sf):
     )
 
 
+def q_hybrid_score_fuse(spark, sf):
+    # Score-based hybrid fusion (operators/topk.score_fuse): min-max
+    # normalized convex combination (alpha=0.6) of the BM25 lexical
+    # top-50 (via the shared inverted index; scores bit-identical to
+    # direct BM25) and the dense dot top-50 — the other standard hybrid
+    # merge next to rank-based RRF. Normalization stats are per-list
+    # 2-value aggregates; the fused score goes through 1e-6 fixed point.
+    from external_benchmarks_spark.operators.tfidf import bm25_from_index
+    from external_benchmarks_spark.operators.topk import (
+        filtered_vector_topk,
+        score_fuse,
+    )
+
+    c = Catalog(spark, sf)
+    lex = bm25_from_index(
+        spark, _ensured_bm25_index(spark, sf), BM25_TERMS, k=50,
+        n_term_buckets=64,
+    ).select(F.col("doc_id").alias("id"), F.col("bm25").alias("score_lex"))
+    dense = filtered_vector_topk(
+        c.embeddings, QVEC, None, k=50, use_arrow_fast_path=False
+    ).select(F.col("vec_id").alias("id"), F.col("score").alias("score_vec"))
+    return score_fuse(
+        lex, dense, key_col="id", score_a_col="score_lex",
+        score_b_col="score_vec", alpha=0.6, k=20,
+    )
+
+
 def q_mmr_topk(spark, sf):
     # MMR diversified top-k (operators/similarity.mmr_topk): distributed
     # top-50 by cosine relevance, then the inherently-sequential greedy
@@ -2883,11 +2910,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order is a correctness-evidence budget: the driver checks a
     # window of entries in dict order each round, so never-checked entries
     # go first, then the STALEST driver-green entries. Round-5 window
-    # (50): the 22 never-checked round-5 entries (4 correlated-subquery
+    # (50): the 23 never-checked round-5 entries (4 correlated-subquery
     # shapes + the 12 TPC-H completions + maxsim / hybrid-RRF / MMR /
-    # bm25_batch / batched-hybrid retrieval + the ranged transitions),
-    # the 19 r1-verified tail (3 rounds stale), then 9 of the
-    # r2-verified block. The 8 r2 entries pushed past the window
+    # bm25_batch / batched-hybrid / score-fusion retrieval + the ranged
+    # transitions), the 19 r1-verified tail (3 rounds stale), then 8 of
+    # the r2-verified block. The 9 r2 entries pushed past the window
     # (asof_join_generic, range_join_agg, lsh/ivf_ann_topk,
     # embed_inference, decontaminate, mixture_sample, sessionize-tail)
     # rotate first in r6; every entry passes the local mirror
@@ -2917,6 +2944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_topk": q_mmr_topk,
         "bm25_batch": q_bm25_batch,
         "hybrid_rrf_batch": q_hybrid_rrf_batch,
+        "hybrid_score_fuse": q_hybrid_score_fuse,
         "event_transitions_ranged": q_event_transitions_ranged,
         # --- stalest: last verified r1 -----------------------------------
         "date_parts": q_date_parts,
@@ -5151,6 +5179,56 @@ def oracle_sql() -> dict[str, str]:
         FROM fused
         QUALIFY fused_rank <= 10
         ORDER BY query_id, fused_rank
+    """
+    oracles["hybrid_score_fuse"] = f"""
+        WITH base AS (SELECT doc_id, {DUCK_TOKS} AS toks
+                      FROM documents WHERE text IS NOT NULL),
+        dl AS (SELECT doc_id, len(toks) AS dl FROM base),
+        stats AS (SELECT COUNT(*) AS n,
+                         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+                  FROM dl),
+        toks AS (SELECT doc_id, unnest(toks) AS term FROM base),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+               WHERE term IN {_in_list(BM25_TERMS)}
+               GROUP BY doc_id, term),
+        dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        contrib AS (
+          SELECT tf.doc_id,
+                 CAST(ROUND(
+                   ln((CAST(stats.n AS DOUBLE) - dfreq.df + 0.5)
+                      / (dfreq.df + 0.5) + 1.0)
+                   * (tf.tf * (1.2 + 1.0))
+                   / (tf.tf + 1.2 * (1.0 - 0.75
+                                     + 0.75 * dl.dl / stats.avgdl))
+                   * 1000000.0) AS BIGINT) AS fp
+          FROM tf JOIN dfreq USING (term)
+                  JOIN dl ON tf.doc_id = dl.doc_id, stats),
+        lex AS (
+          SELECT doc_id AS id, CAST(SUM(fp) AS DOUBLE) / 1000000.0 AS s
+          FROM contrib GROUP BY doc_id
+          ORDER BY s DESC, doc_id LIMIT 50),
+        lex_stats AS (SELECT MIN(s) AS lo, MAX(s) AS hi FROM lex),
+        lex_n AS (
+          SELECT id, CASE WHEN hi = lo THEN 1.0
+                          ELSE (s - lo) / (hi - lo) END AS na
+          FROM lex, lex_stats),
+        dense AS (
+          SELECT vec_id AS id,
+                 list_dot_product({EMB_DBL}, {QVEC_SQL}) AS s
+          FROM embeddings
+          ORDER BY s DESC, vec_id LIMIT 50),
+        dense_stats AS (SELECT MIN(s) AS lo, MAX(s) AS hi FROM dense),
+        dense_n AS (
+          SELECT id, CASE WHEN hi = lo THEN 1.0
+                          ELSE (s - lo) / (hi - lo) END AS nb
+          FROM dense, dense_stats)
+        SELECT COALESCE(lex_n.id, dense_n.id) AS id,
+               CAST(CAST(ROUND(({repr(0.6)} * COALESCE(na, 0.0)
+                                + {repr(1.0 - 0.6)} * COALESCE(nb, 0.0))
+                               * 1000000.0, 0) AS BIGINT) AS DOUBLE)
+               / 1000000.0 AS fused
+        FROM lex_n FULL OUTER JOIN dense_n ON lex_n.id = dense_n.id
+        ORDER BY fused DESC, id LIMIT 20
     """
     # MMR: the recursive CTE replays the driver-side greedy exactly —
     # same candidate top-50 (identical rel doubles), same normalized

@@ -245,3 +245,87 @@ def rrf_fuse_per_query(
         .filter(F.col("fused_rank") <= k)
         .select(query_col, key_col, "rrf", "fused_rank")
     )
+
+def rrf_fuse_many(
+    ranked: "list[tuple[DataFrame, str]]",
+    key_col: str = "id",
+    k: int = 20,
+    c: int = 60,
+) -> DataFrame:
+    """N-way reciprocal-rank fusion: fold any number of (DataFrame,
+    rank_col) ranked lists into one RRF score — real stacks fuse three
+    or more rankers (lexical, dense, recency, popularity). Same
+    contribution helper as the 2-way forms; the fold is a chain of
+    full-outer joins over top-m bounded inputs, so cost is
+    O(sum of list sizes) regardless of corpus size.
+    """
+    if not ranked:
+        raise ValueError("ranked must contain at least one (df, rank_col)")
+    acc = None
+    for df, rank_col in ranked:
+        cur = df.select(F.col(key_col), F.col(rank_col))
+        acc = cur if acc is None else acc.join(cur, key_col, "full_outer")
+    total = None
+    for _, rank_col in ranked:
+        contrib = _rrf_contrib(rank_col, c)
+        total = contrib if total is None else total + contrib
+    return (
+        acc.select(F.col(key_col), total.alias("rrf"))
+        .orderBy(F.desc("rrf"), F.asc(key_col))
+        .limit(k)
+    )
+
+
+def score_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    key_col: str = "id",
+    score_a_col: str = "score_a",
+    score_b_col: str = "score_b",
+    alpha: float = 0.5,
+    k: int = 20,
+) -> DataFrame:
+    """Score-based hybrid fusion (the other standard merge next to RRF):
+    min-max normalize each list's scores to [0, 1], then a convex
+    combination ``alpha * norm_a + (1 - alpha) * norm_b`` with absent
+    lists contributing 0.
+
+    The per-list min/max are computed over the top-m bounded inputs
+    (tiny aggregates, broadcast back); the fused score is rounded to
+    1e-6 fixed point so ranking and values hash-match a SQL oracle.
+    A constant-score list (max == min) normalizes to 1.0 for every
+    member — presence is still signal.
+    """
+    def _norm(df: DataFrame, score_col: str, out: str) -> DataFrame:
+        stats = df.agg(
+            F.min(score_col).alias("lo"), F.max(score_col).alias("hi")
+        )
+        return (
+            df.crossJoin(F.broadcast(stats))
+            .select(
+                F.col(key_col),
+                F.when(F.col("hi") == F.col("lo"), F.lit(1.0))
+                .otherwise(
+                    (F.col(score_col) - F.col("lo"))
+                    / (F.col("hi") - F.col("lo"))
+                )
+                .alias(out),
+            )
+        )
+
+    a = _norm(ranked_a, score_a_col, "na")
+    b = _norm(ranked_b, score_b_col, "nb")
+    fused = (
+        F.lit(alpha) * F.coalesce(F.col("na"), F.lit(0.0))
+        + F.lit(1.0 - alpha) * F.coalesce(F.col("nb"), F.lit(0.0))
+    )
+    fp = F.round(fused * 1_000_000.0, 0).cast("bigint")
+    return (
+        a.join(b, key_col, "full_outer")
+        .select(
+            F.col(key_col),
+            (fp.cast("double") / 1_000_000.0).alias("fused"),
+        )
+        .orderBy(F.desc("fused"), F.asc(key_col))
+        .limit(k)
+    )

@@ -406,3 +406,40 @@ def test_mmr_fast_path_matches_fold_selection(spark, sf_dir):
     b = mmr_topk(emb, em.QVEC, k=10, m=50, use_arrow_fast_path=True).collect()
     key = lambda rows: [(r["mmr_rank"], r["vec_id"]) for r in rows]
     assert key(a) == key(b)
+
+
+def test_score_fuse_and_rrf_many_semantics(spark):
+    """score_fuse: min-max normalization, convexity (alpha=1 follows
+    list A), constant-list -> 1.0, absent -> 0 contribution.
+    rrf_fuse_many: three-list fold equals the sum of per-list
+    contributions."""
+    from external_benchmarks_spark.operators.topk import (
+        rrf_fuse_many,
+        score_fuse,
+    )
+
+    a = spark.createDataFrame(
+        [(1, 10.0), (2, 5.0), (3, 0.0)], "id bigint, score_a double"
+    )
+    b = spark.createDataFrame(
+        [(2, 7.0), (4, 7.0)], "id bigint, score_b double"  # constant list
+    )
+    out = {r["id"]: r["fused"] for r in score_fuse(a, b, alpha=0.5).collect()}
+    # a normalizes to {1:1.0, 2:0.5, 3:0.0}; constant b -> 1.0 for 2 and 4
+    assert out[1] == 0.5 and out[2] == 0.75 and out[3] == 0.0 and out[4] == 0.5
+    top_a = {
+        r["id"]: r["fused"] for r in score_fuse(a, b, alpha=1.0).collect()
+    }
+    assert top_a[1] == 1.0 and top_a[4] == 0.0  # alpha=1 ignores list b
+
+    r1 = spark.createDataFrame([(1, 1), (2, 2)], "id bigint, ra int")
+    r2 = spark.createDataFrame([(2, 1)], "id bigint, rb int")
+    r3 = spark.createDataFrame([(2, 3), (5, 1)], "id bigint, rc int")
+    got = {
+        r["id"]: r["rrf"]
+        for r in rrf_fuse_many(
+            [(r1, "ra"), (r2, "rb"), (r3, "rc")], key_col="id", k=10
+        ).collect()
+    }
+    assert got[2] == 1.0 / 62 + 1.0 / 61 + 1.0 / 63
+    assert got[1] == 1.0 / 61 and got[5] == 1.0 / 61
