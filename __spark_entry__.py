@@ -2601,6 +2601,36 @@ def q_hybrid_score_fuse(spark, sf):
     )
 
 
+RECENCY_LN2 = 0.6931471805599453  # math.log(2.0), shared literal
+
+
+def q_recency_weighted(spark, sf):
+    # Recency-decay engagement scoring (the freshness feature every
+    # ranking/feature pipeline needs): per-user sum of event values
+    # decayed by exp(-ln2 * age / half_life), half-life 168 h, anchored
+    # at the corpus max event time (deterministic, no wall clock). Ages
+    # come from the exact microsecond longs (ts_us device), per-event
+    # contributions go through 1e-6 fixed point and integer-sum, so the
+    # scores hash-match DuckDB's replay of the identical arithmetic.
+    # One broadcast 1-row anchor + one groupBy(user) — two shuffles of
+    # partial aggregates, linear at any scale.
+    e = Catalog(spark, sf).events
+    anchor = e.agg(F.max("ts_us").alias("anchor_us"))
+    j = e.crossJoin(F.broadcast(anchor))
+    age_h = (F.col("anchor_us") - F.col("ts_us")) / 3.6e9
+    decay = F.exp(F.lit(-RECENCY_LN2) * age_h / 168.0)
+    fp = F.round(F.col("value") * decay * 1_000_000.0, 0).cast("bigint")
+    return (
+        j.groupBy("user_id")
+        .agg(
+            (F.sum(fp).cast("double") / 1_000_000.0).alias("recency_score"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy(F.desc("recency_score"), F.asc("user_id"))
+        .limit(20)
+    )
+
+
 def q_mmr_topk(spark, sf):
     # MMR diversified top-k (operators/similarity.mmr_topk): distributed
     # top-50 by cosine relevance, then the inherently-sequential greedy
@@ -2910,11 +2940,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order is a correctness-evidence budget: the driver checks a
     # window of entries in dict order each round, so never-checked entries
     # go first, then the STALEST driver-green entries. Round-5 window
-    # (50): the 23 never-checked round-5 entries (4 correlated-subquery
+    # (50): the 24 never-checked round-5 entries (4 correlated-subquery
     # shapes + the 12 TPC-H completions + maxsim / hybrid-RRF / MMR /
-    # bm25_batch / batched-hybrid / score-fusion retrieval + the ranged
-    # transitions), the 19 r1-verified tail (3 rounds stale), then 8 of
-    # the r2-verified block. The 9 r2 entries pushed past the window
+    # bm25_batch / batched-hybrid / score-fusion / recency-decay
+    # retrieval + the ranged transitions), the 19 r1-verified tail
+    # (3 rounds stale), then 7 of the r2-verified block. The 10 r2
+    # entries pushed past the window
     # (asof_join_generic, range_join_agg, lsh/ivf_ann_topk,
     # embed_inference, decontaminate, mixture_sample, sessionize-tail)
     # rotate first in r6; every entry passes the local mirror
@@ -2945,6 +2976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_batch": q_bm25_batch,
         "hybrid_rrf_batch": q_hybrid_rrf_batch,
         "hybrid_score_fuse": q_hybrid_score_fuse,
+        "recency_weighted": q_recency_weighted,
         "event_transitions_ranged": q_event_transitions_ranged,
         # --- stalest: last verified r1 -----------------------------------
         "date_parts": q_date_parts,
@@ -5229,6 +5261,22 @@ def oracle_sql() -> dict[str, str]:
                / 1000000.0 AS fused
         FROM lex_n FULL OUTER JOIN dense_n ON lex_n.id = dense_n.id
         ORDER BY fused DESC, id LIMIT 20
+    """
+    oracles["recency_weighted"] = f"""
+        WITH e AS (SELECT user_id, value, epoch_us(ts) AS tsu FROM events),
+        anchor AS (SELECT MAX(tsu) AS anchor_us FROM e),
+        scored AS (
+          SELECT user_id,
+                 CAST(ROUND(value * exp({repr(-RECENCY_LN2)}
+                                        * ((anchor_us - tsu) / 3.6e9)
+                                        / 168.0)
+                            * 1000000.0, 0) AS BIGINT) AS fp
+          FROM e, anchor)
+        SELECT user_id,
+               CAST(SUM(fp) AS DOUBLE) / 1000000.0 AS recency_score,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM scored GROUP BY user_id
+        ORDER BY recency_score DESC, user_id LIMIT 20
     """
     # MMR: the recursive CTE replays the driver-side greedy exactly —
     # same candidate top-50 (identical rel doubles), same normalized
