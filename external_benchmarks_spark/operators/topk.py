@@ -258,16 +258,22 @@ def rrf_fuse_many(
     contribution helper as the 2-way forms; the fold is a chain of
     full-outer joins over top-m bounded inputs, so cost is
     O(sum of list sizes) regardless of corpus size.
+
+    Each list's rank column is renamed to a positional internal name
+    (``_rank_{i}``) inside the fold, so any number of lists may share a
+    rank column name (the natural case — every list built with
+    ``row_number().alias("rank")``) without ambiguous-column errors or
+    silent double counting.
     """
     if not ranked:
         raise ValueError("ranked must contain at least one (df, rank_col)")
     acc = None
-    for df, rank_col in ranked:
-        cur = df.select(F.col(key_col), F.col(rank_col))
+    for i, (df, rank_col) in enumerate(ranked):
+        cur = df.select(F.col(key_col), F.col(rank_col).alias(f"_rank_{i}"))
         acc = cur if acc is None else acc.join(cur, key_col, "full_outer")
     total = None
-    for _, rank_col in ranked:
-        contrib = _rrf_contrib(rank_col, c)
+    for i in range(len(ranked)):
+        contrib = _rrf_contrib(f"_rank_{i}", c)
         total = contrib if total is None else total + contrib
     return (
         acc.select(F.col(key_col), total.alias("rrf"))

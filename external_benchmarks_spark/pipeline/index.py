@@ -35,7 +35,15 @@ def build_index_layout(
     emb_col: str | None = "embedding",
     lsh_planes=None,
     target_file_rows: int | None = None,
+    fingerprint: str | None = None,
 ) -> None:
+    """Write the query-optimized layout. Pass ``fingerprint`` (a
+    pipeline/layout.source_fingerprint of the source — fold the centroid
+    digest into its ``extra`` for IVF layouts) to record a marker after
+    the completed write, so callers can ``layout_is_current`` and skip
+    rebuilds; append_to_index_layout drops the marker up front, making a
+    layout that has diverged from its recorded source unreadable-as-
+    current rather than silently stale."""
     out = df
     if emb_col and emb_col in df.columns:
         out = out.withColumn(emb_col, F.col(emb_col).cast("array<float>"))
@@ -53,6 +61,10 @@ def build_index_layout(
     if partition_keys:
         writer = writer.partitionBy(*partition_keys)
     writer.parquet(out_path)
+    if fingerprint is not None:
+        from external_benchmarks_spark.pipeline.layout import record_layout
+
+        record_layout(out_path, fingerprint)
 
 
 def append_to_index_layout(
@@ -73,9 +85,13 @@ def append_to_index_layout(
     (centroids, row), so a probe against the appended layout is
     bit-identical to one against a full rebuild with the same centroids
     (equivalence-tested in tests/test_pipeline.py). Re-fitting centroids
-    is a separate, rarer operation — that IS a rebuild, by design, and
-    the layout fingerprint (pipeline/layout.py) folds the centroid
-    digest in so stale mixes can't be read silently.
+    is a separate, rarer operation — that IS a rebuild, by design. If
+    the layout was built with a recorded fingerprint
+    (build_index_layout(..., fingerprint=...)), the append DROPS that
+    marker before writing: the layout no longer matches the recorded
+    source version, and `layout_is_current` reports False until the
+    owner re-records against the new source (or rebuilds), so a stale
+    centroid/source mix can't be read as current silently.
 
     The embedding cast mirrors build_index_layout (float32) so appended
     files carry the identical parquet schema as the originals.
@@ -86,6 +102,9 @@ def append_to_index_layout(
     index). Periodically run compact_layout_partitions to fold the
     accumulated small files back to one-per-cell.
     """
+    from external_benchmarks_spark.pipeline.layout import invalidate_layout
+
+    invalidate_layout(out_path)
     out = new_df
     if centroids is not None and emb_col:
         from external_benchmarks_spark.operators.similarity import ivf_assign
@@ -116,27 +135,57 @@ def compact_layout_partitions(
     """Fold small appended files back to one file per dirty partition.
 
     Driver-side directory listing finds partitions whose file count
-    exceeds the threshold (O(#partitions), no Spark job); only those are
-    read (partition-pruned scan) and rewritten under DYNAMIC partition
-    overwrite, so clean partitions' files are never touched. Returns the
-    list of compacted partition values.
+    exceeds the threshold (O(#partitions), no Spark job); only the dirty
+    LEAF DIRECTORIES are read (by path — no value decoding, so escaped
+    string / float / timestamp partition values behave identically to
+    ints) and rewritten into a STAGING directory under the layout root.
+    Only after the staging write commits completely does the swap start,
+    and the swap is two atomic renames per partition (live → trash,
+    staging → live): a crash leaves every partition with either its old
+    complete file set, its new complete file set, or — for at most one
+    partition, between its two renames — a recoverable `.compacting.`
+    trash copy; nothing is deleted before its replacement is in place.
+    This replaces the earlier dynamic-partition-overwrite form, whose
+    mid-commit failure could drop a cell's old files before the new ones
+    landed (and which self-overwrote a path being read). Returns the
+    list of compacted partition directory values (decoded).
 
     Single-writer contract: like the upsert table's writer lease
     (streaming/upsert.py), compaction must not race another writer on
     the same layout — run it from the maintenance job that owns the
-    layout. Spark QUERIES against the layout are safe (they resolve the
-    file list at plan time and the commit protocol publishes complete
-    files), but an external reader that lists the directory mid-commit
-    (e.g. the serving tier) can observe a partial file set — pair
-    compaction with serving's signature-based refresh() (a changed
-    signature means reload; re-check after load when strictness
-    matters) or use the UpsertTable's versioned buckets when readers
-    need snapshot isolation.
+    layout. Leftover `_compact_staging` / `.compacting.` entries from a
+    crashed run are cleaned up at the start of the next run (trash dirs
+    are restored if their live partition vanished, else dropped). Spark
+    QUERIES against the layout are safe (they resolve the file list at
+    plan time and the commit protocol publishes complete files), but an
+    external reader that lists the directory mid-swap (e.g. the serving
+    tier) can observe a partition mid-rename — pair compaction with
+    serving's signature-based refresh() or use the UpsertTable's
+    versioned buckets when readers need snapshot isolation. The layout
+    fingerprint marker is untouched: compaction changes the physical
+    file set, not the logical contents, and `refresh()`-style directory
+    signatures pick up the new file list on their own.
     """
     import os
+    import shutil
+    from urllib.parse import unquote
 
-    dirty: list[str] = []
+    staging = os.path.join(layout_path, "_compact_staging")
+    shutil.rmtree(staging, ignore_errors=True)
     prefix = f"{partition_col}="
+    for d in list(os.listdir(layout_path)):
+        # Crash recovery: a trash dir with no live partition means the
+        # crash hit between the two renames — restore it; otherwise the
+        # new files landed and the trash is safe to drop.
+        if d.startswith(".compacting."):
+            live = os.path.join(layout_path, d[len(".compacting."):])
+            trash = os.path.join(layout_path, d)
+            if os.path.exists(live):
+                shutil.rmtree(trash)
+            else:
+                os.rename(trash, live)
+
+    dirty_dirs: list[str] = []
     for d in sorted(os.listdir(layout_path)):
         if not d.startswith(prefix):
             continue
@@ -145,25 +194,40 @@ def compact_layout_partitions(
             1 for f in os.listdir(part_dir) if not f.startswith(("_", "."))
         )
         if n_files > max_files_per_partition:
-            dirty.append(d[len(prefix):])
-    if not dirty:
+            dirty_dirs.append(d)
+    if not dirty_dirs:
         return []
-    conf_key = "spark.sql.sources.partitionOverwriteMode"
-    prev = spark.conf.get(conf_key, "static")
-    spark.conf.set(conf_key, "dynamic")
-    try:
-        df = spark.read.parquet(layout_path).filter(
-            F.col(partition_col).cast("string").isin(dirty)
+
+    # One partition-pruned job over just the dirty leaves; basePath keeps
+    # the partition column so the staging write recreates the same
+    # directory names.
+    df = spark.read.option("basePath", layout_path).parquet(
+        *(os.path.join(layout_path, d) for d in dirty_dirs)
+    )
+    (
+        df.repartition(len(dirty_dirs), F.col(partition_col))
+        .write.mode("overwrite")
+        .partitionBy(partition_col)
+        .parquet(staging)
+    )
+    staged = {
+        d for d in os.listdir(staging) if d.startswith(prefix)
+    }
+    missing = [d for d in dirty_dirs if d not in staged]
+    if missing:  # abort BEFORE touching live data
+        shutil.rmtree(staging, ignore_errors=True)
+        raise RuntimeError(
+            f"compaction staging did not produce partitions {missing}; "
+            "live layout left untouched"
         )
-        (
-            df.repartition(len(dirty), F.col(partition_col))
-            .write.mode("overwrite")
-            .partitionBy(partition_col)
-            .parquet(layout_path)
-        )
-    finally:
-        spark.conf.set(conf_key, prev)
-    return dirty
+    for d in dirty_dirs:
+        live = os.path.join(layout_path, d)
+        trash = os.path.join(layout_path, f".compacting.{d}")
+        os.rename(live, trash)
+        os.rename(os.path.join(staging, d), live)
+        shutil.rmtree(trash)
+    shutil.rmtree(staging, ignore_errors=True)
+    return [unquote(d[len(prefix):]) for d in dirty_dirs]
 
 
 def zorder_key(col_a, col_b, bits: int = 16):

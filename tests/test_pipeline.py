@@ -365,3 +365,80 @@ def test_compact_skips_clean_partitions(spark, sf_dir):
         )
         for sub, m in mtimes.items():
             assert os.path.getmtime(os.path.join(out, sub)) == m
+
+
+def test_compact_crash_recovery(spark, sf_dir):
+    """The staged swap's crash points are recoverable: a `.compacting.`
+    trash dir with no live partition (crash between the two renames) is
+    restored on the next run; one alongside a live partition (crash
+    after the second rename) is dropped. Row counts survive both."""
+    import shutil
+
+    from external_benchmarks_spark.operators.similarity import (
+        ivf_assign,
+        sampled_centroids,
+    )
+    from external_benchmarks_spark.pipeline.index import compact_layout_partitions
+
+    emb = Catalog(spark, sf_dir).embeddings
+    centroids = sampled_centroids(emb, n_centroids=8)
+    with tempfile.TemporaryDirectory() as d:
+        out = os.path.join(d, "idx")
+        build_index_layout(
+            ivf_assign(emb, centroids), out, partition_col="centroid_id"
+        )
+        total = spark.read.parquet(out).count()
+        parts = sorted(
+            p for p in os.listdir(out) if p.startswith("centroid_id=")
+        )
+        # crash between renames: live gone, only trash remains
+        os.rename(
+            os.path.join(out, parts[0]),
+            os.path.join(out, f".compacting.{parts[0]}"),
+        )
+        # crash after second rename: live AND stale trash copy both exist
+        shutil.copytree(
+            os.path.join(out, parts[1]),
+            os.path.join(out, f".compacting.{parts[1]}"),
+        )
+        compact_layout_partitions(
+            spark, out, partition_col="centroid_id", max_files_per_partition=4
+        )
+        assert os.path.isdir(os.path.join(out, parts[0]))  # restored
+        assert not any(p.startswith(".compacting.") for p in os.listdir(out))
+        assert spark.read.parquet(out).count() == total
+
+
+def test_index_layout_fingerprint_wiring(spark, sf_dir):
+    """build_index_layout(fingerprint=...) records the marker after a
+    completed write; append_to_index_layout drops it, so a layout that
+    diverged from its recorded source never reads as current."""
+    from external_benchmarks_spark.operators.similarity import (
+        ivf_assign,
+        sampled_centroids,
+    )
+    from external_benchmarks_spark.pipeline.index import append_to_index_layout
+    from external_benchmarks_spark.pipeline.layout import (
+        layout_is_current,
+        source_fingerprint,
+    )
+
+    emb = Catalog(spark, sf_dir).embeddings
+    centroids = sampled_centroids(emb, n_centroids=8)
+    fp = source_fingerprint(
+        [os.path.join(sf_dir, "embeddings.parquet")],
+        extra={"centroids": str(centroids.tolist())[:64]},
+    )
+    with tempfile.TemporaryDirectory() as d:
+        out = os.path.join(d, "idx")
+        build_index_layout(
+            ivf_assign(emb.filter(F.col("vec_id") % 2 == 0), centroids),
+            out,
+            partition_col="centroid_id",
+            fingerprint=fp,
+        )
+        assert layout_is_current(out, fp)
+        append_to_index_layout(
+            emb.filter(F.col("vec_id") % 2 == 1), out, centroids=centroids
+        )
+        assert not layout_is_current(out, fp)

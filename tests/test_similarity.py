@@ -443,3 +443,23 @@ def test_score_fuse_and_rrf_many_semantics(spark):
     }
     assert got[2] == 1.0 / 62 + 1.0 / 61 + 1.0 / 63
     assert got[1] == 1.0 / 61 and got[5] == 1.0 / 61
+
+
+def test_rrf_many_duplicate_rank_col_names(spark):
+    """Lists that share a rank column name (the natural
+    row_number().alias('rank') case) fuse without ambiguity — each
+    list's rank is aliased positionally inside the fold, and the result
+    matches the same lists under distinct names."""
+    from external_benchmarks_spark.operators.topk import rrf_fuse_many
+
+    r1 = spark.createDataFrame([(1, 1), (2, 2)], "id bigint, rank int")
+    r2 = spark.createDataFrame([(2, 1)], "id bigint, rank int")
+    r3 = spark.createDataFrame([(2, 3), (5, 1)], "id bigint, rank int")
+    got = {
+        r["id"]: r["rrf"]
+        for r in rrf_fuse_many(
+            [(r1, "rank"), (r2, "rank"), (r3, "rank")], key_col="id", k=10
+        ).collect()
+    }
+    assert got[2] == 1.0 / 62 + 1.0 / 61 + 1.0 / 63
+    assert got[1] == 1.0 / 61 and got[5] == 1.0 / 61
