@@ -45,66 +45,198 @@ def dataset_report(
     text_cols: list[str] = (),
     emb_col: str | None = None,
     path: str | None = None,
+    hist_bins: int = 25,
 ) -> dict:
     """Full stats dict mirroring the reference's fast path
-    (duckdb_fast_stats, :119-219) + embedding geometry (:243-274)."""
+    (duckdb_fast_stats, :119-219) + embedding geometry (:243-274).
+
+    TWO Spark jobs regardless of column count (vs the reference's loop of
+    one query per column per statistic family, :119-219 — ~30 scans at 10
+    columns, which at 100 TB is 30 reads of the table):
+
+    1. ONE ``df.agg`` fusing total count, per-column null counts, every
+       numeric column's moments, every text column's length stats, and
+       the embedding geometry — a single scan with map-side partial
+       aggregation and a one-row shuffle.
+    2. ONE explode→groupBy job covering ALL histograms (bucket ids need
+       pass 1's min/max) and ALL string categorical columns' value
+       counts at once: each row contributes one (group, key) entry per
+       column, partial aggregation collapses them before the (tiny)
+       shuffle, and a per-group window ranks top-10 / counts distincts
+       over the already-aggregated frame. Per-row fan-out is
+       #(hist+cat) columns — CPU only, no extra I/O.
+
+    Non-string categorical columns (rare) fall back to the original
+    per-column groupBy so raw values round-trip with their types.
+    Statistic expressions are shared with operators/stats.py's
+    single-statistic forms, so results are bit-identical to the
+    per-column path (asserted in tests/test_pipeline.py).
+    """
+    from pyspark.sql.window import Window
+
     report: dict = {
-        "total_records": df.count(),
         "n_columns": len(df.columns),
         "schema": {f.name: f.dataType.simpleString() for f in df.schema.fields},
     }
     if path is not None:
         report["file_size_mb"] = file_size_mb(path)
-    nulls = S.null_profile(df).collect()[0].asDict()
-    report["null_counts"] = {c: nulls[f"{c}_nulls"] for c in df.columns}
 
-    report["numeric"] = {}
-    for c in numeric_cols:
-        r = S.numeric_summary(df, c).collect()[0]
-        report["numeric"][c] = {
-            "count": r["cnt"], "mean": r["avg_val"], "min": r["min_val"],
-            "max": r["max_val"], "std": r["stddev_val"], "nulls": r["null_cnt"],
+    # ---- pass 1: every single-row aggregate in one scan ----------------
+    aggs = [F.count(F.lit(1)).alias("__total")]
+    aggs += [
+        F.sum(F.col(c).isNull().cast("long")).alias(f"__null__{i}")
+        for i, c in enumerate(df.columns)
+    ]
+    for i, c in enumerate(numeric_cols):
+        col = F.col(c)
+        aggs += [
+            F.count(col).alias(f"__n_cnt__{i}"),
+            F.round(F.avg(col), 6).alias(f"__n_avg__{i}"),
+            F.round(F.min(col), 6).alias(f"__n_min__{i}"),
+            F.round(F.max(col), 6).alias(f"__n_max__{i}"),
+            F.round(F.stddev_samp(col), 6).alias(f"__n_std__{i}"),
+            (F.count(F.lit(1)) - F.count(col)).alias(f"__n_null__{i}"),
+        ]
+    for i, c in enumerate(text_cols):
+        ln = F.length(F.col(c))  # NULL for NULL text: avg/min/max skip it
+        aggs += [
+            F.round(F.avg(ln), 6).alias(f"__t_avg__{i}"),
+            F.min(ln).alias(f"__t_min__{i}"),
+            F.max(ln).alias(f"__t_max__{i}"),
+        ]
+    if emb_col and emb_col in df.columns:
+        aggs += [
+            F.round(F.avg(F.size(emb_col)), 2).alias("__e_dim"),
+            F.round(F.avg(l2_norm(emb_col)), 6).alias("__e_mean"),
+            F.round(F.stddev_samp(l2_norm(emb_col)), 6).alias("__e_std"),
+        ]
+    one = df.agg(*aggs).collect()[0]
+
+    total = one["__total"]
+    report = {"total_records": total, **report}
+    report["null_counts"] = {
+        c: one[f"__null__{i}"] for i, c in enumerate(df.columns)
+    }
+    report["numeric"] = {
+        c: {
+            "count": one[f"__n_cnt__{i}"], "mean": one[f"__n_avg__{i}"],
+            "min": one[f"__n_min__{i}"], "max": one[f"__n_max__{i}"],
+            "std": one[f"__n_std__{i}"], "nulls": one[f"__n_null__{i}"],
+        }
+        for i, c in enumerate(numeric_cols)
+    }
+    report["text_lengths"] = {
+        c: {
+            "avg": one[f"__t_avg__{i}"], "min": one[f"__t_min__{i}"],
+            "max": one[f"__t_max__{i}"],
+        }
+        for i, c in enumerate(text_cols)
+    }
+    if emb_col and emb_col in df.columns:
+        report["embedding"] = {
+            "avg_dim": one["__e_dim"], "mean_l2_norm": one["__e_mean"],
+            "std_l2_norm": one["__e_std"],
         }
 
-    report["categorical"] = {}
-    for c in cat_cols:
-        top = S.group_share_topn(df, c, 10).collect()
-        uniq = S.distinct_count(df, c).collect()[0]["distinct_cnt"]
-        report["categorical"][c] = {
-            "unique": uniq,
-            "top": [{"value": r[c], "count": r["cnt"], "pct": r["pct"]} for r in top],
-        }
-
-    report["text_lengths"] = {}
-    for c in text_cols:
-        r = S.text_length_stats(df, c).collect()[0]
-        report["text_lengths"][c] = {
-            "avg": r["avg_len"], "min": r["min_len"], "max": r["max_len"],
-        }
-
-    # Histogram series for the figure sink (reference plt.hist, :287-301):
-    # one extra aggregate per numeric column, 25 bins, reduced in Spark.
-    report["histograms"] = {}
+    # ---- pass 2: histograms + categorical value counts, one scan -------
+    str_types = {"string", "varchar"}
+    fused_cats = [
+        c for c in cat_cols
+        if df.schema[c].dataType.simpleString() in str_types
+    ]
+    hist_specs: dict[str, tuple[float, float]] = {}
     for c in numeric_cols:
         s = report["numeric"][c]
         if s["min"] is None or s["max"] is None or s["min"] == s["max"]:
             continue
-        lo, hi = float(s["min"]), float(s["max"])
-        rows = S.histogram(df, c, lo, hi, bins=25).collect()
-        counts = [0] * 25
-        for r in rows:
-            counts[int(r["bucket"])] = int(r["cnt"])
-        report["histograms"][c] = {"min": lo, "max": hi, "counts": counts}
+        hist_specs[c] = (float(s["min"]), float(s["max"]))
 
-    if emb_col and emb_col in df.columns:
-        geo = df.agg(
-            F.round(F.avg(F.size(emb_col)), 2).alias("dim"),
-            F.round(F.avg(l2_norm(emb_col)), 6).alias("mean_norm"),
-            F.round(F.stddev_samp(l2_norm(emb_col)), 6).alias("std_norm"),
-        ).collect()[0]
-        report["embedding"] = {
-            "avg_dim": geo["dim"], "mean_l2_norm": geo["mean_norm"],
-            "std_l2_norm": geo["std_norm"],
+    report["categorical"] = {}
+    report["histograms"] = {}
+    if fused_cats or hist_specs:
+        entries = []
+        for c in fused_cats:
+            entries.append(
+                F.struct(
+                    F.lit(f"c:{c}").alias("g"), F.col(c).cast("string").alias("k")
+                )
+            )
+        for c, (lo, hi) in hist_specs.items():
+            col = F.col(c).cast("double")
+            raw = F.floor((col - F.lit(lo)) / F.lit((hi - lo) / hist_bins))
+            bucket = (
+                F.least(F.greatest(raw, F.lit(0)), F.lit(hist_bins - 1))
+                .cast("long")
+            )
+            entries.append(
+                F.when(
+                    col.isNotNull(),
+                    F.struct(
+                        F.lit(f"h:{c}").alias("g"),
+                        bucket.cast("string").alias("k"),
+                    ),
+                )
+            )
+        exploded = (
+            df.select(
+                F.explode(
+                    F.filter(F.array(*entries), lambda e: e.isNotNull())
+                ).alias("e")
+            )
+            .select("e.g", "e.k")
+        )
+        grouped = exploded.groupBy("g", "k").agg(F.count(F.lit(1)).alias("cnt"))
+        wg = Window.partitionBy("g")
+        rows = (
+            grouped.withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("g").orderBy(F.desc("cnt"), F.asc("k"))
+                ),
+            )
+            .withColumn(
+                "dcnt",
+                F.sum(F.when(F.col("k").isNotNull(), 1).otherwise(0)).over(wg),
+            )
+            .filter(
+                F.col("g").startswith("h:")
+                | (F.col("g").startswith("c:") & (F.col("rn") <= 10))
+            )
+            .withColumn(
+                "pct", F.round(F.col("cnt") * 100.0 / F.lit(total), 2)
+            )
+            .collect()
+        )
+        for c, (lo, hi) in hist_specs.items():
+            report["histograms"][c] = {
+                "min": lo, "max": hi, "counts": [0] * hist_bins,
+            }
+        for c in fused_cats:
+            report["categorical"][c] = {"unique": 0, "top": []}
+        by_rn = sorted(rows, key=lambda r: (r["g"], r["rn"]))
+        for r in by_rn:
+            kind, c = r["g"].split(":", 1)
+            if kind == "h":
+                report["histograms"][c]["counts"][int(r["k"])] = int(r["cnt"])
+            else:
+                cat = report["categorical"][c]
+                cat["unique"] = r["dcnt"]
+                cat["top"].append(
+                    {"value": r["k"], "count": r["cnt"], "pct": r["pct"]}
+                )
+
+    # Non-string categorical fallback: per-column groupBy (original path),
+    # preserving raw value types in the report.
+    for c in cat_cols:
+        if c in fused_cats:
+            continue
+        top = S.group_share_topn(df, c, 10).collect()
+        uniq = S.distinct_count(df, c).collect()[0]["distinct_cnt"]
+        report["categorical"][c] = {
+            "unique": uniq,
+            "top": [
+                {"value": r[c], "count": r["cnt"], "pct": r["pct"]} for r in top
+            ],
         }
     return report
 

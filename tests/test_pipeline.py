@@ -110,6 +110,69 @@ def test_dataset_report_and_consistency(spark, sf_dir):
     assert chk["consistent"] is True
 
 
+def test_dataset_report_fused_two_jobs_and_parity(spark, sf_dir):
+    """The fused dataset_report runs exactly TWO driver actions for
+    string-categorical inputs (one all-statistics agg + one
+    histogram/categorical explode pass) and its every statistic is
+    bit-identical to the per-column operators/stats.py forms it fused."""
+    from unittest import mock
+
+    from external_benchmarks_spark.operators import stats as S
+
+    docs = Catalog(spark, sf_dir).documents
+    cls = type(docs)  # the concrete DataFrame class (Spark 4 splits ABC)
+    real_collect = cls.collect
+    calls = []
+
+    def counting_collect(self):
+        calls.append(1)
+        return real_collect(self)
+
+    with mock.patch.object(cls, "collect", counting_collect):
+        rep = dataset_report(
+            docs,
+            numeric_cols=["n_chars"],
+            cat_cols=["lang", "source"],
+            text_cols=["text"],
+        )
+    assert len(calls) == 2, f"expected 2 jobs, ran {len(calls)}"
+
+    # parity with the single-statistic operators (the pre-fusion path)
+    assert rep["total_records"] == docs.count()
+    nulls = S.null_profile(docs).collect()[0].asDict()
+    assert rep["null_counts"] == {
+        c: nulls[f"{c}_nulls"] for c in docs.columns
+    }
+    n = S.numeric_summary(docs, "n_chars").collect()[0]
+    assert rep["numeric"]["n_chars"] == {
+        "count": n["cnt"], "mean": n["avg_val"], "min": n["min_val"],
+        "max": n["max_val"], "std": n["stddev_val"], "nulls": n["null_cnt"],
+    }
+    t = S.text_length_stats(docs, "text").collect()[0]
+    assert rep["text_lengths"]["text"] == {
+        "avg": t["avg_len"], "min": t["min_len"], "max": t["max_len"],
+    }
+    for c in ("lang", "source"):
+        top = S.group_share_topn(docs, c, 10).collect()
+        uniq = S.distinct_count(docs, c).collect()[0]["distinct_cnt"]
+        assert rep["categorical"][c] == {
+            "unique": uniq,
+            "top": [
+                {"value": r[c], "count": r["cnt"], "pct": r["pct"]}
+                for r in top
+            ],
+        }, c
+    s = rep["numeric"]["n_chars"]
+    lo, hi = float(s["min"]), float(s["max"])
+    hist = S.histogram(docs, "n_chars", lo, hi, bins=25).collect()
+    counts = [0] * 25
+    for r in hist:
+        counts[int(r["bucket"])] = int(r["cnt"])
+    assert rep["histograms"]["n_chars"] == {
+        "min": lo, "max": hi, "counts": counts,
+    }
+
+
 def test_zorder_key_interleaves_and_clusters(spark):
     """Morton key: exact interleave on known bits; sorting by it gives
     locality in both dimensions."""
