@@ -2939,73 +2939,17 @@ def q_cluster_profile(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order is a correctness-evidence budget: the driver checks a
     # window of entries in dict order each round, so never-checked entries
-    # go first, then the STALEST driver-green entries. Round-5 window
-    # (50): the 24 never-checked round-5 entries (4 correlated-subquery
-    # shapes + the 12 TPC-H completions + maxsim / hybrid-RRF / MMR /
-    # bm25_batch / batched-hybrid / score-fusion / recency-decay
-    # retrieval + the ranged transitions), the 19 r1-verified tail
-    # (3 rounds stale), then 7 of the r2-verified block. The 10 r2
-    # entries pushed past the window
-    # (asof_join_generic, range_join_agg, lsh/ivf_ann_topk,
-    # embed_inference, decontaminate, mixture_sample, sessionize-tail)
-    # rotate first in r6; every entry passes the local mirror
-    # (tests/test_oracle_queries.py) either way — and this session the
-    # ENTIRE mirror was additionally verified at sf0.1 — so rotation
-    # costs nothing.
+    # go first, then the STALEST driver-green entries. Round-6 window
+    # (~50): the 10 entries last driver-checked in r2 (the rotation
+    # promised in r5), then the 4 TPC-H queries re-pointed at the true
+    # partsupp fixture this round (tpch_q2/q11/q16/q20 — data changed,
+    # so re-verify), then any never-checked round-6 additions, then the
+    # r3-verified block (3 rounds stale). Everything r4/r5-verified
+    # rotates to the back. Every entry passes the local mirror
+    # (tests/test_oracle_queries.py) every test run either way, so
+    # rotation costs nothing.
     return {
-        # --- new in round 5: never driver-checked -----------------------
-        "tpch_q4": q_tpch_q4,
-        "tpch_q17": q_tpch_q17,
-        "tpch_q21": q_tpch_q21,
-        "tpch_q22": q_tpch_q22,
-        "tpch_q2": q_tpch_q2,
-        "tpch_q7": q_tpch_q7,
-        "tpch_q8": q_tpch_q8,
-        "tpch_q9": q_tpch_q9,
-        "tpch_q11": q_tpch_q11,
-        "tpch_q12": q_tpch_q12,
-        "tpch_q13": q_tpch_q13,
-        "tpch_q15": q_tpch_q15,
-        "tpch_q16": q_tpch_q16,
-        "tpch_q18": q_tpch_q18,
-        "tpch_q19": q_tpch_q19,
-        "tpch_q20": q_tpch_q20,
-        "maxsim_topk": q_maxsim_topk,
-        "hybrid_rrf": q_hybrid_rrf,
-        "mmr_topk": q_mmr_topk,
-        "bm25_batch": q_bm25_batch,
-        "hybrid_rrf_batch": q_hybrid_rrf_batch,
-        "hybrid_score_fuse": q_hybrid_score_fuse,
-        "recency_weighted": q_recency_weighted,
-        "event_transitions_ranged": q_event_transitions_ranged,
-        # --- stalest: last verified r1 -----------------------------------
-        "date_parts": q_date_parts,
-        "deterministic_sample": q_deterministic_sample,
-        "stratified_sample": q_stratified_sample,
-        "stratified_fixed_n": q_stratified_fixed_n,
-        "derived_tiers": q_derived_tiers,
-        "null_profile": q_null_profile,
-        "scalar_funcs": q_scalar_funcs,
-        "string_funcs": q_string_funcs,
-        "array_funcs": q_array_funcs,
-        "json_extract": q_json_extract,
-        "date_arith": q_date_arith,
-        "null_funcs": q_null_funcs,
-        "map_funcs": q_map_funcs,
-        "dot_topk": q_dot_topk,
-        "l2_norm": q_l2_norm,
-        "ann_bruteforce": q_ann_bruteforce,
-        "multi_query_topk": q_multi_query_topk,
-        "embedding_neardup": q_embedding_neardup,
-        "pairwise_cosine_stats": q_pairwise_cosine_stats,
-        # --- last verified r2 --------------------------------------------
-        "dedup_keep_best": q_dedup_keep_best,
-        "events_hourly": q_events_hourly,
-        "events_sliding": q_events_sliding,
-        "blob_metadata": q_blob_metadata,
-        "image_decode": q_image_decode,
-        "audio_decode": q_audio_decode,
-        "group_embedding_stats": q_group_embedding_stats,
+        # --- stalest: last driver-checked r2 -----------------------------
         "details_prune": q_details_prune,
         "sessionize": q_sessionize,
         "asof_last_event": q_asof_last_event,
@@ -3016,7 +2960,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_inference": q_embed_inference,
         "decontaminate": q_decontaminate,
         "mixture_sample": q_mixture_sample,
-        # --- last verified r3 (head tops up the 50-entry window) ---------
+        # --- re-pointed at the true partsupp fixture in round 6 ----------
+        "tpch_q2": q_tpch_q2,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q20": q_tpch_q20,
+        # --- new in round 6: never driver-checked ------------------------
+        # --- last verified r3 --------------------------------------------
         "lm_score": q_lm_score,
         "dup_span_stats": q_dup_span_stats,
         "gopher_rules": q_gopher_rules,
@@ -3118,6 +3068,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_lag": q_rank_lag,
         "multi_quantile": q_multi_quantile,
         "group_median": q_group_median,
+        # --- freshly r5-verified (rotate forward again in r7+) -----------
+        "date_parts": q_date_parts,
+        "deterministic_sample": q_deterministic_sample,
+        "stratified_sample": q_stratified_sample,
+        "stratified_fixed_n": q_stratified_fixed_n,
+        "derived_tiers": q_derived_tiers,
+        "null_profile": q_null_profile,
+        "scalar_funcs": q_scalar_funcs,
+        "string_funcs": q_string_funcs,
+        "array_funcs": q_array_funcs,
+        "json_extract": q_json_extract,
+        "date_arith": q_date_arith,
+        "null_funcs": q_null_funcs,
+        "map_funcs": q_map_funcs,
+        "dot_topk": q_dot_topk,
+        "l2_norm": q_l2_norm,
+        "ann_bruteforce": q_ann_bruteforce,
+        "multi_query_topk": q_multi_query_topk,
+        "embedding_neardup": q_embedding_neardup,
+        "pairwise_cosine_stats": q_pairwise_cosine_stats,
+        "dedup_keep_best": q_dedup_keep_best,
+        "events_hourly": q_events_hourly,
+        "events_sliding": q_events_sliding,
+        "blob_metadata": q_blob_metadata,
+        "image_decode": q_image_decode,
+        "audio_decode": q_audio_decode,
+        "group_embedding_stats": q_group_embedding_stats,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q21": q_tpch_q21,
+        "tpch_q22": q_tpch_q22,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q18": q_tpch_q18,
+        "tpch_q19": q_tpch_q19,
+        "maxsim_topk": q_maxsim_topk,
+        "hybrid_rrf": q_hybrid_rrf,
+        "mmr_topk": q_mmr_topk,
+        "bm25_batch": q_bm25_batch,
+        "hybrid_rrf_batch": q_hybrid_rrf_batch,
+        "hybrid_score_fuse": q_hybrid_score_fuse,
+        "recency_weighted": q_recency_weighted,
+        "event_transitions_ranged": q_event_transitions_ranged,
     }
 
 
