@@ -876,6 +876,31 @@ def q_salted_join_agg(spark, sf):
     )
 
 
+def q_adaptive_join_agg(spark, sf):
+    # Hot-key-only salted join (operators/skew.adaptive_salted_join):
+    # Misra-Gries detects heavy order keys, only those are salted and
+    # their right rows replicated; the cold majority joins plain. The
+    # oracle is the plain join's aggregate — the split must be exact.
+    from external_benchmarks_spark.operators.skew import adaptive_salted_join
+
+    cat = Catalog(spark, sf)
+    orders = cat.orders.withColumnRenamed("o_orderkey", "l_orderkey").select(
+        "l_orderkey", "o_orderpriority"
+    )
+    joined = adaptive_salted_join(
+        cat.lineitem.select("l_orderkey", "l_partkey", "l_extendedprice"),
+        orders,
+        on="l_orderkey",
+        spread_col="l_partkey",
+        n_salts=8,
+        hot_ratio=0.0001,  # TPC-H keys are near-uniform; force a hot set
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+    )
+
+
 def q_curation_funnel(spark, sf):
     # The composed training-data cleaning pass (pipeline/curate): dedup +
     # length + quality gates in one dataflow, per-reason drop counts.
@@ -2966,6 +2991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q16": q_tpch_q16,
         "tpch_q20": q_tpch_q20,
         # --- new in round 6: never driver-checked ------------------------
+        "adaptive_join_agg": q_adaptive_join_agg,
         # --- last verified r3 --------------------------------------------
         "lm_score": q_lm_score,
         "dup_span_stats": q_dup_span_stats,
@@ -3967,6 +3993,12 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY lang
         """,
         "salted_join_agg": """
+            SELECT o_orderpriority, COUNT(*) AS cnt,
+                   ROUND(SUM(l_extendedprice), 2) AS total_price
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
+        """,
+        "adaptive_join_agg": """
             SELECT o_orderpriority, COUNT(*) AS cnt,
                    ROUND(SUM(l_extendedprice), 2) AS total_price
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey

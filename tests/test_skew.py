@@ -75,6 +75,65 @@ def test_salted_join_left_keeps_unmatched(spark):
     assert rows == {(1, "r1"), (2, None), (3, None)}
 
 
+def test_detect_hot_keys_finds_zipf_head(spark):
+    """The MG+exact-count detector surfaces exactly the keys above the
+    ratio threshold on a 41%-hot mix, and nothing from the uniform
+    tail."""
+    from external_benchmarks_spark.operators.skew import detect_hot_keys
+
+    left = spark.range(100_000).select(
+        F.when(F.col("id") % 100 < 41, F.lit(0))
+        .otherwise((F.col("id") % 997) + 1)
+        .cast("long")
+        .alias("k")
+    )
+    hot = detect_hot_keys(left, "k", hot_ratio=0.05)
+    assert hot == ["0"]
+
+
+def test_adaptive_join_matches_plain(spark, sf_dir):
+    """Hot-key-only salting is result-identical to the plain join, with
+    detection on, with an explicit hot set, and with an empty hot set
+    (pure passthrough)."""
+    from external_benchmarks_spark.operators.skew import adaptive_salted_join
+
+    cat = Catalog(spark, sf_dir)
+    li = cat.lineitem.select("l_orderkey", "l_partkey", "l_extendedprice")
+    orders = cat.orders.withColumnRenamed("o_orderkey", "l_orderkey").select(
+        "l_orderkey", "o_orderpriority"
+    )
+    plain = _rows(
+        li.join(orders, "l_orderkey").groupBy("o_orderpriority").count()
+    )
+    some_keys = [
+        str(r["l_orderkey"]) for r in li.select("l_orderkey").distinct().limit(5).collect()
+    ]
+    for hot in (None, some_keys, []):
+        out = adaptive_salted_join(
+            li, orders, on="l_orderkey", spread_col="l_partkey",
+            n_salts=4, hot=hot, hot_ratio=0.0001,
+        )
+        assert _rows(out.groupBy("o_orderpriority").count()) == plain, hot
+
+
+def test_adaptive_join_left_keeps_unmatched_and_nulls(spark):
+    from external_benchmarks_spark.operators.skew import adaptive_salted_join
+
+    left = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "z"), (None, "n")], "k bigint, v string"
+    )
+    right = spark.createDataFrame([(1, "r1"), (9, "r9")], "k bigint, r string")
+    out = adaptive_salted_join(
+        left, right, on="k", spread_col="v", n_salts=4, how="left", hot=["1"]
+    )
+    rows = {(r.k, r.r) for r in out.collect()}
+    assert rows == {(1, "r1"), (2, None), (3, None), (None, None)}
+    inner = adaptive_salted_join(
+        left, right, on="k", spread_col="v", n_salts=4, hot=["1"]
+    )
+    assert {(r.k, r.r) for r in inner.collect()} == {(1, "r1")}
+
+
 def test_aqe_skew_join_splits_hot_partition(spark):
     """With broadcast disabled and tiny skew thresholds, AQE must detect
     the hot key's shuffle partition and split it (skew=true in the final
