@@ -2102,38 +2102,74 @@ def q_tpch_q22(spark, sf):
 # join/agg-centric shapes are DataFrame API with broadcast hints.
 
 
+# True-schema partsupp for TPC-H Q2/Q11/Q16/Q20: the Spark side scans the
+# materialized fixture (Catalog.partsupp_table — dbgen's supplier-
+# assignment formula over the real part/supplier tables); the DuckDB
+# oracles regenerate the identical rows with this pure-integer CTE.
+# Every operation is integer arithmetic, so both engines agree exactly;
+# DISTINCT guards the (partkey, suppkey) key at toy scales where the
+# stride wraps (sf0.001: S=10). The `partsupp_fixture` registry entry
+# hash-verifies fixture == CTE row-for-row.
+PARTSUPP_CTE = """
+        sgen AS (SELECT CAST(COUNT(*) AS BIGINT) AS s_cnt FROM supplier),
+        i4 AS (SELECT 0 AS i UNION ALL SELECT 1
+               UNION ALL SELECT 2 UNION ALL SELECT 3),
+        ps_pairs AS (
+          SELECT DISTINCT p_partkey AS ps_partkey,
+                 (p_partkey + i * (CAST((s_cnt - s_cnt % 4) / 4 AS BIGINT)
+                     + CAST(((p_partkey - 1) - ((p_partkey - 1) % s_cnt))
+                            / s_cnt AS BIGINT)))
+                   % s_cnt + 1 AS ps_suppkey
+          FROM part CROSS JOIN i4 CROSS JOIN sgen),
+        partsupp AS (
+          SELECT ps_partkey, ps_suppkey,
+                 (ps_partkey * 47 + ps_suppkey * 31) % 9999 + 1
+                   AS ps_availqty,
+                 (ps_partkey * 7919 + ps_suppkey * 4621) % 99901 + 100
+                   AS ps_supplycost_c,
+                 CAST((ps_partkey * 7919 + ps_suppkey * 4621) % 99901 + 100
+                      AS DOUBLE) / 100.0 AS ps_supplycost
+          FROM ps_pairs)
+"""
+
+
+def q_partsupp_fixture(spark, sf):
+    # The partsupp fixture itself, verbatim: hash-oracled against the
+    # generation CTE so the materialized parquet provably equals what
+    # the TPC-H oracles recompute.
+    return Catalog(spark, sf).partsupp.select(
+        "ps_partkey", "ps_suppkey", "ps_availqty", "ps_supplycost_c",
+        "ps_supplycost",
+    )
+
+
 def q_tpch_q2(spark, sf):
-    # TPC-H Q2 minimum-cost supplier: correlated scalar MIN subquery
-    # over a CTE that itself joins three dims — the deepest
-    # decorrelation shape in the suite (Catalyst rewrites to a
-    # per-partkey min-aggregate joined back; plan-asserted). partsupp
-    # stands in as the distinct (l_partkey, l_suppkey) pairs with
-    # supplycost = min unit price, rounded to integer cents per row so
-    # the MIN and the equality predicate are cross-engine exact.
+    # TPC-H Q2 minimum-cost supplier over the TRUE partsupp fixture:
+    # correlated scalar MIN subquery re-joining three dims — the
+    # deepest decorrelation shape in the suite (Catalyst rewrites to a
+    # per-partkey min-aggregate joined back; plan-asserted). Integer
+    # cents (ps_supplycost_c) keep the MIN and the equality predicate
+    # cross-engine exact.
     c = Catalog(spark, sf)
-    c.register_views(("part", "supplier", "nation", "region", "lineitem"))
+    c.register_views(("part", "supplier", "nation", "region", "partsupp"))
     return spark.sql(
         """
-        WITH ps AS (
-          SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
-                 MIN(CAST(ROUND(l_extendedprice / l_quantity * 100.0, 0)
-                          AS BIGINT)) AS ps_cost_c
-          FROM lineitem GROUP BY 1, 2)
         SELECT s_acctbal, s_name, n_name, p_partkey, p_type,
-               CAST(ps_cost_c AS DOUBLE) / 100.0 AS supplycost
+               CAST(ps_supplycost_c AS DOUBLE) / 100.0 AS supplycost
         FROM part
-          JOIN ps ON p_partkey = ps_partkey
+          JOIN partsupp ON p_partkey = ps_partkey
           JOIN supplier ON s_suppkey = ps_suppkey
           JOIN nation ON s_nationkey = n_nationkey
           JOIN region ON n_regionkey = r_regionkey
         WHERE p_size = 15 AND r_name = 'EUROPE'
-          AND ps_cost_c = (SELECT MIN(ps2.ps_cost_c)
-                           FROM ps ps2
-                             JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
-                             JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
-                             JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
-                           WHERE ps2.ps_partkey = p_partkey
-                             AND r2.r_name = 'EUROPE')
+          AND ps_supplycost_c = (
+                SELECT MIN(ps2.ps_supplycost_c)
+                FROM partsupp ps2
+                  JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+                  JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+                  JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+                WHERE ps2.ps_partkey = p_partkey
+                  AND r2.r_name = 'EUROPE')
         ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
         LIMIT 100
         """
@@ -2271,28 +2307,26 @@ def q_tpch_q9(spark, sf):
 
 
 def q_tpch_q11(spark, sf):
-    # TPC-H Q11 important stock: per-part value held by one nation's
-    # suppliers, HAVING > fraction-of-total — the uncorrelated scalar
-    # subquery in HAVING (Catalyst plans it as an independent subquery
-    # result broadcast into the filter, one extra pass over the SAME
-    # grouped intermediate, never per-row).
+    # TPC-H Q11 important stock over the TRUE partsupp fixture: value =
+    # supplycost * availqty per part held by one nation's suppliers,
+    # HAVING > fraction-of-total — the uncorrelated scalar subquery in
+    # HAVING (Catalyst plans it as an independent subquery result
+    # broadcast into the filter, one extra pass over the SAME grouped
+    # intermediate, never per-row). Cents x qty stays integer-exact.
     c = Catalog(spark, sf)
-    c.register_views(("supplier", "nation", "lineitem"))
+    c.register_views(("supplier", "nation", "partsupp"))
     return spark.sql(
         """
-        WITH ps AS (
-          SELECT l_partkey, l_suppkey,
-                 SUM(CAST(ROUND(l_extendedprice * 100.0, 0) AS BIGINT)) AS val_c
-          FROM lineitem GROUP BY 1, 2)
-        SELECT l_partkey AS ps_partkey,
-               CAST(SUM(val_c) AS DOUBLE) / 100.0 AS value
-        FROM ps JOIN supplier ON s_suppkey = l_suppkey
+        SELECT ps_partkey,
+               CAST(SUM(ps_supplycost_c * ps_availqty) AS DOUBLE) / 100.0
+                 AS value
+        FROM partsupp JOIN supplier ON s_suppkey = ps_suppkey
           JOIN nation ON s_nationkey = n_nationkey
         WHERE n_name = 'NATION_3'
-        GROUP BY l_partkey
-        HAVING CAST(SUM(val_c) AS DOUBLE) > (
-          SELECT CAST(SUM(val_c) AS DOUBLE) * 0.001
-          FROM ps JOIN supplier ON s_suppkey = l_suppkey
+        GROUP BY ps_partkey
+        HAVING CAST(SUM(ps_supplycost_c * ps_availqty) AS DOUBLE) > (
+          SELECT CAST(SUM(ps_supplycost_c * ps_availqty) AS DOUBLE) * 0.001
+          FROM partsupp JOIN supplier ON s_suppkey = ps_suppkey
             JOIN nation ON s_nationkey = n_nationkey
           WHERE n_name = 'NATION_3')
         ORDER BY value DESC, ps_partkey
@@ -2375,22 +2409,21 @@ def q_tpch_q15(spark, sf):
 
 
 def q_tpch_q16(spark, sf):
-    # TPC-H Q16 parts/supplier relationship: NOT IN subquery (Catalyst
-    # plans a null-aware anti join — plan-asserted) over the
-    # partsupp stand-in, then COUNT(DISTINCT supplier). "Suppliers with
+    # TPC-H Q16 parts/supplier relationship over the TRUE partsupp
+    # fixture: NOT IN subquery (Catalyst plans a null-aware anti join —
+    # plan-asserted), then COUNT(DISTINCT supplier). "Suppliers with
     # complaints" adapts to negative account balance.
     c = Catalog(spark, sf)
-    c.register_views(("part", "supplier", "lineitem"))
+    c.register_views(("part", "supplier", "partsupp"))
     return spark.sql(
         """
         SELECT p_brand, p_type, p_size,
-               CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
-        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
-          JOIN part ON p_partkey = l_partkey
+               CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+        FROM partsupp JOIN part ON p_partkey = ps_partkey
         WHERE p_brand <> 'Brand#1'
           AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35, 40)
-          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
-                                WHERE s_acctbal < 0.0)
+          AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                 WHERE s_acctbal < 0.0)
         GROUP BY p_brand, p_type, p_size
         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
         """
@@ -2463,31 +2496,34 @@ def q_tpch_q19(spark, sf):
 
 
 def q_tpch_q20(spark, sf):
-    # TPC-H Q20 potential part promotion: nested IN subqueries with a
-    # correlated scalar aggregate in HAVING (supplier shipped more than
-    # half of the part's 1996 volume). The deepest nesting in the
-    # suite; Catalyst decorrelates the HAVING subquery to a per-partkey
-    # aggregate joined into the grouped stand-in partsupp, then plans
-    # the outer IN as a semi join.
+    # TPC-H Q20 potential part promotion over the TRUE partsupp
+    # fixture — the authentic shape: availqty > half the part-supplier
+    # pair's 1996 shipped volume, as a correlated scalar aggregate on
+    # BOTH keys inside nested INs. Catalyst decorrelates the scalar to
+    # a per-(partkey, suppkey) aggregate joined into partsupp, then
+    # plans the outer IN as a semi join. availqty*200 > sum-of-cents
+    # keeps the comparison pure-integer; an empty 1996 window yields a
+    # NULL sum, whose comparison is unknown — excluded identically by
+    # both engines.
     c = Catalog(spark, sf)
-    c.register_views(("supplier", "nation", "part", "lineitem"))
+    c.register_views(("supplier", "nation", "part", "lineitem", "partsupp"))
     return spark.sql(
         """
         SELECT s_name, s_acctbal
         FROM supplier JOIN nation ON s_nationkey = n_nationkey
         WHERE n_name = 'NATION_3'
           AND s_suppkey IN (
-            SELECT li.l_suppkey FROM lineitem li
-            WHERE li.l_partkey IN (SELECT p_partkey FROM part
-                                   WHERE p_type = 'PROMO')
-            GROUP BY li.l_suppkey, li.l_partkey
-            HAVING SUM(CAST(ROUND(li.l_quantity * 100.0, 0) AS BIGINT)) >
-                   (SELECT 0.5 * SUM(CAST(ROUND(l2.l_quantity * 100.0, 0)
-                                          AS BIGINT))
-                    FROM lineitem l2
-                    WHERE l2.l_partkey = li.l_partkey
-                      AND l2.l_shipdate >= TIMESTAMP '1996-01-01'
-                      AND l2.l_shipdate < TIMESTAMP '1997-01-01'))
+            SELECT ps_suppkey FROM partsupp
+            WHERE ps_partkey IN (SELECT p_partkey FROM part
+                                 WHERE p_type = 'PROMO')
+              AND ps_availqty * 200 >
+                  (SELECT SUM(CAST(ROUND(l2.l_quantity * 100.0, 0)
+                                   AS BIGINT))
+                   FROM lineitem l2
+                   WHERE l2.l_partkey = ps_partkey
+                     AND l2.l_suppkey = ps_suppkey
+                     AND l2.l_shipdate >= TIMESTAMP '1996-01-01'
+                     AND l2.l_shipdate < TIMESTAMP '1997-01-01'))
         ORDER BY s_name
         """
     )
@@ -2992,6 +3028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q20": q_tpch_q20,
         # --- new in round 6: never driver-checked ------------------------
         "adaptive_join_agg": q_adaptive_join_agg,
+        "partsupp_fixture": q_partsupp_fixture,
         # --- last verified r3 --------------------------------------------
         "lm_score": q_lm_score,
         "dup_span_stats": q_dup_span_stats,
@@ -4879,27 +4916,30 @@ def oracle_sql() -> dict[str, str]:
     # get the equivalent SQL with the same integer-cents fixed point and
     # CAST(... AS DOUBLE) divisions so both engines emit bit-identical
     # doubles.
-    oracles["tpch_q2"] = """
-        WITH ps AS (
-          SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
-                 MIN(CAST(ROUND(l_extendedprice / l_quantity * 100.0, 0)
-                          AS BIGINT)) AS ps_cost_c
-          FROM lineitem GROUP BY 1, 2)
+    oracles["partsupp_fixture"] = f"""
+        WITH {PARTSUPP_CTE}
+        SELECT ps_partkey, ps_suppkey, ps_availqty, ps_supplycost_c,
+               ps_supplycost
+        FROM partsupp
+    """
+    oracles["tpch_q2"] = f"""
+        WITH {PARTSUPP_CTE}
         SELECT s_acctbal, s_name, n_name, p_partkey, p_type,
-               CAST(ps_cost_c AS DOUBLE) / 100.0 AS supplycost
+               CAST(ps_supplycost_c AS DOUBLE) / 100.0 AS supplycost
         FROM part
-          JOIN ps ON p_partkey = ps_partkey
+          JOIN partsupp ON p_partkey = ps_partkey
           JOIN supplier ON s_suppkey = ps_suppkey
           JOIN nation ON s_nationkey = n_nationkey
           JOIN region ON n_regionkey = r_regionkey
         WHERE p_size = 15 AND r_name = 'EUROPE'
-          AND ps_cost_c = (SELECT MIN(ps2.ps_cost_c)
-                           FROM ps ps2
-                             JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
-                             JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
-                             JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
-                           WHERE ps2.ps_partkey = p_partkey
-                             AND r2.r_name = 'EUROPE')
+          AND ps_supplycost_c = (
+                SELECT MIN(ps2.ps_supplycost_c)
+                FROM partsupp ps2
+                  JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+                  JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+                  JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+                WHERE ps2.ps_partkey = p_partkey
+                  AND r2.r_name = 'EUROPE')
         ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
         LIMIT 100
     """
@@ -4963,20 +5003,18 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY nation, o_year
         ORDER BY nation, o_year DESC
     """
-    oracles["tpch_q11"] = """
-        WITH ps AS (
-          SELECT l_partkey, l_suppkey,
-                 SUM(CAST(ROUND(l_extendedprice * 100.0, 0) AS BIGINT)) AS val_c
-          FROM lineitem GROUP BY 1, 2)
-        SELECT l_partkey AS ps_partkey,
-               CAST(SUM(val_c) AS DOUBLE) / 100.0 AS value
-        FROM ps JOIN supplier ON s_suppkey = l_suppkey
+    oracles["tpch_q11"] = f"""
+        WITH {PARTSUPP_CTE}
+        SELECT ps_partkey,
+               CAST(SUM(ps_supplycost_c * ps_availqty) AS DOUBLE) / 100.0
+                 AS value
+        FROM partsupp JOIN supplier ON s_suppkey = ps_suppkey
           JOIN nation ON s_nationkey = n_nationkey
         WHERE n_name = 'NATION_3'
-        GROUP BY l_partkey
-        HAVING CAST(SUM(val_c) AS DOUBLE) > (
-          SELECT CAST(SUM(val_c) AS DOUBLE) * 0.001
-          FROM ps JOIN supplier ON s_suppkey = l_suppkey
+        GROUP BY ps_partkey
+        HAVING CAST(SUM(ps_supplycost_c * ps_availqty) AS DOUBLE) > (
+          SELECT CAST(SUM(ps_supplycost_c * ps_availqty) AS DOUBLE) * 0.001
+          FROM partsupp JOIN supplier ON s_suppkey = ps_suppkey
             JOIN nation ON s_nationkey = n_nationkey
           WHERE n_name = 'NATION_3')
         ORDER BY value DESC, ps_partkey
@@ -5016,15 +5054,15 @@ def oracle_sql() -> dict[str, str]:
         WHERE total_revenue_c = (SELECT MAX(total_revenue_c) FROM revenue)
         ORDER BY s_suppkey
     """
-    oracles["tpch_q16"] = """
+    oracles["tpch_q16"] = f"""
+        WITH {PARTSUPP_CTE}
         SELECT p_brand, p_type, p_size,
-               CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
-        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
-          JOIN part ON p_partkey = l_partkey
+               CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+        FROM partsupp JOIN part ON p_partkey = ps_partkey
         WHERE p_brand <> 'Brand#1'
           AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35, 40)
-          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
-                                WHERE s_acctbal < 0.0)
+          AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                 WHERE s_acctbal < 0.0)
         GROUP BY p_brand, p_type, p_size
         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
     """
@@ -5055,22 +5093,23 @@ def oracle_sql() -> dict[str, str]:
            OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
                AND l_quantity >= 20 AND l_quantity <= 30)
     """
-    oracles["tpch_q20"] = """
+    oracles["tpch_q20"] = f"""
+        WITH {PARTSUPP_CTE}
         SELECT s_name, s_acctbal
         FROM supplier JOIN nation ON s_nationkey = n_nationkey
         WHERE n_name = 'NATION_3'
           AND s_suppkey IN (
-            SELECT li.l_suppkey FROM lineitem li
-            WHERE li.l_partkey IN (SELECT p_partkey FROM part
-                                   WHERE p_type = 'PROMO')
-            GROUP BY li.l_suppkey, li.l_partkey
-            HAVING SUM(CAST(ROUND(li.l_quantity * 100.0, 0) AS BIGINT)) >
-                   (SELECT 0.5 * SUM(CAST(ROUND(l2.l_quantity * 100.0, 0)
-                                          AS BIGINT))
-                    FROM lineitem l2
-                    WHERE l2.l_partkey = li.l_partkey
-                      AND l2.l_shipdate >= TIMESTAMP '1996-01-01'
-                      AND l2.l_shipdate < TIMESTAMP '1997-01-01'))
+            SELECT ps_suppkey FROM partsupp
+            WHERE ps_partkey IN (SELECT p_partkey FROM part
+                                 WHERE p_type = 'PROMO')
+              AND ps_availqty * 200 >
+                  (SELECT SUM(CAST(ROUND(l2.l_quantity * 100.0, 0)
+                                   AS BIGINT))
+                   FROM lineitem l2
+                   WHERE l2.l_partkey = ps_partkey
+                     AND l2.l_suppkey = ps_suppkey
+                     AND l2.l_shipdate >= TIMESTAMP '1996-01-01'
+                     AND l2.l_shipdate < TIMESTAMP '1997-01-01'))
         ORDER BY s_name
     """
     oracles["hll_merge"] = """

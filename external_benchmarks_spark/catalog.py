@@ -108,12 +108,102 @@ class Catalog:
     def __getattr__(self, name: str) -> DataFrame:
         if name in TESTDATA_TABLES:
             return self.table(name)
+        if name == "partsupp":
+            return self.partsupp_table()
         raise AttributeError(name)
+
+    def partsupp_table(self) -> DataFrame:
+        """True-schema ``partsupp`` fixture (the driver's testdata ships
+        no partsupp.parquet): part p's suppliers follow dbgen's
+        assignment formula (TPC-H spec 4.2.3 / reference dbgen
+        ``PART_SUPP_BRIDGE``): suppkey_i = (p + i*(S/4 + (p-1)/S)) % S
+        + 1 for i in 0..3, over the REAL part/supplier tables, with
+        deterministic integer-arithmetic availqty (1..9999) and
+        supplycost (1.00..1000.00, exact integer cents) in dbgen's
+        ranges. DISTINCT guards the (partkey, suppkey) primary key at
+        toy scales where the stride can wrap (sf0.001: S=10).
+
+        Materialized ONCE per source version as parquet in the tempdir
+        (keyed on part.parquet's size+mtime) and read back, so TPC-H
+        Q2/Q11/Q16/Q20 scan a real partsupp table with its own files
+        and column statistics. The DuckDB oracles regenerate the same
+        rows via the identical-arithmetic CTE
+        (__spark_entry__.PARTSUPP_CTE) — every operation is integer
+        math, so the two engines agree bit-for-bit.
+        """
+        import re
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        if "partsupp" in self._cache:
+            return self._cache["partsupp"]
+        st = os.stat(self.path("part"))
+        tag = re.sub(r"[^A-Za-z0-9_.-]", "_", self.root.strip("/"))
+        out = os.path.join(
+            tempfile.gettempdir(),
+            f"ebs_partsupp_{tag}_{int(st.st_mtime)}_{st.st_size}",
+        )
+        if not os.path.exists(os.path.join(out, "_SUCCESS")):
+            s_cnt = self.table("supplier").count()
+            s4 = s_cnt // 4
+            pairs = (
+                self.table("part")
+                .select("p_partkey")
+                .crossJoin(self.spark.range(4).select(F.col("id").alias("i")))
+                .select(
+                    F.col("p_partkey").alias("ps_partkey"),
+                    (
+                        (
+                            F.col("p_partkey")
+                            + F.col("i")
+                            * (
+                                F.lit(s4)
+                                + F.expr(f"(p_partkey - 1) DIV {s_cnt}")
+                            )
+                        )
+                        % F.lit(s_cnt)
+                        + 1
+                    ).alias("ps_suppkey"),
+                )
+                .distinct()
+            )
+            (
+                pairs.select(
+                    "ps_partkey",
+                    "ps_suppkey",
+                    (
+                        (F.col("ps_partkey") * 47 + F.col("ps_suppkey") * 31)
+                        % 9999
+                        + 1
+                    ).alias("ps_availqty"),
+                    (
+                        (
+                            F.col("ps_partkey") * 7919
+                            + F.col("ps_suppkey") * 4621
+                        )
+                        % 99901
+                        + 100
+                    ).alias("ps_supplycost_c"),
+                )
+                .withColumn(
+                    "ps_supplycost",
+                    F.col("ps_supplycost_c").cast("double") / 100.0,
+                )
+                .repartition(1)
+                .sortWithinPartitions("ps_partkey", "ps_suppkey")
+                .write.mode("overwrite")
+                .parquet(out)
+            )
+        self._cache["partsupp"] = self.spark.read.parquet(out)
+        return self._cache["partsupp"]
 
     def register_views(self, names: tuple[str, ...] = TESTDATA_TABLES) -> None:
         """Register each table as a temp view so spark.sql() can see them."""
         for name in names:
-            if os.path.exists(self.path(name)):
+            if name == "partsupp":
+                self.partsupp_table().createOrReplaceTempView(name)
+            elif os.path.exists(self.path(name)):
                 self.table(name).createOrReplaceTempView(name)
 
 
