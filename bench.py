@@ -972,6 +972,18 @@ def main() -> None:
     load = serving_under_load(spark, SF_DIR)
     print(f"# serving_under_load: {load}", file=sys.stderr)
 
+    # Long-lived STREAM-driven query server (BASELINE.md:66-68's promise
+    # made concrete): a rate readStream delivers 20 QPS of template
+    # requests for 60 s, foreachBatch drains them against the serving
+    # layout — no Spark job per query. service = inside-topk latency;
+    # e2e additionally pays the micro-batch trigger cadence.
+    from external_benchmarks_spark.streaming.query_server import run_rate_server
+
+    stream_srv = run_rate_server(
+        spark, _vt_layout(spark, SF_DIR), QVEC, qps=20, duration_s=60.0
+    )
+    print(f"# stream_serving: {stream_srv}", file=sys.stderr)
+
     # Full-width (2,688-dim) realism leg.
     d2688 = dim2688_leg(spark, SF_DIR)
     print(f"# dim2688: {d2688}", file=sys.stderr)
@@ -998,6 +1010,8 @@ def main() -> None:
         "read_p95": read_p95,
         "serving_read_p95_ms": serving_p95,
         "serving_under_load": load,
+        "stream_serving_p95_ms": stream_srv["service"]["p95_ms"],
+        "stream_serving": stream_srv,
         "dim2688": d2688,
         "index_refresh": refresh,
         "mixed_rw": rw,

@@ -1,0 +1,178 @@
+"""Long-lived streaming query server over the serving-tier index.
+
+Closes the reference's serving promise (reference README.md:62-70: 100 ms
+read p95 under a sustained 20 QPS stream) at the architecture the SLA
+describes: query REQUESTS arrive as a Structured Streaming source (rate
+stream for load generation, file stream for replayable request logs), a
+``foreachBatch`` loop drains each micro-batch on the driver, and every
+request is answered by ``serving.VectorServingIndex`` — the memory-mapped
+copy of the Spark-built layout — WITHOUT launching a Spark job per query.
+Spark's role per query is only request delivery; the per-query work is
+one BLAS matvec over the pruned partition, so the p95 is bounded by the
+serving tier, not the ~0.2-0.3 s job-scheduling floor (BASELINE.md:50-68).
+
+Two latency views are reported, both honest:
+
+- ``service_*``: time inside ``topk`` per request — the serving tier's
+  own latency (what a real fleet's p95 is built from).
+- ``e2e_*``: request-timestamp -> answer, which additionally pays the
+  micro-batch trigger cadence. This is the end-to-end number a client
+  of THIS loop sees; a production server would take requests off a
+  socket instead and see only ``service_*`` plus network.
+
+Scale shape: the stream is unbounded and state is O(1) per request
+(latency scalars); the serving index shards by partition key across a
+fleet exactly like the directory layout (serving.py module docstring).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import time
+import uuid
+
+from external_benchmarks_spark.serving import VectorServingIndex
+
+# The four bench selectivity templates (README.md:78-83 analogs):
+# label == L alone (10%), then key % {10, 100, 1000} refinements.
+KEY_MODS = (None, 10, 100, 1000)
+
+
+def _percentiles(xs: list[float]) -> dict:
+    if not xs:
+        return {"n": 0}
+    s = sorted(xs)
+    at = lambda p: s[min(len(s) - 1, max(0, int(round(p * len(s))) - 1))]
+    return {
+        "n": len(s),
+        "p50_ms": round(at(0.50) * 1000, 3),
+        "p95_ms": round(at(0.95) * 1000, 3),
+        "max_ms": round(s[-1] * 1000, 3),
+    }
+
+
+def _serve_stream(
+    stream_df,
+    sidx: VectorServingIndex,
+    qvec,
+    k: int,
+    n_labels: int,
+    trigger: dict,
+    duration_s: float | None,
+    results: dict | None = None,
+):
+    """Drain ``stream_df`` rows (cols: ``value`` request seq, optional
+    ``timestamp``/``req_id``/``label``/``key_mod_code``) through the
+    serving index. Returns (service_times, e2e_times)."""
+    service: list[float] = []
+    e2e: list[float] = []
+
+    def handle(batch_df, _batch_id):
+        rows = batch_df.collect()  # <= qps x trigger-interval rows
+        for r in rows:
+            d = r.asDict()
+            seq = int(d.get("req_id", d.get("value", 0)) or 0)
+            label = int(d["label"]) if d.get("label") is not None else seq % n_labels
+            code = d.get("key_mod_code")
+            key_mod = KEY_MODS[
+                int(code) if code is not None else seq % len(KEY_MODS)
+            ]
+            t0 = time.perf_counter()
+            out = sidx.topk(qvec, k=k, label=label, key_mod=key_mod)
+            service.append(time.perf_counter() - t0)
+            ts = d.get("timestamp")
+            if ts is not None:
+                e2e.append(max(0.0, time.time() - ts.timestamp()))
+            if results is not None and "req_id" in d:
+                results[seq] = out
+
+    ckpt = os.path.join(
+        tempfile.gettempdir(), f"ebs_qserver_ckpt_{uuid.uuid4().hex[:8]}"
+    )
+    q = (
+        stream_df.writeStream.foreachBatch(handle)
+        .trigger(**trigger)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        if duration_s is None:
+            q.awaitTermination()  # availableNow: stops when drained
+        else:
+            deadline = time.time() + duration_s
+            while time.time() < deadline and q.isActive:
+                time.sleep(0.1)
+    finally:
+        if q.isActive:
+            q.stop()
+        q.awaitTermination()
+        import shutil
+
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return service, e2e
+
+
+def run_rate_server(
+    spark,
+    layout_dir: str,
+    qvec,
+    qps: int = 20,
+    duration_s: float = 60.0,
+    k: int = 100,
+    n_labels: int = 4,
+    trigger_ms: int = 200,
+) -> dict:
+    """Load-generating form: a ``rate`` readStream at ``qps`` rows/sec
+    feeds the serving loop for ``duration_s``. Requests cycle through
+    the four selectivity templates x ``n_labels`` partitions."""
+    sidx = VectorServingIndex(layout_dir)
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", qps).load()
+    )
+    service, e2e = _serve_stream(
+        stream,
+        sidx,
+        qvec,
+        k,
+        n_labels,
+        {"processingTime": f"{trigger_ms} milliseconds"},
+        duration_s,
+    )
+    return {
+        "qps": qps,
+        "duration_s": duration_s,
+        "service": _percentiles(service),
+        "e2e": _percentiles(e2e),
+    }
+
+
+def run_file_server(
+    spark,
+    layout_dir: str,
+    request_dir: str,
+    qvec,
+    k: int = 100,
+) -> dict[int, list]:
+    """Replayable form: drain a directory of parquet request files
+    (schema ``req_id bigint, label int, key_mod_code int``) with an
+    availableNow trigger and return {req_id: topk result} — the form
+    the live test uses to assert bit-parity with direct serving calls.
+    """
+    sidx = VectorServingIndex(layout_dir)
+    stream = (
+        spark.readStream.schema("req_id bigint, label int, key_mod_code int")
+        .parquet(request_dir)
+    )
+    results: dict[int, list] = {}
+    _serve_stream(
+        stream,
+        sidx,
+        qvec,
+        k,
+        n_labels=1,
+        trigger={"availableNow": True},
+        duration_s=None,
+        results=results,
+    )
+    return results

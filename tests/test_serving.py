@@ -147,3 +147,41 @@ def test_serving_incremental_refresh_only_dirty_cells(spark, sf_dir, tmp_path):
     # forced refresh of an untouched partition is also exact
     assert idx.refresh(labels=[0]) == [0]
     assert idx.topk(q, k=20, label=0) == fresh.topk(q, k=20, label=0)
+
+
+def test_file_stream_query_server_bit_parity(spark, layout, tmp_path):
+    """The streaming query server (rate/file readStream -> foreachBatch
+    -> serving index) must answer every request bit-identically to a
+    direct serving call — Spark only delivers requests, the serving
+    tier computes."""
+    from external_benchmarks_spark.streaming.query_server import (
+        KEY_MODS,
+        run_file_server,
+    )
+
+    reqs = [(i, i % 4, i % len(KEY_MODS)) for i in range(24)]
+    req_dir = str(tmp_path / "requests")
+    spark.createDataFrame(
+        reqs, "req_id bigint, label int, key_mod_code int"
+    ).repartition(3).write.parquet(req_dir)
+
+    got = run_file_server(spark, layout, req_dir, entry_mod.QVEC, k=50)
+    assert sorted(got) == [r[0] for r in reqs]
+    idx = VectorServingIndex(layout)
+    for req_id, label, code in reqs:
+        want = idx.topk(entry_mod.QVEC, k=50, label=label, key_mod=KEY_MODS[code])
+        assert got[req_id] == want, req_id
+
+
+def test_rate_stream_query_server_sustains_load(spark, layout):
+    """Short live run of the rate-stream server: requests flow, every
+    one is answered, and the serving-side p95 stays far under the
+    100 ms SLA even inside a busy test session."""
+    from external_benchmarks_spark.streaming.query_server import run_rate_server
+
+    out = run_rate_server(
+        spark, layout, entry_mod.QVEC, qps=10, duration_s=4.0, k=50
+    )
+    assert out["service"]["n"] >= 10  # stream actually flowed
+    assert out["service"]["p95_ms"] < 100
+    assert out["e2e"]["n"] == out["service"]["n"]
