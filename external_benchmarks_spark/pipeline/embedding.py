@@ -10,7 +10,14 @@ Encoder tiers (selected at runtime):
 
 1. ``sentence-transformers`` when importable (import-gated — not in this
    container): the reference's actual model.
-2. ``hashed_ngram_encode`` — a REAL, dependency-free text embedding via
+2. A local safetensors checkpoint (``pipeline/minilm.MiniLMEncoder``)
+   when a checkpoint dir is passed to ``embed_text_udf``/``embed_fields``
+   or set via ``$EBS_ENCODER_CKPT`` at UDF-definition time: the real
+   model-inference path — weights load ONCE per executor process from
+   the public safetensors format and score whole Arrow batches — run as
+   pure numpy, so it executes un-skipped in this container
+   (tests/test_pipeline.py drives it through the same pandas_udf).
+3. ``hashed_ngram_encode`` — a REAL, dependency-free text embedding via
    the feature-hashing trick (char n-gram counts signed-hashed into
    ``dim`` buckets, L2-normalized; the HashingVectorizer construction
    from Weinberger et al., "Feature Hashing for Large Scale Multitask
@@ -95,37 +102,71 @@ def hashed_ngram_encode(
     return out
 
 
-def encode_batch(texts: "pd.Series", dim: int) -> np.ndarray:
+_LOCAL_ENCODERS: dict = {}
+
+
+def _checkpoint_encoder(ckpt_dir: str):
+    """Load-once-per-process checkpoint encoder (the same lifecycle as
+    the sentence-transformers tier: each executor worker pays the load
+    on its first batch, then scores batches from memory)."""
+    if ckpt_dir not in _LOCAL_ENCODERS:
+        from external_benchmarks_spark.pipeline.minilm import MiniLMEncoder
+
+        _LOCAL_ENCODERS[ckpt_dir] = MiniLMEncoder.load(ckpt_dir)
+    return _LOCAL_ENCODERS[ckpt_dir]
+
+
+def encode_batch(
+    texts: "pd.Series", dim: int, ckpt_dir: str | None = None
+) -> np.ndarray:
     """One encoder call per Arrow batch: the transformer when available,
-    else the hashed n-gram embedding. Unit-norm float32 either way."""
+    else a local safetensors checkpoint of matching width, else the
+    hashed n-gram embedding. Unit-norm float32 every tier."""
     if HAVE_MODEL and dim == DEFAULT_DIM:  # pragma: no cover
         return _model_encode(texts, dim)
+    if ckpt_dir:
+        enc = _checkpoint_encoder(ckpt_dir)
+        if enc.dim == dim:
+            return enc.encode(list(pd.Series(texts).fillna("")))
     return hashed_ngram_encode(texts, dim)
 
 
-def embed_text_udf(dim: int = DEFAULT_DIM):
+def embed_text_udf(dim: int = DEFAULT_DIM, ckpt_dir: str | None = None):
     """Scalar pandas_udf: string column -> unit-norm float vector.
 
     Arrow batches keep the Python boundary amortized; at 2,688 total dims
     and 10k-row batches this moves ~100 MB/batch, matching the executor
     memory budget in session.py.
+
+    ``ckpt_dir`` (default ``$EBS_ENCODER_CKPT``, resolved HERE at UDF
+    definition so the path rides the serialized closure to executors —
+    driver-set environment does not propagate to already-running Python
+    workers) selects the checkpoint tier of encode_batch.
     """
+    import os
+
+    ckpt_dir = ckpt_dir or os.environ.get("EBS_ENCODER_CKPT")
 
     @F.pandas_udf(ArrayType(FloatType()))
     def embed(texts: pd.Series) -> pd.Series:
-        mat = encode_batch(texts, dim)
+        mat = encode_batch(texts, dim, ckpt_dir)
         return pd.Series(list(mat))
 
     return embed
 
 
-def embed_fields(df: DataFrame, fields=EMBED_FIELDS, dim: int = DEFAULT_DIM) -> DataFrame:
+def embed_fields(
+    df: DataFrame,
+    fields=EMBED_FIELDS,
+    dim: int = DEFAULT_DIM,
+    ckpt_dir: str | None = None,
+) -> DataFrame:
     """Per-field embedding + concatenation (README.md:52-55): each text
     field embeds to ``dim`` floats; the product embedding is their concat
     (so each non-empty field-block is unit-norm => total L2 =
     sqrt(n_nonempty_fields), the invariant the reference reports at
     benchmark_10k/README.md:70)."""
-    embed = embed_text_udf(dim)
+    embed = embed_text_udf(dim, ckpt_dir=ckpt_dir)
     out = df
     vec_cols: list[Column] = []
     for f in fields:

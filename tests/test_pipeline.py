@@ -505,3 +505,91 @@ def test_index_layout_fingerprint_wiring(spark, sf_dir):
             emb.filter(F.col("vec_id") % 2 == 1), out, centroids=centroids
         )
         assert not layout_is_current(out, fp)
+
+
+def test_safetensors_roundtrip(tmp_path):
+    """Our reader/writer of the public safetensors layout round-trips
+    shapes, dtypes, and bytes exactly."""
+    import numpy as np
+
+    from external_benchmarks_spark.pipeline.minilm import (
+        load_safetensors,
+        save_safetensors,
+    )
+
+    rng = np.random.default_rng(3)
+    tensors = {
+        "a": rng.standard_normal((4, 7)).astype(np.float32),
+        "b.bias": np.arange(5, dtype=np.float64),
+        "ids": np.array([1, 2, 3], dtype=np.int64),
+    }
+    p = str(tmp_path / "m.safetensors")
+    save_safetensors(p, tensors)
+    back = load_safetensors(p)
+    assert set(back) == set(tensors)
+    for k in tensors:
+        assert back[k].dtype == tensors[k].dtype
+        assert (back[k] == tensors[k]).all()
+
+
+def test_checkpoint_encoder_contract(tmp_path):
+    """The model-inference path runs UN-skipped: weights load from a
+    real safetensors checkpoint and the forward pass satisfies the same
+    contract as the other encoder tiers (unit-norm, deterministic,
+    content- and order-sensitive)."""
+    import numpy as np
+
+    from external_benchmarks_spark.pipeline.minilm import (
+        MiniLMEncoder,
+        make_tiny_checkpoint,
+    )
+
+    ckpt = make_tiny_checkpoint(
+        str(tmp_path / "ckpt"),
+        ["hello", "world", "spark", "engine", "fast"],
+        dim=64, n_layers=2, n_heads=4,
+    )
+    enc = MiniLMEncoder.load(ckpt)
+    texts = ["hello world", "world hello", "spark engine fast", "hello world"]
+    mat = enc.encode(texts)
+    assert mat.shape == (4, 64) and mat.dtype == np.float32
+    assert np.allclose(np.linalg.norm(mat, axis=1), 1.0, atol=1e-5)
+    assert (mat[0] == mat[3]).all()  # deterministic
+    assert not (mat[0] == mat[1]).all()  # position-sensitive
+    assert not (mat[0] == mat[2]).all()  # content-sensitive
+    # load-twice determinism (fresh parse of the checkpoint bytes)
+    assert (MiniLMEncoder.load(ckpt).encode(texts) == mat).all()
+
+
+def test_checkpoint_udf_matches_driver_encode(spark, tmp_path):
+    """embed_text_udf(ckpt_dir=...) runs the checkpoint encoder inside
+    executor Python workers (load-once, Arrow batches); results must be
+    bit-identical to a driver-side encode — the full model-inference
+    path through the same pandas_udf as every other tier."""
+    import numpy as np
+
+    from external_benchmarks_spark.pipeline.embedding import embed_text_udf
+    from external_benchmarks_spark.pipeline.minilm import (
+        MiniLMEncoder,
+        make_tiny_checkpoint,
+    )
+
+    ckpt = make_tiny_checkpoint(
+        str(tmp_path / "ckpt"),
+        ["item", "quality", "fast", "cheap", "review"],
+        dim=64, n_layers=2, n_heads=4,
+    )
+    df = spark.createDataFrame(
+        [(i, f"item {i % 3} quality review") for i in range(40)],
+        "id bigint, text string",
+    )
+    out = (
+        df.select("id", embed_text_udf(dim=64, ckpt_dir=ckpt)("text").alias("e"))
+        .orderBy("id")
+        .collect()
+    )
+    want = MiniLMEncoder.load(ckpt).encode(
+        [f"item {i % 3} quality review" for i in range(40)]
+    )
+    got = np.array([r.e for r in out], dtype=np.float32)
+    assert (got == want).all()
