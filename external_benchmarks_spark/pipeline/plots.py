@@ -121,6 +121,77 @@ def histogram_chart(
     return img
 
 
+def pie_chart(
+    values: list[float], width: int = 420, height: int = 420
+) -> np.ndarray:
+    """Pie chart of a reduced share series — the reference's category-
+    distribution pie (generate_benchmark_reports.py figure set) without
+    matplotlib. Segments rasterize by per-pixel angle test over a
+    vectorized grid; colors cycle the 8-color palette in input order.
+    Input is an already-reduced top-N list (plus an optional 'other'
+    bucket), never raw rows."""
+    img = _blank(width, height)
+    total = sum(v for v in values if v) or 1.0
+    cx, cy = width / 2.0, height / 2.0
+    radius = min(width, height) * 0.42
+    yy, xx = np.mgrid[0:height, 0:width]
+    dx, dy = xx - cx, yy - cy
+    inside = dx * dx + dy * dy <= radius * radius
+    # angle in [0, 1) clockwise from 12 o'clock, matplotlib-pie-like
+    ang = (np.arctan2(dx, -dy) / (2 * np.pi)) % 1.0
+    acc = 0.0
+    for i, v in enumerate(values):
+        if not v:
+            continue
+        frac = v / total
+        seg = inside & (ang >= acc) & (ang < acc + frac)
+        img[seg] = _PALETTE[i % len(_PALETTE)]
+        acc += frac
+    return img
+
+
+def _diverging_color(v: float) -> tuple[int, int, int]:
+    """Blue (-1) -> white (0) -> red (+1), the standard correlation map."""
+    v = max(-1.0, min(1.0, v))
+    if v >= 0:
+        t = v
+        return (255, int(255 - 175 * t), int(255 - 195 * t))
+    t = -v
+    return (int(255 - 189 * t), int(255 - 135 * t), int(255 - 55 * t))
+
+
+def heatmap_chart(
+    matrix: "list[list[float | None]]", width: int = 480, height: int = 480
+) -> np.ndarray:
+    """Correlation-matrix heatmap (reference's corr figure,
+    generate_benchmark_reports.py:276-550 family): one colored cell per
+    pair on the diverging blue-white-red map, value printed in-cell,
+    grid separators. Input is the k x k already-reduced matrix from
+    dataset_report(corr_cols=...) — k is column count, not row count."""
+    img = _blank(width, height)
+    n = len(matrix)
+    if n == 0:
+        return img
+    m = 16
+    cw = (width - 2 * m) / n
+    ch = (height - 2 * m) / n
+    for r in range(n):
+        for c in range(n):
+            v = matrix[r][c]
+            x0, y0 = int(m + c * cw), int(m + r * ch)
+            x1, y1 = int(m + (c + 1) * cw), int(m + (r + 1) * ch)
+            color = BG if v is None else _diverging_color(float(v))
+            _rect(img, x0, y0, x1, y1, color)
+            _rect(img, x0, y0, x1, y0 + 1, GRID)
+            _rect(img, x0, y0, x0 + 1, y1, GRID)
+            if v is not None:
+                s = _fmt(round(float(v), 2))
+                _text(img, x0 + 3, (y0 + y1) // 2 - 3, s)
+    _rect(img, m, int(m + n * ch), int(m + n * cw) + 1, int(m + n * ch) + 1, FG)
+    _rect(img, int(m + n * cw), m, int(m + n * cw) + 1, int(m + n * ch), FG)
+    return img
+
+
 def save_png(img: np.ndarray, path: str) -> str:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "wb") as f:
@@ -129,25 +200,42 @@ def save_png(img: np.ndarray, path: str) -> str:
 
 
 def render_report_figures(report: dict, out_dir: str, name: str) -> list[str]:
-    """Render the reference's figure set from an already-computed stats
-    dict (pipeline/report.dataset_report): null-count bars, per-categorical
-    top-10 bars, per-numeric histograms. Returns written paths."""
+    """Render the reference's full figure set from an already-computed
+    stats dict (pipeline/report.dataset_report) — all five families:
+    null-count bars, per-categorical top-10 bars (+ pie share charts),
+    per-numeric histograms, and the correlation-matrix heatmap when the
+    report carries one (dataset_report(corr_cols=...)). Returns written
+    paths."""
     written: list[str] = []
     nulls = report.get("null_counts") or {}
     if nulls:
         img = bar_chart([float(v) for v in nulls.values()])
         written.append(save_png(img, os.path.join(out_dir, f"{name}_nulls.png")))
     for col, s in (report.get("categorical") or {}).items():
-        vals = [float(t["count"]) for t in s.get("top", [])]
+        top = s.get("top", [])
+        vals = [float(t["count"]) for t in top]
         if vals:
             img = bar_chart(vals)
             written.append(
                 save_png(img, os.path.join(out_dir, f"{name}_cat_{col}.png"))
             )
+            # pie of the top-N shares + an 'other' slice for the rest
+            pcts = [float(t["pct"]) for t in top]
+            other = max(0.0, 100.0 - sum(pcts))
+            img = pie_chart(pcts + ([other] if other > 0.05 else []))
+            written.append(
+                save_png(img, os.path.join(out_dir, f"{name}_pie_{col}.png"))
+            )
     for col, s in (report.get("histograms") or {}).items():
         img = histogram_chart(s["counts"], s["min"], s["max"])
         written.append(
             save_png(img, os.path.join(out_dir, f"{name}_hist_{col}.png"))
+        )
+    corr = report.get("correlation")
+    if corr and corr.get("matrix"):
+        img = heatmap_chart(corr["matrix"])
+        written.append(
+            save_png(img, os.path.join(out_dir, f"{name}_corr.png"))
         )
     return written
 

@@ -46,6 +46,7 @@ def dataset_report(
     emb_col: str | None = None,
     path: str | None = None,
     hist_bins: int = 25,
+    corr_cols: list[str] | None = None,
 ) -> dict:
     """Full stats dict mirroring the reference's fast path
     (duckdb_fast_stats, :119-219) + embedding geometry (:243-274).
@@ -110,6 +111,10 @@ def dataset_report(
             F.round(F.avg(l2_norm(emb_col)), 6).alias("__e_mean"),
             F.round(F.stddev_samp(l2_norm(emb_col)), 6).alias("__e_std"),
         ]
+    corr_cols = list(corr_cols or [])
+    for i, a in enumerate(corr_cols):  # pairwise Pearson, same scan
+        for j, b in enumerate(corr_cols[i + 1:], start=i + 1):
+            aggs.append(F.round(F.corr(a, b), 6).alias(f"__corr__{i}_{j}"))
     one = df.agg(*aggs).collect()[0]
 
     total = one["__total"]
@@ -137,6 +142,16 @@ def dataset_report(
             "avg_dim": one["__e_dim"], "mean_l2_norm": one["__e_mean"],
             "std_l2_norm": one["__e_std"],
         }
+    if corr_cols:
+        k = len(corr_cols)
+        matrix: list[list[float | None]] = [
+            [1.0 if i == j else None for j in range(k)] for i in range(k)
+        ]
+        for i in range(k):
+            for j in range(i + 1, k):
+                v = one[f"__corr__{i}_{j}"]
+                matrix[i][j] = matrix[j][i] = v
+        report["correlation"] = {"cols": corr_cols, "matrix": matrix}
 
     # ---- pass 2: histograms + categorical value counts, one scan -------
     str_types = {"string", "varchar"}

@@ -307,25 +307,39 @@ def test_hashed_ngram_encoder_geometry():
     assert (again[0] == m[0]).all()
 
 
-def test_report_png_figures(spark, sf_dir, tmp_path):
-    """The figure sink writes real, decodable PNGs for the reference's
-    plot set (nulls bar, categorical top-10 bars, numeric histograms)."""
+def test_report_png_figures_all_five_families(spark, sf_dir, tmp_path):
+    """The figure sink writes real, decodable PNGs for every reference
+    figure family: nulls bar, categorical top-10 bars, category-share
+    pies, numeric histograms, and the correlation-matrix heatmap."""
     from external_benchmarks_spark.multimodal.codecs import decode_png
     from external_benchmarks_spark.pipeline.report import dataset_report, write_report
 
     docs = Catalog(spark, sf_dir).documents
     rep = dataset_report(
-        docs, numeric_cols=["n_chars"], cat_cols=["lang"], text_cols=["text"]
+        docs,
+        numeric_cols=["n_chars", "doc_id"],
+        cat_cols=["lang"],
+        text_cols=["text"],
+        corr_cols=["doc_id", "n_chars"],
     )
     assert "n_chars" in rep["histograms"]
     assert sum(rep["histograms"]["n_chars"]["counts"]) == rep["total_records"]
+    m = rep["correlation"]["matrix"]
+    assert m[0][0] == 1.0 and m[0][1] == m[1][0] and -1.0 <= m[0][1] <= 1.0
     paths = write_report(rep, str(tmp_path), "docs")
     pngs = [p for p in paths if p.endswith(".png")]
-    assert len(pngs) >= 3
+    families = {"_nulls", "_cat_", "_pie_", "_hist_", "_corr"}
+    for fam in families:
+        assert any(fam in p for p in pngs), fam
     for p in pngs:
         with open(p, "rb") as f:
             img = decode_png(f.read())
         assert img.ndim == 3 and img.shape[0] > 100 and img.shape[1] > 100
+    # the pie actually has colored segments (more than just background)
+    pie = next(p for p in pngs if "_pie_" in p)
+    with open(pie, "rb") as f:
+        img = decode_png(f.read())
+    assert len({tuple(c) for c in img.reshape(-1, 3)[::97].tolist()}) >= 3
 
 
 def test_ivf_append_equals_rebuild_then_compacts(spark, sf_dir):
