@@ -1,0 +1,173 @@
+#!/usr/bin/env python
+"""sf1.0 scale-ladder measurement for the headline legs.
+
+The driver ships testdata at sf0.001/0.01/0.1; every slope claim in
+SCALE.md previously topped out at sf0.1. This tool DERIVES an
+sf1.0-equivalent dataset by replicating sf0.1 ten times with key
+offsets — a measurement fixture written to the tempdir, never to the
+driver's testdata — then times the headline legs at sf0.01 / sf0.1 /
+sf1.0-replica so the scaling slope is measured, not extrapolated.
+
+Replica construction (deterministic):
+- Fact tables replicate x10 with disjoint key ranges: lineitem/orders
+  share the orderkey offset, orders/customer the custkey offset,
+  documents/embeddings their own id offsets — so join fan-outs scale
+  exactly linearly.
+- ``embeddings`` vectors are circularly SHIFTED by 7*replica positions:
+  norms and within-replica geometry are preserved (each replica has
+  sf0.1's exact near-dup structure), while cross-replica cosines stay
+  low for non-degenerate vectors — near-dup pair counts scale ~10x,
+  not the ~100x a verbatim copy would inflict on pairwise operators.
+- Dimension tables (region/nation/supplier/part) copy verbatim, like
+  TPC-H's own near-fixed dims; partsupp regenerates from them. Slopes
+  below measure FACT-side scaling at fixed dims — stated wherever the
+  numbers are quoted.
+
+Usage: python tools/scale_ladder.py [--quick]
+Prints one JSON line: {"legs": {name: {sf: {cold, steady}}},
+"index_refresh": {sf: {...}}, "replica_rows": {...}}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+SRC = "/root/testdata/sf0.1"
+FACTOR = 10
+LEGS = (
+    "tpch_q2",
+    "tpch_q9",
+    "tpch_q18",
+    "tpch_q21",
+    "hybrid_rrf",
+    "neardup_components",
+    "cms_heavy_hitters",
+)
+DIM_TABLES = ("region", "nation", "supplier", "part")
+EMB_DIM = 64
+
+
+def replica_dir() -> str:
+    st = os.stat(os.path.join(SRC, "lineitem.parquet"))
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"ebs_sf1_replica_{int(st.st_mtime)}_{st.st_size}",
+    )
+
+
+def _replicate(spark, df, offsets: dict[str, int], shift_emb: bool = False):
+    """Union FACTOR copies, adding i*offset to each keyed column; copy i
+    of an embedding is circularly shifted by (7*i) % EMB_DIM."""
+    parts = []
+    for i in range(FACTOR):
+        d = df
+        for col, off in offsets.items():
+            d = d.withColumn(col, F.col(col) + F.lit(i * off))
+        if shift_emb and i > 0:
+            s = (7 * i) % EMB_DIM
+            d = d.withColumn(
+                "embedding",
+                F.concat(
+                    F.slice("embedding", s + 1, EMB_DIM - s),
+                    F.slice("embedding", 1, s),
+                ),
+            )
+        parts.append(d)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def build_replica(spark) -> str:
+    from external_benchmarks_spark.catalog import Catalog
+
+    out = replica_dir()
+    marker = os.path.join(out, "_REPLICA_DONE")
+    if os.path.exists(marker):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    cat = Catalog(spark, SRC)
+    mx = {
+        "o": int(cat.orders.agg(F.max("o_orderkey")).collect()[0][0]) + 1,
+        "c": int(cat.customer.agg(F.max("c_custkey")).collect()[0][0]) + 1,
+        "d": int(cat.documents.agg(F.max("doc_id")).collect()[0][0]) + 1,
+        "v": int(cat.embeddings.agg(F.max("vec_id")).collect()[0][0]) + 1,
+    }
+    jobs = {
+        "lineitem": _replicate(spark, cat.lineitem, {"l_orderkey": mx["o"]}),
+        "orders": _replicate(
+            spark, cat.orders, {"o_orderkey": mx["o"], "o_custkey": mx["c"]}
+        ),
+        "customer": _replicate(spark, cat.customer, {"c_custkey": mx["c"]}),
+        "documents": _replicate(spark, cat.documents, {"doc_id": mx["d"]}),
+        "embeddings": _replicate(
+            spark, cat.embeddings, {"vec_id": mx["v"]}, shift_emb=True
+        ),
+    }
+    for name, df in jobs.items():
+        df.write.mode("overwrite").parquet(os.path.join(out, f"{name}.parquet"))
+    for name in DIM_TABLES:
+        src = os.path.join(SRC, f"{name}.parquet")
+        dst = os.path.join(out, f"{name}.parquet")
+        if os.path.isfile(src):
+            shutil.copy(src, dst)
+        else:
+            shutil.copytree(src, dst)
+    open(marker, "w").close()
+    return out
+
+
+def main() -> None:
+    from external_benchmarks_spark.session import get_spark
+
+    import __spark_entry__ as em
+    import bench
+
+    quick = "--quick" in sys.argv
+    spark = get_spark("scale-ladder")
+    spark.range(1).count()
+    rep = build_replica(spark)
+    rungs = {"0.01": "/root/testdata/sf0.01", "0.1": SRC, "1.0r": rep}
+    if quick:
+        rungs = {"0.1": SRC, "1.0r": rep}
+    q = em.queries()
+    legs: dict = {name: {} for name in LEGS}
+    rows: dict = {}
+    for sf_label, sf_dir in rungs.items():
+        from external_benchmarks_spark.catalog import Catalog
+
+        rows[sf_label] = {
+            "lineitem": Catalog(spark, sf_dir).lineitem.count(),
+            "documents": Catalog(spark, sf_dir).documents.count(),
+        }
+        for name in LEGS:
+            reps = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                q[name](spark, sf_dir).count()
+                reps.append(time.perf_counter() - t0)
+            legs[name][sf_label] = {
+                "cold": round(reps[0], 3),
+                "steady": round(min(reps), 3),
+            }
+            print(f"# {name} @ {sf_label}: {legs[name][sf_label]}", file=sys.stderr)
+    refresh = {}
+    for sf_label, sf_dir in rungs.items():
+        refresh[sf_label] = bench.index_refresh_leg(spark, sf_dir)
+        print(f"# index_refresh @ {sf_label}: {refresh[sf_label]}", file=sys.stderr)
+    print(json.dumps({"legs": legs, "index_refresh": refresh, "replica_rows": rows}))
+
+
+if __name__ == "__main__":
+    main()
