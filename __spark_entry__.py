@@ -1279,6 +1279,74 @@ def q_quant_dot_topk(spark, sf):
     )
 
 
+# Product quantization (operators/quantize.pq_*): deterministic
+# hash-sampled codebooks (the sampled_centroids device), per-term-floor
+# integer distances, pure-Catalyst ADC scoring. 16 codes x 8 subspaces.
+PQ_M, PQ_CODES = 8, 16
+
+
+def _pq_parts(spark, sf):
+    from external_benchmarks_spark.operators.quantize import (
+        pq_codebooks,
+        pq_encode,
+    )
+
+    e = Catalog(spark, sf).embeddings
+    cb = pq_codebooks(e, n_codes=PQ_CODES, m_subspaces=PQ_M)
+    return e, cb, pq_encode(e, cb)
+
+
+# Shared oracle CTEs: replay the hash-sampled codebook (same ORDER BY
+# md5 device as the IVF oracles), the per-term-floor integer distances,
+# and the first-minimum tie rule. dsub = EMB_DIM // PQ_M.
+_PQ_DSUB = EMB_DIM // PQ_M
+_PQ_CTES = f"""
+        cb AS (
+          SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code,
+                 {EMB_DBL} AS ce
+          FROM embeddings
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+          LIMIT {PQ_CODES}),
+        jj AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS j),
+        pq_dist AS (
+          SELECT e.vec_id, jj.j, cb.code,
+                 list_sum(list_transform(generate_series(1, {_PQ_DSUB}), i ->
+                   CAST(FLOOR((CAST(e.embedding[jj.j * {_PQ_DSUB} + i] AS DOUBLE) - cb.ce[jj.j * {_PQ_DSUB} + i])
+                        * (CAST(e.embedding[jj.j * {_PQ_DSUB} + i] AS DOUBLE) - cb.ce[jj.j * {_PQ_DSUB} + i])
+                        * 1000000.0) AS BIGINT))) AS d
+          FROM embeddings e CROSS JOIN jj CROSS JOIN cb),
+        pq_enc AS (
+          SELECT vec_id, j, code FROM (
+            SELECT vec_id, j, code,
+                   row_number() OVER (PARTITION BY vec_id, j ORDER BY d, code) AS rn
+            FROM pq_dist) t
+          WHERE rn = 1)"""
+
+
+def q_pq_encode(spark, sf):
+    # PQ codes for every vector — 8 bytes replacing 512. Exact integer
+    # argmin per subspace; the oracle replays the codebook sample, the
+    # per-term-floor distances, and the first-minimum tie rule in SQL.
+    _e, _cb, enc = _pq_parts(spark, sf)
+    return enc.select(
+        "vec_id",
+        *[
+            F.col("pq_codes")[j].cast("bigint").alias(f"c{j}")
+            for j in range(PQ_M)
+        ],
+    )
+
+
+def q_pq_topk(spark, sf):
+    # Asymmetric-distance top-k over the codes: LUT literals + integer
+    # sums, scan -> projection -> TakeOrderedAndProject, zero floats in
+    # the corpus pass.
+    from external_benchmarks_spark.operators.quantize import pq_adc_topk
+
+    _e, cb, enc = _pq_parts(spark, sf)
+    return pq_adc_topk(enc, cb, QVEC, k=20)
+
+
 # ---------------------------------------------------------------------------
 # Ingest-format round-trips (sources/roundtrip.py): JSONL / CSV / ORC
 # ---------------------------------------------------------------------------
@@ -3029,6 +3097,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 6: never driver-checked ------------------------
         "adaptive_join_agg": q_adaptive_join_agg,
         "partsupp_fixture": q_partsupp_fixture,
+        "pq_encode": q_pq_encode,
+        "pq_topk": q_pq_topk,
         # --- last verified r3 --------------------------------------------
         "lm_score": q_lm_score,
         "dup_span_stats": q_dup_span_stats,
@@ -4310,6 +4380,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, score_q,
                    CAST(score_q AS DOUBLE) * scale * {QQ_SCALE!r} AS approx_score
             FROM scored ORDER BY score_q DESC, vec_id LIMIT 100
+        """,
+        "pq_encode": f"""
+            WITH {_PQ_CTES}
+            SELECT vec_id,
+                   {", ".join(
+                       f"CAST(MAX(CASE WHEN j = {j} THEN code END) AS BIGINT) AS c{j}"
+                       for j in range(PQ_M))}
+            FROM pq_enc GROUP BY vec_id
+        """,
+        "pq_topk": f"""
+            WITH {_PQ_CTES},
+            pq_lut AS (
+              SELECT jj.j, cb.code,
+                     list_sum(list_transform(generate_series(1, {EMB_DIM // PQ_M}), i ->
+                       CAST(FLOOR({QVEC_SQL}[jj.j * {EMB_DIM // PQ_M} + i]
+                            * cb.ce[jj.j * {EMB_DIM // PQ_M} + i] * 1000000.0)
+                            AS BIGINT))) AS v
+              FROM jj CROSS JOIN cb),
+            pq_s AS (
+              SELECT e.vec_id, CAST(SUM(l.v) AS BIGINT) AS pq_score
+              FROM pq_enc e JOIN pq_lut l ON e.j = l.j AND e.code = l.code
+              GROUP BY e.vec_id)
+            SELECT vec_id, pq_score,
+                   CAST(pq_score AS DOUBLE) / 1000000.0 AS approx_score
+            FROM pq_s ORDER BY pq_score DESC, vec_id LIMIT 20
         """,
         "jsonl_roundtrip": f"""
             SELECT lang, source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,

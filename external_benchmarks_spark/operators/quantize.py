@@ -83,6 +83,143 @@ def quantization_report(
     )
 
 
+def pq_codebooks(
+    df: DataFrame,
+    n_codes: int = 16,
+    m_subspaces: int = 8,
+    key_col: str = "vec_id",
+    emb_col: str = "embedding",
+):
+    """Deterministic product-quantization codebooks WITHOUT Lloyd
+    iterations: the ``n_codes`` rows that sort first by ``md5(key)``
+    (the same engine-portable hash-sample device as
+    similarity.sampled_centroids) supply, for every subspace j, their
+    j-th sub-vector as code c — so any SQL engine reproduces the exact
+    codebook with ``ORDER BY md5(CAST(key AS VARCHAR)), key LIMIT n``.
+    Trades recall vs k-means-trained codebooks; use this when the index
+    must be independently auditable. Returns float64 [m, n_codes, dsub];
+    only n_codes rows reach the driver (TakeOrderedAndProject, no sort).
+    """
+    import numpy as np
+
+    rows = (
+        df.select(
+            F.col(key_col).alias("k"),
+            F.col(emb_col).cast("array<double>").alias("e"),
+        )
+        .orderBy(F.md5(F.col(key_col).cast("string")), F.col(key_col))
+        .limit(n_codes)
+        .collect()
+    )
+    mat = np.asarray([r["e"] for r in rows], dtype=np.float64)
+    dim = mat.shape[1]
+    if dim % m_subspaces:
+        raise ValueError(f"dim {dim} not divisible by {m_subspaces} subspaces")
+    dsub = dim // m_subspaces
+    # [m, n_codes, dsub]: subspace j's code c is sample-row c's j-th slice
+    return mat.reshape(len(rows), m_subspaces, dsub).transpose(1, 0, 2).copy()
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks,
+    key_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization encode: per subspace, the argmin-L2 code —
+    64 floats compress to m bytes (m_subspaces codes in [0, n_codes)),
+    the standard IVF-PQ residual-free form (Jegou, Douze & Schmid,
+    "Product Quantization for Nearest Neighbor Search", TPAMI 2011).
+
+    Distances accumulate as per-term FLOOR((x-c)^2 * 1e6) BIGINTs, so
+    the argmin (first-minimum on ties, numpy and SQL alike) is exact
+    integer arithmetic any engine replays bit-for-bit — the same
+    fixed-point device as the rest of the vector family. Arrow-batched
+    mapInPandas; one [batch, n_codes, dsub] broadcasted numpy op per
+    subspace, no Python-per-row work.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cb = np.asarray(codebooks, dtype=np.float64)
+    m, n_codes, dsub = cb.shape
+
+    def encode(batches):
+        for pdf in batches:
+            mat = np.vstack(pdf[emb_col].to_numpy()).astype(np.float64)
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for j in range(m):
+                sub = mat[:, j * dsub : (j + 1) * dsub]
+                diff = sub[:, None, :] - cb[j][None, :, :]
+                d = (
+                    np.floor((diff * diff) * 1e6)
+                    .astype(np.int64)
+                    .sum(axis=2)
+                )
+                codes[:, j] = d.argmin(axis=1)
+            yield pd.DataFrame(
+                {key_col: pdf[key_col].to_numpy(), "pq_codes": list(codes)}
+            )
+
+    return df.select(key_col, emb_col).mapInPandas(
+        encode, f"{key_col} bigint, pq_codes array<int>"
+    )
+
+
+def pq_adc_topk(
+    codes_df: DataFrame,
+    codebooks,
+    query: Sequence[float],
+    k: int = 100,
+    key_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes, entirely in Catalyst:
+    the per-subspace lookup table lut[j][c] = sum_i FLOOR(q_i * c_i *
+    1e6) (per-TERM floor, so the integer sum is order-independent and
+    any engine replays it exactly) is computed ONCE driver-side and
+    interpolated as literal arrays, so scoring is m element_at lookups
+    + an integer sum per row
+    — no floats, no UDF, codegen end to end; the plan is scan ->
+    projection -> TakeOrderedAndProject. This is the shape that makes
+    PQ fast at scale: the corpus pass touches only the m-byte codes
+    (8 B/vector here vs 512 B raw), and the LUT is O(m * n_codes)
+    regardless of corpus size.
+    """
+    import math
+
+    import numpy as np
+
+    cb = np.asarray(codebooks, dtype=np.float64)
+    m, n_codes, dsub = cb.shape
+    q = [float(v) for v in query]
+    luts: list[list[int]] = []
+    for j in range(m):
+        qj = q[j * dsub : (j + 1) * dsub]
+        luts.append(
+            [
+                sum(
+                    int(math.floor(qj[i] * float(cb[j][c][i]) * 1e6))
+                    for i in range(dsub)
+                )
+                for c in range(n_codes)
+            ]
+        )
+    score = None
+    for j in range(m):
+        lut = F.array(*[F.lit(v).cast("bigint") for v in luts[j]])
+        term = F.element_at(lut, F.col("pq_codes")[j] + 1)
+        score = term if score is None else score + term
+    return (
+        codes_df.select(
+            key_col,
+            score.alias("pq_score"),
+            (score.cast("double") / F.lit(1e6)).alias("approx_score"),
+        )
+        .orderBy(F.desc("pq_score"), F.asc(key_col))
+        .limit(k)
+    )
+
+
 def quantized_dot_topk(
     df: DataFrame,
     query: Sequence[float],

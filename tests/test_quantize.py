@@ -108,3 +108,57 @@ def test_quantization_half_up_boundary():
     fast = quantized_dot_topk(df, qv, k=1, use_arrow_fast_path=True).collect()[0]
     # HALF_UP: 2.5 -> 3, -2.5 -> -3, 0.5 -> 1 ... query quantizes too
     assert tuple(slow) == tuple(fast)
+
+
+def test_pq_encode_shape_and_determinism(spark, sf_dir):
+    """PQ codes: one code per subspace in [0, n_codes); identical across
+    runs (hash-sampled codebooks, exact integer argmin)."""
+    from external_benchmarks_spark.operators.quantize import (
+        pq_codebooks,
+        pq_encode,
+    )
+
+    e = Catalog(spark, sf_dir).embeddings
+    cb = pq_codebooks(e, n_codes=16, m_subspaces=8)
+    assert cb.shape == (8, 16, 8)
+    codes = {r.vec_id: list(r.pq_codes) for r in pq_encode(e, cb).collect()}
+    assert len(codes) == e.count()
+    assert all(len(v) == 8 and all(0 <= c < 16 for c in v) for v in codes.values())
+    again = {r.vec_id: list(r.pq_codes) for r in pq_encode(e, cb).collect()}
+    assert codes == again
+
+
+def test_pq_adc_topk_recall_and_plan(spark, sf_dir):
+    """ADC top-k: meaningful recall vs the exact dot-product top-k (PQ
+    is approximate — the contract is better-than-random and exact
+    integer reproducibility), and the corpus pass plans as
+    scan -> projection -> TakeOrderedAndProject with no Exchange and no
+    Python UDF (the LUT is literals)."""
+    import __spark_entry__ as em
+    from external_benchmarks_spark.operators.quantize import (
+        pq_adc_topk,
+        pq_codebooks,
+        pq_encode,
+    )
+    from external_benchmarks_spark.operators.topk import filtered_vector_topk
+
+    e = Catalog(spark, sf_dir).embeddings
+    cb = pq_codebooks(e, n_codes=16, m_subspaces=8)
+    enc = pq_encode(e, cb)
+    k = 50
+    approx = [r.vec_id for r in pq_adc_topk(enc, cb, em.QVEC, k=k).collect()]
+    exact = [
+        r.vec_id
+        for r in filtered_vector_topk(e, em.QVEC, F.lit(True), k=k).collect()
+    ]
+    recall = len(set(approx) & set(exact)) / k
+    assert recall >= 0.4, recall  # far above the random ~k/N baseline
+    plan = (
+        pq_adc_topk(enc.cache(), cb, em.QVEC, k=k)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan
+    enc.unpersist()
