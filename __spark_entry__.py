@@ -1296,6 +1296,62 @@ def _pq_parts(spark, sf):
     return e, cb, pq_encode(e, cb)
 
 
+BPE_MERGES = 8
+
+
+def q_bpe_merges(spark, sf):
+    # Distributed BPE tokenizer training (operators/bpe.bpe_train): one
+    # corpus pass to word frequencies, then 8 merge iterations over the
+    # vocabulary-bounded word table. The oracle replays all 8 rounds as
+    # unrolled CTEs — pair counts, (count desc, lhs, rhs) tie rule, and
+    # REPLACE's greedy left-to-right merge are identical in both engines.
+    from external_benchmarks_spark.operators.bpe import bpe_train
+
+    return bpe_train(Catalog(spark, sf).documents, n_merges=BPE_MERGES)
+
+
+def _bpe_sql(n_merges: int = BPE_MERGES) -> str:
+    toks = (
+        r"list_filter(regexp_split_to_array(lower(text), '\s+'), "
+        r"t -> len(t) > 0 AND regexp_matches(t, '^[a-z0-9]+$'))"
+    )
+    sym = "string_split(trim(s), ' ')"
+    ctes = [
+        f"""wf AS (
+          SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM (SELECT unnest({toks}) AS word FROM documents)
+          GROUP BY word)""",
+        r"""w1 AS (SELECT ' ' || regexp_replace(word, '(.)', '\1 ', 'g') AS s,
+                          cnt FROM wf)""",
+    ]
+    for i in range(1, n_merges + 1):
+        ctes.append(f"""p{i} AS (
+          SELECT pr[1] AS a, pr[2] AS b, CAST(SUM(cnt) AS BIGINT) AS c
+          FROM (SELECT unnest(list_transform(
+                         generate_series(1, len({sym}) - 1),
+                         k -> [{sym}[k], {sym}[k + 1]])) AS pr,
+                       cnt
+                FROM w{i})
+          GROUP BY 1, 2)""")
+        ctes.append(
+            f"b{i} AS (SELECT {i} AS step, a, b, c FROM p{i} "
+            f"ORDER BY c DESC, a, b LIMIT 1)"
+        )
+        ctes.append(f"""w{i + 1} AS (
+          SELECT replace(w.s, ' ' || b.a || ' ' || b.b || ' ',
+                         ' ' || b.a || b.b || ' ') AS s, w.cnt
+          FROM w{i} w CROSS JOIN b{i} b)""")
+    union = " UNION ALL ".join(
+        f"SELECT * FROM b{i}" for i in range(1, n_merges + 1)
+    )
+    return f"""
+        WITH {", ".join(ctes)}
+        SELECT CAST(step AS BIGINT) AS step, a AS lhs, b AS rhs,
+               a || b AS merged, c AS pair_count
+        FROM ({union}) ORDER BY step
+    """
+
+
 # Shared oracle CTEs: replay the hash-sampled codebook (same ORDER BY
 # md5 device as the IVF oracles), the per-term-floor integer distances,
 # and the first-minimum tie rule. dsub = EMB_DIM // PQ_M.
@@ -3099,6 +3155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partsupp_fixture": q_partsupp_fixture,
         "pq_encode": q_pq_encode,
         "pq_topk": q_pq_topk,
+        "bpe_merges": q_bpe_merges,
         # --- last verified r3 --------------------------------------------
         "lm_score": q_lm_score,
         "dup_span_stats": q_dup_span_stats,
@@ -4406,6 +4463,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(pq_score AS DOUBLE) / 1000000.0 AS approx_score
             FROM pq_s ORDER BY pq_score DESC, vec_id LIMIT 20
         """,
+        "bpe_merges": _bpe_sql(),
         "jsonl_roundtrip": f"""
             SELECT lang, source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
                    CAST(SUM({_h32("text")}) AS BIGINT) AS sum_text_hash
