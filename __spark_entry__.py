@@ -166,15 +166,13 @@ def _lsh_ann_sql() -> str:
     """
 
 
-def _ivf_ann_sql() -> str:
-    """Full IVF replication with hash-sampled centroids: the centroid set
-    (ORDER BY md5(key) LIMIT n), nearest-centroid assignment, nprobe cell
-    probe, and exact cosine top-k over the probed cells — every stage the
-    Spark query runs, re-derived independently in DuckDB."""
-    return f"""
-        WITH sel AS (
-          SELECT vec_id, {EMB_DBL} AS e FROM embeddings
-          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {IVF_N_CENTROIDS}),
+# Shared IVF oracle stages (hash-sampled centroid set, nearest-centroid
+# assignment, nprobe probe list) — used by the plain IVF oracle and the
+# IVF-PQ compose.
+_IVF_CTES = f"""
+        sel AS (
+          SELECT vec_id, {{EMB_DBL}} AS e FROM embeddings
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {{IVF_N_CENTROIDS}}),
         cent AS (
           SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid,
                  list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS cv
@@ -190,7 +188,19 @@ def _ivf_ann_sql() -> str:
             FROM scores) WHERE rn = 1),
         probe AS (
           SELECT cid FROM cent
-          ORDER BY list_dot_product({QVEC_SQL}, cv) DESC, cid LIMIT {IVF_NPROBE}),
+          ORDER BY list_dot_product({{QVEC_SQL}}, cv) DESC, cid LIMIT {{IVF_NPROBE}})""".format(
+    EMB_DBL=EMB_DBL, IVF_N_CENTROIDS=IVF_N_CENTROIDS, QVEC_SQL=QVEC_SQL,
+    IVF_NPROBE=IVF_NPROBE,
+)
+
+
+def _ivf_ann_sql() -> str:
+    """Full IVF replication with hash-sampled centroids: the centroid set
+    (ORDER BY md5(key) LIMIT n), nearest-centroid assignment, nprobe cell
+    probe, and exact cosine top-k over the probed cells — every stage the
+    Spark query runs, re-derived independently in DuckDB."""
+    return f"""
+        WITH {_IVF_CTES},
         cand AS (SELECT a.vec_id FROM assign a JOIN probe p USING (cid))
         SELECT e.vec_id, {_COS_SCORE_SQL.replace('embedding', 'e.embedding')} AS score
         FROM embeddings e JOIN cand USING (vec_id)
@@ -1297,6 +1307,29 @@ def _pq_parts(spark, sf):
 
 
 BPE_MERGES = 8
+
+
+def q_ivfpq_topk(spark, sf):
+    # IVF-PQ (operators/quantize.ivfpq_topk): the same hash-sampled
+    # centroids as ivf_ann_topk prune to nprobe cells, then PQ codes
+    # score the survivors by pure-integer asymmetric distance — cell
+    # pruning x 64x byte compression, the production ANN architecture.
+    # The oracle chains the proven IVF CTEs with the PQ CTEs.
+    from external_benchmarks_spark.operators.quantize import (
+        ivfpq_topk,
+        pq_codebooks,
+        pq_encode,
+    )
+    from external_benchmarks_spark.operators.similarity import (
+        ivf_assign,
+        sampled_centroids,
+    )
+
+    e = Catalog(spark, sf).embeddings
+    centroids = sampled_centroids(e, n_centroids=IVF_N_CENTROIDS)
+    cb = pq_codebooks(e, n_codes=PQ_CODES, m_subspaces=PQ_M)
+    codes = pq_encode(ivf_assign(e, centroids), cb, extra_cols=["centroid_id"])
+    return ivfpq_topk(codes, centroids, cb, QVEC, k=20, nprobe=IVF_NPROBE)
 
 
 def q_bpe_merges(spark, sf):
@@ -3155,6 +3188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partsupp_fixture": q_partsupp_fixture,
         "pq_encode": q_pq_encode,
         "pq_topk": q_pq_topk,
+        "ivfpq_topk": q_ivfpq_topk,
         "bpe_merges": q_bpe_merges,
         # --- last verified r3 --------------------------------------------
         "lm_score": q_lm_score,
@@ -4464,6 +4498,26 @@ def oracle_sql() -> dict[str, str]:
             FROM pq_s ORDER BY pq_score DESC, vec_id LIMIT 20
         """,
         "bpe_merges": _bpe_sql(),
+        "ivfpq_topk": f"""
+            WITH {_IVF_CTES},
+            {_PQ_CTES},
+            pq_lut AS (
+              SELECT jj.j, cb.code,
+                     list_sum(list_transform(generate_series(1, {_PQ_DSUB}), i ->
+                       CAST(FLOOR({QVEC_SQL}[jj.j * {_PQ_DSUB} + i]
+                            * cb.ce[jj.j * {_PQ_DSUB} + i] * 1000000.0)
+                            AS BIGINT))) AS v
+              FROM jj CROSS JOIN cb),
+            pq_cand AS (SELECT a.vec_id FROM assign a JOIN probe p USING (cid)),
+            pq_s AS (
+              SELECT e.vec_id, CAST(SUM(l.v) AS BIGINT) AS pq_score
+              FROM pq_enc e JOIN pq_cand USING (vec_id)
+                JOIN pq_lut l ON e.j = l.j AND e.code = l.code
+              GROUP BY e.vec_id)
+            SELECT vec_id, pq_score,
+                   CAST(pq_score AS DOUBLE) / 1000000.0 AS approx_score
+            FROM pq_s ORDER BY pq_score DESC, vec_id LIMIT 20
+        """,
         "jsonl_roundtrip": f"""
             SELECT lang, source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
                    CAST(SUM({_h32("text")}) AS BIGINT) AS sum_text_hash

@@ -850,6 +850,9 @@ def headline_queries():
         "vocab_encode": q["vocab_encode"],
         "dedup_keep_best": q["dedup_keep_best"],
         "quant_dot_topk": q["quant_dot_topk"],
+        "pq_topk": q["pq_topk"],
+        "bpe_merges": q["bpe_merges"],
+        "adaptive_join_agg": q["adaptive_join_agg"],
         "neardup_components": q["neardup_components"],
         # Events surface
         "events_hourly": q["events_hourly"],

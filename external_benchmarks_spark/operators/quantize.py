@@ -125,6 +125,7 @@ def pq_encode(
     codebooks,
     key_col: str = "vec_id",
     emb_col: str = "embedding",
+    extra_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Product-quantization encode: per subspace, the argmin-L2 code —
     64 floats compress to m bytes (m_subspaces codes in [0, n_codes)),
@@ -143,6 +144,7 @@ def pq_encode(
 
     cb = np.asarray(codebooks, dtype=np.float64)
     m, n_codes, dsub = cb.shape
+    extras = list(extra_cols)
 
     def encode(batches):
         for pdf in batches:
@@ -157,12 +159,14 @@ def pq_encode(
                     .sum(axis=2)
                 )
                 codes[:, j] = d.argmin(axis=1)
-            yield pd.DataFrame(
-                {key_col: pdf[key_col].to_numpy(), "pq_codes": list(codes)}
-            )
+            out = {key_col: pdf[key_col].to_numpy(), "pq_codes": list(codes)}
+            for c in extras:  # e.g. centroid_id for the IVF-PQ compose
+                out[c] = pdf[c].to_numpy().astype("int64", copy=False)
+            yield pd.DataFrame(out)
 
-    return df.select(key_col, emb_col).mapInPandas(
-        encode, f"{key_col} bigint, pq_codes array<int>"
+    extra_schema = "".join(f", {c} bigint" for c in extras)
+    return df.select(key_col, emb_col, *extras).mapInPandas(
+        encode, f"{key_col} bigint, pq_codes array<int>{extra_schema}"
     )
 
 
@@ -218,6 +222,35 @@ def pq_adc_topk(
         .orderBy(F.desc("pq_score"), F.asc(key_col))
         .limit(k)
     )
+
+
+def ivfpq_topk(
+    codes_df: DataFrame,
+    centroids,
+    codebooks,
+    query: Sequence[float],
+    k: int = 20,
+    nprobe: int = 4,
+    key_col: str = "vec_id",
+    metric: str = "cosine",
+) -> DataFrame:
+    """IVF-PQ — the production ANN architecture (Jegou et al. 2011):
+    coarse quantizer prunes to ``nprobe`` cells, product-quantized codes
+    score the survivors by asymmetric distance. ``codes_df`` carries
+    ``centroid_id`` (ivf_assign) and ``pq_codes``
+    (pq_encode(extra_cols=["centroid_id"])).
+
+    Scale shape: with the codes laid out partitioned by centroid_id
+    (pipeline/index.build_index_layout), the isin() prunes directories
+    at PLANNING time, and the scan that remains reads m bytes per
+    vector — cell pruning multiplied by 64x byte compression, with the
+    scoring still pure Catalyst integer arithmetic (pq_adc_topk's LUT).
+    """
+    from external_benchmarks_spark.operators.similarity import ivf_probe_cells
+
+    cells = [int(c) for c in ivf_probe_cells(centroids, query, nprobe, metric)]
+    cand = codes_df.filter(F.col("centroid_id").isin(cells))
+    return pq_adc_topk(cand, codebooks, query, k=k, key_col=key_col)
 
 
 def quantized_dot_topk(

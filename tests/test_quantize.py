@@ -162,3 +162,42 @@ def test_pq_adc_topk_recall_and_plan(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert "BatchEvalPython" not in plan
     enc.unpersist()
+
+
+def test_ivfpq_topk_composition(spark, sf_dir):
+    """IVF-PQ equals PQ-ADC restricted to the probed cells, and probes
+    fewer rows than the full corpus (the pruning actually bites)."""
+    import __spark_entry__ as em
+    from external_benchmarks_spark.operators.quantize import (
+        ivfpq_topk,
+        pq_adc_topk,
+        pq_codebooks,
+        pq_encode,
+    )
+    from external_benchmarks_spark.operators.similarity import (
+        ivf_assign,
+        ivf_probe_cells,
+        sampled_centroids,
+    )
+
+    e = Catalog(spark, sf_dir).embeddings
+    centroids = sampled_centroids(e, n_centroids=16)
+    cb = pq_codebooks(e, n_codes=16, m_subspaces=8)
+    codes = pq_encode(
+        ivf_assign(e, centroids), cb, extra_cols=["centroid_id"]
+    ).cache()
+    got = [
+        (r.vec_id, r.pq_score)
+        for r in ivfpq_topk(codes, centroids, cb, em.QVEC, k=20, nprobe=4).collect()
+    ]
+    cells = ivf_probe_cells(centroids, em.QVEC, 4, "cosine")
+    manual = [
+        (r.vec_id, r.pq_score)
+        for r in pq_adc_topk(
+            codes.filter(F.col("centroid_id").isin(cells)), cb, em.QVEC, k=20
+        ).collect()
+    ]
+    assert got == manual
+    n_probed = codes.filter(F.col("centroid_id").isin(cells)).count()
+    assert 0 < n_probed < codes.count()  # pruning really happened
+    codes.unpersist()
