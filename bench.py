@@ -242,19 +242,31 @@ def _embed_batch(spark, sf):
 
 
 def _skew_tables(spark, n=2_000_000):
-    left = spark.range(n).select(
-        F.when(F.col("id") % 100 < 41, F.lit(0))
-        .otherwise((F.col("id") % 997) + 1)
-        .cast("long")
-        .alias("k"),
-        F.concat(F.lit("x" * 32), F.col("id").cast("string")).alias("pad"),
-        (F.col("id") % 1000).cast("double").alias("val"),
+    """41%-hot-key join fixture, MATERIALIZED once as parquet and read
+    back: the legs must measure join strategies over table scans, not
+    the synthetic generator — an expression-generated left side would
+    recompute per branch and bill the adaptive form's hot/cold split
+    for 2x generation where a real table pays 2 cheap pruned scans."""
+    out = os.path.join(tempfile.gettempdir(), f"ebs_skew_tables_{n}")
+    if not os.path.exists(os.path.join(out, "left", "_SUCCESS")):
+        left_gen = spark.range(n).select(
+            F.when(F.col("id") % 100 < 41, F.lit(0))
+            .otherwise((F.col("id") % 997) + 1)
+            .cast("long")
+            .alias("k"),
+            F.concat(F.lit("x" * 32), F.col("id").cast("string")).alias("pad"),
+            (F.col("id") % 1000).cast("double").alias("val"),
+        )
+        left_gen.write.mode("overwrite").parquet(os.path.join(out, "left"))
+        right_gen = spark.range(998).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("r"), F.col("id").cast("string")).alias("rv"),
+        )
+        right_gen.write.mode("overwrite").parquet(os.path.join(out, "right"))
+    return (
+        spark.read.parquet(os.path.join(out, "left")),
+        spark.read.parquet(os.path.join(out, "right")),
     )
-    right = spark.range(998).select(
-        F.col("id").alias("k"),
-        F.concat(F.lit("r"), F.col("id").cast("string")).alias("rv"),
-    )
-    return left, right
 
 
 def _no_broadcast(spark):
