@@ -1309,6 +1309,25 @@ def _pq_parts(spark, sf):
 BPE_MERGES = 8
 
 
+def q_pq_topk_batch(spark, sf):
+    # Batch-of-queries ADC (operators/quantize.pq_adc_topk_batch): the
+    # first 3 corpus vectors as queries, all scored in one pass over
+    # the PQ codes; batch-local per-query top-k then one window. Every
+    # score is an integer LUT sum, so the SQL replay is exact.
+    from external_benchmarks_spark.operators.quantize import (
+        pq_adc_topk_batch,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    e = Catalog(spark, sf).embeddings
+    cb = pq_codebooks(e, n_codes=PQ_CODES, m_subspaces=PQ_M)
+    queries = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return pq_adc_topk_batch(pq_encode(e, cb), cb, queries, k=10)
+
+
 def q_ivfpq_topk(spark, sf):
     # IVF-PQ (operators/quantize.ivfpq_topk): the same hash-sampled
     # centroids as ivf_ann_topk prune to nprobe cells, then PQ codes
@@ -3188,6 +3207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partsupp_fixture": q_partsupp_fixture,
         "pq_encode": q_pq_encode,
         "pq_topk": q_pq_topk,
+        "pq_topk_batch": q_pq_topk_batch,
         "ivfpq_topk": q_ivfpq_topk,
         "bpe_merges": q_bpe_merges,
         # --- last verified r3 --------------------------------------------
@@ -4498,6 +4518,29 @@ def oracle_sql() -> dict[str, str]:
             FROM pq_s ORDER BY pq_score DESC, vec_id LIMIT 20
         """,
         "bpe_merges": _bpe_sql(),
+        "pq_topk_batch": f"""
+            WITH {_PQ_CTES},
+            qb AS (SELECT vec_id AS query_id, {EMB_DBL} AS qe
+                   FROM embeddings WHERE vec_id < 3),
+            lutq AS (
+              SELECT qb.query_id, jj.j, cb.code,
+                     list_sum(list_transform(generate_series(1, {_PQ_DSUB}), i ->
+                       CAST(FLOOR(qb.qe[jj.j * {_PQ_DSUB} + i]
+                            * cb.ce[jj.j * {_PQ_DSUB} + i] * 1000000.0)
+                            AS BIGINT))) AS v
+              FROM qb CROSS JOIN jj CROSS JOIN cb),
+            pq_bs AS (
+              SELECT l.query_id, e.vec_id, CAST(SUM(l.v) AS BIGINT) AS pq_score
+              FROM pq_enc e JOIN lutq l ON e.j = l.j AND e.code = l.code
+              GROUP BY l.query_id, e.vec_id),
+            pq_br AS (
+              SELECT query_id, vec_id, pq_score,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY pq_score DESC, vec_id) AS rank
+              FROM pq_bs)
+            SELECT query_id, vec_id, pq_score, CAST(rank AS BIGINT) AS rank
+            FROM pq_br WHERE rank <= 10
+        """,
         "ivfpq_topk": f"""
             WITH {_IVF_CTES},
             {_PQ_CTES},

@@ -224,6 +224,84 @@ def pq_adc_topk(
     )
 
 
+def pq_adc_topk_batch(
+    codes_df: DataFrame,
+    codebooks,
+    queries_df: DataFrame,
+    k: int = 10,
+    key_col: str = "vec_id",
+    query_key: str = "query_id",
+    query_emb: str = "qvec",
+) -> DataFrame:
+    """Batch-of-queries ADC: every query scored in ONE pass over the
+    PQ codes — the serving-throughput twin of pq_adc_topk, same shape
+    as per_query_topk/bm25_batch (batch-local per-query top-k inside
+    each Arrow batch, then one window over the <= Q*k*partitions
+    survivors).
+
+    The query table is contractually bounded (a request batch): its
+    LUT tensor [Q, m, n_codes] of per-term-floor integers is built
+    driver-side and broadcast inside the UDF closure; per batch the
+    score matrix is m fancy-gathers + adds over int64 — no floats
+    anywhere after LUT construction, so results replay exactly in SQL.
+    Returns (query_id, key, pq_score, rank<=k).
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.window import Window
+
+    cb = np.asarray(codebooks, dtype=np.float64)
+    m, n_codes, dsub = cb.shape
+    qrows = queries_df.select(query_key, query_emb).collect()
+    qids = np.asarray([r[query_key] for r in qrows], dtype=np.int64)
+    lut = np.empty((len(qrows), m, n_codes), dtype=np.int64)
+    for qi, r in enumerate(qrows):
+        qv = [float(x) for x in r[query_emb]]
+        for j in range(m):
+            for c in range(n_codes):
+                lut[qi, j, c] = sum(
+                    int(math.floor(qv[j * dsub + i] * float(cb[j][c][i]) * 1e6))
+                    for i in range(dsub)
+                )
+
+    def score(batches):
+        for pdf in batches:
+            codes = np.vstack(pdf["pq_codes"].to_numpy()).astype(np.int64)
+            keys = pdf[key_col].to_numpy()
+            n = len(keys)
+            scores = np.zeros((len(qids), n), dtype=np.int64)
+            for j in range(m):
+                scores += lut[:, j, :][:, codes[:, j]]
+            out_q, out_k, out_s = [], [], []
+            for qi in range(len(qids)):
+                order = np.lexsort((keys, -scores[qi]))[:k]
+                out_q.append(np.full(len(order), qids[qi], dtype=np.int64))
+                out_k.append(keys[order])
+                out_s.append(scores[qi][order])
+            yield pd.DataFrame(
+                {
+                    query_key: np.concatenate(out_q),
+                    key_col: np.concatenate(out_k),
+                    "pq_score": np.concatenate(out_s),
+                }
+            )
+
+    survivors = codes_df.select(key_col, "pq_codes").mapInPandas(
+        score, f"{query_key} bigint, {key_col} bigint, pq_score bigint"
+    )
+    w = Window.partitionBy(query_key).orderBy(
+        F.desc("pq_score"), F.asc(key_col)
+    )
+    return (
+        survivors.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(query_key, key_col, "pq_score", "rank")
+    )
+
+
 def ivfpq_topk(
     codes_df: DataFrame,
     centroids,

@@ -201,3 +201,32 @@ def test_ivfpq_topk_composition(spark, sf_dir):
     n_probed = codes.filter(F.col("centroid_id").isin(cells)).count()
     assert 0 < n_probed < codes.count()  # pruning really happened
     codes.unpersist()
+
+
+def test_pq_batch_matches_solo(spark, sf_dir):
+    """pq_adc_topk_batch per query == pq_adc_topk run solo with the
+    same query vector — bit-identical integer scores and ranks."""
+    from external_benchmarks_spark.operators.quantize import (
+        pq_adc_topk,
+        pq_adc_topk_batch,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    e = Catalog(spark, sf_dir).embeddings
+    cb = pq_codebooks(e, n_codes=16, m_subspaces=8)
+    codes = pq_encode(e, cb).cache()
+    queries = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    batch = {}
+    for r in pq_adc_topk_batch(codes, cb, queries, k=10).collect():
+        batch.setdefault(r.query_id, []).append((r.vec_id, r.pq_score, r.rank))
+    for qr in queries.collect():
+        solo = [
+            (r.vec_id, r.pq_score)
+            for r in pq_adc_topk(codes, cb, list(qr.qvec), k=10).collect()
+        ]
+        got = [(v, s) for v, s, _ in sorted(batch[qr.query_id], key=lambda t: t[2])]
+        assert got == solo, qr.query_id
+    codes.unpersist()
