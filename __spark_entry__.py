@@ -1351,6 +1351,27 @@ def q_ivfpq_topk(spark, sf):
     return ivfpq_topk(codes, centroids, cb, QVEC, k=20, nprobe=IVF_NPROBE)
 
 
+def q_scd2_apply(spark, sf):
+    # SCD Type 2 dimension maintenance (operators/scd.scd2_apply): the
+    # events stream applied as one batch of per-user segment updates
+    # over an 'init' dimension — multiple changes per key chain into
+    # validity intervals, consecutive duplicates suppress (null-safe),
+    # history closes without rewrites. Hash-oracled: DuckDB replays the
+    # identical window + IS DISTINCT FROM merge.
+    from external_benchmarks_spark.operators.scd import scd2_apply, scd2_init
+
+    ev = Catalog(spark, sf).events
+    current = scd2_init(
+        ev.select("user_id").distinct().withColumn("seg", F.lit("init")),
+        "user_id",
+        "seg",
+    )
+    updates = ev.select(
+        "user_id", "ts_us", F.col("event_type").alias("seg")
+    )
+    return scd2_apply(current, updates, "user_id", "seg", "ts_us")
+
+
 def q_bpe_merges(spark, sf):
     # Distributed BPE tokenizer training (operators/bpe.bpe_train): one
     # corpus pass to word frequencies, then 8 merge iterations over the
@@ -3210,6 +3231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk_batch": q_pq_topk_batch,
         "ivfpq_topk": q_ivfpq_topk,
         "bpe_merges": q_bpe_merges,
+        "scd2_apply": q_scd2_apply,
         # --- last verified r3 --------------------------------------------
         "lm_score": q_lm_score,
         "dup_span_stats": q_dup_span_stats,
@@ -4518,6 +4540,43 @@ def oracle_sql() -> dict[str, str]:
             FROM pq_s ORDER BY pq_score DESC, vec_id LIMIT 20
         """,
         "bpe_merges": _bpe_sql(),
+        "scd2_apply": """
+            WITH ev AS (SELECT user_id, epoch_us(ts) AS tsu, event_type
+                        FROM events),
+            cur AS (SELECT DISTINCT user_id, 'init' AS seg,
+                           CAST(0 AS BIGINT) AS valid_from FROM ev),
+            u AS (SELECT user_id, tsu, MIN(event_type) AS attr
+                  FROM ev GROUP BY 1, 2),
+            u2 AS (SELECT u.user_id, u.tsu, u.attr, c.seg AS cur_attr
+                   FROM u LEFT JOIN cur c USING (user_id)
+                   WHERE u.tsu > COALESCE(c.valid_from, u.tsu - 1)),
+            k AS (SELECT user_id, tsu, attr FROM (
+                    SELECT user_id, tsu, attr,
+                           COALESCE(lag(attr) OVER (PARTITION BY user_id
+                                                    ORDER BY tsu),
+                                    cur_attr) AS prevailing
+                    FROM u2) t
+                  WHERE attr IS DISTINCT FROM prevailing),
+            new_rows AS (
+              SELECT user_id, attr AS seg, tsu AS valid_from,
+                     lead(tsu) OVER (PARTITION BY user_id ORDER BY tsu)
+                       AS valid_to
+              FROM k),
+            fc AS (SELECT user_id, MIN(tsu) AS close_ts FROM k GROUP BY user_id),
+            closed AS (
+              SELECT c.user_id, c.seg, c.valid_from,
+                     f.close_ts AS valid_to, FALSE AS is_current
+              FROM cur c JOIN fc f USING (user_id)),
+            unchanged AS (
+              SELECT c.user_id, c.seg, c.valid_from,
+                     CAST(NULL AS BIGINT) AS valid_to, TRUE AS is_current
+              FROM cur c ANTI JOIN fc f USING (user_id))
+            SELECT user_id, seg, valid_from, valid_to,
+                   (valid_to IS NULL) AS is_current
+            FROM new_rows
+            UNION ALL SELECT * FROM closed
+            UNION ALL SELECT * FROM unchanged
+        """,
         "pq_topk_batch": f"""
             WITH {_PQ_CTES},
             qb AS (SELECT vec_id AS query_id, {EMB_DBL} AS qe
