@@ -1306,6 +1306,47 @@ def _pq_parts(spark, sf):
     return e, cb, pq_encode(e, cb)
 
 
+# SCD2 oracle stages shared by scd2_apply (the full version table) and
+# scd2_lookup (the point-in-time temporal join): identical window +
+# IS DISTINCT FROM merge as operators/scd.scd2_apply.
+_SCD2_CTES = """
+        ev AS (SELECT user_id, epoch_us(ts) AS tsu, event_type FROM events),
+        cur AS (SELECT DISTINCT user_id, 'init' AS seg,
+                       CAST(0 AS BIGINT) AS valid_from FROM ev),
+        u AS (SELECT user_id, tsu, MIN(event_type) AS attr
+              FROM ev GROUP BY 1, 2),
+        u2 AS (SELECT u.user_id, u.tsu, u.attr, c.seg AS cur_attr
+               FROM u LEFT JOIN cur c USING (user_id)
+               WHERE u.tsu > COALESCE(c.valid_from, u.tsu - 1)),
+        kk AS (SELECT user_id, tsu, attr FROM (
+                SELECT user_id, tsu, attr,
+                       COALESCE(lag(attr) OVER (PARTITION BY user_id
+                                                ORDER BY tsu),
+                                cur_attr) AS prevailing
+                FROM u2) t
+              WHERE attr IS DISTINCT FROM prevailing),
+        new_rows AS (
+          SELECT user_id, attr AS seg, tsu AS valid_from,
+                 lead(tsu) OVER (PARTITION BY user_id ORDER BY tsu)
+                   AS valid_to
+          FROM kk),
+        fc AS (SELECT user_id, MIN(tsu) AS close_ts FROM kk GROUP BY user_id),
+        closed AS (
+          SELECT c.user_id, c.seg, c.valid_from,
+                 f.close_ts AS valid_to, FALSE AS is_current
+          FROM cur c JOIN fc f USING (user_id)),
+        unchanged AS (
+          SELECT c.user_id, c.seg, c.valid_from,
+                 CAST(NULL AS BIGINT) AS valid_to, TRUE AS is_current
+          FROM cur c ANTI JOIN fc f USING (user_id)),
+        scd AS (
+          SELECT user_id, seg, valid_from, valid_to,
+                 (valid_to IS NULL) AS is_current
+          FROM new_rows
+          UNION ALL SELECT * FROM closed
+          UNION ALL SELECT * FROM unchanged)"""
+
+
 BPE_MERGES = 8
 
 
@@ -1370,6 +1411,42 @@ def q_scd2_apply(spark, sf):
         "user_id", "ts_us", F.col("event_type").alias("seg")
     )
     return scd2_apply(current, updates, "user_id", "seg", "ts_us")
+
+
+def q_scd2_lookup(spark, sf):
+    # Point-in-time temporal join (operators/scd.scd2_lookup): each
+    # event looks up the segment version valid one microsecond BEFORE
+    # it (its user's previous state), yielding the SCD-derived
+    # transition matrix. Broadcast range join against the versioned
+    # dim; oracle replays dim build + interval join + aggregate.
+    from external_benchmarks_spark.operators.scd import (
+        scd2_apply,
+        scd2_init,
+        scd2_lookup,
+    )
+
+    ev = Catalog(spark, sf).events
+    current = scd2_init(
+        ev.select("user_id").distinct().withColumn("seg", F.lit("init")),
+        "user_id",
+        "seg",
+    )
+    scd = scd2_apply(
+        current,
+        ev.select("user_id", "ts_us", F.col("event_type").alias("seg")),
+        "user_id",
+        "seg",
+        "ts_us",
+    )
+    facts = ev.select(
+        "user_id",
+        (F.col("ts_us") - 1).alias("asof_us"),
+        F.col("event_type").alias("cur_type"),
+    )
+    joined = scd2_lookup(facts, scd, "user_id", "asof_us")
+    return joined.groupBy(
+        F.col("seg").alias("prev_seg"), "cur_type"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
 
 
 def q_bpe_merges(spark, sf):
@@ -3232,6 +3309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_topk": q_ivfpq_topk,
         "bpe_merges": q_bpe_merges,
         "scd2_apply": q_scd2_apply,
+        "scd2_lookup": q_scd2_lookup,
         # --- last verified r3 --------------------------------------------
         "lm_score": q_lm_score,
         "dup_span_stats": q_dup_span_stats,
@@ -4540,42 +4618,19 @@ def oracle_sql() -> dict[str, str]:
             FROM pq_s ORDER BY pq_score DESC, vec_id LIMIT 20
         """,
         "bpe_merges": _bpe_sql(),
-        "scd2_apply": """
-            WITH ev AS (SELECT user_id, epoch_us(ts) AS tsu, event_type
-                        FROM events),
-            cur AS (SELECT DISTINCT user_id, 'init' AS seg,
-                           CAST(0 AS BIGINT) AS valid_from FROM ev),
-            u AS (SELECT user_id, tsu, MIN(event_type) AS attr
-                  FROM ev GROUP BY 1, 2),
-            u2 AS (SELECT u.user_id, u.tsu, u.attr, c.seg AS cur_attr
-                   FROM u LEFT JOIN cur c USING (user_id)
-                   WHERE u.tsu > COALESCE(c.valid_from, u.tsu - 1)),
-            k AS (SELECT user_id, tsu, attr FROM (
-                    SELECT user_id, tsu, attr,
-                           COALESCE(lag(attr) OVER (PARTITION BY user_id
-                                                    ORDER BY tsu),
-                                    cur_attr) AS prevailing
-                    FROM u2) t
-                  WHERE attr IS DISTINCT FROM prevailing),
-            new_rows AS (
-              SELECT user_id, attr AS seg, tsu AS valid_from,
-                     lead(tsu) OVER (PARTITION BY user_id ORDER BY tsu)
-                       AS valid_to
-              FROM k),
-            fc AS (SELECT user_id, MIN(tsu) AS close_ts FROM k GROUP BY user_id),
-            closed AS (
-              SELECT c.user_id, c.seg, c.valid_from,
-                     f.close_ts AS valid_to, FALSE AS is_current
-              FROM cur c JOIN fc f USING (user_id)),
-            unchanged AS (
-              SELECT c.user_id, c.seg, c.valid_from,
-                     CAST(NULL AS BIGINT) AS valid_to, TRUE AS is_current
-              FROM cur c ANTI JOIN fc f USING (user_id))
-            SELECT user_id, seg, valid_from, valid_to,
-                   (valid_to IS NULL) AS is_current
-            FROM new_rows
-            UNION ALL SELECT * FROM closed
-            UNION ALL SELECT * FROM unchanged
+        "scd2_apply": f"""
+            WITH {_SCD2_CTES}
+            SELECT user_id, seg, valid_from, valid_to, is_current FROM scd
+        """,
+        "scd2_lookup": f"""
+            WITH {_SCD2_CTES},
+            f AS (SELECT user_id, tsu, event_type FROM ev),
+            j AS (SELECT s.seg AS prev_seg, f.event_type AS cur_type
+                  FROM f JOIN scd s ON f.user_id = s.user_id
+                    AND s.valid_from <= f.tsu - 1
+                    AND (s.valid_to IS NULL OR f.tsu - 1 < s.valid_to))
+            SELECT prev_seg, cur_type, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM j GROUP BY 1, 2
         """,
         "pq_topk_batch": f"""
             WITH {_PQ_CTES},

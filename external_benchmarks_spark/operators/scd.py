@@ -123,3 +123,35 @@ def scd2_apply(
         .unionByName(closed)
         .unionByName(new_rows)
     )
+
+
+def scd2_lookup(
+    facts: DataFrame,
+    scd: DataFrame,
+    key_col: str,
+    ts_col: str,
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Point-in-time (temporal) join: each fact row picks up the
+    dimension version valid at its timestamp
+    (``valid_from <= ts`` and ``ts < valid_to`` with open-ended current
+    versions). Inner join — facts before a key's first version drop;
+    use an 'init' epoch-0 version (scd2_init) to cover all history.
+
+    Scale shape: dimensions are the small side, so the default is a
+    broadcast range join (no shuffle of the facts). For a dimension too
+    large to broadcast, set ``broadcast_dim=False`` and let AQE/sort-
+    merge handle it, or reduce to an as-of join on ``valid_from``
+    (operators/asof) — SCD2 intervals are non-overlapping per key, so
+    "last version starting at or before ts" is equivalent.
+    """
+    dim = scd.withColumnRenamed(key_col, "_dim_key")
+    if broadcast_dim:
+        dim = F.broadcast(dim)
+    ts = facts[ts_col]
+    cond = (
+        (facts[key_col] == dim["_dim_key"])
+        & (dim["valid_from"] <= ts)
+        & (dim["valid_to"].isNull() | (ts < dim["valid_to"]))
+    )
+    return facts.join(dim, cond, "inner").drop("_dim_key")

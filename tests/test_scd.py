@@ -70,3 +70,28 @@ def test_scd2_ts_tie_normalizes_deterministically(spark):
     )
     out = _rows(scd2_apply(current, updates, "k", "attr", "ts"))
     assert out == [(1, "a", 0, 10, False), (1, "b", 10, None, True)]
+
+
+def test_scd2_lookup_point_in_time(spark):
+    """Temporal join picks the version valid AT the fact timestamp;
+    with an equality key present the broadcast dim plans as a
+    BroadcastHashJoin (interval predicate as post-condition)."""
+    from external_benchmarks_spark.operators.scd import scd2_lookup
+
+    scd = spark.createDataFrame(
+        [
+            (1, "a", 0, 10, False),
+            (1, "b", 10, None, True),
+            (2, "x", 5, None, True),
+        ],
+        "k bigint, attr string, valid_from bigint, valid_to bigint, is_current boolean",
+    )
+    facts = spark.createDataFrame(
+        [(1, 5), (1, 10), (1, 15), (2, 4), (2, 99)], "k bigint, ts bigint"
+    )
+    out = scd2_lookup(facts, scd, "k", "ts")
+    got = sorted((r.k, r.ts, r.attr) for r in out.select("k", "ts", "attr").collect())
+    # (2, 4) predates key 2's first version -> drops (inner join)
+    assert got == [(1, 5, "a"), (1, 10, "b"), (1, 15, "b"), (2, 99, "x")]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:800]
