@@ -1413,6 +1413,18 @@ def q_scd2_apply(spark, sf):
     return scd2_apply(current, updates, "user_id", "seg", "ts_us")
 
 
+def q_hourly_anomalies(spark, sf):
+    # Burst/drop detection (operators/anomaly.hourly_burst_anomalies):
+    # dense per-type hourly counts vs a truncated-EWMA baseline whose
+    # alpha=1/2 weights are powers of two — the flags are pure integer
+    # comparisons, so DuckDB replays the detector bit-for-bit.
+    from external_benchmarks_spark.operators.anomaly import (
+        hourly_burst_anomalies,
+    )
+
+    return hourly_burst_anomalies(Catalog(spark, sf).events)
+
+
 def q_scd2_lookup(spark, sf):
     # Point-in-time temporal join (operators/scd.scd2_lookup): each
     # event looks up the segment version valid one microsecond BEFORE
@@ -3310,6 +3322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "scd2_apply": q_scd2_apply,
         "scd2_lookup": q_scd2_lookup,
+        "hourly_anomalies": q_hourly_anomalies,
         # --- last verified r3 --------------------------------------------
         "lm_score": q_lm_score,
         "dup_span_stats": q_dup_span_stats,
@@ -4621,6 +4634,43 @@ def oracle_sql() -> dict[str, str]:
         "scd2_apply": f"""
             WITH {_SCD2_CTES}
             SELECT user_id, seg, valid_from, valid_to, is_current FROM scd
+        """,
+        "hourly_anomalies": """
+            WITH aev AS (SELECT event_type, epoch_us(ts) // 3600000000 AS h
+                         FROM events),
+            ac AS (SELECT event_type, h, COUNT(*) AS cnt
+                   FROM aev GROUP BY 1, 2),
+            aspan AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM ac),
+            agrid AS (SELECT t.event_type, g.h
+                      FROM (SELECT DISTINCT event_type FROM ac) t
+                      CROSS JOIN (SELECT unnest(generate_series(
+                                    (SELECT lo FROM aspan),
+                                    (SELECT hi FROM aspan))) AS h) g),
+            ad AS (SELECT agrid.event_type, agrid.h,
+                          COALESCE(ac.cnt, 0) AS cnt
+                   FROM agrid LEFT JOIN ac USING (event_type, h)),
+            alw AS (SELECT event_type, h, cnt,
+                           list(cnt) OVER (PARTITION BY event_type ORDER BY h
+                                           ROWS BETWEEN 32 PRECEDING
+                                           AND 1 PRECEDING) AS hist
+                    FROM ad),
+            asc0 AS (SELECT event_type, h, cnt, COALESCE(len(hist), 0) AS L,
+                            CAST(COALESCE(list_sum(list_transform(
+                              generate_series(1, len(hist)),
+                              i -> hist[i] * (CAST(1 AS BIGINT)
+                                   << (31 - len(hist) + i)))), 0) AS BIGINT)
+                              AS num,
+                            (CAST(1 AS BIGINT) << 32)
+                              - (CAST(1 AS BIGINT) << (32 - COALESCE(len(hist), 0)))
+                              AS den
+                     FROM alw)
+            SELECT event_type, CAST(h * 3600000000 AS BIGINT) AS hour_us,
+                   CAST(cnt AS BIGINT) AS cnt,
+                   ROUND(CAST(num AS DOUBLE) / den, 6) AS baseline,
+                   (cnt * den > 2 * num) AS is_burst,
+                   (2 * cnt * den < num) AS is_drop
+            FROM asc0
+            WHERE L >= 8 AND ((cnt * den > 2 * num) OR (2 * cnt * den < num))
         """,
         "scd2_lookup": f"""
             WITH {_SCD2_CTES},
