@@ -69,6 +69,38 @@ except ImportError:
     HAVE_MODEL = False
 
 
+# Standard CRC-32 table (poly 0xEDB88320) for the vectorized 3-byte
+# path — byte-for-byte the same function zlib.crc32 computes.
+_CRC_TABLE = None
+
+
+def _crc_table() -> "np.ndarray":
+    global _CRC_TABLE
+    if _CRC_TABLE is None:
+        t = np.empty(256, dtype=np.uint32)
+        for i in range(256):
+            c = i
+            for _ in range(8):
+                c = (c >> 1) ^ 0xEDB88320 if c & 1 else c >> 1
+            t[i] = c
+        _CRC_TABLE = t
+    return _CRC_TABLE
+
+
+def _crc32_trigram_windows(data: bytes) -> "np.ndarray":
+    """crc32 of every 3-byte window of ``data``, fully vectorized:
+    three table-gather rounds of the standard byte-at-a-time CRC
+    recurrence over strided window views — identical values to
+    ``zlib.crc32`` on each window (asserted in tests)."""
+    T = _crc_table()
+    b = np.frombuffer(data, dtype=np.uint8)
+    b0, b1, b2 = b[:-2], b[1:-1], b[2:]
+    c = np.uint32(0x00FFFFFF) ^ T[(0xFF ^ b0) & 0xFF]
+    c = (c >> np.uint32(8)) ^ T[(c ^ b1) & np.uint32(0xFF)]
+    c = (c >> np.uint32(8)) ^ T[(c ^ b2) & np.uint32(0xFF)]
+    return c ^ np.uint32(0xFFFFFFFF)
+
+
 def hashed_ngram_encode(
     texts: "pd.Series | list[str]", dim: int, n: int = NGRAM
 ) -> np.ndarray:
@@ -76,26 +108,38 @@ def hashed_ngram_encode(
     bucket in [0, dim) with a ±1 sign bit; counts accumulate and the
     vector is L2-normalized. Empty/whitespace text embeds to the zero
     vector (callers treat it as "no content", same as the reference's
-    empty-field handling)."""
+    empty-field handling).
+
+    ASCII text (the overwhelming case) takes a vectorized path — all
+    window CRCs in three numpy table gathers instead of one Python
+    zlib call per gram (~20x; this is the index-build ingest hot loop).
+    Non-ASCII or shorter-than-n strings keep the per-gram path; both
+    produce bit-identical vectors (char windows == byte windows only
+    for ASCII, so the gate preserves exact values, not just contracts).
+    """
     out = np.zeros((len(texts), dim), dtype=np.float32)
     for i, t in enumerate(texts):
         s = (t or "").lower()
-        if len(s) < n:
-            grams = [s] if s else []
-        else:
-            grams = [s[j : j + n] for j in range(len(s) - n + 1)]
-        if not grams:
+        if not s:
             continue
-        hs = np.frombuffer(
-            b"".join(
-                zlib.crc32(g.encode("utf-8")).to_bytes(4, "little") for g in grams
-            ),
-            dtype=np.uint32,
-        ).astype(np.int64)
-        buckets = hs % dim
+        if n == 3 and len(s) >= n and s.isascii():
+            hs = _crc32_trigram_windows(s.encode("utf-8")).astype(np.int64)
+        else:
+            if len(s) < n:
+                grams = [s]
+            else:
+                grams = [s[j : j + n] for j in range(len(s) - n + 1)]
+            hs = np.frombuffer(
+                b"".join(
+                    zlib.crc32(g.encode("utf-8")).to_bytes(4, "little")
+                    for g in grams
+                ),
+                dtype=np.uint32,
+            ).astype(np.int64)
         signs = np.where((hs >> 16) & 1, 1.0, -1.0)
-        v = np.zeros(dim, dtype=np.float64)
-        np.add.at(v, buckets, signs)
+        # weighted bincount = the signed accumulation, one C call (the
+        # ±1 weights sum to exact small integers in any order)
+        v = np.bincount(hs % dim, weights=signs, minlength=dim)
         nrm = float(np.linalg.norm(v))
         if nrm:
             out[i] = (v / nrm).astype(np.float32)

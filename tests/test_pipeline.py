@@ -607,3 +607,51 @@ def test_checkpoint_udf_matches_driver_encode(spark, tmp_path):
     )
     got = np.array([r.e for r in out], dtype=np.float32)
     assert (got == want).all()
+
+
+def test_hashed_ngram_fast_path_matches_per_gram():
+    """The vectorized ASCII trigram path must be BIT-identical to the
+    per-gram zlib.crc32 reference on every input class (ASCII, unicode
+    fallback, short, empty, None)."""
+    import random
+    import string
+    import zlib
+
+    import numpy as np
+
+    from external_benchmarks_spark.pipeline.embedding import (
+        _crc32_trigram_windows,
+        hashed_ngram_encode,
+    )
+
+    rng = random.Random(11)
+    for _ in range(20):
+        data = bytes(rng.randrange(32, 127) for _ in range(rng.randint(3, 99)))
+        want = [zlib.crc32(data[j:j + 3]) for j in range(len(data) - 2)]
+        assert _crc32_trigram_windows(data).tolist() == want
+
+    def per_gram(texts, dim, n=3):
+        out = np.zeros((len(texts), dim), dtype=np.float32)
+        for i, t in enumerate(texts):
+            s = (t or "").lower()
+            grams = ([s] if s else []) if len(s) < n else [
+                s[j:j + n] for j in range(len(s) - n + 1)
+            ]
+            if not grams:
+                continue
+            hs = np.frombuffer(
+                b"".join(zlib.crc32(g.encode()).to_bytes(4, "little") for g in grams),
+                dtype=np.uint32,
+            ).astype(np.int64)
+            v = np.zeros(dim)
+            np.add.at(v, hs % dim, np.where((hs >> 16) & 1, 1.0, -1.0))
+            nrm = np.linalg.norm(v)
+            if nrm:
+                out[i] = (v / nrm).astype(np.float32)
+        return out
+
+    texts = ["plain ascii text", "Ünïcode tèxt", "ab", "", None, "x" * 400] + [
+        "".join(rng.choice(string.printable[:95]) for _ in range(rng.randint(0, 200)))
+        for _ in range(50)
+    ]
+    assert (hashed_ngram_encode(texts, 128) == per_gram(texts, 128)).all()
