@@ -863,8 +863,11 @@ def headline_queries():
         "dedup_keep_best": q["dedup_keep_best"],
         "quant_dot_topk": q["quant_dot_topk"],
         "pq_topk": q["pq_topk"],
+        "ivfpq_topk": q["ivfpq_topk"],
         "bpe_merges": q["bpe_merges"],
         "adaptive_join_agg": q["adaptive_join_agg"],
+        "scd2_apply": q["scd2_apply"],
+        "hourly_anomalies": q["hourly_anomalies"],
         "neardup_components": q["neardup_components"],
         # Events surface
         "events_hourly": q["events_hourly"],
