@@ -51,6 +51,10 @@ LEGS = (
     "hybrid_rrf",
     "neardup_components",
     "cms_heavy_hitters",
+    # round-6 additions: PQ corpus pass, SCD2 merge, anomaly detector
+    "pq_topk",
+    "scd2_apply",
+    "hourly_anomalies",
 )
 DIM_TABLES = ("region", "nation", "supplier", "part")
 EMB_DIM = 64
@@ -166,7 +170,49 @@ def main() -> None:
     for sf_label, sf_dir in rungs.items():
         refresh[sf_label] = bench.index_refresh_leg(spark, sf_dir)
         print(f"# index_refresh @ {sf_label}: {refresh[sf_label]}", file=sys.stderr)
-    print(json.dumps({"legs": legs, "index_refresh": refresh, "replica_rows": rows}))
+
+    # Skew-join strategy ladder: at 2M rows the 41%-hot-key reducer
+    # penalty is the same order as the adaptive split's overhead and the
+    # single-shot bench legs are ordering-noise-dominated; at 20M the
+    # hot reducer scales linearly while the split overhead stays
+    # constant, so the strategies separate decisively.
+    from external_benchmarks_spark.operators.skew import (
+        adaptive_salted_join,
+        detect_hot_keys,
+        salted_join,
+    )
+
+    skew = {}
+    for n in (2_000_000, 20_000_000):
+        left, right = bench._skew_tables(spark, n=n)
+        hot = detect_hot_keys(left, "k", hot_ratio=0.01, n_counters=64)
+        old_b = bench._no_broadcast(spark)
+        old_s = spark.conf.get("spark.sql.adaptive.skewJoin.enabled")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        try:
+            res = {}
+            for name, df in (
+                ("naive", left.join(right, "k")),
+                ("salted", salted_join(left, right, "k", "pad", n_salts=16)),
+                ("adaptive", adaptive_salted_join(
+                    left, right, "k", "pad", n_salts=16, hot=hot)),
+            ):
+                agg = df.groupBy().agg(
+                    F.count(F.lit(1)).alias("c"), F.sum("val").alias("s")
+                )
+                t0 = time.perf_counter()
+                agg.collect()
+                res[name] = round(time.perf_counter() - t0, 3)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_b)
+            spark.conf.set("spark.sql.adaptive.skewJoin.enabled", old_s)
+        skew[f"{n // 1_000_000}M"] = res
+        print(f"# skew_ladder @ {n}: {res}", file=sys.stderr)
+
+    print(json.dumps({
+        "legs": legs, "index_refresh": refresh, "replica_rows": rows,
+        "skew_ladder": skew,
+    }))
 
 
 if __name__ == "__main__":
