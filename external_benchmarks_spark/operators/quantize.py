@@ -148,6 +148,8 @@ def pq_encode(
 
     def encode(batches):
         for pdf in batches:
+            if len(pdf) == 0:  # empty partitions yield empty batches
+                continue
             mat = np.vstack(pdf[emb_col].to_numpy()).astype(np.float64)
             codes = np.empty((len(pdf), m), dtype=np.int32)
             for j in range(m):
@@ -269,6 +271,8 @@ def pq_adc_topk_batch(
 
     def score(batches):
         for pdf in batches:
+            if len(pdf) == 0:
+                continue
             codes = np.vstack(pdf["pq_codes"].to_numpy()).astype(np.int64)
             keys = pdf[key_col].to_numpy()
             n = len(keys)

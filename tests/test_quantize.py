@@ -230,3 +230,31 @@ def test_pq_batch_matches_solo(spark, sf_dir):
         got = [(v, s) for v, s, _ in sorted(batch[qr.query_id], key=lambda t: t[2])]
         assert got == solo, qr.query_id
     codes.unpersist()
+
+
+def test_pq_empty_partitions_and_empty_input(spark):
+    """Empty Arrow batches (empty partitions / empty inputs) must not
+    crash the PQ encode or batch-score paths."""
+    import numpy as np
+
+    from external_benchmarks_spark.operators.quantize import (
+        pq_adc_topk_batch,
+        pq_encode,
+    )
+
+    cb = np.zeros((8, 16, 8))
+    cb[:, 1:, :] = 1.0  # code 0 is the all-zeros centroid
+    empty = spark.createDataFrame(
+        [], "vec_id bigint, embedding array<float>"
+    ).repartition(4)
+    assert pq_encode(empty, cb).count() == 0
+    one = spark.createDataFrame(
+        [(1, [0.0] * 64)], "vec_id bigint, embedding array<float>"
+    ).repartition(8)  # 7 of 8 partitions empty
+    codes = pq_encode(one, cb)
+    assert codes.collect()[0].pq_codes == [0] * 8
+    queries = spark.createDataFrame(
+        [(7, [1.0] * 64)], "query_id bigint, qvec array<float>"
+    )
+    out = pq_adc_topk_batch(codes.repartition(8), cb, queries, k=5).collect()
+    assert len(out) == 1 and out[0].query_id == 7
