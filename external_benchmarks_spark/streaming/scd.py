@@ -27,8 +27,6 @@ from pyspark.sql import DataFrame, SparkSession
 
 from external_benchmarks_spark.operators.scd import scd2_apply
 
-_SCHEMA_SUFFIX = "key STRING"  # documentation only; schema rides the frames
-
 
 def _current_version_path(table_dir: str) -> str | None:
     marker = os.path.join(table_dir, "_CURRENT")

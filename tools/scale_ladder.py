@@ -96,7 +96,7 @@ def build_replica(spark) -> str:
     from external_benchmarks_spark.catalog import Catalog
 
     out = replica_dir()
-    marker = os.path.join(out, "_REPLICA_DONE")
+    marker = os.path.join(out, "_REPLICA_DONE_v2")  # v2: + events table
     if os.path.exists(marker):
         return out
     shutil.rmtree(out, ignore_errors=True)
@@ -107,6 +107,8 @@ def build_replica(spark) -> str:
         "c": int(cat.customer.agg(F.max("c_custkey")).collect()[0][0]) + 1,
         "d": int(cat.documents.agg(F.max("doc_id")).collect()[0][0]) + 1,
         "v": int(cat.embeddings.agg(F.max("vec_id")).collect()[0][0]) + 1,
+        "e": int(cat.events.agg(F.max("event_id")).collect()[0][0]) + 1,
+        "u": int(cat.events.agg(F.max("user_id")).collect()[0][0]) + 1,
     }
     jobs = {
         "lineitem": _replicate(spark, cat.lineitem, {"l_orderkey": mx["o"]}),
@@ -117,6 +119,12 @@ def build_replica(spark) -> str:
         "documents": _replicate(spark, cat.documents, {"doc_id": mx["d"]}),
         "embeddings": _replicate(
             spark, cat.embeddings, {"vec_id": mx["v"]}, shift_emb=True
+        ),
+        # events via the Catalog-normalized form (plain TIMESTAMP ts +
+        # exact ts_us/ts_ns companions — vintage-independent on re-read);
+        # user offsets scale the user population, same time range.
+        "events": _replicate(
+            spark, cat.events, {"event_id": mx["e"], "user_id": mx["u"]}
         ),
     }
     for name, df in jobs.items():
