@@ -258,3 +258,61 @@ def read_index(spark, path: str) -> DataFrame:
     """Read back the layout; partition columns come in as directory keys,
     so equality predicates on them prune at planning time."""
     return spark.read.parquet(path)
+
+
+def layout_pruning_report(
+    path: str, column: str, lo, hi
+) -> dict:
+    """Row-group pruning audit for a parquet layout: using footer
+    min/max statistics alone, how much of the layout a ``[lo, hi]``
+    range predicate on ``column`` can skip. This is the design check
+    for partitionBy/sortWithinPartitions choices — a layout whose
+    row-group stats don't prune is paying full I/O no matter how good
+    the plan is (``.explain`` shows the pushed filter; this shows
+    whether pushing it HELPS).
+
+    Driver-side footer reads only (O(#files), no Spark job, no data
+    pages touched) via pyarrow. Returns totals plus the prunable
+    fraction of row groups and rows.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    files: list[str] = []
+    if os.path.isfile(path):
+        files = [path]
+    else:
+        for root, _dirs, names in os.walk(path):
+            files += [
+                os.path.join(root, f)
+                for f in names
+                if f.endswith(".parquet") and not f.startswith(("_", "."))
+            ]
+    total_rg = total_rows = pruned_rg = pruned_rows = no_stats = 0
+    for f in sorted(files):
+        meta = pq.ParquetFile(f).metadata
+        try:
+            col_idx = meta.schema.names.index(column)
+        except ValueError:
+            continue  # partition column lives in the path, not the file
+        for i in range(meta.num_row_groups):
+            rg = meta.row_group(i)
+            total_rg += 1
+            total_rows += rg.num_rows
+            st = rg.column(col_idx).statistics
+            if st is None or not st.has_min_max:
+                no_stats += 1
+                continue
+            if st.min > hi or st.max < lo:
+                pruned_rg += 1
+                pruned_rows += rg.num_rows
+    return {
+        "files": len(files),
+        "row_groups": total_rg,
+        "rows": total_rows,
+        "prunable_row_groups": pruned_rg,
+        "prunable_rows": pruned_rows,
+        "row_groups_without_stats": no_stats,
+        "prunable_fraction": round(pruned_rg / total_rg, 4) if total_rg else 0.0,
+    }
