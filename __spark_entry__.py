@@ -1413,6 +1413,48 @@ def q_scd2_apply(spark, sf):
     return scd2_apply(current, updates, "user_id", "seg", "ts_us")
 
 
+def q_robust_stats(spark, sf):
+    # Robust per-group statistics — the outlier-insensitive profile a
+    # data-quality pass runs next to the moment-based one: exact median,
+    # MAD (median absolute deviation, via a second grouped percentile
+    # over |x - group median|), IQR, and the p05..p95 trimmed mean.
+    # Two grouped percentile passes + one broadcast-joined filter scan;
+    # percentile/quantile_cont interpolation is cross-engine exact
+    # (the proven group_median device), trimmed AVG rounds to 1e-6.
+    ev = Catalog(spark, sf).events
+    q = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("med"),
+        F.expr("percentile(value, 0.05)").alias("_p05"),
+        F.expr("percentile(value, 0.95)").alias("_p95"),
+        F.round(
+            F.expr("percentile(value, 0.75) - percentile(value, 0.25)"), 6
+        ).alias("iqr"),
+        F.expr("percentile(value, 0.5)").alias("_med_raw"),
+    )
+    j = ev.join(F.broadcast(q), "event_type")
+    mad = (
+        j.groupBy("event_type")
+        .agg(
+            F.round(
+                F.expr("percentile(abs(value - _med_raw), 0.5)"), 6
+            ).alias("mad")
+        )
+    )
+    trimmed = (
+        j.filter(
+            (F.col("value") >= F.col("_p05")) & (F.col("value") <= F.col("_p95"))
+        )
+        .groupBy("event_type")
+        .agg(F.round(F.avg("value"), 6).alias("trimmed_mean"))
+    )
+    return (
+        q.join(mad, "event_type")
+        .join(trimmed, "event_type")
+        .select("event_type", "n", "med", "mad", "iqr", "trimmed_mean")
+    )
+
+
 def q_hourly_anomalies(spark, sf):
     # Burst/drop detection (operators/anomaly.hourly_burst_anomalies):
     # dense per-type hourly counts vs a truncated-EWMA baseline whose
@@ -3323,6 +3365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_apply": q_scd2_apply,
         "scd2_lookup": q_scd2_lookup,
         "hourly_anomalies": q_hourly_anomalies,
+        "robust_stats": q_robust_stats,
         # --- last verified r3 --------------------------------------------
         "lm_score": q_lm_score,
         "dup_span_stats": q_dup_span_stats,
@@ -4634,6 +4677,32 @@ def oracle_sql() -> dict[str, str]:
         "scd2_apply": f"""
             WITH {_SCD2_CTES}
             SELECT user_id, seg, valid_from, valid_to, is_current FROM scd
+        """,
+        "robust_stats": """
+            WITH rq AS (
+              SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                     ROUND(CAST(quantile_cont(value, 0.5) AS DOUBLE), 6) AS med,
+                     CAST(quantile_cont(value, 0.05) AS DOUBLE) AS p05,
+                     CAST(quantile_cont(value, 0.95) AS DOUBLE) AS p95,
+                     ROUND(CAST(quantile_cont(value, 0.75) AS DOUBLE)
+                           - CAST(quantile_cont(value, 0.25) AS DOUBLE), 6)
+                       AS iqr,
+                     CAST(quantile_cont(value, 0.5) AS DOUBLE) AS med_raw
+              FROM events GROUP BY event_type),
+            rmad AS (
+              SELECT e.event_type,
+                     ROUND(CAST(quantile_cont(abs(e.value - rq.med_raw), 0.5)
+                                AS DOUBLE), 6) AS mad
+              FROM events e JOIN rq USING (event_type)
+              GROUP BY e.event_type),
+            rtrim AS (
+              SELECT e.event_type,
+                     ROUND(AVG(e.value), 6) AS trimmed_mean
+              FROM events e JOIN rq USING (event_type)
+              WHERE e.value >= rq.p05 AND e.value <= rq.p95
+              GROUP BY e.event_type)
+            SELECT event_type, n, med, mad, iqr, trimmed_mean
+            FROM rq JOIN rmad USING (event_type) JOIN rtrim USING (event_type)
         """,
         "hourly_anomalies": """
             WITH aev AS (SELECT event_type, epoch_us(ts) // 3600000000 AS h
