@@ -1413,6 +1413,29 @@ def q_scd2_apply(spark, sf):
     return scd2_apply(current, updates, "user_id", "seg", "ts_us")
 
 
+def q_category_diversity(spark, sf):
+    # Per-source language-mix concentration — the data-quality metric
+    # behind "is this source monolingual?": Gini impurity 1 - sum(p^2)
+    # and inverse-Simpson effective category count, computed entirely
+    # from INTEGER count sums (sum cnt^2 / total^2) so both engines
+    # agree bit-for-bit with no transcendental (no ln) in sight.
+    d = Catalog(spark, sf).documents
+    per = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("cnt"))
+    return per.groupBy("source").agg(
+        F.sum("cnt").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_langs"),
+        (
+            F.lit(1.0)
+            - F.sum(F.col("cnt") * F.col("cnt")).cast("double")
+            / (F.sum("cnt") * F.sum("cnt")).cast("double")
+        ).alias("gini"),
+        (
+            (F.sum("cnt") * F.sum("cnt")).cast("double")
+            / F.sum(F.col("cnt") * F.col("cnt")).cast("double")
+        ).alias("inv_simpson"),
+    )
+
+
 def q_robust_stats(spark, sf):
     # Robust per-group statistics — the outlier-insensitive profile a
     # data-quality pass runs next to the moment-based one: exact median,
@@ -3366,6 +3389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_lookup": q_scd2_lookup,
         "hourly_anomalies": q_hourly_anomalies,
         "robust_stats": q_robust_stats,
+        "category_diversity": q_category_diversity,
         # --- last verified r3 --------------------------------------------
         "lm_score": q_lm_score,
         "dup_span_stats": q_dup_span_stats,
@@ -4677,6 +4701,19 @@ def oracle_sql() -> dict[str, str]:
         "scd2_apply": f"""
             WITH {_SCD2_CTES}
             SELECT user_id, seg, valid_from, valid_to, is_current FROM scd
+        """,
+        "category_diversity": """
+            WITH cdc AS (
+              SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM documents GROUP BY 1, 2)
+            SELECT source,
+                   CAST(SUM(cnt) AS BIGINT) AS n_docs,
+                   CAST(COUNT(*) AS BIGINT) AS n_langs,
+                   1.0 - CAST(SUM(cnt * cnt) AS DOUBLE)
+                         / CAST(SUM(cnt) * SUM(cnt) AS DOUBLE) AS gini,
+                   CAST(SUM(cnt) * SUM(cnt) AS DOUBLE)
+                     / CAST(SUM(cnt * cnt) AS DOUBLE) AS inv_simpson
+            FROM cdc GROUP BY source
         """,
         "robust_stats": """
             WITH rq AS (
