@@ -3355,11 +3355,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (~50): the 10 entries last driver-checked in r2 (the rotation
     # promised in r5), then the 4 TPC-H queries re-pointed at the true
     # partsupp fixture this round (tpch_q2/q11/q16/q20 — data changed,
-    # so re-verify), then any never-checked round-6 additions, then the
-    # r3-verified block (3 rounds stale). Everything r4/r5-verified
-    # rotates to the back. Every entry passes the local mirror
-    # (tests/test_oracle_queries.py) every test run either way, so
-    # rotation costs nothing.
+    # so re-verify), then the 12 never-checked round-6 additions, then
+    # the head of the r3-verified block (3 rounds stale). Everything
+    # r4/r5-verified rotates to the back. Round-7 plan: any r6-new
+    # entries the window missed go first, then the r3-block TAIL
+    # (minhash/vocab/roundtrip/quantize/graph families) which will then
+    # be the stalest, then the r4 block. Every entry passes the local
+    # mirror (tests/test_oracle_queries.py) every test run either way,
+    # so rotation costs nothing.
     return {
         # --- stalest: last driver-checked r2 -----------------------------
         "details_prune": q_details_prune,
