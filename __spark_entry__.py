@@ -1413,6 +1413,37 @@ def q_scd2_apply(spark, sf):
     return scd2_apply(current, updates, "user_id", "seg", "ts_us")
 
 
+def q_stream_hourly_anomalies(spark, sf):
+    # Streaming twin of the anomaly detector: a TRUE watermarked
+    # tumbling-window count stream (file source, availableNow,
+    # complete-mode memory sink) feeds the SAME integer-exact flag
+    # stage (operators/anomaly.flag_hourly_counts). The lambda
+    # contract makes it oracle-able — the streamed counts equal the
+    # batch counts, so the hourly_anomalies SQL checks a real
+    # Structured Streaming execution end-to-end.
+    from external_benchmarks_spark.operators.anomaly import (
+        HOUR_US,
+        flag_hourly_counts,
+    )
+
+    stream, d = _events_file_stream(spark, sf, ["ts", "event_type"])
+    counted = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(
+            F.window(F.col("ts"), "1 hour").alias("win"),
+            F.col("event_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    table = _stream_to_table(spark, counted, d, "complete")
+    counts = table.select(
+        "event_type",
+        F.expr(f"unix_micros(win.start) DIV {HOUR_US}").alias("h"),
+        "cnt",
+    )
+    return flag_hourly_counts(counts)
+
+
 def q_category_diversity(spark, sf):
     # Per-source language-mix concentration — the data-quality metric
     # behind "is this source monolingual?": Gini impurity 1 - sum(p^2)
@@ -3393,6 +3424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_anomalies": q_hourly_anomalies,
         "robust_stats": q_robust_stats,
         "category_diversity": q_category_diversity,
+        "stream_hourly_anomalies": q_stream_hourly_anomalies,
         # --- last verified r3 --------------------------------------------
         "lm_score": q_lm_score,
         "dup_span_stats": q_dup_span_stats,
@@ -5445,6 +5477,7 @@ def oracle_sql() -> dict[str, str]:
                ps_supplycost
         FROM partsupp
     """
+    oracles["stream_hourly_anomalies"] = oracles["hourly_anomalies"]
     oracles["tpch_q2"] = f"""
         WITH {PARTSUPP_CTE}
         SELECT s_acctbal, s_name, n_name, p_partkey, p_type,

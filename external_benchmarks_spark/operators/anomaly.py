@@ -45,14 +45,36 @@ def hourly_burst_anomalies(
     hours in the window never flag (cold start). Returns ONLY flagged
     rows: (event_type, hour_us, cnt, baseline, is_burst, is_drop).
     """
+    hour = F.expr(f"{ts_col} DIV {HOUR_US}")  # exact integer division
+    counts = events.groupBy(F.col(type_col), hour.alias("h")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return flag_hourly_counts(
+        counts,
+        type_col=type_col,
+        window_hours=window_hours,
+        min_history=min_history,
+        burst_factor=burst_factor,
+        drop_factor=drop_factor,
+    )
+
+
+def flag_hourly_counts(
+    counts: DataFrame,
+    type_col: str = "event_type",
+    window_hours: int = 32,
+    min_history: int = 8,
+    burst_factor: int = 2,
+    drop_factor: int = 2,
+) -> DataFrame:
+    """The flag stage alone, over an already-aggregated (type, h, cnt)
+    table — shared by the batch detector and the streaming twin (a
+    watermarked tumbling-window count stream drained to a table feeds
+    the SAME flags, which is what makes the streamed form answer the
+    identical oracle)."""
+    counts = counts.localCheckpoint()  # tiny; grid branches must not re-scan
     if window_hours > 32:
         raise ValueError("window_hours > 32 overflows the 2^(32-k) weights")
-    hour = F.expr(f"{ts_col} DIV {HOUR_US}")  # exact integer division
-    counts = (
-        events.groupBy(F.col(type_col), hour.alias("h"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .localCheckpoint()  # tiny; grid branches must not re-scan events
-    )
     span = counts.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
     grid = (
         span.select(F.explode(F.sequence("lo", "hi")).alias("h"))
