@@ -1560,9 +1560,13 @@ def q_scd2_lookup(spark, sf):
 def q_bpe_merges(spark, sf):
     # Distributed BPE tokenizer training (operators/bpe.bpe_train): one
     # corpus pass to word frequencies, then 8 merge iterations over the
-    # vocabulary-bounded word table. The oracle replays all 8 rounds as
-    # unrolled CTEs — pair counts, (count desc, lhs, rhs) tie rule, and
-    # REPLACE's greedy left-to-right merge are identical in both engines.
+    # vocabulary-bounded word table (driver-side fast path when the
+    # word table fits a bounded collect; distributed aggregate-HOF loop
+    # above the threshold — identical semantics, tested equal). The
+    # oracle replays all 8 rounds as unrolled CTEs — pair counts,
+    # (count desc, lhs, rhs) tie rule, and the symbol-level greedy
+    # left-to-right merge (list_reduce lazy-emit) identical in both
+    # engines.
     from external_benchmarks_spark.operators.bpe import bpe_train
 
     return bpe_train(Catalog(spark, sf).documents, n_merges=BPE_MERGES)
@@ -1595,10 +1599,28 @@ def _bpe_sql(n_merges: int = BPE_MERGES) -> str:
             f"b{i} AS (SELECT {i} AS step, a, b, c FROM p{i} "
             f"ORDER BY c DESC, a, b LIMIT 1)"
         )
+        # Symbol-level greedy left-to-right merge (Sennrich), not a
+        # string replace (which skips consecutive occurrences sharing a
+        # delimiter space): list_reduce with a packed 'acc|prev' state
+        # string — prev is the held unconsumed symbol, emitted merged
+        # when (prev, cur) matches the winning pair. '|' cannot collide
+        # with [a-z0-9]+ symbols. Mirrors operators/bpe._apply_merge.
         ctes.append(f"""w{i + 1} AS (
-          SELECT replace(w.s, ' ' || b.a || ' ' || b.b || ' ',
-                         ' ' || b.a || b.b || ' ') AS s, w.cnt
-          FROM w{i} w CROSS JOIN b{i} b)""")
+          SELECT CASE WHEN split_part(r, '|', 2) = ''
+                      THEN split_part(r, '|', 1) || ' '
+                      ELSE split_part(r, '|', 1) || ' ' || split_part(r, '|', 2) || ' '
+                 END AS s, cnt
+          FROM (
+            SELECT list_reduce(
+                     list_prepend('|', string_split(trim(w.s), ' ')),
+                     (st, x) -> CASE
+                        WHEN split_part(st, '|', 2) = b.a AND x = b.b
+                          THEN split_part(st, '|', 1) || ' ' || b.a || b.b || '|'
+                        WHEN split_part(st, '|', 2) = ''
+                          THEN split_part(st, '|', 1) || '|' || x
+                        ELSE split_part(st, '|', 1) || ' ' || split_part(st, '|', 2) || '|' || x
+                      END) AS r, w.cnt
+            FROM w{i} w CROSS JOIN b{i} b))""")
     union = " UNION ALL ".join(
         f"SELECT * FROM b{i}" for i in range(1, n_merges + 1)
     )

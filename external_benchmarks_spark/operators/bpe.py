@@ -7,15 +7,32 @@ Scale shape — the classic trick that makes BPE tractable on a corpus:
 merges depend only on WORD FREQUENCIES, so the corpus is touched
 exactly once (tokenize -> groupBy word -> count: one shuffle, output
 bounded by vocabulary size, not corpus size). Every merge iteration
-then runs over that small word table: adjacent-pair counts are a
+then runs over that small word table. When the distinct-word table
+fits a bounded collect (``local_word_limit``, default 100k rows —
+vocabulary-bounded by contract, NOT corpus-sized), the merge loop runs
+driver-side in one Spark job instead of k sequential tiny jobs; above
+the threshold the loop stays distributed: adjacent-pair counts are a
 groupBy over exploded pairs weighted by word count, the winning pair
 is a 1-row TakeOrderedAndProject collect, and the merge applies as a
-single ``replace`` over the space-delimited symbol string (greedy
-left-to-right non-overlapping — REPLACE's own semantics, identical in
-Spark and any SQL engine, which is what makes the whole training run
-hash-oracle-able). k merges = k tiny jobs after the one corpus pass;
-at 100 TB the corpus cost is the word count, the training loop is
-O(vocab) per step regardless of corpus size.
+single ``aggregate`` higher-order function over the symbol array.
+k merges = k tiny jobs after the one corpus pass; at 100 TB the corpus
+cost is the word count, the training loop is O(vocab) per step
+regardless of corpus size.
+
+Merge semantics — greedy left-to-right non-overlapping over SYMBOL
+pairs, exactly the cited algorithm: scan symbols once, holding the
+previous unconsumed symbol; when (prev, cur) equals the winning pair,
+emit the merged symbol and mark prev consumed. A naive
+``replace(' a b ', ' ab ')`` over the space-delimited form diverges:
+consecutive occurrences share a delimiter space, so the scan skips
+every other one ('banana' with rule (a,n) would segment to
+[b, an, a, n, a] instead of [b, an, an, a]), and even a fixpoint
+replace mis-orders runs of five-plus identical symbols ('aaaaa' with
+rule (a,a) must give [aa, aa, a], not [aa, a, aa]). The lazy-emit
+aggregate below is implemented identically in the driver-side fast
+path (plain Python), the distributed path (Spark ``aggregate`` HOF),
+and the DuckDB oracle (``list_reduce`` with a packed "acc|prev"
+state string), keeping the whole training run hash-oracle-able.
 
 Determinism: ties on pair count break by (left symbol, right symbol)
 ascending; words are restricted to ^[a-z0-9]+$ (BPE pretokenization
@@ -25,8 +42,13 @@ the space delimiter or SQL quoting.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# Word tables up to this many distinct rows run the merge loop on the
+# driver (one Spark job total). Bounded by contract: the collect is
+# LIMIT local_word_limit + 1, never corpus-sized.
+BPE_LOCAL_WORD_LIMIT = 100_000
 
 
 def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -45,29 +67,113 @@ def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def _char_spaced(col):
     """'hello' -> ' h e l l o ' (space-delimited symbols, sentinel
-    spaces at both ends so every adjacent pair matches ' a b ')."""
+    spaces at both ends so the format is uniform across merge steps)."""
     return F.concat(F.lit(" "), F.regexp_replace(col, "(.)", "$1 "))
+
+
+def _apply_merge(s: Column, a: str, b: str) -> Column:
+    """Apply one merge rule (a, b) to a space-delimited symbol string:
+    greedy left-to-right non-overlapping at the SYMBOL level, as a
+    single Catalyst ``aggregate`` — no UDF. State is (acc, prev) where
+    prev is the held unconsumed symbol ('' = none; symbols are
+    non-empty so the sentinel cannot collide)."""
+    merged = a + b
+    return F.aggregate(
+        F.split(F.trim(s), " "),
+        F.struct(F.lit("").alias("acc"), F.lit("").alias("prev")),
+        lambda st, x: (
+            F.when(
+                (st["prev"] == a) & (x == b),
+                F.struct(
+                    F.concat(st["acc"], F.lit(" " + merged)).alias("acc"),
+                    F.lit("").alias("prev"),
+                ),
+            )
+            .when(
+                st["prev"] == "",
+                F.struct(st["acc"].alias("acc"), x.alias("prev")),
+            )
+            .otherwise(
+                F.struct(
+                    F.concat(st["acc"], F.lit(" "), st["prev"]).alias("acc"),
+                    x.alias("prev"),
+                )
+            )
+        ),
+        lambda st: F.when(
+            st["prev"] == "", F.concat(st["acc"], F.lit(" "))
+        ).otherwise(F.concat(st["acc"], F.lit(" "), st["prev"], F.lit(" "))),
+    )
+
+
+def _merge_word(syms: list[str], a: str, b: str) -> list[str]:
+    """Driver-side twin of :func:`_apply_merge` over a symbol list."""
+    out: list[str] = []
+    i, n = 0, len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _train_local(
+    word_rows: list, n_merges: int
+) -> list[tuple[int, str, str, str, int]]:
+    """Merge loop over a collected word table: identical pair counting
+    ((count desc, lhs, rhs) tie rule) and identical greedy merge as the
+    distributed path — only the execution site differs."""
+    words = [(list(r["word"]), int(r["cnt"])) for r in word_rows]
+    merges: list[tuple[int, str, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, cnt in words:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + cnt
+        if not counts:
+            break
+        (a, b), c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((step, a, b, a + b, c))
+        words = [(_merge_word(syms, a, b), cnt) for syms, cnt in words]
+    return merges
 
 
 def bpe_train(
     docs: DataFrame,
     n_merges: int = 10,
     text_col: str = "text",
+    local_word_limit: int = BPE_LOCAL_WORD_LIMIT,
 ) -> DataFrame:
     """Learn ``n_merges`` BPE merge rules; returns a DataFrame
     (step, lhs, rhs, merged, pair_count) with step 1..n_merges in learn
     order. pair_count is the winning pair's corpus-weighted frequency
     at the time it was chosen.
 
-    The word table is computed once and cached; each iteration is a
-    pair-count groupBy over it plus a 1-row collect. Lineage grows by
-    one ``replace`` per step (trivially codegen'd); for very large
-    n_merges, checkpoint the word table periodically.
+    The word table is computed once. If it fits ``local_word_limit``
+    rows the loop runs driver-side (one Spark job; the collect is
+    bounded by the limit, not the corpus). Otherwise each iteration is
+    a pair-count groupBy plus a 1-row collect, with lineage growing by
+    one ``aggregate`` per step; for very large n_merges, checkpoint
+    the word table periodically.
     """
     spark: SparkSession = docs.sparkSession
-    words = word_frequencies(docs, text_col).select(
-        _char_spaced(F.col("word")).alias("s"), "cnt"
-    )
+    wf = word_frequencies(docs, text_col)
+    schema = "step bigint, lhs string, rhs string, merged string, pair_count bigint"
+
+    if local_word_limit > 0:
+        probe = wf.limit(local_word_limit + 1).collect()
+        if len(probe) <= local_word_limit:
+            return spark.createDataFrame(
+                _train_local(probe, n_merges), schema
+            ).orderBy("step")
+
+    words = wf.select(_char_spaced(F.col("word")).alias("s"), "cnt")
     base = words.cache()
     merges: list[tuple[int, str, str, str, int]] = []
     try:
@@ -94,15 +200,11 @@ def bpe_train(
             a, b, c = best[0]["a"], best[0]["b"], int(best[0]["c"])
             merges.append((step, a, b, a + b, c))
             words = words.select(
-                F.expr(f"replace(s, ' {a} {b} ', ' {a}{b} ')").alias("s"),
-                "cnt",
+                _apply_merge(F.col("s"), a, b).alias("s"), "cnt"
             )
     finally:
         base.unpersist()
-    out = spark.createDataFrame(
-        merges, "step bigint, lhs string, rhs string, merged string, pair_count bigint"
-    )
-    return out.orderBy("step")
+    return spark.createDataFrame(merges, schema).orderBy("step")
 
 
 def bpe_segment(
@@ -113,19 +215,20 @@ def bpe_segment(
 ) -> DataFrame:
     """Apply learned merges to segment text: per word, start from
     characters and apply each rule in learn order (the standard BPE
-    inference), entirely as Catalyst replace chains over the
-    space-delimited form — no UDF."""
+    inference), entirely as Catalyst aggregate/transform chains over
+    the space-delimited form — no UDF."""
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), r"\s+"),
         lambda t: (F.length(t) > 0) & t.rlike("^[a-z0-9]+$"),
     )
-    seg = F.transform(toks, lambda w: _char_spaced(w))
-    col = seg
+    col = F.transform(toks, lambda w: _char_spaced(w))
+
+    def _step(a: str, b: str):
+        # no default-arg capture: pyspark inspects lambda arity, and
+        # extra defaulted params would read as a 3-arg HOF lambda
+        return lambda s: _apply_merge(s, a, b)
+
     for a, b in merges:
-        col = F.transform(
-            col, lambda s: F.replace(s, F.lit(f" {a} {b} "), F.lit(f" {a}{b} "))
-        )
-    out = F.flatten(
-        F.transform(col, lambda s: F.split(F.trim(s), " "))
-    )
+        col = F.transform(col, _step(a, b))
+    out = F.flatten(F.transform(col, lambda s: F.split(F.trim(s), " ")))
     return df.withColumn(out_col, out)

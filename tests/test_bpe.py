@@ -27,7 +27,7 @@ def test_bpe_train_classic_corpus(spark):
 
 def test_bpe_train_overlap_greedy(spark):
     """'aaa' counts the (a,a) pair twice but greedy left-to-right
-    merging produces [aa, a] — the REPLACE semantics both engines
+    merging produces [aa, a] — symbol-level semantics both engines
     share."""
     from external_benchmarks_spark.operators.bpe import bpe_segment, bpe_train
 
@@ -39,6 +39,49 @@ def test_bpe_train_overlap_greedy(spark):
         docs, [(m.lhs, m.rhs) for m in merges]
     ).collect()[0].bpe_tokens
     assert seg == ["aa", "a", "aa", "a", "b", "b"]
+
+
+def test_bpe_consecutive_occurrences_merge(spark):
+    """Consecutive occurrences of the winning pair share a delimiter
+    space in the spaced form; a naive string replace skips every other
+    one ('banana' -> b an a n a). Symbol-level greedy must catch both
+    (Sennrich semantics)."""
+    from external_benchmarks_spark.operators.bpe import bpe_segment
+
+    docs = spark.createDataFrame([("banana",)], "text string")
+    seg = bpe_segment(docs, [("a", "n")]).collect()[0].bpe_tokens
+    assert seg == ["b", "an", "an", "a"]
+
+
+def test_bpe_identical_symbol_run(spark):
+    """Runs of >=5 identical symbols are where even a fixpoint string
+    replace mis-orders the output (aa, a, aa): symbol-level greedy
+    left-to-right gives [aa, aa, a]."""
+    from external_benchmarks_spark.operators.bpe import bpe_segment
+
+    docs = spark.createDataFrame([("aaaaa",)], "text string")
+    seg = bpe_segment(docs, [("a", "a")]).collect()[0].bpe_tokens
+    assert seg == ["aa", "aa", "a"]
+
+
+def test_bpe_local_and_distributed_paths_agree(spark):
+    """The driver-side fast path (word table under the bounded-collect
+    limit) and the distributed aggregate-HOF loop are the same
+    algorithm at different execution sites — byte-identical merges."""
+    from external_benchmarks_spark.operators.bpe import bpe_train
+
+    corpus = " ".join(
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+        + ["banana"] * 4 + ["aaaaa"] * 3
+    )
+    docs = spark.createDataFrame([(corpus,)], "text string")
+    local = [tuple(r) for r in bpe_train(docs, n_merges=6).collect()]
+    dist = [
+        tuple(r)
+        for r in bpe_train(docs, n_merges=6, local_word_limit=0).collect()
+    ]
+    assert local == dist
+    assert len(local) == 6
 
 
 def test_bpe_segment_reconstructs_words(spark, sf_dir):
