@@ -1308,39 +1308,56 @@ def _pq_parts(spark, sf):
 
 # SCD2 oracle stages shared by scd2_apply (the full version table) and
 # scd2_lookup (the point-in-time temporal join): identical window +
-# IS DISTINCT FROM merge as operators/scd.scd2_apply.
+# IS DISTINCT FROM merge as operators/scd.scd2_apply, over a TWO-column
+# attribute tuple (seg = event_type; band = sign bucket of value, NULL
+# for negatives — exercising null-safe tuple change detection). Only
+# EVEN user_ids get an init current row, so odd users take the brand-
+# new-key path: their first update opens a version unconditionally
+# (has-prev/has-cur flags, never a COALESCE over attribute values — a
+# NULL attribute is a real prevailing value).
 _SCD2_CTES = """
-        ev AS (SELECT user_id, epoch_us(ts) AS tsu, event_type FROM events),
+        ev AS (SELECT user_id, epoch_us(ts) AS tsu, event_type,
+                      CASE WHEN value >= 0 THEN 'pos' END AS band
+               FROM events),
         cur AS (SELECT DISTINCT user_id, 'init' AS seg,
-                       CAST(0 AS BIGINT) AS valid_from FROM ev),
-        u AS (SELECT user_id, tsu, MIN(event_type) AS attr
+                       CAST(NULL AS VARCHAR) AS band,
+                       CAST(0 AS BIGINT) AS valid_from, TRUE AS has_cur
+                FROM ev WHERE user_id % 2 = 0),
+        u AS (SELECT user_id, tsu, MIN(event_type) AS a1, MIN(band) AS a2
               FROM ev GROUP BY 1, 2),
-        u2 AS (SELECT u.user_id, u.tsu, u.attr, c.seg AS cur_attr
+        u2 AS (SELECT u.user_id, u.tsu, u.a1, u.a2,
+                      c.seg AS c1, c.band AS c2,
+                      COALESCE(c.has_cur, FALSE) AS has_cur
                FROM u LEFT JOIN cur c USING (user_id)
                WHERE u.tsu > COALESCE(c.valid_from, u.tsu - 1)),
-        kk AS (SELECT user_id, tsu, attr FROM (
-                SELECT user_id, tsu, attr,
-                       COALESCE(lag(attr) OVER (PARTITION BY user_id
-                                                ORDER BY tsu),
-                                cur_attr) AS prevailing
+        kk AS (SELECT user_id, tsu, a1, a2 FROM (
+                SELECT user_id, tsu, a1, a2, c1, c2, has_cur,
+                       lag(1) OVER (PARTITION BY user_id ORDER BY tsu)
+                         IS NOT NULL AS has_prev,
+                       lag(a1) OVER (PARTITION BY user_id ORDER BY tsu) AS p1,
+                       lag(a2) OVER (PARTITION BY user_id ORDER BY tsu) AS p2
                 FROM u2) t
-              WHERE attr IS DISTINCT FROM prevailing),
+              WHERE NOT (has_prev OR has_cur)
+                 OR a1 IS DISTINCT FROM
+                    (CASE WHEN has_prev THEN p1 ELSE c1 END)
+                 OR a2 IS DISTINCT FROM
+                    (CASE WHEN has_prev THEN p2 ELSE c2 END)),
         new_rows AS (
-          SELECT user_id, attr AS seg, tsu AS valid_from,
+          SELECT user_id, a1 AS seg, a2 AS band, tsu AS valid_from,
                  lead(tsu) OVER (PARTITION BY user_id ORDER BY tsu)
                    AS valid_to
           FROM kk),
         fc AS (SELECT user_id, MIN(tsu) AS close_ts FROM kk GROUP BY user_id),
         closed AS (
-          SELECT c.user_id, c.seg, c.valid_from,
+          SELECT c.user_id, c.seg, c.band, c.valid_from,
                  f.close_ts AS valid_to, FALSE AS is_current
           FROM cur c JOIN fc f USING (user_id)),
         unchanged AS (
-          SELECT c.user_id, c.seg, c.valid_from,
+          SELECT c.user_id, c.seg, c.band, c.valid_from,
                  CAST(NULL AS BIGINT) AS valid_to, TRUE AS is_current
           FROM cur c ANTI JOIN fc f USING (user_id)),
         scd AS (
-          SELECT user_id, seg, valid_from, valid_to,
+          SELECT user_id, seg, band, valid_from, valid_to,
                  (valid_to IS NULL) AS is_current
           FROM new_rows
           UNION ALL SELECT * FROM closed
@@ -1392,25 +1409,46 @@ def q_ivfpq_topk(spark, sf):
     return ivfpq_topk(codes, centroids, cb, QVEC, k=20, nprobe=IVF_NPROBE)
 
 
-def q_scd2_apply(spark, sf):
-    # SCD Type 2 dimension maintenance (operators/scd.scd2_apply): the
-    # events stream applied as one batch of per-user segment updates
-    # over an 'init' dimension — multiple changes per key chain into
-    # validity intervals, consecutive duplicates suppress (null-safe),
-    # history closes without rewrites. Hash-oracled: DuckDB replays the
-    # identical window + IS DISTINCT FROM merge.
+def _scd2_parts(spark, sf):
+    # Shared by scd2_apply / scd2_lookup: a TWO-attribute dimension
+    # (seg = event_type, band = sign bucket of value — NULL for
+    # negatives, exercising null-safe tuple change detection), with an
+    # init current row for EVEN user_ids only so odd users take the
+    # brand-new-key path (first update opens unconditionally, even
+    # all-NULL).
     from external_benchmarks_spark.operators.scd import scd2_apply, scd2_init
 
     ev = Catalog(spark, sf).events
     current = scd2_init(
-        ev.select("user_id").distinct().withColumn("seg", F.lit("init")),
+        ev.select("user_id")
+        .distinct()
+        .filter(F.col("user_id") % 2 == 0)
+        .withColumn("seg", F.lit("init"))
+        .withColumn("band", F.lit(None).cast("string")),
         "user_id",
-        "seg",
+        ["seg", "band"],
     )
     updates = ev.select(
-        "user_id", "ts_us", F.col("event_type").alias("seg")
+        "user_id",
+        "ts_us",
+        F.col("event_type").alias("seg"),
+        F.when(F.col("value") >= 0, F.lit("pos")).alias("band"),
     )
-    return scd2_apply(current, updates, "user_id", "seg", "ts_us")
+    return ev, scd2_apply(current, updates, "user_id", ["seg", "band"], "ts_us")
+
+
+def q_scd2_apply(spark, sf):
+    # SCD Type 2 dimension maintenance (operators/scd.scd2_apply): the
+    # events stream applied as one batch of per-user (seg, band)
+    # attribute-TUPLE updates over an 'init' dimension — multiple
+    # changes per key chain into validity intervals, whole-tuple
+    # consecutive duplicates suppress (null-safe per attribute),
+    # history closes without rewrites, and brand-new keys (odd
+    # user_ids) open on their first update via explicit has-prev/
+    # has-cur flags. Hash-oracled: DuckDB replays the identical
+    # window + IS DISTINCT FROM merge.
+    _ev, scd = _scd2_parts(spark, sf)
+    return scd
 
 
 def q_stream_hourly_anomalies(spark, sf):
@@ -1523,29 +1561,15 @@ def q_hourly_anomalies(spark, sf):
 
 def q_scd2_lookup(spark, sf):
     # Point-in-time temporal join (operators/scd.scd2_lookup): each
-    # event looks up the segment version valid one microsecond BEFORE
-    # it (its user's previous state), yielding the SCD-derived
-    # transition matrix. Broadcast range join against the versioned
-    # dim; oracle replays dim build + interval join + aggregate.
-    from external_benchmarks_spark.operators.scd import (
-        scd2_apply,
-        scd2_init,
-        scd2_lookup,
-    )
+    # event looks up the (seg, band) version valid one microsecond
+    # BEFORE it (its user's previous state), yielding the SCD-derived
+    # transition matrix over the attribute tuple. Broadcast range join
+    # against the versioned dim; oracle replays dim build + interval
+    # join + aggregate. Odd users' first events find no version (no
+    # init row) and drop — inner-join semantics, mirrored in SQL.
+    from external_benchmarks_spark.operators.scd import scd2_lookup
 
-    ev = Catalog(spark, sf).events
-    current = scd2_init(
-        ev.select("user_id").distinct().withColumn("seg", F.lit("init")),
-        "user_id",
-        "seg",
-    )
-    scd = scd2_apply(
-        current,
-        ev.select("user_id", "ts_us", F.col("event_type").alias("seg")),
-        "user_id",
-        "seg",
-        "ts_us",
-    )
+    ev, scd = _scd2_parts(spark, sf)
     facts = ev.select(
         "user_id",
         (F.col("ts_us") - 1).alias("asof_us"),
@@ -1553,7 +1577,9 @@ def q_scd2_lookup(spark, sf):
     )
     joined = scd2_lookup(facts, scd, "user_id", "asof_us")
     return joined.groupBy(
-        F.col("seg").alias("prev_seg"), "cur_type"
+        F.col("seg").alias("prev_seg"),
+        F.col("band").alias("prev_band"),
+        "cur_type",
     ).agg(F.count(F.lit(1)).alias("cnt"))
 
 
@@ -4757,7 +4783,8 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": _bpe_sql(),
         "scd2_apply": f"""
             WITH {_SCD2_CTES}
-            SELECT user_id, seg, valid_from, valid_to, is_current FROM scd
+            SELECT user_id, seg, band, valid_from, valid_to, is_current
+            FROM scd
         """,
         "category_diversity": """
             WITH cdc AS (
@@ -4838,12 +4865,14 @@ def oracle_sql() -> dict[str, str]:
         "scd2_lookup": f"""
             WITH {_SCD2_CTES},
             f AS (SELECT user_id, tsu, event_type FROM ev),
-            j AS (SELECT s.seg AS prev_seg, f.event_type AS cur_type
+            j AS (SELECT s.seg AS prev_seg, s.band AS prev_band,
+                         f.event_type AS cur_type
                   FROM f JOIN scd s ON f.user_id = s.user_id
                     AND s.valid_from <= f.tsu - 1
                     AND (s.valid_to IS NULL OR f.tsu - 1 < s.valid_to))
-            SELECT prev_seg, cur_type, CAST(COUNT(*) AS BIGINT) AS cnt
-            FROM j GROUP BY 1, 2
+            SELECT prev_seg, prev_band, cur_type,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM j GROUP BY 1, 2, 3
         """,
         "pq_topk_batch": f"""
             WITH {_PQ_CTES},

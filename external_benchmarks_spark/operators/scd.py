@@ -12,30 +12,41 @@ is the small side; the same plan holds with the updates as a stream of
 micro-batches (each batch is one application of ``scd2_apply``).
 
 Determinism (what makes the whole merge hash-oracle-able): updates are
-first normalized to one row per (key, ts) by MIN(attr); a row survives
-iff its attr IS DISTINCT FROM its predecessor (the previous surviving
-update, or the key's current attribute for the first update —
-null-safe, so NULL attrs version correctly); both engines express this
-with identical window + IS DISTINCT FROM semantics.
+first normalized to one row per (key, ts) by per-column MIN over the
+attribute tuple; a row survives iff it has no prevailing state at all
+(a brand-new key's first update — even an all-NULL one — always opens
+a version) or ANY attribute IS DISTINCT FROM its prevailing value (the
+previous update in the batch, else the key's current row — tracked
+with explicit has-prev/has-cur flags, never a COALESCE over attribute
+values, so NULL attributes version correctly); both engines express
+this with identical window + IS DISTINCT FROM semantics.
 """
 
 from __future__ import annotations
+
+from typing import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def _attr_list(attr_cols: str | Sequence[str]) -> list[str]:
+    return [attr_cols] if isinstance(attr_cols, str) else list(attr_cols)
+
+
 def scd2_init(
     dim: DataFrame,
     key_col: str,
-    attr_col: str,
+    attr_cols: str | Sequence[str],
     valid_from=0,
 ) -> DataFrame:
-    """Open an initial current version for every dimension row."""
+    """Open an initial current version for every dimension row.
+    ``attr_cols`` is one column name or a sequence — real dimensions
+    version a tuple of attributes."""
     return dim.select(
         key_col,
-        attr_col,
+        *_attr_list(attr_cols),
         F.lit(valid_from).cast("bigint").alias("valid_from"),
         F.lit(None).cast("bigint").alias("valid_to"),
         F.lit(True).alias("is_current"),
@@ -46,29 +57,34 @@ def scd2_apply(
     current: DataFrame,
     updates: DataFrame,
     key_col: str,
-    attr_col: str,
+    attr_cols: str | Sequence[str],
     ts_col: str,
 ) -> DataFrame:
-    """Apply one batch of (key, ts, attr) updates to an SCD2 table
-    (schema: key, attr, valid_from, valid_to, is_current). A batch may
-    carry MANY changes per key — they chain into consecutive versions.
-    Updates equal to the prevailing attribute (per-key consecutive, or
-    vs the current row for the first) are suppressed, so re-applying
-    the same batch is a no-op on version count. Returns the full new
-    table.
+    """Apply one batch of (key, ts, attrs...) updates to an SCD2 table
+    (schema: key, attrs..., valid_from, valid_to, is_current). A batch
+    may carry MANY changes per key — they chain into consecutive
+    versions. Updates whose whole attribute tuple equals the prevailing
+    one (per-key consecutive, or vs the current row for the first) are
+    suppressed, so re-applying the same batch is a no-op on version
+    count. A brand-new key's first update always opens a version, even
+    when every attribute is NULL (no-prevailing-state is tracked with
+    explicit flags, not inferred from attribute nullness). Returns the
+    full new table.
     """
+    attrs = _attr_list(attr_cols)
     cur = current.filter(F.col("is_current"))
     hist = current.filter(~F.col("is_current"))
 
-    # one update per (key, ts): deterministic MIN(attr)
+    # one update per (key, ts): deterministic per-column MIN
     u = updates.groupBy(
         F.col(key_col), F.col(ts_col).cast("bigint").alias("_ts")
-    ).agg(F.min(attr_col).alias("_attr"))
+    ).agg(*[F.min(c).alias(f"_a_{c}") for c in attrs])
     u = u.join(
         cur.select(
             key_col,
-            F.col(attr_col).alias("_cur_attr"),
+            *[F.col(c).alias(f"_c_{c}") for c in attrs],
             F.col("valid_from").alias("_cur_from"),
+            F.lit(True).alias("_has_cur"),
         ),
         key_col,
         "left",
@@ -81,25 +97,33 @@ def scd2_apply(
         F.col("_ts") > F.coalesce(F.col("_cur_from"), F.col("_ts") - 1)
     )
     w = Window.partitionBy(key_col).orderBy("_ts")
-    # IS DISTINCT FROM: null-safe change detection. NOTE: lag() sees the
-    # pre-filter predecessor; within a run of equal attrs only the first
-    # can survive and it is compared against the last distinct value
-    # before the run, so the run collapses correctly. The window column
-    # materializes in a select first (window functions can't live in a
-    # WHERE clause).
-    kept = (
-        u.withColumn(
-            "_prevailing",
-            F.coalesce(F.lag("_attr").over(w), F.col("_cur_attr")),
-        )
-        .filter(~F.col("_attr").eqNullSafe(F.col("_prevailing")))
-        .drop("_prevailing")
+    # Null-safe change detection against the prevailing tuple. lag()
+    # sees the pre-filter predecessor; within a run of equal tuples only
+    # the first can survive and it is compared against the last distinct
+    # tuple before the run, so the run collapses correctly. Whether a
+    # prevailing state EXISTS is a flag (lag of a literal / the join
+    # flag), never a COALESCE over attribute values — a NULL attribute
+    # is a real prevailing value, and "no state at all" must keep the
+    # row. Window columns materialize in a select first (window
+    # functions can't live in a WHERE clause).
+    u = u.withColumn("_has_prev", F.lag(F.lit(True)).over(w))
+    for c in attrs:
+        u = u.withColumn(f"_p_{c}", F.lag(f"_a_{c}").over(w))
+    has_prevailing = F.coalesce(F.col("_has_prev"), F.col("_has_cur"), F.lit(False))
+    changed = F.lit(False)
+    for c in attrs:
+        prevailing_c = F.when(
+            F.col("_has_prev"), F.col(f"_p_{c}")
+        ).otherwise(F.col(f"_c_{c}"))
+        changed = changed | ~F.col(f"_a_{c}").eqNullSafe(prevailing_c)
+    kept = u.filter(~has_prevailing | changed).select(
+        key_col, "_ts", *[f"_a_{c}" for c in attrs]
     )
 
     w2 = Window.partitionBy(key_col).orderBy("_ts")
     new_rows = kept.select(
         key_col,
-        F.col("_attr").alias(attr_col),
+        *[F.col(f"_a_{c}").alias(c) for c in attrs],
         F.col("_ts").alias("valid_from"),
         F.lead("_ts").over(w2).alias("valid_to"),
     ).withColumn("is_current", F.col("valid_to").isNull())
@@ -111,7 +135,7 @@ def scd2_apply(
         cur.join(first_change, key_col, "inner")
         .select(
             key_col,
-            attr_col,
+            *attrs,
             "valid_from",
             F.col("_close_ts").alias("valid_to"),
             F.lit(False).alias("is_current"),

@@ -49,7 +49,7 @@ def scd2_stream_apply(
     updates_stream: DataFrame,
     table_dir: str,
     key_col: str,
-    attr_col: str,
+    attr_cols,
     ts_col: str,
     checkpoint_dir: str | None = None,
     trigger: dict | None = None,
@@ -69,10 +69,13 @@ def scd2_stream_apply(
         current = read_scd2_table(spark, table_dir)
         if current is None:
             # open nothing: an empty current table with the right shape
-            current = scd2_init(
-                batch_df.select(key_col, attr_col).limit(0), key_col, attr_col
+            attrs = (
+                [attr_cols] if isinstance(attr_cols, str) else list(attr_cols)
             )
-        out = scd2_apply(current, batch_df, key_col, attr_col, ts_col)
+            current = scd2_init(
+                batch_df.select(key_col, *attrs).limit(0), key_col, attrs
+            )
+        out = scd2_apply(current, batch_df, key_col, attr_cols, ts_col)
         vname = f"v{batch_id}"
         out.write.mode("overwrite").parquet(os.path.join(table_dir, vname))
         tmp = os.path.join(table_dir, f"._CURRENT.{uuid.uuid4().hex[:8]}")

@@ -167,3 +167,90 @@ def test_scd2_streaming_file_batches(spark, tmp_path):
 
     versions = [d for d in os.listdir(table_dir) if d.startswith("v")]
     assert len(versions) >= 2
+
+
+def test_scd2_new_key_null_first_attr_opens_version(spark):
+    """A brand-new key whose FIRST update attr is NULL must still open
+    a version: 'no prevailing state' is an explicit flag, not inferred
+    from attribute nullness (a COALESCE over attr values conflates the
+    two and silently drops the key)."""
+    current = scd2_init(
+        spark.createDataFrame([], "k bigint, attr string"), "k", "attr"
+    )
+    updates = spark.createDataFrame(
+        [(7, 10, None), (7, 20, "x")], "k bigint, ts bigint, attr string"
+    )
+    out = scd2_apply(current, updates, "k", "attr", "ts")
+    assert _rows(out) == sorted(
+        [(7, None, 10, 20, False), (7, "x", 20, None, True)], key=_key
+    )
+    # idempotent re-apply still holds with the NULL-opening row
+    again = scd2_apply(out, updates, "k", "attr", "ts")
+    assert _rows(again) == _rows(out)
+
+
+def test_scd2_null_in_update_chain(spark):
+    """cur='x', updates (NULL, 'x'): the NULL versions, and the 'x'
+    after it is a REAL change vs the NULL predecessor — comparing
+    against COALESCE(lag, cur) would wrongly suppress it."""
+    current = scd2_init(
+        spark.createDataFrame([(1, "x")], "k bigint, attr string"), "k", "attr"
+    )
+    updates = spark.createDataFrame(
+        [(1, 10, None), (1, 20, "x")], "k bigint, ts bigint, attr string"
+    )
+    out = scd2_apply(current, updates, "k", "attr", "ts")
+    assert _rows(out) == sorted(
+        [(1, "x", 0, 10, False), (1, None, 10, 20, False),
+         (1, "x", 20, None, True)],
+        key=_key,
+    )
+
+
+def _rows2(df):
+    return sorted(
+        (
+            (r.k, r.a1, r.a2, r.valid_from, r.valid_to, r.is_current)
+            for r in df.collect()
+        ),
+        key=_key,
+    )
+
+
+def test_scd2_multi_attribute_tuple_versioning(spark):
+    """attr_cols as a sequence: a change in ANY attribute opens a
+    version; rows equal on the WHOLE tuple suppress; NULLs inside the
+    tuple are null-safe; re-apply is a no-op."""
+    dim = spark.createDataFrame(
+        [(1, "gold", "eu"), (2, "silver", None)],
+        "k bigint, a1 string, a2 string",
+    )
+    current = scd2_init(dim, "k", ["a1", "a2"])
+    updates = spark.createDataFrame(
+        [
+            # key 1: a2-only change, then exact-duplicate tuple, then
+            # a1-only change
+            (1, 10, "gold", "us"), (1, 20, "gold", "us"), (1, 30, "plat", "us"),
+            # key 2: tuple equal to current (incl. NULL a2) -> suppressed
+            (2, 15, "silver", None),
+            # key 2 later: NULL a2 -> value is a change
+            (2, 25, "silver", "eu"),
+            # key 3: brand-new key with an all-NULL tuple still opens
+            (3, 40, None, None),
+        ],
+        "k bigint, ts bigint, a1 string, a2 string",
+    )
+    out = scd2_apply(current, updates, "k", ["a1", "a2"], "ts")
+    assert _rows2(out) == sorted(
+        [
+            (1, "gold", "eu", 0, 10, False),
+            (1, "gold", "us", 10, 30, False),
+            (1, "plat", "us", 30, None, True),
+            (2, "silver", None, 0, 25, False),
+            (2, "silver", "eu", 25, None, True),
+            (3, None, None, 40, None, True),
+        ],
+        key=_key,
+    )
+    again = scd2_apply(out, updates, "k", ["a1", "a2"], "ts")
+    assert _rows2(again) == _rows2(out)
