@@ -45,7 +45,15 @@ def hourly_burst_anomalies(
     hours in the window never flag (cold start). Returns ONLY flagged
     rows: (event_type, hour_us, cnt, baseline, is_burst, is_drop).
     """
-    hour = F.expr(f"{ts_col} DIV {HOUR_US}")  # exact integer division
+    # FLOOR division, not DIV (which truncates toward zero): pre-epoch
+    # (negative) timestamps must bucket into the same hour as SQL
+    # engines' floor `//`, or the bit-exactness contract breaks at the
+    # epoch boundary. Integer-exact: subtract 1 when a negative ts has
+    # a remainder.
+    hour = F.expr(
+        f"({ts_col} DIV {HOUR_US}) - (CASE WHEN {ts_col} % {HOUR_US} != 0 "
+        f"AND {ts_col} < 0 THEN 1 ELSE 0 END)"
+    )
     counts = events.groupBy(F.col(type_col), hour.alias("h")).agg(
         F.count(F.lit(1)).alias("cnt")
     )

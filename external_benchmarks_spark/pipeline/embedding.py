@@ -170,8 +170,15 @@ def encode_batch(
         return _model_encode(texts, dim)
     if ckpt_dir:
         enc = _checkpoint_encoder(ckpt_dir)
-        if enc.dim == dim:
-            return enc.encode(list(pd.Series(texts).fillna("")))
+        if enc.dim != dim:
+            # a misconfigured checkpoint must FAIL, not silently produce
+            # wrong-tier (hashed-ngram) embeddings of the right width
+            raise ValueError(
+                f"encoder checkpoint at {ckpt_dir!r} produces dim={enc.dim} "
+                f"but dim={dim} was requested; pass a matching checkpoint "
+                "or drop ckpt_dir/$EBS_ENCODER_CKPT for the hashed tier"
+            )
+        return enc.encode(list(pd.Series(texts).fillna("")))
     return hashed_ngram_encode(texts, dim)
 
 

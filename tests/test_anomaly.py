@@ -47,3 +47,28 @@ def test_gap_hours_count_as_zero_drops(spark):
     out = hourly_burst_anomalies(_events(spark, series), min_history=8).collect()
     drops = {r.hour_us // HOUR_US for r in out if r.is_drop}
     assert {10, 11, 12, 13, 14} <= drops
+
+
+def test_negative_timestamps_floor_bucket(spark):
+    """Pre-epoch timestamps must bucket by FLOOR division (SQL `//`
+    semantics), not truncation toward zero: ts = -1 us belongs to hour
+    -1, and must not share hour 0 with ts = +1 us. Uses negative hour
+    keys end-to-end (grid, window, flags all on bigints)."""
+    from pyspark.sql import functions as F
+
+    from external_benchmarks_spark.operators.anomaly import (
+        hourly_burst_anomalies,
+    )
+
+    # steady 10/hour for hours -12..-2, then a 100-burst at hour -1:
+    # every timestamp strictly negative, several mid-hour (nonzero
+    # remainder), so truncation would shift them one hour late.
+    series = {h: 10 for h in range(-12, -1)}
+    series[-1] = 100
+    ev = _events(spark, series)
+    assert ev.filter(F.col("ts_us") >= 0).count() == 0
+    out = {
+        r.hour_us // HOUR_US: (r.cnt, r.is_burst)
+        for r in hourly_burst_anomalies(ev, min_history=8).collect()
+    }
+    assert out == {-1: (100, True)}

@@ -609,6 +609,24 @@ def test_checkpoint_udf_matches_driver_encode(spark, tmp_path):
     assert (got == want).all()
 
 
+def test_checkpoint_dim_mismatch_raises(tmp_path):
+    """A checkpoint whose width differs from the requested dim must
+    FAIL loudly, not silently produce hashed-ngram embeddings of the
+    right shape (a misconfigured $EBS_ENCODER_CKPT would otherwise
+    ship wrong-tier vectors with no signal)."""
+    import pandas as pd
+    import pytest
+
+    from external_benchmarks_spark.pipeline.embedding import encode_batch
+    from external_benchmarks_spark.pipeline.minilm import make_tiny_checkpoint
+
+    ckpt = make_tiny_checkpoint(
+        str(tmp_path / "ckpt"), ["a", "b"], dim=64, n_layers=1, n_heads=4
+    )
+    with pytest.raises(ValueError, match="dim=64"):
+        encode_batch(pd.Series(["hello"]), dim=384, ckpt_dir=ckpt)
+
+
 def test_hashed_ngram_fast_path_matches_per_gram():
     """The vectorized ASCII trigram path must be BIT-identical to the
     per-gram zlib.crc32 reference on every input class (ASCII, unicode
