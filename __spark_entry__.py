@@ -3429,74 +3429,25 @@ def q_cluster_profile(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order is a correctness-evidence budget: the driver checks a
-    # window of entries in dict order each round, so never-checked entries
-    # go first, then the STALEST driver-green entries. Round-6 window
-    # (~50): the 10 entries last driver-checked in r2 (the rotation
-    # promised in r5), then the 4 TPC-H queries re-pointed at the true
-    # partsupp fixture this round (tpch_q2/q11/q16/q20 — data changed,
-    # so re-verify), then the 12 never-checked round-6 additions, then
-    # the head of the r3-verified block (3 rounds stale). Everything
-    # r4/r5-verified rotates to the back. Round-7 plan: any r6-new
-    # entries the window missed go first, then the r3-block TAIL
-    # (minhash/vocab/roundtrip/quantize/graph families) which will then
-    # be the stalest, then the r4 block. Every entry passes the local
-    # mirror (tests/test_oracle_queries.py) every test run either way,
-    # so rotation costs nothing.
+    # window of entries in dict order each round, so entries whose
+    # semantics/data changed this round go first (they must re-verify),
+    # then never-checked new entries, then the STALEST driver-green
+    # entries. Round-7 window (~50): the 3 entries whose oracles changed
+    # this round (bpe_merges -> symbol-level merge; scd2_apply/lookup ->
+    # two-attribute tuple with brand-new-key coverage), any new r7
+    # entries, then the 27-entry r3-block tail (minhash/vocab/roundtrip/
+    # quantize/graph families — 4 rounds stale, the round-6 verdict's
+    # rotation order), then the head of the r4 block. The r6-verified
+    # block rotates to the back. Every entry passes the local mirror
+    # (tests/test_oracle_queries.py) every test run either way, so
+    # rotation costs nothing.
     return {
-        # --- stalest: last driver-checked r2 -----------------------------
-        "details_prune": q_details_prune,
-        "sessionize": q_sessionize,
-        "asof_last_event": q_asof_last_event,
-        "asof_join_generic": q_asof_join_generic,
-        "range_join_agg": q_range_join_agg,
-        "lsh_ann_topk": q_lsh_ann_topk,
-        "ivf_ann_topk": q_ivf_ann_topk,
-        "embed_inference": q_embed_inference,
-        "decontaminate": q_decontaminate,
-        "mixture_sample": q_mixture_sample,
-        # --- re-pointed at the true partsupp fixture in round 6 ----------
-        "tpch_q2": q_tpch_q2,
-        "tpch_q11": q_tpch_q11,
-        "tpch_q16": q_tpch_q16,
-        "tpch_q20": q_tpch_q20,
-        # --- new in round 6: never driver-checked ------------------------
-        "adaptive_join_agg": q_adaptive_join_agg,
-        "partsupp_fixture": q_partsupp_fixture,
-        "pq_encode": q_pq_encode,
-        "pq_topk": q_pq_topk,
-        "pq_topk_batch": q_pq_topk_batch,
-        "ivfpq_topk": q_ivfpq_topk,
+        # --- semantics changed in round 7 (BPE symbol-level merge; SCD2 ---
+        # --- two-attribute tuple + new-key coverage): re-verify first ---
         "bpe_merges": q_bpe_merges,
         "scd2_apply": q_scd2_apply,
         "scd2_lookup": q_scd2_lookup,
-        "hourly_anomalies": q_hourly_anomalies,
-        "robust_stats": q_robust_stats,
-        "category_diversity": q_category_diversity,
-        "stream_hourly_anomalies": q_stream_hourly_anomalies,
-        # --- last verified r3 --------------------------------------------
-        "lm_score": q_lm_score,
-        "dup_span_stats": q_dup_span_stats,
-        "gopher_rules": q_gopher_rules,
-        "dsir_weights": q_dsir_weights,
-        "cluster_profile": q_cluster_profile,
-        "stream_events_hourly": q_stream_events_hourly,
-        "stream_events_sliding": q_stream_events_sliding,
-        "stream_dedup_keys": q_stream_dedup_keys,
-        "image_decode_multiformat": q_image_decode_multiformat,
-        "video_frame_sample": q_video_frame_sample,
-        "neardup_triangles": q_neardup_triangles,
-        "sentence_split": q_sentence_split,
-        "bm25_topk": q_bm25_topk,
-        "session_window_agg": q_session_window_agg,
-        "semdedup": q_semdedup,
-        "cluster_representatives": q_cluster_representatives,
-        "cluster_sample": q_cluster_sample,
-        "ann_recall": q_ann_recall,
-        "dim_stats": q_dim_stats,
-        "group_distinct": q_group_distinct,
-        "salted_group_agg": q_salted_group_agg,
-        "salted_join_agg": q_salted_join_agg,
-        "exact_dedup": q_exact_dedup,
+        # --- stalest: last driver-checked r3 ------------------------------
         "curation_funnel": q_curation_funnel,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_signature": q_minhash_signature,
@@ -3524,7 +3475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quant_dot_topk": q_quant_dot_topk,
         "neardup_components": q_neardup_components,
         "doc_pagerank": q_doc_pagerank,
-        # --- freshly r4-verified (rotate forward again in r6+) -----------
+        # --- last driver-checked r4 ---------------------------------------
         "mp3_metadata": q_mp3_metadata,
         "mp4_metadata": q_mp4_metadata,
         "cms_heavy_hitters": q_cms_heavy_hitters,
@@ -3575,7 +3526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_lag": q_rank_lag,
         "multi_quantile": q_multi_quantile,
         "group_median": q_group_median,
-        # --- freshly r5-verified (rotate forward again in r7+) -----------
+        # --- last driver-checked r5 ---------------------------------------
         "date_parts": q_date_parts,
         "deterministic_sample": q_deterministic_sample,
         "stratified_sample": q_stratified_sample,
@@ -3622,6 +3573,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_score_fuse": q_hybrid_score_fuse,
         "recency_weighted": q_recency_weighted,
         "event_transitions_ranged": q_event_transitions_ranged,
+        # --- freshly r6-verified (rotate forward again in r8+) ------------
+        "details_prune": q_details_prune,
+        "sessionize": q_sessionize,
+        "asof_last_event": q_asof_last_event,
+        "asof_join_generic": q_asof_join_generic,
+        "range_join_agg": q_range_join_agg,
+        "lsh_ann_topk": q_lsh_ann_topk,
+        "ivf_ann_topk": q_ivf_ann_topk,
+        "embed_inference": q_embed_inference,
+        "decontaminate": q_decontaminate,
+        "mixture_sample": q_mixture_sample,
+        "tpch_q2": q_tpch_q2,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q20": q_tpch_q20,
+        "adaptive_join_agg": q_adaptive_join_agg,
+        "partsupp_fixture": q_partsupp_fixture,
+        "pq_encode": q_pq_encode,
+        "pq_topk": q_pq_topk,
+        "pq_topk_batch": q_pq_topk_batch,
+        "ivfpq_topk": q_ivfpq_topk,
+        "hourly_anomalies": q_hourly_anomalies,
+        "robust_stats": q_robust_stats,
+        "category_diversity": q_category_diversity,
+        "stream_hourly_anomalies": q_stream_hourly_anomalies,
+        "lm_score": q_lm_score,
+        "dup_span_stats": q_dup_span_stats,
+        "gopher_rules": q_gopher_rules,
+        "dsir_weights": q_dsir_weights,
+        "cluster_profile": q_cluster_profile,
+        "stream_events_hourly": q_stream_events_hourly,
+        "stream_events_sliding": q_stream_events_sliding,
+        "stream_dedup_keys": q_stream_dedup_keys,
+        "image_decode_multiformat": q_image_decode_multiformat,
+        "video_frame_sample": q_video_frame_sample,
+        "neardup_triangles": q_neardup_triangles,
+        "sentence_split": q_sentence_split,
+        "bm25_topk": q_bm25_topk,
+        "session_window_agg": q_session_window_agg,
+        "semdedup": q_semdedup,
+        "cluster_representatives": q_cluster_representatives,
+        "cluster_sample": q_cluster_sample,
+        "ann_recall": q_ann_recall,
+        "dim_stats": q_dim_stats,
+        "group_distinct": q_group_distinct,
+        "salted_group_agg": q_salted_group_agg,
+        "salted_join_agg": q_salted_join_agg,
+        "exact_dedup": q_exact_dedup,
     }
 
 
