@@ -3423,6 +3423,118 @@ def q_cluster_profile(spark, sf):
     return cluster_profile(ivf_assign(e, centroids), centroids)
 
 
+def q_ingest_report(spark, sf):
+    # The two reference surfaces CLOSED INTO ONE ARTIFACT: dataset
+    # PRODUCTION (pipeline/ingest.ingest_products — stage a published
+    # JSONL via the wget-analog, permissive-parse with quarantine,
+    # normalize to the pinned 17-column product table, derive columns,
+    # embed) feeding dataset ANALYSIS (pipeline/report.dataset_report —
+    # the fused 2-job stats scan), reduced to a hashable row set:
+    # ingest counters, the full null profile, derived-tier /
+    # review-volume / category shares (the group_share_topn pct
+    # device), title-length stats, and integer price cents. The raw
+    # JSONL is generated DETERMINISTICALLY from the part table
+    # (per-key modular rules for corrupt lines, unparseable prices,
+    # and null fields), so DuckDB replays the whole arc from `part`
+    # without touching a file. coalesce(1) on the fixture write is
+    # bounded by the part table, not the corpus.
+    import tempfile
+
+    from external_benchmarks_spark.pipeline.ingest import ingest_products
+    from external_benchmarks_spark.pipeline.report import dataset_report
+    from external_benchmarks_spark.schemas import PRODUCT_SCHEMA
+
+    tag = os.path.basename(sf.rstrip("/"))
+    work = os.path.join(tempfile.gettempdir(), f"ebs_ingest_report_{tag}")
+    raw_dir = os.path.join(work, "raw")
+    k = F.col("p_partkey")
+    rec = F.to_json(
+        F.struct(
+            F.concat(F.lit("P"), k.cast("string")).alias("parent_asin"),
+            F.col("p_name").alias("title"),
+            F.array(F.col("p_type")).alias("description"),
+            F.array(F.col("p_size").cast("string")).alias("features"),
+            F.when(
+                k % 19 != 0, (F.lit(10) + k % 40).cast("double") / 10.0
+            ).alias("average_rating"),
+            ((k * 37) % 20000).alias("rating_number"),
+            F.when(k % 13 == 0, F.lit("N/A"))
+            .when(k % 17 == 0, F.lit(""))
+            .otherwise(F.concat(F.lit("$"), F.col("p_retailprice").cast("string")))
+            .alias("price"),
+            F.col("p_brand").alias("main_category"),
+            F.array(F.col("p_brand"), F.col("p_type")).alias("categories"),
+            F.when(k % 11 != 0, F.concat(F.lit("S"), (k % 7).cast("string"))).alias(
+                "store"
+            ),
+            F.create_map(F.lit("pk"), k.cast("string")).alias("details"),
+        )
+    )
+    line = F.when(k % 97 == 0, F.lit("{invalid")).otherwise(rec)
+    (
+        Catalog(spark, sf).part.select(line.alias("value"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .text(raw_dir)
+    )
+    fname = sorted(
+        f for f in os.listdir(raw_dir) if f.startswith("part-")
+    )[0]
+    products, rep = ingest_products(
+        spark,
+        "file://" + os.path.join(raw_dir, fname),
+        os.path.join(work, "stage"),
+        "tpch_part",
+        dim=8,
+    )
+    rep2 = dataset_report(
+        products,
+        numeric_cols=["rating_number"],
+        cat_cols=["rating_tier", "review_volume", "main_category"],
+        text_cols=["title"],
+    )
+    rows: list = [
+        ("counters", "n_records", rep["n_records"], None),
+        ("counters", "n_corrupt", rep["n_corrupt"], None),
+        ("counters", "n_unparsed_price", rep["n_unparsed_price"], None),
+    ]
+    for c in [f.name for f in PRODUCT_SCHEMA.fields]:
+        rows.append(("nulls", c, int(rep2["null_counts"][c]), None))
+    for section, col in [
+        ("tier", "rating_tier"),
+        ("volume", "review_volume"),
+        ("category", "main_category"),
+    ]:
+        cat = rep2["categorical"][col]
+        for t in cat["top"]:
+            rows.append((section, t["value"], int(t["count"]), float(t["pct"])))
+        rows.append((section, "__unique", int(cat["unique"]), None))
+    num = rep2["numeric"]["rating_number"]
+    rows += [
+        ("rating_number", "min", int(num["min"]), None),
+        ("rating_number", "max", int(num["max"]), None),
+        ("rating_number", "mean", None, float(num["mean"])),
+    ]
+    tl = rep2["text_lengths"]["title"]
+    rows += [
+        ("text_len", "title_min", int(tl["min"]), None),
+        ("text_len", "title_max", int(tl["max"]), None),
+        ("text_len", "title_avg", None, float(tl["avg"])),
+    ]
+    cents = F.expr("CAST(ROUND(price * 100) AS BIGINT)")
+    pc = products.agg(
+        F.sum(cents).alias("s"), F.min(cents).alias("mn"), F.max(cents).alias("mx")
+    ).collect()[0]
+    rows += [
+        ("price_cents", "sum", int(pc["s"]), None),
+        ("price_cents", "min", int(pc["mn"]), None),
+        ("price_cents", "max", int(pc["mx"]), None),
+    ]
+    return spark.createDataFrame(
+        rows, "section string, k string, cnt bigint, v double"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3447,6 +3559,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "scd2_apply": q_scd2_apply,
         "scd2_lookup": q_scd2_lookup,
+        # --- new in round 7: never driver-checked ------------------------
+        "ingest_report": q_ingest_report,
         # --- stalest: last driver-checked r3 ------------------------------
         "curation_funnel": q_curation_funnel,
         "ngram_jaccard": q_ngram_jaccard,
@@ -4780,6 +4894,104 @@ def oracle_sql() -> dict[str, str]:
             FROM pq_s ORDER BY pq_score DESC, vec_id LIMIT 20
         """,
         "bpe_merges": _bpe_sql(),
+        "ingest_report": """
+            WITH allp AS (
+              SELECT p_partkey AS k, p_name, p_brand, p_type, p_size,
+                     p_retailprice
+              FROM part),
+            base AS (SELECT * FROM allp WHERE k % 97 != 0),
+            drv AS (
+              SELECT k,
+                     COALESCE(p_name, '') AS title,
+                     CASE WHEN k % 19 = 0 THEN NULL
+                          ELSE CAST(10 + k % 40 AS DOUBLE) / 10.0
+                     END AS average_rating,
+                     (k * 37) % 20000 AS rating_number,
+                     CASE WHEN k % 13 = 0 OR k % 17 = 0 THEN NULL
+                          ELSE p_retailprice END AS price,
+                     p_brand AS main_category,
+                     CASE WHEN k % 11 = 0 THEN NULL
+                          ELSE 'S' || CAST(k % 7 AS VARCHAR) END AS store,
+                     CASE WHEN CASE WHEN k % 19 = 0 THEN NULL
+                                ELSE CAST(10 + k % 40 AS DOUBLE) / 10.0 END >= 4.5
+                            THEN 'excellent'
+                          WHEN CASE WHEN k % 19 = 0 THEN NULL
+                                ELSE CAST(10 + k % 40 AS DOUBLE) / 10.0 END >= 4.0
+                            THEN 'high'
+                          WHEN CASE WHEN k % 19 = 0 THEN NULL
+                                ELSE CAST(10 + k % 40 AS DOUBLE) / 10.0 END >= 3.0
+                            THEN 'medium'
+                          ELSE 'low' END AS rating_tier,
+                     CASE WHEN (k * 37) % 20000 >= 10000 THEN 'popular'
+                          WHEN (k * 37) % 20000 >= 1000 THEN 'many'
+                          WHEN (k * 37) % 20000 >= 100 THEN 'moderate'
+                          ELSE 'few' END AS review_volume
+              FROM base),
+            tot AS (SELECT COUNT(*) AS n FROM drv),
+            cat_t AS (SELECT rating_tier AS val, COUNT(*) AS cnt
+                      FROM drv GROUP BY 1),
+            cat_v AS (SELECT review_volume AS val, COUNT(*) AS cnt
+                      FROM drv GROUP BY 1),
+            cat_m AS (SELECT main_category AS val, COUNT(*) AS cnt
+                      FROM drv GROUP BY 1),
+            u AS (
+              SELECT 'counters' AS section, 'n_records' AS k2,
+                     (SELECT n FROM tot) AS cnt, CAST(NULL AS DOUBLE) AS v
+              UNION ALL SELECT 'counters', 'n_corrupt',
+                     (SELECT COUNT(*) FROM allp WHERE k % 97 = 0), NULL
+              UNION ALL SELECT 'counters', 'n_unparsed_price',
+                     (SELECT COUNT(*) FROM base WHERE k % 13 = 0), NULL
+              UNION ALL SELECT 'nulls', c, CAST(0 AS BIGINT), NULL
+                FROM (SELECT unnest(['parent_asin','title','description',
+                                     'features','combined_text',
+                                     'rating_number','categories','details',
+                                     'source_dataset','has_price',
+                                     'rating_tier','review_volume',
+                                     'embedding']) AS c)
+              UNION ALL SELECT 'nulls', 'average_rating',
+                     COUNT(*) FILTER (average_rating IS NULL), NULL FROM drv
+              UNION ALL SELECT 'nulls', 'price',
+                     COUNT(*) FILTER (price IS NULL), NULL FROM drv
+              UNION ALL SELECT 'nulls', 'store',
+                     COUNT(*) FILTER (store IS NULL), NULL FROM drv
+              UNION ALL SELECT 'nulls', 'main_category',
+                     COUNT(*) FILTER (main_category IS NULL), NULL FROM drv
+              UNION ALL SELECT 'tier', val, cnt,
+                     ROUND(cnt * 100.0 / (SELECT n FROM tot), 2) FROM cat_t
+              UNION ALL SELECT 'tier', '__unique',
+                     (SELECT COUNT(*) FROM cat_t WHERE val IS NOT NULL), NULL
+              UNION ALL SELECT 'volume', val, cnt,
+                     ROUND(cnt * 100.0 / (SELECT n FROM tot), 2) FROM cat_v
+              UNION ALL SELECT 'volume', '__unique',
+                     (SELECT COUNT(*) FROM cat_v WHERE val IS NOT NULL), NULL
+              UNION ALL SELECT 'category', val, cnt,
+                     ROUND(cnt * 100.0 / (SELECT n FROM tot), 2)
+                FROM (SELECT val, cnt,
+                             row_number() OVER (ORDER BY cnt DESC, val ASC)
+                               AS rn
+                      FROM cat_m) WHERE rn <= 10
+              UNION ALL SELECT 'category', '__unique',
+                     (SELECT COUNT(*) FROM cat_m WHERE val IS NOT NULL), NULL
+              UNION ALL SELECT 'rating_number', 'min', MIN(rating_number),
+                     NULL FROM drv
+              UNION ALL SELECT 'rating_number', 'max', MAX(rating_number),
+                     NULL FROM drv
+              UNION ALL SELECT 'rating_number', 'mean', NULL,
+                     ROUND(AVG(rating_number), 6) FROM drv
+              UNION ALL SELECT 'text_len', 'title_min', MIN(length(title)),
+                     NULL FROM drv
+              UNION ALL SELECT 'text_len', 'title_max', MAX(length(title)),
+                     NULL FROM drv
+              UNION ALL SELECT 'text_len', 'title_avg', NULL,
+                     ROUND(AVG(length(title)), 6) FROM drv
+              UNION ALL SELECT 'price_cents', 'sum',
+                     SUM(CAST(ROUND(price * 100) AS BIGINT)), NULL FROM drv
+              UNION ALL SELECT 'price_cents', 'min',
+                     MIN(CAST(ROUND(price * 100) AS BIGINT)), NULL FROM drv
+              UNION ALL SELECT 'price_cents', 'max',
+                     MAX(CAST(ROUND(price * 100) AS BIGINT)), NULL FROM drv)
+            SELECT section, k2 AS k, CAST(cnt AS BIGINT) AS cnt, v FROM u
+        """,
         "scd2_apply": f"""
             WITH {_SCD2_CTES}
             SELECT user_id, seg, band, valid_from, valid_to, is_current
