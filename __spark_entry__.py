@@ -1069,12 +1069,16 @@ def q_pii_redact(spark, sf):
 
 def q_neardup_components(spark, sf):
     # pairs -> connected components -> cluster sizes: the step between
-    # near-dup pair mining and actual deduplication. Iterative min-label
-    # propagation (non-SQL-expressible in one query); the oracle replays
-    # it with a recursive CTE over the SAME edge definition.
+    # near-dup pair mining and actual deduplication. Shape-adaptive CC
+    # (graph.connected_components_auto): bounded min-label rounds —
+    # near-dup graphs are clique unions, diameter 2-3 — with an escape
+    # to O(log n) large-star/small-star if an adversarial long-diameter
+    # graph fails to converge. Iterative (non-SQL-expressible in one
+    # query); the oracle replays it with a recursive CTE over the SAME
+    # edge definition.
     from external_benchmarks_spark.operators.graph import (
         component_sizes,
-        connected_components,
+        connected_components_auto,
     )
 
     # Arrow fast path: this consumer drops the cosine column, so the BLAS
@@ -1086,7 +1090,7 @@ def q_neardup_components(spark, sf):
         threshold=0.2,
         use_arrow_fast_path=True,
     )
-    return component_sizes(connected_components(edges))
+    return component_sizes(connected_components_auto(edges))
 
 
 def q_semdedup(spark, sf):
@@ -2464,27 +2468,43 @@ def q_tpch_q17(spark, sf):
 def q_tpch_q21(spark, sf):
     # TPC-H Q21 suppliers-who-kept-orders-waiting — the double
     # correlation shape: EXISTS (another supplier on the order) AND NOT
-    # EXISTS (another supplier with a returned line). Catalyst must
-    # plan ONE left-semi and ONE left-anti join on l_orderkey
-    # (plan-asserted), both decorrelated. Adapted: "only supplier with
-    # a returned line on a multi-supplier finished order" (no
-    # commit/receipt dates in this schema).
+    # EXISTS (another supplier with a returned line). The naive
+    # decorrelation (one left-semi + one left-anti) scans lineitem
+    # THREE times and was the worst ladder slope at 10x; both
+    # correlated predicates are per-ORDER facts, so they collapse into
+    # ONE lineitem scan: pre-aggregate per (orderkey, suppkey), then
+    # per orderkey derive (#suppliers, #suppliers-with-returns, the
+    # unique returning supplier and its returned-line count). An order
+    # qualifies iff n_supp >= 2 and exactly one supplier returned;
+    # numwait sums that supplier's returned lines — identical row
+    # accounting to the EXISTS form (the oracle still runs the
+    # straight EXISTS/NOT-EXISTS spec). Plan: single lineitem
+    # exchange, orders filtered to 'F' joins the tiny qualifying set,
+    # supplier broadcasts (plan-asserted: one lineitem scan).
+    # Adapted: "only supplier with a returned line on a multi-supplier
+    # finished order" (no commit/receipt dates in this schema).
     c = Catalog(spark, sf)
     c.register_views(("supplier", "orders", "lineitem"))
     return spark.sql(
         """
-        SELECT s_name, COUNT(*) AS numwait
-        FROM supplier
-          JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
-          JOIN orders ON o_orderkey = l1.l_orderkey
-        WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
-          AND EXISTS (SELECT 1 FROM lineitem l2
-                      WHERE l2.l_orderkey = l1.l_orderkey
-                        AND l2.l_suppkey <> l1.l_suppkey)
-          AND NOT EXISTS (SELECT 1 FROM lineitem l3
-                          WHERE l3.l_orderkey = l1.l_orderkey
-                            AND l3.l_suppkey <> l1.l_suppkey
-                            AND l3.l_returnflag = 'R')
+        WITH per AS (
+          SELECT l_orderkey, l_suppkey,
+                 COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END) AS r_rows
+          FROM lineitem
+          GROUP BY l_orderkey, l_suppkey),
+        lagg AS (
+          SELECT l_orderkey,
+                 COUNT(*) AS n_supp,
+                 SUM(CASE WHEN r_rows > 0 THEN 1 ELSE 0 END) AS n_r_supp,
+                 MIN(CASE WHEN r_rows > 0 THEN l_suppkey END) AS r_suppkey,
+                 SUM(r_rows) AS total_r_rows
+          FROM per
+          GROUP BY l_orderkey)
+        SELECT s_name, CAST(SUM(w.total_r_rows) AS BIGINT) AS numwait
+        FROM (SELECT l_orderkey, r_suppkey, total_r_rows
+              FROM lagg WHERE n_supp >= 2 AND n_r_supp = 1) w
+          JOIN orders ON o_orderkey = w.l_orderkey AND o_orderstatus = 'F'
+          JOIN supplier ON s_suppkey = w.r_suppkey
         GROUP BY s_name
         ORDER BY numwait DESC, s_name
         LIMIT 20

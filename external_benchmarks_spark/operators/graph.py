@@ -30,14 +30,35 @@ def connected_components(
     max_iter: int = 50,
 ) -> DataFrame:
     """(node, component) for every node incident to an edge; component is
-    the minimum node id reachable from the node."""
+    the minimum node id reachable from the node.
+
+    O(diameter) rounds — right for near-dup graphs (clique unions,
+    diameter 2-3); WRONG answers if the diameter exceeds ``max_iter``
+    (labels stop propagating mid-path). Shape-robust callers should use
+    :func:`connected_components_auto`."""
+    labels, _converged = _minlabel_components(edges, src, dst, max_iter)
+    return labels
+
+
+def _minlabel_components(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    max_iter: int,
+    materialized: bool = False,
+) -> tuple[DataFrame, bool]:
+    """Min-label propagation; returns (labels, converged).
+    ``materialized=True`` skips the edge-list checkpoint (the caller
+    already holds a localCheckpoint'd frame)."""
     # Materialize the edge list ONCE, before symmetrizing: upstream
     # `edges` is often an expensive similarity self-join, and both the
     # union's two branches and every propagation round would otherwise
     # recompute it from scratch.
     from pyspark.sql import Observation
 
-    base = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint()
+    base = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    if not materialized:
+        base = base.localCheckpoint()
     sym = base.union(base.select(F.col("b").alias("a"), F.col("a").alias("b")))
     # Labels only ever decrease, so sum(component) is a strictly
     # decreasing convergence measure: unchanged sum == fixpoint. Summed
@@ -62,6 +83,7 @@ def connected_components(
         .localCheckpoint()
     )
     prev = obs0.get["s"]
+    converged = False
     for _ in range(max_iter):
         cand = sym.join(labels, sym["a"] == labels["node"]).select(
             F.col("b").alias("node"), F.col("component")
@@ -76,9 +98,10 @@ def connected_components(
         )
         cur = obs.get["s"]
         if cur == prev:
+            converged = True
             break
         prev = cur
-    return labels
+    return labels, converged
 
 
 def component_sizes(components: DataFrame) -> DataFrame:
@@ -150,6 +173,45 @@ def connected_components_star(
     roots = cur.select(F.col("u").alias("node"), F.col("v").alias("component"))
     centers = cur.select(F.col("v").alias("node"), F.col("v").alias("component")).distinct()
     return roots.union(centers).distinct()
+
+
+def connected_components_auto(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    minlabel_rounds: int = 8,
+    max_iter: int = 30,
+) -> DataFrame:
+    """Shape-adaptive connected components: min-label propagation with
+    a bounded round budget, escaping to large-star/small-star when the
+    graph turns out to have a long diameter.
+
+    Why an escape hatch instead of an up-front edge/density threshold:
+    measured at the sf1.0 replica's near-dup graph (1.1M edges over 20k
+    nodes, E/N = 55, giant cliques) min-label converges in 2-3 rounds
+    and beats star ~3.6 s vs ~4.8 s steady — raw edge COUNT does not
+    predict the winner, and a density ratio cannot distinguish "many
+    tiny cliques" (E/N ~ 1, min-label fine) from "one long path"
+    (E/N ~ 1, min-label needs diameter rounds and returns WRONG labels
+    at its iteration cap — 199,940 phantom components on a 200k-node
+    path). Diameter is the decider and is unknowable cheaply, so: run
+    min-label up to ``minlabel_rounds`` (well past any clique-union
+    diameter); if the convergence observation has not fixed by then,
+    rerun with star (O(log n) rounds on any shape). Near-dup graphs
+    never escape and pay nothing; adversarial shapes pay the bounded
+    wasted rounds and then terminate correctly.
+    """
+    # materialize the (often expensive) upstream edge list ONCE so an
+    # escape to star never recomputes the candidate-generation stage
+    base = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).localCheckpoint()
+    labels, converged = _minlabel_components(
+        base, "a", "b", minlabel_rounds, materialized=True
+    )
+    if converged:
+        return labels
+    return connected_components_star(base, "a", "b", max_iter=max_iter)
 
 
 def pagerank(

@@ -101,3 +101,40 @@ def test_triangle_participation_known_graph(spark):
     edges = spark.createDataFrame(k4 + [(3, 9)], ["id_a", "id_b"])
     got = {r.node: r.n_triangles for r in triangle_participation(edges).collect()}
     assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_auto_cc_escapes_to_star_on_long_path(spark):
+    """A path graph's diameter exceeds the bounded min-label rounds;
+    auto must escape to star and return CORRECT labels (min-label at a
+    round cap returns phantom components)."""
+    from pyspark.sql import functions as F
+
+    from external_benchmarks_spark.operators.graph import (
+        connected_components_auto,
+    )
+
+    path = spark.range(500).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    out = connected_components_auto(path, minlabel_rounds=4)
+    comps = {r.component for r in out.collect()}
+    assert comps == {0}  # one path, rooted at the minimum node
+
+
+def test_auto_cc_stays_minlabel_on_cliques(spark):
+    """Clique unions (the near-dup shape) converge inside the round
+    budget; auto's answer equals plain min-label's."""
+    from external_benchmarks_spark.operators.graph import (
+        connected_components,
+        connected_components_auto,
+    )
+
+    rows = []
+    for base in (0, 100, 200):
+        ids = [base + i for i in range(6)]
+        rows += [(a, b) for a in ids for b in ids if a < b]
+    edges = spark.createDataFrame(rows, "id_a bigint, id_b bigint")
+    auto = {(r.node, r.component) for r in connected_components_auto(edges).collect()}
+    plain = {(r.node, r.component) for r in connected_components(edges).collect()}
+    assert auto == plain
+    assert {c for _, c in auto} == {0, 100, 200}
