@@ -1024,10 +1024,19 @@ def main() -> None:
     # requests for 60 s, foreachBatch drains them against the serving
     # layout — no Spark job per query. service = inside-topk latency;
     # e2e additionally pays the micro-batch trigger cadence.
-    from external_benchmarks_spark.streaming.query_server import run_rate_server
+    from external_benchmarks_spark.streaming.query_server import (
+        rate_delivery_floor,
+        run_rate_server,
+    )
 
     stream_srv = run_rate_server(
         spark, _vt_layout(spark, SF_DIR), QVEC, qps=20, duration_s=60.0
+    )
+    # Empty-batch control: same loop, zero service work — isolates the
+    # micro-batch delivery floor so the e2e number reads honestly
+    # (service ~2.5 ms vs ~800 ms delivery; SCALE.md r7 note).
+    stream_srv["e2e_control"] = rate_delivery_floor(
+        spark, qps=20, duration_s=20.0
     )
     print(f"# stream_serving: {stream_srv}", file=sys.stderr)
 
@@ -1058,6 +1067,8 @@ def main() -> None:
         "serving_read_p95_ms": serving_p95,
         "serving_under_load": load,
         "stream_serving_p95_ms": stream_srv["service"]["p95_ms"],
+        "stream_serving_e2e_p95_ms": stream_srv["e2e"]["p95_ms"],
+        "stream_serving_e2e_control_p95_ms": stream_srv["e2e_control"].get("p95_ms"),
         "stream_serving": stream_srv,
         "dim2688": d2688,
         "index_refresh": refresh,

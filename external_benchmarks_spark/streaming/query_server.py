@@ -147,6 +147,60 @@ def run_rate_server(
     }
 
 
+def rate_delivery_floor(
+    spark,
+    qps: int = 20,
+    duration_s: float = 20.0,
+    trigger_ms: int = 50,
+) -> dict:
+    """EMPTY-BATCH CONTROL for the e2e numbers: the identical rate
+    stream + foreachBatch loop with ZERO per-request work — what it
+    measures is purely Spark's micro-batch delivery latency (offset
+    planning + the per-batch collect job, which pays the local job
+    floor documented in BASELINE.md:50-68). Measured on this box:
+    p50 ~0.8 s, p95 ~1.25 s, single-cycle min ~0.25 s — bit-for-bit
+    the same distribution as the with-work e2e (service work is ~2.5 ms
+    against an ~800 ms delivery floor), which is the evidence that the
+    stream server's e2e latency is micro-batch delivery, not serving.
+    A production deployment takes requests off a socket and sees
+    ``service_*`` plus network; THIS loop's e2e is bounded below by
+    ~2x the per-batch job time regardless of trigger interval
+    (measured: trigger 200 ms -> e2e p50 864 ms; trigger 50 ms ->
+    698 ms — the floor does not follow the trigger)."""
+    lat: list[float] = []
+
+    def handle(batch_df, _batch_id):
+        rows = batch_df.collect()
+        now = time.time()
+        for r in rows:
+            lat.append(max(0.0, now - r["timestamp"].timestamp()))
+
+    ckpt = os.path.join(
+        tempfile.gettempdir(), f"ebs_qfloor_ckpt_{uuid.uuid4().hex[:8]}"
+    )
+    q = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", qps)
+        .load()
+        .writeStream.foreachBatch(handle)
+        .trigger(processingTime=f"{trigger_ms} milliseconds")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        deadline = time.time() + duration_s
+        while time.time() < deadline and q.isActive:
+            time.sleep(0.1)
+    finally:
+        if q.isActive:
+            q.stop()
+        q.awaitTermination()
+        import shutil
+
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return _percentiles(lat)
+
+
 def run_file_server(
     spark,
     layout_dir: str,
