@@ -1602,6 +1602,55 @@ def q_bpe_merges(spark, sf):
     return bpe_train(Catalog(spark, sf).documents, n_merges=BPE_MERGES)
 
 
+def _bpe_segment_sql(n_merges: int = BPE_MERGES) -> str:
+    # Segmentation replay: reuse the training CTEs (wf..b{n}) for the
+    # merge rules, then carry each document's word list through one
+    # list_transform LEVEL per merge. The per-word merge is the same
+    # lazy-emit list_reduce as training; the finish step is written as
+    # `' ' || trim(replace(r, '|', ' ')) || ' '` so the reduce result
+    # appears ONCE per level and the nested SQL grows linearly in the
+    # number of merges.
+    toks = (
+        r"list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\s+'), "
+        r"t -> len(t) > 0 AND regexp_matches(t, '^[a-z0-9]+$'))"
+    )
+    train = _bpe_sql(n_merges)
+    # lift the WITH ... CTE list out of the training statement
+    ctes = train[train.index("WITH") + 4 : train.index("SELECT CAST(step")]
+    ctes = ctes.rstrip().rstrip(",")
+    lvl = [f"""d0 AS (
+          SELECT doc_id,
+                 list_transform({toks},
+                   w -> ' ' || regexp_replace(w, '(.)', '\\1 ', 'g')) AS ss
+          FROM documents)"""]
+    for i in range(1, n_merges + 1):
+        lvl.append(f"""d{i} AS (
+          SELECT doc_id, list_transform(ss, s ->
+            ' ' || trim(replace(
+              list_reduce(list_prepend('|', string_split(trim(s), ' ')),
+                (st, x) -> CASE
+                   WHEN split_part(st, '|', 2) = b.a AND x = b.b
+                     THEN split_part(st, '|', 1) || ' ' || b.a || b.b || '|'
+                   WHEN split_part(st, '|', 2) = ''
+                     THEN split_part(st, '|', 1) || '|' || x
+                   ELSE split_part(st, '|', 1) || ' ' || split_part(st, '|', 2) || '|' || x
+                 END),
+              '|', ' ')) || ' ') AS ss
+          FROM d{i - 1} CROSS JOIN b{i} b)""")
+    return f"""
+        WITH {ctes},
+        {", ".join(lvl)},
+        segd AS (
+          SELECT doc_id,
+                 flatten(list_transform(ss, s -> string_split(trim(s), ' ')))
+                   AS toks
+          FROM d{n_merges})
+        SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_bpe_tokens,
+               md5(array_to_string(toks, '|')) AS tokens_md5
+        FROM segd
+    """
+
+
 def _bpe_sql(n_merges: int = BPE_MERGES) -> str:
     toks = (
         r"list_filter(regexp_split_to_array(lower(text), '\s+'), "
@@ -3555,6 +3604,33 @@ def q_ingest_report(spark, sf):
     )
 
 
+def q_bpe_segment_tokens(spark, sf):
+    # BPE SEGMENTATION cross-engine: train the 8 merges (bpe_train,
+    # driver fast path — identical to the distributed loop, tested),
+    # then segment every document with operators/bpe.bpe_segment (the
+    # symbol-level greedy aggregate chain, no UDF) and reduce each doc
+    # to (token count, md5 of the '|'-joined token stream) — any
+    # divergence in ANY token of ANY document flips the hash. The
+    # oracle replays training (the _bpe_sql CTEs) AND segmentation
+    # (8 chained list_transform levels, each applying one merge via the
+    # same list_reduce lazy-emit device) entirely in SQL.
+    from external_benchmarks_spark.operators.bpe import bpe_segment, bpe_train
+
+    docs = Catalog(spark, sf).documents.withColumn(
+        "text", F.coalesce(F.col("text"), F.lit(""))
+    )
+    merges = [
+        (m["lhs"], m["rhs"])
+        for m in bpe_train(docs, n_merges=BPE_MERGES).collect()
+    ]
+    seg = bpe_segment(docs, merges)
+    return seg.select(
+        "doc_id",
+        F.size("bpe_tokens").cast("bigint").alias("n_bpe_tokens"),
+        F.md5(F.concat_ws("|", "bpe_tokens")).alias("tokens_md5"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3581,6 +3657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_lookup": q_scd2_lookup,
         # --- new in round 7: never driver-checked ------------------------
         "ingest_report": q_ingest_report,
+        "bpe_segment_tokens": q_bpe_segment_tokens,
         # --- stalest: last driver-checked r3 ------------------------------
         "curation_funnel": q_curation_funnel,
         "ngram_jaccard": q_ngram_jaccard,
@@ -4914,6 +4991,7 @@ def oracle_sql() -> dict[str, str]:
             FROM pq_s ORDER BY pq_score DESC, vec_id LIMIT 20
         """,
         "bpe_merges": _bpe_sql(),
+        "bpe_segment_tokens": _bpe_segment_sql(),
         "ingest_report": """
             WITH allp AS (
               SELECT p_partkey AS k, p_name, p_brand, p_type, p_size,
