@@ -1587,6 +1587,30 @@ def q_scd2_lookup(spark, sf):
     ).agg(F.count(F.lit(1)).alias("cnt"))
 
 
+def q_scd2_lookup_asof(spark, sf):
+    # The NON-BROADCAST scale path of the point-in-time join
+    # (operators/scd.scd2_lookup_asof): SCD2 intervals are contiguous
+    # per key, so the interval join reduces to an as-of join — one
+    # union + one keyed window, a single shuffle, no broadcast of the
+    # dimension. Same transition-matrix aggregation and the IDENTICAL
+    # oracle SQL as scd2_lookup: two different physical strategies,
+    # one spec, both hash-checked.
+    from external_benchmarks_spark.operators.scd import scd2_lookup_asof
+
+    ev, scd = _scd2_parts(spark, sf)
+    facts = ev.select(
+        "user_id",
+        (F.col("ts_us") - 1).alias("asof_us"),
+        F.col("event_type").alias("cur_type"),
+    )
+    joined = scd2_lookup_asof(facts, scd, "user_id", "asof_us")
+    return joined.groupBy(
+        F.col("seg").alias("prev_seg"),
+        F.col("band").alias("prev_band"),
+        "cur_type",
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
 def q_bpe_merges(spark, sf):
     # Distributed BPE tokenizer training (operators/bpe.bpe_train): one
     # corpus pass to word frequencies, then 8 merge iterations over the
@@ -3658,6 +3682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 7: never driver-checked ------------------------
         "ingest_report": q_ingest_report,
         "bpe_segment_tokens": q_bpe_segment_tokens,
+        "scd2_lookup_asof": q_scd2_lookup_asof,
         # --- stalest: last driver-checked r3 ------------------------------
         "curation_funnel": q_curation_funnel,
         "ngram_jaccard": q_ngram_jaccard,
@@ -5172,6 +5197,18 @@ def oracle_sql() -> dict[str, str]:
             WHERE L >= 8 AND ((cnt * den > 2 * num) OR (2 * cnt * den < num))
         """,
         "scd2_lookup": f"""
+            WITH {_SCD2_CTES},
+            f AS (SELECT user_id, tsu, event_type FROM ev),
+            j AS (SELECT s.seg AS prev_seg, s.band AS prev_band,
+                         f.event_type AS cur_type
+                  FROM f JOIN scd s ON f.user_id = s.user_id
+                    AND s.valid_from <= f.tsu - 1
+                    AND (s.valid_to IS NULL OR f.tsu - 1 < s.valid_to))
+            SELECT prev_seg, prev_band, cur_type,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM j GROUP BY 1, 2, 3
+        """,
+        "scd2_lookup_asof": f"""
             WITH {_SCD2_CTES},
             f AS (SELECT user_id, tsu, event_type FROM ev),
             j AS (SELECT s.seg AS prev_seg, s.band AS prev_band,

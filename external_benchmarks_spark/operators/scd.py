@@ -179,3 +179,52 @@ def scd2_lookup(
         & (dim["valid_to"].isNull() | (ts < dim["valid_to"]))
     )
     return facts.join(dim, cond, "inner").drop("_dim_key")
+
+
+def scd2_lookup_asof(
+    facts: DataFrame,
+    scd: DataFrame,
+    key_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """The NON-BROADCAST scale path for the point-in-time join: SCD2
+    validity intervals are contiguous and non-overlapping per key (each
+    ``valid_to`` equals the successor's ``valid_from``; the final
+    version is open-ended), so "the version valid at ts" is exactly
+    "the last version whose valid_from <= ts" — an as-of join
+    (operators/asof.asof_join: one union + one keyed window, a single
+    shuffle on the dimension key, no broadcast, no range condition).
+    Result-identical to :func:`scd2_lookup` (inner semantics: facts
+    before a key's first version drop), asserted bit-for-bit in
+    tests/test_scd.py. Use this form when the versioned dimension is
+    too large to broadcast.
+
+    The version's attributes travel as ONE struct through the window's
+    last(ignorenulls) — per-column carrying would resurrect an OLDER
+    version's value wherever the matched version's attribute is
+    genuinely NULL.
+    """
+    from external_benchmarks_spark.operators.asof import asof_join
+
+    ver_cols = [
+        c
+        for c in scd.columns
+        if c not in (key_col, "is_current")
+    ]
+    packed = scd.select(
+        key_col,
+        F.col("valid_from").alias("_vf"),
+        F.struct(*ver_cols).alias("_ver"),
+    )
+    out = asof_join(
+        facts,
+        packed,
+        on=key_col,
+        left_ts=ts_col,
+        right_ts="_vf",
+        right_values=["_ver"],
+    )
+    out = out.filter(F.col("_ver").isNotNull())
+    for c in ver_cols:
+        out = out.withColumn(c, F.col("_ver")[c])
+    return out.drop("_ver")

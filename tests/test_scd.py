@@ -254,3 +254,52 @@ def test_scd2_multi_attribute_tuple_versioning(spark):
     )
     again = scd2_apply(out, updates, "k", ["a1", "a2"], "ts")
     assert _rows2(again) == _rows2(out)
+
+
+def test_scd2_lookup_asof_equals_interval_join(spark):
+    """The as-of reduction (non-broadcast scale path) must be
+    result-identical to the interval join, including versions whose
+    attributes are NULL (the struct packing keeps last(ignorenulls)
+    from resurrecting an older version's value)."""
+    from pyspark.sql import functions as F
+
+    from external_benchmarks_spark.operators.scd import (
+        scd2_apply,
+        scd2_init,
+        scd2_lookup,
+        scd2_lookup_asof,
+    )
+
+    dim = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", None)], "k bigint, a1 string, a2 string"
+    )
+    updates = spark.createDataFrame(
+        [
+            (1, 10, "a", None),   # a2 -> NULL versions
+            (1, 20, "c", "y"),
+            (2, 15, "b", "z"),
+            (3, 30, None, None),  # brand-new key, all-NULL tuple
+            (3, 40, "n", "m"),
+        ],
+        "k bigint, ts bigint, a1 string, a2 string",
+    )
+    scd = scd2_apply(
+        scd2_init(dim, "k", ["a1", "a2"]), updates, "k", ["a1", "a2"], "ts"
+    )
+    facts = spark.createDataFrame(
+        [(k, ts) for k in (1, 2, 3, 4) for ts in (5, 10, 12, 18, 25, 35, 50)],
+        "k bigint, fts bigint",
+    )
+    a = scd2_lookup(facts, scd, "k", "fts")
+    b = scd2_lookup_asof(facts, scd, "k", "fts")
+    cols = ["k", "fts", "a1", "a2", "valid_from", "valid_to"]
+    ra = sorted(tuple(r) for r in a.select(cols).collect())
+    rb = sorted(tuple(r) for r in b.select(cols).collect())
+    assert ra == rb
+    # the NULL-attr version is actually exercised at (1, 12..18)
+    assert any(r[0] == 1 and r[3] is None for r in ra)
+    # and facts before a key's first version dropped in both
+    assert all(not (r[0] == 3 and r[1] < 30) for r in ra)
+    # plan: the as-of form must not broadcast the dimension
+    plan = b._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan
