@@ -179,7 +179,7 @@ def connected_components_auto(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
-    minlabel_rounds: int = 8,
+    minlabel_rounds: int = 16,
     max_iter: int = 30,
 ) -> DataFrame:
     """Shape-adaptive connected components: min-label propagation with
@@ -195,11 +195,14 @@ def connected_components_auto(
     (E/N ~ 1, min-label needs diameter rounds and returns WRONG labels
     at its iteration cap — 199,940 phantom components on a 200k-node
     path). Diameter is the decider and is unknowable cheaply, so: run
-    min-label up to ``minlabel_rounds`` (well past any clique-union
-    diameter); if the convergence observation has not fixed by then,
-    rerun with star (O(log n) rounds on any shape). Near-dup graphs
-    never escape and pay nothing; adversarial shapes pay the bounded
-    wasted rounds and then terminate correctly.
+    min-label up to ``minlabel_rounds``; if the convergence observation
+    has not fixed by then, rerun with star (O(log n) rounds on any
+    shape). The default budget of 16 is calibrated by measurement: the
+    sf0.01 near-dup graph (chained small cliques) genuinely needs 9-16
+    rounds — an 8-round budget made it pay min-label AND star,
+    tripling that leg — while larger-sf graphs converge in 2-3. Graphs
+    inside the budget pay nothing extra; adversarial shapes pay the
+    bounded wasted rounds and then terminate correctly.
     """
     # materialize the (often expensive) upstream edge list ONCE so an
     # escape to star never recomputes the candidate-generation stage
