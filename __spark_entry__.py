@@ -1093,6 +1093,50 @@ def q_neardup_components(spark, sf):
     return component_sizes(connected_components_auto(edges))
 
 
+def q_neardup_keep_best(spark, sf):
+    # The dedup loop CLOSED: pairs -> shape-adaptive connected
+    # components -> keep exactly ONE representative per near-dup
+    # cluster — the member with the largest L2 norm (fixed-point
+    # floor(norm*1e6), the proven l2_norm device), ties to the lowest
+    # vec_id. Output (component, keep_id, n_members, keep_norm_int) is
+    # what a curation pipeline joins back to drop the other members.
+    # Oracle: the recursive-CTE component replay + one window.
+    from external_benchmarks_spark.functions.vector import l2_norm
+    from external_benchmarks_spark.operators.graph import (
+        connected_components_auto,
+    )
+    from pyspark.sql.window import Window
+
+    e = Catalog(spark, sf).embeddings
+    edges = embedding_neardup_pairs(
+        e, block_col="label", threshold=0.2, use_arrow_fast_path=True
+    )
+    comps = connected_components_auto(edges)
+    norms = e.select(
+        "vec_id",
+        F.floor(l2_norm(F.col("embedding")) * 1e6).cast("bigint").alias(
+            "norm_int"
+        ),
+    )
+    j = comps.join(norms, comps["node"] == norms["vec_id"])
+    w = Window.partitionBy("component")
+    ranked = j.select(
+        "component",
+        "vec_id",
+        "norm_int",
+        F.row_number()
+        .over(w.orderBy(F.desc("norm_int"), F.asc("vec_id")))
+        .alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n_members"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "component",
+        F.col("vec_id").alias("keep_id"),
+        F.col("n_members").cast("bigint").alias("n_members"),
+        F.col("norm_int").alias("keep_norm_int"),
+    )
+
+
 def q_semdedup(spark, sf):
     # SemDeDup (Abbas et al. 2023): cluster-blocked pairwise cosine, keep
     # the member farthest from its centroid in each duplicate
@@ -3683,6 +3727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ingest_report": q_ingest_report,
         "bpe_segment_tokens": q_bpe_segment_tokens,
         "scd2_lookup_asof": q_scd2_lookup_asof,
+        "neardup_keep_best": q_neardup_keep_best,
         # --- stalest: last driver-checked r3 ------------------------------
         "curation_funnel": q_curation_funnel,
         "ngram_jaccard": q_ngram_jaccard,
@@ -4927,6 +4972,41 @@ def oracle_sql() -> dict[str, str]:
               SELECT r.n, e2.b FROM reach r JOIN e e2 ON r.m = e2.a),
             comp AS (SELECT n, MIN(m) AS component FROM reach GROUP BY n)
             SELECT component, COUNT(*) AS n_members FROM comp GROUP BY 1
+        """,
+        "neardup_keep_best": """
+            WITH RECURSIVE p AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM embeddings a JOIN embeddings b
+                ON a.label = b.label AND a.vec_id < b.vec_id
+              WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+                    / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                       * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))
+                    >= 0.2),
+            e AS (SELECT id_a AS a, id_b AS b FROM p
+                  UNION SELECT id_b AS a, id_a AS b FROM p),
+            reach(n, m) AS (
+              SELECT a, a FROM e
+              UNION
+              SELECT r.n, e2.b FROM reach r JOIN e e2 ON r.m = e2.a),
+            comp AS (SELECT n, MIN(m) AS component FROM reach GROUP BY n),
+            norms AS (
+              SELECT vec_id,
+                     CAST(FLOOR(sqrt(list_dot_product(
+                            CAST(embedding AS DOUBLE[]),
+                            CAST(embedding AS DOUBLE[]))) * 1000000)
+                          AS BIGINT) AS norm_int
+              FROM embeddings),
+            ranked AS (
+              SELECT c.component, c.n AS vec_id, m.norm_int,
+                     row_number() OVER (PARTITION BY c.component
+                                        ORDER BY m.norm_int DESC, c.n ASC)
+                       AS rn,
+                     COUNT(*) OVER (PARTITION BY c.component) AS n_members
+              FROM comp c JOIN norms m ON c.n = m.vec_id)
+            SELECT component, vec_id AS keep_id,
+                   CAST(n_members AS BIGINT) AS n_members,
+                   norm_int AS keep_norm_int
+            FROM ranked WHERE rn = 1
         """,
         "dedup_keep_best": f"""
             WITH t AS (SELECT doc_id, text, {DUCK_TOKS} AS toks FROM documents),
