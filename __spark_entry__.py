@@ -1655,6 +1655,23 @@ def q_scd2_lookup_asof(spark, sf):
     ).agg(F.count(F.lit(1)).alias("cnt"))
 
 
+def q_kmeans_profile(spark, sf):
+    # Iterated Lloyd's k-means, engine-exact (operators/kmeans): 1e-6
+    # fixed-point vectors, exact BIGINT distances with (dist, cid)
+    # argmin ties, per-dim floor-division centroid updates, hash-
+    # sampled seeds (the md5 device), empty clusters keep their
+    # centroid. Three rounds + a final assignment profile
+    # (cid, n_members, inertia_micro). The oracle unrolls all rounds
+    # as CTEs — an ITERATIVE ML algorithm under the same bit-exact
+    # contract as the one-shot operators.
+    from external_benchmarks_spark.operators.kmeans import kmeans_refine
+
+    _c, prof = kmeans_refine(Catalog(spark, sf).embeddings, k=8, n_iter=3)
+    return prof.select(
+        F.col("cid").cast("bigint").alias("cid"), "n_members", "inertia_micro"
+    )
+
+
 def q_bpe_merges(spark, sf):
     # Distributed BPE tokenizer training (operators/bpe.bpe_train): one
     # corpus pass to word frequencies, then 8 merge iterations over the
@@ -1668,6 +1685,64 @@ def q_bpe_merges(spark, sf):
     from external_benchmarks_spark.operators.bpe import bpe_train
 
     return bpe_train(Catalog(spark, sf).documents, n_merges=BPE_MERGES)
+
+
+def _kmeans_sql(k: int = 8, n_iter: int = 3, dim: int = EMB_DIM) -> str:
+    # Unrolled Lloyd rounds: score -> argmin-assign -> floor-div update
+    # per round, then the final assignment profile. DuckDB's `//`
+    # floors (matching the Spark-side sign-corrected DIV device) and
+    # lists are 1-based (generate_series(1, dim)).
+    dist = (
+        f"list_sum(list_transform(generate_series(1, {dim}), "
+        f"d -> (v.vi[d] - c.ci[d]) * (v.vi[d] - c.ci[d])))"
+    )
+    ctes = [
+        """v AS (
+          SELECT vec_id,
+                 list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> CAST(FLOOR(x * 1000000) AS BIGINT)) AS vi
+          FROM embeddings)""",
+        f"""c0 AS (
+          SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                    vec_id) - 1 AS cid,
+                 vi AS ci
+          FROM v
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k})""",
+    ]
+    for i in range(1, n_iter + 1):
+        ctes.append(f"""s{i} AS (
+          SELECT v.vec_id, v.vi, c.cid, {dist} AS dist
+          FROM v CROSS JOIN c{i - 1} c)""")
+        ctes.append(f"""a{i} AS (
+          SELECT vec_id, vi, cid, dist FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY dist, cid) AS rn
+            FROM s{i}) WHERE rn = 1)""")
+        ctes.append(f"""u{i} AS (
+          SELECT cid, d, SUM(vi[d]) AS s, COUNT(*) AS n
+          FROM a{i} CROSS JOIN generate_series(1, {dim}) AS g(d)
+          GROUP BY cid, d)""")
+        ctes.append(f"""n{i} AS (
+          SELECT cid, list(val ORDER BY d) AS ci_new FROM (
+            SELECT cid, d, (s // n) AS val FROM u{i}) GROUP BY cid)""")
+        ctes.append(f"""c{i} AS (
+          SELECT c.cid, COALESCE(n.ci_new, c.ci) AS ci
+          FROM c{i - 1} c LEFT JOIN n{i} n USING (cid))""")
+    ctes.append(f"""sf AS (
+          SELECT v.vec_id, c.cid, {dist} AS dist
+          FROM v CROSS JOIN c{n_iter} c)""")
+    ctes.append("""af AS (
+          SELECT vec_id, cid, dist FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY dist, cid) AS rn
+            FROM sf) WHERE rn = 1)""")
+    return f"""
+        WITH {", ".join(ctes)}
+        SELECT CAST(cid AS BIGINT) AS cid,
+               CAST(COUNT(*) AS BIGINT) AS n_members,
+               CAST(SUM(dist // 1000000) AS BIGINT) AS inertia_micro
+        FROM af GROUP BY cid
+    """
 
 
 def _bpe_segment_sql(n_merges: int = BPE_MERGES) -> str:
@@ -3728,6 +3803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_segment_tokens": q_bpe_segment_tokens,
         "scd2_lookup_asof": q_scd2_lookup_asof,
         "neardup_keep_best": q_neardup_keep_best,
+        "kmeans_profile": q_kmeans_profile,
         # --- stalest: last driver-checked r3 ------------------------------
         "curation_funnel": q_curation_funnel,
         "ngram_jaccard": q_ngram_jaccard,
@@ -5096,6 +5172,7 @@ def oracle_sql() -> dict[str, str]:
             FROM pq_s ORDER BY pq_score DESC, vec_id LIMIT 20
         """,
         "bpe_merges": _bpe_sql(),
+        "kmeans_profile": _kmeans_sql(),
         "bpe_segment_tokens": _bpe_segment_sql(),
         "ingest_report": """
             WITH allp AS (
@@ -5240,7 +5317,15 @@ def oracle_sql() -> dict[str, str]:
             FROM rq JOIN rmad USING (event_type) JOIN rtrim USING (event_type)
         """,
         "hourly_anomalies": """
-            WITH aev AS (SELECT event_type, epoch_us(ts) // 3600000000 AS h
+            -- FLOOR-division hour bucketing (DuckDB integer `//`
+            -- truncates toward zero, same as Spark DIV — measured, not
+            -- assumed: -7 // 2 = -3 — so both engines need the same
+            -- sign correction for pre-epoch timestamps)
+            WITH aev AS (SELECT event_type,
+                                (epoch_us(ts) // 3600000000)
+                                - (CASE WHEN epoch_us(ts) % 3600000000 <> 0
+                                        AND epoch_us(ts) < 0
+                                   THEN 1 ELSE 0 END) AS h
                          FROM events),
             ac AS (SELECT event_type, h, COUNT(*) AS cnt
                    FROM aev GROUP BY 1, 2),

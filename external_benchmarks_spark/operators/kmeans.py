@@ -1,0 +1,135 @@
+"""Distributed Lloyd's k-means with engine-exact integer arithmetic —
+the clustering step a curation pipeline runs between embedding and
+cluster-blocked operators (SemDeDup blocks, IVF cells, cluster-stratified
+sampling), as ITERATED refinement rather than the one-shot hash-sampled
+assignment of operators/similarity.ivf_assign.
+
+Cross-engine exactness (the house fixed-point discipline, applied to an
+iterative ML algorithm): vectors quantize ONCE to a 1e-6 integer grid
+(floor(x * 1e6) per dimension); every distance is an exact BIGINT sum of
+squared diffs; assignment argmin breaks ties to the lowest centroid id;
+the centroid update is per-dimension TRUNCATING integer division of
+integer sums (Spark DIV and DuckDB integer `//` are both
+truncation-toward-zero — engine-identical as-is); empty clusters
+keep their previous centroid. No float ever enters a decision, so any
+SQL engine replays every round bit-for-bit — the DuckDB oracle unrolls
+the rounds as CTEs.
+
+Scale shape per round: one broadcast of k centroid vectors (k x dim
+BIGINTs), one map-side distance evaluation over a crossJoin with the
+TINY centroid table (k rows — Catalyst broadcasts it; vectors never
+shuffle for assignment), one argmin aggregate keyed by vector id, and
+one (cid, dim)-keyed aggregate for the update — output bounded by
+k x dim regardless of corpus size. Centroids localCheckpoint each
+round, so lineage stays O(1) and the driver only ever holds k x dim
+integers. Overflow: |x| <= 1 => per-dim diff^2 <= 4e12, x dim(64)
+<= 2.6e14 per distance — inertia accumulates in 1e-6-scaled units
+(dist DIV 1e6) to stay inside int64 at any corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+SCALE = 1_000_000
+
+
+def quantize_vectors(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """(id, vi): the 1e-6 fixed-point integer form of each vector —
+    quantized once, every later stage is pure integer arithmetic."""
+    vi = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.floor(x * SCALE).cast("bigint"),
+    )
+    return df.select(F.col(id_col).alias("vec_id"), vi.alias("vi"))
+
+
+def kmeans_init(vectors: DataFrame, k: int) -> DataFrame:
+    """(cid, ci): k hash-sampled seed centroids — the proven
+    data-derived-constant device (ORDER BY md5(id), id LIMIT k), so
+    both engines pick the identical seeds without any RNG."""
+    w = Window.orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+    return (
+        vectors.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select((F.col("_rn") - 1).alias("cid"), F.col("vi").alias("ci"))
+    )
+
+
+def _assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(vec_id, vi, cid, dist): exact-integer argmin assignment, ties
+    to the lowest centroid id. The centroid side is k rows —
+    broadcast, so the vectors never shuffle."""
+    dist = F.aggregate(
+        F.zip_with("vi", "ci", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, d: acc + d,
+    )
+    scored = vectors.crossJoin(F.broadcast(centroids)).select(
+        "vec_id", "vi", "cid", dist.alias("dist")
+    )
+    best = scored.groupBy("vec_id").agg(
+        F.min(F.struct("dist", "cid")).alias("_b"),
+        F.first("vi").alias("vi"),
+    )
+    return best.select(
+        "vec_id", "vi", F.col("_b.cid").alias("cid"), F.col("_b.dist").alias("dist")
+    )
+
+
+def _update(assigned: DataFrame, centroids: DataFrame) -> DataFrame:
+    """New centroids: per-(cid, dim) TRUNCATING integer division of
+    integer sums — Spark's DIV and DuckDB's integer `//` share
+    truncation-toward-zero semantics exactly (both give -7/2 -> -3),
+    so the rule is engine-identical without a sign correction; any
+    deterministic sub-1e-6 quantization rule is equally valid here.
+    Clusters that attracted no vectors keep their previous
+    centroid."""
+    exploded = assigned.select("cid", F.posexplode("vi").alias("d", "x"))
+    per_dim = exploded.groupBy("cid", "d").agg(
+        F.sum("x").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    val = F.expr("s DIV n")
+    new_c = (
+        per_dim.select("cid", "d", val.alias("v"))
+        .groupBy("cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "v"))),
+                lambda s: s["v"],
+            ).alias("ci_new")
+        )
+    )
+    return centroids.join(new_c, "cid", "left").select(
+        "cid", F.coalesce("ci_new", "ci").alias("ci")
+    )
+
+
+def kmeans_refine(
+    df: DataFrame,
+    k: int = 8,
+    n_iter: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Run ``n_iter`` Lloyd rounds; returns (centroids, profile) where
+    centroids is (cid, ci) after the final update and profile is the
+    per-cluster (cid, n_members, inertia_micro) of a FINAL assignment
+    against those centroids (inertia in 1e-6-scaled distance units —
+    ``dist DIV 1e6`` per vector — to stay inside int64 at any corpus
+    size)."""
+    vectors = quantize_vectors(df, vec_col, id_col).localCheckpoint()
+    centroids = kmeans_init(vectors, k).localCheckpoint()
+    for _ in range(n_iter):
+        assigned = _assign(vectors, centroids)
+        centroids = _update(assigned, centroids).localCheckpoint()
+    final = _assign(vectors, centroids)
+    profile = final.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum(F.expr(f"dist DIV {SCALE}")).alias("inertia_micro"),
+    )
+    return centroids, profile

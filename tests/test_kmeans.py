@@ -1,0 +1,76 @@
+"""Integer-exact Lloyd's k-means: separation on planted clusters,
+empty-cluster retention, determinism across runs, fixed-point
+quantization."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+
+def _planted(spark):
+    """Three well-separated clusters in 4-d: around (1,0,0,0),
+    (0,1,0,0), (-1,0,0,-1) with tiny deterministic jitter."""
+    rows = []
+    centers = [(1.0, 0.0, 0.0, 0.0), (0.0, 1.0, 0.0, 0.0), (-1.0, 0.0, 0.0, -1.0)]
+    vid = 0
+    for ci, c in enumerate(centers):
+        for i in range(30):
+            jit = ((i % 7) - 3) / 1000.0
+            rows.append((vid, [c[0] + jit, c[1] - jit, c[2] + jit / 2, c[3]]))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+
+def test_kmeans_refines_and_converges(spark):
+    """Lloyd properties that hold regardless of where the hash-sampled
+    seeds land (seeds may split a planted cluster — that is k-means,
+    not a bug): every vector stays assigned, total inertia never
+    increases with more rounds, and once converged further rounds are
+    a fixpoint (idempotent updates)."""
+    from external_benchmarks_spark.operators.kmeans import kmeans_refine
+
+    df = _planted(spark)
+    total = lambda prof: sum(r.inertia_micro for r in prof.collect())
+    members = lambda prof: sum(r.n_members for r in prof.collect())
+    _c1, p1 = kmeans_refine(df, k=3, n_iter=1)
+    _c4, p4 = kmeans_refine(df, k=3, n_iter=4)
+    _c8, p8 = kmeans_refine(df, k=3, n_iter=8)
+    assert members(p1) == members(p4) == members(p8) == 90
+    assert total(p4) <= total(p1)
+    assert sorted(tuple(r) for r in p4.collect()) == sorted(
+        tuple(r) for r in p8.collect()
+    )
+
+
+def test_kmeans_deterministic_across_runs(spark):
+    from external_benchmarks_spark.operators.kmeans import kmeans_refine
+
+    df = _planted(spark)
+    a = sorted(tuple(r) for r in kmeans_refine(df, k=3, n_iter=3)[1].collect())
+    b = sorted(tuple(r) for r in kmeans_refine(df, k=3, n_iter=3)[1].collect())
+    assert a == b
+
+
+def test_kmeans_empty_cluster_keeps_centroid(spark):
+    """With k larger than the number of distinct points, the extra
+    seeds attract nothing and must keep their previous centroid
+    instead of vanishing (k centroids in, k centroids out)."""
+    from external_benchmarks_spark.operators.kmeans import kmeans_refine
+
+    rows = [(i, [1.0, 1.0]) for i in range(5)] + [(9, [-1.0, -1.0])]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cents, prof = kmeans_refine(df, k=4, n_iter=3)
+    assert cents.count() == 4
+    # every vector lands somewhere; totals preserved
+    assert sum(r.n_members for r in prof.collect()) == 6
+
+
+def test_quantize_is_floor_fixed_point(spark):
+    from external_benchmarks_spark.operators.kmeans import quantize_vectors
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -0.5, 0.1234567, -0.0000004])],
+        "vec_id bigint, embedding array<double>",
+    )
+    vi = quantize_vectors(df).collect()[0].vi
+    assert vi == [500000, -500000, 123456, -1]  # floor, not round/trunc
