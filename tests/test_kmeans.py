@@ -74,3 +74,27 @@ def test_quantize_is_floor_fixed_point(spark):
     )
     vi = quantize_vectors(df).collect()[0].vi
     assert vi == [500000, -500000, 123456, -1]  # floor, not round/trunc
+
+
+def test_kmeans_assignment_broadcasts_centroids(spark):
+    """The scoring stage must broadcast the k-row centroid side (the
+    corpus never shuffles for assignment) — the property that keeps a
+    round at one corpus scan at any scale."""
+    from external_benchmarks_spark.operators.kmeans import (
+        _assign,
+        kmeans_init,
+        quantize_vectors,
+    )
+
+    v = quantize_vectors(_planted(spark))
+    c = kmeans_init(v, 3)
+    plan = _assign(v, c)._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan, plan[:800]
+
+
+def test_kmeans_empty_input(spark):
+    from external_benchmarks_spark.operators.kmeans import kmeans_refine
+
+    df = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
+    cents, prof = kmeans_refine(df, k=4, n_iter=2)
+    assert cents.count() == 0 and prof.count() == 0
