@@ -895,8 +895,14 @@ def headline_queries():
         "bpe_merges": q["bpe_merges"],
         "adaptive_join_agg": q["adaptive_join_agg"],
         "scd2_apply": q["scd2_apply"],
+        "scd2_lookup_asof": q["scd2_lookup_asof"],
         "hourly_anomalies": q["hourly_anomalies"],
         "neardup_components": q["neardup_components"],
+        # Round-7 additions
+        "neardup_keep_best": q["neardup_keep_best"],
+        "kmeans_profile": q["kmeans_profile"],
+        "bpe_segment_tokens": q["bpe_segment_tokens"],
+        "ingest_report": q["ingest_report"],
         # Events surface
         "events_hourly": q["events_hourly"],
         "sessionize": q["sessionize"],
