@@ -1655,6 +1655,27 @@ def q_scd2_lookup_asof(spark, sf):
     ).agg(F.count(F.lit(1)).alias("cnt"))
 
 
+def q_global_rank(spark, sf):
+    # Total-order corpus ranking at scale (operators/ranking.
+    # global_rank): range partition on the order key, rank within each
+    # partition, add driver-side prefix offsets — NO single-reducer
+    # window (a bare ORDER BY row_number collapses the corpus to one
+    # task; the plan test asserts the window here is partitioned).
+    # Order: longest documents first, doc_id tiebreak. The oracle is
+    # the one-line spec the two-pass form must equal.
+    from external_benchmarks_spark.operators.ranking import global_rank
+
+    d = Catalog(spark, sf).documents
+    ranked = global_rank(
+        d, [F.length("text").desc(), F.col("doc_id").asc()]
+    )
+    return ranked.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("text_len"),
+        "global_rank",
+    )
+
+
 def q_kmeans_profile(spark, sf):
     # Iterated Lloyd's k-means, engine-exact (operators/kmeans): 1e-6
     # fixed-point vectors, exact BIGINT distances with (dist, cid)
@@ -3804,6 +3825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_lookup_asof": q_scd2_lookup_asof,
         "neardup_keep_best": q_neardup_keep_best,
         "kmeans_profile": q_kmeans_profile,
+        "global_rank": q_global_rank,
         # --- stalest: last driver-checked r3 ------------------------------
         "curation_funnel": q_curation_funnel,
         "ngram_jaccard": q_ngram_jaccard,
@@ -5173,6 +5195,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bpe_merges": _bpe_sql(),
         "kmeans_profile": _kmeans_sql(),
+        "global_rank": """
+            SELECT doc_id, CAST(length(text) AS BIGINT) AS text_len,
+                   CAST(row_number() OVER (ORDER BY length(text) DESC,
+                                           doc_id ASC) AS BIGINT)
+                     AS global_rank
+            FROM documents
+        """,
         "bpe_segment_tokens": _bpe_segment_sql(),
         "ingest_report": """
             WITH allp AS (
