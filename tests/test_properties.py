@@ -309,3 +309,36 @@ def test_maxsim_chunk_permutation_invariant(spark, rnd):
     }
     for vid in (0, 1):
         assert abs(two[vid] - (scores[vid] + solo[vid])) < 1e-9
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    words=st.lists(
+        st.text(alphabet="ab1", min_size=1, max_size=8), min_size=1, max_size=6
+    ),
+    pair=st.tuples(
+        st.text(alphabet="ab1", min_size=1, max_size=2),
+        st.text(alphabet="ab1", min_size=1, max_size=2),
+    ),
+)
+def test_bpe_merge_spark_equals_python_twin(spark, words, pair):
+    """The Catalyst aggregate merge (operators/bpe._apply_merge) and
+    the driver-side loop (_merge_word) are the same algorithm at two
+    execution sites — property-checked over random words and rules,
+    including lhs==rhs runs and consecutive-occurrence shapes the
+    old replace() formulation got wrong."""
+    from external_benchmarks_spark.operators.bpe import (
+        _apply_merge,
+        _merge_word,
+    )
+
+    a, b = pair
+    spaced = [" " + " ".join(w) + " " for w in words]
+    df = spark.createDataFrame([(s,) for s in spaced], "s string")
+    got = [
+        r.m for r in df.select(_apply_merge(F.col("s"), a, b).alias("m")).collect()
+    ]
+    want = [
+        " " + " ".join(_merge_word(list(w), a, b)) + " " for w in words
+    ]
+    assert sorted(got) == sorted(want), (words, pair)
