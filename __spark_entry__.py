@@ -1676,6 +1676,44 @@ def q_global_rank(spark, sf):
     )
 
 
+def q_quality_topp(spark, sf):
+    # Global quality cutoff — "keep the best 25% of the corpus" — the
+    # curation decision that NEEDS a total order, built on the two-pass
+    # global_rank (no single-reducer window): rank all documents by
+    # the integer quality device (fewest repeated tokens per length,
+    # doc_id tiebreak), keep rank <= floor(N/4), report per-source
+    # kept/total shares. The oracle is the plain window spec.
+    from external_benchmarks_spark.operators.ranking import global_rank
+
+    d = Catalog(spark, sf).documents
+    # integer quality score: distinct-token count x 1000 DIV token
+    # count (higher = less repetitive), exact in both engines
+    scored = d.select(
+        "doc_id",
+        "source",
+        F.expr(
+            r"CAST(size(array_distinct(filter(split(lower(text), '\\s+'),"
+            " t -> length(t) > 0))) * 1000 AS BIGINT) DIV "
+            r"greatest(size(filter(split(lower(text), '\\s+'),"
+            " t -> length(t) > 0)), 1)"
+        ).alias("q"),
+    )
+    n = scored.count()
+    keep = n // 4
+    ranked = global_rank(
+        scored, [F.col("q").desc(), F.col("doc_id").asc()]
+    )
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                (F.col("global_rank") <= keep).cast("bigint")
+            ).alias("n_kept"),
+        )
+    )
+
+
 def q_kmeans_profile(spark, sf):
     # Iterated Lloyd's k-means, engine-exact (operators/kmeans): 1e-6
     # fixed-point vectors, exact BIGINT distances with (dist, cid)
@@ -3826,6 +3864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_keep_best": q_neardup_keep_best,
         "kmeans_profile": q_kmeans_profile,
         "global_rank": q_global_rank,
+        "quality_topp": q_quality_topp,
         # --- stalest: last driver-checked r3 ------------------------------
         "curation_funnel": q_curation_funnel,
         "ngram_jaccard": q_ngram_jaccard,
@@ -5195,6 +5234,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bpe_merges": _bpe_sql(),
         "kmeans_profile": _kmeans_sql(),
+        "quality_topp": r"""
+            WITH toks AS (
+              SELECT doc_id, source,
+                     list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                 t -> len(t) > 0) AS tk
+              FROM documents),
+            scored AS (
+              SELECT doc_id, source,
+                     CAST(len(list_distinct(tk)) * 1000 AS BIGINT)
+                       // GREATEST(len(tk), 1) AS q
+              FROM toks),
+            ranked AS (
+              SELECT doc_id, source,
+                     row_number() OVER (ORDER BY q DESC, doc_id ASC) AS r,
+                     (SELECT COUNT(*) // 4 FROM scored) AS keep
+              FROM scored)
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(CASE WHEN r <= keep THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_kept
+            FROM ranked GROUP BY source
+        """,
         "global_rank": """
             SELECT doc_id, CAST(length(text) AS BIGINT) AS text_len,
                    CAST(row_number() OVER (ORDER BY length(text) DESC,
