@@ -903,6 +903,8 @@ def headline_queries():
         "kmeans_profile": q["kmeans_profile"],
         "bpe_segment_tokens": q["bpe_segment_tokens"],
         "ingest_report": q["ingest_report"],
+        "global_rank": q["global_rank"],
+        "quality_topp": q["quality_topp"],
         # Events surface
         "events_hourly": q["events_hourly"],
         "sessionize": q["sessionize"],
