@@ -1747,10 +1747,12 @@ def q_bpe_merges(spark, sf):
 
 
 def _kmeans_sql(k: int = 8, n_iter: int = 3, dim: int = EMB_DIM) -> str:
-    # Unrolled Lloyd rounds: score -> argmin-assign -> floor-div update
-    # per round, then the final assignment profile. DuckDB's `//`
-    # floors (matching the Spark-side sign-corrected DIV device) and
-    # lists are 1-based (generate_series(1, dim)).
+    # Unrolled Lloyd rounds: score -> argmin-assign -> truncating-div
+    # update per round, then the final assignment profile. DuckDB's
+    # integer `//` TRUNCATES toward zero (-7 // 2 = -3), exactly like
+    # Spark's DIV — engine-identical with no sign correction on either
+    # side (kmeans._update uses plain DIV). DuckDB lists are 1-based
+    # (generate_series(1, dim)).
     dist = (
         f"list_sum(list_transform(generate_series(1, {dim}), "
         f"d -> (v.vi[d] - c.ci[d]) * (v.vi[d] - c.ci[d])))"

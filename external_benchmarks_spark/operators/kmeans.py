@@ -31,7 +31,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 SCALE = 1_000_000
 
@@ -51,12 +50,26 @@ def quantize_vectors(
 def kmeans_init(vectors: DataFrame, k: int) -> DataFrame:
     """(cid, ci): k hash-sampled seed centroids — the proven
     data-derived-constant device (ORDER BY md5(id), id LIMIT k), so
-    both engines pick the identical seeds without any RNG."""
-    w = Window.orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
-    return (
-        vectors.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k)
-        .select((F.col("_rn") - 1).alias("cid"), F.col("vi").alias("ci"))
+    both engines pick the identical seeds without any RNG.
+
+    Scale shape: ``orderBy(...).limit(k)`` compiles to a distributed
+    TakeOrderedAndProject (per-partition top-k merged on the driver), so
+    no partition ever holds more than k rows for the seed pick. The k
+    surviving rows (k x dim BIGINTs — tiny by contract) are collected
+    and cid 0..k-1 is assigned driver-side in the already-total order,
+    replacing the former no-partition ``row_number()`` window that
+    shuffled the ENTIRE quantized corpus to one reducer just to pick k
+    seeds."""
+    seeds = (
+        vectors.orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(k)
+        .select("vi")
+        .collect()
+    )
+    spark = vectors.sparkSession
+    return spark.createDataFrame(
+        [(cid, row["vi"]) for cid, row in enumerate(seeds)],
+        schema="cid INT, ci ARRAY<BIGINT>",
     )
 
 

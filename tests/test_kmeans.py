@@ -92,6 +92,49 @@ def test_kmeans_assignment_broadcasts_centroids(spark):
     assert "Broadcast" in plan, plan[:800]
 
 
+def test_kmeans_seed_stage_has_no_single_reducer(spark):
+    """The seed pick must plan as a distributed TakeOrderedAndProject
+    (per-partition top-k), never an unpartitioned window or a sort over
+    a single-partition exchange — the corpus-sized single-reducer
+    anti-pattern operators/ranking.py exists to eliminate (mirrors
+    test_ranking.test_global_rank_window_is_partitioned)."""
+    from external_benchmarks_spark.operators.kmeans import quantize_vectors
+
+    v = quantize_vectors(_planted(spark))
+    seed_plan = (
+        v.orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(3)
+        .select("vi")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in seed_plan, seed_plan[:800]
+    assert "Window" not in seed_plan, seed_plan[:800]
+    assert "SinglePartition" not in seed_plan, seed_plan[:800]
+
+
+def test_kmeans_init_matches_former_window_semantics(spark):
+    """Seed selection order is observable in the oracle (c0 CTE): cid i
+    must be the row with the i-th smallest (md5(vec_id), vec_id) key —
+    identical to the row_number() form it replaced."""
+    from external_benchmarks_spark.operators.kmeans import (
+        kmeans_init,
+        quantize_vectors,
+    )
+    import hashlib
+
+    v = quantize_vectors(_planted(spark))
+    got = {r.cid: r.ci for r in kmeans_init(v, 5).collect()}
+    rows = v.collect()
+    order = sorted(
+        rows, key=lambda r: (hashlib.md5(str(r.vec_id).encode()).hexdigest(), r.vec_id)
+    )
+    assert len(got) == 5
+    for i in range(5):
+        assert got[i] == order[i].vi
+
+
 def test_kmeans_empty_input(spark):
     from external_benchmarks_spark.operators.kmeans import kmeans_refine
 
