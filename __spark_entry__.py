@@ -1818,10 +1818,7 @@ def _bpe_segment_sql(n_merges: int = BPE_MERGES) -> str:
         r"list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\s+'), "
         r"t -> len(t) > 0 AND regexp_matches(t, '^[a-z0-9]+$'))"
     )
-    train = _bpe_sql(n_merges)
-    # lift the WITH ... CTE list out of the training statement
-    ctes = train[train.index("WITH") + 4 : train.index("SELECT CAST(step")]
-    ctes = ctes.rstrip().rstrip(",")
+    train_ctes, _train_final = _bpe_sql_parts(n_merges)
     lvl = [f"""d0 AS (
           SELECT doc_id,
                  list_transform({toks},
@@ -1842,7 +1839,7 @@ def _bpe_segment_sql(n_merges: int = BPE_MERGES) -> str:
               '|', ' ')) || ' ') AS ss
           FROM d{i - 1} CROSS JOIN b{i} b)""")
     return f"""
-        WITH {ctes},
+        WITH {", ".join(train_ctes)},
         {", ".join(lvl)},
         segd AS (
           SELECT doc_id,
@@ -1855,7 +1852,12 @@ def _bpe_segment_sql(n_merges: int = BPE_MERGES) -> str:
     """
 
 
-def _bpe_sql(n_merges: int = BPE_MERGES) -> str:
+def _bpe_sql_parts(n_merges: int = BPE_MERGES) -> tuple[list[str], str]:
+    """(cte_list, final_select) for the BPE training oracle, kept as
+    structured parts so _bpe_segment_sql can COMPOSE the training CTEs
+    with its segmentation levels instead of slicing rendered SQL text
+    (the former str.index('WITH')/index('SELECT CAST(step') lift broke
+    silently if this function's formatting changed)."""
     toks = (
         r"list_filter(regexp_split_to_array(lower(text), '\s+'), "
         r"t -> len(t) > 0 AND regexp_matches(t, '^[a-z0-9]+$'))"
@@ -1907,11 +1909,17 @@ def _bpe_sql(n_merges: int = BPE_MERGES) -> str:
     union = " UNION ALL ".join(
         f"SELECT * FROM b{i}" for i in range(1, n_merges + 1)
     )
+    final = f"""SELECT CAST(step AS BIGINT) AS step, a AS lhs, b AS rhs,
+               a || b AS merged, c AS pair_count
+        FROM ({union}) ORDER BY step"""
+    return ctes, final
+
+
+def _bpe_sql(n_merges: int = BPE_MERGES) -> str:
+    ctes, final = _bpe_sql_parts(n_merges)
     return f"""
         WITH {", ".join(ctes)}
-        SELECT CAST(step AS BIGINT) AS step, a AS lhs, b AS rhs,
-               a || b AS merged, c AS pair_count
-        FROM ({union}) ORDER BY step
+        {final}
     """
 
 

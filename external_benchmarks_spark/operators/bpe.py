@@ -163,20 +163,25 @@ def bpe_train(
     the word table periodically.
     """
     spark: SparkSession = docs.sparkSession
-    wf = word_frequencies(docs, text_col)
+    # Cache the word table BEFORE the fast-path probe: the probe's
+    # bounded collect executes the full tokenize+groupBy corpus pass,
+    # and when the table exceeds the limit (exactly the large-corpus
+    # case) the distributed loop below must reuse that aggregation —
+    # without the cache the corpus would be scanned twice, violating
+    # the "corpus is touched exactly once" contract where it matters.
+    wf = word_frequencies(docs, text_col).cache()
     schema = "step bigint, lhs string, rhs string, merged string, pair_count bigint"
 
-    if local_word_limit > 0:
-        probe = wf.limit(local_word_limit + 1).collect()
-        if len(probe) <= local_word_limit:
-            return spark.createDataFrame(
-                _train_local(probe, n_merges), schema
-            ).orderBy("step")
-
-    words = wf.select(_char_spaced(F.col("word")).alias("s"), "cnt")
-    base = words.cache()
     merges: list[tuple[int, str, str, str, int]] = []
     try:
+        if local_word_limit > 0:
+            probe = wf.limit(local_word_limit + 1).collect()
+            if len(probe) <= local_word_limit:
+                return spark.createDataFrame(
+                    _train_local(probe, n_merges), schema
+                ).orderBy("step")
+
+        words = wf.select(_char_spaced(F.col("word")).alias("s"), "cnt")
         for step in range(1, n_merges + 1):
             # sequence(1, size) then filter i < size: single-symbol words
             # yield no pairs (sequence(1, 0) would run DESCENDING and
@@ -203,7 +208,7 @@ def bpe_train(
                 _apply_merge(F.col("s"), a, b).alias("s"), "cnt"
             )
     finally:
-        base.unpersist()
+        wf.unpersist()
     return spark.createDataFrame(merges, schema).orderBy("step")
 
 

@@ -203,6 +203,14 @@ def scd2_lookup_asof(
     last(ignorenulls) — per-column carrying would resurrect an OLDER
     version's value wherever the matched version's attribute is
     genuinely NULL.
+
+    Constraint: fact column names must not collide with the unpacked
+    version columns (including ``valid_from``/``valid_to``). The
+    unpack step is ``withColumn``, which would silently OVERWRITE a
+    same-named fact column — where :func:`scd2_lookup` would surface
+    the clash as duplicate output columns — so the two "result-
+    identical" paths would diverge on such inputs; this path raises
+    instead. Rename the fact column before the lookup.
     """
     from external_benchmarks_spark.operators.asof import asof_join
 
@@ -211,6 +219,14 @@ def scd2_lookup_asof(
         for c in scd.columns
         if c not in (key_col, "is_current")
     ]
+    clash = sorted(set(facts.columns) & set(ver_cols))
+    if clash:
+        raise ValueError(
+            "scd2_lookup_asof: fact columns collide with version columns "
+            f"{clash}; the struct unpack would silently overwrite them "
+            "(scd2_lookup would emit duplicate columns instead). Rename "
+            "the fact columns before the lookup."
+        )
     packed = scd.select(
         key_col,
         F.col("valid_from").alias("_vf"),

@@ -109,3 +109,26 @@ def test_bpe_single_char_and_empty(spark):
     docs = spark.createDataFrame([("a b c",), ("",)], "text string")
     merges = bpe_train(docs, n_merges=3).collect()
     assert merges == []  # no adjacent pairs anywhere -> no rules
+
+
+def test_bpe_distributed_path_reuses_word_table_cache(spark):
+    """The fast-path probe executes the full tokenize+groupBy corpus
+    pass; when the probe overflows into the distributed loop, that
+    aggregation must be served from cache (InMemoryTableScan in the
+    first pair-count plan), not recomputed — the corpus is touched
+    exactly once either way."""
+    from external_benchmarks_spark.operators.bpe import (
+        _char_spaced,
+        word_frequencies,
+    )
+    import pyspark.sql.functions as F
+
+    docs = spark.createDataFrame([("low lower newest",)], "text string")
+    wf = word_frequencies(docs).cache()
+    try:
+        wf.limit(3).collect()  # the probe materializes the cache
+        words = wf.select(_char_spaced(F.col("word")).alias("s"), "cnt")
+        plan = words._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan, plan[:800]
+    finally:
+        wf.unpersist()

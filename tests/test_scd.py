@@ -303,3 +303,24 @@ def test_scd2_lookup_asof_equals_interval_join(spark):
     # plan: the as-of form must not broadcast the dimension
     plan = b._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" not in plan
+
+
+def test_scd2_lookup_asof_raises_on_fact_version_name_clash(spark):
+    """A fact column named like an unpacked version column (e.g.
+    valid_from) would be silently overwritten by the struct unpack —
+    the as-of path must refuse instead of diverging from
+    scd2_lookup's duplicate-column behavior."""
+    import pytest
+
+    from external_benchmarks_spark.operators.scd import (
+        scd2_init,
+        scd2_lookup_asof,
+    )
+
+    dim = spark.createDataFrame([(1, "a")], "k bigint, a1 string")
+    scd = scd2_init(dim, "k", ["a1"])
+    facts = spark.createDataFrame(
+        [(1, 10, 99)], "k bigint, fts bigint, valid_from bigint"
+    )
+    with pytest.raises(ValueError, match="valid_from"):
+        scd2_lookup_asof(facts, scd, "k", "fts")
