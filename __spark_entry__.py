@@ -1362,17 +1362,27 @@ def _pq_parts(spark, sf):
 # EVEN user_ids get an init current row, so odd users take the brand-
 # new-key path: their first update opens a version unconditionally
 # (has-prev/has-cur flags, never a COALESCE over attribute values — a
-# NULL attribute is a real prevailing value).
-_SCD2_CTES = """
-        ev AS (SELECT user_id, epoch_us(ts) AS tsu, event_type,
+# NULL attribute is a real prevailing value). Same-(key, ts) collisions
+# normalize to the lexicographically-least WHOLE ROW (ASC NULLS FIRST
+# per attribute — collision="row"), so the surviving tuple is always a
+# real input row, mirrored by the crn row_number pick in `u`.
+def _scd2_ctes(tsu_expr: str = "epoch_us(ts)") -> str:
+    return f"""
+        ev AS (SELECT user_id, {tsu_expr} AS tsu, event_type,
                       CASE WHEN value >= 0 THEN 'pos' END AS band
                FROM events),
         cur AS (SELECT DISTINCT user_id, 'init' AS seg,
                        CAST(NULL AS VARCHAR) AS band,
                        CAST(0 AS BIGINT) AS valid_from, TRUE AS has_cur
                 FROM ev WHERE user_id % 2 = 0),
-        u AS (SELECT user_id, tsu, MIN(event_type) AS a1, MIN(band) AS a2
-              FROM ev GROUP BY 1, 2),
+        u AS (SELECT user_id, tsu, a1, a2 FROM (
+                SELECT user_id, tsu, event_type AS a1, band AS a2,
+                       row_number() OVER (
+                         PARTITION BY user_id, tsu
+                         ORDER BY event_type ASC NULLS FIRST,
+                                  band ASC NULLS FIRST) AS crn
+                FROM ev) t
+              WHERE crn = 1),
         u2 AS (SELECT u.user_id, u.tsu, u.a1, u.a2,
                       c.seg AS c1, c.band AS c2,
                       COALESCE(c.has_cur, FALSE) AS has_cur
@@ -1410,6 +1420,17 @@ _SCD2_CTES = """
           FROM new_rows
           UNION ALL SELECT * FROM closed
           UNION ALL SELECT * FROM unchanged)"""
+
+
+_SCD2_CTES = _scd2_ctes()
+
+# Hour-bucketed variant: at sf0.01 the microsecond feed has ZERO
+# same-(key, ts) collisions, so the collision-normalization rule is
+# unexercised by the main entry; bucketing ts to hours (DIV truncates
+# toward zero identically in both engines) creates ~340 groups whose
+# colliding rows DIFFER in the attribute tuple — any deviation from
+# the lexicographic whole-row pick flips the hash.
+_SCD2_COLLISION_CTES = _scd2_ctes("epoch_us(ts) // 3600000000")
 
 
 BPE_MERGES = 8
@@ -1605,6 +1626,40 @@ def q_hourly_anomalies(spark, sf):
     )
 
     return hourly_burst_anomalies(Catalog(spark, sf).events)
+
+
+def q_scd2_collisions(spark, sf):
+    # Collision-rule exercise for scd2_apply (operators/scd.py):
+    # bucketing update timestamps to HOURS (ts_us DIV 3600e6 —
+    # truncation-identical in Spark DIV and DuckDB //) forces ~340
+    # same-(key, ts) groups at sf0.01 whose rows differ in the
+    # (seg, band) tuple, so the default row-integrity normalization
+    # (lexicographically-least whole row, ASC NULLS FIRST per
+    # attribute) is actually load-bearing here — the main scd2_apply
+    # entry has zero natural microsecond collisions. Oracle replays
+    # the same crn row_number pick over hour buckets.
+    from external_benchmarks_spark.operators.scd import scd2_apply, scd2_init
+
+    ev = Catalog(spark, sf).events
+    current = scd2_init(
+        ev.select("user_id")
+        .distinct()
+        .filter(F.col("user_id") % 2 == 0)
+        .withColumn("seg", F.lit("init"))
+        .withColumn("band", F.lit(None).cast("string")),
+        "user_id",
+        ["seg", "band"],
+    )
+    updates = ev.select(
+        "user_id",
+        F.expr("ts_us DIV 3600000000").alias("tsh"),
+        F.col("event_type").alias("seg"),
+        F.when(F.col("value") >= 0, F.lit("pos")).alias("band"),
+    )
+    scd = scd2_apply(current, updates, "user_id", ["seg", "band"], "tsh")
+    return scd.select(
+        "user_id", "seg", "band", "valid_from", "valid_to", "is_current"
+    )
 
 
 def q_scd2_lookup(spark, sf):
@@ -3866,6 +3921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- two-attribute tuple + new-key coverage): re-verify first ---
         "bpe_merges": q_bpe_merges,
         "scd2_apply": q_scd2_apply,
+        "scd2_collisions": q_scd2_collisions,
         "scd2_lookup": q_scd2_lookup,
         # --- new in round 7: never driver-checked ------------------------
         "ingest_report": q_ingest_report,
@@ -5373,6 +5429,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "scd2_apply": f"""
             WITH {_SCD2_CTES}
+            SELECT user_id, seg, band, valid_from, valid_to, is_current
+            FROM scd
+        """,
+        "scd2_collisions": f"""
+            WITH {_SCD2_COLLISION_CTES}
             SELECT user_id, seg, band, valid_from, valid_to, is_current
             FROM scd
         """,

@@ -12,8 +12,13 @@ is the small side; the same plan holds with the updates as a stream of
 micro-batches (each batch is one application of ``scd2_apply``).
 
 Determinism (what makes the whole merge hash-oracle-able): updates are
-first normalized to one row per (key, ts) by per-column MIN over the
-attribute tuple; a row survives iff it has no prevailing state at all
+first normalized to one row per (key, ts) — by default the
+lexicographically-least WHOLE ROW of the attribute tuple (explicit
+ASC NULLS FIRST per attribute), so the surviving tuple always
+corresponds to a real input row; the legacy ``collision="column"``
+mode instead takes per-column MIN, which can synthesize a tuple
+matching no input ((a1,b2)+(a2,b1) -> (min-a, min-b)). A row survives
+iff it has no prevailing state at all
 (a brand-new key's first update — even an all-NULL one — always opens
 a version) or ANY attribute IS DISTINCT FROM its prevailing value (the
 previous update in the batch, else the key's current row — tracked
@@ -59,6 +64,7 @@ def scd2_apply(
     key_col: str,
     attr_cols: str | Sequence[str],
     ts_col: str,
+    collision: str = "row",
 ) -> DataFrame:
     """Apply one batch of (key, ts, attrs...) updates to an SCD2 table
     (schema: key, attrs..., valid_from, valid_to, is_current). A batch
@@ -70,15 +76,46 @@ def scd2_apply(
     when every attribute is NULL (no-prevailing-state is tracked with
     explicit flags, not inferred from attribute nullness). Returns the
     full new table.
+
+    ``collision`` picks the same-(key, ts) normalization rule:
+
+    - ``"row"`` (default): the lexicographically-least WHOLE ROW of
+      the attribute tuple, compared attribute-by-attribute with
+      explicit ASC NULLS FIRST — the surviving tuple is always a real
+      input row (row-integrity-preserving, the defensible warehouse
+      semantic). Explicit null placement (not struct MIN) keeps the
+      rule engine-identical: Spark ``asc_nulls_first`` and SQL
+      ``ASC NULLS FIRST`` agree everywhere.
+    - ``"column"``: legacy per-column MIN over the tuple — still
+      deterministic, but two colliding updates differing in two
+      attributes merge to a tuple matching NO input row
+      ((a1,b2)+(a2,b1) -> (min-a, min-b)), and SQL MIN skips NULLs.
     """
+    if collision not in ("row", "column"):
+        raise ValueError(f"collision must be 'row' or 'column', got {collision!r}")
     attrs = _attr_list(attr_cols)
     cur = current.filter(F.col("is_current"))
     hist = current.filter(~F.col("is_current"))
 
-    # one update per (key, ts): deterministic per-column MIN
-    u = updates.groupBy(
-        F.col(key_col), F.col(ts_col).cast("bigint").alias("_ts")
-    ).agg(*[F.min(c).alias(f"_a_{c}") for c in attrs])
+    # one update per (key, ts): deterministic collision normalization
+    uu = updates.select(
+        F.col(key_col),
+        F.col(ts_col).cast("bigint").alias("_ts"),
+        *[F.col(c).alias(f"_a_{c}") for c in attrs],
+    )
+    if collision == "row":
+        wn = Window.partitionBy(key_col, "_ts").orderBy(
+            *[F.col(f"_a_{c}").asc_nulls_first() for c in attrs]
+        )
+        u = (
+            uu.withColumn("_rn", F.row_number().over(wn))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    else:
+        u = uu.groupBy(key_col, "_ts").agg(
+            *[F.min(f"_a_{c}").alias(f"_a_{c}") for c in attrs]
+        )
     u = u.join(
         cur.select(
             key_col,

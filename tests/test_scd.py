@@ -324,3 +324,46 @@ def test_scd2_lookup_asof_raises_on_fact_version_name_clash(spark):
     )
     with pytest.raises(ValueError, match="valid_from"):
         scd2_lookup_asof(facts, scd, "k", "fts")
+
+
+def test_scd2_collision_row_vs_column_rules_differ(spark):
+    """Two same-(key, ts) updates differing in BOTH attributes: the
+    default row rule keeps the lexicographically-least REAL input row
+    (a1, b2); legacy per-column MIN synthesizes (a1, b1) — a tuple no
+    update carried. NULLs: SQL MIN skips them, NULLS FIRST prefers
+    them."""
+    from external_benchmarks_spark.operators.scd import scd2_apply, scd2_init
+
+    current = scd2_init(
+        spark.createDataFrame([], "k bigint, x string, y string"),
+        "k",
+        ["x", "y"],
+    )
+    updates = spark.createDataFrame(
+        [
+            (1, 10, "a1", "b2"),
+            (1, 10, "a2", "b1"),
+            # key 2: NULL in one attribute of one colliding row
+            (2, 10, "m", None),
+            (2, 10, "n", "q"),
+        ],
+        "k bigint, ts bigint, x string, y string",
+    )
+    row = {
+        (r.k): (r.x, r.y)
+        for r in scd2_apply(current, updates, "k", ["x", "y"], "ts").collect()
+    }
+    col = {
+        (r.k): (r.x, r.y)
+        for r in scd2_apply(
+            current, updates, "k", ["x", "y"], "ts", collision="column"
+        ).collect()
+    }
+    assert row[1] == ("a1", "b2")   # a real input row
+    assert col[1] == ("a1", "b1")   # synthesized: min-x, min-y
+    assert row[2] == ("m", None)    # least x wins; its real NULL y survives
+    assert col[2] == ("m", "q")     # MIN skips the NULL y
+    import pytest
+
+    with pytest.raises(ValueError, match="collision"):
+        scd2_apply(current, updates, "k", ["x", "y"], "ts", collision="bogus")
