@@ -3898,6 +3898,247 @@ def q_bpe_segment_tokens(spark, sf):
     )
 
 
+def q_unigram_vocab(spark, sf):
+    # Unigram-LM (SentencePiece-style) tokenizer training
+    # (operators/unigram.unigram_train): substring-seeded candidate
+    # vocabulary, two Viterbi-usage prune rounds (hard-EM), piece costs
+    # as q16 FIXED-POINT INTEGER log2-probabilities computed by a
+    # pure-integer iterated-squaring log (no libm — float ln is not
+    # correctly-rounded across engines). The oracle replays seeding,
+    # both EM rounds (packed-state list_reduce Viterbi DP + backtrack),
+    # and the integer log device entirely in SQL.
+    from external_benchmarks_spark.operators.unigram import unigram_train
+
+    return unigram_train(Catalog(spark, sf).documents).orderBy("piece")
+
+
+def q_unigram_segment_tokens(spark, sf):
+    # Unigram SEGMENTATION cross-engine twin (mirrors
+    # bpe_segment_tokens): train the vocabulary, then Viterbi-segment
+    # every document under the final costs (DP once per DISTINCT word,
+    # pieces joined back in word order) and reduce each doc to
+    # (piece count, md5 of the '|'-joined piece stream) — any
+    # divergence in ANY piece of ANY document flips the hash.
+    from external_benchmarks_spark.operators.unigram import (
+        unigram_segment,
+        unigram_train,
+    )
+
+    docs = Catalog(spark, sf).documents
+    costs = {
+        r["piece"]: int(r["cost_q16"]) for r in unigram_train(docs).collect()
+    }
+    seg = unigram_segment(docs, costs)
+    return seg.select(
+        "doc_id",
+        F.size("unigram_tokens").cast("bigint").alias("n_unigram_tokens"),
+        F.md5(F.concat_ws("|", "unigram_tokens")).alias("tokens_md5"),
+    )
+
+
+def _ilog2_sql(x: str) -> str:
+    """DuckDB replay of operators/unigram.ilog2_q16: floor exponent
+    from the binary-string length, 16 mantissa bits by a list_reduce of
+    iterated squaring over a (mantissa * 2^16 + acc)-packed BIGINT
+    state — the identical integer op sequence as the Python twin."""
+    e = f"(length(bin({x})) - 1)"
+    m0 = (
+        f"(CASE WHEN {e} <= 30 THEN ({x}) * ((CAST(1 AS BIGINT)) << (30 - {e})) "
+        f"ELSE ({x}) // ((CAST(1 AS BIGINT)) << ({e} - 30)) END)"
+    )
+    red = (
+        f"list_reduce(list_prepend({m0} * 65536, generate_series(1, 16)), "
+        "(st, i) -> CASE WHEN ((st // 65536) * (st // 65536)) // 1073741824 >= 2147483648 "
+        "THEN (((st // 65536) * (st // 65536)) // 1073741824 // 2) * 65536 + (st % 65536) * 2 + 1 "
+        "ELSE (((st // 65536) * (st // 65536)) // 1073741824) * 65536 + (st % 65536) * 2 END)"
+    )
+    return f"(({e}) * 65536 + ({red}) % 65536)"
+
+
+def _unigram_viterbi_ctes(src: str, vm_cte: str, prefix: str) -> list[str]:
+    """Two CTEs segmenting ``src`` (word, cnt) under the cost map in
+    ``vm_cte``: a forward DP over positions (dp[j] packs total cost
+    and last-piece length as tot*64+len; min = cheapest, then shortest
+    last piece) carried as a comma-joined string through list_reduce,
+    then a backtrack walking dp from the end with a 'pos|toks' packed
+    state — both the house packed-state reduce device from the BPE
+    oracle. Mirrors operators/unigram.viterbi_word exactly."""
+    from external_benchmarks_spark.operators.unigram import MAX_PIECE, UNK_COST
+
+    dpv = "list_transform(string_split(st, ','), z -> CAST(z AS BIGINT))"
+    dp_cte = f"""{prefix}dp AS MATERIALIZED (
+      SELECT word, cnt,
+        list_transform(string_split(
+          list_reduce(list_prepend('0', list_transform(generate_series(1, CAST(len(word) AS BIGINT)), j -> CAST(j AS VARCHAR))),
+            (st, js) -> st || ',' || CAST((list_min(list_filter(list_transform(generate_series(1, {MAX_PIECE}), l ->
+              CASE WHEN l <= CAST(js AS BIGINT) THEN
+                CASE WHEN vm[substring(word, CAST(CAST(js AS BIGINT) - l + 1 AS INT), CAST(l AS INT))][1] IS NOT NULL THEN
+                  ({dpv}[CAST(js AS BIGINT) - l + 1] // 64
+                   + vm[substring(word, CAST(CAST(js AS BIGINT) - l + 1 AS INT), CAST(l AS INT))][1]) * 64 + l
+                WHEN l = 1 THEN
+                  ({dpv}[CAST(js AS BIGINT) - l + 1] // 64
+                   + CAST({UNK_COST} AS BIGINT)) * 64 + 1
+                END
+              END), x -> x IS NOT NULL))) AS VARCHAR)), ','), z -> CAST(z AS BIGINT)) AS dpl
+      FROM {src}, {vm_cte})"""
+    pos = "CAST(split_part(st, '|', 1) AS BIGINT)"
+    plen = f"dpl[{pos} + 1] % 64"
+    seg_cte = f"""{prefix}seg AS MATERIALIZED (
+      SELECT word, cnt,
+        trim(split_part(list_reduce(list_prepend(CAST(len(word) AS VARCHAR) || '|',
+            list_transform(generate_series(1, CAST(len(word) AS BIGINT)), j -> '')),
+          (st, z) -> CASE WHEN {pos} <= 0 THEN st ELSE
+            CAST({pos} - {plen} AS VARCHAR)
+            || '|' || substring(word, CAST({pos} - {plen} + 1 AS INT), CAST({plen} AS INT))
+            || ' ' || split_part(st, '|', 2) END), '|', 2)) AS toks
+      FROM {prefix}dp)"""
+    return [dp_cte, seg_cte]
+
+
+def _unigram_sql_parts() -> tuple[list[str], str]:
+    """(cte_list, final_select) replaying unigram_train: substring
+    candidate seeding, then one (Viterbi -> usage -> prune -> recost)
+    block per keep_schedule round, all integer-exact."""
+    from external_benchmarks_spark.operators.unigram import (
+        KEEP_SCHEDULE,
+        MAX_PIECE,
+        SEED_MULTI,
+    )
+
+    toks = (
+        r"list_filter(regexp_split_to_array(lower(text), '\s+'), "
+        r"t -> len(t) > 0 AND regexp_matches(t, '^[a-z0-9]+$'))"
+    )
+    pieces = (
+        "flatten(list_transform(generate_series(1, CAST(len(word) AS BIGINT)), s -> "
+        f"list_transform(generate_series(0, least(CAST({MAX_PIECE - 1} AS BIGINT), CAST(len(word) AS BIGINT) - s)), "
+        "d -> substring(word, CAST(s AS INT), CAST(d + 1 AS INT)))))"
+    )
+    ctes = [
+        f"""uwf AS MATERIALIZED (
+          SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM (SELECT unnest({toks}) AS word FROM documents)
+          GROUP BY word)""",
+        f"""ucand AS MATERIALIZED (
+          SELECT piece, CAST(SUM(cnt) AS BIGINT) AS f
+          FROM (SELECT unnest({pieces}) AS piece, cnt FROM uwf)
+          GROUP BY piece)""",
+        f"""uv0 AS MATERIALIZED (
+          SELECT piece, f FROM ucand WHERE len(piece) = 1
+          UNION ALL
+          SELECT piece, f FROM (
+            SELECT piece, f FROM ucand WHERE len(piece) > 1
+            ORDER BY f DESC, piece LIMIT {SEED_MULTI}))""",
+    ]
+    # Every CTE in the chain is MATERIALIZED: DuckDB inlines plain CTEs
+    # per reference, and this chain references each round's tables
+    # several times (row source + the total-T input + the map build) —
+    # inlining would re-expand the whole prior-round pipeline per
+    # reference, exponentially. The vocab total also travels as a
+    # one-row ut{r} CTE instead of a repeated scalar subquery (the
+    # ilog2 expression uses its argument ~5 times).
+    n_rounds = len(KEEP_SCHEDULE)
+    for r, keep in enumerate(KEEP_SCHEDULE):
+        ctes.append(
+            f"""ut{r} AS MATERIALIZED (SELECT SUM(f) AS tt FROM uv{r})"""
+        )
+        ctes.append(
+            f"""uc{r} AS MATERIALIZED (
+          SELECT piece, ({_ilog2_sql("tt")}) - ({_ilog2_sql("f")}) AS c
+          FROM uv{r}, ut{r})"""
+        )
+        ctes.append(
+            f"""um{r} AS MATERIALIZED (
+          SELECT map(list(piece ORDER BY piece), list(c ORDER BY piece)) AS vm
+          FROM uc{r})"""
+        )
+        ctes += _unigram_viterbi_ctes("uwf", f"um{r}", f"ur{r}")
+        ctes.append(
+            f"""uus{r} AS MATERIALIZED (
+          SELECT piece, CAST(SUM(cnt) AS BIGINT) AS usage
+          FROM (SELECT unnest(string_split(toks, ' ')) AS piece, cnt
+                FROM ur{r}seg)
+          GROUP BY piece)"""
+        )
+        ctes.append(
+            f"""uv{r + 1} AS MATERIALIZED (
+          SELECT s.piece, COALESCE(u.usage, 0) + 1 AS f
+          FROM (SELECT piece FROM uv0 WHERE len(piece) = 1) s
+          LEFT JOIN uus{r} u USING (piece)
+          UNION ALL
+          SELECT piece, usage + 1 AS f FROM (
+            SELECT piece, usage FROM uus{r}
+            WHERE len(piece) > 1 AND usage > 0
+            ORDER BY usage DESC, piece LIMIT {keep}))"""
+        )
+    ctes.append(
+        f"""utf AS MATERIALIZED (SELECT SUM(f) AS tt FROM uv{n_rounds})"""
+    )
+    ctes.append(
+        f"""ucf AS MATERIALIZED (
+          SELECT piece, f, ({_ilog2_sql("tt")}) - ({_ilog2_sql("f")}) AS c
+          FROM uv{n_rounds}, utf)"""
+    )
+    final = (
+        "SELECT piece, CAST(f AS BIGINT) AS freq, CAST(c AS BIGINT) AS cost_q16 "
+        "FROM ucf ORDER BY piece"
+    )
+    return ctes, final
+
+
+def _unigram_sql() -> str:
+    ctes, final = _unigram_sql_parts()
+    return f"""
+        WITH {", ".join(ctes)}
+        {final}
+    """
+
+
+def _unigram_segment_sql() -> str:
+    """Segmentation replay: the full training CTEs for the final cost
+    map, then Viterbi over each document's DISTINCT words and
+    reassembly in word order — composition over structured parts, no
+    SQL string slicing."""
+    from external_benchmarks_spark.operators.unigram import KEEP_SCHEDULE
+
+    n_rounds = len(KEEP_SCHEDULE)
+    train_ctes, _final = _unigram_sql_parts()
+    toks = (
+        r"list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\s+'), "
+        r"t -> len(t) > 0 AND regexp_matches(t, '^[a-z0-9]+$'))"
+    )
+    ctes = train_ctes + [
+        """umf AS MATERIALIZED (
+          SELECT map(list(piece ORDER BY piece), list(c ORDER BY piece)) AS vm
+          FROM ucf)""",
+        f"""doct AS MATERIALIZED (SELECT doc_id, {toks} AS ws FROM documents)""",
+        """docw AS MATERIALIZED (
+          SELECT doc_id, ord, ws[CAST(ord AS INT)] AS word
+          FROM (SELECT doc_id, ws,
+                       unnest(generate_series(1, CAST(len(ws) AS BIGINT))) AS ord
+                FROM doct))""",
+        """udw AS MATERIALIZED (
+          SELECT DISTINCT word, CAST(1 AS BIGINT) AS cnt FROM docw)""",
+    ]
+    ctes += _unigram_viterbi_ctes("udw", "umf", "uf")
+    ctes += [
+        """udagg AS MATERIALIZED (
+          SELECT d.doc_id,
+                 flatten(list(string_split(s.toks, ' ') ORDER BY d.ord)) AS tl
+          FROM docw d JOIN ufseg s USING (word)
+          GROUP BY d.doc_id)""",
+    ]
+    return f"""
+        WITH {", ".join(ctes)}
+        SELECT d.doc_id,
+               CAST(COALESCE(len(a.tl), 0) AS BIGINT) AS n_unigram_tokens,
+               md5(array_to_string(COALESCE(a.tl, CAST([] AS VARCHAR[])), '|'))
+                 AS tokens_md5
+        FROM (SELECT doc_id FROM documents) d
+        LEFT JOIN udagg a USING (doc_id)
+    """
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3919,6 +4160,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- semantics changed in round 7 (BPE symbol-level merge; SCD2 ---
         # --- two-attribute tuple + new-key coverage): re-verify first ---
+        # --- new in round 8: never driver-checked ------------------------
+        "unigram_vocab": q_unigram_vocab,
+        "unigram_segment_tokens": q_unigram_segment_tokens,
         "bpe_merges": q_bpe_merges,
         "scd2_apply": q_scd2_apply,
         "scd2_collisions": q_scd2_collisions,
@@ -5298,6 +5542,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(pq_score AS DOUBLE) / 1000000.0 AS approx_score
             FROM pq_s ORDER BY pq_score DESC, vec_id LIMIT 20
         """,
+        "unigram_vocab": _unigram_sql(),
+        "unigram_segment_tokens": _unigram_segment_sql(),
         "bpe_merges": _bpe_sql(),
         "kmeans_profile": _kmeans_sql(),
         "quality_topp": r"""
