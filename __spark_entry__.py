@@ -3759,32 +3759,30 @@ def q_cluster_profile(spark, sf):
     return cluster_profile(ivf_assign(e, centroids), centroids)
 
 
-def q_ingest_report(spark, sf):
-    # The two reference surfaces CLOSED INTO ONE ARTIFACT: dataset
-    # PRODUCTION (pipeline/ingest.ingest_products — stage a published
-    # JSONL via the wget-analog, permissive-parse with quarantine,
-    # normalize to the pinned 17-column product table, derive columns,
-    # embed) feeding dataset ANALYSIS (pipeline/report.dataset_report —
-    # the fused 2-job stats scan), reduced to a hashable row set:
-    # ingest counters, the full null profile, derived-tier /
-    # review-volume / category shares (the group_share_topn pct
-    # device), title-length stats, and integer price cents. The raw
-    # JSONL is generated DETERMINISTICALLY from the part table
-    # (per-key modular rules for corrupt lines, unparseable prices,
-    # and null fields), so DuckDB replays the whole arc from `part`
-    # without touching a file. coalesce(1) on the fixture write is
-    # bounded by the part table, not the corpus.
+_INGEST_FIXTURE: dict[str, str] = {}
+
+
+def _ingest_report_fixture(spark, sf) -> str:
+    """The deterministic raw JSONL fixture for the ingest arc, written
+    ONCE per (sf, part-table version) — keyed on source mtime+size like
+    bench._vt_layout — and reused by every later call. Bench pre-warms
+    this outside the timed region (the _skew_tables rule: bench
+    fixtures are MATERIALIZED artifacts, never generator expressions
+    billed to the leg), so the measured ingest_report cost is
+    stage -> parse -> embed -> report only. The content is a pure
+    function of `part` (per-key modular rules for corrupt lines,
+    unparseable prices, and null fields), so regeneration and reuse are
+    indistinguishable. coalesce(1) is bounded by the part table."""
     import tempfile
 
-    from external_benchmarks_spark.pipeline.ingest import ingest_products
-    from external_benchmarks_spark.pipeline.report import dataset_report
-    from external_benchmarks_spark.schemas import PRODUCT_SCHEMA
-
-    tag = os.path.basename(sf.rstrip("/"))
-    work = os.path.join(tempfile.gettempdir(), f"ebs_ingest_report_{tag}")
-    raw_dir = os.path.join(work, "raw")
-    k = F.col("p_partkey")
-    rec = F.to_json(
+    src = os.path.join(sf, "part.parquet")
+    st = os.stat(src)
+    key = f"{os.path.basename(sf.rstrip('/'))}_{int(st.st_mtime)}_{st.st_size}"
+    if key not in _INGEST_FIXTURE:
+        raw_dir = os.path.join(tempfile.gettempdir(), f"ebs_ingest_raw_{key}")
+        if not os.path.exists(os.path.join(raw_dir, "_SUCCESS")):
+            k = F.col("p_partkey")
+            rec = F.to_json(
         F.struct(
             F.concat(F.lit("P"), k.cast("string")).alias("parent_asin"),
             F.col("p_name").alias("title"),
@@ -3803,22 +3801,48 @@ def q_ingest_report(spark, sf):
             F.when(k % 11 != 0, F.concat(F.lit("S"), (k % 7).cast("string"))).alias(
                 "store"
             ),
-            F.create_map(F.lit("pk"), k.cast("string")).alias("details"),
-        )
-    )
-    line = F.when(k % 97 == 0, F.lit("{invalid")).otherwise(rec)
-    (
-        Catalog(spark, sf).part.select(line.alias("value"))
-        .coalesce(1)
-        .write.mode("overwrite")
-        .text(raw_dir)
-    )
-    fname = sorted(
-        f for f in os.listdir(raw_dir) if f.startswith("part-")
-    )[0]
+                    F.create_map(F.lit("pk"), k.cast("string")).alias("details"),
+                )
+            )
+            line = F.when(k % 97 == 0, F.lit("{invalid")).otherwise(rec)
+            (
+                Catalog(spark, sf).part.select(line.alias("value"))
+                .coalesce(1)
+                .write.mode("overwrite")
+                .text(raw_dir)
+            )
+        fname = sorted(
+            f for f in os.listdir(raw_dir) if f.startswith("part-")
+        )[0]
+        _INGEST_FIXTURE[key] = os.path.join(raw_dir, fname)
+    return _INGEST_FIXTURE[key]
+
+
+def q_ingest_report(spark, sf):
+    # The two reference surfaces CLOSED INTO ONE ARTIFACT: dataset
+    # PRODUCTION (pipeline/ingest.ingest_products — stage a published
+    # JSONL via the wget-analog, permissive-parse with quarantine,
+    # normalize to the pinned 17-column product table, derive columns,
+    # embed) feeding dataset ANALYSIS (pipeline/report.dataset_report —
+    # the fused 2-job stats scan), reduced to a hashable row set:
+    # ingest counters, the full null profile, derived-tier /
+    # review-volume / category shares (the group_share_topn pct
+    # device), title-length stats, and integer price cents. The raw
+    # JSONL fixture is generated DETERMINISTICALLY from the part table
+    # by _ingest_report_fixture (written once per table version), so
+    # DuckDB replays the whole arc from `part` without touching a file.
+    import tempfile
+
+    from external_benchmarks_spark.pipeline.ingest import ingest_products
+    from external_benchmarks_spark.pipeline.report import dataset_report
+    from external_benchmarks_spark.schemas import PRODUCT_SCHEMA
+
+    tag = os.path.basename(sf.rstrip("/"))
+    work = os.path.join(tempfile.gettempdir(), f"ebs_ingest_report_{tag}")
+    raw_file = _ingest_report_fixture(spark, sf)
     products, rep = ingest_products(
         spark,
-        "file://" + os.path.join(raw_dir, fname),
+        "file://" + raw_file,
         os.path.join(work, "stage"),
         "tpch_part",
         dim=8,
@@ -3956,43 +3980,59 @@ def _ilog2_sql(x: str) -> str:
 
 
 def _unigram_viterbi_ctes(src: str, vm_cte: str, prefix: str) -> list[str]:
-    """Two CTEs segmenting ``src`` (word, cnt) under the cost map in
-    ``vm_cte``: a forward DP over positions (dp[j] packs total cost
-    and last-piece length as tot*64+len; min = cheapest, then shortest
-    last piece) carried as a comma-joined string through list_reduce,
-    then a backtrack walking dp from the end with a 'pos|toks' packed
-    state — both the house packed-state reduce device from the BPE
-    oracle. Mirrors operators/unigram.viterbi_word exactly."""
+    """Three CTEs segmenting ``src`` (word, cnt) under the cost map in
+    ``vm_cte`` — RECURSIVE CTEs, deliberately LAMBDA-FREE: DuckDB
+    1.0's parallel executor mis-pairs list_reduce lambda results with
+    other rows' pass-through columns (observed: one word receiving
+    another word's segmentation — flaky OR consistently wrong
+    depending on CTE materialization, always correct at threads=1).
+    Joins and scalar CASE expressions don't exhibit the bug, so the
+    Viterbi forward DP is a recursive shift-register (d0..d3 carry
+    dp[j..j-3]; dp packs (total cost, last piece len) as tot*64+len;
+    min = cheapest then shortest last piece, ties exact as
+    operators/unigram.viterbi_word) and the backtrack is a second
+    recursion joining the dp table on (word, pos). The cost-map cross
+    join is 1 row — constant across rows. Unknown single chars cost
+    UNK_COST; unknown multi-char pieces are not candidates."""
     from external_benchmarks_spark.operators.unigram import MAX_PIECE, UNK_COST
 
-    dpv = "list_transform(string_split(st, ','), z -> CAST(z AS BIGINT))"
-    dp_cte = f"""{prefix}dp AS MATERIALIZED (
-      SELECT word, cnt,
-        list_transform(string_split(
-          list_reduce(list_prepend('0', list_transform(generate_series(1, CAST(len(word) AS BIGINT)), j -> CAST(j AS VARCHAR))),
-            (st, js) -> st || ',' || CAST((list_min(list_filter(list_transform(generate_series(1, {MAX_PIECE}), l ->
-              CASE WHEN l <= CAST(js AS BIGINT) THEN
-                CASE WHEN vm[substring(word, CAST(CAST(js AS BIGINT) - l + 1 AS INT), CAST(l AS INT))][1] IS NOT NULL THEN
-                  ({dpv}[CAST(js AS BIGINT) - l + 1] // 64
-                   + vm[substring(word, CAST(CAST(js AS BIGINT) - l + 1 AS INT), CAST(l AS INT))][1]) * 64 + l
-                WHEN l = 1 THEN
-                  ({dpv}[CAST(js AS BIGINT) - l + 1] // 64
-                   + CAST({UNK_COST} AS BIGINT)) * 64 + 1
-                END
-              END), x -> x IS NOT NULL))) AS VARCHAR)), ','), z -> CAST(z AS BIGINT)) AS dpl
-      FROM {src}, {vm_cte})"""
-    pos = "CAST(split_part(st, '|', 1) AS BIGINT)"
-    plen = f"dpl[{pos} + 1] % 64"
-    seg_cte = f"""{prefix}seg AS MATERIALIZED (
-      SELECT word, cnt,
-        trim(split_part(list_reduce(list_prepend(CAST(len(word) AS VARCHAR) || '|',
-            list_transform(generate_series(1, CAST(len(word) AS BIGINT)), j -> '')),
-          (st, z) -> CASE WHEN {pos} <= 0 THEN st ELSE
-            CAST({pos} - {plen} AS VARCHAR)
-            || '|' || substring(word, CAST({pos} - {plen} + 1 AS INT), CAST({plen} AS INT))
-            || ' ' || split_part(st, '|', 2) END), '|', 2)) AS toks
-      FROM {prefix}dp)"""
-    return [dp_cte, seg_cte]
+    inf = 9007199254740991
+    cands = []
+    for l in range(1, MAX_PIECE + 1):
+        d = f"d{l - 1}"
+        look = f"vm[substring(word, CAST(j + 2 - {l} AS INT), {l})][1]"
+        if l == 1:
+            body = (
+                f"CASE WHEN {look} IS NOT NULL THEN (d0 // 64 + {look}) * 64 + 1 "
+                f"ELSE (d0 // 64 + CAST({UNK_COST} AS BIGINT)) * 64 + 1 END"
+            )
+            cond = "j + 1 >= 1"
+        else:
+            body = f"CASE WHEN {look} IS NOT NULL THEN ({d} // 64 + {look}) * 64 + {l} END"
+            cond = f"j + 1 >= {l} AND {d} IS NOT NULL"
+        cands.append(
+            f"COALESCE(CASE WHEN {cond} THEN {body} END, CAST({inf} AS BIGINT))"
+        )
+    fw = f"""{prefix}fw(word, cnt, j, d0, d1, d2, d3) AS (
+      SELECT word, cnt, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+             CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+      FROM {src}
+      UNION ALL
+      SELECT word, cnt, j + 1,
+             LEAST({", ".join(cands)}),
+             d0, d1, d2
+      FROM {prefix}fw, {vm_cte}
+      WHERE j < CAST(len(word) AS BIGINT))"""
+    bt = f"""{prefix}bt(word, cnt, pos, toks) AS (
+      SELECT word, cnt, CAST(len(word) AS BIGINT), '' FROM {src}
+      UNION ALL
+      SELECT b.word, b.cnt, b.pos - f.d0 % 64,
+             substring(b.word, CAST(b.pos - f.d0 % 64 + 1 AS INT), CAST(f.d0 % 64 AS INT))
+             || CASE WHEN b.toks = '' THEN '' ELSE ' ' END || b.toks
+      FROM {prefix}bt b JOIN {prefix}fw f ON f.word = b.word AND f.j = b.pos
+      WHERE b.pos > 0)"""
+    seg = f"{prefix}seg AS MATERIALIZED (SELECT word, cnt, toks FROM {prefix}bt WHERE pos = 0)"
+    return [fw, bt, seg]
 
 
 def _unigram_sql_parts() -> tuple[list[str], str]:
@@ -4009,19 +4049,25 @@ def _unigram_sql_parts() -> tuple[list[str], str]:
         r"list_filter(regexp_split_to_array(lower(text), '\s+'), "
         r"t -> len(t) > 0 AND regexp_matches(t, '^[a-z0-9]+$'))"
     )
-    pieces = (
-        "flatten(list_transform(generate_series(1, CAST(len(word) AS BIGINT)), s -> "
-        f"list_transform(generate_series(0, least(CAST({MAX_PIECE - 1} AS BIGINT), CAST(len(word) AS BIGINT) - s)), "
-        "d -> substring(word, CAST(s AS INT), CAST(d + 1 AS INT)))))"
-    )
     ctes = [
         f"""uwf AS MATERIALIZED (
           SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
           FROM (SELECT unnest({toks}) AS word FROM documents)
           GROUP BY word)""",
-        f"""ucand AS MATERIALIZED (
+        # lambda-free candidate generation (see _unigram_viterbi_ctes on
+        # the DuckDB 1.0 lambda row-mixing bug): static (start, len)
+        # grids cross-joined and bounds-filtered, instead of nested
+        # list_transform lambdas capturing `word`.
+        """ugs AS MATERIALIZED (
+          SELECT unnest(generate_series(1,
+            (SELECT COALESCE(MAX(CAST(len(word) AS BIGINT)), 0) FROM uwf))) AS s)""",
+        f"""ugl AS MATERIALIZED (
+          SELECT unnest(generate_series(1, CAST({MAX_PIECE} AS BIGINT))) AS l)""",
+        """ucand AS MATERIALIZED (
           SELECT piece, CAST(SUM(cnt) AS BIGINT) AS f
-          FROM (SELECT unnest({pieces}) AS piece, cnt FROM uwf)
+          FROM (SELECT substring(word, CAST(s AS INT), CAST(l AS INT)) AS piece, cnt
+                FROM uwf, ugs, ugl
+                WHERE s + l - 1 <= CAST(len(word) AS BIGINT))
           GROUP BY piece)""",
         f"""uv0 AS MATERIALIZED (
           SELECT piece, f FROM ucand WHERE len(piece) = 1
@@ -4030,13 +4076,16 @@ def _unigram_sql_parts() -> tuple[list[str], str]:
             SELECT piece, f FROM ucand WHERE len(piece) > 1
             ORDER BY f DESC, piece LIMIT {SEED_MULTI}))""",
     ]
-    # Every CTE in the chain is MATERIALIZED: DuckDB inlines plain CTEs
-    # per reference, and this chain references each round's tables
-    # several times (row source + the total-T input + the map build) —
-    # inlining would re-expand the whole prior-round pipeline per
-    # reference, exponentially. The vocab total also travels as a
+    # Every non-recursive chain CTE is MATERIALIZED (plain-CTE inlining
+    # would re-execute the recursive DP once per downstream reference —
+    # exponentially across rounds), and the vocab total travels as a
     # one-row ut{r} CTE instead of a repeated scalar subquery (the
-    # ilog2 expression uses its argument ~5 times).
+    # ilog2 expression uses its argument ~5 times). Materialization is
+    # safe here ONLY because the per-word path is lambda-free — see
+    # _unigram_viterbi_ctes on the DuckDB 1.0 lambda row-mixing bug
+    # this chain was rebuilt to avoid; the sole remaining lambdas
+    # (uwf's arg-only token filter, the capture-free ilog2 reduce) are
+    # the shapes the other 180 oracles have exercised without incident.
     n_rounds = len(KEEP_SCHEDULE)
     for r, keep in enumerate(KEEP_SCHEDULE):
         ctes.append(
@@ -4047,9 +4096,18 @@ def _unigram_sql_parts() -> tuple[list[str], str]:
           SELECT piece, ({_ilog2_sql("tt")}) - ({_ilog2_sql("f")}) AS c
           FROM uv{r}, ut{r})"""
         )
+        # map_from_entries over ONE list of (piece, cost) structs, not
+        # map(list(piece ORDER BY ...), list(c ORDER BY ...)): under
+        # parallel aggregation DuckDB 1.0 does not reliably honor the
+        # aggregate-level ORDER BY, and two independently-built lists
+        # can come back in DIFFERENT orders — misaligning every piece
+        # with another piece's cost and flipping segmentations
+        # nondeterministically (observed ~20% of multi-threaded runs at
+        # sf0.001). Entry structs keep each key glued to its own value
+        # regardless of list order, and map lookup is order-blind.
         ctes.append(
             f"""um{r} AS MATERIALIZED (
-          SELECT map(list(piece ORDER BY piece), list(c ORDER BY piece)) AS vm
+          SELECT map_from_entries(list(struct_pack(k := piece, v := c))) AS vm
           FROM uc{r})"""
         )
         ctes += _unigram_viterbi_ctes("uwf", f"um{r}", f"ur{r}")
@@ -4089,7 +4147,7 @@ def _unigram_sql_parts() -> tuple[list[str], str]:
 def _unigram_sql() -> str:
     ctes, final = _unigram_sql_parts()
     return f"""
-        WITH {", ".join(ctes)}
+        WITH RECURSIVE {", ".join(ctes)}
         {final}
     """
 
@@ -4109,7 +4167,7 @@ def _unigram_segment_sql() -> str:
     )
     ctes = train_ctes + [
         """umf AS MATERIALIZED (
-          SELECT map(list(piece ORDER BY piece), list(c ORDER BY piece)) AS vm
+          SELECT map_from_entries(list(struct_pack(k := piece, v := c))) AS vm
           FROM ucf)""",
         f"""doct AS MATERIALIZED (SELECT doc_id, {toks} AS ws FROM documents)""",
         """docw AS MATERIALIZED (
@@ -4129,7 +4187,7 @@ def _unigram_segment_sql() -> str:
           GROUP BY d.doc_id)""",
     ]
     return f"""
-        WITH {", ".join(ctes)}
+        WITH RECURSIVE {", ".join(ctes)}
         SELECT d.doc_id,
                CAST(COALESCE(len(a.tl), 0) AS BIGINT) AS n_unigram_tokens,
                md5(array_to_string(COALESCE(a.tl, CAST([] AS VARCHAR[])), '|'))
@@ -4148,75 +4206,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # window of entries in dict order each round, so entries whose
     # semantics/data changed this round go first (they must re-verify),
     # then never-checked new entries, then the STALEST driver-green
-    # entries. Round-7 window (~50): the 3 entries whose oracles changed
-    # this round (bpe_merges -> symbol-level merge; scd2_apply/lookup ->
-    # two-attribute tuple with brand-new-key coverage), any new r7
-    # entries, then the 27-entry r3-block tail (minhash/vocab/roundtrip/
-    # quantize/graph families — 4 rounds stale, the round-6 verdict's
-    # rotation order), then the head of the r4 block. The r6-verified
-    # block rotates to the back. Every entry passes the local mirror
-    # (tests/test_oracle_queries.py) every test run either way, so
-    # rotation costs nothing.
+    # entries. Round-8 window (~50): the 9 entries that changed or are
+    # new this round (unigram family; scd2 collision rule + the forced-
+    # collision variant; kmeans seed rewrite; bpe cache/oracle-compose),
+    # then the FULL 37-entry r4-stale block (variant_extract ..
+    # group_median — the round-7 verdict's rotation target; after this
+    # round nothing is older than r5), then the r5 block head. Blocks
+    # re-checked in r7 and the r6-verified tail rotate to the back
+    # (rotate the r5 block forward in r9). Every entry passes the local
+    # mirror (tests/test_oracle_queries.py) every test run either way,
+    # so rotation costs nothing.
     return {
-        # --- semantics changed in round 7 (BPE symbol-level merge; SCD2 ---
-        # --- two-attribute tuple + new-key coverage): re-verify first ---
-        # --- new in round 8: never driver-checked ------------------------
+        # --- round-8 changed semantics/oracle or brand-new: re-verify first ---
         "unigram_vocab": q_unigram_vocab,
         "unigram_segment_tokens": q_unigram_segment_tokens,
-        "bpe_merges": q_bpe_merges,
         "scd2_apply": q_scd2_apply,
         "scd2_collisions": q_scd2_collisions,
         "scd2_lookup": q_scd2_lookup,
-        # --- new in round 7: never driver-checked ------------------------
-        "ingest_report": q_ingest_report,
-        "bpe_segment_tokens": q_bpe_segment_tokens,
         "scd2_lookup_asof": q_scd2_lookup_asof,
-        "neardup_keep_best": q_neardup_keep_best,
         "kmeans_profile": q_kmeans_profile,
-        "global_rank": q_global_rank,
-        "quality_topp": q_quality_topp,
-        # --- stalest: last driver-checked r3 ------------------------------
-        "curation_funnel": q_curation_funnel,
-        "ngram_jaccard": q_ngram_jaccard,
-        "minhash_signature": q_minhash_signature,
-        "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "simhash": q_simhash,
-        "lang_id": q_lang_id,
-        "text_quality": q_text_quality,
-        "fingerprint": q_fingerprint,
-        "token_stats": q_token_stats,
-        "top_terms": q_top_terms,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "approx_distinct": q_approx_distinct,
-        "approx_quantile": q_approx_quantile,
-        "repetition_stats": q_repetition_stats,
-        "doc_chunks": q_doc_chunks,
-        "sequence_pack": q_sequence_pack,
-        "vocab_encode": q_vocab_encode,
-        "dataset_split": q_dataset_split,
-        "weighted_sample": q_weighted_sample,
-        "pii_redact": q_pii_redact,
-        "jsonl_roundtrip": q_jsonl_roundtrip,
-        "csv_roundtrip": q_csv_roundtrip,
-        "orc_roundtrip": q_orc_roundtrip,
-        "quantize_embeddings": q_quantize_embeddings,
-        "quant_dot_topk": q_quant_dot_topk,
-        "neardup_components": q_neardup_components,
-        "doc_pagerank": q_doc_pagerank,
-        # --- last driver-checked r4 ---------------------------------------
-        "mp3_metadata": q_mp3_metadata,
-        "mp4_metadata": q_mp4_metadata,
-        "cms_heavy_hitters": q_cms_heavy_hitters,
-        "event_funnel": q_event_funnel,
-        "event_transitions": q_event_transitions,
-        "bucketed_join_agg": q_bucketed_join_agg,
-        "stream_heavy_hitters": q_stream_heavy_hitters,
-        "pyds_docgen": q_pyds_docgen,
-        "outer_join_profile": q_outer_join_profile,
-        "tpch_q1": q_tpch_q1,
-        "tpch_q3": q_tpch_q3,
-        "tpch_q5": q_tpch_q5,
-        "hll_merge": q_hll_merge,
+        "bpe_merges": q_bpe_merges,
+        "bpe_segment_tokens": q_bpe_segment_tokens,
+        # --- stalest: last driver-checked r4 (the round-7 verdict's rotation target) ---
         "variant_extract": q_variant_extract,
         "fuzzy_name_pairs": q_fuzzy_name_pairs,
         "value_drift": q_value_drift,
@@ -4254,7 +4265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_lag": q_rank_lag,
         "multi_quantile": q_multi_quantile,
         "group_median": q_group_median,
-        # --- last driver-checked r5 ---------------------------------------
+        # --- last driver-checked r5 ---
         "date_parts": q_date_parts,
         "deterministic_sample": q_deterministic_sample,
         "stratified_sample": q_stratified_sample,
@@ -4301,7 +4312,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_score_fuse": q_hybrid_score_fuse,
         "recency_weighted": q_recency_weighted,
         "event_transitions_ranged": q_event_transitions_ranged,
-        # --- freshly r6-verified (rotate forward again in r8+) ------------
+        # --- re-checked r7 (former r4 head) ---
+        "mp3_metadata": q_mp3_metadata,
+        "mp4_metadata": q_mp4_metadata,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
+        "event_funnel": q_event_funnel,
+        "event_transitions": q_event_transitions,
+        "bucketed_join_agg": q_bucketed_join_agg,
+        "stream_heavy_hitters": q_stream_heavy_hitters,
+        "pyds_docgen": q_pyds_docgen,
+        "outer_join_profile": q_outer_join_profile,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
+        "hll_merge": q_hll_merge,
+        # --- re-checked r7 (former r3-stale block) ---
+        "curation_funnel": q_curation_funnel,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_signature": q_minhash_signature,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash": q_simhash,
+        "lang_id": q_lang_id,
+        "text_quality": q_text_quality,
+        "fingerprint": q_fingerprint,
+        "token_stats": q_token_stats,
+        "top_terms": q_top_terms,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "approx_distinct": q_approx_distinct,
+        "approx_quantile": q_approx_quantile,
+        "repetition_stats": q_repetition_stats,
+        "doc_chunks": q_doc_chunks,
+        "sequence_pack": q_sequence_pack,
+        "vocab_encode": q_vocab_encode,
+        "dataset_split": q_dataset_split,
+        "weighted_sample": q_weighted_sample,
+        "pii_redact": q_pii_redact,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
+        "csv_roundtrip": q_csv_roundtrip,
+        "orc_roundtrip": q_orc_roundtrip,
+        "quantize_embeddings": q_quantize_embeddings,
+        "quant_dot_topk": q_quant_dot_topk,
+        "neardup_components": q_neardup_components,
+        "doc_pagerank": q_doc_pagerank,
+        # --- first checked r7 (round-7 additions) ---
+        "ingest_report": q_ingest_report,
+        "neardup_keep_best": q_neardup_keep_best,
+        "global_rank": q_global_rank,
+        "quality_topp": q_quality_topp,
+        # --- r6-verified tail ---
         "details_prune": q_details_prune,
         "sessionize": q_sessionize,
         "asof_last_event": q_asof_last_event,
@@ -4350,7 +4408,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join_agg": q_salted_join_agg,
         "exact_dedup": q_exact_dedup,
     }
-
 
 # ---------------------------------------------------------------------------
 # DuckDB oracle SQL — generated from the same constants

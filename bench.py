@@ -905,6 +905,11 @@ def headline_queries():
         "ingest_report": q["ingest_report"],
         "global_rank": q["global_rank"],
         "quality_topp": q["quality_topp"],
+        # Round-8 additions (unigram-LM tokenizer family + forced-
+        # collision SCD2 variant)
+        "unigram_vocab": q["unigram_vocab"],
+        "unigram_segment_tokens": q["unigram_segment_tokens"],
+        "scd2_collisions": q["scd2_collisions"],
         # Events surface
         "events_hourly": q["events_hourly"],
         "sessionize": q["sessionize"],
@@ -946,6 +951,14 @@ def main() -> None:
     _bucketed_tables(spark, SF_DIR)  # bucketed write here, joins are timed
     _inverted_index(spark, SF_DIR)  # postings build here, queries are timed
     Catalog(spark, SF_DIR).partsupp_table()  # materialize the TPC-H fixture
+    # The ingest arc's raw JSONL fixture is a MATERIALIZED artifact like
+    # the skew tables — built here once, so the ingest_report leg times
+    # stage -> parse -> embed -> report, not fixture production. The
+    # one-time build cost is reported separately below.
+    t0 = time.perf_counter()
+    entry_mod._ingest_report_fixture(spark, SF_DIR)
+    ingest_fixture_s = round(time.perf_counter() - t0, 3)
+    print(f"# ingest_fixture_build: {ingest_fixture_s}s", file=sys.stderr)
     # Hot-key detection for the adaptive skew leg happens here too: the
     # hot set is a per-table-version artifact (like the layouts above),
     # computed once and reused by every adaptive join against the table.
@@ -982,40 +995,59 @@ def main() -> None:
     sidx = VectorServingIndex(_vt_layout(spark, SF_DIR))
     serving_p95: dict[str, float] = {}
     mods = {"10pct": None, "1pct": 10, "0.1pct": 100, "0.01pct": 1000}
+    # Median-of-3 p95s (the round-8 noise protocol): r7 saw these move
+    # 3-13x within SLA with no code change; one 50-rep loop's p95 is a
+    # single order statistic and inherits any transient GC/co-tenancy
+    # spike, so run the loop three times and report the median p95.
     for sel, mod in mods.items():
-        reps = []
-        for _ in range(50):
-            t0 = time.perf_counter()
-            sidx.topk(QVEC, k=100, label=0, key_mod=mod)
-            reps.append(time.perf_counter() - t0)
-        reps.sort()
-        serving_p95[f"vtopk_{sel}_ms"] = round(reps[int(round(0.95 * 50)) - 1] * 1000, 3)
+        p95s = []
+        for _ in range(3):
+            reps = []
+            for _ in range(50):
+                t0 = time.perf_counter()
+                sidx.topk(QVEC, k=100, label=0, key_mod=mod)
+                reps.append(time.perf_counter() - t0)
+            reps.sort()
+            p95s.append(reps[int(round(0.95 * 50)) - 1] * 1000)
+        serving_p95[f"vtopk_{sel}_ms"] = round(sorted(p95s)[1], 3)
     print(f"# serving_read_p95_ms: {serving_p95}", file=sys.stderr)
 
-    # Each query runs twice: `queries` reports the min (steady-state —
-    # robust against host co-tenancy noise, which measured up to 1.4x
-    # between identical runs on this box; see SCALE.md round-3 forensics),
-    # `queries_cold` the first run. Both are in the JSON; nothing hidden.
-    # The skew trio is single-shot by design: a warm rerun reads
-    # page-cached shuffle spills through JIT-compiled code and masks the
-    # hot-reducer imbalance the three entries exist to demonstrate.
+    # Noise-resistant protocol (round-8): each leg runs 1 cold + 3 warm;
+    # `queries` reports the MEDIAN of the 3 warm runs (host co-tenancy
+    # noise measured up to 1.4x between identical runs on this box, and
+    # r7's PQ/event_funnel "regressions" were pure drift — a median of 3
+    # makes a real change distinguishable from one noisy run), with the
+    # warm min/max preserved in `queries_spread` so the r-to-r diff
+    # explains itself. `queries_cold` is the first run. The skew trio is
+    # single-shot by design: a warm rerun reads page-cached shuffle
+    # spills through JIT-compiled code and masks the hot-reducer
+    # imbalance the entries exist to demonstrate.
     single_shot = {
         "skew_join_naive", "skew_join_salted", "skew_join_adaptive",
         "skew_join_adaptive_warm", "skew_join_aqe",
     }
     times: dict[str, float] = {}
     times_cold: dict[str, float] = {}
+    times_spread: dict[str, dict[str, float]] = {}
     for name, fn in headline_queries().items():
         reps = []
-        for _ in range(1 if name in single_shot else 2):
+        for _ in range(1 if name in single_shot else 4):
             t0 = time.perf_counter()
             df = fn(spark, SF_DIR)
             n = df.count()  # force full execution
             reps.append(time.perf_counter() - t0)
+        warm = reps[1:] or reps
+        med = sorted(warm)[len(warm) // 2]
         times_cold[name] = round(reps[0], 3)
-        times[name] = round(min(reps), 3)
+        times[name] = round(med, 3)
+        times_spread[name] = {
+            "min": round(min(warm), 3),
+            "median": round(med, 3),
+            "max": round(max(warm), 3),
+        }
         print(
-            f"# {name}: cold {reps[0]:.3f}s / steady {min(reps):.3f}s ({n} rows)",
+            f"# {name}: cold {reps[0]:.3f}s / median {med:.3f}s "
+            f"(warm {min(warm):.3f}-{max(warm):.3f}, {n} rows)",
             file=sys.stderr,
         )
 
@@ -1037,9 +1069,21 @@ def main() -> None:
         run_rate_server,
     )
 
-    stream_srv = run_rate_server(
-        spark, _vt_layout(spark, SF_DIR), QVEC, qps=20, duration_s=60.0
-    )
+    # Median-of-3 servers (20 s each, same total sample count as the old
+    # single 60 s run): one run's p95 inherits any transient GC pause —
+    # r7 saw service p95 move 0.85 -> 2.96 ms with no code change.
+    srv_runs = [
+        run_rate_server(
+            spark, _vt_layout(spark, SF_DIR), QVEC, qps=20, duration_s=20.0
+        )
+        for _ in range(3)
+    ]
+    med = lambda xs: sorted(xs)[len(xs) // 2]
+    stream_srv = {
+        "service": {"p95_ms": med([r["service"]["p95_ms"] for r in srv_runs])},
+        "e2e": {"p95_ms": med([r["e2e"]["p95_ms"] for r in srv_runs])},
+        "runs": srv_runs,
+    }
     # Empty-batch control: same loop, zero service work — isolates the
     # micro-batch delivery floor so the e2e number reads honestly
     # (service ~2.5 ms vs ~800 ms delivery; SCALE.md r7 note).
@@ -1071,6 +1115,8 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "queries_cold": times_cold,
+        "queries_spread": times_spread,
+        "ingest_fixture_build_s": ingest_fixture_s,
         "read_p95": read_p95,
         "serving_read_p95_ms": serving_p95,
         "serving_under_load": load,
