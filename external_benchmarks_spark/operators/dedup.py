@@ -444,6 +444,7 @@ def embedding_neardup_pairs(
     threshold: float = 0.95,
     use_arrow_fast_path: bool = False,
     max_block_rows: int | None = None,
+    subblock_bits: int = 2,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within a blocking key.
 
@@ -464,9 +465,16 @@ def embedding_neardup_pairs(
     ``max_block_rows`` caps pair fan-out for degenerate giant blocks by
     sub-blocking them with a secondary sign-LSH band (_subblock_key) —
     approximate (drop-only) above the cap, exact at or below it.
+    ``subblock_bits`` is the band width: each extra bit halves the
+    expected sub-block size but multiplies the chance a true pair is
+    split across sub-blocks. Defaults are picked from the measured
+    sweep in tools/neardup_knobs.py (SCALE.md round-8 table).
     """
     if max_block_rows is not None:
-        blocked = _subblock_key(df, block_col, emb_col, max_block_rows, key_col)
+        blocked = _subblock_key(
+            df, block_col, emb_col, max_block_rows, key_col,
+            n_bits=subblock_bits,
+        )
     else:
         blocked = df.withColumn("_blk", F.col(block_col))
     if use_arrow_fast_path:
