@@ -4197,6 +4197,221 @@ def _unigram_segment_sql() -> str:
     """
 
 
+WP_MERGES = 8
+
+
+def q_wordpiece_merges(spark, sf):
+    # WordPiece tokenizer training (operators/wordpiece.wordpiece_train)
+    # — the THIRD tokenizer family; the reference's bge embedding model
+    # uses a BERT WordPiece tokenizer (reference README.md:52-55).
+    # BPE's loop with BERT positional symbols (h ##e ##l ##l ##o) and
+    # the likelihood-gain objective: merge the pair maximizing
+    # count(ab)/(count(a)*count(b)), scored as a q36 FIXED-POINT
+    # INTEGER quotient (both engines truncate integer division toward
+    # zero) with (score desc, lhs, rhs) ties. The oracle replays all 8
+    # rounds as unrolled CTEs: pair counts + SYMBOL counts + the score
+    # join, and the same symbol-level greedy lazy-emit merge as BPE
+    # with the merged literal a || strip_##(b).
+    from external_benchmarks_spark.operators.wordpiece import wordpiece_train
+
+    return wordpiece_train(Catalog(spark, sf).documents, n_merges=WP_MERGES)
+
+
+def q_wordpiece_segment_tokens(spark, sf):
+    # WordPiece SEGMENTATION cross-engine twin (mirrors
+    # bpe/unigram_segment_tokens): train, build the vocabulary
+    # (positional alphabet + merge outputs), then greedy
+    # longest-match-first segment every document (BERT inference; a
+    # matchless position makes the whole word [UNK]). The chain DP runs
+    # once per DISTINCT word; the oracle replays it lambda-free — a
+    # static (word, pos, len) grid joined against the vocab CTE for
+    # best-match lengths, then a recursive chain-following CTE.
+    from external_benchmarks_spark.operators.wordpiece import (
+        wordpiece_segment,
+        wordpiece_train,
+        wordpiece_vocab,
+    )
+
+    docs = Catalog(spark, sf).documents
+    merges = wordpiece_train(docs, n_merges=WP_MERGES)
+    vocab = wordpiece_vocab(docs, merges)
+    seg = wordpiece_segment(docs, vocab)
+    return seg.select(
+        "doc_id",
+        F.size("wp_tokens").cast("bigint").alias("n_wp_tokens"),
+        F.md5(F.concat_ws("|", "wp_tokens")).alias("tokens_md5"),
+    )
+
+
+def _wordpiece_sql_parts(n_merges: int = WP_MERGES) -> tuple[list[str], str]:
+    """(cte_list, final_select) replaying wordpiece_train: BERT
+    positional char split, then per round pair counts + symbol counts
+    + the q36 integer likelihood-gain score, winner by
+    (score desc, lhs, rhs), and the shared symbol-level greedy
+    lazy-emit merge (list_reduce 'acc|prev' packed state — the
+    lambdas capture only the 1-row cross-joined winner, the shape the
+    BPE oracles hammer-verified clean; see _unigram_viterbi_ctes on
+    the DuckDB 1.0 row-mixing bug that rule guards against)."""
+    from external_benchmarks_spark.operators.wordpiece import SCORE_SHIFT
+
+    toks = (
+        r"list_filter(regexp_split_to_array(lower(text), '\s+'), "
+        r"t -> len(t) > 0 AND regexp_matches(t, '^[a-z0-9]+$'))"
+    )
+    sym = "string_split(trim(s), ' ')"
+    ctes = [
+        f"""wpwf AS MATERIALIZED (
+          SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM (SELECT unnest({toks}) AS word FROM documents)
+          GROUP BY word)""",
+        """wpw1 AS MATERIALIZED (
+          SELECT ' ' || array_to_string(list_transform(
+                   generate_series(1, CAST(len(word) AS BIGINT)),
+                   k -> CASE WHEN k = 1 THEN substring(word, CAST(k AS INT), 1)
+                        ELSE '##' || substring(word, CAST(k AS INT), 1) END),
+                 ' ') || ' ' AS s, cnt
+          FROM wpwf)""",
+    ]
+    for i in range(1, n_merges + 1):
+        ctes.append(f"""wpp{i} AS MATERIALIZED (
+          SELECT pr[1] AS a, pr[2] AS b, CAST(SUM(cnt) AS BIGINT) AS c
+          FROM (SELECT unnest(list_transform(
+                         generate_series(1, len({sym}) - 1),
+                         k -> [{sym}[k], {sym}[k + 1]])) AS pr,
+                       cnt
+                FROM wpw{i})
+          GROUP BY 1, 2)""")
+        ctes.append(f"""wps{i} AS MATERIALIZED (
+          SELECT sym, CAST(SUM(cnt) AS BIGINT) AS f
+          FROM (SELECT unnest({sym}) AS sym, cnt FROM wpw{i})
+          GROUP BY sym)""")
+        ctes.append(f"""wpb{i} AS MATERIALIZED (
+          SELECT {i} AS step, p.a, p.b, p.c,
+                 (p.c * CAST({1 << SCORE_SHIFT} AS BIGINT)) // (sa.f * sb.f)
+                   AS sc,
+                 p.a || regexp_replace(p.b, '^##', '') AS m
+          FROM wpp{i} p
+          JOIN wps{i} sa ON sa.sym = p.a
+          JOIN wps{i} sb ON sb.sym = p.b
+          ORDER BY sc DESC, p.a, p.b LIMIT 1)""")
+        ctes.append(f"""wpw{i + 1} AS MATERIALIZED (
+          SELECT CASE WHEN split_part(r, '|', 2) = ''
+                      THEN split_part(r, '|', 1) || ' '
+                      ELSE split_part(r, '|', 1) || ' ' || split_part(r, '|', 2) || ' '
+                 END AS s, cnt
+          FROM (
+            SELECT list_reduce(
+                     list_prepend('|', string_split(trim(w.s), ' ')),
+                     (st, x) -> CASE
+                        WHEN split_part(st, '|', 2) = b.a AND x = b.b
+                          THEN split_part(st, '|', 1) || ' ' || b.m || '|'
+                        WHEN split_part(st, '|', 2) = ''
+                          THEN split_part(st, '|', 1) || '|' || x
+                        ELSE split_part(st, '|', 1) || ' ' || split_part(st, '|', 2) || '|' || x
+                      END) AS r, w.cnt
+            FROM wpw{i} w CROSS JOIN wpb{i} b))""")
+    union = " UNION ALL ".join(
+        f"SELECT * FROM wpb{i}" for i in range(1, n_merges + 1)
+    )
+    final = f"""SELECT CAST(step AS BIGINT) AS step, a AS lhs, b AS rhs,
+               m AS merged, c AS pair_count, sc AS score_q36
+        FROM ({union}) ORDER BY step"""
+    return ctes, final
+
+
+def _wordpiece_sql(n_merges: int = WP_MERGES) -> str:
+    ctes, final = _wordpiece_sql_parts(n_merges)
+    return f"""
+        WITH {", ".join(ctes)}
+        {final}
+    """
+
+
+def _wordpiece_segment_sql(n_merges: int = WP_MERGES) -> str:
+    """Segmentation replay: the training CTEs for the merge outputs,
+    the vocabulary as alphabet-symbols UNION merge outputs, then the
+    greedy longest-match chain per DISTINCT word — LAMBDA-FREE on the
+    per-word path (house rule after the DuckDB 1.0 row-mixing bug): a
+    static (word, pos, len) grid joined to the vocab gives
+    best_l(word, pos) by GROUP BY MAX, and a recursive CTE follows the
+    chain pos -> pos + best_l, going [UNK] when no piece matches."""
+    train_ctes, _final = _wordpiece_sql_parts(n_merges)
+    toks = (
+        r"list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\s+'), "
+        r"t -> len(t) > 0 AND regexp_matches(t, '^[a-z0-9]+$'))"
+    )
+    union_m = " UNION ALL ".join(
+        f"SELECT m FROM wpb{i}" for i in range(1, n_merges + 1)
+    )
+    ctes = train_ctes + [
+        f"""wpvoc AS MATERIALIZED (
+          SELECT DISTINCT piece FROM (
+            SELECT unnest(string_split(trim(s), ' ')) AS piece FROM wpw1
+            UNION ALL
+            SELECT m AS piece FROM ({union_m})))""",
+        """wpdoct AS MATERIALIZED (
+          SELECT doc_id, {toks} AS ws FROM documents)""".replace(
+            "{toks}", toks
+        ),
+        """wpdocw AS MATERIALIZED (
+          SELECT doc_id, ord, ws[CAST(ord AS INT)] AS word
+          FROM (SELECT doc_id, ws,
+                       unnest(generate_series(1, CAST(len(ws) AS BIGINT))) AS ord
+                FROM wpdoct))""",
+        """wpdw AS MATERIALIZED (SELECT DISTINCT word FROM wpdocw)""",
+        """wpps AS MATERIALIZED (
+          SELECT unnest(generate_series(1,
+            (SELECT COALESCE(MAX(CAST(len(word) AS BIGINT)), 0) FROM wpdw)))
+            AS pos)""",
+        """wpls AS MATERIALIZED (
+          SELECT unnest(generate_series(1,
+            (SELECT COALESCE(MAX(CAST(len(regexp_replace(piece, '^##', ''))
+                                      AS BIGINT)), 1) FROM wpvoc))) AS l)""",
+        """wpgrid AS MATERIALIZED (
+          SELECT w.word, p.pos, MAX(l.l) AS best_l
+          FROM wpdw w
+          CROSS JOIN wpps p
+          CROSS JOIN wpls l
+          JOIN wpvoc v
+            ON v.piece = CASE WHEN p.pos = 1 THEN '' ELSE '##' END
+                         || substring(w.word, CAST(p.pos AS INT), CAST(l.l AS INT))
+          WHERE p.pos + l.l - 1 <= CAST(len(w.word) AS BIGINT)
+          GROUP BY w.word, p.pos)""",
+        """wpch(word, pos, toks) AS (
+          SELECT word, CAST(1 AS BIGINT) AS pos, '' AS toks FROM wpdw
+          UNION ALL
+          SELECT c.word,
+                 CASE WHEN g.best_l IS NULL
+                      THEN CAST(len(c.word) AS BIGINT) + 1
+                      ELSE c.pos + g.best_l END,
+                 CASE WHEN g.best_l IS NULL THEN '[UNK]'
+                      ELSE c.toks || CASE WHEN c.toks = '' THEN '' ELSE ' ' END
+                           || CASE WHEN c.pos = 1 THEN '' ELSE '##' END
+                           || substring(c.word, CAST(c.pos AS INT),
+                                        CAST(g.best_l AS INT)) END
+          FROM wpch c LEFT JOIN wpgrid g
+            ON g.word = c.word AND g.pos = c.pos
+          WHERE c.pos <= CAST(len(c.word) AS BIGINT))""",
+        """wpwseg AS MATERIALIZED (
+          SELECT word, toks FROM wpch
+          WHERE pos > CAST(len(word) AS BIGINT))""",
+        """wpdagg AS MATERIALIZED (
+          SELECT d.doc_id,
+                 flatten(list(string_split(s.toks, ' ') ORDER BY d.ord)) AS tl
+          FROM wpdocw d JOIN wpwseg s USING (word)
+          GROUP BY d.doc_id)""",
+    ]
+    return f"""
+        WITH RECURSIVE {", ".join(ctes)}
+        SELECT d.doc_id,
+               CAST(COALESCE(len(a.tl), 0) AS BIGINT) AS n_wp_tokens,
+               md5(array_to_string(COALESCE(a.tl, CAST([] AS VARCHAR[])), '|'))
+                 AS tokens_md5
+        FROM (SELECT doc_id FROM documents) d
+        LEFT JOIN wpdagg a USING (doc_id)
+    """
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4218,6 +4433,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # so rotation costs nothing.
     return {
         # --- round-8 changed semantics/oracle or brand-new: re-verify first ---
+        "wordpiece_merges": q_wordpiece_merges,
+        "wordpiece_segment_tokens": q_wordpiece_segment_tokens,
         "unigram_vocab": q_unigram_vocab,
         "unigram_segment_tokens": q_unigram_segment_tokens,
         "scd2_apply": q_scd2_apply,
@@ -5599,6 +5816,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(pq_score AS DOUBLE) / 1000000.0 AS approx_score
             FROM pq_s ORDER BY pq_score DESC, vec_id LIMIT 20
         """,
+        "wordpiece_merges": _wordpiece_sql(),
+        "wordpiece_segment_tokens": _wordpiece_segment_sql(),
         "unigram_vocab": _unigram_sql(),
         "unigram_segment_tokens": _unigram_segment_sql(),
         "bpe_merges": _bpe_sql(),

@@ -910,6 +910,8 @@ def headline_queries():
         "unigram_vocab": q["unigram_vocab"],
         "unigram_segment_tokens": q["unigram_segment_tokens"],
         "scd2_collisions": q["scd2_collisions"],
+        "wordpiece_merges": q["wordpiece_merges"],
+        "wordpiece_segment_tokens": q["wordpiece_segment_tokens"],
         # Events surface
         "events_hourly": q["events_hourly"],
         "sessionize": q["sessionize"],

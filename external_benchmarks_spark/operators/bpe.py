@@ -71,13 +71,16 @@ def _char_spaced(col):
     return F.concat(F.lit(" "), F.regexp_replace(col, "(.)", "$1 "))
 
 
-def _apply_merge(s: Column, a: str, b: str) -> Column:
+def _apply_merge(s: Column, a: str, b: str, merged: str | None = None) -> Column:
     """Apply one merge rule (a, b) to a space-delimited symbol string:
     greedy left-to-right non-overlapping at the SYMBOL level, as a
     single Catalyst ``aggregate`` — no UDF. State is (acc, prev) where
     prev is the held unconsumed symbol ('' = none; symbols are
-    non-empty so the sentinel cannot collide)."""
-    merged = a + b
+    non-empty so the sentinel cannot collide). ``merged`` overrides the
+    emitted symbol (default ``a + b``; WordPiece emits ``a`` plus ``b``
+    with its ``##`` continuation marker stripped)."""
+    if merged is None:
+        merged = a + b
     return F.aggregate(
         F.split(F.trim(s), " "),
         F.struct(F.lit("").alias("acc"), F.lit("").alias("prev")),
@@ -106,13 +109,17 @@ def _apply_merge(s: Column, a: str, b: str) -> Column:
     )
 
 
-def _merge_word(syms: list[str], a: str, b: str) -> list[str]:
+def _merge_word(
+    syms: list[str], a: str, b: str, merged: str | None = None
+) -> list[str]:
     """Driver-side twin of :func:`_apply_merge` over a symbol list."""
+    if merged is None:
+        merged = a + b
     out: list[str] = []
     i, n = 0, len(syms)
     while i < n:
         if i + 1 < n and syms[i] == a and syms[i + 1] == b:
-            out.append(a + b)
+            out.append(merged)
             i += 2
         else:
             out.append(syms[i])
