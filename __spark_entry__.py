@@ -4412,6 +4412,99 @@ def _wordpiece_segment_sql(n_merges: int = WP_MERGES) -> str:
     """
 
 
+ZORDER_BITS = 8
+ZORDER_BUCKETS = 64
+
+
+def q_zorder_stats(spark, sf):
+    # Z-order (Morton) layout vs linear layout, priced against the
+    # three characteristic 2-d range queries (operators/zorder.py):
+    # per-bucket realized bounding boxes (exactly parquet footer
+    # min/max stats) intersected with the rectangle = files a pruning
+    # reader must touch. All-integer quantize/interleave/bucket math,
+    # bounds from a 1-row broadcast agg (no collect). Measured at
+    # sf0.01: both-selective 4 vs 9 buckets, y-only 15 vs 64 (the
+    # linear layout's blind spot), x-only 16 vs 9 (linear's home case)
+    # — the honest tradeoff table.
+    from external_benchmarks_spark.operators.zorder import layout_skip_stats
+
+    return layout_skip_stats(
+        Catalog(spark, sf).orders,
+        "o_custkey",
+        "datediff(o_orderdate, DATE'1992-01-01')",
+        bits=ZORDER_BITS,
+        n_buckets=ZORDER_BUCKETS,
+    )
+
+
+def _zorder_sql() -> str:
+    """DuckDB replay: same quantize/interleave/bucket integer math via
+    the shared dialect-parameterized expression generators (`//` vs
+    `div` is the only difference), same per-bucket bounding-box
+    intersection test."""
+    from external_benchmarks_spark.operators.zorder import (
+        DEFAULT_RECTS,
+        interleave_expr,
+        quantize_expr,
+    )
+
+    bits, nb = ZORDER_BITS, ZORDER_BUCKETS
+    r = (1 << bits) - 1
+    zspace = 1 << (2 * bits)
+    qx = quantize_expr(
+        "o_custkey", "b._xmn", "b._xmx", bits, dialect="duckdb"
+    )
+    qy = quantize_expr(
+        "datediff('day', DATE '1992-01-01', o_orderdate)",
+        "b._ymn",
+        "b._ymx",
+        bits,
+        dialect="duckdb",
+    )
+    z = interleave_expr("_qx", "_qy", bits, dialect="duckdb")
+    hit_cols = ", ".join(
+        f"""CAST(SUM(CASE WHEN _qx BETWEEN {r * a // 8} AND {r * b // 8}
+             AND _qy BETWEEN {r * c // 8} AND {r * d // 8}
+             THEN 1 ELSE 0 END) AS BIGINT) AS hits_{name}"""
+        for name, (a, b, c, d) in DEFAULT_RECTS
+    )
+    selects = []
+    for bucket_col, strat in (("zbucket", "zorder"), ("lbucket", "linear")):
+        for name, (a, b, c, d) in DEFAULT_RECTS:
+            xlo, xhi = r * a // 8, r * b // 8
+            ylo, yhi = r * c // 8, r * d // 8
+            selects.append(f"""
+              SELECT '{strat}' AS strategy, '{name}' AS rect,
+                     CAST(COUNT(*) AS BIGINT) AS n_buckets,
+                     CAST(SUM(CASE WHEN bxmn <= {xhi} AND bxmx >= {xlo}
+                          AND bymn <= {yhi} AND bymx >= {ylo}
+                          THEN 1 ELSE 0 END) AS BIGINT) AS buckets_touched,
+                     CAST(SUM(hits_{name}) AS BIGINT) AS rows_matched
+              FROM per_{bucket_col}""")
+    per_tmpl = """per_{bc} AS MATERIALIZED (
+          SELECT {bc}, MIN(_qx) AS bxmn, MAX(_qx) AS bxmx,
+                 MIN(_qy) AS bymn, MAX(_qy) AS bymx, {hits}
+          FROM assigned GROUP BY {bc})"""
+    return f"""
+        WITH bounds AS (
+          SELECT MIN(o_custkey) AS _xmn, MAX(o_custkey) AS _xmx,
+                 MIN(datediff('day', DATE '1992-01-01', o_orderdate)) AS _ymn,
+                 MAX(datediff('day', DATE '1992-01-01', o_orderdate)) AS _ymx
+          FROM orders),
+        q AS MATERIALIZED (
+          SELECT CAST({qx} AS BIGINT) AS _qx, CAST({qy} AS BIGINT) AS _qy
+          FROM orders CROSS JOIN bounds b),
+        assigned AS MATERIALIZED (
+          SELECT _qx, _qy,
+                 CAST({z} * {nb} // {zspace} AS BIGINT) AS zbucket,
+                 CAST(_qx * {nb} // {r + 1} AS BIGINT) AS lbucket
+          FROM q),
+        {per_tmpl.format(bc="zbucket", hits=hit_cols)},
+        {per_tmpl.format(bc="lbucket", hits=hit_cols)}
+        {" UNION ALL ".join(selects)}
+    """
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4435,6 +4528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-8 changed semantics/oracle or brand-new: re-verify first ---
         "wordpiece_merges": q_wordpiece_merges,
         "wordpiece_segment_tokens": q_wordpiece_segment_tokens,
+        "zorder_stats": q_zorder_stats,
         "unigram_vocab": q_unigram_vocab,
         "unigram_segment_tokens": q_unigram_segment_tokens,
         "scd2_apply": q_scd2_apply,
@@ -5818,6 +5912,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "wordpiece_merges": _wordpiece_sql(),
         "wordpiece_segment_tokens": _wordpiece_segment_sql(),
+        "zorder_stats": _zorder_sql(),
         "unigram_vocab": _unigram_sql(),
         "unigram_segment_tokens": _unigram_segment_sql(),
         "bpe_merges": _bpe_sql(),

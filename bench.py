@@ -912,6 +912,7 @@ def headline_queries():
         "scd2_collisions": q["scd2_collisions"],
         "wordpiece_merges": q["wordpiece_merges"],
         "wordpiece_segment_tokens": q["wordpiece_segment_tokens"],
+        "zorder_stats": q["zorder_stats"],
         # Events surface
         "events_hourly": q["events_hourly"],
         "sessionize": q["sessionize"],
