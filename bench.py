@@ -913,6 +913,7 @@ def headline_queries():
         "wordpiece_merges": q["wordpiece_merges"],
         "wordpiece_segment_tokens": q["wordpiece_segment_tokens"],
         "zorder_stats": q["zorder_stats"],
+        "bloom_semi_stats": q["bloom_semi_stats"],
         # Events surface
         "events_hourly": q["events_hourly"],
         "sessionize": q["sessionize"],
