@@ -4591,12 +4591,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # window of entries in dict order each round, so entries whose
     # semantics/data changed this round go first (they must re-verify),
     # then never-checked new entries, then the STALEST driver-green
-    # entries. Round-8 window (~50): the 9 entries that changed or are
-    # new this round (unigram family; scd2 collision rule + the forced-
-    # collision variant; kmeans seed rewrite; bpe cache/oracle-compose),
-    # then the FULL 37-entry r4-stale block (variant_extract ..
-    # group_median — the round-7 verdict's rotation target; after this
-    # round nothing is older than r5), then the r5 block head. Blocks
+    # entries. Round-8 window (~50): the 13 entries that changed or are
+    # new this round (wordpiece family, zorder, bloom; unigram family;
+    # scd2 collision rule + the forced-collision variant; kmeans seed
+    # rewrite; bpe cache/oracle-compose), then the FULL 37-entry
+    # r4-stale block (variant_extract .. group_median — the round-7
+    # verdict's rotation target; after this round nothing is older than
+    # r5): 13 + 37 = exactly the window. Blocks
     # re-checked in r7 and the r6-verified tail rotate to the back
     # (rotate the r5 block forward in r9). Every entry passes the local
     # mirror (tests/test_oracle_queries.py) every test run either way,

@@ -99,3 +99,51 @@ def test_small_bloom_degrades_gracefully(spark):
     r = bloom_semi_stats(fact, dim, "k", "k", m=256, k=2).collect()[0]
     assert r["exact_matches"] == 200
     assert r["bloom_survivors"] >= 200
+
+
+def test_probe_runs_unchanged_in_structured_streaming(spark, sf_dir, tmp_path):
+    """The probe is a stateless codegen filter, so the SAME expression
+    runs as a streaming runtime filter: an availableNow file stream
+    through bloom_filter_fact must keep exactly the batch survivors —
+    bloom-reduced ingest with no state store and no shuffle."""
+    from external_benchmarks_spark.operators.bloom import (
+        bloom_build,
+        bloom_filter_fact,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_linenumber")
+        .limit(2000)
+    )
+    src = str(tmp_path / "fact_src")
+    lineitem.write.parquet(src)
+    dim = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    words = {
+        int(r["word"]): int(r["bits"])
+        for r in bloom_build(dim, "o_orderkey").collect()
+    }
+    batch = sorted(
+        (r["l_orderkey"], r["l_linenumber"])
+        for r in bloom_filter_fact(
+            spark.read.parquet(src), "l_orderkey", words
+        ).collect()
+    )
+    stream = spark.readStream.schema(
+        "l_orderkey bigint, l_linenumber int"
+    ).parquet(src)
+    q = (
+        bloom_filter_fact(stream, "l_orderkey", words)
+        .writeStream.format("memory")
+        .queryName("bloom_stream_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["l_orderkey"], r["l_linenumber"])
+        for r in spark.sql("SELECT * FROM bloom_stream_out").collect()
+    )
+    assert got == batch
+    assert len(got) > 0

@@ -55,6 +55,13 @@ LEGS = (
     "pq_topk",
     "scd2_apply",
     "hourly_anomalies",
+    # round-8 additions: tokenizer application (distinct-word DP is
+    # constant across replicas — the join-back side scales), bloom
+    # fact-side reduction, z-order bucket pricing (two scans + bounded
+    # aggs)
+    "wordpiece_segment_tokens",
+    "bloom_semi_stats",
+    "zorder_stats",
 )
 DIM_TABLES = ("region", "nation", "supplier", "part")
 EMB_DIM = 64
