@@ -4582,6 +4582,71 @@ def _bloom_sql() -> str:
     """
 
 
+def q_hash_sample_quantiles(spark, sf):
+    # Mergeable quantile sketch (operators/qsketch.py): bottom-256
+    # md5 hash sample per l_returnflag (the order-statistics member of
+    # the sketch family; merge identity bottom_k(A|B) =
+    # bottom_k(bottom_k(A)|bottom_k(B)) unit-tested), then per-mille
+    # quantile picks at floor rank over the k-bounded sample — integer
+    # cents, no interpolation, every pick an actual data value. The
+    # grouped sample is ONE partitioned window; the oracle replays the
+    # hash order, tie rule, and rank arithmetic verbatim.
+    from external_benchmarks_spark.operators.qsketch import (
+        hash_sample,
+        sample_quantiles,
+    )
+
+    li = Catalog(spark, sf).lineitem.withColumn(
+        "_cents", _cents(F.col("l_extendedprice"))
+    )
+    # the testdata's (l_orderkey, l_linenumber) is NOT unique (unlike
+    # real TPC-H), so the value itself joins the row key: identical
+    # full rows tie on everything and are interchangeable, any other
+    # collision is broken identically by both engines.
+    s = hash_sample(
+        li,
+        ["l_orderkey", "l_linenumber", "_cents"],
+        group_col="l_returnflag",
+    )
+    return sample_quantiles(s, "_cents", group_col="l_returnflag")
+
+
+def _hash_sample_quantiles_sql() -> str:
+    from external_benchmarks_spark.operators.qsketch import QSKETCH_K
+
+    ps = (250, 500, 750, 950)
+    picks = " UNION ALL ".join(
+        f"""SELECT l_returnflag, CAST({p} AS BIGINT) AS p_mille,
+               v AS q_est
+            FROM ranked WHERE rn = (n - 1) * {p} // 1000 + 1"""
+        for p in ps
+    )
+    return f"""
+        WITH s AS MATERIALIZED (
+          SELECT l_returnflag, l_orderkey, l_linenumber, v,
+                 md5(CAST(l_orderkey AS VARCHAR) || '|'
+                     || CAST(l_linenumber AS VARCHAR) || '|'
+                     || CAST(v AS VARCHAR)) AS hk
+          FROM (SELECT l_returnflag, l_orderkey, l_linenumber,
+                       CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS v
+                FROM lineitem)),
+        topk AS MATERIALIZED (
+          SELECT l_returnflag, v, hk FROM (
+            SELECT l_returnflag, v, hk,
+                   row_number() OVER (PARTITION BY l_returnflag
+                     ORDER BY hk, l_orderkey, l_linenumber, v) AS rn
+            FROM s) t
+          WHERE rn <= {QSKETCH_K}),
+        ranked AS MATERIALIZED (
+          SELECT l_returnflag, v,
+                 row_number() OVER (PARTITION BY l_returnflag
+                   ORDER BY v, hk) AS rn,
+                 COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+          FROM topk)
+        {picks}
+    """
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4655,6 +4720,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_lag": q_rank_lag,
         "multi_quantile": q_multi_quantile,
         "group_median": q_group_median,
+        # --- r9 window head: debuts next round (r8 window is exactly full) ---
+        "hash_sample_quantiles": q_hash_sample_quantiles,
         # --- last driver-checked r5 ---
         "date_parts": q_date_parts,
         "deterministic_sample": q_deterministic_sample,
@@ -5993,6 +6060,7 @@ def oracle_sql() -> dict[str, str]:
         "wordpiece_segment_tokens": _wordpiece_segment_sql(),
         "zorder_stats": _zorder_sql(),
         "bloom_semi_stats": _bloom_sql(),
+        "hash_sample_quantiles": _hash_sample_quantiles_sql(),
         "unigram_vocab": _unigram_sql(),
         "unigram_segment_tokens": _unigram_segment_sql(),
         "bpe_merges": _bpe_sql(),

@@ -914,6 +914,7 @@ def headline_queries():
         "wordpiece_segment_tokens": q["wordpiece_segment_tokens"],
         "zorder_stats": q["zorder_stats"],
         "bloom_semi_stats": q["bloom_semi_stats"],
+        "hash_sample_quantiles": q["hash_sample_quantiles"],
         # Events surface
         "events_hourly": q["events_hourly"],
         "sessionize": q["sessionize"],
