@@ -4607,6 +4607,7 @@ def q_hash_sample_quantiles(spark, sf):
         li,
         ["l_orderkey", "l_linenumber", "_cents"],
         group_col="l_returnflag",
+        salt=32,  # 3 groups: salted two-phase keeps full parallelism
     )
     return sample_quantiles(s, "_cents", group_col="l_returnflag")
 

@@ -39,16 +39,40 @@ def hash_sample(
     key_cols: list[str],
     k: int = QSKETCH_K,
     group_col: str | None = None,
+    salt: int | None = None,
 ) -> DataFrame:
     """The bottom-k sketch rows (original columns plus the `_hk` hash).
     Deterministic: ordered by md5 of the concatenated row key, tie-
-    broken by the key columns themselves."""
+    broken by the key columns themselves.
+
+    ``salt`` is the few-groups scale lever: a bare grouped window
+    shuffles the corpus onto ONE task per group (3 groups = 3 tasks no
+    matter the cluster). With ``salt=S`` phase 1 windows over
+    (group, xxhash64(keys) % S) — G*S partitions, full parallelism —
+    and phase 2 merges the G*S partial sketches per group, moving only
+    G*S*k rows through the second shuffle. The result is IDENTICAL by
+    the bottom-k merge identity (tested), and deterministic because
+    the salt is a key hash, not a partition id."""
     hcol = F.md5(
         F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
     )
     out = df.withColumn("_hk", hcol)
     if group_col is None:
         return out.orderBy("_hk", *key_cols).limit(k)
+    if salt is not None:
+        sc = F.pmod(
+            F.xxhash64(*[F.col(c).cast("string") for c in key_cols]),
+            F.lit(salt),
+        )
+        w1 = Window.partitionBy(group_col, "_salt").orderBy(
+            "_hk", *key_cols
+        )
+        out = (
+            out.withColumn("_salt", sc)
+            .withColumn("_rn", F.row_number().over(w1))
+            .filter(F.col("_rn") <= k)
+            .drop("_rn", "_salt")
+        )
     w = Window.partitionBy(group_col).orderBy("_hk", *key_cols)
     return (
         out.withColumn("_rn", F.row_number().over(w))

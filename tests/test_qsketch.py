@@ -109,3 +109,29 @@ def test_grouped_window_is_partitioned(spark, sf_dir):
     )
     assert "Window" in plan
     assert "SinglePartition" not in plan
+
+
+def test_salted_two_phase_equals_bare_grouped(spark, sf_dir):
+    """The few-groups scale form (salted phase-1 windows + per-group
+    merge) returns exactly the bare grouped sketch, by the bottom-k
+    merge identity, and its first window partitions on (group, salt)."""
+    from external_benchmarks_spark.operators.qsketch import hash_sample
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    keys = ["l_orderkey", "l_linenumber", "l_extendedprice"]
+    bare = sorted(
+        (r["l_returnflag"], r["_hk"])
+        for r in hash_sample(
+            li, keys, k=128, group_col="l_returnflag"
+        ).collect()
+    )
+    salted_df = hash_sample(
+        li, keys, k=128, group_col="l_returnflag", salt=16
+    )
+    salted = sorted(
+        (r["l_returnflag"], r["_hk"]) for r in salted_df.collect()
+    )
+    assert salted == bare
+    plan = salted_df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") >= 2
+    assert "_salt" in plan
