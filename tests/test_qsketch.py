@@ -135,3 +135,65 @@ def test_salted_two_phase_equals_bare_grouped(spark, sf_dir):
     plan = salted_df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Window") >= 2
     assert "_salt" in plan
+
+
+def test_streaming_maintenance_is_bit_identical_to_batch(spark, sf_dir, tmp_path):
+    """Live maintenance: an availableNow file stream folded through
+    StreamingQuantileSketch must end with EXACTLY the batch sketch's
+    quantiles over the same rows — the merge identity makes streaming
+    maintenance exact, not approximate-on-top-of-approximate."""
+    import pyspark.sql.functions as F2
+
+    from external_benchmarks_spark.operators.qsketch import (
+        hash_sample,
+        sample_quantiles,
+    )
+    from external_benchmarks_spark.streaming.qsketch import (
+        StreamingQuantileSketch,
+    )
+
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select(
+            "l_returnflag", "l_orderkey", "l_linenumber",
+            (F2.round(F2.col("l_extendedprice") * 100, 0).cast("bigint")).alias("cents"),
+        )
+        .limit(5000)
+    )
+    src = str(tmp_path / "li_src")
+    # several files so the stream sees multiple batches worth of input
+    li.repartition(6).write.parquet(src)
+
+    keys = ["l_orderkey", "l_linenumber", "cents"]
+    batch = sorted(
+        tuple(r)
+        for r in sample_quantiles(
+            hash_sample(
+                spark.read.parquet(src), keys, k=128,
+                group_col="l_returnflag",
+            ),
+            "cents",
+            group_col="l_returnflag",
+        ).collect()
+    )
+    sk = StreamingQuantileSketch(
+        spark, keys, k=128, group_col="l_returnflag"
+    )
+    stream = spark.readStream.schema(
+        "l_returnflag string, l_orderkey bigint, l_linenumber int, cents bigint"
+    ).option("maxFilesPerTrigger", 2).parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(sk.foreach_batch())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        tuple(r) for r in sk.quantiles("cents").collect()
+    )
+    assert got == batch
+    # state is hard-bounded: <= k rows per group
+    counts = (
+        sk.state_df().groupBy("l_returnflag").count().collect()
+    )
+    assert all(r["count"] <= 128 for r in counts)
