@@ -1004,18 +1004,27 @@ def main() -> None:
     # 3-13x within SLA with no code change; one 50-rep loop's p95 is a
     # single order statistic and inherits any transient GC/co-tenancy
     # spike, so run the loop three times and report the median p95.
+    # p50 travels next to the p95: isolated runs show the 10pct path's
+    # p50 rock-steady at ~0.12 ms while its p95 swings 0.8-3.7 ms
+    # between 50-rep loops (allocation/GC tail on the full-partition
+    # scan), so a moving p95 with a flat p50 is tail jitter, not a
+    # regression. 100 reps per loop for a stabler order statistic.
+    serving_p50: dict[str, float] = {}
     for sel, mod in mods.items():
-        p95s = []
+        p95s, p50s = [], []
         for _ in range(3):
             reps = []
-            for _ in range(50):
+            for _ in range(100):
                 t0 = time.perf_counter()
                 sidx.topk(QVEC, k=100, label=0, key_mod=mod)
                 reps.append(time.perf_counter() - t0)
             reps.sort()
-            p95s.append(reps[int(round(0.95 * 50)) - 1] * 1000)
+            p95s.append(reps[94] * 1000)
+            p50s.append(reps[49] * 1000)
         serving_p95[f"vtopk_{sel}_ms"] = round(sorted(p95s)[1], 3)
+        serving_p50[f"vtopk_{sel}_ms"] = round(sorted(p50s)[1], 3)
     print(f"# serving_read_p95_ms: {serving_p95}", file=sys.stderr)
+    print(f"# serving_read_p50_ms: {serving_p50}", file=sys.stderr)
 
     # Noise-resistant protocol (round-8): each leg runs 1 cold + 3 warm;
     # `queries` reports the MEDIAN of the 3 warm runs (host co-tenancy
@@ -1124,6 +1133,7 @@ def main() -> None:
         "ingest_fixture_build_s": ingest_fixture_s,
         "read_p95": read_p95,
         "serving_read_p95_ms": serving_p95,
+        "serving_read_p50_ms": serving_p50,
         "serving_under_load": load,
         "stream_serving_p95_ms": stream_srv["service"]["p95_ms"],
         "stream_serving_e2e_p95_ms": stream_srv["e2e"]["p95_ms"],

@@ -35,7 +35,7 @@ from external_benchmarks_spark.session import get_spark  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 OUT = "/tmp/zorder_layouts"
 BITS = 8
-N_FILES = 64
+N_FILES = int(os.environ.get("ZORDER_N_FILES", "64"))
 YEXPR = "datediff(o_orderdate, DATE'1992-01-01')"
 
 
