@@ -4648,6 +4648,69 @@ def _hash_sample_quantiles_sql() -> str:
     """
 
 
+def q_running_total(spark, sf):
+    # Distributed prefix aggregation (operators/prefix.py): revenue-to-
+    # date over the daily order totals. A bare SUM() OVER (ORDER BY day)
+    # is a single-reducer window; the operator's two-pass shape (range
+    # partition -> per-partition totals -> driver-side exclusive prefix
+    # over #partitions values -> partitioned running window + offset)
+    # yields the identical running sum with normal parallelism. Integer
+    # cents; day is unique after the groupBy, so the order is total.
+    from external_benchmarks_spark.operators.prefix import prefix_agg
+
+    od = (
+        Catalog(spark, sf)
+        .orders.groupBy(F.to_date("o_orderdate").alias("o_day"))
+        .agg(F.sum(_cents(F.col("o_totalprice"))).alias("day_cents"))
+    )
+    return prefix_agg(od, ["o_day"], "day_cents", out_col="running_cents").select(
+        "o_day", "day_cents", "running_cents"
+    )
+
+
+def q_skyline_parts(spark, sf):
+    # 2D skyline / Pareto front (operators/prefix.py): parts not
+    # dominated on (size, price) — no other part is >= on both axes
+    # and > on one. The oracle prices the O(n^2) NOT EXISTS spec; the
+    # operator runs one groupBy(x) + one exclusive running max over the
+    # |distinct x| table (the prefix device) + a join back — no pairwise
+    # comparison, so the shape survives a 100x row count where the
+    # self-join cannot. Duplicate frontier points all survive (neither
+    # dominates the other) in both engines.
+    from external_benchmarks_spark.operators.prefix import skyline_2d
+
+    p = Catalog(spark, sf).part.select(
+        "p_partkey", "p_size", _cents(F.col("p_retailprice")).alias("price_cents")
+    )
+    return skyline_2d(p, "p_size", "price_cents").select(
+        "p_partkey", "p_size", "price_cents"
+    )
+
+
+_RUNNING_TOTAL_SQL = """
+    WITH d AS (
+      SELECT CAST(o_orderdate AS DATE) AS o_day,
+             SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS day_cents
+      FROM orders GROUP BY 1)
+    SELECT o_day, CAST(day_cents AS BIGINT) AS day_cents,
+           CAST(SUM(day_cents) OVER (ORDER BY o_day) AS BIGINT)
+             AS running_cents
+    FROM d
+"""
+
+_SKYLINE_PARTS_SQL = """
+    WITH t AS (
+      SELECT p_partkey, p_size,
+             CAST(ROUND(p_retailprice * 100, 0) AS BIGINT) AS price_cents
+      FROM part)
+    SELECT p_partkey, p_size, price_cents FROM t
+    WHERE NOT EXISTS (
+      SELECT 1 FROM t d
+      WHERE d.p_size >= t.p_size AND d.price_cents >= t.price_cents
+        AND (d.p_size > t.p_size OR d.price_cents > t.price_cents))
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4723,6 +4786,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_median": q_group_median,
         # --- r9 window head: debuts next round (r8 window is exactly full) ---
         "hash_sample_quantiles": q_hash_sample_quantiles,
+        "running_total": q_running_total,
+        "skyline_parts": q_skyline_parts,
         # --- last driver-checked r5 ---
         "date_parts": q_date_parts,
         "deterministic_sample": q_deterministic_sample,
@@ -6062,6 +6127,8 @@ def oracle_sql() -> dict[str, str]:
         "zorder_stats": _zorder_sql(),
         "bloom_semi_stats": _bloom_sql(),
         "hash_sample_quantiles": _hash_sample_quantiles_sql(),
+        "running_total": _RUNNING_TOTAL_SQL,
+        "skyline_parts": _SKYLINE_PARTS_SQL,
         "unigram_vocab": _unigram_sql(),
         "unigram_segment_tokens": _unigram_segment_sql(),
         "bpe_merges": _bpe_sql(),
