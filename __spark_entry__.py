@@ -4711,6 +4711,110 @@ _SKYLINE_PARTS_SQL = """
 """
 
 
+def q_kmv_distinct(spark, sf):
+    # KMV bottom-k distinct sketch (operators/kmv.py): estimated
+    # vocabulary size per corpus source. The SET member of the sketch
+    # family — unlike HLL it supports intersection (the overlap twin
+    # below). Sketch build = distinct(source, 52-bit md5-slice hash)
+    # -> one PARTITIONED bottom-k window; estimates are integer floor
+    # divisions of integer products so the oracle replays them exactly.
+    from external_benchmarks_spark.operators.kmv import kmv_estimate, kmv_sketch
+
+    d = Catalog(spark, sf).documents
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: F.length(t) > 0)
+    terms = d.select("source", F.explode(toks).alias("term"))
+    sk = kmv_sketch(terms, "term", group_col="source")
+    return kmv_estimate(sk, group_col="source").orderBy("source")
+
+
+def q_kmv_overlap(spark, sf):
+    # Pairwise corpus-source vocabulary overlap from ONE grouped KMV
+    # sketch — the "how much does source X overlap source Y" question
+    # every dataset-mixing decision needs, at k rows per source instead
+    # of the full vocabularies. Shuffled volume is O(G^2 * k) (G = 20
+    # sources -> 190 pairs), never corpus-sized; est_inter/jaccard_ppm
+    # are integer-exact replays of the bottom-k theta-sketch arithmetic.
+    from external_benchmarks_spark.operators.kmv import kmv_pair_overlap, kmv_sketch
+
+    d = Catalog(spark, sf).documents
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: F.length(t) > 0)
+    terms = d.select("source", F.explode(toks).alias("term"))
+    sk = kmv_sketch(terms, "term", group_col="source")
+    return kmv_pair_overlap(sk, "source").orderBy("seg_a", "seg_b")
+
+
+def _kmv_sketch_ctes() -> str:
+    """Shared oracle CTEs: per-source bottom-k of the 52-bit md5-slice
+    hashes of the distinct (source, token) pairs — the same hash device
+    family as operators/bloom.py, read by DuckDB as a '0x' hex cast."""
+    from external_benchmarks_spark.operators.kmv import KMV_K
+
+    return f"""
+        h AS MATERIALIZED (
+          SELECT DISTINCT source,
+                 CAST(('0x' || substr(md5(t), 1, 13)) AS BIGINT) AS _h
+          FROM (SELECT source, unnest({DUCK_TOKS}) AS t FROM documents)),
+        sk AS MATERIALIZED (
+          SELECT source, _h FROM (
+            SELECT source, _h,
+                   row_number() OVER (PARTITION BY source ORDER BY _h) AS rn
+            FROM h) q
+          WHERE rn <= {KMV_K})"""
+
+
+def _kmv_distinct_sql() -> str:
+    from external_benchmarks_spark.operators.kmv import KMV_HASH_BITS, KMV_K
+
+    space = 1 << KMV_HASH_BITS
+    return f"""
+        WITH {_kmv_sketch_ctes()}
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sketch,
+               CAST(CASE WHEN COUNT(*) < {KMV_K} THEN COUNT(*)
+                    ELSE CAST({KMV_K - 1} AS BIGINT) * {space} // MAX(_h)
+                    END AS BIGINT) AS est_distinct
+        FROM sk GROUP BY source ORDER BY source
+    """
+
+
+def _kmv_overlap_sql() -> str:
+    from external_benchmarks_spark.operators.kmv import KMV_HASH_BITS, KMV_K
+
+    space = 1 << KMV_HASH_BITS
+    return f"""
+        WITH {_kmv_sketch_ctes()},
+        pairs AS (
+          SELECT a.source AS ga, b.source AS gb
+          FROM (SELECT DISTINCT source FROM sk) a
+          JOIN (SELECT DISTINCT source FROM sk) b ON a.source < b.source),
+        m AS (
+          SELECT p.ga, p.gb, s._h,
+                 MAX(CASE WHEN s.source = p.ga THEN 1 ELSE 0 END) AS ia,
+                 MAX(CASE WHEN s.source = p.gb THEN 1 ELSE 0 END) AS ib
+          FROM pairs p JOIN sk s ON (s.source = p.ga OR s.source = p.gb)
+          GROUP BY 1, 2, 3),
+        bk AS (
+          SELECT * FROM (
+            SELECT m.*, row_number() OVER (PARTITION BY ga, gb ORDER BY _h) AS rn
+            FROM m) q
+          WHERE rn <= {KMV_K}),
+        agg AS (
+          SELECT ga, gb, CAST(COUNT(*) AS BIGINT) AS n_union, MAX(_h) AS hmax,
+                 CAST(SUM(ia * ib) AS BIGINT) AS shared
+          FROM bk GROUP BY 1, 2),
+        est AS (
+          SELECT ga, gb, n_union, shared,
+                 CASE WHEN n_union < {KMV_K} THEN n_union
+                      ELSE CAST({KMV_K - 1} AS BIGINT) * {space} // hmax
+                 END AS est_union
+          FROM agg)
+        SELECT ga AS seg_a, gb AS seg_b, n_union, shared,
+               CAST(est_union AS BIGINT) AS est_union,
+               CAST(shared * est_union // n_union AS BIGINT) AS est_inter,
+               CAST(shared * 1000000 // n_union AS BIGINT) AS jaccard_ppm
+        FROM est ORDER BY seg_a, seg_b
+    """
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4788,6 +4892,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample_quantiles": q_hash_sample_quantiles,
         "running_total": q_running_total,
         "skyline_parts": q_skyline_parts,
+        "kmv_distinct": q_kmv_distinct,
+        "kmv_overlap": q_kmv_overlap,
         # --- last driver-checked r5 ---
         "date_parts": q_date_parts,
         "deterministic_sample": q_deterministic_sample,
@@ -6129,6 +6235,8 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample_quantiles": _hash_sample_quantiles_sql(),
         "running_total": _RUNNING_TOTAL_SQL,
         "skyline_parts": _SKYLINE_PARTS_SQL,
+        "kmv_distinct": _kmv_distinct_sql(),
+        "kmv_overlap": _kmv_overlap_sql(),
         "unigram_vocab": _unigram_sql(),
         "unigram_segment_tokens": _unigram_segment_sql(),
         "bpe_merges": _bpe_sql(),
