@@ -49,19 +49,10 @@ def kmv_hash(col: Column) -> Column:
     ).cast("bigint")
 
 
-def kmv_sketch(
-    df: DataFrame,
-    key_col: Column | str,
-    k: int = KMV_K,
-    group_col: str | None = None,
-) -> DataFrame:
-    """The bottom-k DISTINCT hash values of ``key_col`` (per group):
-    columns (group?, _h). Distinct first — duplicates don't change set
-    membership — then per-partition top-k (global: TakeOrderedAndProject;
-    grouped: one partitioned window)."""
-    key = F.col(key_col) if isinstance(key_col, str) else key_col
-    keys = [group_col] if group_col else []
-    h = df.select(*keys, kmv_hash(key).alias("_h")).distinct()
+def _bottom_k(h: DataFrame, k: int, group_col: str | None) -> DataFrame:
+    """Bottom-k of a distinct (group?, _h) frame. Global: orderBy+limit
+    (TakeOrderedAndProject — per-partition top-k, no single-partition
+    shuffle); grouped: one PARTITIONED window."""
     if group_col is None:
         return h.orderBy("_h").limit(k)
     w = Window.partitionBy(group_col).orderBy("_h")
@@ -70,6 +61,30 @@ def kmv_sketch(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def kmv_sketch(
+    df: DataFrame,
+    key_col: Column | str,
+    k: int = KMV_K,
+    group_col: str | None = None,
+) -> DataFrame:
+    """The bottom-k DISTINCT hash values of ``key_col`` (per group):
+    columns (group?, _h). Distinct first — duplicates don't change set
+    membership — then per-partition top-k."""
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    keys = [group_col] if group_col else []
+    h = df.select(*keys, kmv_hash(key).alias("_h")).distinct()
+    return _bottom_k(h, k, group_col)
+
+
+def kmv_merge(
+    a: DataFrame, b: DataFrame, k: int = KMV_K, group_col: str | None = None
+) -> DataFrame:
+    """Merge two kmv_sketch frames: bottomk(A|B) = bottomk(sketch(A) |
+    sketch(B)) — the identity that makes the sketch mergeable (and
+    streaming maintenance exact, streaming/kmv.py)."""
+    return _bottom_k(a.unionByName(b).distinct(), k, group_col)
 
 
 def kmv_estimate(

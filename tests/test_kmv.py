@@ -71,3 +71,52 @@ def test_pair_overlap_estimated_regime(spark):
     true_j = 10000 / 30000
     assert abs(row.jaccard_ppm / 1e6 - true_j) < 0.10
     assert abs(row.est_union - 30000) / 30000 < 0.2
+
+
+def test_streaming_maintenance_is_bit_identical_to_batch(spark, tmp_path):
+    """Live maintenance: an availableNow file stream folded through
+    StreamingKMV must end with EXACTLY the batch sketch's estimates AND
+    pairwise overlaps over the same rows — the merge identity makes
+    streaming maintenance exact."""
+    from external_benchmarks_spark.streaming.kmv import StreamingKMV
+
+    df = (
+        _keys(spark, 0, 8000, "g1")
+        .unionByName(_keys(spark, 4000, 12000, "g2"))
+        .unionByName(_keys(spark, 0, 2000, "g3"))
+    )
+    src = str(tmp_path / "kmv_src")
+    # several files so the stream sees multiple micro-batches
+    df.repartition(6).write.parquet(src)
+
+    stored = spark.read.parquet(src)
+    batch_est = sorted(
+        tuple(r)
+        for r in kmv_estimate(
+            kmv_sketch(stored, "k", k=128, group_col="g"), k=128, group_col="g"
+        ).collect()
+    )
+    batch_ov = sorted(
+        tuple(r)
+        for r in kmv_pair_overlap(
+            kmv_sketch(stored, "k", k=128, group_col="g"), "g", k=128
+        ).collect()
+    )
+
+    sk = StreamingKMV(spark, "k", k=128, group_col="g")
+    stream = (
+        spark.readStream.schema("g string, k string")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(sk.foreach_batch())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert sorted(tuple(r) for r in sk.estimate().collect()) == batch_est
+    assert sorted(tuple(r) for r in sk.pair_overlap().collect()) == batch_ov
+    # state is hard-bounded: <= k rows per group
+    counts = sk.state_df().groupBy("g").count().collect()
+    assert all(r["count"] <= 128 for r in counts)
