@@ -915,6 +915,7 @@ def headline_queries():
         "zorder_stats": q["zorder_stats"],
         "bloom_semi_stats": q["bloom_semi_stats"],
         "hash_sample_quantiles": q["hash_sample_quantiles"],
+        "kmv_overlap": q["kmv_overlap"],
         # Events surface
         "events_hourly": q["events_hourly"],
         "sessionize": q["sessionize"],

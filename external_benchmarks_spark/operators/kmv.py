@@ -116,23 +116,36 @@ def kmv_pair_overlap(
     """Pairwise segment overlap from ONE grouped sketch: for every
     unordered group pair (ga < gb), the union sketch's size and max
     hash, the shared-member count, and integer estimates
-    (est_union, est_inter, jaccard_ppm). Output: one row per pair."""
+    (est_union, est_inter, jaccard_ppm). Output: one row per pair.
+
+    The sketch frame (<= G*k rows by contract) is persisted so its
+    lineage — which includes the corpus-sized distinct upstream —
+    computes ONCE: both the group-list derivation and the pair
+    expansion read the cached rows, and the expansion is a single
+    broadcast hash join against the unpivoted pair list (each sketch
+    row matches the G-1 pairs its group participates in)."""
+    sketch = sketch.persist()
     groups = sketch.select(F.col(group_col).alias("_g")).distinct()
     pairs = (
         groups.select(F.col("_g").alias("_ga"))
-        .crossJoin(F.broadcast(groups.select(F.col("_g").alias("_gb"))))
+        .crossJoin(groups.select(F.col("_g").alias("_gb")))
         .filter(F.col("_ga") < F.col("_gb"))
     )
-    pairs = F.broadcast(pairs)
-    # expand each sketch row to every pair its group participates in
-    side_a = sketch.join(
-        pairs, sketch[group_col] == pairs["_ga"]
-    ).select("_ga", "_gb", "_h", F.lit(1).alias("_ia"), F.lit(0).alias("_ib"))
-    side_b = sketch.join(
-        pairs, sketch[group_col] == pairs["_gb"]
-    ).select("_ga", "_gb", "_h", F.lit(0).alias("_ia"), F.lit(1).alias("_ib"))
+    # unpivot: one row per (pair, member group), tagged with the side
+    pl = (
+        pairs.select(
+            "_ga", "_gb", F.col("_ga").alias("_g"),
+            F.lit(1).alias("_ia"), F.lit(0).alias("_ib"),
+        )
+        .unionByName(
+            pairs.select(
+                "_ga", "_gb", F.col("_gb").alias("_g"),
+                F.lit(0).alias("_ia"), F.lit(1).alias("_ib"),
+            )
+        )
+    )
     merged = (
-        side_a.unionByName(side_b)
+        sketch.join(F.broadcast(pl), sketch[group_col] == pl["_g"])
         .groupBy("_ga", "_gb", "_h")
         .agg(F.max("_ia").alias("_ia"), F.max("_ib").alias("_ib"))
     )
