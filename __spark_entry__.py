@@ -4815,6 +4815,50 @@ def _kmv_overlap_sql() -> str:
     """
 
 
+def q_allpairs_jaccard(spark, sf):
+    # EXACT set-similarity self-join via prefix filtering (operators/
+    # setjoin.py, the AllPairs/PPJoin family): every pair with shingle
+    # Jaccard >= 0.6, with NO metadata block (ngram_jaccard needs one)
+    # and NO false negatives (LSH has them by design). The oracle is
+    # the brute-force O(n^2) spec over the same md5 hash-sampled 300
+    # docs; the Spark side runs the inverted-index prefix join, so a
+    # hash match certifies the pruning lost nothing. All acceptance
+    # tests are integer cross-multiplications (ppm) — no FP in the
+    # decision path on either engine.
+    from external_benchmarks_spark.operators.setjoin import (
+        allpairs_jaccard_join,
+        hash_sample_docs,
+    )
+
+    d = Catalog(spark, sf).documents
+    sub = hash_sample_docs(d, n_docs=300)
+    return allpairs_jaccard_join(
+        sub, n=3, threshold_ppm=600_000
+    ).orderBy("id_a", "id_b")
+
+
+_ALLPAIRS_JACCARD_SQL = f"""
+    WITH sub AS MATERIALIZED (
+      SELECT doc_id, text FROM documents
+      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 300),
+    t AS (SELECT doc_id, {DUCK_TOKS} AS toks FROM sub),
+    sh AS MATERIALIZED (
+      SELECT doc_id, list_distinct(list_transform(range(len(toks) - 2),
+               i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3])) AS s
+      FROM t WHERE len(toks) >= 3),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter,
+             CAST(len(list_distinct(list_concat(a.s, b.s))) AS BIGINT) AS un
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(a.s) > 0 AND len(b.s) > 0)
+    SELECT id_a, id_b, inter, un,
+           CAST(inter AS DOUBLE) / CAST(un AS DOUBLE) AS jaccard
+    FROM p WHERE inter * 1000000 >= 600000 * un
+    ORDER BY id_a, id_b
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4894,6 +4938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skyline_parts": q_skyline_parts,
         "kmv_distinct": q_kmv_distinct,
         "kmv_overlap": q_kmv_overlap,
+        "allpairs_jaccard": q_allpairs_jaccard,
         # --- last driver-checked r5 ---
         "date_parts": q_date_parts,
         "deterministic_sample": q_deterministic_sample,
@@ -6237,6 +6282,7 @@ def oracle_sql() -> dict[str, str]:
         "skyline_parts": _SKYLINE_PARTS_SQL,
         "kmv_distinct": _kmv_distinct_sql(),
         "kmv_overlap": _kmv_overlap_sql(),
+        "allpairs_jaccard": _ALLPAIRS_JACCARD_SQL,
         "unigram_vocab": _unigram_sql(),
         "unigram_segment_tokens": _unigram_segment_sql(),
         "bpe_merges": _bpe_sql(),
