@@ -4859,6 +4859,45 @@ _ALLPAIRS_JACCARD_SQL = f"""
 """
 
 
+def q_cohort_retention(spark, sf):
+    # Cohort retention matrix (operators/retention.py): first-activity
+    # week cohorts x week offsets -> active users and integer-ppm
+    # retention share. ONE corpus shuffle (groupBy user, map-side
+    # combinable collect_set of weeks) instead of the textbook
+    # activity-join-first-seen double shuffle; the denominator joins
+    # back from the matrix's own offset-0 rows (broadcast, #cohorts
+    # rows). date_trunc('week') is ISO-Monday in both engines and
+    # offsets are exact (day-diff of week starts is a multiple of 7).
+    from external_benchmarks_spark.operators.retention import cohort_retention
+
+    return cohort_retention(Catalog(spark, sf).events).orderBy(
+        "cohort_week", "week_offset"
+    )
+
+
+_COHORT_RETENTION_SQL = """
+    WITH act AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events),
+    firstw AS (
+      SELECT user_id, MIN(wk) AS cohort FROM act GROUP BY 1),
+    j AS (
+      SELECT f.cohort, CAST(date_diff('day', f.cohort, a.wk) // 7 AS INT) AS off
+      FROM act a JOIN firstw f USING (user_id)),
+    m AS (
+      SELECT CAST(cohort AS DATE) AS cohort_week, off AS week_offset,
+             CAST(COUNT(*) AS BIGINT) AS active_users
+      FROM j GROUP BY 1, 2),
+    s AS (
+      SELECT cohort_week, active_users AS cohort_size
+      FROM m WHERE week_offset = 0)
+    SELECT m.cohort_week, m.week_offset, m.active_users, s.cohort_size,
+           CAST(m.active_users * 1000000 // s.cohort_size AS BIGINT)
+             AS retention_ppm
+    FROM m JOIN s USING (cohort_week)
+    ORDER BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4939,6 +4978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": q_kmv_distinct,
         "kmv_overlap": q_kmv_overlap,
         "allpairs_jaccard": q_allpairs_jaccard,
+        "cohort_retention": q_cohort_retention,
         # --- last driver-checked r5 ---
         "date_parts": q_date_parts,
         "deterministic_sample": q_deterministic_sample,
@@ -6283,6 +6323,7 @@ def oracle_sql() -> dict[str, str]:
         "kmv_distinct": _kmv_distinct_sql(),
         "kmv_overlap": _kmv_overlap_sql(),
         "allpairs_jaccard": _ALLPAIRS_JACCARD_SQL,
+        "cohort_retention": _COHORT_RETENTION_SQL,
         "unigram_vocab": _unigram_sql(),
         "unigram_segment_tokens": _unigram_segment_sql(),
         "bpe_merges": _bpe_sql(),
