@@ -4864,9 +4864,9 @@ def q_cohort_retention(spark, sf):
     # week cohorts x week offsets -> active users and integer-ppm
     # retention share. ONE corpus shuffle (groupBy user, map-side
     # combinable collect_set of weeks) instead of the textbook
-    # activity-join-first-seen double shuffle; the denominator joins
-    # back from the matrix's own offset-0 rows (broadcast, #cohorts
-    # rows). date_trunc('week') is ISO-Monday in both engines and
+    # activity-join-first-seen double shuffle; the denominator is a
+    # partitioned window over the matrix's own offset-0 rows (no join,
+    # no second scan). date_trunc('week') is ISO-Monday in both engines and
     # offsets are exact (day-diff of week starts is a multiple of 7).
     from external_benchmarks_spark.operators.retention import cohort_retention
 

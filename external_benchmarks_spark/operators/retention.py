@@ -14,8 +14,10 @@ derive everything from the per-user distinct-week set:
     cohort = array_min(weeks); explode       -> (cohort, offset) rows
     groupBy(cohort, offset) -> count         (matrix-sized, tiny)
 
-The cohort-size denominator joins back from the matrix's own offset-0
-rows — a broadcast of #cohorts rows. Retention shares are integer ppm
+The cohort-size denominator is a partitioned window over the matrix's
+own offset-0 rows — matrix-sized, and crucially NOT a join back to a
+second copy of the matrix, which would replay the corpus aggregation
+twice (the plan test pins FileScan == 1). Retention shares are integer ppm
 (active * 1e6 div size), exact in any engine; week offsets are
 day-difference div 7 on week-truncated timestamps (always a multiple
 of 7, so the division is exact).
@@ -23,7 +25,7 @@ of 7, so the division is exact).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -52,11 +54,16 @@ def cohort_retention(
         .groupBy("cohort_week", "week_offset")
         .agg(F.count(F.lit(1)).alias("active_users"))
     )
-    sizes = matrix.filter(F.col("week_offset") == 0).select(
-        "cohort_week", F.col("active_users").alias("cohort_size")
-    )
+    # every cohort has an offset-0 row by construction (cohort = min
+    # week), so the window max is never null
+    w = Window.partitionBy("cohort_week")
     return (
-        matrix.join(F.broadcast(sizes), "cohort_week")
+        matrix.withColumn(
+            "cohort_size",
+            F.max(
+                F.when(F.col("week_offset") == 0, F.col("active_users"))
+            ).over(w),
+        )
         .withColumn(
             "retention_ppm",
             F.expr("active_users * 1000000 div cohort_size").cast("bigint"),

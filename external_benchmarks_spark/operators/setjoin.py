@@ -55,26 +55,28 @@ from external_benchmarks_spark.operators.dedup import word_shingles
 PPM = 1_000_000
 
 
-def _req_overlap(sz, t_ppm: int):
-    """ceil(t * sz) in exact integer arithmetic."""
-    return F.expr(f"CAST(({t_ppm} * {sz} + {PPM - 1}) div {PPM} AS INT)")
-
-
-def allpairs_jaccard_join(
+def shingle_docs(
     df: DataFrame,
     key_col: str = "doc_id",
     content_col: str = "text",
     n: int = 3,
-    threshold_ppm: int = 600_000,
 ) -> DataFrame:
-    """All pairs (id_a < id_b) with shingle-set Jaccard >= threshold —
-    exact and complete. Output: (id_a, id_b, inter, un, jaccard)."""
+    """(_id, _sh): distinct shingle arrays, empty docs dropped. Persisted
+    — one corpus scan feeds the frequency count, the prefix build, and
+    both verify joins."""
     sh = F.array_distinct(word_shingles(content_col, n))
-    docs = (
+    return (
         df.select(F.col(key_col).alias("_id"), sh.alias("_sh"))
         .filter(F.size("_sh") > 0)
-        .persist()  # one corpus scan feeds freq, prefixes, and verify
+        .persist()
     )
+
+
+def prefix_candidates(docs: DataFrame, threshold_ppm: int) -> DataFrame:
+    """Candidate pairs (id_a < id_b) from the prefix inverted-index join
+    + length filter — a guaranteed superset of the qualifying pairs
+    (PPJoin Lemma 1). Exposed separately so scale tooling can price the
+    candidate stage against the verified result."""
     toks = docs.select("_id", F.size("_sh").alias("_sz"), F.explode("_sh").alias("_t"))
     freq = toks.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
     # canonical order: ascending (document frequency, shingle) — a
@@ -112,6 +114,20 @@ def allpairs_jaccard_join(
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .distinct()
     )
+    return cand
+
+
+def allpairs_jaccard_join(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    content_col: str = "text",
+    n: int = 3,
+    threshold_ppm: int = 600_000,
+) -> DataFrame:
+    """All pairs (id_a < id_b) with shingle-set Jaccard >= threshold —
+    exact and complete. Output: (id_a, id_b, inter, un, jaccard)."""
+    docs = shingle_docs(df, key_col, content_col, n)
+    cand = prefix_candidates(docs, threshold_ppm)
     va = docs.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sha"))
     vb = docs.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_shb"))
     inter = F.size(F.array_intersect("_sha", "_shb"))

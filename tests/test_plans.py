@@ -481,3 +481,32 @@ def test_no_registry_query_plans_a_cartesian_product(spark, sf_dir):
         if hits:
             bad[name] = hits
     assert not bad, f"forbidden plan shapes: {bad}"
+
+
+def test_kmv_overlap_plan(spark, sf_dir):
+    """KMV: rank-limit pushdown on both bottom-k windows (per-partition
+    partial top-k before the shuffle), broadcast pair expansion, no
+    cartesian over anything corpus-sized."""
+    plan = _plan(entry_mod.q_kmv_overlap(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("WindowGroupLimit") >= 2  # sketch + union bottom-k
+    assert "BroadcastHashJoin" in plan  # sketch x pair-list expansion
+
+
+def test_allpairs_jaccard_plan(spark, sf_dir):
+    """Prefix join: every join is an equi-join (inverted index on the
+    prefix token, then key joins for verification) — the exactness must
+    come from the lemma, never from a nested-loop pair scan."""
+    plan = _plan(entry_mod.q_allpairs_jaccard(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cohort_retention_plan(spark, sf_dir):
+    """Retention: the corpus scans and aggregates ONCE — the cohort-size
+    denominator is a partitioned window over the matrix, never a join
+    back to a second copy of the matrix lineage."""
+    df = entry_mod.q_cohort_retention(spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("FileScan") == 1
+    assert "Join" not in plan and "CartesianProduct" not in plan

@@ -62,6 +62,10 @@ LEGS = (
     "wordpiece_segment_tokens",
     "bloom_semi_stats",
     "zorder_stats",
+    # round-8 session-3 additions: KMV sketch build (corpus-sized
+    # distinct + bounded pair expansion), single-shuffle cohort matrix
+    "kmv_overlap",
+    "cohort_retention",
 )
 DIM_TABLES = ("region", "nation", "supplier", "part")
 EMB_DIM = 64
