@@ -4898,6 +4898,46 @@ _COHORT_RETENTION_SQL = """
 """
 
 
+def q_hierarchy_rollup(spark, sf):
+    # Subtree rollup over a parent-child hierarchy (operators/
+    # hierarchy.py): the RECURSIVE-CTE warehouse classic Spark lacks,
+    # closed by POINTER JUMPING — O(log depth) doubling self-joins
+    # instead of one join per level (a 100-level chain closes in 7
+    # rounds; unit-tested). The hierarchy here is the dense decimal
+    # prefix tree over p_partkey (parent = key div 10 — every non-root
+    # node has an edge row, per the operator contract); values are
+    # integer retail-price cents. DuckDB replays the closure with the
+    # real WITH RECURSIVE.
+    from external_benchmarks_spark.operators.hierarchy import hierarchy_rollup
+
+    part = Catalog(spark, sf).part
+    vals = part.select(
+        F.col("p_partkey").alias("node"),
+        _cents(F.col("p_retailprice")).alias("val"),
+    )
+    edges = part.filter(F.col("p_partkey") > 0).select(
+        F.col("p_partkey").alias("node"),
+        F.expr("p_partkey div 10").alias("parent"),
+    )
+    return hierarchy_rollup(edges, vals).orderBy("node")
+
+
+_HIERARCHY_ROLLUP_SQL = """
+    WITH RECURSIVE anc AS (
+      SELECT p_partkey AS node, p_partkey AS a FROM part
+      UNION ALL
+      SELECT node, a // 10 FROM anc WHERE a > 0),
+    v AS (
+      SELECT p_partkey AS node,
+             CAST(ROUND(p_retailprice * 100, 0) AS BIGINT) AS val
+      FROM part)
+    SELECT anc.a AS node, CAST(COUNT(*) AS BIGINT) AS subtree_count,
+           CAST(SUM(v.val) AS BIGINT) AS subtree_sum
+    FROM anc JOIN v ON anc.node = v.node
+    GROUP BY anc.a ORDER BY node
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4979,6 +5019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_overlap": q_kmv_overlap,
         "allpairs_jaccard": q_allpairs_jaccard,
         "cohort_retention": q_cohort_retention,
+        "hierarchy_rollup": q_hierarchy_rollup,
         # --- last driver-checked r5 ---
         "date_parts": q_date_parts,
         "deterministic_sample": q_deterministic_sample,
@@ -6324,6 +6365,7 @@ def oracle_sql() -> dict[str, str]:
         "kmv_overlap": _kmv_overlap_sql(),
         "allpairs_jaccard": _ALLPAIRS_JACCARD_SQL,
         "cohort_retention": _COHORT_RETENTION_SQL,
+        "hierarchy_rollup": _HIERARCHY_ROLLUP_SQL,
         "unigram_vocab": _unigram_sql(),
         "unigram_segment_tokens": _unigram_segment_sql(),
         "bpe_merges": _bpe_sql(),
