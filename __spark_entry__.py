@@ -3960,6 +3960,104 @@ def q_unigram_segment_tokens(spark, sf):
     )
 
 
+def q_unigram_doc_ppl(spark, sf):
+    # Per-document LM cost under the trained unigram vocabulary — the
+    # CCNet-style quality signal (score docs by tokenizer-model
+    # likelihood; feed the ranks to quality_topp's global cut). Reuses
+    # the whole tokenizer arc: train -> Viterbi-segment (DP once per
+    # DISTINCT word) -> per-doc piece counts and q16 fixed-point total/
+    # average cost (integer div, UNK pieces at the training UNK_COST).
+    # No floats anywhere, so the scores replay exactly in SQL.
+    from external_benchmarks_spark.operators.unigram import (
+        UNK_COST,
+        unigram_segment,
+        unigram_train,
+    )
+
+    docs = Catalog(spark, sf).documents
+    costs = {
+        r["piece"]: int(r["cost_q16"]) for r in unigram_train(docs).collect()
+    }
+    seg = unigram_segment(docs, costs)
+    cost_df = spark.createDataFrame(
+        list(costs.items()), "piece string, c long"
+    )
+    pieces = seg.select("doc_id", F.explode("unigram_tokens").alias("piece"))
+    per_doc = (
+        pieces.join(F.broadcast(cost_df), "piece", "left")
+        .withColumn("_pc", F.coalesce("c", F.lit(UNK_COST)))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pieces"),
+            F.sum("_pc").alias("total_cost_q16"),
+        )
+    )
+    return (
+        seg.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_pieces", F.lit(0)).cast("bigint").alias("n_pieces"),
+            F.coalesce("total_cost_q16", F.lit(0))
+            .cast("bigint")
+            .alias("total_cost_q16"),
+            F.expr(
+                "CASE WHEN n_pieces IS NULL OR n_pieces = 0 THEN CAST(0 AS BIGINT) "
+                "ELSE CAST(total_cost_q16 div n_pieces AS BIGINT) END"
+            ).alias("avg_cost_q16"),
+        )
+    )
+
+
+def _unigram_doc_ppl_sql() -> str:
+    """Composes the training + segmentation CTEs (structured parts, no
+    string slicing), then aggregates per-doc piece costs from the final
+    cost CTE ``ucf`` with the UNK fallback."""
+    from external_benchmarks_spark.operators.unigram import UNK_COST
+
+    train_ctes, _final = _unigram_sql_parts()
+    toks = (
+        r"list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\s+'), "
+        r"t -> len(t) > 0 AND regexp_matches(t, '^[a-z0-9]+$'))"
+    )
+    ctes = train_ctes + [
+        """umf AS MATERIALIZED (
+          SELECT map_from_entries(list(struct_pack(k := piece, v := c))) AS vm
+          FROM ucf)""",
+        f"""doct AS MATERIALIZED (SELECT doc_id, {toks} AS ws FROM documents)""",
+        """docw AS MATERIALIZED (
+          SELECT doc_id, ord, ws[CAST(ord AS INT)] AS word
+          FROM (SELECT doc_id, ws,
+                       unnest(generate_series(1, CAST(len(ws) AS BIGINT))) AS ord
+                FROM doct))""",
+        """udw AS MATERIALIZED (
+          SELECT DISTINCT word, CAST(1 AS BIGINT) AS cnt FROM docw)""",
+    ]
+    ctes += _unigram_viterbi_ctes("udw", "umf", "uf")
+    ctes += [
+        """upp AS MATERIALIZED (
+          SELECT d.doc_id, unnest(string_split(s.toks, ' ')) AS piece
+          FROM docw d JOIN ufseg s USING (word))""",
+        f"""upc AS MATERIALIZED (
+          SELECT u.doc_id, CAST(COUNT(*) AS BIGINT) AS n_pieces,
+                 CAST(SUM(COALESCE(c.c, CAST({UNK_COST} AS BIGINT))) AS BIGINT)
+                   AS total_cost_q16
+          FROM upp u LEFT JOIN ucf c ON u.piece = c.piece
+          GROUP BY u.doc_id)""",
+    ]
+    return f"""
+        WITH RECURSIVE {", ".join(ctes)}
+        SELECT d.doc_id,
+               CAST(COALESCE(a.n_pieces, 0) AS BIGINT) AS n_pieces,
+               CAST(COALESCE(a.total_cost_q16, 0) AS BIGINT) AS total_cost_q16,
+               CAST(CASE WHEN COALESCE(a.n_pieces, 0) = 0 THEN 0
+                    ELSE a.total_cost_q16 // a.n_pieces END AS BIGINT)
+                 AS avg_cost_q16
+        FROM (SELECT doc_id FROM documents) d
+        LEFT JOIN upc a USING (doc_id)
+    """
+
+
 def _ilog2_sql(x: str) -> str:
     """DuckDB replay of operators/unigram.ilog2_q16: floor exponent
     from the binary-string length, 16 mantissa bits by a list_reduce of
@@ -5020,6 +5118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "allpairs_jaccard": q_allpairs_jaccard,
         "cohort_retention": q_cohort_retention,
         "hierarchy_rollup": q_hierarchy_rollup,
+        "unigram_doc_ppl": q_unigram_doc_ppl,
         # --- last driver-checked r5 ---
         "date_parts": q_date_parts,
         "deterministic_sample": q_deterministic_sample,
@@ -6366,6 +6465,7 @@ def oracle_sql() -> dict[str, str]:
         "allpairs_jaccard": _ALLPAIRS_JACCARD_SQL,
         "cohort_retention": _COHORT_RETENTION_SQL,
         "hierarchy_rollup": _HIERARCHY_ROLLUP_SQL,
+        "unigram_doc_ppl": _unigram_doc_ppl_sql(),
         "unigram_vocab": _unigram_sql(),
         "unigram_segment_tokens": _unigram_segment_sql(),
         "bpe_merges": _bpe_sql(),
