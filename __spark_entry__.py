@@ -5036,6 +5036,40 @@ _HIERARCHY_ROLLUP_SQL = """
 """
 
 
+def q_funnel_latency(spark, sf):
+    # Time-to-convert distribution (operators/funnel.funnel_latency):
+    # the funnel's latency companion — per adjacent stage pair, how
+    # long converting users took, as exact integer-microsecond
+    # first-touch differences. One corpus shuffle; the per-pair rows
+    # melt from a single projection (array-of-structs explode), never
+    # a UNION of filtered branches replaying the aggregation per pair.
+    from external_benchmarks_spark.operators.funnel import funnel_latency
+
+    return funnel_latency(Catalog(spark, sf).events)
+
+
+_FUNNEL_LATENCY_SQL = """
+    WITH f AS MATERIALIZED (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS t0,
+             MIN(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t1,
+             MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t2
+      FROM events GROUP BY user_id),
+    d AS (
+      SELECT 'signup->click' AS stage_pair, t1 - t0 AS delay
+      FROM f WHERE t0 IS NOT NULL AND t1 IS NOT NULL AND t1 > t0
+      UNION ALL
+      SELECT 'click->purchase', t2 - t1
+      FROM f WHERE t0 IS NOT NULL AND t1 IS NOT NULL AND t1 > t0
+                AND t2 IS NOT NULL AND t2 > t1)
+    SELECT stage_pair, CAST(COUNT(*) AS BIGINT) AS n_users,
+           ROUND(quantile_cont(delay, 0.5), 6) AS p50_delay_us,
+           ROUND(quantile_cont(delay, 0.9), 6) AS p90_delay_us,
+           CAST(SUM(delay) // COUNT(*) AS BIGINT) AS avg_delay_us
+    FROM d GROUP BY stage_pair ORDER BY stage_pair
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5119,6 +5153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "hierarchy_rollup": q_hierarchy_rollup,
         "unigram_doc_ppl": q_unigram_doc_ppl,
+        "funnel_latency": q_funnel_latency,
         # --- last driver-checked r5 ---
         "date_parts": q_date_parts,
         "deterministic_sample": q_deterministic_sample,
@@ -6466,6 +6501,7 @@ def oracle_sql() -> dict[str, str]:
         "cohort_retention": _COHORT_RETENTION_SQL,
         "hierarchy_rollup": _HIERARCHY_ROLLUP_SQL,
         "unigram_doc_ppl": _unigram_doc_ppl_sql(),
+        "funnel_latency": _FUNNEL_LATENCY_SQL,
         "unigram_vocab": _unigram_sql(),
         "unigram_segment_tokens": _unigram_segment_sql(),
         "bpe_merges": _bpe_sql(),

@@ -510,3 +510,11 @@ def test_cohort_retention_plan(spark, sf_dir):
     plan = _plan(df)
     assert plan.count("FileScan") == 1
     assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_funnel_latency_plan(spark, sf_dir):
+    """Latency melt is a single projection off one aggregation — one
+    scan, no join, no per-pair union lineage replay."""
+    plan = _plan(entry_mod.q_funnel_latency(spark, sf_dir))
+    assert plan.count("FileScan") == 1
+    assert "Join" not in plan
