@@ -5017,7 +5017,13 @@ def q_hierarchy_rollup(spark, sf):
         F.col("p_partkey").alias("node"),
         F.expr("p_partkey div 10").alias("parent"),
     )
-    return hierarchy_rollup(edges, vals).orderBy("node")
+    # depth is known for the decimal prefix tree (digits of the max
+    # key), so the closure runs the LAZY known-rounds mode: one bounded
+    # agg here, then zero per-round fixpoint actions
+    max_key = part.agg(F.max("p_partkey")).collect()[0][0] or 0
+    depth = len(str(int(max_key)))
+    rounds = max(1, (depth - 1).bit_length())
+    return hierarchy_rollup(edges, vals, rounds=rounds).orderBy("node")
 
 
 _HIERARCHY_ROLLUP_SQL = """

@@ -37,8 +37,17 @@ def hierarchy_closure(
     node_col: str = "node",
     parent_col: str = "parent",
     max_rounds: int = 7,
+    rounds: int | None = None,
 ) -> DataFrame:
-    """All (node, anc) pairs where anc is a PROPER ancestor of node."""
+    """All (node, anc) pairs where anc is a PROPER ancestor of node.
+
+    Two modes: with ``rounds`` (= ceil(log2(max depth)), when the
+    caller can bound the depth) the chain builds LAZILY — each level is
+    persisted but nothing executes until the consumer's single action,
+    and Spark's cached-relation dedup computes every level exactly once.
+    Without it, fixpoint mode runs one bounded count per round and
+    stops when the pair set stabilizes (the safe default for unknown
+    depth; ~2 extra Spark jobs per round of driver-action latency)."""
     p = (
         edges.select(
             F.col(node_col).alias("node"), F.col(parent_col).alias("anc")
@@ -47,6 +56,14 @@ def hierarchy_closure(
         .distinct()
         .persist()
     )
+    if rounds is not None:
+        for _ in range(rounds):
+            a, b = p.alias("a"), p.alias("b")
+            jumped = a.join(
+                b, F.col("a.anc") == F.col("b.node")
+            ).select(F.col("a.node").alias("node"), F.col("b.anc").alias("anc"))
+            p = p.unionByName(jumped).distinct().persist()
+        return p
     n = p.count()
     for _ in range(max_rounds):
         a, b = p.alias("a"), p.alias("b")
@@ -70,13 +87,14 @@ def hierarchy_rollup(
     parent_col: str = "parent",
     value_col: str = "val",
     max_rounds: int = 7,
+    rounds: int | None = None,
 ) -> DataFrame:
     """(node, subtree_count, subtree_sum): for every node id appearing
     as itself or as an ancestor, the count and sum of ``values`` rows in
     its subtree INCLUDING itself. ``values`` has (node_col, value_col);
     nodes without a values row (synthetic group ids, pure roots) still
     appear, aggregating their descendants."""
-    closure = hierarchy_closure(edges, node_col, parent_col, max_rounds)
+    closure = hierarchy_closure(edges, node_col, parent_col, max_rounds, rounds)
     selfpairs = values.select(
         F.col(node_col).alias("node"), F.col(node_col).alias("anc")
     )
