@@ -5076,6 +5076,31 @@ _FUNNEL_LATENCY_SQL = """
 """
 
 
+def q_symdelete_name_pairs(spark, sf):
+    # COMPLETE edit-distance-1 similarity join (operators/fuzzyjoin.py,
+    # symmetric-delete principle): every customer-name pair one edit
+    # apart, via an equi-join on deletion variants — no name-prefix
+    # block (fuzzy_name_pairs' linkage misses cross-block pairs by
+    # design), no LSH misses. Shared variants only bound ed <= 2, so
+    # candidates verify through exact Levenshtein (identical classic DP
+    # in both engines). The oracle is the brute-force O(n^2) spec: a
+    # hash match certifies the deletion blocking lost no pair.
+    from external_benchmarks_spark.operators.fuzzyjoin import fuzzy_term_pairs
+
+    c = Catalog(spark, sf).customer.select(F.col("c_name").alias("term"))
+    return fuzzy_term_pairs(c).orderBy("term_a", "term_b")
+
+
+_SYMDELETE_NAME_PAIRS_SQL = """
+    WITH v AS (SELECT DISTINCT c_name AS t FROM customer)
+    SELECT a.t AS term_a, b.t AS term_b,
+           CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist
+    FROM v a JOIN v b ON a.t < b.t
+    WHERE levenshtein(a.t, b.t) <= 1
+    ORDER BY term_a, term_b
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5163,6 +5188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hierarchy_rollup": q_hierarchy_rollup,
         "unigram_doc_ppl": q_unigram_doc_ppl,
         "funnel_latency": q_funnel_latency,
+        "symdelete_name_pairs": q_symdelete_name_pairs,
         # --- last driver-checked r5 ---
         "date_parts": q_date_parts,
         "deterministic_sample": q_deterministic_sample,
@@ -6511,6 +6537,7 @@ def oracle_sql() -> dict[str, str]:
         "hierarchy_rollup": _HIERARCHY_ROLLUP_SQL,
         "unigram_doc_ppl": _unigram_doc_ppl_sql(),
         "funnel_latency": _FUNNEL_LATENCY_SQL,
+        "symdelete_name_pairs": _SYMDELETE_NAME_PAIRS_SQL,
         "unigram_vocab": _unigram_sql(),
         "unigram_segment_tokens": _unigram_segment_sql(),
         "bpe_merges": _bpe_sql(),

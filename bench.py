@@ -916,6 +916,10 @@ def headline_queries():
         "bloom_semi_stats": q["bloom_semi_stats"],
         "hash_sample_quantiles": q["hash_sample_quantiles"],
         "kmv_overlap": q["kmv_overlap"],
+        "allpairs_jaccard": q["allpairs_jaccard"],
+        "cohort_retention": q["cohort_retention"],
+        "hierarchy_rollup": q["hierarchy_rollup"],
+        "symdelete_name_pairs": q["symdelete_name_pairs"],
         # Events surface
         "events_hourly": q["events_hourly"],
         "sessionize": q["sessionize"],
