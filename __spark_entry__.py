@@ -5101,6 +5101,46 @@ _SYMDELETE_NAME_PAIRS_SQL = """
 """
 
 
+def q_hourly_acf(spark, sf):
+    # Integer-exact autocorrelation of the hourly event series
+    # (operators/timeseries.py): seasonality detection next to the
+    # EWMA anomaly baseline. Floor-mean centering keeps every term
+    # int64 (a 720-term double dot product is not bit-stable across
+    # engines); lags are an explode + equi-join on the shifted hour
+    # index — no unpartitioned window; gap hours are real zeros.
+    from external_benchmarks_spark.operators.timeseries import hourly_acf
+
+    return hourly_acf(Catalog(spark, sf).events)
+
+
+_HOURLY_ACF_SQL = """
+    WITH hrs AS (
+      SELECT epoch_us(ts) // 3600000000 AS h, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1),
+    grid AS (
+      SELECT unnest(generate_series((SELECT MIN(h) FROM hrs),
+                                    (SELECT MAX(h) FROM hrs))) AS h),
+    s AS MATERIALIZED (
+      SELECT g.h, COALESCE(hrs.c, 0) AS c FROM grid g
+      LEFT JOIN hrs ON g.h = hrs.h),
+    st AS (SELECT SUM(c) AS t, COUNT(*) AS n FROM s),
+    u AS MATERIALIZED (
+      SELECT h, c - (SELECT t // n FROM st) AS u FROM s),
+    den AS (SELECT SUM(u * u) AS d FROM u),
+    lags AS (SELECT unnest(generate_series(1, 24)) AS lag),
+    num AS (
+      SELECT l.lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             SUM(a.u * b.u) AS nm
+      FROM lags l
+      JOIN u a ON TRUE
+      JOIN u b ON b.h = a.h + l.lag
+      GROUP BY l.lag)
+    SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+           CAST((nm * 1000000) // (SELECT d FROM den) AS BIGINT) AS acf_ppm
+    FROM num ORDER BY lag
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5189,6 +5229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_doc_ppl": q_unigram_doc_ppl,
         "funnel_latency": q_funnel_latency,
         "symdelete_name_pairs": q_symdelete_name_pairs,
+        "hourly_acf": q_hourly_acf,
         # --- last driver-checked r5 ---
         "date_parts": q_date_parts,
         "deterministic_sample": q_deterministic_sample,
@@ -6538,6 +6579,7 @@ def oracle_sql() -> dict[str, str]:
         "unigram_doc_ppl": _unigram_doc_ppl_sql(),
         "funnel_latency": _FUNNEL_LATENCY_SQL,
         "symdelete_name_pairs": _SYMDELETE_NAME_PAIRS_SQL,
+        "hourly_acf": _HOURLY_ACF_SQL,
         "unigram_vocab": _unigram_sql(),
         "unigram_segment_tokens": _unigram_segment_sql(),
         "bpe_merges": _bpe_sql(),
