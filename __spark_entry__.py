@@ -5141,6 +5141,50 @@ _HOURLY_ACF_SQL = """
 """
 
 
+def q_session_paths(spark, sf):
+    # Top-20 within-session event trigram paths (operators/sessions.
+    # session_paths): path mining with session boundaries respected —
+    # event_transitions counts adjacent pairs across the whole stream;
+    # this composes the sessionizer's gap logic and ranks n-gram paths
+    # on the (count desc, path) total order. Oracle is lambda-free
+    # (generate_series + 1-based list indexing; DuckDB lists are
+    # 1-based where Spark arrays are 0-based via element_at).
+    from external_benchmarks_spark.operators.sessions import session_paths
+
+    # 12 h gap: the synthetic feed averages ~6.5 h between a user's
+    # events, so the default 30 min yields single-event sessions (all
+    # trigram counts 1 — a weak hash); 12 h gives a real distribution
+    # (125 paths, max count 55 at sf0.01)
+    return session_paths(
+        Catalog(spark, sf).events, gap=12 * 3600 * 1_000_000
+    )
+
+
+_SESSION_PATHS_SQL = """
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS tsu, event_type FROM events),
+    l AS (
+      SELECT *, lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id)
+               AS prev
+      FROM e),
+    s AS (
+      SELECT *, SUM(CASE WHEN prev IS NULL OR tsu - prev > 43200000000
+                         THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY tsu, event_id
+                     ROWS UNBOUNDED PRECEDING) AS sid
+      FROM l),
+    q AS (
+      SELECT user_id, sid, list(event_type ORDER BY tsu, event_id) AS seq
+      FROM s GROUP BY 1, 2),
+    p AS (
+      SELECT seq[i] || '>' || seq[i + 1] || '>' || seq[i + 2] AS path
+      FROM (SELECT seq, unnest(generate_series(1, len(seq) - 2)) AS i
+            FROM q WHERE len(seq) >= 3))
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM p GROUP BY path ORDER BY cnt DESC, path LIMIT 20
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5230,6 +5274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_latency": q_funnel_latency,
         "symdelete_name_pairs": q_symdelete_name_pairs,
         "hourly_acf": q_hourly_acf,
+        "session_paths": q_session_paths,
         # --- last driver-checked r5 ---
         "date_parts": q_date_parts,
         "deterministic_sample": q_deterministic_sample,
@@ -6580,6 +6625,7 @@ def oracle_sql() -> dict[str, str]:
         "funnel_latency": _FUNNEL_LATENCY_SQL,
         "symdelete_name_pairs": _SYMDELETE_NAME_PAIRS_SQL,
         "hourly_acf": _HOURLY_ACF_SQL,
+        "session_paths": _SESSION_PATHS_SQL,
         "unigram_vocab": _unigram_sql(),
         "unigram_segment_tokens": _unigram_segment_sql(),
         "bpe_merges": _bpe_sql(),

@@ -172,3 +172,68 @@ def gap_filled_hourly(
         )
         .orderBy("hour", type_col)
     )
+
+
+def session_paths(
+    df: DataFrame,
+    n: int = 3,
+    k: int = 20,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts_us",
+    gap: int = 30 * 60 * 1_000_000,
+) -> DataFrame:
+    """Top-k event-type n-gram paths WITHIN sessions — the path-mining
+    companion to event_transitions (which counts adjacent pairs across
+    the whole stream, ignoring session boundaries). Reuses sessionize's
+    gap logic; per-session sequences order on the total key
+    (ts, event_id), n-grams fan out of one transform (sequence guarded
+    by size >= n — Spark's sequence(a, b) runs DESCENDING when b < a),
+    and the top-k is count desc then path asc (total order). One
+    user-shuffle + one path-shuffle; TakeOrderedAndProject for the k."""
+    order_cols = [F.col(ts_col).asc(), F.col("event_id").asc()]
+    w = Window.partitionBy(user_col).orderBy(*order_cols)
+    prev_ts = F.lag(F.col(ts_col)).over(w)
+    new_session = (
+        prev_ts.isNull() | ((F.col(ts_col) - prev_ts) > F.lit(gap))
+    ).cast("long")
+    with_sess = df.withColumn(
+        "session_id",
+        F.sum(new_session).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    seqs = (
+        with_sess.groupBy(user_col, "session_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col(ts_col).alias("t"),
+                            F.col("event_id").alias("e"),
+                            F.col(type_col).alias("y"),
+                        )
+                    )
+                ),
+                lambda s: s["y"],
+            ).alias("_seq")
+        )
+        .filter(F.size("_seq") >= n)
+    )
+    grams = seqs.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("_seq") - n),
+                lambda i: F.concat_ws(
+                    ">", *[F.element_at("_seq", (i + j + 1).cast("int")) for j in range(n)]
+                ),
+            )
+        ).alias("path")
+    )
+    return (
+        grams.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("path"))
+        .limit(k)
+    )
