@@ -920,6 +920,8 @@ def headline_queries():
         "cohort_retention": q["cohort_retention"],
         "hierarchy_rollup": q["hierarchy_rollup"],
         "symdelete_name_pairs": q["symdelete_name_pairs"],
+        "hourly_acf": q["hourly_acf"],
+        "session_paths": q["session_paths"],
         # Events surface
         "events_hourly": q["events_hourly"],
         "sessionize": q["sessionize"],
