@@ -5185,6 +5185,72 @@ _SESSION_PATHS_SQL = """
 """
 
 
+def q_chi2_assoc(spark, sf):
+    # Chi-square association table for (lang x source) — hypothesis-
+    # test coverage next to the descriptive category_diversity. Exact
+    # integer device: the per-cell statistic (O - E)^2 / E equals
+    # (O*n - R*C)^2 / (n*R*C), computed in DECIMAL(38,0) (Spark `div`
+    # and DuckDB HUGEINT `//` agree bit-for-bit incl. truncation —
+    # probed) and reported as ppm; expected counts as R*C*1e6 div n.
+    # ZERO cells of the full R x C grid are included (E > 0 there, so
+    # they contribute) via a broadcast cross join of the margins.
+    d = Catalog(spark, sf).documents
+    cells = (
+        d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o")).persist()
+    )
+    rows_t = cells.groupBy("lang").agg(F.sum("o").alias("r"))
+    cols_t = cells.groupBy("source").agg(F.sum("o").alias("c"))
+    tot = cells.agg(F.sum("o").alias("n"))
+    grid = (
+        rows_t.crossJoin(F.broadcast(cols_t))
+        .join(F.broadcast(cells), ["lang", "source"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "source",
+            F.coalesce("o", F.lit(0)).cast("bigint").alias("o"),
+            "r",
+            "c",
+            "n",
+        )
+    )
+    dev = "(CAST(o AS DECIMAL(38,0)) * n - CAST(r AS DECIMAL(38,0)) * c)"
+    return grid.select(
+        "lang",
+        "source",
+        "o",
+        F.expr("CAST((CAST(r AS DECIMAL(38,0)) * c * 1000000) div n AS BIGINT)").alias(
+            "e_ppm"
+        ),
+        F.expr(
+            f"CAST(({dev} * {dev} * 1000000) div "
+            "(CAST(n AS DECIMAL(38,0)) * r * c) AS BIGINT)"
+        ).alias("contrib_ppm"),
+    ).orderBy("lang", "source")
+
+
+_CHI2_ASSOC_SQL = """
+    WITH cells AS MATERIALIZED (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+      FROM documents GROUP BY 1, 2),
+    rt AS (SELECT lang, SUM(o) AS r FROM cells GROUP BY 1),
+    ct AS (SELECT source, SUM(o) AS c FROM cells GROUP BY 1),
+    tt AS (SELECT SUM(o) AS n FROM cells),
+    grid AS (
+      SELECT rt.lang, ct.source, COALESCE(cells.o, 0) AS o, rt.r, ct.c, tt.n
+      FROM rt CROSS JOIN ct
+      LEFT JOIN cells USING (lang, source)
+      CROSS JOIN tt)
+    SELECT lang, source, CAST(o AS BIGINT) AS o,
+           CAST((CAST(r AS HUGEINT) * c * 1000000) // n AS BIGINT) AS e_ppm,
+           CAST(((CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
+                 * (CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
+                 * 1000000)
+                // (CAST(n AS HUGEINT) * r * c) AS BIGINT) AS contrib_ppm
+    FROM grid ORDER BY lang, source
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5275,6 +5341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "symdelete_name_pairs": q_symdelete_name_pairs,
         "hourly_acf": q_hourly_acf,
         "session_paths": q_session_paths,
+        "chi2_assoc": q_chi2_assoc,
         # --- last driver-checked r5 ---
         "date_parts": q_date_parts,
         "deterministic_sample": q_deterministic_sample,
@@ -6626,6 +6693,7 @@ def oracle_sql() -> dict[str, str]:
         "symdelete_name_pairs": _SYMDELETE_NAME_PAIRS_SQL,
         "hourly_acf": _HOURLY_ACF_SQL,
         "session_paths": _SESSION_PATHS_SQL,
+        "chi2_assoc": _CHI2_ASSOC_SQL,
         "unigram_vocab": _unigram_sql(),
         "unigram_segment_tokens": _unigram_segment_sql(),
         "bpe_merges": _bpe_sql(),
