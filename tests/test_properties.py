@@ -342,3 +342,65 @@ def test_bpe_merge_spark_equals_python_twin(spark, words, pair):
         " " + " ".join(_merge_word(list(w), a, b)) + " " for w in words
     ]
     assert sorted(got) == sorted(want), (words, pair)
+
+
+@PROP
+@given(
+    st.lists(texts, min_size=2, max_size=15),
+    st.sampled_from([300_000, 600_000, 900_000]),
+)
+def test_allpairs_jaccard_equals_brute_force(spark, docs, t_ppm):
+    """Prefix filtering is COMPLETE on arbitrary corpora: the pruned
+    join equals the brute-force pair set at any threshold."""
+    import itertools
+
+    from external_benchmarks_spark.operators.setjoin import (
+        PPM,
+        allpairs_jaccard_join,
+    )
+
+    df = spark.createDataFrame(list(enumerate(docs)), ["doc_id", "text"])
+    got = {
+        (r.id_a, r.id_b, r.inter, r.un)
+        for r in allpairs_jaccard_join(df, threshold_ppm=t_ppm).collect()
+    }
+    sh = {}
+    for i, t in enumerate(docs):
+        toks = t.split()
+        s = {" ".join(toks[j : j + 3]) for j in range(len(toks) - 2)}
+        if s:
+            sh[i] = s
+    want = set()
+    for a, b in itertools.combinations(sorted(sh), 2):
+        i, u = len(sh[a] & sh[b]), len(sh[a] | sh[b])
+        if i * PPM >= t_ppm * u:
+            want.add((a, b, i, u))
+    assert got == want
+
+
+@PROP
+@given(st.lists(st.text(alphabet="abcx", min_size=1, max_size=5), min_size=2, max_size=20))
+def test_symdelete_equals_brute_force(spark, terms):
+    """Deletion-variant blocking is COMPLETE for ed <= 1 on arbitrary
+    short strings (the regime where variant collisions are densest)."""
+    import itertools
+
+    from external_benchmarks_spark.operators.fuzzyjoin import fuzzy_term_pairs
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    df = spark.createDataFrame([(t,) for t in terms], "term string")
+    got = {(r.term_a, r.term_b, r.dist) for r in fuzzy_term_pairs(df).collect()}
+    want = {
+        (a, b, lev(a, b))
+        for a, b in itertools.combinations(sorted(set(terms)), 2)
+        if lev(a, b) <= 1
+    }
+    assert got == want
