@@ -3992,8 +3992,10 @@ def q_unigram_doc_ppl(spark, sf):
             F.sum("_pc").alias("total_cost_q16"),
         )
     )
+    # row base comes from the cheap docs scan, NOT from seg — a second
+    # reference to seg would replay the whole segmentation lineage
     return (
-        seg.select("doc_id")
+        docs.select("doc_id")
         .join(per_doc, "doc_id", "left")
         .select(
             "doc_id",

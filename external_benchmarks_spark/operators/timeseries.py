@@ -55,12 +55,17 @@ def hourly_acf(
         grid.join(hours, "_h", "left")
         .select("_h", F.coalesce("_c", F.lit(0)).alias("_c"))
     )
+    # persisted: the centered series is referenced three times (the
+    # denominator, both sides of the lag join) and each reference would
+    # otherwise replay the corpus-sized hourly aggregation — the same
+    # double-lineage trap the retention plan test caught; the frame is
+    # calendar-bounded, so the cache is tiny by contract
     stats = series.agg(
         F.sum("_c").alias("_t"), F.count(F.lit(1)).alias("_n")
     )
     u = series.crossJoin(F.broadcast(stats)).select(
         "_h", F.expr("_c - (_t div _n)").alias("_u")
-    )
+    ).persist()
     den = u.agg(F.sum(F.col("_u") * F.col("_u")).alias("_den"))
     lagged = u.select(
         "_h", F.col("_u").alias("_ub")
