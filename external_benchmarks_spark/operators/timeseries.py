@@ -37,12 +37,16 @@ def hourly_acf(
 ) -> DataFrame:
     """(lag, n_pairs, acf_ppm) for lag 1..max_lag over the gap-filled
     hourly event-count series."""
+    # persisted at the FIRST calendar-bounded frame: bounds, the grid
+    # join, and the stats aggregation all reference the hourly counts —
+    # without the cache each reference replays the corpus scan
     hours = (
         events.select(
             F.expr(f"{ts_us_col} div {US_PER_HOUR}").alias("_h")
         )
         .groupBy("_h")
         .agg(F.count(F.lit(1)).alias("_c"))
+        .persist()
     )
     # dense calendar grid: missing hours are real zeros
     bounds = hours.agg(
