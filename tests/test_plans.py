@@ -518,3 +518,24 @@ def test_funnel_latency_plan(spark, sf_dir):
     plan = _plan(entry_mod.q_funnel_latency(spark, sf_dir))
     assert plan.count("FileScan") == 1
     assert "Join" not in plan
+
+
+def test_no_registry_query_rescans_a_table_uncached(spark, sf_dir):
+    """Sweeping guardrail: an entry whose plan references the same
+    source table >= 3 times must be caching the shared frame (persist
+    substitutes InMemoryRelation at plan time) — otherwise every
+    reference replays the corpus scan at execution. Caught three real
+    double-lineage bugs in round 8 (retention's denominator join,
+    hourly_acf's centered series, unigram_doc_ppl's row base); this
+    pins the discipline for every future entry."""
+    import re
+    from collections import Counter
+
+    bad = {}
+    for name, fn in entry_mod.queries().items():
+        plan = fn(spark, sf_dir)._jdf.queryExecution().optimizedPlan().toString()
+        counts = Counter(re.findall(r"(\w+)\.parquet", plan))
+        worst = counts.most_common(1)
+        if worst and worst[0][1] >= 3 and "InMemoryRelation" not in plan:
+            bad[name] = worst[0]
+    assert not bad, f"uncached repeated scans: {bad}"
