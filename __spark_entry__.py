@@ -5253,6 +5253,49 @@ _CHI2_ASSOC_SQL = """
 """
 
 
+def q_spatial_radius_pairs(spark, sf):
+    # Spatial radius self-join (operators/spatial.py): grid-cell
+    # bucketing (cell = radius, one side expands to its 3x3
+    # neighborhood) + exact integer squared-distance verify — the
+    # spatial member of the exact-complete join family. Points are a
+    # deterministic synthetic plane from md5 slices of c_custkey (the
+    # testdata has no geo columns; both engines derive the identical
+    # point set). Oracle = brute-force O(n^2), so a hash match
+    # certifies the grid lemma lost no pair (8,439 pairs at sf0.01).
+    from external_benchmarks_spark.operators.spatial import grid_radius_pairs
+
+    pts = Catalog(spark, sf).customer.select(
+        F.col("c_custkey").alias("id"),
+        (
+            F.conv(F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 6), 16, 10)
+            .cast("bigint") % 1_000_000
+        ).alias("x"),
+        (
+            F.conv(F.substring(F.md5(F.col("c_custkey").cast("string")), 7, 6), 16, 10)
+            .cast("bigint") % 1_000_000
+        ).alias("y"),
+    )
+    return grid_radius_pairs(pts, radius=50_000).orderBy("id_a", "id_b")
+
+
+_SPATIAL_RADIUS_PAIRS_SQL = """
+    WITH p AS MATERIALIZED (
+      SELECT c_custkey AS id,
+             CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 6))
+                  AS BIGINT) % 1000000 AS x,
+             CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 7, 6))
+                  AS BIGINT) % 1000000 AS y
+      FROM customer)
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+                AS BIGINT) AS dist2
+    FROM p a JOIN p b ON a.id < b.id
+    WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+          <= CAST(50000 AS BIGINT) * 50000
+    ORDER BY id_a, id_b
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5344,6 +5387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_acf": q_hourly_acf,
         "session_paths": q_session_paths,
         "chi2_assoc": q_chi2_assoc,
+        "spatial_radius_pairs": q_spatial_radius_pairs,
         # --- last driver-checked r5 ---
         "date_parts": q_date_parts,
         "deterministic_sample": q_deterministic_sample,
@@ -6696,6 +6740,7 @@ def oracle_sql() -> dict[str, str]:
         "hourly_acf": _HOURLY_ACF_SQL,
         "session_paths": _SESSION_PATHS_SQL,
         "chi2_assoc": _CHI2_ASSOC_SQL,
+        "spatial_radius_pairs": _SPATIAL_RADIUS_PAIRS_SQL,
         "unigram_vocab": _unigram_sql(),
         "unigram_segment_tokens": _unigram_segment_sql(),
         "bpe_merges": _bpe_sql(),
