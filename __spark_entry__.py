@@ -5296,6 +5296,48 @@ _SPATIAL_RADIUS_PAIRS_SQL = """
 """
 
 
+def q_rolling_median(spark, sf):
+    # Rolling 7-day median of daily order revenue — a HOLISTIC moving
+    # aggregate (moving_avg covers the algebraic case; a median cannot
+    # be maintained incrementally, so the frame materializes per row).
+    # Exact integer: sort the frame's cents and pick the floor-rank
+    # element — no interpolation, every output an actual data value.
+    # The window is over the DAILY table (calendar-bounded, ~2.4k rows
+    # after the corpus groupBy), so the unpartitioned window is
+    # matrix-sized, not corpus-sized.
+    od = (
+        Catalog(spark, sf)
+        .orders.groupBy(F.to_date("o_orderdate").alias("o_day"))
+        .agg(F.sum(_cents(F.col("o_totalprice"))).alias("day_cents"))
+    )
+    w = Window.orderBy("o_day").rowsBetween(-6, 0)
+    arr = F.array_sort(F.collect_list("day_cents").over(w))
+    return od.select(
+        "o_day",
+        "day_cents",
+        F.element_at(arr, ((F.size(arr) - 1) / 2).cast("int") + 1)
+        .cast("bigint")
+        .alias("rolling_median_cents"),
+    ).orderBy("o_day")
+
+
+_ROLLING_MEDIAN_SQL = """
+    WITH d AS (
+      SELECT CAST(o_orderdate AS DATE) AS o_day,
+             SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS day_cents
+      FROM orders GROUP BY 1),
+    r AS (
+      SELECT o_day, day_cents,
+             list(day_cents) OVER (ORDER BY o_day
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS wl
+      FROM d)
+    SELECT o_day, CAST(day_cents AS BIGINT) AS day_cents,
+           CAST(list_sort(wl)[((len(wl) - 1) // 2) + 1] AS BIGINT)
+             AS rolling_median_cents
+    FROM r ORDER BY o_day
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5388,6 +5430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_paths": q_session_paths,
         "chi2_assoc": q_chi2_assoc,
         "spatial_radius_pairs": q_spatial_radius_pairs,
+        "rolling_median": q_rolling_median,
         # --- last driver-checked r5 ---
         "date_parts": q_date_parts,
         "deterministic_sample": q_deterministic_sample,
@@ -6741,6 +6784,7 @@ def oracle_sql() -> dict[str, str]:
         "session_paths": _SESSION_PATHS_SQL,
         "chi2_assoc": _CHI2_ASSOC_SQL,
         "spatial_radius_pairs": _SPATIAL_RADIUS_PAIRS_SQL,
+        "rolling_median": _ROLLING_MEDIAN_SQL,
         "unigram_vocab": _unigram_sql(),
         "unigram_segment_tokens": _unigram_segment_sql(),
         "bpe_merges": _bpe_sql(),

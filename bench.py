@@ -922,6 +922,8 @@ def headline_queries():
         "symdelete_name_pairs": q["symdelete_name_pairs"],
         "hourly_acf": q["hourly_acf"],
         "session_paths": q["session_paths"],
+        "chi2_assoc": q["chi2_assoc"],
+        "spatial_radius_pairs": q["spatial_radius_pairs"],
         # Events surface
         "events_hourly": q["events_hourly"],
         "sessionize": q["sessionize"],
