@@ -5338,6 +5338,75 @@ _ROLLING_MEDIAN_SQL = """
 """
 
 
+_FD_COLS = ("p_partkey", "p_name", "p_brand", "p_type", "p_size")
+
+
+def q_fd_profile(spark, sf):
+    # Functional-dependency discovery (metanome-style data profiling):
+    # for every ordered column pair (lhs -> rhs), how many lhs values
+    # exist and how many map to MORE than one rhs value — zero
+    # violations = the FD holds. The synthetic generator draws the
+    # attribute columns independently (no FD holds among them); the
+    # unique p_partkey determines everything, so the holds column is
+    # load-bearing in both directions. ONE corpus pass: each row
+    # explodes to its 20 (pair, lhs_val, rhs_val) triples, then two
+    # matrix-sized aggregations. The 20x fan-out is the honest cost of
+    # single-pass profiling — the column list is the knob (the
+    # testdata part schema carries 4 non-key attribute columns).
+    part = Catalog(spark, sf).part
+    pairs = [(a, b) for a in _FD_COLS for b in _FD_COLS if a != b]
+    triples = part.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(a).alias("lhs"),
+                        F.lit(b).alias("rhs"),
+                        F.col(a).cast("string").alias("lv"),
+                        F.col(b).cast("string").alias("rv"),
+                    )
+                    for a, b in pairs
+                ]
+            )
+        ).alias("t")
+    ).select("t.lhs", "t.rhs", "t.lv", "t.rv")
+    per_lhs = triples.groupBy("lhs", "rhs", "lv").agg(
+        F.countDistinct("rv").alias("_nrv")
+    )
+    return (
+        per_lhs.groupBy("lhs", "rhs")
+        .agg(
+            F.count(F.lit(1)).alias("n_lhs"),
+            F.sum((F.col("_nrv") > 1).cast("bigint")).alias("n_violating"),
+        )
+        .withColumn(
+            "holds", (F.col("n_violating") == 0).cast("bigint")
+        )
+        .orderBy("lhs", "rhs")
+    )
+
+
+def _fd_profile_sql() -> str:
+    pairs = [(a, b) for a in _FD_COLS for b in _FD_COLS if a != b]
+    selects = " UNION ALL ".join(
+        f"""SELECT '{a}' AS lhs, '{b}' AS rhs,
+               CAST(COUNT(*) AS BIGINT) AS n_lhs,
+               CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_violating
+            FROM (SELECT CAST({a} AS VARCHAR) AS lv,
+                         COUNT(DISTINCT CAST({b} AS VARCHAR)) AS c
+                  FROM part GROUP BY 1) q_{a}_{b}"""
+        for a, b in pairs
+    )
+    return f"""
+        WITH u AS ({selects})
+        SELECT lhs, rhs, n_lhs, n_violating,
+               CAST(CASE WHEN n_violating = 0 THEN 1 ELSE 0 END AS BIGINT)
+                 AS holds
+        FROM u ORDER BY lhs, rhs
+    """
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5431,6 +5500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chi2_assoc": q_chi2_assoc,
         "spatial_radius_pairs": q_spatial_radius_pairs,
         "rolling_median": q_rolling_median,
+        "fd_profile": q_fd_profile,
         # --- last driver-checked r5 ---
         "date_parts": q_date_parts,
         "deterministic_sample": q_deterministic_sample,
@@ -6785,6 +6855,7 @@ def oracle_sql() -> dict[str, str]:
         "chi2_assoc": _CHI2_ASSOC_SQL,
         "spatial_radius_pairs": _SPATIAL_RADIUS_PAIRS_SQL,
         "rolling_median": _ROLLING_MEDIAN_SQL,
+        "fd_profile": _fd_profile_sql(),
         "unigram_vocab": _unigram_sql(),
         "unigram_segment_tokens": _unigram_segment_sql(),
         "bpe_merges": _bpe_sql(),
