@@ -5481,9 +5481,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_quantile": q_multi_quantile,
         "group_median": q_group_median,
         # --- r9 window head: debuts next round (r8 window is exactly full).
-        # R9 rotation plan: any r9-changed entries first, then these 10
-        # never-checked (hash_sample_quantiles .. funnel_latency), then
-        # the r5-stale block (date_parts ..) to fill the ~50 window. ---
+        # R9 rotation plan: any r9-changed entries first, then the
+        # never-checked block (hash_sample_quantiles .. fd_profile, 17
+        # entries), then the r5-stale block (date_parts ..) to fill the
+        # ~50 window. ---
         "hash_sample_quantiles": q_hash_sample_quantiles,
         "running_total": q_running_total,
         "skyline_parts": q_skyline_parts,
