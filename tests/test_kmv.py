@@ -120,3 +120,22 @@ def test_streaming_maintenance_is_bit_identical_to_batch(spark, tmp_path):
     # state is hard-bounded: <= k rows per group
     counts = sk.state_df().groupBy("g").count().collect()
     assert all(r["count"] <= 128 for r in counts)
+
+
+def test_partition_invariance(spark):
+    """Sketch, estimates, and overlaps are invariant to input
+    partitioning — the hash total order decides, not arrival order."""
+    df = _keys(spark, 0, 4000, "g1").unionByName(_keys(spark, 2000, 6000, "g2"))
+    base = sorted(
+        tuple(r)
+        for r in kmv_pair_overlap(
+            kmv_sketch(df, "k", k=128, group_col="g"), "g", k=128
+        ).collect()
+    )
+    shuffled = sorted(
+        tuple(r)
+        for r in kmv_pair_overlap(
+            kmv_sketch(df.repartition(13), "k", k=128, group_col="g"), "g", k=128
+        ).collect()
+    )
+    assert base == shuffled

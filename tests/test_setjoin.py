@@ -87,3 +87,20 @@ def test_hash_sample_is_deterministic(spark, sf_dir):
     a = sorted(r.doc_id for r in hash_sample_docs(d, n_docs=20).collect())
     b = sorted(r.doc_id for r in hash_sample_docs(d, n_docs=20).collect())
     assert a == b and len(a) == 20
+
+
+def test_partition_invariance(spark, sf_dir):
+    """The pair set is decided by the canonical (df, token) order and
+    integer comparisons — never by partitioning or arrival order."""
+    rows = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    a = {
+        (r.id_a, r.id_b, r.inter, r.un)
+        for r in allpairs_jaccard_join(rows).collect()
+    }
+    b = {
+        (r.id_a, r.id_b, r.inter, r.un)
+        for r in allpairs_jaccard_join(rows.repartition(17)).collect()
+    }
+    assert a == b
