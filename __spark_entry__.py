@@ -5407,6 +5407,53 @@ def _fd_profile_sql() -> str:
     """
 
 
+def q_bool_and_retrieval(spark, sf):
+    # Conjunctive boolean retrieval — the un-ranked member of the
+    # retrieval family (BM25 ranked, RRF hybrid, MaxSim late-
+    # interaction): documents containing ALL query terms via posting
+    # intersection. The query is data-derived (top-3 corpus terms by
+    # (count desc, term) — TakeOrderedAndProject, broadcast back), the
+    # intersection is one groupBy counting DISTINCT matched terms == 3;
+    # hits = total occurrences of the query terms per matching doc.
+    d = Catalog(spark, sf).documents
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: F.length(t) > 0)
+    posting = d.select("doc_id", F.explode(toks).alias("term"))
+    top3 = (
+        posting.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .orderBy(F.desc("_c"), F.asc("term"))
+        .limit(3)
+        .select("term")
+    )
+    return (
+        posting.join(F.broadcast(top3), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("term").alias("_nt"),
+            F.count(F.lit(1)).alias("hits"),
+        )
+        .filter(F.col("_nt") == 3)
+        .select("doc_id", F.col("hits").cast("bigint").alias("hits"))
+        .orderBy("doc_id")
+    )
+
+
+_BOOL_AND_RETRIEVAL_SQL = f"""
+    WITH posting AS MATERIALIZED (
+      SELECT doc_id, unnest({DUCK_TOKS}) AS term FROM documents),
+    top3 AS (
+      SELECT term FROM (
+        SELECT term, COUNT(*) AS c FROM posting GROUP BY 1
+        ORDER BY c DESC, term LIMIT 3)),
+    m AS (
+      SELECT p.doc_id, COUNT(DISTINCT p.term) AS nt,
+             CAST(COUNT(*) AS BIGINT) AS hits
+      FROM posting p JOIN top3 USING (term)
+      GROUP BY 1)
+    SELECT doc_id, hits FROM m WHERE nt = 3 ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5502,6 +5549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_radius_pairs": q_spatial_radius_pairs,
         "rolling_median": q_rolling_median,
         "fd_profile": q_fd_profile,
+        "bool_and_retrieval": q_bool_and_retrieval,
         # --- last driver-checked r5 ---
         "date_parts": q_date_parts,
         "deterministic_sample": q_deterministic_sample,
@@ -6857,6 +6905,7 @@ def oracle_sql() -> dict[str, str]:
         "spatial_radius_pairs": _SPATIAL_RADIUS_PAIRS_SQL,
         "rolling_median": _ROLLING_MEDIAN_SQL,
         "fd_profile": _fd_profile_sql(),
+        "bool_and_retrieval": _BOOL_AND_RETRIEVAL_SQL,
         "unigram_vocab": _unigram_sql(),
         "unigram_segment_tokens": _unigram_segment_sql(),
         "bpe_merges": _bpe_sql(),
