@@ -5454,6 +5454,65 @@ _BOOL_AND_RETRIEVAL_SQL = f"""
 """
 
 
+def q_negative_samples(spark, sf):
+    # Deterministic negative sampling for contrastive training: each
+    # anchor doc gets the 3 successors on the md5 hash RING (wrap-
+    # around modular rank arithmetic) — uniform-in-expectation,
+    # engine-replayable, no RNG — with same-content candidates
+    # (identical text md5) excluded. Composes the two-pass global_rank
+    # (no single-reducer window); the ranked frame is persisted — it
+    # feeds the count, the anchor side, and the candidate side.
+    from external_benchmarks_spark.operators.ranking import global_rank
+
+    d = Catalog(spark, sf).documents.select(
+        "doc_id",
+        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("_h"),
+        F.md5(F.col("doc_id").cast("string")).alias("_ring"),
+    )
+    r = global_rank(d, ["_ring", "doc_id"], rank_col="_r").persist()
+    n = r.agg(F.count(F.lit(1)).alias("_n"))
+    a = (
+        r.crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "_h",
+            "_r",
+            "_n",
+            F.explode(F.expr("array(1, 2, 3)")).alias("off"),
+        )
+        .withColumn("_cr", (F.col("_r") - 1 + F.col("off")) % F.col("_n") + 1)
+    )
+    b = r.select(
+        F.col("_r").alias("_cr"),
+        F.col("doc_id").alias("neg_doc_id"),
+        F.col("_h").alias("_hb"),
+    )
+    return (
+        a.join(b, "_cr")
+        .filter(F.col("_h") != F.col("_hb"))
+        .select("doc_id", F.col("off").cast("bigint").alias("off"), "neg_doc_id")
+        .orderBy("doc_id", "off")
+    )
+
+
+_NEGATIVE_SAMPLES_SQL = """
+    WITH r AS MATERIALIZED (
+      SELECT doc_id, md5(coalesce(text, '')) AS h,
+             row_number() OVER (
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents),
+    n AS (SELECT COUNT(*) AS n FROM r),
+    a AS (
+      SELECT r.doc_id, r.h, r.rk, o.off
+      FROM r CROSS JOIN (VALUES (1), (2), (3)) o(off))
+    SELECT a.doc_id, CAST(a.off AS BIGINT) AS off, b.doc_id AS neg_doc_id
+    FROM a CROSS JOIN n
+    JOIN r b ON b.rk = ((a.rk - 1 + a.off) % n.n) + 1
+    WHERE a.h <> b.h
+    ORDER BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5550,6 +5609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_median": q_rolling_median,
         "fd_profile": q_fd_profile,
         "bool_and_retrieval": q_bool_and_retrieval,
+        "negative_samples": q_negative_samples,
         # --- last driver-checked r5 ---
         "date_parts": q_date_parts,
         "deterministic_sample": q_deterministic_sample,
@@ -6906,6 +6966,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_median": _ROLLING_MEDIAN_SQL,
         "fd_profile": _fd_profile_sql(),
         "bool_and_retrieval": _BOOL_AND_RETRIEVAL_SQL,
+        "negative_samples": _NEGATIVE_SAMPLES_SQL,
         "unigram_vocab": _unigram_sql(),
         "unigram_segment_tokens": _unigram_segment_sql(),
         "bpe_merges": _bpe_sql(),
