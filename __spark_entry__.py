@@ -5513,6 +5513,63 @@ _NEGATIVE_SAMPLES_SQL = """
 """
 
 
+def q_revenue_trend(spark, sf):
+    # Group-wise OLS trend — regression coverage next to correlation
+    # and chi2: per order-year, the least-squares slope of daily
+    # revenue over the day-of-year index, in EXACT closed form.
+    # slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2): all four sums are
+    # integer aggregates of integer cents, and the final ratio runs in
+    # DECIMAL(38)/HUGEINT (the chi2_assoc device, probed bit-equal) as
+    # ppm cents-per-day. One corpus groupBy -> one matrix-sized agg.
+    od = (
+        Catalog(spark, sf)
+        .orders.groupBy(
+            F.year("o_orderdate").alias("o_year"),
+            F.dayofyear("o_orderdate").alias("_x"),
+        )
+        .agg(F.sum(_cents(F.col("o_totalprice"))).alias("_y"))
+    )
+    g = od.groupBy("o_year").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+    )
+    num = "(CAST(n_days AS DECIMAL(38,0)) * _sxy - CAST(_sx AS DECIMAL(38,0)) * _sy)"
+    den = "(CAST(n_days AS DECIMAL(38,0)) * _sxx - CAST(_sx AS DECIMAL(38,0)) * _sx)"
+    return g.select(
+        "o_year",
+        F.col("n_days").cast("bigint").alias("n_days"),
+        F.col("_sy").cast("bigint").alias("sum_cents"),
+        F.expr(f"CAST(({num} * 1000000) div {den} AS BIGINT)").alias(
+            "slope_ppm_cents_per_day"
+        ),
+    ).orderBy("o_year")
+
+
+_REVENUE_TREND_SQL = """
+    WITH d AS (
+      SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+             EXTRACT(doy FROM o_orderdate) AS x,
+             SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS y
+      FROM orders GROUP BY 1, 2),
+    g AS (
+      SELECT o_year, CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM d GROUP BY 1)
+    SELECT CAST(o_year AS BIGINT) AS o_year, n_days,
+           sy AS sum_cents,
+           CAST(((CAST(n_days AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy)
+                 * 1000000)
+                // (CAST(n_days AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+                AS BIGINT) AS slope_ppm_cents_per_day
+    FROM g ORDER BY o_year
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5610,6 +5667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fd_profile": q_fd_profile,
         "bool_and_retrieval": q_bool_and_retrieval,
         "negative_samples": q_negative_samples,
+        "revenue_trend": q_revenue_trend,
         # --- last driver-checked r5 ---
         "date_parts": q_date_parts,
         "deterministic_sample": q_deterministic_sample,
@@ -6967,6 +7025,7 @@ def oracle_sql() -> dict[str, str]:
         "fd_profile": _fd_profile_sql(),
         "bool_and_retrieval": _BOOL_AND_RETRIEVAL_SQL,
         "negative_samples": _NEGATIVE_SAMPLES_SQL,
+        "revenue_trend": _REVENUE_TREND_SQL,
         "unigram_vocab": _unigram_sql(),
         "unigram_segment_tokens": _unigram_segment_sql(),
         "bpe_merges": _bpe_sql(),

@@ -924,6 +924,10 @@ def headline_queries():
         "session_paths": q["session_paths"],
         "chi2_assoc": q["chi2_assoc"],
         "spatial_radius_pairs": q["spatial_radius_pairs"],
+        "rolling_median": q["rolling_median"],
+        "fd_profile": q["fd_profile"],
+        "bool_and_retrieval": q["bool_and_retrieval"],
+        "negative_samples": q["negative_samples"],
         # Events surface
         "events_hourly": q["events_hourly"],
         "sessionize": q["sessionize"],
