@@ -928,6 +928,7 @@ def headline_queries():
         "fd_profile": q["fd_profile"],
         "bool_and_retrieval": q["bool_and_retrieval"],
         "negative_samples": q["negative_samples"],
+        "revenue_trend": q["revenue_trend"],
         # Events surface
         "events_hourly": q["events_hourly"],
         "sessionize": q["sessionize"],
