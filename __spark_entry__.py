@@ -5570,6 +5570,91 @@ _REVENUE_TREND_SQL = """
 """
 
 
+def q_rfm_segments(spark, sf):
+    # RFM customer segmentation — the classic warehouse analytics cut:
+    # recency (days since last order, vs the data-derived max date),
+    # frequency (order count), monetary (integer cents), each bucketed
+    # into quartiles by THRESHOLD against the exact interpolating
+    # percentiles (the multi_quantile cross-engine device) — NOT by
+    # ntile, whose corpus-sized unpartitioned window is the
+    # single-reducer anti-pattern this repo bans. Output: one row per
+    # RFM code with customer count and total cents.
+    o = Catalog(spark, sf).orders
+    rfm = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max(F.to_date("o_orderdate")).alias("_last"),
+        F.count(F.lit(1)).alias("_freq"),
+        F.sum(_cents(F.col("o_totalprice"))).alias("_mon"),
+    )
+    anchor = o.agg(F.max(F.to_date("o_orderdate")).alias("_anchor"))
+    rfm = rfm.crossJoin(F.broadcast(anchor)).withColumn(
+        "_rec", F.datediff("_anchor", "_last")
+    ).persist()  # feeds the boundary agg AND the assignment pass
+    b = rfm.agg(
+        F.expr("percentile(_rec, array(0.25, 0.5, 0.75))").alias("_qr"),
+        F.expr("percentile(_freq, array(0.25, 0.5, 0.75))").alias("_qf"),
+        F.expr("percentile(_mon, array(0.25, 0.5, 0.75))").alias("_qm"),
+    )
+    tier = (
+        lambda m, q: F.when(F.col(m) <= F.col(q)[0], 1)
+        .when(F.col(m) <= F.col(q)[1], 2)
+        .when(F.col(m) <= F.col(q)[2], 3)
+        .otherwise(4)
+    )
+    coded = rfm.crossJoin(F.broadcast(b)).select(
+        "custkey",
+        "_mon",
+        # recency: tier 1 = most recent (smallest), so invert
+        (5 - tier("_rec", "_qr")).alias("_r"),
+        tier("_freq", "_qf").alias("_f"),
+        tier("_mon", "_qm").alias("_m"),
+    )
+    return (
+        coded.groupBy(
+            (F.col("_r") * 100 + F.col("_f") * 10 + F.col("_m"))
+            .cast("bigint")
+            .alias("rfm_code")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("_mon").alias("total_cents"),
+        )
+        .orderBy("rfm_code")
+    )
+
+
+_RFM_SEGMENTS_SQL = """
+    WITH rfm AS MATERIALIZED (
+      SELECT o_custkey AS custkey,
+             MAX(CAST(o_orderdate AS DATE)) AS last_d,
+             CAST(COUNT(*) AS BIGINT) AS freq,
+             SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS mon
+      FROM orders GROUP BY 1),
+    anch AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS a FROM orders),
+    rr AS MATERIALIZED (
+      SELECT custkey, date_diff('day', last_d, (SELECT a FROM anch)) AS rec,
+             freq, mon
+      FROM rfm),
+    b AS (
+      SELECT quantile_cont(rec, [0.25, 0.5, 0.75]) AS qr,
+             quantile_cont(freq, [0.25, 0.5, 0.75]) AS qf,
+             quantile_cont(mon, [0.25, 0.5, 0.75]) AS qm
+      FROM rr),
+    coded AS (
+      SELECT custkey, mon,
+             5 - (CASE WHEN rec <= qr[1] THEN 1 WHEN rec <= qr[2] THEN 2
+                       WHEN rec <= qr[3] THEN 3 ELSE 4 END) AS r,
+             CASE WHEN freq <= qf[1] THEN 1 WHEN freq <= qf[2] THEN 2
+                  WHEN freq <= qf[3] THEN 3 ELSE 4 END AS f,
+             CASE WHEN mon <= qm[1] THEN 1 WHEN mon <= qm[2] THEN 2
+                  WHEN mon <= qm[3] THEN 3 ELSE 4 END AS m
+      FROM rr CROSS JOIN b)
+    SELECT CAST(r * 100 + f * 10 + m AS BIGINT) AS rfm_code,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(mon) AS BIGINT) AS total_cents
+    FROM coded GROUP BY 1 ORDER BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5668,6 +5753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bool_and_retrieval": q_bool_and_retrieval,
         "negative_samples": q_negative_samples,
         "revenue_trend": q_revenue_trend,
+        "rfm_segments": q_rfm_segments,
         # --- last driver-checked r5 ---
         "date_parts": q_date_parts,
         "deterministic_sample": q_deterministic_sample,
@@ -7026,6 +7112,7 @@ def oracle_sql() -> dict[str, str]:
         "bool_and_retrieval": _BOOL_AND_RETRIEVAL_SQL,
         "negative_samples": _NEGATIVE_SAMPLES_SQL,
         "revenue_trend": _REVENUE_TREND_SQL,
+        "rfm_segments": _RFM_SEGMENTS_SQL,
         "unigram_vocab": _unigram_sql(),
         "unigram_segment_tokens": _unigram_segment_sql(),
         "bpe_merges": _bpe_sql(),
