@@ -5655,6 +5655,87 @@ _RFM_SEGMENTS_SQL = """
 """
 
 
+def q_basket_lift(spark, sf):
+    # Market-basket association (level-2 rule mining): for every brand
+    # pair co-purchased within an order, the support count and the
+    # integer-ppm LIFT n*c(ab)/(c(a)*c(b)) — the frequent-itemset
+    # family's classic. Per-order distinct brand sets are tiny (a few
+    # lines per order), so the pair fan-out is bounded per order; the
+    # per-order frame persists (it feeds item counts, pair counts, and
+    # the order total); the final ratio runs in DECIMAL(38)/HUGEINT
+    # (the chi2 device) so lift replays exactly.
+    c = Catalog(spark, sf)
+    ob = (
+        c.lineitem.join(
+            F.broadcast(c.part.select("p_partkey", "p_brand")),
+            c.lineitem.l_partkey == F.col("p_partkey"),
+        )
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("p_brand")).alias("_bs"))
+        .persist()
+    )
+    n = ob.agg(F.count(F.lit(1)).alias("_n"))
+    item = ob.select(F.explode("_bs").alias("_b")).groupBy("_b").agg(
+        F.count(F.lit(1)).alias("_ci")
+    )
+    pairs = (
+        ob.select(
+            F.explode(
+                F.expr(
+                    "filter(flatten(transform(_bs, a -> transform(_bs, b -> "
+                    "struct(a AS ba, b AS bb)))), p -> p.ba < p.bb)"
+                )
+            ).alias("_p")
+        )
+        .groupBy(F.col("_p.ba").alias("brand_a"), F.col("_p.bb").alias("brand_b"))
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    ia = item.select(F.col("_b").alias("brand_a"), F.col("_ci").alias("_ca"))
+    ib = item.select(F.col("_b").alias("brand_b"), F.col("_ci").alias("_cb"))
+    return (
+        pairs.join(F.broadcast(ia), "brand_a")
+        .join(F.broadcast(ib), "brand_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "brand_a",
+            "brand_b",
+            F.col("support").cast("bigint").alias("support"),
+            F.expr(
+                "CAST((CAST(_n AS DECIMAL(38,0)) * support * 1000000) div "
+                "(CAST(_ca AS DECIMAL(38,0)) * _cb) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+        .orderBy("brand_a", "brand_b")
+    )
+
+
+_BASKET_LIFT_SQL = """
+    WITH ob AS MATERIALIZED (
+      SELECT l_orderkey, list_sort(list_distinct(list(p_brand))) AS bs
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n FROM ob),
+    item AS MATERIALIZED (
+      SELECT b, CAST(COUNT(*) AS BIGINT) AS ci
+      FROM (SELECT unnest(bs) AS b FROM ob) GROUP BY 1),
+    pr AS (
+      SELECT bs[i] AS ba, bs[j] AS bb
+      FROM (SELECT bs, unnest(generate_series(1, len(bs))) AS i FROM ob) t,
+           LATERAL (SELECT unnest(generate_series(i + 1, len(t.bs))) AS j) u),
+    pairs AS (
+      SELECT ba AS brand_a, bb AS brand_b, CAST(COUNT(*) AS BIGINT) AS support
+      FROM pr GROUP BY 1, 2)
+    SELECT p.brand_a, p.brand_b, p.support,
+           CAST((CAST(n.n AS HUGEINT) * p.support * 1000000)
+                // (CAST(a.ci AS HUGEINT) * b.ci) AS BIGINT) AS lift_ppm
+    FROM pairs p
+    JOIN item a ON a.b = p.brand_a
+    JOIN item b ON b.b = p.brand_b
+    CROSS JOIN n
+    ORDER BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5754,6 +5835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "negative_samples": q_negative_samples,
         "revenue_trend": q_revenue_trend,
         "rfm_segments": q_rfm_segments,
+        "basket_lift": q_basket_lift,
         # --- last driver-checked r5 ---
         "date_parts": q_date_parts,
         "deterministic_sample": q_deterministic_sample,
@@ -7113,6 +7195,7 @@ def oracle_sql() -> dict[str, str]:
         "negative_samples": _NEGATIVE_SAMPLES_SQL,
         "revenue_trend": _REVENUE_TREND_SQL,
         "rfm_segments": _RFM_SEGMENTS_SQL,
+        "basket_lift": _BASKET_LIFT_SQL,
         "unigram_vocab": _unigram_sql(),
         "unigram_segment_tokens": _unigram_segment_sql(),
         "bpe_merges": _bpe_sql(),
