@@ -5736,6 +5736,75 @@ _BASKET_LIFT_SQL = """
 """
 
 
+def q_revenue_concentration(spark, sf):
+    # Revenue concentration (Lorenz deciles): customers ranked by
+    # revenue desc via the two-pass global_rank (never a corpus-sized
+    # unpartitioned window), split into integer-arithmetic deciles
+    # (decile = (rank-1)*10 div n + 1), each reporting its customer
+    # count, its cents, and the CUMULATIVE share in ppm — the 80/20
+    # question. The cumulative window runs over the 10-row decile
+    # frame. Ranked frame persisted (feeds the total and the decile
+    # agg).
+    from external_benchmarks_spark.operators.ranking import global_rank
+
+    rev = (
+        Catalog(spark, sf)
+        .orders.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.sum(_cents(F.col("o_totalprice"))).alias("_cents"))
+    )
+    r = global_rank(
+        rev, [F.desc("_cents"), F.asc("custkey")], rank_col="_r"
+    ).persist()
+    n = r.agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("_cents").alias("_tot")
+    )
+    dec = (
+        r.crossJoin(F.broadcast(n))
+        .groupBy(
+            F.expr("CAST((_r - 1) * 10 div _n + 1 AS BIGINT)").alias("decile")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("_cents").alias("decile_cents"),
+            F.first("_tot").alias("_tot"),
+        )
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return dec.select(
+        "decile",
+        F.col("n_customers").cast("bigint").alias("n_customers"),
+        F.col("decile_cents").cast("bigint").alias("decile_cents"),
+        F.expr(
+            "CAST(sum(decile_cents) OVER (ORDER BY decile "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+            "* 1000000 div _tot AS BIGINT)"
+        ).alias("cum_share_ppm"),
+    ).orderBy("decile")
+
+
+_REVENUE_CONCENTRATION_SQL = """
+    WITH rev AS (
+      SELECT o_custkey AS custkey,
+             SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS cents
+      FROM orders GROUP BY 1),
+    rk AS MATERIALIZED (
+      SELECT custkey, cents,
+             row_number() OVER (ORDER BY cents DESC, custkey) AS r
+      FROM rev),
+    nn AS (SELECT COUNT(*) AS n, SUM(cents) AS tot FROM rk),
+    dec AS (
+      SELECT CAST((r - 1) * 10 // (SELECT n FROM nn) + 1 AS BIGINT) AS decile,
+             CAST(COUNT(*) AS BIGINT) AS n_customers,
+             CAST(SUM(cents) AS BIGINT) AS decile_cents
+      FROM rk GROUP BY 1)
+    SELECT decile, n_customers, decile_cents,
+           CAST(SUM(decile_cents) OVER (ORDER BY decile
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                * 1000000 // (SELECT tot FROM nn) AS BIGINT) AS cum_share_ppm
+    FROM dec ORDER BY decile
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5836,6 +5905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_trend": q_revenue_trend,
         "rfm_segments": q_rfm_segments,
         "basket_lift": q_basket_lift,
+        "revenue_concentration": q_revenue_concentration,
         # --- last driver-checked r5 ---
         "date_parts": q_date_parts,
         "deterministic_sample": q_deterministic_sample,
@@ -7196,6 +7266,7 @@ def oracle_sql() -> dict[str, str]:
         "revenue_trend": _REVENUE_TREND_SQL,
         "rfm_segments": _RFM_SEGMENTS_SQL,
         "basket_lift": _BASKET_LIFT_SQL,
+        "revenue_concentration": _REVENUE_CONCENTRATION_SQL,
         "unigram_vocab": _unigram_sql(),
         "unigram_segment_tokens": _unigram_segment_sql(),
         "bpe_merges": _bpe_sql(),

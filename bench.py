@@ -929,6 +929,9 @@ def headline_queries():
         "bool_and_retrieval": q["bool_and_retrieval"],
         "negative_samples": q["negative_samples"],
         "revenue_trend": q["revenue_trend"],
+        "rfm_segments": q["rfm_segments"],
+        "basket_lift": q["basket_lift"],
+        "revenue_concentration": q["revenue_concentration"],
         # Events surface
         "events_hourly": q["events_hourly"],
         "sessionize": q["sessionize"],
