@@ -5880,9 +5880,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_median": q_group_median,
         # --- r9 window head: debuts next round (r8 window is exactly full).
         # R9 rotation plan: any r9-changed entries first, then the
-        # never-checked block (hash_sample_quantiles .. revenue_trend,
-        # 20 entries), then the r5-stale block (date_parts ..) to fill
-        # the ~50 window (r10 takes the rest of the r5 block). ---
+        # never-checked block (hash_sample_quantiles ..
+        # revenue_concentration, 23 entries), then the r5-stale block
+        # (date_parts ..) to fill the ~50 window (r10 takes the rest
+        # of the r5 block). ---
         "hash_sample_quantiles": q_hash_sample_quantiles,
         "running_total": q_running_total,
         "skyline_parts": q_skyline_parts,
