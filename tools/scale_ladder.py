@@ -63,9 +63,13 @@ LEGS = (
     "bloom_semi_stats",
     "zorder_stats",
     # round-8 session-3 additions: KMV sketch build (corpus-sized
-    # distinct + bounded pair expansion), single-shuffle cohort matrix
+    # distinct + bounded pair expansion), single-shuffle cohort matrix,
+    # the complete ed<=1 join (variant fan-out x result growth), and
+    # the bounded per-order basket fan-out
     "kmv_overlap",
     "cohort_retention",
+    "symdelete_name_pairs",
+    "basket_lift",
 )
 DIM_TABLES = ("region", "nation", "supplier", "part")
 EMB_DIM = 64
