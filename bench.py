@@ -395,6 +395,100 @@ def _skew_join_aqe(spark, sf):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_b)
 
 
+def _qsketch_leg(group_col, salt):
+    """One bottom-k quantile-sketch form priced alone (round-8 verdict:
+    the single composite leg hid which form cost what). global = one
+    TakeOrderedAndProject; grouped = one partitioned window (3 tasks at
+    3 groups — the few-groups ceiling the salted form exists to lift);
+    salted = two-phase G*S-way parallel. All three produce the same
+    quantile semantics; `qsketch_salted` is the registry entry's form."""
+
+    def leg(spark, sf):
+        from external_benchmarks_spark.operators.qsketch import (
+            hash_sample,
+            sample_quantiles,
+        )
+
+        li = Catalog(spark, sf).lineitem.withColumn(
+            "_cents", F.expr("CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)")
+        )
+        s = hash_sample(
+            li,
+            ["l_orderkey", "l_linenumber", "_cents"],
+            group_col=group_col,
+            salt=salt,
+        )
+        return sample_quantiles(s, "_cents", group_col=group_col)
+
+    return leg
+
+
+def ingest_stage_timings(spark, sf) -> dict:
+    """One instrumented replay of the ingest_report arc — the per-stage
+    cost table the round-8 verdict asked for (finding #2). Reuses the
+    same fixture/stage dirs as the leg, so the numbers describe exactly
+    what the leg pays: stage (wget-analog, no-op on signature match),
+    permissive parse + corrupt/price counts, the normalize->derive->
+    embed materialization (the dominant term — now batch-vectorized in
+    pipeline/embedding.hashed_ngram_encode), the fused 2-job stats
+    report, and the price-cents aggregate."""
+    from external_benchmarks_spark.pipeline.dataset import add_derived_columns
+    from external_benchmarks_spark.pipeline.embedding import embed_fields
+    from external_benchmarks_spark.pipeline.ingest import (
+        RAW_META_SCHEMA,
+        normalize_raw_products,
+        parse_price,
+    )
+    from external_benchmarks_spark.pipeline.report import dataset_report
+    from external_benchmarks_spark.schemas import PRODUCT_SCHEMA, validate_schema
+    from external_benchmarks_spark.sources.registry import (
+        read_jsonl_permissive,
+        stage_dataset,
+    )
+
+    tag = os.path.basename(sf.rstrip("/"))
+    work = os.path.join(tempfile.gettempdir(), f"ebs_ingest_report_{tag}")
+    raw_file = entry_mod._ingest_report_fixture(spark, sf)
+    t: dict[str, float] = {}
+    t0 = time.perf_counter()
+    staged = stage_dataset("file://" + raw_file, os.path.join(work, "stage"))
+    t["stage"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    raw = read_jsonl_permissive(spark, staged, RAW_META_SCHEMA).cache()
+    raw.filter(F.col("_corrupt").isNotNull()).count()
+    good = raw.filter(F.col("_corrupt").isNull()).drop("_corrupt")
+    good.filter(
+        F.col("price").isNotNull()
+        & (F.trim(F.col("price")) != "")
+        & parse_price(F.col("price")).isNull()
+    ).count()
+    t["parse_counts"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    products = embed_fields(
+        add_derived_columns(normalize_raw_products(good, "tpch_part")),
+        fields=("title", "description", "features", "combined_text",
+                "main_category", "categories", "store"),
+        dim=8,
+    ).select([f.name for f in PRODUCT_SCHEMA.fields])
+    validate_schema(products)
+    products.count()
+    t["normalize_embed_count"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    dataset_report(
+        products,
+        numeric_cols=["rating_number"],
+        cat_cols=["rating_tier", "review_volume", "main_category"],
+        text_cols=["title"],
+    )
+    t["report"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    cents = F.expr("CAST(ROUND(price * 100) AS BIGINT)")
+    products.agg(F.sum(cents), F.min(cents), F.max(cents)).collect()
+    t["price_agg"] = time.perf_counter() - t0
+    raw.unpersist()
+    return {k: round(v, 3) for k, v in t.items()}
+
+
 _BUCKETED_CACHE: dict[str, tuple] = {}
 
 
@@ -914,7 +1008,11 @@ def headline_queries():
         "wordpiece_segment_tokens": q["wordpiece_segment_tokens"],
         "zorder_stats": q["zorder_stats"],
         "bloom_semi_stats": q["bloom_semi_stats"],
-        "hash_sample_quantiles": q["hash_sample_quantiles"],
+        # The quantile sketch priced per form (r8 verdict finding #4);
+        # qsketch_salted is the registry entry's exact shape.
+        "qsketch_global": _qsketch_leg(None, None),
+        "qsketch_grouped": _qsketch_leg("l_returnflag", None),
+        "qsketch_salted": q["hash_sample_quantiles"],
         "kmv_overlap": q["kmv_overlap"],
         "allpairs_jaccard": q["allpairs_jaccard"],
         "cohort_retention": q["cohort_retention"],
@@ -1049,20 +1147,21 @@ def main() -> None:
     # r7's PQ/event_funnel "regressions" were pure drift — a median of 3
     # makes a real change distinguishable from one noisy run), with the
     # warm min/max preserved in `queries_spread` so the r-to-r diff
-    # explains itself. `queries_cold` is the first run. The skew trio is
-    # single-shot by design: a warm rerun reads page-cached shuffle
-    # spills through JIT-compiled code and masks the hot-reducer
-    # imbalance the entries exist to demonstrate.
-    single_shot = {
-        "skew_join_naive", "skew_join_salted", "skew_join_adaptive",
-        "skew_join_adaptive_warm", "skew_join_aqe",
-    }
+    # explains itself. `queries_cold` is the first run. The skew family
+    # runs the SAME protocol as of round 9 (r8 verdict finding #1: its
+    # one-shot numbers were exactly the ones whose cross-round drift
+    # kept needing hand explanations): each warm rep re-executes the
+    # full shuffle+join (a fresh plan never reuses shuffle files across
+    # actions), so the hot-reducer imbalance the legs demonstrate is
+    # still measured — only JIT/page-cache variance is averaged out.
+    # The naive-vs-salted-vs-adaptive ORDERING claim reads from the
+    # warm medians; `queries_cold` keeps the first-run number.
     times: dict[str, float] = {}
     times_cold: dict[str, float] = {}
     times_spread: dict[str, dict[str, float]] = {}
     for name, fn in headline_queries().items():
         reps = []
-        for _ in range(1 if name in single_shot else 4):
+        for _ in range(4):
             t0 = time.perf_counter()
             df = fn(spark, SF_DIR)
             n = df.count()  # force full execution
@@ -1133,6 +1232,11 @@ def main() -> None:
     refresh = index_refresh_leg(spark, SF_DIR)
     print(f"# index_refresh: {refresh}", file=sys.stderr)
 
+    # Per-stage cost table for the ingest arc (r8 verdict finding #2):
+    # one warm instrumented replay, recorded next to the leg's median.
+    ingest_stages = ingest_stage_timings(spark, SF_DIR)
+    print(f"# ingest_report_stages: {ingest_stages}", file=sys.stderr)
+
     # Embedding throughput in docs/sec (the index-build ingest cost).
     n_docs = Catalog(spark, SF_DIR).documents.count()
     embed_rate = (
@@ -1148,6 +1252,7 @@ def main() -> None:
         "queries_cold": times_cold,
         "queries_spread": times_spread,
         "ingest_fixture_build_s": ingest_fixture_s,
+        "ingest_report_stages": ingest_stages,
         "read_p95": read_p95,
         "serving_read_p95_ms": serving_p95,
         "serving_read_p50_ms": serving_p50,

@@ -87,13 +87,17 @@ def _crc_table() -> "np.ndarray":
     return _CRC_TABLE
 
 
-def _crc32_trigram_windows(data: bytes) -> "np.ndarray":
+def _crc32_trigram_windows(data: "bytes | np.ndarray") -> "np.ndarray":
     """crc32 of every 3-byte window of ``data``, fully vectorized:
     three table-gather rounds of the standard byte-at-a-time CRC
     recurrence over strided window views — identical values to
     ``zlib.crc32`` on each window (asserted in tests)."""
     T = _crc_table()
-    b = np.frombuffer(data, dtype=np.uint8)
+    b = (
+        data
+        if isinstance(data, np.ndarray)
+        else np.frombuffer(data, dtype=np.uint8)
+    )
     b0, b1, b2 = b[:-2], b[1:-1], b[2:]
     c = np.uint32(0x00FFFFFF) ^ T[(0xFF ^ b0) & 0xFF]
     c = (c >> np.uint32(8)) ^ T[(c ^ b1) & np.uint32(0xFF)]
@@ -110,19 +114,54 @@ def hashed_ngram_encode(
     vector (callers treat it as "no content", same as the reference's
     empty-field handling).
 
-    ASCII text (the overwhelming case) takes a vectorized path — all
-    window CRCs in three numpy table gathers instead of one Python
-    zlib call per gram (~20x; this is the index-build ingest hot loop).
-    Non-ASCII or shorter-than-n strings keep the per-gram path; both
-    produce bit-identical vectors (char windows == byte windows only
-    for ASCII, so the gate preserves exact values, not just contracts).
+    ASCII text (the overwhelming case) takes a BATCH-vectorized path:
+    all rows' bytes concatenate into one buffer, every 3-byte window
+    CRC computes in three numpy table gathers, windows crossing a row
+    boundary mask out, and ONE segmented bincount over
+    ``row*dim + bucket`` accumulates every row's signed counts — zero
+    per-row Python in the hot loop (this is the index-build /
+    ingest-arc bottleneck: ~1.4M short strings per sf0.1 ingest).
+    Non-ASCII or shorter-than-n strings keep the per-gram path; all
+    paths produce BIT-identical vectors: the signed counts are exact
+    small integers in float64 (order-free), the squared norms are exact
+    integer sums below 2^53, so vectorizing changes no rounding
+    (asserted input-class by input-class in tests).
     """
     out = np.zeros((len(texts), dim), dtype=np.float32)
-    for i, t in enumerate(texts):
-        s = (t or "").lower()
-        if not s:
-            continue
-        if n == 3 and len(s) >= n and s.isascii():
+    lowered = [(t or "").lower() for t in texts]
+    fast_idx: list[int] = []
+    slow_idx: list[int] = []
+    if n == 3:
+        for i, s in enumerate(lowered):
+            if not s:
+                continue
+            (fast_idx if len(s) >= 3 and s.isascii() else slow_idx).append(i)
+    else:
+        slow_idx = [i for i, s in enumerate(lowered) if s]
+    if fast_idx:
+        bufs = [lowered[i].encode("utf-8") for i in fast_idx]
+        lens = np.fromiter((len(b) for b in bufs), np.int64, len(bufs))
+        data = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+        row_of = np.repeat(np.arange(len(bufs), dtype=np.int64), lens)
+        hs = _crc32_trigram_windows(data)
+        # a window is a real trigram only when its first and last byte
+        # sit in the same row (every fast row has len >= 3, so every
+        # row keeps >= 1 window)
+        valid = row_of[:-2] == row_of[2:]
+        hs = hs[valid].astype(np.int64)
+        wr = row_of[:-2][valid]
+        signs = np.where((hs >> 16) & 1, 1.0, -1.0)
+        acc = np.bincount(
+            wr * dim + hs % dim, weights=signs, minlength=len(bufs) * dim
+        ).reshape(len(bufs), dim)
+        # exact: acc entries are small integers, acc*acc sums < 2^53
+        nrm = np.sqrt((acc * acc).sum(axis=1))
+        nz = nrm > 0
+        acc[nz] /= nrm[nz, None]
+        out[np.asarray(fast_idx)] = acc.astype(np.float32)
+    for i in slow_idx:
+        s = lowered[i]
+        if n == 3 and len(s) >= n and s.isascii():  # n != 3 batch bypass
             hs = _crc32_trigram_windows(s.encode("utf-8")).astype(np.int64)
         else:
             if len(s) < n:
