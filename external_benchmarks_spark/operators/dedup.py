@@ -141,16 +141,27 @@ def minhash_signature(
     content_col: str = "text",
     num_hashes: int = 16,
     seed: int = 42,
+    elements: Column | None = None,
 ) -> DataFrame:
     """MinHash signature columns mh0..mh{k-1} per document.
 
-    h_j(doc) = min over tokens t of (a_j * H(t) + b_j) mod p, with H the
-    cross-engine 32-bit md5 hash — integer-exact, oracle-matchable.
-    Computed as array HOFs over the token list: no explode, no shuffle,
-    and ONE traversal of the token array carrying the whole k-wide
+    h_j(doc) = min over elements t of (a_j * H(t) + b_j) mod p, with H
+    the cross-engine 32-bit md5 hash — integer-exact, oracle-matchable.
+    Computed as array HOFs over the element list: no explode, no
+    shuffle, and ONE traversal of the array carrying the whole k-wide
     running-minimum vector (not k separate array_min passes).
+
+    ``elements`` overrides the hashed set: pass an ``array<string>``
+    column (e.g. word shingles from :func:`word_shingles`) to minhash
+    that set instead of the default whitespace tokens of
+    ``content_col`` (the delta-dedup store signs SHINGLE sets so its
+    signatures measure the same Jaccard its verifier computes).
     """
-    toks = F.array_distinct(tokens(F.col(content_col)))
+    toks = (
+        F.array_distinct(elements)
+        if elements is not None
+        else F.array_distinct(tokens(F.col(content_col)))
+    )
     token_hash = F.transform(
         toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint")
     )

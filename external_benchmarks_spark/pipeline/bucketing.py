@@ -44,18 +44,27 @@ def write_bucketed(
     n_buckets: int,
     path: str,
     sort: bool = True,
+    partition_col: str | None = None,
 ) -> None:
     """Write `df` as an external parquet table bucketed by `key`.
 
     repartition(n_buckets, key) aligns write tasks with buckets so each
     bucket lands as ONE file instead of one-per-input-partition.
+
+    ``partition_col`` additionally directory-partitions the table (the
+    delta-dedup signature store uses a hash-prefix partition so a small
+    delta's lookup PRUNES corpus files at planning time, on top of the
+    bucket join being Exchange-free); each write task then emits one
+    file per (partition dir, its bucket).
     """
     writer = (
         df.repartition(n_buckets, F.col(key))
         .write.mode("overwrite")
         .format("parquet")
-        .bucketBy(n_buckets, key)
     )
+    if partition_col is not None:
+        writer = writer.partitionBy(partition_col)
+    writer = writer.bucketBy(n_buckets, key)
     if sort:
         writer = writer.sortBy(key)
     writer.option("path", path).saveAsTable(table)

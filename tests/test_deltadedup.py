@@ -1,0 +1,211 @@
+"""Incremental dedup against the persisted signature store
+(operators/deltadedup.py): brute-force equality, plan shape (zero
+corpus-side Exchange, partition pruning), store fingerprint reuse, and
+a synthetic-corpus equality check independent of the test data."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from external_benchmarks_spark.catalog import Catalog
+from external_benchmarks_spark.operators.deltadedup import (
+    band_hashes,
+    build_signature_store,
+    delta_dedup,
+    doc_shingles,
+)
+
+DUCK_TOKS = r"list_filter(regexp_split_to_array(lower(text), '\s+'), t -> len(t) > 0)"
+
+
+def _brute_force_sql(threshold_ppm: int) -> str:
+    return f"""
+    WITH t AS (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents),
+    sh AS MATERIALIZED (
+      SELECT doc_id, list_distinct(list_transform(range(len(toks) - 2),
+               i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3])) AS s
+      FROM t WHERE len(toks) >= 3),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter,
+             CAST(len(list_distinct(list_concat(a.s, b.s))) AS BIGINT) AS un
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        AND (a.doc_id % 10 = 0 OR b.doc_id % 10 = 0)
+      WHERE len(a.s) > 0 AND len(b.s) > 0)
+    SELECT id_a, id_b, inter, un,
+           CAST(inter AS DOUBLE) / CAST(un AS DOUBLE) AS jaccard
+    FROM p WHERE inter * 1000000 >= {threshold_ppm} * un
+    """
+
+
+def _store(spark, sf_dir, tag_suffix=""):
+    src = os.path.join(sf_dir, "documents.parquet")
+    tag = "t_dd_" + os.path.basename(sf_dir.rstrip("/")).replace(".", "_") + tag_suffix
+    corpus = Catalog(spark, sf_dir).documents.filter(F.col("doc_id") % 10 != 0)
+    return build_signature_store(spark, corpus, tag=tag, source_paths=[src])
+
+
+def test_delta_dedup_equals_brute_force(spark, sf_dir, duck):
+    """The banded incremental path must equal the O(n^2) spec exactly —
+    no missed pair (banding recall), no false positive (exact verify).
+    The same equality at sf0.01 and sf0.1 is asserted by the oracle
+    mirror and was probed at store-design time."""
+    store = _store(spark, sf_dir)
+    delta = Catalog(spark, sf_dir).documents.filter(F.col("doc_id") % 10 == 0)
+    got = sorted(
+        tuple(r) for r in delta_dedup(spark, delta, store).collect()
+    )
+    want = sorted(tuple(r) for r in duck.execute(_brute_force_sql(600_000)).fetchall())
+    assert got == want and len(got) > 0
+
+
+def _parent_line(lines: list[str], i: int) -> str:
+    """The plan-tree parent of line i: the nearest earlier line whose
+    branch marker sits at a smaller indent."""
+    def indent(s: str) -> int:
+        for marker in ("+- ", ":- "):
+            if marker in s:
+                return s.index(marker)
+        return len(s) - len(s.lstrip())
+
+    me = indent(lines[i])
+    for j in range(i - 1, -1, -1):
+        if indent(lines[j]) < me and ("+-" in lines[j] or ":-" in lines[j]):
+            return lines[j]
+    return ""
+
+
+def test_no_exchange_above_corpus_store_scans(spark, sf_dir):
+    """The 100 TB contract: the persisted store never shuffles. With
+    broadcast disabled (so the bucketed SortMergeJoin shape is forced),
+    every dd_* store FileScan's plan parent chain up to its join must
+    contain no Exchange — only Sort/Project/Filter."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try:
+        store = _store(spark, sf_dir, "_nx")
+        delta = Catalog(spark, sf_dir).documents.filter(
+            F.col("doc_id") % 10 == 0
+        )
+        res = delta_dedup(spark, delta, store)
+        plan = res._jdf.queryExecution().executedPlan().toString()
+        lines = plan.splitlines()
+        scan_lines = [
+            i
+            for i, line in enumerate(lines)
+            if "FileScan parquet spark_catalog.default.dd_" in line
+        ]
+        assert len(scan_lines) >= 3  # bands + two shingle lookups
+        for i in scan_lines:
+            assert "Bucketed: true" in lines[i], lines[i]
+            # walk the parent chain to the owning join: no Exchange
+            j = i
+            hops = 0
+            while hops < 6:
+                parent = _parent_line(lines, j)
+                if not parent or "Join" in parent:
+                    break
+                assert "Exchange" not in parent, parent
+                j = lines.index(parent)
+                hops += 1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_small_delta_prunes_store_partitions(spark, sf_dir):
+    """A small delta touches few pb prefixes; the band-store scan's
+    PartitionFilters must prune to exactly those (planning-time static
+    pruning from a <= 16-value collect)."""
+    store = _store(spark, sf_dir, "_pr")
+    delta = Catalog(spark, sf_dir).documents.filter(
+        F.col("doc_id").isin(10, 20)
+    )
+    res = delta_dedup(spark, delta, store)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    # the 2-doc delta has at most 16 band hashes -> prefix INSET < 16
+    import re
+
+    m = re.search(r"PartitionFilters: \[pb\S* INSET ([^\]]+)\]", plan)
+    assert m, plan
+    assert len(m.group(1).split(",")) < 16
+
+
+def test_store_fingerprint_skips_rebuild(spark, sf_dir):
+    """Second build with unchanged corpus+params returns the existing
+    layout without rewriting any file."""
+    from external_benchmarks_spark.pipeline.bucketing import bucket_root
+
+    store = _store(spark, sf_dir, "_fp")
+    root = bucket_root("dd_t_dd_" + os.path.basename(sf_dir.rstrip("/")).replace(".", "_") + "_fp")
+    before = {
+        os.path.join(dp, f): os.path.getmtime(os.path.join(dp, f))
+        for dp, _, fs in os.walk(root)
+        for f in fs
+    }
+    assert before, root
+    again = _store(spark, sf_dir, "_fp")
+    after = {
+        os.path.join(dp, f): os.path.getmtime(os.path.join(dp, f))
+        for dp, _, fs in os.walk(root)
+        for f in fs
+    }
+    assert again == store and after == before
+
+
+def test_synthetic_corpus_equality(spark, tmp_path):
+    """Independent of the benchmark tables: a synthetic corpus with
+    planted near-dups (>= 0.8 Jaccard) and unrelated docs. The
+    incremental result must equal a Spark-side brute force restricted
+    to touching pairs. Fixed seed => the banding equality is frozen."""
+    import random
+
+    rng = random.Random(3)
+    words = [f"w{i}" for i in range(60)]
+    docs = []
+    for i in range(40):
+        base = [rng.choice(words) for _ in range(30)]
+        docs.append((i * 10 + 1, " ".join(base)))  # corpus doc
+        if i % 3 == 0:
+            mut = list(base)
+            mut[rng.randrange(len(mut))] = rng.choice(words)  # one edit
+            docs.append((i * 10 + 10, " ".join(mut)))  # delta near-dup
+    for i in range(10):
+        docs.append((9000 + i * 10, " ".join(rng.choice(words) for _ in range(25))))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    corpus = df.filter(F.col("doc_id") % 10 != 0)
+    delta = df.filter(F.col("doc_id") % 10 == 0)
+    store = build_signature_store(spark, corpus, tag="t_dd_syn")
+    got = sorted(
+        (r.id_a, r.id_b, r.inter, r.un)
+        for r in delta_dedup(spark, delta, store, threshold_ppm=600_000).collect()
+    )
+    # Spark brute force over touching pairs
+    sh = doc_shingles(df)
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter((F.col("id_a") % 10 == 0) | (F.col("id_b") % 10 == 0))
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("sa", "sb")).cast("bigint").alias("inter"),
+            F.size(F.array_union("sa", "sb")).cast("bigint").alias("un"),
+        )
+        .filter(F.col("inter") * 1_000_000 >= 600_000 * F.col("un"))
+    )
+    want = sorted((r.id_a, r.id_b, r.inter, r.un) for r in pairs.collect())
+    assert got == want and len(got) >= 10
+
+
+def test_band_hashes_shape(spark, sf_dir):
+    """One row per (doc, band); pb is bh's first char."""
+    sh = doc_shingles(Catalog(spark, sf_dir).documents.limit(20))
+    bh = band_hashes(sh, num_hashes=16, bands=8)
+    rows = bh.collect()
+    n_docs = sh.count()
+    assert len(rows) == n_docs * 8
+    assert all(r.pb == r.bh[0] for r in rows)
