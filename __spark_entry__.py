@@ -4959,6 +4959,84 @@ _ALLPAIRS_JACCARD_SQL = f"""
 """
 
 
+_SORTED_EXPORT: dict = {}
+
+
+def q_sorted_export(spark, sf):
+    # Sorted-shard export writer (pipeline/export.py; r8 verdict item
+    # #6): deterministic range-partitioned TOTAL-ORDER parquet shards —
+    # global_rank's two-pass device applied to WRITING (exact rank ->
+    # shard = (rank-1)*S DIV N; never repartitionByRange's sampled,
+    # run-dependent boundaries; no single-partition exchange — plan-
+    # asserted in tests/test_export.py). The hashable row set pins all
+    # three artifact properties per shard: boundary (key_min/key_max +
+    # rank contiguity), size, and the exact within-shard ORDER via
+    # order_hash = SUM(global_rank * h16(row)) — any swap of two
+    # distinct rows flips it. The actual files are written once per
+    # (session, sf) next to the stats (one internally-sorted file per
+    # shard; file-level order re-read and asserted in tests).
+    import tempfile
+
+    from external_benchmarks_spark.pipeline.export import (
+        rank_sharded,
+        shard_stats,
+        write_sorted_shards,
+    )
+
+    o = Catalog(spark, sf).orders.select(
+        "o_orderkey",
+        _cents(F.col("o_totalprice")).alias("cents"),
+        F.col("o_orderdate").cast("string").alias("o_orderdate"),
+    )
+    order_cols = [F.col("cents"), F.col("o_orderkey")]
+    sharded = rank_sharded(o, order_cols, n_shards=8).persist()
+    key = (spark.sparkContext.applicationId, sf)
+    if key not in _SORTED_EXPORT:
+        out = os.path.join(
+            tempfile.gettempdir(),
+            "ebs_sorted_export_{}_{}".format(
+                os.path.basename(sf.rstrip("/")).replace(".", "_"),
+                spark.sparkContext.applicationId,
+            ),
+        )
+        write_sorted_shards(sharded, order_cols, out)
+        _SORTED_EXPORT[key] = out
+    stats = shard_stats(
+        sharded,
+        hash_cols=["o_orderkey", "cents", "o_orderdate"],
+        key_col="cents",
+    ).orderBy("shard")
+    out_df = spark.createDataFrame(stats.collect(), stats.schema)
+    sharded.unpersist()
+    return out_df
+
+
+_SORTED_EXPORT_SQL = """
+    WITH base AS (
+      SELECT o_orderkey,
+             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
+             CAST(o_orderdate AS VARCHAR) AS o_orderdate
+      FROM orders),
+    r AS (
+      SELECT *,
+             row_number() OVER (ORDER BY cents, o_orderkey) AS rk,
+             COUNT(*) OVER () AS n
+      FROM base),
+    s AS (
+      SELECT *, CAST((rk - 1) * 8 // n AS INT) AS shard,
+             CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '|'
+                || CAST(cents AS VARCHAR) || '|' || o_orderdate), 1, 4))
+                AS BIGINT) AS h16
+      FROM r)
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(rk) AS rank_min, MAX(rk) AS rank_max,
+           MIN(cents) AS key_min, MAX(cents) AS key_max,
+           CAST(SUM(rk * h16) AS BIGINT) AS order_hash
+    FROM s GROUP BY shard ORDER BY shard
+"""
+
+
 _DELTA_STORE: dict = {}
 
 
@@ -5902,6 +5980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-9 brand-new: verify first ---
         "delta_dedup": q_delta_dedup,
+        "sorted_export": q_sorted_export,
         # --- round-8 changed semantics/oracle or brand-new: re-verify first ---
         "wordpiece_merges": q_wordpiece_merges,
         "wordpiece_segment_tokens": q_wordpiece_segment_tokens,
@@ -7328,6 +7407,7 @@ def oracle_sql() -> dict[str, str]:
         "kmv_overlap": _kmv_overlap_sql(),
         "allpairs_jaccard": _ALLPAIRS_JACCARD_SQL,
         "delta_dedup": _DELTA_DEDUP_SQL,
+        "sorted_export": _SORTED_EXPORT_SQL,
         "cohort_retention": _COHORT_RETENTION_SQL,
         "hierarchy_rollup": _HIERARCHY_ROLLUP_SQL,
         "unigram_doc_ppl": _unigram_doc_ppl_sql(),
