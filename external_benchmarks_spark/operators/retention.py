@@ -38,8 +38,18 @@ def cohort_retention(
     retention_ppm): for each first-activity week cohort, how many of
     its users were active again k weeks later."""
     wk = F.date_trunc("week", F.col(ts_col))
-    per_user = (
+    return matrix_from_activity(
         events.select(F.col(user_col).alias("_u"), wk.alias("_wk"))
+    )
+
+
+def matrix_from_activity(pairs: DataFrame) -> DataFrame:
+    """The retention matrix from (_u, _wk) activity rows (duplicates
+    fine — the per-user set dedups). Shared by the batch operator and
+    the streaming twin (streaming/retention.py), so the two are
+    bit-identical BY CONSTRUCTION once their activity sets agree."""
+    per_user = (
+        pairs
         .groupBy("_u")
         .agg(F.collect_set("_wk").alias("_wks"))
         .select(F.array_min("_wks").alias("_cohort"), F.explode("_wks").alias("_wk"))
