@@ -70,7 +70,15 @@ LEGS = (
     "cohort_retention",
     "symdelete_name_pairs",
     "basket_lift",
+    # round-9 additions: incremental dedup (store build cold, delta
+    # steady) and the total-order shard writer (rank + write + stats)
+    "delta_dedup",
+    "sorted_export",
 )
+# Legs whose operator starts with a distinct() over a string column:
+# at 1.0r they run against the VARIANT view (10x vocabulary), not the
+# verbatim replica — r8 verdict finding #3.
+VARIANT_LEGS = {"kmv_overlap"}
 DIM_TABLES = ("region", "nation", "supplier", "part")
 EMB_DIM = 64
 
@@ -83,9 +91,14 @@ def replica_dir() -> str:
     )
 
 
-def _replicate(spark, df, offsets: dict[str, int], shift_emb: bool = False):
+def _replicate(spark, df, offsets: dict[str, int], shift_emb: bool = False,
+               mutate=None):
     """Union FACTOR copies, adding i*offset to each keyed column; copy i
-    of an embedding is circularly shifted by (7*i) % EMB_DIM."""
+    of an embedding is circularly shifted by (7*i) % EMB_DIM.
+    ``mutate(frame, i)`` applies a per-copy column rewrite (used to make
+    replicated STRING columns genuinely distinct per copy — the round-8
+    verdict's finding #3: a verbatim-copied vocabulary makes any
+    distinct()-first operator's rung meaningless)."""
     parts = []
     for i in range(FACTOR):
         d = df
@@ -100,6 +113,8 @@ def _replicate(spark, df, offsets: dict[str, int], shift_emb: bool = False):
                     F.slice("embedding", 1, s),
                 ),
             )
+        if mutate is not None:
+            d = mutate(d, i)
         parts.append(d)
     out = parts[0]
     for p in parts[1:]:
@@ -107,11 +122,41 @@ def _replicate(spark, df, offsets: dict[str, int], shift_emb: bool = False):
     return out
 
 
+def _suffix_name(d, i):
+    """Copy i > 0 gets a TWO-character replica suffix on c_name
+    ("~ii"): within-copy edit distances are unchanged (a shared
+    suffix), cross-copy pairs differ in >= 2 positions so ed<=1 never
+    matches across copies — the distinct-name vocabulary and the
+    expected pair count both grow exactly FACTOR-fold."""
+    if i == 0:
+        return d
+    return d.withColumn("c_name", F.concat(F.col("c_name"), F.lit(f"~{i}{i}")))
+
+
+def _suffix_tokens(d, i):
+    """documents_v: copy i > 0 suffixes every TOKEN with _i — a
+    bijection of the token space per copy, so within-copy overlap
+    structure is exactly sf0.1's while the distinct (source, term)
+    universe grows FACTOR-fold (disjoint per-copy vocabularies)."""
+    if i == 0:
+        return d
+    toks = F.filter(
+        F.split(F.col("text"), r"\s+"), lambda t: F.length(t) > 0
+    )
+    return d.withColumn(
+        "text",
+        F.concat_ws(
+            " ", F.transform(toks, lambda t: F.concat(t, F.lit(f"_{i}")))
+        ),
+    )
+
+
 def build_replica(spark) -> str:
     from external_benchmarks_spark.catalog import Catalog
 
     out = replica_dir()
-    marker = os.path.join(out, "_REPLICA_DONE_v2")  # v2: + events table
+    # v3: distinct c_name per copy, + documents_v variant table
+    marker = os.path.join(out, "_REPLICA_DONE_v3")
     if os.path.exists(marker):
         return out
     shutil.rmtree(out, ignore_errors=True)
@@ -130,8 +175,15 @@ def build_replica(spark) -> str:
         "orders": _replicate(
             spark, cat.orders, {"o_orderkey": mx["o"], "o_custkey": mx["c"]}
         ),
-        "customer": _replicate(spark, cat.customer, {"c_custkey": mx["c"]}),
+        "customer": _replicate(
+            spark, cat.customer, {"c_custkey": mx["c"]}, mutate=_suffix_name
+        ),
         "documents": _replicate(spark, cat.documents, {"doc_id": mx["d"]}),
+        # variant documents for the distinct()-first legs (kmv_overlap):
+        # token space disjoint per copy, within-copy structure preserved
+        "documents_v": _replicate(
+            spark, cat.documents, {"doc_id": mx["d"]}, mutate=_suffix_tokens
+        ),
         "embeddings": _replicate(
             spark, cat.embeddings, {"vec_id": mx["v"]}, shift_emb=True
         ),
@@ -151,6 +203,20 @@ def build_replica(spark) -> str:
             shutil.copy(src, dst)
         else:
             shutil.copytree(src, dst)
+    # the "1.0rv" rung: same replica, but `documents` IS the variant
+    # table — a symlink view so the distinct()-first legs get a
+    # genuinely 10x vocabulary without touching the other legs' inputs
+    vdir = os.path.join(out, "variant")
+    os.makedirs(vdir, exist_ok=True)
+    for entry in os.listdir(out):
+        if not entry.endswith(".parquet") or entry == "documents_v.parquet":
+            continue
+        link = os.path.join(vdir, entry)
+        target = os.path.join(
+            out, "documents_v.parquet" if entry == "documents.parquet" else entry
+        )
+        if not os.path.lexists(link):
+            os.symlink(target, link)
     open(marker, "w").close()
     return out
 
@@ -179,16 +245,77 @@ def main() -> None:
             "documents": Catalog(spark, sf_dir).documents.count(),
         }
         for name in LEGS:
+            leg_dir = sf_dir
+            if name in VARIANT_LEGS and sf_label == "1.0r":
+                leg_dir = os.path.join(rep, "variant")
             reps = []
             for _ in range(2):
                 t0 = time.perf_counter()
-                q[name](spark, sf_dir).count()
+                q[name](spark, leg_dir).count()
                 reps.append(time.perf_counter() - t0)
             legs[name][sf_label] = {
                 "cold": round(reps[0], 3),
                 "steady": round(min(reps), 3),
             }
             print(f"# {name} @ {sf_label}: {legs[name][sf_label]}", file=sys.stderr)
+
+    # Input-growth evidence for the two distinct()-first legs (the
+    # round-8 verdict's "state the measured slope next to the
+    # structural claim"): the operators' real input sizes per rung.
+    from external_benchmarks_spark.catalog import Catalog
+
+    growth: dict = {"symdelete_distinct_names": {}, "kmv_distinct_source_terms": {}}
+    for sf_label, sf_dir in rungs.items():
+        kdir = (
+            os.path.join(rep, "variant") if sf_label == "1.0r" else sf_dir
+        )
+        growth["symdelete_distinct_names"][sf_label] = (
+            Catalog(spark, sf_dir).customer.select("c_name").distinct().count()
+        )
+        d = Catalog(spark, kdir).documents
+        toks = F.filter(
+            F.split(F.lower(F.col("text")), r"\s+"), lambda t: F.length(t) > 0
+        )
+        growth["kmv_distinct_source_terms"][sf_label] = (
+            d.select("source", F.explode(toks).alias("t")).distinct().count()
+        )
+    print(f"# input_growth: {growth}", file=sys.stderr)
+
+    # Fixed-delta ladder for delta_dedup (round-8 verdict item #5's
+    # "corpus grows 10x, delta cost stays flat"): the SAME 10% sf0.1
+    # delta joins pre-built stores over corpora 0.1x/1x/10x its own
+    # corpus. Store build is untimed (index work); the timed path is
+    # the steady-state daily-batch join.
+    from external_benchmarks_spark.operators.deltadedup import (
+        build_signature_store,
+        delta_dedup,
+    )
+
+    fixed_delta = Catalog(spark, SRC).documents.filter(
+        F.col("doc_id") % 10 == 0
+    )
+    dd_fixed: dict = {}
+    for sf_label, sf_dir in rungs.items():
+        corpus = Catalog(spark, sf_dir).documents.filter(
+            F.col("doc_id") % 10 != 0
+        )
+        tag = "ladder_" + sf_label.replace(".", "_")
+        store = build_signature_store(
+            spark, corpus, tag=tag,
+            source_paths=[os.path.join(sf_dir, "documents.parquet")],
+        )
+        reps = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            delta_dedup(spark, fixed_delta, store).count()
+            reps.append(time.perf_counter() - t0)
+        dd_fixed[sf_label] = {
+            "corpus_docs": corpus.count(),
+            "cold": round(reps[0], 3),
+            "steady": round(min(reps[1:]), 3),
+        }
+        print(f"# delta_dedup_fixed @ {sf_label}: {dd_fixed[sf_label]}",
+              file=sys.stderr)
     refresh = {}
     for sf_label, sf_dir in rungs.items():
         refresh[sf_label] = bench.index_refresh_leg(spark, sf_dir)
@@ -234,7 +361,8 @@ def main() -> None:
 
     print(json.dumps({
         "legs": legs, "index_refresh": refresh, "replica_rows": rows,
-        "skew_ladder": skew,
+        "skew_ladder": skew, "input_growth": growth,
+        "delta_dedup_fixed_delta": dd_fixed,
     }))
 
 
