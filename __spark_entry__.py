@@ -5981,64 +5981,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-9 brand-new: verify first ---
         "delta_dedup": q_delta_dedup,
         "sorted_export": q_sorted_export,
-        # --- round-8 changed semantics/oracle or brand-new: re-verify first ---
-        "wordpiece_merges": q_wordpiece_merges,
-        "wordpiece_segment_tokens": q_wordpiece_segment_tokens,
-        "zorder_stats": q_zorder_stats,
-        "bloom_semi_stats": q_bloom_semi_stats,
-        "unigram_vocab": q_unigram_vocab,
-        "unigram_segment_tokens": q_unigram_segment_tokens,
-        "scd2_apply": q_scd2_apply,
-        "scd2_collisions": q_scd2_collisions,
-        "scd2_lookup": q_scd2_lookup,
-        "scd2_lookup_asof": q_scd2_lookup_asof,
-        "kmeans_profile": q_kmeans_profile,
-        "bpe_merges": q_bpe_merges,
-        "bpe_segment_tokens": q_bpe_segment_tokens,
-        # --- stalest: last driver-checked r4 (the round-7 verdict's rotation target) ---
-        "variant_extract": q_variant_extract,
-        "fuzzy_name_pairs": q_fuzzy_name_pairs,
-        "value_drift": q_value_drift,
-        "bm25_indexed": q_bm25_indexed,
-        "gap_filled_hourly": q_gap_filled_hourly,
-        "tpch_q6": q_tpch_q6,
-        "tpch_q10": q_tpch_q10,
-        "tpch_q14": q_tpch_q14,
-        "count_star": q_count_star,
-        "group_share_topn": q_group_share_topn,
-        "numeric_summary": q_numeric_summary,
-        "text_length_stats": q_text_length_stats,
-        "selective_filter": q_selective_filter,
-        "inlist_filter": q_inlist_filter,
-        "global_topk": q_global_topk,
-        "window_topk": q_window_topk,
-        "join_agg": q_join_agg,
-        "region_rollup": q_region_rollup,
-        "semi_join": q_semi_join,
-        "anti_join": q_anti_join,
-        "histogram": q_histogram,
-        "distinct_count": q_distinct_count,
-        "exact_median": q_exact_median,
-        "correlation": q_correlation,
-        "except_setop": q_except_setop,
-        "intersect_setop": q_intersect_setop,
-        "rollup_agg": q_rollup_agg,
-        "cube_agg": q_cube_agg,
-        "grouping_sets": q_grouping_sets,
-        "moving_avg": q_moving_avg,
-        "window_extras": q_window_extras,
-        "pivot_agg": q_pivot_agg,
-        "unpivot": q_unpivot,
-        "except_all": q_except_all,
-        "rank_lag": q_rank_lag,
-        "multi_quantile": q_multi_quantile,
-        "group_median": q_group_median,
-        # --- r9 window head: debuts next round (r8 window is exactly full).
-        # R9 rotation plan: any r9-changed entries first, then the
-        # never-checked block (hash_sample_quantiles ..
-        # revenue_concentration, 23 entries), then the r5-stale block
-        # (date_parts ..) to fill the ~50 window (r10 takes the rest
-        # of the r5 block). ---
+        # --- never driver-checked (round-8 session-3 additions; the
+        # recorded r9 rotation executed: 2 new + these 23 + the
+        # r5-stale head below = the ~50 window). ---
         "hash_sample_quantiles": q_hash_sample_quantiles,
         "running_total": q_running_total,
         "skyline_parts": q_skyline_parts,
@@ -6062,7 +6007,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rfm_segments": q_rfm_segments,
         "basket_lift": q_basket_lift,
         "revenue_concentration": q_revenue_concentration,
-        # --- last driver-checked r5 ---
+        # --- last driver-checked r5: the r9 window reaches ~25 entries
+        # into this block (through audio_decode); r10 rotation plan:
+        # any r10-changed entries first, then the remainder of this r5
+        # block (group_embedding_stats .. event_transitions_ranged),
+        # then the r7-checked block. ---
         "date_parts": q_date_parts,
         "deterministic_sample": q_deterministic_sample,
         "stratified_sample": q_stratified_sample,
@@ -6204,6 +6153,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_group_agg": q_salted_group_agg,
         "salted_join_agg": q_salted_join_agg,
         "exact_dedup": q_exact_dedup,
+        # --- r8-window green (checked r8): rotated to the back ---
+        "wordpiece_merges": q_wordpiece_merges,
+        "wordpiece_segment_tokens": q_wordpiece_segment_tokens,
+        "zorder_stats": q_zorder_stats,
+        "bloom_semi_stats": q_bloom_semi_stats,
+        "unigram_vocab": q_unigram_vocab,
+        "unigram_segment_tokens": q_unigram_segment_tokens,
+        "scd2_apply": q_scd2_apply,
+        "scd2_collisions": q_scd2_collisions,
+        "scd2_lookup": q_scd2_lookup,
+        "scd2_lookup_asof": q_scd2_lookup_asof,
+        "kmeans_profile": q_kmeans_profile,
+        "bpe_merges": q_bpe_merges,
+        "bpe_segment_tokens": q_bpe_segment_tokens,
+        # (the former r4-stale block, re-checked green in the r8 window)
+        "variant_extract": q_variant_extract,
+        "fuzzy_name_pairs": q_fuzzy_name_pairs,
+        "value_drift": q_value_drift,
+        "bm25_indexed": q_bm25_indexed,
+        "gap_filled_hourly": q_gap_filled_hourly,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q14": q_tpch_q14,
+        "count_star": q_count_star,
+        "group_share_topn": q_group_share_topn,
+        "numeric_summary": q_numeric_summary,
+        "text_length_stats": q_text_length_stats,
+        "selective_filter": q_selective_filter,
+        "inlist_filter": q_inlist_filter,
+        "global_topk": q_global_topk,
+        "window_topk": q_window_topk,
+        "join_agg": q_join_agg,
+        "region_rollup": q_region_rollup,
+        "semi_join": q_semi_join,
+        "anti_join": q_anti_join,
+        "histogram": q_histogram,
+        "distinct_count": q_distinct_count,
+        "exact_median": q_exact_median,
+        "correlation": q_correlation,
+        "except_setop": q_except_setop,
+        "intersect_setop": q_intersect_setop,
+        "rollup_agg": q_rollup_agg,
+        "cube_agg": q_cube_agg,
+        "grouping_sets": q_grouping_sets,
+        "moving_avg": q_moving_avg,
+        "window_extras": q_window_extras,
+        "pivot_agg": q_pivot_agg,
+        "unpivot": q_unpivot,
+        "except_all": q_except_all,
+        "rank_lag": q_rank_lag,
+        "multi_quantile": q_multi_quantile,
+        "group_median": q_group_median,
     }
 
 # ---------------------------------------------------------------------------
