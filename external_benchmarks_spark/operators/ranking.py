@@ -39,6 +39,19 @@ def global_rank(
     by ``order_cols`` (which must be a total order — include a unique
     key as the last tiebreaker). Two passes, no corpus-sized shuffle
     to a single task."""
+    ranked, _ = global_rank_with_total(df, order_cols, rank_col, num_partitions)
+    return ranked
+
+
+def global_rank_with_total(
+    df: DataFrame,
+    order_cols: Sequence[Column | str],
+    rank_col: str = "global_rank",
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, int]:
+    """`global_rank` plus the total row count — free from pass 1's
+    per-partition counts, so callers that need N (shard assignment in
+    pipeline/export.py) avoid a separate full scan."""
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     part = df.repartitionByRange(n_parts, *cols).withColumn(
@@ -62,9 +75,10 @@ def global_rank(
     )
     # pass 2: rank within each range partition, add the offset
     w = Window.partitionBy("_pid").orderBy(*cols)
-    return (
+    ranked = (
         part.withColumn("_lr", F.row_number().over(w))
         .join(off_df, "_pid")
         .withColumn(rank_col, (F.col("_off") + F.col("_lr")).cast("bigint"))
         .drop("_pid", "_lr", "_off")
     )
+    return ranked, acc

@@ -43,7 +43,7 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from external_benchmarks_spark.operators.ranking import global_rank
+from external_benchmarks_spark.operators.ranking import global_rank_with_total
 
 
 def rank_sharded(
@@ -54,10 +54,10 @@ def rank_sharded(
     shard_col: str = "shard",
 ) -> DataFrame:
     """Append exact global rank and the deterministic equal-split shard
-    id ``(rank - 1) * n_shards DIV N``. Two passes + one count; driver
-    data is bounded by the partition count (global_rank's contract)."""
-    n = df.count()
-    ranked = global_rank(df, order_cols, rank_col=rank_col)
+    id ``(rank - 1) * n_shards DIV N``. Two passes total: N comes free
+    from global_rank's partition-count pass (no separate count scan);
+    driver data is bounded by the partition count."""
+    ranked, n = global_rank_with_total(df, order_cols, rank_col=rank_col)
     # ranks are >= 1, so floor-div == truncating div here (both engines)
     shard = F.floor(
         ((F.col(rank_col) - F.lit(1)) * F.lit(int(n_shards))) / F.lit(int(n))
