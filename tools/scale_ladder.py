@@ -341,18 +341,33 @@ def main() -> None:
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
         try:
             res = {}
-            for name, df in (
-                ("naive", left.join(right, "k")),
-                ("salted", salted_join(left, right, "k", "pad", n_salts=16)),
-                ("adaptive", adaptive_salted_join(
-                    left, right, "k", "pad", n_salts=16, hot=hot)),
-            ):
-                agg = df.groupBy().agg(
-                    F.count(F.lit(1)).alias("c"), F.sum("val").alias("s")
-                )
-                t0 = time.perf_counter()
-                agg.collect()
-                res[name] = round(time.perf_counter() - t0, 3)
+            # median of 3 per strategy (round-9: the skew rungs join the
+            # same noise protocol as bench — a one-shot 20M measurement
+            # inverted the established ordering once purely from host
+            # state). The join is REBUILT per rep: re-collecting one
+            # DataFrame object would silently reuse its shuffle map
+            # outputs and time almost nothing.
+            builders = {
+                "naive": lambda: left.join(right, "k"),
+                "salted": lambda: salted_join(
+                    left, right, "k", "pad", n_salts=16
+                ),
+                "adaptive": lambda: adaptive_salted_join(
+                    left, right, "k", "pad", n_salts=16, hot=hot
+                ),
+            }
+            for name, build in builders.items():
+                reps = []
+                for _ in range(3):
+                    agg = build().groupBy().agg(
+                        F.count(F.lit(1)).alias("c"), F.sum("val").alias("s")
+                    )
+                    t0 = time.perf_counter()
+                    agg.collect()
+                    reps.append(time.perf_counter() - t0)
+                reps.sort()
+                res[name] = round(reps[1], 3)
+                res[f"{name}_spread"] = [round(x, 3) for x in reps]
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_b)
             spark.conf.set("spark.sql.adaptive.skewJoin.enabled", old_s)
