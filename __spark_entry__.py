@@ -5037,6 +5037,94 @@ _SORTED_EXPORT_SQL = """
 """
 
 
+_DSEM_STORE: dict = {}
+
+
+def _dsem_store(spark, sf):
+    """Persisted cell-partitioned vector store for delta_semdedup
+    (operators/deltadedup.py, semantic tier) — built once per (session,
+    sf, corpus fingerprint); corpus = embeddings with vec_id % 10 != 0."""
+    from external_benchmarks_spark.operators.deltadedup import (
+        build_vector_store,
+    )
+
+    src = os.path.join(sf, "embeddings.parquet")
+    st = os.stat(src)
+    tag = "{}_{}_{}".format(
+        os.path.basename(sf.rstrip("/")).replace(".", "_"),
+        int(st.st_mtime),
+        st.st_size,
+    )
+    key = (spark.sparkContext.applicationId, tag)
+    if key not in _DSEM_STORE:
+        corpus = Catalog(spark, sf).embeddings.filter(F.col("vec_id") % 10 != 0)
+        _DSEM_STORE[key] = build_vector_store(
+            spark, corpus, tag=tag, source_paths=[src]
+        )
+    return _DSEM_STORE[key]
+
+
+def q_delta_semdedup(spark, sf):
+    # The SEMANTIC tier of incremental dedup (operators/deltadedup.py):
+    # the new embedding batch (vec_id % 10 == 0) near-dup-joins the
+    # persisted CELL-PARTITIONED corpus vector store — md5-sampled unit
+    # centroids (the sampled_centroids engine-portable device proven by
+    # ivf_ann_topk), broadcast-argmax cell assignment in pure Catalyst,
+    # corpus scan statically pruned to the delta's cells, delta side
+    # broadcast into the cell join so corpus vectors never shuffle.
+    # Pairs are cell-blocked (SemDeDup's cluster-local semantics, like
+    # embedding_neardup's label block) with 1e-6 fixed-point cosine >=
+    # 0.2 — the oracle replays sampling, assignment, blocking, and
+    # scoring end to end.
+    from external_benchmarks_spark.operators.deltadedup import delta_semdedup
+
+    store = _dsem_store(spark, sf)
+    delta = Catalog(spark, sf).embeddings.filter(F.col("vec_id") % 10 == 0)
+    return delta_semdedup(spark, delta, store, threshold_fp=200_000).orderBy(
+        "id_a", "id_b"
+    )
+
+
+_DELTA_SEMDEDUP_SQL = f"""
+    WITH corp AS (SELECT vec_id, {EMB_DBL} AS e FROM embeddings
+                  WHERE vec_id % 10 != 0),
+    delt AS (SELECT vec_id, {EMB_DBL} AS e FROM embeddings
+             WHERE vec_id % 10 = 0),
+    sel AS (
+      SELECT vec_id, e FROM corp
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+    cent AS (
+      SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+               AS cid,
+             list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS cv
+      FROM sel),
+    allrows AS (
+      SELECT vec_id, e, 0 AS is_delta FROM corp
+      UNION ALL SELECT vec_id, e, 1 AS is_delta FROM delt),
+    scores AS (
+      SELECT a.vec_id, a.e, a.is_delta, cent.cid,
+             list_dot_product(a.e, cent.cv) AS d
+      FROM allrows a CROSS JOIN cent),
+    assign AS MATERIALIZED (
+      SELECT vec_id, e, is_delta, cid FROM (
+        SELECT vec_id, e, is_delta, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
+        FROM scores) WHERE rn = 1),
+    p AS (
+      SELECT LEAST(a.vec_id, b.vec_id) AS id_a,
+             GREATEST(a.vec_id, b.vec_id) AS id_b,
+             CAST(ROUND(list_dot_product(a.e, b.e)
+               / (sqrt(list_dot_product(a.e, a.e))
+                  * sqrt(list_dot_product(b.e, b.e))) * 1000000, 0) AS BIGINT)
+               AS cos_fp
+      FROM assign a JOIN assign b
+        ON a.cid = b.cid AND a.vec_id < b.vec_id
+        AND (a.is_delta = 1 OR b.is_delta = 1))
+    SELECT id_a, id_b, cos_fp FROM p WHERE cos_fp >= 200000
+    ORDER BY id_a, id_b
+"""
+
+
 _DELTA_STORE: dict = {}
 
 
@@ -5980,6 +6068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-9 brand-new: verify first ---
         "delta_dedup": q_delta_dedup,
+        "delta_semdedup": q_delta_semdedup,
         "sorted_export": q_sorted_export,
         # --- never driver-checked (round-8 session-3 additions; the
         # recorded r9 rotation executed: 2 new + these 23 + the
@@ -7408,6 +7497,7 @@ def oracle_sql() -> dict[str, str]:
         "kmv_overlap": _kmv_overlap_sql(),
         "allpairs_jaccard": _ALLPAIRS_JACCARD_SQL,
         "delta_dedup": _DELTA_DEDUP_SQL,
+        "delta_semdedup": _DELTA_SEMDEDUP_SQL,
         "sorted_export": _SORTED_EXPORT_SQL,
         "cohort_retention": _COHORT_RETENTION_SQL,
         "hierarchy_rollup": _HIERARCHY_ROLLUP_SQL,

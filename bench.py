@@ -1056,6 +1056,7 @@ def headline_queries():
         # (store build is index work, pre-built in main()'s warmup; the
         # leg prices the DELTA path only — the daily-batch steady state)
         "delta_dedup": q["delta_dedup"],
+        "delta_semdedup": q["delta_semdedup"],
         # Round-9: sorted-shard export priced end-to-end — exact global
         # rank, the 8-way sharded sorted WRITE, and the fingerprint agg
         # all inside the leg (the writer IS the operator here)
@@ -1117,6 +1118,7 @@ def main() -> None:
     _inverted_index(spark, SF_DIR)  # postings build here, queries are timed
     Catalog(spark, SF_DIR).partsupp_table()  # materialize the TPC-H fixture
     entry_mod._delta_store(spark, SF_DIR)  # corpus signature store (index work)
+    entry_mod._dsem_store(spark, SF_DIR)  # corpus vector store (index work)
     # The ingest arc's raw JSONL fixture is a MATERIALIZED artifact like
     # the skew tables — built here once, so the ingest_report leg times
     # stage -> parse -> embed -> report, not fixture production. The

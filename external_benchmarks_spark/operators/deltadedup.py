@@ -291,3 +291,167 @@ def delta_dedup(
         )
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Semantic tier: incremental EMBEDDING near-dup vs a persisted vector store
+# ---------------------------------------------------------------------------
+#
+# The companion to the syntactic store above — a training pipeline dedups
+# each new batch BOTH ways: shingle-Jaccard (surface copies) and embedding
+# cosine (paraphrases). Same incremental contract: corpus vectors are
+# assigned to IVF cells ONCE and persisted cell-partitioned; the delta
+# assigns against the FROZEN centroids and only the touched cells are read
+# (static partition pruning from a <= n_cells collect). Blocking semantics
+# are declared, like the batch embedding_neardup's label block: pairs are
+# reported within a shared cell (SemDeDup's cluster-local definition), and
+# the oracle replays centroid sampling, assignment, and scoring exactly —
+# the md5-sampled centroids + broadcast-argmax assignment are the
+# engine-portable device of operators/similarity.sampled_centroids (the
+# numpy ivf_assign_udf path stays the production fast path; this store
+# uses the auditable form so the WHOLE incremental pipeline hash-checks).
+
+
+@dataclass(frozen=True)
+class VectorStore:
+    """Handles + parameters of a persisted cell-partitioned vector store."""
+
+    vectors_path: str
+    centroids_path: str
+    n_cells: int
+
+
+def _assign_cells(
+    df: DataFrame,
+    cent_df: DataFrame,
+    key_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """argmax over cells of dot(raw embedding, unit centroid), cell-id
+    tiebreak — pure Catalyst (broadcast cross join + per-key window), the
+    exact form the DuckDB oracle replays row for row."""
+    from pyspark.sql.window import Window
+
+    from external_benchmarks_spark.functions.vector import dot_product
+
+    e = F.col(emb_col).cast("array<double>")
+    w = Window.partitionBy(key_col).orderBy(F.desc("_d"), F.asc("_cid"))
+    return (
+        df.crossJoin(F.broadcast(cent_df))
+        .withColumn("_d", dot_product(e, F.col("_cv")))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col(key_col), F.col(emb_col), F.col("_cid").alias("cell")
+        )
+    )
+
+
+def build_vector_store(
+    spark: SparkSession,
+    corpus: DataFrame,
+    tag: str,
+    key_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_cells: int = 16,
+    source_paths: list[str] | None = None,
+) -> VectorStore:
+    """Build (or fingerprint-reuse) the persisted vector store: md5-sampled
+    unit centroids (a tiny parquet, so reuse never rescans the corpus) and
+    the corpus vectors written partitionBy(cell)."""
+    from external_benchmarks_spark.operators.similarity import sampled_centroids
+
+    root = bucket_root(f"dsem_{tag}")
+    store = VectorStore(
+        vectors_path=os.path.join(root, "vectors"),
+        centroids_path=os.path.join(root, "centroids"),
+        n_cells=n_cells,
+    )
+    fp = None
+    if source_paths is not None:
+        fp = source_fingerprint(
+            source_paths, extra={"n_cells": n_cells, "v": 1}
+        )
+        if layout_is_current(root, fp):
+            return store
+    cent = sampled_centroids(
+        corpus, n_cells, key_col=key_col, emb_col=emb_col, normalize=True
+    )
+    cent_df = spark.createDataFrame(
+        [(int(i), [float(v) for v in row]) for i, row in enumerate(cent)],
+        "_cid bigint, _cv array<double>",
+    )
+    cent_df.coalesce(1).write.mode("overwrite").parquet(store.centroids_path)
+    assigned = _assign_cells(corpus, cent_df, key_col, emb_col)
+    (
+        assigned.repartition(F.col("cell"))
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(store.vectors_path)
+    )
+    if fp is not None:
+        record_layout(root, fp)
+    return store
+
+
+def delta_semdedup(
+    spark: SparkSession,
+    delta: DataFrame,
+    store: VectorStore,
+    key_col: str = "vec_id",
+    emb_col: str = "embedding",
+    threshold_fp: int = 950_000,
+    prune: bool = True,
+) -> DataFrame:
+    """Cell-blocked near-dup pairs touching the delta: (id_a, id_b,
+    cos_fp), id_a < id_b, 1e-6 fixed-point cosine >= threshold_fp,
+    at least one id from the delta. Delta keys must not exist in the
+    store. The delta side broadcasts into the cell join, so no corpus
+    vector ever shuffles; with ``prune`` the corpus scan is statically
+    partition-pruned to the delta's cells."""
+    from external_benchmarks_spark.functions.vector import dot_product, l2_norm
+
+    cent_df = spark.read.parquet(store.centroids_path)
+    dass = _assign_cells(delta, cent_df, key_col, emb_col).persist()
+    corpus = spark.read.parquet(store.vectors_path)
+    if prune:
+        cells = [r[0] for r in dass.select("cell").distinct().collect()]
+        corpus = corpus.filter(F.col("cell").isin(cells))
+
+    def _cos_fp(ea, eb):
+        a = ea.cast("array<double>")
+        b = eb.cast("array<double>")
+        cos = dot_product(a, b) / (l2_norm(a) * l2_norm(b))
+        return F.round(cos * 1_000_000, 0).cast("bigint")
+
+    d_side = F.broadcast(
+        dass.select(
+            F.col(key_col).alias("_did"), F.col(emb_col).alias("_de"), "cell"
+        )
+    )
+    cross = (
+        corpus.select(
+            F.col(key_col).alias("_cid_k"), F.col(emb_col).alias("_ce"), "cell"
+        )
+        .join(d_side, "cell")
+        .select(
+            F.least("_did", "_cid_k").alias("id_a"),
+            F.greatest("_did", "_cid_k").alias("id_b"),
+            _cos_fp(F.col("_ce"), F.col("_de")).alias("cos_fp"),
+        )
+    )
+    within = (
+        dass.select(F.col(key_col).alias("id_a"), F.col(emb_col).alias("_ea"), "cell")
+        .join(
+            dass.select(
+                F.col(key_col).alias("id_b"), F.col(emb_col).alias("_eb"), "cell"
+            ),
+            "cell",
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", _cos_fp(F.col("_ea"), F.col("_eb")).alias("cos_fp"))
+    )
+    return (
+        cross.unionByName(within)
+        .filter(F.col("cos_fp") >= F.lit(int(threshold_fp)))
+    )

@@ -209,3 +209,111 @@ def test_band_hashes_shape(spark, sf_dir):
     n_docs = sh.count()
     assert len(rows) == n_docs * 8
     assert all(r.pb == r.bh[0] for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# Semantic tier (delta_semdedup)
+# ---------------------------------------------------------------------------
+
+def _vstore(spark, sf_dir, suffix=""):
+    from external_benchmarks_spark.operators.deltadedup import build_vector_store
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    tag = "t_ds_" + os.path.basename(sf_dir.rstrip("/")).replace(".", "_") + suffix
+    corpus = Catalog(spark, sf_dir).embeddings.filter(F.col("vec_id") % 10 != 0)
+    return build_vector_store(spark, corpus, tag=tag, source_paths=[src])
+
+
+def test_semdedup_corpus_scan_pruned_and_unshuffled(spark, sf_dir):
+    """The corpus vector scan must be partition-pruned to the delta's
+    cells and sit under the join with no Exchange above it (the delta
+    side broadcasts)."""
+    from external_benchmarks_spark.operators.deltadedup import delta_semdedup
+
+    store = _vstore(spark, sf_dir)
+    delta = Catalog(spark, sf_dir).embeddings.filter(
+        F.col("vec_id").isin(10, 20, 30)
+    )
+    res = delta_semdedup(spark, delta, store, threshold_fp=0)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    scans = [
+        i for i, l in enumerate(lines)
+        if "FileScan parquet" in l and "dsem_" in l and "/vectors" in l
+    ]
+    assert scans, plan
+    import re
+
+    for i in scans:
+        m = re.search(r"PartitionFilters: \[cell\S* IN", lines[i]) or re.search(
+            r"PartitionFilters: \[cell\S* INSET", lines[i]
+        )
+        assert m, lines[i]
+        j, hops = i, 0
+        while hops < 6:
+            parent = _parent_line(lines, j)
+            if not parent or "Join" in parent:
+                break
+            assert "Exchange" not in parent, parent
+            j = lines.index(parent)
+            hops += 1
+    # and the delta path never re-reads the corpus source parquet: the
+    # only embeddings-source scans belong to the delta's own lineage
+    src_scans = [
+        l for l in lines
+        if "FileScan parquet" in l and "embeddings.parquet" in l
+    ]
+    assert all("In(vec_id, [10,20,30])" in l for l in src_scans), src_scans
+
+
+def test_semdedup_finds_planted_duplicates(spark):
+    """An exact duplicate vector always lands in the same cell as its
+    original (same argmax), so the cell block can never lose it —
+    planted copies must all surface with cos_fp == 1e6."""
+    import random
+
+    from external_benchmarks_spark.operators.deltadedup import (
+        build_vector_store,
+        delta_semdedup,
+    )
+
+    rng = random.Random(5)
+    rows = []
+    for i in range(200):
+        v = [rng.uniform(-1, 1) for _ in range(16)]
+        rows.append((i * 10 + 1, v))  # corpus
+        if i % 4 == 0:
+            rows.append((i * 10 + 10, list(v)))  # delta exact copy
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    corpus = df.filter(F.col("vec_id") % 10 != 0)
+    delta = df.filter(F.col("vec_id") % 10 == 0)
+    store = build_vector_store(spark, corpus, tag="t_ds_syn")
+    got = {
+        (r.id_a, r.id_b): r.cos_fp
+        for r in delta_semdedup(spark, delta, store, threshold_fp=999_999).collect()
+    }
+    expected = {(i * 10 + 1, i * 10 + 10) for i in range(200) if i % 4 == 0}
+    assert expected <= set(got)
+    assert all(got[p] == 1_000_000 for p in expected)
+
+
+def test_vector_store_fingerprint_skips_rebuild(spark, sf_dir):
+    from external_benchmarks_spark.pipeline.bucketing import bucket_root
+
+    store = _vstore(spark, sf_dir, "_fp")
+    root = bucket_root(
+        "dsem_t_ds_" + os.path.basename(sf_dir.rstrip("/")).replace(".", "_") + "_fp"
+    )
+    before = {
+        os.path.join(dp, f): os.path.getmtime(os.path.join(dp, f))
+        for dp, _, fs in os.walk(root)
+        for f in fs
+    }
+    assert before, root
+    again = _vstore(spark, sf_dir, "_fp")
+    after = {
+        os.path.join(dp, f): os.path.getmtime(os.path.join(dp, f))
+        for dp, _, fs in os.walk(root)
+        for f in fs
+    }
+    assert again == store and after == before
