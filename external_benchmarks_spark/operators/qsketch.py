@@ -45,14 +45,24 @@ def hash_sample(
     Deterministic: ordered by md5 of the concatenated row key, tie-
     broken by the key columns themselves.
 
-    ``salt`` is the few-groups scale lever: a bare grouped window
-    shuffles the corpus onto ONE task per group (3 groups = 3 tasks no
-    matter the cluster). With ``salt=S`` phase 1 windows over
-    (group, xxhash64(keys) % S) — G*S partitions, full parallelism —
-    and phase 2 merges the G*S partial sketches per group, moving only
-    G*S*k rows through the second shuffle. The result is IDENTICAL by
-    the bottom-k merge identity (tested), and deterministic because
-    the salt is a key hash, not a partition id."""
+    ``salt`` is the few-groups scale lever for engines WITHOUT map-side
+    window limits: with ``salt=S`` phase 1 windows over
+    (group, xxhash64(keys) % S) — G*S partitions — and phase 2 merges
+    the G*S partial sketches per group, moving only G*S*k rows through
+    the second shuffle. The result is IDENTICAL by the bottom-k merge
+    identity (tested), and deterministic because the salt is a key
+    hash, not a partition id.
+
+    MEASURED CAVEAT (Spark >= 3.5): Catalyst rewrites the bare grouped
+    ``row_number() <= k`` into WindowGroupLimit(Partial) BEFORE the
+    Exchange + (Final) after it — i.e. the optimizer already performs
+    the map-side per-group top-k the salt was for, and only <= k rows
+    per group PER INPUT PARTITION cross the shuffle. At 20M rows x 3
+    groups on local[32] the plain grouped form measures 10.3 s vs the
+    salted form's 12.0 s (identical output) — the salt's second
+    shuffle is pure overhead here. Keep ``salt=None`` on Spark >= 3.5;
+    the salted form remains the portable shape for engines without the
+    rewrite."""
     hcol = F.md5(
         F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
     )
