@@ -69,6 +69,7 @@ from external_benchmarks_spark.pipeline.bucketing import (
     write_bucketed,
 )
 from external_benchmarks_spark.pipeline.layout import (
+    invalidate_layout,
     layout_is_current,
     record_layout,
     source_fingerprint,
@@ -88,6 +89,7 @@ class SignatureStore:
     n: int
     seed: int
     n_buckets: int
+    root: str = ""
 
 
 def doc_shingles(
@@ -165,8 +167,9 @@ def build_signature_store(
         n=n,
         seed=seed,
         n_buckets=n_buckets,
+        root=bucket_root(f"dd_{tag}"),
     )
-    root = bucket_root(f"dd_{tag}")
+    root = store.root
     fp = None
     if source_paths is not None:
         fp = source_fingerprint(
@@ -355,10 +358,13 @@ def build_vector_store(
     emb_col: str = "embedding",
     n_cells: int = 16,
     source_paths: list[str] | None = None,
+    centroids=None,
 ) -> VectorStore:
     """Build (or fingerprint-reuse) the persisted vector store: md5-sampled
     unit centroids (a tiny parquet, so reuse never rescans the corpus) and
-    the corpus vectors written partitionBy(cell)."""
+    the corpus vectors written partitionBy(cell). Pass ``centroids`` (an
+    (n_cells x dim) array) to build with FROZEN externally-supplied
+    centroids instead of sampling — the absorb-equivalence contract."""
     from external_benchmarks_spark.operators.similarity import sampled_centroids
 
     root = bucket_root(f"dsem_{tag}")
@@ -374,8 +380,14 @@ def build_vector_store(
         )
         if layout_is_current(root, fp):
             return store
-    cent = sampled_centroids(
-        corpus, n_cells, key_col=key_col, emb_col=emb_col, normalize=True
+    import numpy as np
+
+    cent = (
+        np.asarray(centroids, dtype=np.float64)
+        if centroids is not None
+        else sampled_centroids(
+            corpus, n_cells, key_col=key_col, emb_col=emb_col, normalize=True
+        )
     )
     cent_df = spark.createDataFrame(
         [(int(i), [float(v) for v in row]) for i, row in enumerate(cent)],
@@ -455,3 +467,60 @@ def delta_semdedup(
         cross.unionByName(within)
         .filter(F.col("cos_fp") >= F.lit(int(threshold_fp)))
     )
+
+
+# ---------------------------------------------------------------------------
+# Store absorption: fold a deduplicated batch into the corpus stores
+# ---------------------------------------------------------------------------
+
+
+def absorb_delta(
+    spark: SparkSession,
+    delta: DataFrame,
+    store: SignatureStore,
+    key_col: str = "doc_id",
+    content_col: str = "text",
+) -> None:
+    """The daily-batch loop's second half: after ``delta_dedup`` reports a
+    batch's pairs, APPEND the batch's band and shingle rows into the
+    persisted store tables so tomorrow's delta joins against
+    corpus ∪ batch — no rebuild, no corpus rescan. ``insertInto``
+    honors the tables' bucket spec (appended files land bucketed and
+    partition-routed; the Exchange-free join shape and result
+    correctness after append are asserted in tests/test_deltadedup.py).
+    The layout fingerprint is invalidated: the store no longer derives
+    from the original source files alone."""
+    sh = doc_shingles(delta, key_col, content_col, store.n).persist()
+    (
+        band_hashes(sh, store.num_hashes, store.bands, store.seed)
+        .select("doc_id", "bh", "pb")  # partition column last
+        .write.mode("append")
+        .insertInto(store.bands_table)
+    )
+    sh.select("doc_id", "s").write.mode("append").insertInto(
+        store.shingles_table
+    )
+    sh.unpersist()
+    if store.root:
+        invalidate_layout(store.root)
+
+
+def absorb_delta_vectors(
+    spark: SparkSession,
+    delta: DataFrame,
+    store: VectorStore,
+    key_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> None:
+    """Semantic-tier absorb: assign the batch against the store's FROZEN
+    centroids (the append-only index contract — cells never move) and
+    append it into the cell-partitioned vector layout."""
+    cent_df = spark.read.parquet(store.centroids_path)
+    (
+        _assign_cells(delta, cent_df, key_col, emb_col)
+        .repartition(F.col("cell"))
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(store.vectors_path)
+    )
+    invalidate_layout(os.path.dirname(store.vectors_path))

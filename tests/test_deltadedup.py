@@ -317,3 +317,99 @@ def test_vector_store_fingerprint_skips_rebuild(spark, sf_dir):
         for f in fs
     }
     assert again == store and after == before
+
+
+# ---------------------------------------------------------------------------
+# Store absorption (the daily-batch loop)
+# ---------------------------------------------------------------------------
+
+def test_absorb_then_dedup_equals_full_store(spark, sf_dir):
+    """dedup(d2) against (store(corpus) + absorb(d1)) must equal
+    dedup(d2) against a from-scratch store over corpus ∪ d1 — the
+    append-only maintenance loses nothing and invents nothing."""
+    from external_benchmarks_spark.operators.deltadedup import absorb_delta
+
+    d = Catalog(spark, sf_dir).documents
+    corpus = d.filter(F.col("doc_id") % 10 > 1)
+    d1 = d.filter(F.col("doc_id") % 10 == 0)
+    d2 = d.filter(F.col("doc_id") % 10 == 1)
+    inc = build_signature_store(spark, corpus, tag="t_abs_inc")
+    absorb_delta(spark, d1, inc)
+    got = sorted(
+        tuple(r) for r in delta_dedup(spark, d2, inc).collect()
+    )
+    full = build_signature_store(
+        spark, d.filter(F.col("doc_id") % 10 != 1), tag="t_abs_full"
+    )
+    want = sorted(
+        tuple(r) for r in delta_dedup(spark, d2, full).collect()
+    )
+    assert got == want and len(got) > 0
+    # and the appended store still joins Exchange-free off bucketed scans
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try:
+        plan = (
+            delta_dedup(spark, d2, inc)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        lines = plan.splitlines()
+        scans = [
+            i for i, l in enumerate(lines)
+            if "FileScan parquet spark_catalog.default.dd_" in l
+        ]
+        assert scans and all("Bucketed: true" in lines[i] for i in scans)
+        for i in scans:
+            j, hops = i, 0
+            while hops < 6:
+                parent = _parent_line(lines, j)
+                if not parent or "Join" in parent:
+                    break
+                assert "Exchange" not in parent, parent
+                j = lines.index(parent)
+                hops += 1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_absorb_vectors_equals_frozen_centroid_store(spark, sf_dir):
+    """Semantic twin: absorb keeps centroids FROZEN, so the reference
+    store is a rebuild over corpus ∪ d1 with the ORIGINAL corpus
+    centroids (not a resample over the union)."""
+    import numpy as np
+
+    from external_benchmarks_spark.operators.deltadedup import (
+        absorb_delta_vectors,
+        build_vector_store,
+        delta_semdedup,
+    )
+
+    e = Catalog(spark, sf_dir).embeddings
+    corpus = e.filter(F.col("vec_id") % 10 > 1)
+    d1 = e.filter(F.col("vec_id") % 10 == 0)
+    d2 = e.filter(F.col("vec_id") % 10 == 1)
+    inc = build_vector_store(spark, corpus, tag="t_vabs_inc")
+    absorb_delta_vectors(spark, d1, inc)
+    got = sorted(
+        tuple(r)
+        for r in delta_semdedup(spark, d2, inc, threshold_fp=200_000).collect()
+    )
+    cent = np.array(
+        [
+            r._cv
+            for r in spark.read.parquet(inc.centroids_path)
+            .orderBy("_cid")
+            .collect()
+        ]
+    )
+    full = build_vector_store(
+        spark,
+        e.filter(F.col("vec_id") % 10 != 1),
+        tag="t_vabs_full",
+        centroids=cent,
+    )
+    want = sorted(
+        tuple(r)
+        for r in delta_semdedup(spark, d2, full, threshold_fp=200_000).collect()
+    )
+    assert got == want and len(got) > 0
