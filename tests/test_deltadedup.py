@@ -413,3 +413,56 @@ def test_absorb_vectors_equals_frozen_centroid_store(spark, sf_dir):
         for r in delta_semdedup(spark, d2, full, threshold_fp=200_000).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_streaming_dedup_matches_sequential_batch(spark, sf_dir, tmp_path):
+    """Driving the doc batches through a real file stream (dedup ->
+    absorb per micro-batch) yields exactly the pairs a sequential batch
+    replay produces: every pair touching batch i against
+    corpus ∪ batches 1..i. Replayed batch ids are skipped."""
+    from external_benchmarks_spark.operators.deltadedup import absorb_delta
+    from external_benchmarks_spark.streaming.deltadedup import (
+        StreamingDeltaDedup,
+    )
+
+    d = Catalog(spark, sf_dir).documents
+    corpus = d.filter(F.col("doc_id") % 10 > 3)
+    batches = d.filter(F.col("doc_id") % 10 <= 3).withColumn(
+        "_b", (F.col("doc_id") % 10).cast("int")
+    )
+
+    # expected: sequential batch replay over a twin store
+    exp_store = build_signature_store(spark, corpus, tag="t_sdd_exp")
+    expected = []
+    for b in range(4):
+        batch = batches.filter(F.col("_b") == b).drop("_b")
+        expected.extend(
+            tuple(r) for r in delta_dedup(spark, batch, exp_store).collect()
+        )
+        absorb_delta(spark, batch, exp_store)
+
+    # live: one file per batch, maxFilesPerTrigger=1 => 4 micro-batches
+    src = str(tmp_path / "batches")
+    batches.repartition("_b").write.partitionBy("_b").mode("overwrite").parquet(src)
+    live_store = build_signature_store(spark, corpus, tag="t_sdd_live")
+    acc = StreamingDeltaDedup(spark, live_store)
+    stream = (
+        spark.readStream.schema(batches.drop("_b").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(acc.foreach_batch())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # stream batching may split differently than the %10 batches, so
+    # compare SETS of pairs: both are "all pairs touching the new docs
+    # at the moment their batch arrived" — identical iff absorb works.
+    assert sorted(set(acc.pairs)) == sorted(set(expected))
+    assert len(acc.pairs) > 0
+    # replay protection: re-running an already-absorbed batch id is a no-op
+    n = len(acc.pairs)
+    acc.update(batches.filter(F.col("_b") == 0).drop("_b"), batch_id=0)
+    assert len(acc.pairs) == n
