@@ -71,8 +71,10 @@ LEGS = (
     "symdelete_name_pairs",
     "basket_lift",
     # round-9 additions: incremental dedup (store build cold, delta
-    # steady) and the total-order shard writer (rank + write + stats)
+    # steady), the semantic tier, and the total-order shard writer
+    # (rank + write + stats)
     "delta_dedup",
+    "delta_semdedup",
     "sorted_export",
 )
 # Legs whose operator starts with a distinct() over a string column:
