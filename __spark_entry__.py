@@ -4992,11 +4992,21 @@ def q_sorted_export(spark, sf):
     sharded = rank_sharded(o, order_cols, n_shards=8).persist()
     key = (spark.sparkContext.applicationId, sf)
     if key not in _SORTED_EXPORT:
+        # per-applicationId export dirs accumulate across sessions —
+        # drop other sessions' leftovers before writing this one's
+        import shutil
+
+        app = spark.sparkContext.applicationId
+        for d in os.listdir(tempfile.gettempdir()):
+            if d.startswith("ebs_sorted_export_") and not d.endswith(app):
+                shutil.rmtree(
+                    os.path.join(tempfile.gettempdir(), d), ignore_errors=True
+                )
         out = os.path.join(
             tempfile.gettempdir(),
             "ebs_sorted_export_{}_{}".format(
                 os.path.basename(sf.rstrip("/")).replace(".", "_"),
-                spark.sparkContext.applicationId,
+                app,
             ),
         )
         write_sorted_shards(sharded, order_cols, out)

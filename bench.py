@@ -1058,7 +1058,7 @@ def headline_queries():
         "delta_dedup": q["delta_dedup"],
         "delta_semdedup": q["delta_semdedup"],
         # Round-9: sorted-shard export priced end-to-end — exact global
-        # rank, the 8-way sharded sorted WRITE, and the fingerprint agg
+        # rank, the 16-way sharded sorted WRITE, and the fingerprint agg
         # all inside the leg (the writer IS the operator here)
         "sorted_export": _sorted_export_leg,
         "cohort_retention": q["cohort_retention"],

@@ -118,6 +118,12 @@ def band_hashes(
     band INDEX into the md5 so band i of one doc can never collide with
     band j of another; ``pb`` is bh's first hex char — the store's
     16-way partition-pruning key."""
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes}): the "
+            "b-bands-of-r-rows recall contract silently degrades when "
+            "trailing MinHash values are dropped"
+        )
     rows_per_band = num_hashes // bands
     sig = minhash_signature(
         sh_df,
@@ -256,7 +262,13 @@ def delta_dedup(
     <= 16 ``pb`` prefixes present in the delta — static partition
     pruning computed from a bounded collect (the prefix alphabet, never
     the data)."""
-    dsh = doc_shingles(delta, key_col, content_col, store.n).persist()
+    # localCheckpoint (not persist): materialized once for the multiple
+    # downstream uses, lineage cut, and the blocks are released by the
+    # ContextCleaner when the frame goes out of scope — a persist() here
+    # is pinned by the CacheManager and accumulates across bench reps.
+    dsh = doc_shingles(delta, key_col, content_col, store.n).localCheckpoint(
+        eager=True
+    )
     dbands = band_hashes(dsh, store.num_hashes, store.bands, store.seed)
     corpus_bands = spark.table(store.bands_table)
     if prune:
@@ -375,8 +387,23 @@ def build_vector_store(
     )
     fp = None
     if source_paths is not None:
+        # The centroid matrix is layout-defining: a store built with
+        # different frozen centroids must rebuild, not be fingerprint-
+        # reused (the absorb-equivalence contract `centroids` exists for).
+        cent_digest = None
+        if centroids is not None:
+            import hashlib
+
+            import numpy as np
+
+            cent_digest = hashlib.md5(
+                np.ascontiguousarray(
+                    np.asarray(centroids, dtype=np.float64)
+                ).tobytes()
+            ).hexdigest()
         fp = source_fingerprint(
-            source_paths, extra={"n_cells": n_cells, "v": 1}
+            source_paths,
+            extra={"n_cells": n_cells, "v": 1, "centroids": cent_digest},
         )
         if layout_is_current(root, fp):
             return store
@@ -424,7 +451,10 @@ def delta_semdedup(
     from external_benchmarks_spark.functions.vector import dot_product, l2_norm
 
     cent_df = spark.read.parquet(store.centroids_path)
-    dass = _assign_cells(delta, cent_df, key_col, emb_col).persist()
+    # localCheckpoint, not persist — see delta_dedup's dsh note.
+    dass = _assign_cells(delta, cent_df, key_col, emb_col).localCheckpoint(
+        eager=True
+    )
     corpus = spark.read.parquet(store.vectors_path)
     if prune:
         cells = [r[0] for r in dass.select("cell").distinct().collect()]

@@ -29,11 +29,16 @@ then pure functions of the data — the registry entry hashes all three
 against a DuckDB replay via ``shard_stats``.
 
 ``shard_stats``'s order fingerprint is ``SUM(global_rank * h16)`` per
-shard with ``h16`` = the first 16 bits of md5 over the exported row —
-order-SENSITIVE (any swap of two different rows changes it; swapping
-identical rows is a no-op by design) and overflow-safe to ~2^59 at
-the benchmark scales (rank < 2^23, h16 < 2^16, shard rows < 2^20; at
-larger scale reduce modulo a prime on both engines).
+shard with ``h16`` = the first 16 bits of md5 over the exported row.
+SUM is commutative, so what the hash pins is the rank-to-row
+ASSIGNMENT (the intended total order: any re-assignment of ranks
+among two different rows changes it; re-assigning among identical
+rows is a no-op by design) — not the physical byte order of the
+written artifact. File-level order is certified separately by
+re-reading the shard files positionally (tests/test_export.py's
+pyarrow pass). The sum is overflow-safe to ~2^59 at the benchmark
+scales (rank < 2^23, h16 < 2^16, shard rows < 2^20; at larger scale
+reduce modulo a prime on both engines).
 """
 
 from __future__ import annotations
