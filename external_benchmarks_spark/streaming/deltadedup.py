@@ -6,18 +6,29 @@ corpus ∪ everything-seen. The maintained-state pattern of
 streaming/kmv.py / qsketch.py / retention.py, except the state is the
 persisted store itself — disk-resident, bucketed, shared with the
 batch path — so the stream holds NO driver state at all and a restart
-resumes from whatever the store already absorbed.
+resumes from whatever the store already absorbed. Pairs land in a
+parquet PAIR SINK (append per micro-batch, a ``batch_id`` column keyed
+to the stream's epoch) — on a dup-heavy 100 TB stream the pair set is
+unbounded, so it must live on disk with the rest of the state, never
+in a driver list; downstream keep/drop consumers read the sink (or
+fold it into a ComponentMap — operators/compmap.py).
 
 Exactly-once caveat (stated, not hidden): absorb is an append, so a
 REPLAYED micro-batch would re-append its rows. foreachBatch callers
 that need exactly-once should gate on batch_id (the helper does —
 batches at or below the last absorbed id are skipped; the id lives in
 memory, so a full restart re-processes the in-flight batch, the
-standard at-least-once foreachBatch contract)."""
+standard at-least-once foreachBatch contract). The pair sink carries
+batch_id for the same reason: a replayed batch's duplicate pairs are
+distinguishable and drop with ``dropDuplicates`` on read if a caller
+replays without the gate."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from external_benchmarks_spark.operators.deltadedup import (
     SignatureStore,
@@ -28,7 +39,9 @@ from external_benchmarks_spark.operators.deltadedup import (
 
 class StreamingDeltaDedup:
     """foreachBatch loop: dedup each micro-batch against the store,
-    collect the (bounded: pairs touching one batch) results, absorb."""
+    append the batch's pairs to the parquet pair sink, absorb. The
+    update path runs NO collect — batch pairs flow executor-side from
+    the dedup join straight into the sink write."""
 
     def __init__(
         self,
@@ -37,13 +50,15 @@ class StreamingDeltaDedup:
         key_col: str = "doc_id",
         content_col: str = "text",
         threshold_ppm: int = 600_000,
+        pairs_path: str | None = None,
     ) -> None:
         self.spark = spark
         self.store = store
         self.key_col = key_col
         self.content_col = content_col
         self.threshold_ppm = threshold_ppm
-        self.pairs: list = []
+        self.pairs_path = pairs_path or os.path.join(store.root, "pairs")
+        self._pairs_schema = None
         self._last_batch = -1
 
     def update(self, batch_df: DataFrame, batch_id: int = 0) -> None:
@@ -64,12 +79,26 @@ class StreamingDeltaDedup:
             key_col=self.key_col,
             content_col=self.content_col,
             threshold_ppm=self.threshold_ppm,
-        )
-        self.pairs.extend(tuple(r) for r in res.collect())
+        ).withColumn("batch_id", F.lit(int(batch_id)).cast("bigint"))
+        self._pairs_schema = res.schema  # statically known, no action
+        # One file per batch is plenty (pairs are batch-bounded); the
+        # coalesce also guarantees an EMPTY batch still emits a
+        # schema-carrying file, so pairs_df() reads cleanly either way.
+        res.coalesce(1).write.mode("append").parquet(self.pairs_path)
         absorb_delta(
             self.spark, batch_df, self.store, self.key_col, self.content_col
         )
         self._last_batch = batch_id
+
+    def pairs_df(self) -> DataFrame:
+        """All pairs emitted so far, read back from the sink:
+        (id_a, id_b, inter, un, jaccard, batch_id)."""
+        try:
+            return self.spark.read.parquet(self.pairs_path)
+        except Exception:
+            if self._pairs_schema is not None:
+                return self.spark.createDataFrame([], self._pairs_schema)
+            raise
 
     def foreach_batch(self):
         return lambda batch_df, batch_id: self.update(batch_df, batch_id)

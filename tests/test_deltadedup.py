@@ -445,7 +445,9 @@ def test_streaming_dedup_matches_sequential_batch(spark, sf_dir, tmp_path):
     src = str(tmp_path / "batches")
     batches.repartition("_b").write.partitionBy("_b").mode("overwrite").parquet(src)
     live_store = build_signature_store(spark, corpus, tag="t_sdd_live")
-    acc = StreamingDeltaDedup(spark, live_store)
+    acc = StreamingDeltaDedup(
+        spark, live_store, pairs_path=str(tmp_path / "pairs")
+    )
     stream = (
         spark.readStream.schema(batches.drop("_b").schema)
         .option("maxFilesPerTrigger", 1)
@@ -457,12 +459,18 @@ def test_streaming_dedup_matches_sequential_batch(spark, sf_dir, tmp_path):
         .start()
     )
     q.awaitTermination(180)
-    # stream batching may split differently than the %10 batches, so
-    # compare SETS of pairs: both are "all pairs touching the new docs
-    # at the moment their batch arrived" — identical iff absorb works.
-    assert sorted(set(acc.pairs)) == sorted(set(expected))
-    assert len(acc.pairs) > 0
+    # Pairs come back from the PARQUET PAIR SINK — the stream keeps no
+    # driver-side pair state (r9 verdict finding #1). Stream batching
+    # may split differently than the %10 batches, so compare SETS of
+    # pairs: both are "all pairs touching the new docs at the moment
+    # their batch arrived" — identical iff absorb works.
+    sink = acc.pairs_df()
+    got = set(tuple(r) for r in sink.drop("batch_id").collect())
+    assert sorted(got) == sorted(set(expected))
+    assert len(got) > 0
+    # batch_id tags every sink row with its emitting micro-batch
+    assert sink.filter(F.col("batch_id").isNull()).count() == 0
     # replay protection: re-running an already-absorbed batch id is a no-op
-    n = len(acc.pairs)
+    n = sink.count()
     acc.update(batches.filter(F.col("_b") == 0).drop("_b"), batch_id=0)
-    assert len(acc.pairs) == n
+    assert acc.pairs_df().count() == n
