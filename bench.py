@@ -899,6 +899,7 @@ def index_refresh_leg(spark, sf):
     from external_benchmarks_spark.operators.tfidf import (
         append_to_inverted_index,
         build_inverted_index,
+        compact_inverted_index,
     )
 
     docs = Catalog(spark, sf).documents
@@ -919,6 +920,12 @@ def index_refresh_leg(spark, sf):
     t0 = time.perf_counter()
     append_to_inverted_index(spark, idx, new, n_term_buckets=64)
     append_s = time.perf_counter() - t0
+    # the amortized maintenance half: fold the append segments back
+    # into the bucketed base (this 100-doc delta touches most of the
+    # 64 buckets, so this prices the worst-case dir rewrite)
+    t0 = time.perf_counter()
+    compact_inverted_index(spark, idx, n_term_buckets=64)
+    compact_s = time.perf_counter() - t0
     shutil.rmtree(idx, ignore_errors=True)
 
     # Same contract for the vector index: cell-routed append with frozen
@@ -959,6 +966,7 @@ def index_refresh_leg(spark, sf):
     return {
         "full_rebuild_s": round(full_s, 3),
         "append_100_s": round(append_s, 3),
+        "compact_s": round(compact_s, 3),
         "ivf_full_build_s": round(ivf_full_s, 3),
         "ivf_append_s": round(ivf_append_s, 3),
         "ivf_compact_s": round(ivf_compact_s, 3),

@@ -278,17 +278,44 @@ def append_to_inverted_index(
     """Incrementally index NEW documents (keys not already indexed)
     without a full rebuild — the upsert-side maintenance path.
 
-    Cost is O(delta + affected buckets), not O(corpus):
-    - postings: pure APPEND of the new docs' rows into their term
-      buckets (existing files untouched).
-    - dfreq: only the buckets containing a delta term are rewritten
-      (dynamic partition overwrite), merged as old df + delta df.
-    - stats: one-row add-and-rewrite of the mergeable counters.
+    Cost is O(delta), in O(1) FILES — the Lucene-style segment shape:
+    - postings: the delta's rows land as ONE parquet SEGMENT file under
+      ``postings/_segments/`` carrying ``term_bucket`` as a column
+      (the ``_``-prefixed dir is invisible to the base read; readers
+      union it in explicitly, bucket-filtered — segments are
+      delta-sized, so the unpruned-by-directory read is O(delta)).
+    - dfreq: same — a one-file (term, df, term_bucket) segment under
+      ``dfreq/_segments/``; readers SUM df across base + segments per
+      term (df is an associative per-term count, split-safe).
+    - stats: one-row add-and-rewrite of the mergeable counters, done
+      DRIVER-SIDE via pyarrow (one row — a Spark job here is pure
+      launch overhead).
+    Periodically run :func:`compact_inverted_index` to fold
+    accumulated segments back into the bucketed base dirs.
 
     Equivalence to a full rebuild is exact (tested bit-identical):
     every piece is an associative merge of per-document facts.
+
+    Why segments and not in-place bucket maintenance (r9 verdict
+    finding #2): the first cut of this path appended postings into
+    their term_bucket dirs and dynamic-overwrote the affected dfreq
+    buckets — ~10 Spark jobs and ~110 small parquet files per 100-doc
+    append (a diverse delta touches most of the 64 buckets), costing
+    MORE than a full sf0.1 rebuild (3.5 s vs 2.5 s, ~23 ms/file of
+    writer+commit overhead). The segment shape runs THREE jobs writing
+    THREE files: (1) the delta tf checkpoint, (2) the postings segment
+    write (the doc-length stats aggregate rides it as an Observation),
+    (3) the dfreq segment write. At 100 TB the same holds: append cost
+    is delta-sized and file count is per-append constant, with
+    compaction amortizing the bucket-dir rewrite across many appends.
     """
     import os
+    import shutil
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import Observation
 
     from external_benchmarks_spark.functions.hashing import md5_hash32
     from external_benchmarks_spark.pipeline.layout import invalidate_layout
@@ -300,67 +327,246 @@ def append_to_inverted_index(
     invalidate_layout(index_path)
 
     tf, dl = _tf_dl(new_docs, key_col, content_col)
-    # Cache: tf/dl feed postings, dfreq delta, and the stats delta.
+    # tf feeds the postings segment AND the dfreq segment: checkpoint
+    # once (also guards a non-deterministic upstream from disagreeing
+    # between the two consumers). dl feeds only the postings join; its
+    # stats aggregate rides the SAME job as an Observation.
     tf = tf.localCheckpoint(eager=True)
-    dl = dl.localCheckpoint(eager=True)
+    obs_dl = Observation()
+    dl = dl.observe(
+        obs_dl,
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dl").cast("bigint").alias("s"),
+    )
 
-    _write_postings(tf, dl, index_path, key_col, n_term_buckets, mode="append")
-
-    delta_df = (
-        tf.groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"))
+    postings_seg = (
+        tf.join(dl, key_col)
         .withColumn("term_bucket", md5_hash32(F.col("term")) % n_term_buckets)
-        .localCheckpoint(eager=True)
+        .select(key_col, "term", "tf", "dl", "term_bucket")
     )
-    affected = sorted(
-        r["term_bucket"]
-        for r in delta_df.select("term_bucket").distinct().collect()
+    postings_seg.coalesce(1).write.mode("append").parquet(
+        os.path.join(index_path, "postings", "_segments")
     )
-    dfreq_path = os.path.join(index_path, "dfreq")
-    old = spark.read.parquet(dfreq_path).where(
-        F.col("term_bucket").isin(affected)
-    )
-    merged = (
-        old.select("term", F.col("df").alias("df_old"))
-        .join(
-            delta_df.select("term", F.col("df").alias("df_new")),
-            "term",
-            "full_outer",
-        )
-        .select(
-            "term",
-            (
-                F.coalesce(F.col("df_old"), F.lit(0))
-                + F.coalesce(F.col("df_new"), F.lit(0))
-            ).alias("df"),
-            (md5_hash32(F.col("term")) % n_term_buckets).alias("term_bucket"),
-        )
-        # The overwrite below deletes the partitions being read — break
-        # the read-your-writes cycle by materializing first.
-        .localCheckpoint(eager=True)
-    )
+    delta_stats = obs_dl.get  # fired by the postings segment write
+
     (
-        merged.repartition(F.col("term_bucket"))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("term_bucket")
-        .parquet(dfreq_path)
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+        .withColumn("term_bucket", md5_hash32(F.col("term")) % n_term_buckets)
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(os.path.join(index_path, "dfreq", "_segments"))
     )
 
+    # stats: ONE row of mergeable counters — read, add, and atomically
+    # republish driver-side (no Spark job for one row).
     stats_path = os.path.join(index_path, "stats")
-    old_stats = spark.read.parquet(stats_path).collect()[0]
-    delta_stats = dl.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("dl").cast("bigint").alias("s")
-    ).collect()[0]
-    spark.createDataFrame(
-        [
-            (
-                int(old_stats["n_docs"]) + int(delta_stats["n"]),
-                int(old_stats["sum_dl"]) + int(delta_stats["s"] or 0),
-            )
-        ],
-        "n_docs bigint, sum_dl bigint",
-    ).write.mode("overwrite").parquet(stats_path)
+    old_tbl = pq.read_table(stats_path)
+    new_tbl = pa.table(
+        {
+            "n_docs": pa.array(
+                [old_tbl.column("n_docs")[0].as_py() + int(delta_stats["n"])],
+                pa.int64(),
+            ),
+            "sum_dl": pa.array(
+                [
+                    old_tbl.column("sum_dl")[0].as_py()
+                    + int(delta_stats["s"] or 0)
+                ],
+                pa.int64(),
+            ),
+        }
+    )
+    stats_tmp = stats_path + ".tmp"
+    shutil.rmtree(stats_tmp, ignore_errors=True)
+    os.makedirs(stats_tmp)
+    pq.write_table(
+        new_tbl,
+        os.path.join(stats_tmp, f"part-00000-{uuid.uuid4().hex}.parquet"),
+    )
+    stats_trash = stats_path + ".trash"
+    shutil.rmtree(stats_trash, ignore_errors=True)
+    os.rename(stats_path, stats_trash)
+    os.rename(stats_tmp, stats_path)
+    shutil.rmtree(stats_trash, ignore_errors=True)
+
+
+def compact_inverted_index(
+    spark,
+    index_path: str,
+    key_col: str = "doc_id",
+    n_term_buckets: int = 64,
+) -> list[int]:
+    """Fold accumulated append segments back into the bucketed base
+    dirs, restoring the pure partition-pruned read shape. Returns the
+    compacted bucket ids ([] when there is nothing to do).
+
+    Only the buckets any segment touches are rewritten: their base
+    dirs ∪ the segments stage into ``_compact_staging`` and swap in
+    with two renames per partition (the compact_layout_partitions
+    commit device). IDEMPOTENT by construction, so a crashed run is
+    simply re-run: postings merge with ``distinct()`` (a (doc, term)
+    posting row is a fact — re-merging it is a no-op) and dfreq is
+    RECOMPUTED per bucket from the compacted postings (df = posting
+    count per term), never incrementally summed, so a half-published
+    prior run can't double-count. Single-writer contract: like all the
+    layout maintenance here, don't race readers — a reader between a
+    swap and its segment delete can transiently double-count that
+    piece."""
+    import os
+    import shutil
+
+    from external_benchmarks_spark.functions.hashing import md5_hash32
+
+    postings_path = os.path.join(index_path, "postings")
+    dfreq_path = os.path.join(index_path, "dfreq")
+    # Crash recovery first (same rule as compact_layout_partitions): a
+    # trash dir whose live partition vanished means the crash hit
+    # between the two renames — restore it; otherwise drop it.
+    for root in (postings_path, dfreq_path):
+        for d in list(os.listdir(root)):
+            if d.startswith(".compacting."):
+                live = os.path.join(root, d[len(".compacting."):])
+                trash = os.path.join(root, d)
+                if os.path.exists(live):
+                    shutil.rmtree(trash)
+                else:
+                    os.rename(trash, live)
+    psegs = _segment_files(postings_path)
+    dsegs = _segment_files(dfreq_path)
+    if not psegs and not dsegs:
+        return []
+    affected = sorted(
+        {
+            int(r[0])
+            for segs in (psegs, dsegs)
+            if segs
+            for r in spark.read.parquet(*segs)
+            .select("term_bucket")
+            .distinct()
+            .collect()
+        }
+    )
+
+    def _swap(root: str, staging: str) -> None:
+        for b in affected:
+            d = f"term_bucket={b}"
+            staged = os.path.join(staging, d)
+            if not os.path.isdir(staged):
+                continue
+            live = os.path.join(root, d)
+            trash = os.path.join(root, f".compacting.{d}")
+            if os.path.isdir(live):
+                os.rename(live, trash)
+            os.rename(staged, live)
+            shutil.rmtree(trash, ignore_errors=True)
+        shutil.rmtree(staging, ignore_errors=True)
+
+    # --- postings: base[affected] ∪ segments, exact-row distinct ---
+    cols = [
+        key_col,
+        "term",
+        "tf",
+        "dl",
+        F.col("term_bucket").cast("int").alias("term_bucket"),
+    ]
+    existing = [
+        os.path.join(postings_path, f"term_bucket={b}")
+        for b in affected
+        if os.path.isdir(os.path.join(postings_path, f"term_bucket={b}"))
+    ]
+    parts = []
+    if existing:
+        parts.append(
+            spark.read.option("basePath", postings_path)
+            .parquet(*existing)
+            .select(*cols)
+        )
+    if psegs:
+        parts.append(
+            spark.read.parquet(*psegs)
+            .where(F.col("term_bucket").isin(affected))
+            .select(*cols)
+        )
+    merged = parts[0]
+    for fr in parts[1:]:
+        merged = merged.unionByName(fr)
+    merged = merged.distinct()
+    staging_p = os.path.join(postings_path, "_compact_staging")
+    shutil.rmtree(staging_p, ignore_errors=True)
+    (
+        merged.repartition(len(affected), F.col("term_bucket"))
+        .sortWithinPartitions("term", key_col)
+        .write.mode("overwrite")
+        .partitionBy("term_bucket")
+        .parquet(staging_p)
+    )
+    _swap(postings_path, staging_p)
+    for f in psegs:
+        os.remove(f)
+
+    # --- dfreq: recomputed from the COMPACTED postings (idempotent) ---
+    compacted = spark.read.option("basePath", postings_path).parquet(
+        *(os.path.join(postings_path, f"term_bucket={b}") for b in affected)
+    )
+    staging_d = os.path.join(dfreq_path, "_compact_staging")
+    shutil.rmtree(staging_d, ignore_errors=True)
+    (
+        compacted.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+        .withColumn(
+            "term_bucket",
+            (md5_hash32(F.col("term")) % n_term_buckets).cast("int"),
+        )
+        .repartition(len(affected), F.col("term_bucket"))
+        .write.mode("overwrite")
+        .partitionBy("term_bucket")
+        .parquet(staging_d)
+    )
+    _swap(dfreq_path, staging_d)
+    for f in dsegs:
+        os.remove(f)
+    for root in (postings_path, dfreq_path):
+        seg_dir = os.path.join(root, "_segments")
+        if os.path.isdir(seg_dir) and not _segment_files(root):
+            shutil.rmtree(seg_dir, ignore_errors=True)
+    return affected
+
+
+def _segment_files(piece_path: str) -> list[str]:
+    """Parquet segment files under ``<piece>/_segments`` (the
+    ``_``-prefixed dir is invisible to the base directory read, so
+    segments are only seen by readers that union them in explicitly)."""
+    import os
+
+    seg = os.path.join(piece_path, "_segments")
+    if not os.path.isdir(seg):
+        return []
+    return sorted(
+        os.path.join(seg, f)
+        for f in os.listdir(seg)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    )
+
+
+def _read_index_piece(spark, piece_path: str, buckets: list[int]) -> DataFrame:
+    """Bucket-filtered read of an index piece: the base directory scan
+    (term_bucket is a partition dir — planning-time pruning) unioned
+    with any append segments (term_bucket is a COLUMN there; segments
+    are delta-sized, so the filter is a row-group predicate, which is
+    the right price for data that hasn't been compacted yet)."""
+    base = spark.read.parquet(piece_path).where(
+        F.col("term_bucket").isin(buckets)
+    )
+    segs = _segment_files(piece_path)
+    if not segs:
+        return base
+    cols = [
+        c if c != "term_bucket" else F.col(c).cast("int").alias(c)
+        for c in base.columns
+    ]
+    seg = spark.read.parquet(*segs).where(F.col("term_bucket").isin(buckets))
+    return base.select(*cols).unionByName(seg.select(*cols))
 
 
 def bm25_from_index(
@@ -376,8 +582,9 @@ def bm25_from_index(
     """BM25 top-k off the materialized postings — bit-identical to
     bm25_topk (same fixed-point contribution math, tested), but the
     postings and dfreq scans are partition-pruned to the query terms'
-    buckets; the only join is posting rows x a broadcast |q|-row dfreq
-    slice — no corpus-sized join or explode at all."""
+    buckets (plus any uncompacted append segments, unioned in
+    delta-sized); the only join is posting rows x a broadcast |q|-row
+    dfreq slice — no corpus-sized join or explode at all."""
     import os
 
     terms = sorted({t.lower() for t in query_terms})
@@ -389,14 +596,15 @@ def bm25_from_index(
     # Same float division bm25_topk performs driver-side.
     avgdl = float(stats["sum_dl"]) / n_docs
     dfreq = (
-        spark.read.parquet(os.path.join(index_path, "dfreq"))
-        .where(F.col("term_bucket").isin(buckets))
+        _read_index_piece(spark, os.path.join(index_path, "dfreq"), buckets)
         .where(F.col("term").isin(terms))
-        .select("term", "df")
+        # df is an associative per-term count: base + segments sum
+        # exactly (a no-op |q|-row agg when the index is compacted)
+        .groupBy("term")
+        .agg(F.sum("df").cast("bigint").alias("df"))
     )
     p = (
-        spark.read.parquet(os.path.join(index_path, "postings"))
-        .where(F.col("term_bucket").isin(buckets))
+        _read_index_piece(spark, os.path.join(index_path, "postings"), buckets)
         .where(F.col("term").isin(terms))
         .join(F.broadcast(dfreq), "term")
     )

@@ -226,13 +226,16 @@ def test_ensure_inverted_index_reuses_unchanged_layout(spark, sf_dir, tmp_path):
 
 def test_append_to_inverted_index_equals_full_rebuild(spark, sf_dir, tmp_path):
     """Delta maintenance contract: full build over docs[A+B] must equal
-    build over A then append B — bit-identical BM25 answers (postings
-    append + affected-dfreq-bucket merge + mergeable stats)."""
+    build over A then append B — bit-identical BM25 answers, BOTH while
+    the delta still lives in append segments AND after compaction folds
+    the segments into the bucketed base."""
     from external_benchmarks_spark.catalog import Catalog
     from external_benchmarks_spark.operators.tfidf import (
+        _segment_files,
         append_to_inverted_index,
         bm25_from_index,
         build_inverted_index,
+        compact_inverted_index,
     )
 
     import __spark_entry__ as entry_mod
@@ -247,25 +250,39 @@ def test_append_to_inverted_index_equals_full_rebuild(spark, sf_dir, tmp_path):
     build_inverted_index(base, inc_idx, n_term_buckets=16)
     append_to_inverted_index(spark, inc_idx, delta, n_term_buckets=16)
 
-    for terms in (entry_mod.BM25_TERMS, ["the", "data"]):
-        want = bm25_from_index(
-            spark, full_idx, terms, k=50, n_term_buckets=16
-        ).collect()
-        got = bm25_from_index(
-            spark, inc_idx, terms, k=50, n_term_buckets=16
-        ).collect()
-        assert [tuple(r) for r in want] == [tuple(r) for r in got]
+    import os
+
+    def check():
+        for terms in (entry_mod.BM25_TERMS, ["the", "data"]):
+            want = bm25_from_index(
+                spark, full_idx, terms, k=50, n_term_buckets=16
+            ).collect()
+            got = bm25_from_index(
+                spark, inc_idx, terms, k=50, n_term_buckets=16
+            ).collect()
+            assert [tuple(r) for r in want] == [tuple(r) for r in got]
+
+    assert _segment_files(os.path.join(inc_idx, "postings"))
+    check()  # segment-resident delta
+    assert compact_inverted_index(spark, inc_idx, n_term_buckets=16)
+    assert not _segment_files(os.path.join(inc_idx, "postings"))
+    assert not _segment_files(os.path.join(inc_idx, "dfreq"))
+    check()  # compacted — same answers off the pure pruned read
+    # compaction is idempotent: a second run is a no-op
+    assert compact_inverted_index(spark, inc_idx, n_term_buckets=16) == []
 
 
-def test_append_touches_only_affected_dfreq_buckets(spark, tmp_path):
-    """The dfreq merge must rewrite ONLY buckets containing a delta
-    term; untouched buckets keep their original files."""
+def test_append_writes_segments_compact_touches_only_affected(spark, tmp_path):
+    """An append must rewrite ZERO base files (the delta lands in O(1)
+    segment files); compaction must then rewrite ONLY the buckets
+    containing a delta term."""
     import os
 
     from external_benchmarks_spark.operators.tfidf import (
         _term_bucket_py,
         append_to_inverted_index,
         build_inverted_index,
+        compact_inverted_index,
     )
 
     base = spark.createDataFrame(
@@ -276,9 +293,9 @@ def test_append_touches_only_affected_dfreq_buckets(spark, tmp_path):
     idx = str(tmp_path / "idx_buckets")
     build_inverted_index(base, idx, n_term_buckets=16)
 
-    def bucket_mtimes():
+    def bucket_mtimes(piece):
         out = {}
-        droot = os.path.join(idx, "dfreq")
+        droot = os.path.join(idx, piece)
         for d in os.listdir(droot):
             if not d.startswith("term_bucket="):
                 continue
@@ -290,14 +307,28 @@ def test_append_touches_only_affected_dfreq_buckets(spark, tmp_path):
             )
         return out
 
-    before = bucket_mtimes()
+    before_d = bucket_mtimes("dfreq")
+    before_p = bucket_mtimes("postings")
     append_to_inverted_index(spark, idx, delta, n_term_buckets=16)
-    after = bucket_mtimes()
-    hot = f"term_bucket={_term_bucket_py('alpha', 16)}"
-    assert after[hot] > before[hot]
-    for b, m in before.items():
-        if b != hot:
-            assert after[b] == m, f"untouched dfreq bucket {b} was rewritten"
+    assert bucket_mtimes("dfreq") == before_d  # no base file touched
+    assert bucket_mtimes("postings") == before_p
+    seg_files = [
+        f
+        for piece in ("postings", "dfreq")
+        for f in os.listdir(os.path.join(idx, piece, "_segments"))
+        if f.endswith(".parquet")
+    ]
+    assert len(seg_files) == 2  # O(1) files per append: one per piece
+
+    hot_b = _term_bucket_py("alpha", 16)
+    assert compact_inverted_index(spark, idx, n_term_buckets=16) == [hot_b]
+    hot = f"term_bucket={hot_b}"
+    for piece, before in (("dfreq", before_d), ("postings", before_p)):
+        after = bucket_mtimes(piece)
+        assert after[hot] > before[hot]
+        for b, m in before.items():
+            if b != hot:
+                assert after[b] == m, f"untouched {piece} bucket {b} rewritten"
 
 
 def test_gap_filled_hourly_zero_fills(spark, sf_dir):
