@@ -5189,6 +5189,87 @@ def q_delta_dedup(spark, sf):
     )
 
 
+_DELTA_CMAP: dict = {}
+
+
+def _delta_cmap(spark, sf):
+    """The fully-folded incremental component map for delta_keep_best:
+    seed = the corpus store's own pairs (store_self_pairs — corpus text
+    never re-read), then the delta batch's delta_dedup pairs fold in.
+    Built once per (session, sf); fold_pairs is idempotent, so even a
+    rebuild against live state would be safe."""
+    from external_benchmarks_spark.operators.compmap import (
+        fold_pairs,
+        init_component_map,
+    )
+    from external_benchmarks_spark.operators.deltadedup import (
+        delta_dedup,
+        store_self_pairs,
+    )
+
+    src = os.path.join(sf, "documents.parquet")
+    st = os.stat(src)
+    tag = "{}_{}_{}".format(
+        os.path.basename(sf.rstrip("/")).replace(".", "_"),
+        int(st.st_mtime),
+        st.st_size,
+    )
+    key = (spark.sparkContext.applicationId, tag)
+    if key not in _DELTA_CMAP:
+        store = _delta_store(spark, sf)
+        cmap = init_component_map(spark, f"dkb_{tag}")
+        fold_pairs(spark, cmap, store_self_pairs(spark, store))
+        delta = Catalog(spark, sf).documents.filter(F.col("doc_id") % 10 == 0)
+        fold_pairs(spark, cmap, delta_dedup(spark, delta, store))
+        _DELTA_CMAP[key] = cmap
+    return _DELTA_CMAP[key]
+
+
+def q_delta_keep_best(spark, sf):
+    # The incremental dedup loop CLOSED (operators/compmap.py; r9
+    # verdict item #2): components maintained against a PERSISTED map —
+    # seeded from the corpus signature store's own pairs, then the
+    # delta batch's pairs FOLD in via bounded min-label rounds over the
+    # rep-space graph (touched components only; the map's base rows are
+    # immutable, merges ride a small transitively-compressed relabel
+    # table). Output = (doc_id, rep, keep) per edge-incident doc: keep
+    # iff the doc is its component's min-id representative. The oracle
+    # is from-scratch: brute-force >= 0.6-Jaccard pairs over ALL docs +
+    # a recursive-CTE reachability closure — a hash match certifies
+    # seed mining, banding, folding, relabel compression, and the keep
+    # rule end to end.
+    from external_benchmarks_spark.operators.compmap import (
+        resolve_components,
+    )
+
+    cmap = _delta_cmap(spark, sf)
+    return resolve_components(spark, cmap).orderBy("doc_id")
+
+
+_DELTA_KEEP_BEST_SQL = f"""
+    WITH RECURSIVE t AS (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents),
+    sh AS MATERIALIZED (
+      SELECT doc_id, list_distinct(list_transform(range(len(toks) - 2),
+               i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3])) AS s
+      FROM t WHERE len(toks) >= 3),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(a.s) > 0 AND len(b.s) > 0
+        AND len(list_intersect(a.s, b.s)) * 1000000
+            >= 600000 * len(list_distinct(list_concat(a.s, b.s)))),
+    e AS (SELECT id_a AS a, id_b AS b FROM p
+          UNION SELECT id_b AS a, id_a AS b FROM p),
+    reach(n, m) AS (
+      SELECT a, a FROM e
+      UNION
+      SELECT r.n, e2.b FROM reach r JOIN e e2 ON r.m = e2.a),
+    comp AS (SELECT n, MIN(m) AS component FROM reach GROUP BY n)
+    SELECT n AS doc_id, component AS rep, (component = n) AS keep
+    FROM comp ORDER BY doc_id
+"""
+
+
 _DELTA_DEDUP_SQL = f"""
     WITH t AS (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents),
     sh AS MATERIALIZED (
@@ -6076,6 +6157,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # mirror (tests/test_oracle_queries.py) every test run either way,
     # so rotation costs nothing.
     return {
+        # --- round-10 brand-new: verify first ---
+        "delta_keep_best": q_delta_keep_best,
         # --- round-9 brand-new: verify first ---
         "delta_dedup": q_delta_dedup,
         "delta_semdedup": q_delta_semdedup,
@@ -7508,6 +7591,7 @@ def oracle_sql() -> dict[str, str]:
         "allpairs_jaccard": _ALLPAIRS_JACCARD_SQL,
         "delta_dedup": _DELTA_DEDUP_SQL,
         "delta_semdedup": _DELTA_SEMDEDUP_SQL,
+        "delta_keep_best": _DELTA_KEEP_BEST_SQL,
         "sorted_export": _SORTED_EXPORT_SQL,
         "cohort_retention": _COHORT_RETENTION_SQL,
         "hierarchy_rollup": _HIERARCHY_ROLLUP_SQL,

@@ -220,17 +220,22 @@ def _resolve_shingles(
     cand: DataFrame,
     id_col: str,
     corpus_sh: DataFrame,
-    delta_sh: DataFrame,
+    delta_sh: DataFrame | None,
     out_col: str,
 ) -> DataFrame:
     """Attach the shingle set of ``id_col`` to each candidate pair:
     corpus ids resolve through the bucketed store table (SortMergeJoin,
     Exchange only on the pair side), delta ids through a broadcast of
     the delta's own shingles. Exactly one side matches per id (store
-    and delta are disjoint by contract)."""
+    and delta are disjoint by contract). ``delta_sh=None`` resolves
+    corpus-only (the store self-join path)."""
     c = corpus_sh.select(
         F.col("doc_id").alias(id_col), F.col("s").alias(f"_c_{out_col}")
     )
+    if delta_sh is None:
+        return cand.join(c, id_col, "left").withColumnRenamed(
+            f"_c_{out_col}", out_col
+        )
     d = F.broadcast(
         delta_sh.select(
             F.col("doc_id").alias(id_col), F.col("s").alias(f"_d_{out_col}")
@@ -242,6 +247,51 @@ def _resolve_shingles(
         .withColumn(out_col, F.coalesce(f"_c_{out_col}", f"_d_{out_col}"))
         .drop(f"_c_{out_col}", f"_d_{out_col}")
     )
+
+
+def _jaccard_verified(cand: DataFrame, threshold_ppm: int) -> DataFrame:
+    """Exact shingle-Jaccard verification of candidate pairs carrying
+    ``s_a``/``s_b``: integer-ppm decision (no FP in the decision path),
+    output (id_a, id_b, inter, un, jaccard)."""
+    inter = F.size(F.array_intersect("s_a", "s_b")).cast("bigint")
+    un = F.size(F.array_union("s_a", "s_b")).cast("bigint")
+    return (
+        cand.select("id_a", "id_b", inter.alias("inter"), un.alias("un"))
+        .filter(
+            F.col("inter") * F.lit(1_000_000)
+            >= F.lit(int(threshold_ppm)) * F.col("un")
+        )
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double") / F.col("un").cast("double"),
+        )
+    )
+
+
+def store_self_pairs(
+    spark: SparkSession,
+    store: SignatureStore,
+    threshold_ppm: int = 600_000,
+) -> DataFrame:
+    """Corpus-internal near-dup pairs mined from the PERSISTED store
+    alone — corpus text is never re-read: candidates come from the band
+    table's self-join (bucketed on ``bh`` → Exchange-free SortMergeJoin
+    on both sides) and verify exactly against the bucketed shingle
+    table. This is the from-scratch seed of the incremental component
+    map (operators/compmap.py): seed = fold(store_self_pairs), then
+    every delta batch folds its delta_dedup pairs."""
+    bands = spark.table(store.bands_table)
+    cand = (
+        bands.select(F.col("doc_id").alias("id_a"), "bh")
+        .join(bands.select(F.col("doc_id").alias("id_b"), "bh"), "bh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    corpus_sh = spark.table(store.shingles_table)
+    cand = _resolve_shingles(cand, "id_a", corpus_sh, None, "s_a")
+    cand = _resolve_shingles(cand, "id_b", corpus_sh, None, "s_b")
+    return _jaccard_verified(cand, threshold_ppm)
 
 
 def delta_dedup(
@@ -292,20 +342,7 @@ def delta_dedup(
     corpus_sh = spark.table(store.shingles_table)
     cand = _resolve_shingles(cand, "id_a", corpus_sh, dsh, "s_a")
     cand = _resolve_shingles(cand, "id_b", corpus_sh, dsh, "s_b")
-    inter = F.size(F.array_intersect("s_a", "s_b")).cast("bigint")
-    un = F.size(F.array_union("s_a", "s_b")).cast("bigint")
-    out = (
-        cand.select("id_a", "id_b", inter.alias("inter"), un.alias("un"))
-        .filter(
-            F.col("inter") * F.lit(1_000_000)
-            >= F.lit(int(threshold_ppm)) * F.col("un")
-        )
-        .withColumn(
-            "jaccard",
-            F.col("inter").cast("double") / F.col("un").cast("double"),
-        )
-    )
-    return out
+    return _jaccard_verified(cand, threshold_ppm)
 
 
 # ---------------------------------------------------------------------------

@@ -51,6 +51,7 @@ class StreamingDeltaDedup:
         content_col: str = "text",
         threshold_ppm: int = 600_000,
         pairs_path: str | None = None,
+        component_map=None,
     ) -> None:
         self.spark = spark
         self.store = store
@@ -58,6 +59,11 @@ class StreamingDeltaDedup:
         self.content_col = content_col
         self.threshold_ppm = threshold_ppm
         self.pairs_path = pairs_path or os.path.join(store.root, "pairs")
+        # optional operators/compmap.ComponentMap: when set, each
+        # batch's pairs also FOLD into the persisted component map, so
+        # the live loop closes as dedup -> absorb -> component-update
+        # -> keep/drop (resolve_components/keep_flags read the result)
+        self.component_map = component_map
         self._pairs_schema = None
         self._last_batch = -1
 
@@ -88,6 +94,19 @@ class StreamingDeltaDedup:
         absorb_delta(
             self.spark, batch_df, self.store, self.key_col, self.content_col
         )
+        if self.component_map is not None:
+            from external_benchmarks_spark.operators.compmap import fold_pairs
+
+            # fold THIS batch's pairs, read back from the sink (one
+            # small file — never recompute the dedup join); fold is
+            # idempotent, so a replayed batch is harmless here too
+            fold_pairs(
+                self.spark,
+                self.component_map,
+                self.spark.read.parquet(self.pairs_path).filter(
+                    F.col("batch_id") == int(batch_id)
+                ),
+            )
         self._last_batch = batch_id
 
     def pairs_df(self) -> DataFrame:
