@@ -460,6 +460,56 @@ def _sorted_export_leg(spark, sf):
     return res
 
 
+def store_compaction_leg(spark, sf) -> dict:
+    """The absorb loop's small-files story priced end to end: 8 daily
+    absorbs fragment the signature store (one file set per batch per
+    bucket), the steady delta join pays the listing/open overhead,
+    compaction folds back to one file per bucket, and the join returns
+    to single-store cost. Store build and absorbs are untimed index
+    work; the three timed numbers are join-fragmented, compact, and
+    join-compacted (median of 3 for the joins)."""
+    import statistics
+    import uuid
+
+    from external_benchmarks_spark.operators.deltadedup import (
+        absorb_delta,
+        build_signature_store,
+        compact_signature_store,
+        delta_dedup,
+    )
+
+    d = Catalog(spark, sf).documents
+    tag = f"bench_cmp_{uuid.uuid4().hex[:8]}"
+    corpus = d.filter(F.col("doc_id") % 100 >= 10)
+    store = build_signature_store(spark, corpus, tag=tag)
+    delta = d.filter(F.col("doc_id") % 100 == 0)
+
+    def _join_median():
+        reps = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            delta_dedup(spark, delta, store).count()
+            reps.append(time.perf_counter() - t0)
+        return statistics.median(reps)
+
+    for b in range(1, 9):
+        absorb_delta(spark, d.filter(F.col("doc_id") % 100 == b), store)
+    frag_s = _join_median()
+    t0 = time.perf_counter()
+    res = compact_signature_store(spark, store, max_files_per_bucket=2)
+    compact_s = time.perf_counter() - t0
+    comp_s = _join_median()
+    shutil.rmtree(store.root, ignore_errors=True)
+    for t in (store.bands_table, store.shingles_table):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    return {
+        "join_fragmented_s": round(frag_s, 3),
+        "compact_s": round(compact_s, 3),
+        "join_compacted_s": round(comp_s, 3),
+        "bands_partitions_compacted": len(res["bands_partitions"]),
+    }
+
+
 def ingest_stage_timings(spark, sf) -> dict:
     """One instrumented replay of the ingest_report arc — the per-stage
     cost table the round-8 verdict asked for (finding #2). Reuses the
@@ -1288,6 +1338,12 @@ def main() -> None:
     refresh = index_refresh_leg(spark, SF_DIR)
     print(f"# index_refresh: {refresh}", file=sys.stderr)
 
+    # Signature-store small-files loop: 8 absorbs fragment, compaction
+    # folds, the delta join returns to single-store cost (r9 verdict
+    # item #5).
+    store_cmp = store_compaction_leg(spark, SF_DIR)
+    print(f"# store_compaction: {store_cmp}", file=sys.stderr)
+
     # Per-stage cost table for the ingest arc (r8 verdict finding #2):
     # one warm instrumented replay, recorded next to the leg's median.
     ingest_stages = ingest_stage_timings(spark, SF_DIR)
@@ -1319,6 +1375,7 @@ def main() -> None:
         "stream_serving": stream_srv,
         "dim2688": d2688,
         "index_refresh": refresh,
+        "store_compaction": store_cmp,
         "mixed_rw": rw,
         "embed_docs_per_sec": embed_rate,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

@@ -59,6 +59,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from external_benchmarks_spark.pipeline.bucketing import (
+    aligned_bucketed_read,
     bucket_root,
     write_bucketed,
 )
@@ -323,14 +324,15 @@ def compact_component_map(spark: SparkSession, cmap: ComponentMap) -> int:
     staging_path = os.path.join(cmap.root, "base_cstage")
     shutil.rmtree(staging_path, ignore_errors=True)
     spark.sql(f"DROP TABLE IF EXISTS {staging_tbl}")
-    write_bucketed(
-        resolved,
-        staging_tbl,
-        key="doc_id",
-        n_buckets=cmap.n_buckets,
-        path=staging_path,
-        partition_col="db",
-    )
+    with aligned_bucketed_read(spark):  # rewrite-from-itself: keep
+        write_bucketed(  # task == bucket so the fold doesn't fragment
+            resolved,
+            staging_tbl,
+            key="doc_id",
+            n_buckets=cmap.n_buckets,
+            path=staging_path,
+            partition_col="db",
+        )
     spark.sql(f"DROP TABLE IF EXISTS {staging_tbl}")
     trash = live_path + ".trash"
     shutil.rmtree(trash, ignore_errors=True)

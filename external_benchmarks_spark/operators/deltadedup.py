@@ -65,6 +65,7 @@ from external_benchmarks_spark.operators.dedup import (
     word_shingles,
 )
 from external_benchmarks_spark.pipeline.bucketing import (
+    aligned_bucketed_read,
     bucket_root,
     write_bucketed,
 )
@@ -570,6 +571,130 @@ def absorb_delta(
     sh.unpersist()
     if store.root:
         invalidate_layout(store.root)
+
+
+def _recover_compacting(root: str) -> None:
+    """Crash recovery for the two-rename swap (the
+    compact_layout_partitions rule): a trash dir whose live partner
+    vanished means the crash hit between the renames — restore it;
+    otherwise the new files landed and the trash drops."""
+    import shutil
+
+    for d in list(os.listdir(root)):
+        if d.startswith(".compacting."):
+            live = os.path.join(root, d[len(".compacting."):])
+            trash = os.path.join(root, d)
+            if os.path.exists(live):
+                shutil.rmtree(trash)
+            else:
+                os.rename(trash, live)
+
+
+def _data_files(d: str) -> list[str]:
+    return [f for f in os.listdir(d) if not f.startswith(("_", "."))]
+
+
+def compact_signature_store(
+    spark: SparkSession,
+    store: SignatureStore,
+    max_files_per_bucket: int = 4,
+) -> dict:
+    """Fold per-batch absorb appends back to one file per bucket (per
+    ``pb`` partition for the band table) — the small-files maintenance
+    the daily absorb loop needs: every ``absorb_delta`` appends one file
+    set, so a long-lived store's bucketed join eventually drowns in
+    per-batch files. Preserves the bucket spec exactly: the staging
+    rewrite goes through the same ``write_bucketed`` (bucketBy+sortBy,
+    bucket ids live in the file names), so the Exchange-free join shape
+    holds on the compacted store (re-asserted in tests).
+
+    Band partitions whose max per-bucket file count exceeds the
+    threshold rewrite via a staging TABLE, then swap in with two
+    renames per partition; the shingle table (unpartitioned) rewrites
+    whole when its per-bucket file count exceeds the threshold, with a
+    whole-directory swap. Single-writer contract, like all layout
+    maintenance here. Returns {"bands_partitions": [...],
+    "shingles_rewritten": bool}. Compaction changes the physical file
+    set, not the logical contents — any recorded layout fingerprint
+    stays valid, matching compact_layout_partitions."""
+    import shutil
+    from collections import Counter
+
+    out: dict = {"bands_partitions": [], "shingles_rewritten": False}
+    bands_path = os.path.join(store.root, "bands")
+    sh_path = os.path.join(store.root, "shingles")
+
+    def _bucket_of(fname: str) -> str:
+        # bucket id is the _NNNNN suffix Spark embeds before .c000
+        import re
+
+        m = re.search(r"_(\d{5})\b", fname)
+        return m.group(1) if m else fname
+
+    # --- bands: per-pb-partition staged rewrite ---
+    _recover_compacting(bands_path)
+    dirty = []
+    for d in sorted(os.listdir(bands_path)):
+        if not d.startswith("pb="):
+            continue
+        per_bucket = Counter(
+            _bucket_of(f) for f in _data_files(os.path.join(bands_path, d))
+        )
+        if per_bucket and max(per_bucket.values()) > max_files_per_bucket:
+            dirty.append(d)
+    if dirty:
+        vals = [d[len("pb="):] for d in dirty]
+        staging_tbl = f"{store.bands_table}_cstage"
+        staging_path = bands_path + "_cstage"
+        shutil.rmtree(staging_path, ignore_errors=True)
+        spark.sql(f"DROP TABLE IF EXISTS {staging_tbl}")
+        with aligned_bucketed_read(spark):
+            write_bucketed(
+                spark.table(store.bands_table).filter(F.col("pb").isin(vals)),
+                staging_tbl,
+                key="bh",
+                n_buckets=store.n_buckets,
+                path=staging_path,
+                partition_col="pb",
+            )
+        spark.sql(f"DROP TABLE IF EXISTS {staging_tbl}")
+        for d in dirty:
+            staged = os.path.join(staging_path, d)
+            if not os.path.isdir(staged):
+                continue
+            live = os.path.join(bands_path, d)
+            trash = os.path.join(bands_path, f".compacting.{d}")
+            os.rename(live, trash)
+            os.rename(staged, live)
+            shutil.rmtree(trash)
+        shutil.rmtree(staging_path, ignore_errors=True)
+        spark.catalog.refreshTable(store.bands_table)
+        out["bands_partitions"] = [d[len("pb="):] for d in dirty]
+
+    # --- shingles: whole-table staged rewrite (no partition dirs) ---
+    per_bucket = Counter(_bucket_of(f) for f in _data_files(sh_path))
+    if per_bucket and max(per_bucket.values()) > max_files_per_bucket:
+        staging_tbl = f"{store.shingles_table}_cstage"
+        staging_path = sh_path + "_cstage"
+        shutil.rmtree(staging_path, ignore_errors=True)
+        spark.sql(f"DROP TABLE IF EXISTS {staging_tbl}")
+        with aligned_bucketed_read(spark):
+            write_bucketed(
+                spark.table(store.shingles_table),
+                staging_tbl,
+                key="doc_id",
+                n_buckets=store.n_buckets,
+                path=staging_path,
+            )
+        spark.sql(f"DROP TABLE IF EXISTS {staging_tbl}")
+        trash = sh_path + ".compacting"
+        shutil.rmtree(trash, ignore_errors=True)
+        os.rename(sh_path, trash)
+        os.rename(staging_path, sh_path)
+        shutil.rmtree(trash)
+        spark.catalog.refreshTable(store.shingles_table)
+        out["shingles_rewritten"] = True
+    return out
 
 
 def absorb_delta_vectors(

@@ -70,6 +70,29 @@ def write_bucketed(
     writer.option("path", path).saveAsTable(table)
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def aligned_bucketed_read(spark: SparkSession):
+    """Force bucketed reads for the duration — required when REWRITING
+    a bucketed table from itself (compaction): the writer's
+    ``repartition(n, key)`` is elided as redundant against the source
+    table's bucket partitioning, and ``autoBucketedScan`` then disables
+    the bucketed scan anyway (no join/agg wants it), so every input
+    file split becomes a writer task and each task emits its own file
+    per bucket — the compaction would FRAGMENT instead of folding.
+    With the auto-disable off, the scan is one partition per bucket,
+    task == bucket, one output file per (partition dir, bucket)."""
+    key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
+
+
 def bucketed_pair(
     spark: SparkSession,
     left: DataFrame,

@@ -372,6 +372,84 @@ def test_absorb_then_dedup_equals_full_store(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_compact_signature_store(spark, sf_dir):
+    """After several absorbs the store's buckets hold one file per
+    batch; compaction folds them back to one file per bucket (per pb
+    partition), the delta join result is unchanged, the Exchange-free
+    bucketed plan shape still holds, and a second compaction is a
+    no-op."""
+    import re
+    from collections import Counter
+
+    from external_benchmarks_spark.operators.deltadedup import (
+        absorb_delta,
+        compact_signature_store,
+    )
+
+    d = Catalog(spark, sf_dir).documents
+    corpus = d.filter(F.col("doc_id") % 10 > 4)
+    store = build_signature_store(spark, corpus, tag="t_cmp_store")
+    for b in range(4):
+        absorb_delta(spark, d.filter(F.col("doc_id") % 10 == b), store)
+    delta = d.filter(F.col("doc_id") % 10 == 4)
+    before = sorted(tuple(r) for r in delta_dedup(spark, delta, store).collect())
+
+    def max_files_per_bucket(path):
+        worst = 0
+        roots = [
+            os.path.join(path, x)
+            for x in os.listdir(path)
+            if x.startswith("pb=")
+        ] or [path]
+        for r in roots:
+            c = Counter(
+                m.group(1)
+                for f in os.listdir(r)
+                if not f.startswith(("_", "."))
+                for m in [re.search(r"_(\d{5})\b", f)]
+                if m
+            )
+            if c:
+                worst = max(worst, max(c.values()))
+        return worst
+
+    assert max_files_per_bucket(os.path.join(store.root, "bands")) >= 4
+    res = compact_signature_store(spark, store, max_files_per_bucket=2)
+    assert res["bands_partitions"] and res["shingles_rewritten"]
+    assert max_files_per_bucket(os.path.join(store.root, "bands")) == 1
+    assert max_files_per_bucket(os.path.join(store.root, "shingles")) == 1
+    after = sorted(tuple(r) for r in delta_dedup(spark, delta, store).collect())
+    assert after == before and len(after) > 0
+    # second run: nothing dirty
+    res2 = compact_signature_store(spark, store, max_files_per_bucket=2)
+    assert res2 == {"bands_partitions": [], "shingles_rewritten": False}
+    # the compacted store still joins Exchange-free off bucketed scans
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try:
+        plan = (
+            delta_dedup(spark, delta, store)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        lines = plan.splitlines()
+        scans = [
+            i for i, l in enumerate(lines)
+            if "FileScan parquet spark_catalog.default.dd_" in l
+        ]
+        assert scans and all("Bucketed: true" in lines[i] for i in scans)
+        for i in scans:
+            j, hops = i, 0
+            while hops < 6:
+                parent = _parent_line(lines, j)
+                if not parent or "Join" in parent:
+                    break
+                assert "Exchange" not in parent, parent
+                j = lines.index(parent)
+                hops += 1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_absorb_vectors_equals_frozen_centroid_store(spark, sf_dir):
     """Semantic twin: absorb keeps centroids FROZEN, so the reference
     store is a rebuild over corpus ∪ d1 with the ORIGINAL corpus
