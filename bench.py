@@ -510,6 +510,39 @@ def store_compaction_leg(spark, sf) -> dict:
     }
 
 
+def vector_refresh_leg(spark, sf) -> dict:
+    """Vector-store re-centering priced: build on the 90% corpus,
+    absorb the 10% delta under frozen centroids, then refresh —
+    resampled centroids, dirty-cell-only rewrite (untouched cell files
+    never touched). Build + absorb are untimed index work."""
+    import uuid
+
+    from external_benchmarks_spark.operators.deltadedup import (
+        absorb_delta_vectors,
+        build_vector_store,
+        refresh_centroids,
+    )
+
+    e = Catalog(spark, sf).embeddings
+    store = build_vector_store(
+        spark,
+        e.filter(F.col("vec_id") % 10 != 0),
+        tag=f"bench_cr_{uuid.uuid4().hex[:8]}",
+    )
+    absorb_delta_vectors(spark, e.filter(F.col("vec_id") % 10 == 0), store)
+    t0 = time.perf_counter()
+    stats = refresh_centroids(spark, store)
+    refresh_s = time.perf_counter() - t0
+    shutil.rmtree(os.path.dirname(store.vectors_path), ignore_errors=True)
+    return {
+        "refresh_s": round(refresh_s, 3),
+        "moved": stats["moved"],
+        "n_dirty_cells": len(stats["dirty_cells"]),
+        "max_cell_before": stats["max_cell_before"],
+        "max_cell_after": stats["max_cell_after"],
+    }
+
+
 def ingest_stage_timings(spark, sf) -> dict:
     """One instrumented replay of the ingest_report arc — the per-stage
     cost table the round-8 verdict asked for (finding #2). Reuses the
@@ -1344,6 +1377,11 @@ def main() -> None:
     store_cmp = store_compaction_leg(spark, SF_DIR)
     print(f"# store_compaction: {store_cmp}", file=sys.stderr)
 
+    # Vector-store centroid refresh (r9 verdict item #7): dirty-cell
+    # rewrite cost + movement/balance stats.
+    vec_refresh = vector_refresh_leg(spark, SF_DIR)
+    print(f"# vector_refresh: {vec_refresh}", file=sys.stderr)
+
     # Per-stage cost table for the ingest arc (r8 verdict finding #2):
     # one warm instrumented replay, recorded next to the leg's median.
     ingest_stages = ingest_stage_timings(spark, SF_DIR)
@@ -1376,6 +1414,7 @@ def main() -> None:
         "dim2688": d2688,
         "index_refresh": refresh,
         "store_compaction": store_cmp,
+        "vector_refresh": vec_refresh,
         "mixed_rw": rw,
         "embed_docs_per_sec": embed_rate,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

@@ -379,10 +379,12 @@ def _assign_cells(
     cent_df: DataFrame,
     key_col: str = "vec_id",
     emb_col: str = "embedding",
+    keep_cols: tuple = (),
 ) -> DataFrame:
     """argmax over cells of dot(raw embedding, unit centroid), cell-id
     tiebreak — pure Catalyst (broadcast cross join + per-key window), the
-    exact form the DuckDB oracle replays row for row."""
+    exact form the DuckDB oracle replays row for row. ``keep_cols`` ride
+    along (the refresh path keeps the previous cell id)."""
     from pyspark.sql.window import Window
 
     from external_benchmarks_spark.functions.vector import dot_product
@@ -395,7 +397,10 @@ def _assign_cells(
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .select(
-            F.col(key_col), F.col(emb_col), F.col("_cid").alias("cell")
+            F.col(key_col),
+            F.col(emb_col),
+            F.col("_cid").alias("cell"),
+            *[F.col(c) for c in keep_cols],
         )
     )
 
@@ -571,6 +576,114 @@ def absorb_delta(
     sh.unpersist()
     if store.root:
         invalidate_layout(store.root)
+
+
+def refresh_centroids(
+    spark: SparkSession,
+    store: VectorStore,
+    key_col: str = "vec_id",
+    emb_col: str = "embedding",
+    centroids=None,
+) -> dict:
+    """Re-center the vector store after drift: frozen centroids are
+    correct-by-spec for the append-only loop, but as absorbed batches
+    drift the cells skew and cell-blocked recall degrades silently.
+    Recomputes centroids from the ABSORBED corpus (the same md5-sampled
+    device the store was built with — pass ``centroids`` to supply an
+    explicit matrix instead) and re-assigns ONLY the vectors whose
+    argmax changed, via a dirty-cell rewrite:
+
+    - pass 1 (aggregate-only, no materialization): per (old_cell,
+      new_cell) movement counts — a <= n_cells² driver-bounded table
+      that yields the dirty-cell set and the before/after balance
+      stats.
+    - pass 2 (partition-pruned to the dirty cells): a row can only
+      change assignment if its OLD cell is dirty, and every row whose
+      NEW cell is dirty also lives in a dirty old cell, so rescanning
+      just the dirty partitions reproduces the complete new contents of
+      every dirty cell. Staged write + two-rename swap per cell; a cell
+      drained empty is retired. UNTOUCHED CELL FILES ARE NEVER READ FOR
+      REWRITE OR WRITTEN — byte-identical (tested).
+
+    Centroids publish LAST (the single-writer maintenance contract —
+    don't race readers); the layout fingerprint is dropped first, like
+    every in-place maintenance here. Idempotent: a second refresh over
+    the unchanged corpus samples the same centroids and moves nothing.
+    Returns movement + balance stats."""
+    import shutil
+
+    import numpy as np
+
+    from external_benchmarks_spark.operators.similarity import (
+        sampled_centroids,
+    )
+
+    invalidate_layout(os.path.dirname(store.vectors_path))
+    corpus = spark.read.parquet(store.vectors_path)
+    cent = (
+        np.asarray(centroids, dtype=np.float64)
+        if centroids is not None
+        else sampled_centroids(
+            corpus, store.n_cells, key_col=key_col, emb_col=emb_col,
+            normalize=True,
+        )
+    )
+    cent_df = spark.createDataFrame(
+        [(int(i), [float(v) for v in row]) for i, row in enumerate(cent)],
+        "_cid bigint, _cv array<double>",
+    )
+    old = corpus.withColumnRenamed("cell", "old_cell")
+    moves = (
+        _assign_cells(old, cent_df, key_col, emb_col, keep_cols=("old_cell",))
+        .groupBy("old_cell", "cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )  # <= n_cells^2 rows — driver-bounded by construction
+    before: dict = {}
+    after: dict = {}
+    moved = 0
+    dirty: set = set()
+    for r in moves:
+        before[int(r["old_cell"])] = before.get(int(r["old_cell"]), 0) + r["n"]
+        after[int(r["cell"])] = after.get(int(r["cell"]), 0) + r["n"]
+        if int(r["old_cell"]) != int(r["cell"]):
+            moved += r["n"]
+            dirty.update((int(r["old_cell"]), int(r["cell"])))
+    stats = {
+        "n_cells": store.n_cells,
+        "moved": int(moved),
+        "dirty_cells": sorted(dirty),
+        "max_cell_before": max(before.values(), default=0),
+        "max_cell_after": max(after.values(), default=0),
+        "nonempty_cells_before": len(before),
+        "nonempty_cells_after": len(after),
+    }
+    if dirty:
+        sub = old.filter(F.col("old_cell").isin(sorted(dirty)))
+        staged = _assign_cells(sub, cent_df, key_col, emb_col)
+        staging = store.vectors_path + "_refresh_staging"
+        shutil.rmtree(staging, ignore_errors=True)
+        (
+            staged.repartition(F.col("cell"))
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(staging)
+        )
+        _recover_compacting(store.vectors_path)
+        for c in sorted(dirty):
+            d = f"cell={c}"
+            live = os.path.join(store.vectors_path, d)
+            trash = os.path.join(store.vectors_path, f".compacting.{d}")
+            src = os.path.join(staging, d)
+            if os.path.isdir(live):
+                os.rename(live, trash)
+            if os.path.isdir(src):
+                os.rename(src, live)
+            shutil.rmtree(trash, ignore_errors=True)
+        shutil.rmtree(staging, ignore_errors=True)
+    # publish the new centroids last
+    cent_df.coalesce(1).write.mode("overwrite").parquet(store.centroids_path)
+    return stats
 
 
 def _recover_compacting(root: str) -> None:

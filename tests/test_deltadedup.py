@@ -493,6 +493,113 @@ def test_absorb_vectors_equals_frozen_centroid_store(spark, sf_dir):
     assert got == want and len(got) > 0
 
 
+def test_centroid_refresh_moves_only_argmax_changes(spark):
+    """Explicit-centroid refresh on a crafted geometry: boundary points
+    move between cells 0 and 1; cells 2 and 3 have zero movement and
+    their files must be BYTE-IDENTICAL after the refresh; the store
+    ends fully consistent with the new centroids; a second refresh with
+    the same centroids is a no-op."""
+    import numpy as np
+
+    from external_benchmarks_spark.operators.deltadedup import (
+        _assign_cells,
+        build_vector_store,
+        refresh_centroids,
+    )
+
+    def unit(v):
+        v = np.asarray(v, dtype=np.float64)
+        return [float(x) for x in v / np.linalg.norm(v)]
+
+    rows = []
+    vid = 0
+    for i in range(4):  # 10 tight points per axis cluster
+        e = [0.0] * 4
+        e[i] = 1.0
+        for _ in range(10):
+            rows.append((vid, [float(x) for x in e]))
+            vid += 1
+    for _ in range(5):  # boundary points lean toward axis 0
+        rows.append((vid, unit([0.6, 0.4, 0.0, 0.0])))
+        vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    axes = np.eye(4)
+    store = build_vector_store(
+        spark, df, tag="t_refresh_syn", n_cells=4, centroids=axes
+    )
+
+    def cell_bytes(c):
+        d = os.path.join(store.vectors_path, f"cell={c}")
+        return {
+            f: open(os.path.join(d, f), "rb").read()
+            for f in sorted(os.listdir(d))
+            if not f.startswith(("_", "."))
+        }
+
+    b2, b3 = cell_bytes(2), cell_bytes(3)
+    new_cent = np.array(
+        [
+            [1.0, 0.0, 0.0, 0.0],
+            unit([0.5, 0.85, 0.0, 0.0]),
+            [0.0, 0.0, 1.0, 0.0],
+            [0.0, 0.0, 0.0, 1.0],
+        ]
+    )
+    stats = refresh_centroids(spark, store, centroids=new_cent)
+    # boundary points: dot vs c1' = 0.6*0.5+0.4*0.85 = 0.64 > 0.6 vs c0
+    assert stats["moved"] == 5
+    assert stats["dirty_cells"] == [0, 1]
+    assert cell_bytes(2) == b2 and cell_bytes(3) == b3  # never rewritten
+    # full consistency: every stored cell equals argmax vs new centroids
+    stored = spark.read.parquet(store.vectors_path)
+    cent_df = spark.read.parquet(store.centroids_path)
+    expect = _assign_cells(
+        stored.drop("cell"), cent_df
+    ).withColumnRenamed("cell", "want")
+    bad = (
+        stored.join(expect.select("vec_id", "want"), "vec_id")
+        .filter(F.col("cell") != F.col("want"))
+        .count()
+    )
+    assert bad == 0
+    # idempotent
+    stats2 = refresh_centroids(spark, store, centroids=new_cent)
+    assert stats2["moved"] == 0 and stats2["dirty_cells"] == []
+
+
+def test_centroid_refresh_after_absorb_matches_rebuild(spark, sf_dir):
+    """absorb + refresh == from-scratch store over corpus ∪ delta with
+    freshly sampled centroids (refresh samples from the absorbed
+    corpus, which IS the union — same md5 device)."""
+    from external_benchmarks_spark.operators.deltadedup import (
+        absorb_delta_vectors,
+        build_vector_store,
+        refresh_centroids,
+    )
+
+    e = Catalog(spark, sf_dir).embeddings
+    corpus = e.filter(F.col("vec_id") % 10 != 0)
+    delta = e.filter(F.col("vec_id") % 10 == 0)
+    store = build_vector_store(spark, corpus, tag="t_refresh_abs")
+    absorb_delta_vectors(spark, delta, store)
+    stats = refresh_centroids(spark, store)
+    got = sorted(
+        (r.vec_id, int(r.cell))
+        for r in spark.read.parquet(store.vectors_path)
+        .select("vec_id", "cell")
+        .collect()
+    )
+    rebuilt = build_vector_store(spark, e, tag="t_refresh_rebuild")
+    want = sorted(
+        (r.vec_id, int(r.cell))
+        for r in spark.read.parquet(rebuilt.vectors_path)
+        .select("vec_id", "cell")
+        .collect()
+    )
+    assert got == want and len(got) == e.count()
+    assert stats["moved"] > 0  # the resample genuinely moved something
+
+
 def test_streaming_dedup_matches_sequential_batch(spark, sf_dir, tmp_path):
     """Driving the doc batches through a real file stream (dedup ->
     absorb per micro-batch) yields exactly the pairs a sequential batch
