@@ -6244,61 +6244,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_dedup": q_delta_dedup,
         "delta_semdedup": q_delta_semdedup,
         "sorted_export": q_sorted_export,
-        # --- never driver-checked (round-8 session-3 additions; the
-        # recorded r9 rotation executed: 2 new + these 23 + the
-        # r5-stale head below = the ~50 window). ---
-        "hash_sample_quantiles": q_hash_sample_quantiles,
-        "running_total": q_running_total,
-        "skyline_parts": q_skyline_parts,
-        "kmv_distinct": q_kmv_distinct,
-        "kmv_overlap": q_kmv_overlap,
-        "allpairs_jaccard": q_allpairs_jaccard,
-        "cohort_retention": q_cohort_retention,
-        "hierarchy_rollup": q_hierarchy_rollup,
-        "unigram_doc_ppl": q_unigram_doc_ppl,
-        "funnel_latency": q_funnel_latency,
-        "symdelete_name_pairs": q_symdelete_name_pairs,
-        "hourly_acf": q_hourly_acf,
-        "session_paths": q_session_paths,
-        "chi2_assoc": q_chi2_assoc,
-        "spatial_radius_pairs": q_spatial_radius_pairs,
-        "rolling_median": q_rolling_median,
-        "fd_profile": q_fd_profile,
-        "bool_and_retrieval": q_bool_and_retrieval,
-        "negative_samples": q_negative_samples,
-        "revenue_trend": q_revenue_trend,
-        "rfm_segments": q_rfm_segments,
-        "basket_lift": q_basket_lift,
-        "revenue_concentration": q_revenue_concentration,
-        # --- last driver-checked r5: the r9 window reaches ~25 entries
-        # into this block (through audio_decode); r10 rotation plan:
-        # any r10-changed entries first, then the remainder of this r5
-        # block (group_embedding_stats .. event_transitions_ranged),
-        # then the r7-checked block. ---
-        "date_parts": q_date_parts,
-        "deterministic_sample": q_deterministic_sample,
-        "stratified_sample": q_stratified_sample,
-        "stratified_fixed_n": q_stratified_fixed_n,
-        "derived_tiers": q_derived_tiers,
-        "null_profile": q_null_profile,
-        "scalar_funcs": q_scalar_funcs,
-        "string_funcs": q_string_funcs,
-        "array_funcs": q_array_funcs,
-        "json_extract": q_json_extract,
-        "date_arith": q_date_arith,
-        "null_funcs": q_null_funcs,
-        "map_funcs": q_map_funcs,
-        "dot_topk": q_dot_topk,
-        "l2_norm": q_l2_norm,
-        "ann_bruteforce": q_ann_bruteforce,
-        "multi_query_topk": q_multi_query_topk,
-        "embedding_neardup": q_embedding_neardup,
-        "pairwise_cosine_stats": q_pairwise_cosine_stats,
-        "dedup_keep_best": q_dedup_keep_best,
-        "events_hourly": q_events_hourly,
-        "events_sliding": q_events_sliding,
-        "blob_metadata": q_blob_metadata,
-        "image_decode": q_image_decode,
+        # bm25_indexed reads through the inverted-index layout whose
+        # append path went segment-based this round — re-check it
+        "bm25_indexed": q_bm25_indexed,
+        # --- the r10 rotation recorded at r9, executed: audio_decode
+        # FIRST (missed the r9 window by one slot — stalest entry at
+        # r5), then the r5-stale remainder (group_embedding_stats ..
+        # event_transitions_ranged: the TPC-H correlated block and the
+        # late-interaction/hybrid family), then the r7-checked block
+        # head fills the ~50 window. The r9-window green blocks
+        # (hash_sample_quantiles.., date_parts..image_decode) rotated
+        # to the back. ---
         "audio_decode": q_audio_decode,
         "group_embedding_stats": q_group_embedding_stats,
         "tpch_q4": q_tpch_q4,
@@ -6434,7 +6390,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "variant_extract": q_variant_extract,
         "fuzzy_name_pairs": q_fuzzy_name_pairs,
         "value_drift": q_value_drift,
-        "bm25_indexed": q_bm25_indexed,
         "gap_filled_hourly": q_gap_filled_hourly,
         "tpch_q6": q_tpch_q6,
         "tpch_q10": q_tpch_q10,
@@ -6468,6 +6423,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_lag": q_rank_lag,
         "multi_quantile": q_multi_quantile,
         "group_median": q_group_median,
+        # --- r9-window green (checked r9): rotated to the back ---
+        "hash_sample_quantiles": q_hash_sample_quantiles,
+        "running_total": q_running_total,
+        "skyline_parts": q_skyline_parts,
+        "kmv_distinct": q_kmv_distinct,
+        "kmv_overlap": q_kmv_overlap,
+        "allpairs_jaccard": q_allpairs_jaccard,
+        "cohort_retention": q_cohort_retention,
+        "hierarchy_rollup": q_hierarchy_rollup,
+        "unigram_doc_ppl": q_unigram_doc_ppl,
+        "funnel_latency": q_funnel_latency,
+        "symdelete_name_pairs": q_symdelete_name_pairs,
+        "hourly_acf": q_hourly_acf,
+        "session_paths": q_session_paths,
+        "chi2_assoc": q_chi2_assoc,
+        "spatial_radius_pairs": q_spatial_radius_pairs,
+        "rolling_median": q_rolling_median,
+        "fd_profile": q_fd_profile,
+        "bool_and_retrieval": q_bool_and_retrieval,
+        "negative_samples": q_negative_samples,
+        "revenue_trend": q_revenue_trend,
+        "rfm_segments": q_rfm_segments,
+        "basket_lift": q_basket_lift,
+        "revenue_concentration": q_revenue_concentration,
+        "date_parts": q_date_parts,
+        "deterministic_sample": q_deterministic_sample,
+        "stratified_sample": q_stratified_sample,
+        "stratified_fixed_n": q_stratified_fixed_n,
+        "derived_tiers": q_derived_tiers,
+        "null_profile": q_null_profile,
+        "scalar_funcs": q_scalar_funcs,
+        "string_funcs": q_string_funcs,
+        "array_funcs": q_array_funcs,
+        "json_extract": q_json_extract,
+        "date_arith": q_date_arith,
+        "null_funcs": q_null_funcs,
+        "map_funcs": q_map_funcs,
+        "dot_topk": q_dot_topk,
+        "l2_norm": q_l2_norm,
+        "ann_bruteforce": q_ann_bruteforce,
+        "multi_query_topk": q_multi_query_topk,
+        "embedding_neardup": q_embedding_neardup,
+        "pairwise_cosine_stats": q_pairwise_cosine_stats,
+        "dedup_keep_best": q_dedup_keep_best,
+        "events_hourly": q_events_hourly,
+        "events_sliding": q_events_sliding,
+        "blob_metadata": q_blob_metadata,
+        "image_decode": q_image_decode,
     }
 
 # ---------------------------------------------------------------------------
