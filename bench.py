@@ -1148,6 +1148,11 @@ def headline_queries():
         # leg prices the DELTA path only — the daily-batch steady state)
         "delta_dedup": q["delta_dedup"],
         "delta_semdedup": q["delta_semdedup"],
+        # Round-10: the closed dedup loop — resolve against the folded
+        # component map (map build amortized in warmup like the stores)
+        # and the idempotent centroid refresh + assignment read-back
+        "delta_keep_best": q["delta_keep_best"],
+        "centroid_refresh": q["centroid_refresh"],
         # Round-9: sorted-shard export priced end-to-end — exact global
         # rank, the 16-way sharded sorted WRITE, and the fingerprint agg
         # all inside the leg (the writer IS the operator here)
@@ -1210,6 +1215,8 @@ def main() -> None:
     Catalog(spark, SF_DIR).partsupp_table()  # materialize the TPC-H fixture
     entry_mod._delta_store(spark, SF_DIR)  # corpus signature store (index work)
     entry_mod._dsem_store(spark, SF_DIR)  # corpus vector store (index work)
+    entry_mod._delta_cmap(spark, SF_DIR)  # seeded component map (index work)
+    entry_mod._cr_store(spark, SF_DIR)  # refresh-entry vector store (index work)
     # The ingest arc's raw JSONL fixture is a MATERIALIZED artifact like
     # the skew tables — built here once, so the ingest_report leg times
     # stage -> parse -> embed -> report, not fixture production. The

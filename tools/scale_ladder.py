@@ -76,6 +76,12 @@ LEGS = (
     "delta_dedup",
     "delta_semdedup",
     "sorted_export",
+    # round-10 additions: the closed dedup loop (seed + fold + resolve
+    # against the persisted component map) and the vector-store
+    # re-centering (sampled resample + dirty-cell rewrite; reps after
+    # the first are the idempotent no-move path)
+    "delta_keep_best",
+    "centroid_refresh",
 )
 # Legs whose operator starts with a distinct() over a string column:
 # at 1.0r they run against the VARIANT view (10x vocabulary), not the
@@ -297,15 +303,23 @@ def main() -> None:
         F.col("doc_id") % 10 == 0
     )
     dd_fixed: dict = {}
+    stores = {}
     for sf_label, sf_dir in rungs.items():
         corpus = Catalog(spark, sf_dir).documents.filter(
             F.col("doc_id") % 10 != 0
         )
         tag = "ladder_" + sf_label.replace(".", "_")
+        # store build timed SEPARATELY (r9 verdict item #8): the cold
+        # number below is pure delta-path; store_build_s is the index
+        # work (~0 when the fingerprint marker says the layout is
+        # current from a previous ladder run in this tempdir).
+        t0 = time.perf_counter()
         store = build_signature_store(
             spark, corpus, tag=tag,
             source_paths=[os.path.join(sf_dir, "documents.parquet")],
         )
+        build_s = time.perf_counter() - t0
+        stores[sf_label] = store
         reps = []
         for _ in range(3):
             t0 = time.perf_counter()
@@ -313,11 +327,103 @@ def main() -> None:
             reps.append(time.perf_counter() - t0)
         dd_fixed[sf_label] = {
             "corpus_docs": corpus.count(),
+            "store_build_s": round(build_s, 3),
             "cold": round(reps[0], 3),
             "steady": round(min(reps[1:]), 3),
         }
         print(f"# delta_dedup_fixed @ {sf_label}: {dd_fixed[sf_label]}",
               file=sys.stderr)
+
+    # Delta-GROWTH ladder (r9 verdict item #6): the OTHER axis — the
+    # corpus store is FIXED (sf0.1) and the delta grows 0.1x/1x/10x;
+    # expected ~linear-in-delta cost for both dedup tiers.
+    from external_benchmarks_spark.operators.deltadedup import (
+        build_vector_store,
+        delta_semdedup,
+    )
+
+    dd_growth: dict = {"delta_dedup": {}, "delta_semdedup": {}}
+    doc_store = stores["0.1"]
+    vec_store = build_vector_store(
+        spark,
+        Catalog(spark, SRC).embeddings.filter(F.col("vec_id") % 10 != 0),
+        tag="ladder_vs_0_1",
+        source_paths=[os.path.join(SRC, "embeddings.parquet")],
+    )
+    growth_rungs = {"0.1x": rungs.get("0.01", SRC), "1x": SRC, "10x": rep}
+    if quick:
+        growth_rungs.pop("0.1x", None)
+    for label, sf_dir in growth_rungs.items():
+        ddelta = Catalog(spark, sf_dir).documents.filter(
+            F.col("doc_id") % 10 == 0
+        )
+        vdelta = Catalog(spark, sf_dir).embeddings.filter(
+            F.col("vec_id") % 10 == 0
+        )
+        for name, fn, delta in (
+            ("delta_dedup", lambda d: delta_dedup(spark, d, doc_store), ddelta),
+            (
+                "delta_semdedup",
+                lambda d: delta_semdedup(spark, d, vec_store,
+                                         threshold_fp=200_000),
+                vdelta,
+            ),
+        ):
+            reps = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                fn(delta).count()
+                reps.append(time.perf_counter() - t0)
+            dd_growth[name][label] = {
+                "delta_rows": delta.count(),
+                "cold": round(reps[0], 3),
+                "steady": round(min(reps[1:]), 3),
+            }
+            print(
+                f"# {name}_growth @ {label}: {dd_growth[name][label]}",
+                file=sys.stderr,
+            )
+
+    # Component-map fold rung (r9 verdict item #2's ladder evidence):
+    # fold cost vs MAP SIZE at a fixed batch — inserts (1k brand-new
+    # pairs) and merges (500 component merges) against maps seeded with
+    # 10k/100k/1M pair components. The update is bounded by the touched
+    # components; the only corpus-sized term is the pruned endpoint-
+    # lookup scan of the narrow base table.
+    from external_benchmarks_spark.operators.compmap import (
+        fold_pairs,
+        init_component_map,
+    )
+
+    cm_rung: dict = {}
+    cm_sizes = (10_000, 100_000) if quick else (10_000, 100_000, 1_000_000)
+    for n in cm_sizes:
+        cmap = init_component_map(spark, f"ladder_{n}")
+        seed = spark.range(n).select(
+            (F.col("id") * 2).alias("id_a"), (F.col("id") * 2 + 1).alias("id_b")
+        )
+        t0 = time.perf_counter()
+        fold_pairs(spark, cmap, seed)
+        seed_s = time.perf_counter() - t0
+        new_batch = spark.range(1_000).select(
+            (F.lit(10**12) + F.col("id") * 2).alias("id_a"),
+            (F.lit(10**12) + F.col("id") * 2 + 1).alias("id_b"),
+        )
+        t0 = time.perf_counter()
+        fold_pairs(spark, cmap, new_batch)
+        insert_s = time.perf_counter() - t0
+        merge_batch = spark.range(500).select(
+            (F.col("id") * 4).alias("id_a"), (F.col("id") * 4 + 2).alias("id_b")
+        )
+        t0 = time.perf_counter()
+        fold_pairs(spark, cmap, merge_batch)
+        merge_s = time.perf_counter() - t0
+        cm_rung[str(n)] = {
+            "seed_fold_s": round(seed_s, 3),
+            "insert_batch_s": round(insert_s, 3),
+            "merge_batch_s": round(merge_s, 3),
+        }
+        print(f"# compmap_fold @ {n}: {cm_rung[str(n)]}", file=sys.stderr)
     refresh = {}
     for sf_label, sf_dir in rungs.items():
         refresh[sf_label] = bench.index_refresh_leg(spark, sf_dir)
@@ -380,6 +486,8 @@ def main() -> None:
         "legs": legs, "index_refresh": refresh, "replica_rows": rows,
         "skew_ladder": skew, "input_growth": growth,
         "delta_dedup_fixed_delta": dd_fixed,
+        "delta_growth": dd_growth,
+        "compmap_fold": cm_rung,
     }))
 
 
