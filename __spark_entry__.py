@@ -5215,6 +5215,113 @@ _DELTA_SEMDEDUP_SQL = f"""
 """
 
 
+_SEM_CMAP: dict = {}
+
+
+def _sem_cmap(spark, sf):
+    """The semantic tier's fully-folded component map: seed = the
+    vector store's own cell-blocked pairs (vector_store_self_pairs),
+    then the delta batch's delta_semdedup pairs fold in — compmap is
+    pair-generic, so BOTH dedup tiers close their loop through the
+    same persisted-components device."""
+    from external_benchmarks_spark.operators.compmap import (
+        fold_pairs,
+        init_component_map,
+    )
+    from external_benchmarks_spark.operators.deltadedup import (
+        delta_semdedup,
+        vector_store_self_pairs,
+    )
+
+    src = os.path.join(sf, "embeddings.parquet")
+    st = os.stat(src)
+    tag = "skb_{}_{}_{}".format(
+        os.path.basename(sf.rstrip("/")).replace(".", "_"),
+        int(st.st_mtime),
+        st.st_size,
+    )
+    key = (spark.sparkContext.applicationId, tag)
+    if key not in _SEM_CMAP:
+        store = _dsem_store(spark, sf)
+        cmap = init_component_map(spark, tag)
+        fold_pairs(
+            spark,
+            cmap,
+            vector_store_self_pairs(spark, store, threshold_fp=200_000),
+        )
+        delta = Catalog(spark, sf).embeddings.filter(F.col("vec_id") % 10 == 0)
+        fold_pairs(
+            spark,
+            cmap,
+            delta_semdedup(spark, delta, store, threshold_fp=200_000),
+        )
+        _SEM_CMAP[key] = cmap
+    return _SEM_CMAP[key]
+
+
+def q_semantic_keep_best(spark, sf):
+    # The SEMANTIC tier's keep/drop decision made incremental — the
+    # same persisted component map device as delta_keep_best
+    # (operators/compmap.py is pair-generic): seed components from the
+    # vector store's own cell-blocked pairs, fold the delta batch's
+    # delta_semdedup pairs, resolve (vec_id, rep, keep). Blocking is
+    # cell-local with CORPUS-sampled centroids (the store's frozen
+    # geometry — exactly what both pair miners use), so the oracle
+    # replays sampling, assignment of corpus ∪ delta, the same-cell
+    # pair set at cos_fp >= 0.2, and the recursive reachability
+    # closure end to end.
+    from external_benchmarks_spark.operators.compmap import (
+        resolve_components,
+    )
+
+    cmap = _sem_cmap(spark, sf)
+    return (
+        resolve_components(spark, cmap)
+        .select(F.col("doc_id").alias("vec_id"), "rep", "keep")
+        .orderBy("vec_id")
+    )
+
+
+_SEMANTIC_KEEP_BEST_SQL = f"""
+    WITH RECURSIVE corp AS (SELECT vec_id, {EMB_DBL} AS e FROM embeddings
+                  WHERE vec_id % 10 != 0),
+    allrows AS (SELECT vec_id, {EMB_DBL} AS e FROM embeddings),
+    sel AS (
+      SELECT vec_id, e FROM corp
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+    cent AS (
+      SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+               AS cid,
+             list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS cv
+      FROM sel),
+    scores AS (
+      SELECT a.vec_id, a.e, cent.cid, list_dot_product(a.e, cent.cv) AS d
+      FROM allrows a CROSS JOIN cent),
+    assign AS MATERIALIZED (
+      SELECT vec_id, e, cid FROM (
+        SELECT vec_id, e, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
+        FROM scores) WHERE rn = 1),
+    p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM assign a JOIN assign b
+        ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE CAST(ROUND(list_dot_product(a.e, b.e)
+              / (sqrt(list_dot_product(a.e, a.e))
+                 * sqrt(list_dot_product(b.e, b.e))) * 1000000, 0) AS BIGINT)
+            >= 200000),
+    e AS (SELECT id_a AS a, id_b AS b FROM p
+          UNION SELECT id_b AS a, id_a AS b FROM p),
+    reach(n, m) AS (
+      SELECT a, a FROM e
+      UNION
+      SELECT r.n, e2.b FROM reach r JOIN e e2 ON r.m = e2.a),
+    comp AS (SELECT n, MIN(m) AS component FROM reach GROUP BY n)
+    SELECT n AS vec_id, component AS rep, (component = n) AS keep
+    FROM comp ORDER BY vec_id
+"""
+
+
 _DELTA_STORE: dict = {}
 
 
@@ -6239,6 +6346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-10 brand-new: verify first ---
         "delta_keep_best": q_delta_keep_best,
+        "semantic_keep_best": q_semantic_keep_best,
         "centroid_refresh": q_centroid_refresh,
         # --- round-9 brand-new: verify first ---
         "delta_dedup": q_delta_dedup,
@@ -7676,6 +7784,7 @@ def oracle_sql() -> dict[str, str]:
         "delta_dedup": _DELTA_DEDUP_SQL,
         "delta_semdedup": _DELTA_SEMDEDUP_SQL,
         "delta_keep_best": _DELTA_KEEP_BEST_SQL,
+        "semantic_keep_best": _SEMANTIC_KEEP_BEST_SQL,
         "centroid_refresh": _CENTROID_REFRESH_SQL,
         "sorted_export": _SORTED_EXPORT_SQL,
         "cohort_retention": _COHORT_RETENTION_SQL,

@@ -374,6 +374,43 @@ class VectorStore:
     n_cells: int
 
 
+def _write_centroids(path: str, cent) -> None:
+    """Publish the (n_cells x dim) centroid matrix as one parquet file,
+    DRIVER-SIDE via pyarrow with a tmp-dir swap. A Spark job here is
+    pathological, not just wasteful: writing a LocalRelation with array
+    columns pays a slow per-row Python->JVM conversion in the V1 write
+    path (~6 s for 16 rows x dim 64, measured; spark.range writes the
+    same shape in 0.3 s) — pyarrow does it in ~5 ms and Spark reads the
+    file back with the identical array<double> schema."""
+    import shutil
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "_cid": pa.array(range(len(cent)), pa.int64()),
+            "_cv": pa.array(
+                [[float(v) for v in row] for row in cent],
+                pa.list_(pa.float64()),
+            ),
+        }
+    )
+    tmp = path + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    pq.write_table(
+        tbl, os.path.join(tmp, f"part-00000-{uuid.uuid4().hex}.parquet")
+    )
+    trash = path + ".trash"
+    shutil.rmtree(trash, ignore_errors=True)
+    if os.path.isdir(path):
+        os.rename(path, trash)
+    os.rename(tmp, path)
+    shutil.rmtree(trash, ignore_errors=True)
+
+
 def _assign_cells(
     df: DataFrame,
     cent_df: DataFrame,
@@ -459,11 +496,8 @@ def build_vector_store(
             corpus, n_cells, key_col=key_col, emb_col=emb_col, normalize=True
         )
     )
-    cent_df = spark.createDataFrame(
-        [(int(i), [float(v) for v in row]) for i, row in enumerate(cent)],
-        "_cid bigint, _cv array<double>",
-    )
-    cent_df.coalesce(1).write.mode("overwrite").parquet(store.centroids_path)
+    _write_centroids(store.centroids_path, cent)
+    cent_df = spark.read.parquet(store.centroids_path)
     assigned = _assign_cells(corpus, cent_df, key_col, emb_col)
     (
         assigned.repartition(F.col("cell"))
@@ -474,6 +508,49 @@ def build_vector_store(
     if fp is not None:
         record_layout(root, fp)
     return store
+
+
+def _cos_fp(ea, eb):
+    """1e-6 fixed-point cosine (HALF_UP round) — the shared decision
+    device of the semantic tier; DuckDB replays it exactly."""
+    from external_benchmarks_spark.functions.vector import dot_product, l2_norm
+
+    a = ea.cast("array<double>")
+    b = eb.cast("array<double>")
+    cos = dot_product(a, b) / (l2_norm(a) * l2_norm(b))
+    return F.round(cos * 1_000_000, 0).cast("bigint")
+
+
+def vector_store_self_pairs(
+    spark: SparkSession,
+    store: VectorStore,
+    key_col: str = "vec_id",
+    emb_col: str = "embedding",
+    threshold_fp: int = 950_000,
+) -> DataFrame:
+    """Corpus-internal cell-blocked near-dup pairs mined from the
+    persisted vector store alone — the semantic-tier seed of the
+    incremental component map (operators/compmap.py), the twin of
+    :func:`store_self_pairs`. The self-join blocks on the stored cell
+    id, so nothing re-assigns and nothing crosses cells (SemDeDup's
+    cluster-local semantics, same as delta_semdedup)."""
+    corpus = spark.read.parquet(store.vectors_path)
+    a = corpus.select(
+        F.col(key_col).alias("id_a"), F.col(emb_col).alias("_ea"), "cell"
+    )
+    b = corpus.select(
+        F.col(key_col).alias("id_b"), F.col(emb_col).alias("_eb"), "cell"
+    )
+    return (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            _cos_fp(F.col("_ea"), F.col("_eb")).alias("cos_fp"),
+        )
+        .filter(F.col("cos_fp") >= F.lit(int(threshold_fp)))
+    )
 
 
 def delta_semdedup(
@@ -491,8 +568,6 @@ def delta_semdedup(
     store. The delta side broadcasts into the cell join, so no corpus
     vector ever shuffles; with ``prune`` the corpus scan is statically
     partition-pruned to the delta's cells."""
-    from external_benchmarks_spark.functions.vector import dot_product, l2_norm
-
     cent_df = spark.read.parquet(store.centroids_path)
     # localCheckpoint, not persist — see delta_dedup's dsh note.
     dass = _assign_cells(delta, cent_df, key_col, emb_col).localCheckpoint(
@@ -502,13 +577,6 @@ def delta_semdedup(
     if prune:
         cells = [r[0] for r in dass.select("cell").distinct().collect()]
         corpus = corpus.filter(F.col("cell").isin(cells))
-
-    def _cos_fp(ea, eb):
-        a = ea.cast("array<double>")
-        b = eb.cast("array<double>")
-        cos = dot_product(a, b) / (l2_norm(a) * l2_norm(b))
-        return F.round(cos * 1_000_000, 0).cast("bigint")
-
     d_side = F.broadcast(
         dass.select(
             F.col(key_col).alias("_did"), F.col(emb_col).alias("_de"), "cell"
@@ -681,8 +749,9 @@ def refresh_centroids(
                 os.rename(src, live)
             shutil.rmtree(trash, ignore_errors=True)
         shutil.rmtree(staging, ignore_errors=True)
-    # publish the new centroids last
-    cent_df.coalesce(1).write.mode("overwrite").parquet(store.centroids_path)
+    # publish the new centroids last (driver-side pyarrow + dir swap —
+    # see _write_centroids for why a Spark job here costs ~6 s)
+    _write_centroids(store.centroids_path, cent)
     return stats
 
 
