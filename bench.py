@@ -1152,6 +1152,7 @@ def headline_queries():
         # component map (map build amortized in warmup like the stores)
         # and the idempotent centroid refresh + assignment read-back
         "delta_keep_best": q["delta_keep_best"],
+        "semantic_keep_best": q["semantic_keep_best"],
         "centroid_refresh": q["centroid_refresh"],
         # Round-9: sorted-shard export priced end-to-end — exact global
         # rank, the 16-way sharded sorted WRITE, and the fingerprint agg
@@ -1216,6 +1217,7 @@ def main() -> None:
     entry_mod._delta_store(spark, SF_DIR)  # corpus signature store (index work)
     entry_mod._dsem_store(spark, SF_DIR)  # corpus vector store (index work)
     entry_mod._delta_cmap(spark, SF_DIR)  # seeded component map (index work)
+    entry_mod._sem_cmap(spark, SF_DIR)  # semantic component map (index work)
     entry_mod._cr_store(spark, SF_DIR)  # refresh-entry vector store (index work)
     # The ingest arc's raw JSONL fixture is a MATERIALIZED artifact like
     # the skew tables — built here once, so the ingest_report leg times
