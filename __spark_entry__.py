@@ -5215,6 +5215,81 @@ _DELTA_SEMDEDUP_SQL = f"""
 """
 
 
+def q_dedup_aware_sample(spark, sf):
+    # The closed dedup loop FEEDING curation (the production handoff):
+    # keep_flags joins the folded component map's keep/drop decision
+    # onto the corpus (keep iff not a non-representative member), then
+    # a deterministic md5 hash sample (the house no-RNG device) draws
+    # ~40% of the SURVIVORS per source. Output: per-source kept /
+    # dropped / sampled counts + the exact sampled-id checksum, so the
+    # oracle certifies the whole components → keep rule → hash-gate
+    # composition. Reuses _delta_cmap (built once per session — the
+    # same map delta_keep_best verifies).
+    from external_benchmarks_spark.functions.hashing import md5_hash32
+    from external_benchmarks_spark.operators.compmap import keep_flags
+
+    cmap = _delta_cmap(spark, sf)
+    d = Catalog(spark, sf).documents
+    flagged = keep_flags(spark, cmap, d, key_col="doc_id")
+    gate = (
+        md5_hash32(F.concat(F.lit("das:"), F.col("doc_id").cast("string")))
+        % 100
+        < 40
+    )
+    return (
+        flagged.withColumn("sampled", F.col("keep") & gate)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.sum(F.when(F.col("sampled"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_sampled"),
+            F.sum(F.when(F.col("sampled"), F.col("doc_id")).otherwise(0))
+            .cast("bigint")
+            .alias("sampled_id_sum"),
+        )
+        .orderBy("source")
+    )
+
+
+_DEDUP_AWARE_SAMPLE_SQL = f"""
+    WITH RECURSIVE t AS (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents),
+    sh AS MATERIALIZED (
+      SELECT doc_id, list_distinct(list_transform(range(len(toks) - 2),
+               i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3])) AS s
+      FROM t WHERE len(toks) >= 3),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(a.s) > 0 AND len(b.s) > 0
+        AND len(list_intersect(a.s, b.s)) * 1000000
+            >= 600000 * len(list_distinct(list_concat(a.s, b.s)))),
+    e AS (SELECT id_a AS a, id_b AS b FROM p
+          UNION SELECT id_b AS a, id_a AS b FROM p),
+    reach(n, m) AS (
+      SELECT a, a FROM e
+      UNION
+      SELECT r.n, e2.b FROM reach r JOIN e e2 ON r.m = e2.a),
+    comp AS (SELECT n, MIN(m) AS component FROM reach GROUP BY n),
+    flags AS (
+      SELECT d.source, d.doc_id,
+             (comp.component IS NULL OR comp.component = d.doc_id) AS keep,
+             {_h32("'das:' || CAST(d.doc_id AS VARCHAR)")} % 100 < 40 AS gate
+      FROM documents d LEFT JOIN comp ON comp.n = d.doc_id)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN keep AND gate THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_sampled,
+           CAST(SUM(CASE WHEN keep AND gate THEN doc_id ELSE 0 END) AS BIGINT)
+             AS sampled_id_sum
+    FROM flags GROUP BY source ORDER BY source
+"""
+
+
 _SEM_CMAP: dict = {}
 
 
@@ -6348,6 +6423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_keep_best": q_delta_keep_best,
         "semantic_keep_best": q_semantic_keep_best,
         "centroid_refresh": q_centroid_refresh,
+        "dedup_aware_sample": q_dedup_aware_sample,
         # --- round-9 brand-new: verify first ---
         "delta_dedup": q_delta_dedup,
         "delta_semdedup": q_delta_semdedup,
@@ -7786,6 +7862,7 @@ def oracle_sql() -> dict[str, str]:
         "delta_keep_best": _DELTA_KEEP_BEST_SQL,
         "semantic_keep_best": _SEMANTIC_KEEP_BEST_SQL,
         "centroid_refresh": _CENTROID_REFRESH_SQL,
+        "dedup_aware_sample": _DEDUP_AWARE_SAMPLE_SQL,
         "sorted_export": _SORTED_EXPORT_SQL,
         "cohort_retention": _COHORT_RETENTION_SQL,
         "hierarchy_rollup": _HIERARCHY_ROLLUP_SQL,

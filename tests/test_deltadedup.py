@@ -450,6 +450,99 @@ def test_compact_signature_store(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_compact_signature_store_crash_recovery(spark, sf_dir):
+    """Simulated crash between the two swap renames (a .compacting.
+    trash dir exists, its live partition is gone): the next compaction
+    run must restore the trash copy before doing anything else, and the
+    delta join result is unchanged."""
+    import shutil
+
+    from external_benchmarks_spark.operators.deltadedup import (
+        absorb_delta,
+        compact_signature_store,
+    )
+
+    d = Catalog(spark, sf_dir).documents
+    corpus = d.filter(F.col("doc_id") % 10 > 4)
+    store = build_signature_store(spark, corpus, tag="t_cmp_crash")
+    absorb_delta(spark, d.filter(F.col("doc_id") % 10 == 0), store)
+    delta = d.filter(F.col("doc_id") % 10 == 4)
+    want = sorted(tuple(r) for r in delta_dedup(spark, delta, store).collect())
+    bands_path = os.path.join(store.root, "bands")
+    pb_dirs = [x for x in os.listdir(bands_path) if x.startswith("pb=")]
+    victim = sorted(pb_dirs)[0]
+    os.rename(
+        os.path.join(bands_path, victim),
+        os.path.join(bands_path, f".compacting.{victim}"),
+    )
+    assert not os.path.isdir(os.path.join(bands_path, victim))
+    compact_signature_store(spark, store, max_files_per_bucket=1)
+    assert os.path.isdir(os.path.join(bands_path, victim))  # restored
+    assert not any(
+        x.startswith(".compacting.") for x in os.listdir(bands_path)
+    )
+    spark.catalog.refreshTable(store.bands_table)
+    got = sorted(tuple(r) for r in delta_dedup(spark, delta, store).collect())
+    assert got == want and len(got) > 0
+    # and the other crash phase: trash alongside a LIVE partition (the
+    # new files landed) must simply drop
+    live = os.path.join(bands_path, victim)
+    trash = os.path.join(bands_path, f".compacting.{victim}")
+    shutil.copytree(live, trash)
+    compact_signature_store(spark, store, max_files_per_bucket=99)
+    assert os.path.isdir(live) and not os.path.isdir(trash)
+
+
+def test_compact_inverted_index_rerun_after_partial_publish(spark, sf_dir, tmp_path):
+    """The crash window between a piece's swap and its segment delete
+    leaves BOTH the folded base and the stale segment on disk. A re-run
+    must converge to the exact full-rebuild answers: postings re-merge
+    by exact-row distinct and dfreq recomputes from the compacted
+    postings, so nothing double-counts."""
+    import shutil
+
+    from external_benchmarks_spark.catalog import Catalog as Cat
+    from external_benchmarks_spark.operators.tfidf import (
+        _segment_files,
+        append_to_inverted_index,
+        bm25_from_index,
+        build_inverted_index,
+        compact_inverted_index,
+    )
+
+    docs = Cat(spark, sf_dir).documents
+    cut = F.col("doc_id") % 10 < 8
+    base, delta = docs.where(cut), docs.where(~cut)
+    full_idx = str(tmp_path / "full")
+    build_inverted_index(docs, full_idx, n_term_buckets=8)
+    idx = str(tmp_path / "inc")
+    build_inverted_index(base, idx, n_term_buckets=8)
+    append_to_inverted_index(spark, idx, delta, n_term_buckets=8)
+    # stash the segments, compact, then restore them = the crash state
+    # "swaps published, segment deletes lost"
+    stash = str(tmp_path / "stash")
+    os.makedirs(stash)
+    for piece in ("postings", "dfreq"):
+        for f in _segment_files(os.path.join(idx, piece)):
+            shutil.copy(f, os.path.join(stash, piece + "_" + os.path.basename(f)))
+    assert compact_inverted_index(spark, idx, n_term_buckets=8)
+    for piece in ("postings", "dfreq"):
+        seg_dir = os.path.join(idx, piece, "_segments")
+        os.makedirs(seg_dir, exist_ok=True)
+        for f in os.listdir(stash):
+            if f.startswith(piece + "_"):
+                shutil.copy(
+                    os.path.join(stash, f),
+                    os.path.join(seg_dir, f[len(piece) + 1:]),
+                )
+    # re-run converges (idempotent) and answers equal the full rebuild
+    assert compact_inverted_index(spark, idx, n_term_buckets=8)
+    assert not _segment_files(os.path.join(idx, "postings"))
+    want = bm25_from_index(spark, full_idx, ["the", "data"], k=50, n_term_buckets=8).collect()
+    got = bm25_from_index(spark, idx, ["the", "data"], k=50, n_term_buckets=8).collect()
+    assert [tuple(r) for r in want] == [tuple(r) for r in got]
+
+
 def test_absorb_vectors_equals_frozen_centroid_store(spark, sf_dir):
     """Semantic twin: absorb keeps centroids FROZEN, so the reference
     store is a rebuild over corpus ∪ d1 with the ORIGINAL corpus
