@@ -4993,15 +4993,20 @@ def q_sorted_export(spark, sf):
     key = (spark.sparkContext.applicationId, sf)
     if key not in _SORTED_EXPORT:
         # per-applicationId export dirs accumulate across sessions —
-        # drop other sessions' leftovers before writing this one's
+        # drop other sessions' STALE leftovers (age-gated: a young dir
+        # may belong to a session running concurrently on this host)
         import shutil
+        import time as _time
 
         app = spark.sparkContext.applicationId
         for d in os.listdir(tempfile.gettempdir()):
-            if d.startswith("ebs_sorted_export_") and not d.endswith(app):
-                shutil.rmtree(
-                    os.path.join(tempfile.gettempdir(), d), ignore_errors=True
-                )
+            full = os.path.join(tempfile.gettempdir(), d)
+            if (
+                d.startswith("ebs_sorted_export_")
+                and not d.endswith(app)
+                and _time.time() - os.path.getmtime(full) > 6 * 3600
+            ):
+                shutil.rmtree(full, ignore_errors=True)
         out = os.path.join(
             tempfile.gettempdir(),
             "ebs_sorted_export_{}_{}".format(

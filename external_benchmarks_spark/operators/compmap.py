@@ -63,6 +63,20 @@ from external_benchmarks_spark.pipeline.bucketing import (
     bucket_root,
     write_bucketed,
 )
+from external_benchmarks_spark.pipeline.layout import (
+    recover_dir_swap,
+    swap_dir,
+)
+
+
+def _recover(spark: SparkSession, cmap: "ComponentMap") -> None:
+    """Crash recovery before any read/write of the map's two artifacts:
+    a compaction (base) or relabel publish crashed mid-swap leaves the
+    live dir in a sibling trash — restore it (pipeline/layout helpers).
+    Idempotent driver-side listdirs."""
+    recover_dir_swap(os.path.join(cmap.root, "base"))
+    recover_dir_swap(cmap.relabel_path)
+    spark.catalog.refreshTable(cmap.table)
 
 
 @dataclass(frozen=True)
@@ -114,7 +128,13 @@ def init_component_map(
     )
     import shutil
 
-    shutil.rmtree(cmap.relabel_path, ignore_errors=True)
+    # drop the relabel table AND every swap sibling a crashed prior
+    # life of this tag may have left — recovery must never resurrect
+    # stale state over a freshly initialized map
+    for p in (cmap.relabel_path, os.path.join(root, "base")):
+        for suffix in ("", ".trash", ".stage", ".tmp", ".compacting"):
+            if suffix or p == cmap.relabel_path:
+                shutil.rmtree(p + suffix, ignore_errors=True)
     return cmap
 
 
@@ -155,6 +175,7 @@ def fold_pairs(
         connected_components_auto,
     )
 
+    _recover(spark, cmap)
     edges = (
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .filter(F.col("a") != F.col("b"))
@@ -241,9 +262,15 @@ def fold_pairs(
         )
         .unionByName(deposed)
         .distinct()
-        .localCheckpoint(eager=True)  # break read-overwrite on the path
     )
-    new_relabel.coalesce(1).write.mode("overwrite").parquet(cmap.relabel_path)
+    # crash-safe publish: stage, then whole-dir swap (a plain overwrite
+    # deletes-then-writes — a crash in between loses the relabel table)
+    relabel_stage = cmap.relabel_path + ".stage"
+    import shutil
+
+    shutil.rmtree(relabel_stage, ignore_errors=True)
+    new_relabel.coalesce(1).write.mode("overwrite").parquet(relabel_stage)
+    swap_dir(cmap.relabel_path, relabel_stage)
     # --- state delta 2: unseen endpoints APPEND into the bucketed base ---
     (
         final.filter(~F.col("in_base"))
@@ -264,6 +291,7 @@ def resolve_components(spark: SparkSession, cmap: ComponentMap) -> DataFrame:
     so there is never a second hop). ``keep`` = the doc is its
     component's representative. Docs absent from the map are implicit
     singletons (keep) by contract."""
+    _recover(spark, cmap)
     base = spark.table(cmap.table)
     relabel = _read_relabel(spark, cmap)
     return (
@@ -307,6 +335,7 @@ def compact_component_map(spark: SparkSession, cmap: ComponentMap) -> int:
     batch path never rewrites the base."""
     import shutil
 
+    _recover(spark, cmap)
     relabel = _read_relabel(spark, cmap)
     n = relabel.count()
     if n == 0:
@@ -334,15 +363,14 @@ def compact_component_map(spark: SparkSession, cmap: ComponentMap) -> int:
             partition_col="db",
         )
     spark.sql(f"DROP TABLE IF EXISTS {staging_tbl}")
-    trash = live_path + ".trash"
-    shutil.rmtree(trash, ignore_errors=True)
-    os.rename(live_path, trash)
-    os.rename(staging_path, live_path)
-    shutil.rmtree(trash, ignore_errors=True)
+    swap_dir(live_path, staging_path)
     spark.catalog.refreshTable(cmap.table)
-    # relabel is now folded in: clear it (empty overwrite keeps the
-    # schema-carrying file so reads stay cheap)
+    # relabel is now folded in: clear it via the same staged swap
+    # (empty write keeps a schema-carrying file so reads stay cheap)
+    relabel_stage = cmap.relabel_path + ".stage"
+    shutil.rmtree(relabel_stage, ignore_errors=True)
     spark.createDataFrame(
         [], f"old_rep {cmap.key_type}, new_rep {cmap.key_type}"
-    ).coalesce(1).write.mode("overwrite").parquet(cmap.relabel_path)
+    ).coalesce(1).write.mode("overwrite").parquet(relabel_stage)
+    swap_dir(cmap.relabel_path, relabel_stage)
     return int(n)

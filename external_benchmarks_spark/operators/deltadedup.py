@@ -72,8 +72,13 @@ from external_benchmarks_spark.pipeline.bucketing import (
 from external_benchmarks_spark.pipeline.layout import (
     invalidate_layout,
     layout_is_current,
+    publish_parquet_atomic,
     record_layout,
+    recover_dir_swap,
+    recover_partition_swaps,
     source_fingerprint,
+    swap_dir,
+    swap_partition_dir,
 )
 
 
@@ -393,39 +398,22 @@ class VectorStore:
 
 def _write_centroids(path: str, cent) -> None:
     """Publish the (n_cells x dim) centroid matrix as one parquet file,
-    DRIVER-SIDE via pyarrow with a tmp-dir swap. A Spark job here is
-    pathological, not just wasteful: writing a LocalRelation with array
-    columns pays a slow per-row Python->JVM conversion in the V1 write
-    path (~6 s for 16 rows x dim 64, measured; spark.range writes the
-    same shape in 0.3 s) — pyarrow does it in ~5 ms and Spark reads the
-    file back with the identical array<double> schema."""
-    import shutil
-    import uuid
-
+    DRIVER-SIDE (pipeline/layout.publish_parquet_atomic — a Spark job
+    writing a LocalRelation with array columns costs ~6 s, see there)."""
     import pyarrow as pa
-    import pyarrow.parquet as pq
 
-    tbl = pa.table(
-        {
-            "_cid": pa.array(range(len(cent)), pa.int64()),
-            "_cv": pa.array(
-                [[float(v) for v in row] for row in cent],
-                pa.list_(pa.float64()),
-            ),
-        }
+    publish_parquet_atomic(
+        path,
+        pa.table(
+            {
+                "_cid": pa.array(range(len(cent)), pa.int64()),
+                "_cv": pa.array(
+                    [[float(v) for v in row] for row in cent],
+                    pa.list_(pa.float64()),
+                ),
+            }
+        ),
     )
-    tmp = path + ".tmp"
-    shutil.rmtree(tmp, ignore_errors=True)
-    os.makedirs(tmp)
-    pq.write_table(
-        tbl, os.path.join(tmp, f"part-00000-{uuid.uuid4().hex}.parquet")
-    )
-    trash = path + ".trash"
-    shutil.rmtree(trash, ignore_errors=True)
-    if os.path.isdir(path):
-        os.rename(path, trash)
-    os.rename(tmp, path)
-    shutil.rmtree(trash, ignore_errors=True)
 
 
 def _assign_cells(
@@ -585,6 +573,10 @@ def delta_semdedup(
     store. The delta side broadcasts into the cell join, so no corpus
     vector ever shuffles; with ``prune`` the corpus scan is statically
     partition-pruned to the delta's cells."""
+    # restart-resumes contract: a refresh crashed mid-swap leaves a cell
+    # in trash — recover (cheap driver listdir) before any read
+    recover_partition_swaps(store.vectors_path)
+    recover_dir_swap(store.centroids_path)
     cent_df = spark.read.parquet(store.centroids_path)
     # localCheckpoint, not persist — see delta_dedup's dsh note.
     dass = _assign_cells(delta, cent_df, key_col, emb_col).localCheckpoint(
@@ -704,6 +696,12 @@ def refresh_centroids(
     )
 
     invalidate_layout(os.path.dirname(store.vectors_path))
+    # Recover a crashed prior refresh FIRST and unconditionally: a cell
+    # sitting in .compacting. trash is invisible to the corpus read, so
+    # sampling/assigning before recovery would operate on (and then
+    # permanently publish) a store missing that cell.
+    recover_partition_swaps(store.vectors_path)
+    recover_dir_swap(store.centroids_path)
     corpus = spark.read.parquet(store.vectors_path)
     cent = (
         np.asarray(centroids, dtype=np.float64)
@@ -754,39 +752,17 @@ def refresh_centroids(
             .partitionBy("cell")
             .parquet(staging)
         )
-        _recover_compacting(store.vectors_path)
         for c in sorted(dirty):
             d = f"cell={c}"
-            live = os.path.join(store.vectors_path, d)
-            trash = os.path.join(store.vectors_path, f".compacting.{d}")
             src = os.path.join(staging, d)
-            if os.path.isdir(live):
-                os.rename(live, trash)
-            if os.path.isdir(src):
-                os.rename(src, live)
-            shutil.rmtree(trash, ignore_errors=True)
+            swap_partition_dir(
+                store.vectors_path, d, src if os.path.isdir(src) else None
+            )
         shutil.rmtree(staging, ignore_errors=True)
     # publish the new centroids last (driver-side pyarrow + dir swap —
     # see _write_centroids for why a Spark job here costs ~6 s)
     _write_centroids(store.centroids_path, cent)
     return stats
-
-
-def _recover_compacting(root: str) -> None:
-    """Crash recovery for the two-rename swap (the
-    compact_layout_partitions rule): a trash dir whose live partner
-    vanished means the crash hit between the renames — restore it;
-    otherwise the new files landed and the trash drops."""
-    import shutil
-
-    for d in list(os.listdir(root)):
-        if d.startswith(".compacting."):
-            live = os.path.join(root, d[len(".compacting."):])
-            trash = os.path.join(root, d)
-            if os.path.exists(live):
-                shutil.rmtree(trash)
-            else:
-                os.rename(trash, live)
 
 
 def _data_files(d: str) -> list[str]:
@@ -830,8 +806,13 @@ def compact_signature_store(
         m = re.search(r"_(\d{5})\b", fname)
         return m.group(1) if m else fname
 
+    # Crash recovery first, BOTH tables (pipeline/layout helpers): a
+    # bands partition stuck in .compacting. trash, or the whole shingle
+    # table mid-swap at shingles.trash, restores before anything reads.
+    recover_partition_swaps(bands_path)
+    recover_dir_swap(sh_path)
+
     # --- bands: per-pb-partition staged rewrite ---
-    _recover_compacting(bands_path)
     dirty = []
     for d in sorted(os.listdir(bands_path)):
         if not d.startswith("pb="):
@@ -861,11 +842,7 @@ def compact_signature_store(
             staged = os.path.join(staging_path, d)
             if not os.path.isdir(staged):
                 continue
-            live = os.path.join(bands_path, d)
-            trash = os.path.join(bands_path, f".compacting.{d}")
-            os.rename(live, trash)
-            os.rename(staged, live)
-            shutil.rmtree(trash)
+            swap_partition_dir(bands_path, d, staged)
         shutil.rmtree(staging_path, ignore_errors=True)
         spark.catalog.refreshTable(store.bands_table)
         out["bands_partitions"] = [d[len("pb="):] for d in dirty]
@@ -886,11 +863,7 @@ def compact_signature_store(
                 path=staging_path,
             )
         spark.sql(f"DROP TABLE IF EXISTS {staging_tbl}")
-        trash = sh_path + ".compacting"
-        shutil.rmtree(trash, ignore_errors=True)
-        os.rename(sh_path, trash)
-        os.rename(staging_path, sh_path)
-        shutil.rmtree(trash)
+        swap_dir(sh_path, staging_path)
         spark.catalog.refreshTable(store.shingles_table)
         out["shingles_rewritten"] = True
     return out
@@ -906,6 +879,8 @@ def absorb_delta_vectors(
     """Semantic-tier absorb: assign the batch against the store's FROZEN
     centroids (the append-only index contract — cells never move) and
     append it into the cell-partitioned vector layout."""
+    recover_partition_swaps(store.vectors_path)
+    recover_dir_swap(store.centroids_path)
     cent_df = spark.read.parquet(store.centroids_path)
     (
         _assign_cells(delta, cent_df, key_col, emb_col)

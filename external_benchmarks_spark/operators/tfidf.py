@@ -339,56 +339,87 @@ def append_to_inverted_index(
         F.sum("dl").cast("bigint").alias("s"),
     )
 
+    # Both segment files STAGE first into hidden ``.staging-<batch>``
+    # dirs (invisible to readers), then publish as two renames sharing
+    # the batch uuid. Crash windows: before the first publish — nothing
+    # visible, the stale staging drops at the next compaction; between
+    # the publishes — a postings segment without its dfreq twin, which
+    # compact_inverted_index REPAIRS by deriving the twin from the
+    # postings segment itself (df is a pure function of it); after both
+    # but before stats — a retried batch re-publishes its rows (the
+    # read path over-counts until compaction folds them away via
+    # distinct; exactly-once callers gate on batch id, the
+    # StreamingDeltaDedup contract).
+    batch = uuid.uuid4().hex
+
+    def _stage(df, piece: str) -> str:
+        tmp = os.path.join(
+            index_path, piece, "_segments", f".staging-{batch}"
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        return tmp
+
     postings_seg = (
         tf.join(dl, key_col)
         .withColumn("term_bucket", md5_hash32(F.col("term")) % n_term_buckets)
         .select(key_col, "term", "tf", "dl", "term_bucket")
     )
-    postings_seg.coalesce(1).write.mode("append").parquet(
-        os.path.join(index_path, "postings", "_segments")
-    )
+    ptmp = _stage(postings_seg, "postings")
     delta_stats = obs_dl.get  # fired by the postings segment write
-
-    (
+    dtmp = _stage(
         tf.groupBy("term")
         .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
-        .withColumn("term_bucket", md5_hash32(F.col("term")) % n_term_buckets)
-        .coalesce(1)
-        .write.mode("append")
-        .parquet(os.path.join(index_path, "dfreq", "_segments"))
+        .withColumn(
+            "term_bucket", md5_hash32(F.col("term")) % n_term_buckets
+        ),
+        "dfreq",
+    )
+    for piece, tmp in (("postings", ptmp), ("dfreq", dtmp)):
+        part = next(
+            f
+            for f in os.listdir(tmp)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+        os.replace(
+            os.path.join(tmp, part),
+            os.path.join(
+                index_path, piece, "_segments", f"seg-{batch}.parquet"
+            ),
+        )
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    # stats: ONE row of mergeable counters — read, add, atomically
+    # republish driver-side (pipeline/layout.publish_parquet_atomic; a
+    # Spark job for one row is pure launch overhead).
+    from external_benchmarks_spark.pipeline.layout import (
+        publish_parquet_atomic,
+        recover_dir_swap,
     )
 
-    # stats: ONE row of mergeable counters — read, add, and atomically
-    # republish driver-side (no Spark job for one row).
     stats_path = os.path.join(index_path, "stats")
+    recover_dir_swap(stats_path)
     old_tbl = pq.read_table(stats_path)
-    new_tbl = pa.table(
-        {
-            "n_docs": pa.array(
-                [old_tbl.column("n_docs")[0].as_py() + int(delta_stats["n"])],
-                pa.int64(),
-            ),
-            "sum_dl": pa.array(
-                [
-                    old_tbl.column("sum_dl")[0].as_py()
-                    + int(delta_stats["s"] or 0)
-                ],
-                pa.int64(),
-            ),
-        }
+    publish_parquet_atomic(
+        stats_path,
+        pa.table(
+            {
+                "n_docs": pa.array(
+                    [
+                        old_tbl.column("n_docs")[0].as_py()
+                        + int(delta_stats["n"])
+                    ],
+                    pa.int64(),
+                ),
+                "sum_dl": pa.array(
+                    [
+                        old_tbl.column("sum_dl")[0].as_py()
+                        + int(delta_stats["s"] or 0)
+                    ],
+                    pa.int64(),
+                ),
+            }
+        ),
     )
-    stats_tmp = stats_path + ".tmp"
-    shutil.rmtree(stats_tmp, ignore_errors=True)
-    os.makedirs(stats_tmp)
-    pq.write_table(
-        new_tbl,
-        os.path.join(stats_tmp, f"part-00000-{uuid.uuid4().hex}.parquet"),
-    )
-    stats_trash = stats_path + ".trash"
-    shutil.rmtree(stats_trash, ignore_errors=True)
-    os.rename(stats_path, stats_trash)
-    os.rename(stats_tmp, stats_path)
-    shutil.rmtree(stats_trash, ignore_errors=True)
 
 
 def compact_inverted_index(
@@ -417,21 +448,58 @@ def compact_inverted_index(
     import shutil
 
     from external_benchmarks_spark.functions.hashing import md5_hash32
+    from external_benchmarks_spark.pipeline.layout import (
+        recover_partition_swaps,
+    )
 
     postings_path = os.path.join(index_path, "postings")
     dfreq_path = os.path.join(index_path, "dfreq")
-    # Crash recovery first (same rule as compact_layout_partitions): a
-    # trash dir whose live partition vanished means the crash hit
-    # between the two renames — restore it; otherwise drop it.
+    # Crash recovery first (pipeline/layout's shared two-rename rule),
+    # plus: drop any hidden .staging-* dirs a crashed append left, and
+    # REPAIR orphaned segments — a postings segment whose dfreq twin
+    # never published (crash between the append's two publishes)
+    # derives the twin from itself; a dfreq orphan (impossible under
+    # the publish order, handled defensively) drops.
     for root in (postings_path, dfreq_path):
-        for d in list(os.listdir(root)):
-            if d.startswith(".compacting."):
-                live = os.path.join(root, d[len(".compacting."):])
-                trash = os.path.join(root, d)
-                if os.path.exists(live):
-                    shutil.rmtree(trash)
-                else:
-                    os.rename(trash, live)
+        recover_partition_swaps(root)
+        seg_dir = os.path.join(root, "_segments")
+        if os.path.isdir(seg_dir):
+            for d in os.listdir(seg_dir):
+                if d.startswith(".staging-"):
+                    shutil.rmtree(os.path.join(seg_dir, d), ignore_errors=True)
+    psegs = _segment_files(postings_path)
+    dsegs = _segment_files(dfreq_path)
+    pnames = {os.path.basename(f) for f in psegs}
+    dnames = {os.path.basename(f) for f in dsegs}
+    for name in sorted(dnames - pnames):
+        os.remove(os.path.join(dfreq_path, "_segments", name))
+    for name in sorted(pnames - dnames):
+        seg = spark.read.parquet(
+            os.path.join(postings_path, "_segments", name)
+        )
+        tmp = os.path.join(dfreq_path, "_segments", f".staging-repair")
+        shutil.rmtree(tmp, ignore_errors=True)
+        (
+            seg.groupBy("term")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+            .withColumn(
+                "term_bucket",
+                (md5_hash32(F.col("term")) % n_term_buckets).cast("int"),
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        part = next(
+            f
+            for f in os.listdir(tmp)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+        os.replace(
+            os.path.join(tmp, part),
+            os.path.join(dfreq_path, "_segments", name),
+        )
+        shutil.rmtree(tmp, ignore_errors=True)
     psegs = _segment_files(postings_path)
     dsegs = _segment_files(dfreq_path)
     if not psegs and not dsegs:
@@ -448,18 +516,15 @@ def compact_inverted_index(
         }
     )
 
+    from external_benchmarks_spark.pipeline.layout import swap_partition_dir
+
     def _swap(root: str, staging: str) -> None:
         for b in affected:
             d = f"term_bucket={b}"
             staged = os.path.join(staging, d)
             if not os.path.isdir(staged):
                 continue
-            live = os.path.join(root, d)
-            trash = os.path.join(root, f".compacting.{d}")
-            if os.path.isdir(live):
-                os.rename(live, trash)
-            os.rename(staged, live)
-            shutil.rmtree(trash, ignore_errors=True)
+            swap_partition_dir(root, d, staged)
         shutil.rmtree(staging, ignore_errors=True)
 
     # --- postings: base[affected] ∪ segments, exact-row distinct ---
@@ -587,8 +652,11 @@ def bm25_from_index(
     dfreq slice — no corpus-sized join or explode at all."""
     import os
 
+    from external_benchmarks_spark.pipeline.layout import recover_dir_swap
+
     terms = sorted({t.lower() for t in query_terms})
     buckets = sorted({_term_bucket_py(t, n_term_buckets) for t in terms})
+    recover_dir_swap(os.path.join(index_path, "stats"))
     stats = spark.read.parquet(os.path.join(index_path, "stats")).collect()[0]
     n_docs = int(stats["n_docs"])
     if n_docs == 0:

@@ -87,33 +87,43 @@ class StreamingDeltaDedup:
             threshold_ppm=self.threshold_ppm,
         ).withColumn("batch_id", F.lit(int(batch_id)).cast("bigint"))
         self._pairs_schema = res.schema  # statically known, no action
-        # One file per batch is plenty (pairs are batch-bounded); the
-        # coalesce also guarantees an EMPTY batch still emits a
-        # schema-carrying file, so pairs_df() reads cleanly either way.
-        res.coalesce(1).write.mode("append").parquet(self.pairs_path)
+        # One file per batch under its own batch_id=N partition dir, so
+        # per-batch consumers (the component-map fold below) read ONE
+        # directory instead of listing the whole lifetime sink; the
+        # coalesce keeps it a single file.
+        res.coalesce(1).write.mode("append").partitionBy("batch_id").parquet(
+            self.pairs_path
+        )
         absorb_delta(
             self.spark, batch_df, self.store, self.key_col, self.content_col
         )
         if self.component_map is not None:
             from external_benchmarks_spark.operators.compmap import fold_pairs
 
-            # fold THIS batch's pairs, read back from the sink (one
-            # small file — never recompute the dedup join); fold is
-            # idempotent, so a replayed batch is harmless here too
-            fold_pairs(
-                self.spark,
-                self.component_map,
-                self.spark.read.parquet(self.pairs_path).filter(
-                    F.col("batch_id") == int(batch_id)
-                ),
+            # fold THIS batch's pairs, read back from its own partition
+            # dir (O(1) files regardless of stream lifetime — never
+            # recompute the dedup join); an empty batch writes no dir,
+            # and fold is idempotent so replays are harmless too
+            batch_dir = os.path.join(
+                self.pairs_path, f"batch_id={int(batch_id)}"
             )
+            if os.path.isdir(batch_dir):
+                fold_pairs(
+                    self.spark,
+                    self.component_map,
+                    self.spark.read.parquet(batch_dir),
+                )
         self._last_batch = batch_id
 
     def pairs_df(self) -> DataFrame:
         """All pairs emitted so far, read back from the sink:
-        (id_a, id_b, inter, un, jaccard, batch_id)."""
+        (id_a, id_b, inter, un, jaccard, batch_id). batch_id comes back
+        as a partition-directory key; cast to bigint so the schema
+        matches the written column (and the empty-sink fallback)."""
         try:
-            return self.spark.read.parquet(self.pairs_path)
+            return self.spark.read.parquet(self.pairs_path).withColumn(
+                "batch_id", F.col("batch_id").cast("bigint")
+            )
         except Exception:
             if self._pairs_schema is not None:
                 return self.spark.createDataFrame([], self._pairs_schema)

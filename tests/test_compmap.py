@@ -119,6 +119,26 @@ def test_compact_folds_relabel_into_base(spark):
     )
 
 
+def test_recovery_restores_base_and_relabel_mid_swap(spark):
+    """compact_component_map (or a relabel publish) crashed between its
+    two renames: live dir gone, sibling .trash holds the data. Any
+    subsequent fold/resolve must restore it and answer correctly."""
+    cmap = init_component_map(spark, "t_crash_rec")
+    fold_pairs(spark, cmap, _pairs_df(spark, [(10, 20), (30, 40)]))
+    fold_pairs(spark, cmap, _pairs_df(spark, [(20, 30)]))
+    want = _resolved(spark, cmap)
+    base = os.path.join(cmap.root, "base")
+    os.rename(base, base + ".trash")
+    os.rename(cmap.relabel_path, cmap.relabel_path + ".trash")
+    assert _resolved(spark, cmap) == want  # resolve recovers both
+    assert os.path.isdir(base) and os.path.isdir(cmap.relabel_path)
+    # and folding proceeds against the recovered state
+    fold_pairs(spark, cmap, _pairs_df(spark, [(40, 50)]))
+    assert _resolved(spark, cmap) == _scratch(
+        spark, [(10, 20), (30, 40), (20, 30), (40, 50)]
+    )
+
+
 def test_keep_flags_on_doc_table(spark):
     cmap = init_component_map(spark, "t_keepf")
     fold_pairs(spark, cmap, _pairs_df(spark, [(1, 2), (2, 3)]))

@@ -493,6 +493,74 @@ def test_compact_signature_store_crash_recovery(spark, sf_dir):
     assert os.path.isdir(live) and not os.path.isdir(trash)
 
 
+def test_refresh_recovers_trashed_cell_before_sampling(spark):
+    """A refresh crashed between a cell's two swap renames leaves the
+    cell only in .compacting. trash (invisible to reads). The next
+    refresh must restore it BEFORE sampling/assigning, and end with the
+    full store consistent with the published centroids."""
+    import numpy as np
+
+    from external_benchmarks_spark.operators.deltadedup import (
+        _assign_cells,
+        build_vector_store,
+        refresh_centroids,
+    )
+
+    rows = []
+    vid = 0
+    for i in range(4):
+        e = [0.0] * 4
+        e[i] = 1.0
+        for _ in range(10):
+            rows.append((vid, [float(x) for x in e]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    store = build_vector_store(
+        spark, df, tag="t_refresh_crash", n_cells=4, centroids=np.eye(4)
+    )
+    n_total = df.count()
+    # simulate the crash: cell=2 mid-swap
+    os.rename(
+        os.path.join(store.vectors_path, "cell=2"),
+        os.path.join(store.vectors_path, ".compacting.cell=2"),
+    )
+    stats = refresh_centroids(spark, store)  # samples AFTER recovery
+    stored = spark.read.parquet(store.vectors_path)
+    assert stored.count() == n_total  # nothing lost
+    cent_df = spark.read.parquet(store.centroids_path)
+    expect = _assign_cells(stored.drop("cell"), cent_df).withColumnRenamed(
+        "cell", "want"
+    )
+    bad = (
+        stored.join(expect.select("vec_id", "want"), "vec_id")
+        .filter(F.col("cell") != F.col("want"))
+        .count()
+    )
+    assert bad == 0 and stats["n_cells"] == 4
+
+
+def test_compact_signature_store_shingles_whole_dir_recovery(spark, sf_dir):
+    """Whole-directory swap crash for the shingle table: live dir gone,
+    copy at shingles.trash — the next compaction restores it and the
+    delta join still answers."""
+    from external_benchmarks_spark.operators.deltadedup import (
+        compact_signature_store,
+    )
+
+    d = Catalog(spark, sf_dir).documents
+    corpus = d.filter(F.col("doc_id") % 10 > 4)
+    store = build_signature_store(spark, corpus, tag="t_shcrash")
+    delta = d.filter(F.col("doc_id") % 10 == 4)
+    want = sorted(tuple(r) for r in delta_dedup(spark, delta, store).collect())
+    sh_path = os.path.join(store.root, "shingles")
+    os.rename(sh_path, sh_path + ".trash")
+    assert not os.path.isdir(sh_path)
+    compact_signature_store(spark, store, max_files_per_bucket=99)
+    assert os.path.isdir(sh_path) and not os.path.isdir(sh_path + ".trash")
+    got = sorted(tuple(r) for r in delta_dedup(spark, delta, store).collect())
+    assert got == want and len(got) > 0
+
+
 def test_compact_inverted_index_rerun_after_partial_publish(spark, sf_dir, tmp_path):
     """The crash window between a piece's swap and its segment delete
     leaves BOTH the folded base and the stale segment on disk. A re-run
