@@ -6443,7 +6443,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # late-interaction/hybrid family), then the r7-checked block
         # head fills the ~50 window. The r9-window green blocks
         # (hash_sample_quantiles.., date_parts..image_decode) rotated
-        # to the back. ---
+        # to the back.
+        # r11 rotation plan: any r11-changed entries first, then the
+        # r7-checked remainder this window's tail truncates
+        # (top_terms .. doc_pagerank + ingest_report..quality_topp),
+        # then the r6-verified tail (details_prune ..); after that the
+        # staleness floor is r8. ---
         "audio_decode": q_audio_decode,
         "group_embedding_stats": q_group_embedding_stats,
         "tpch_q4": q_tpch_q4,
