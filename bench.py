@@ -1154,6 +1154,9 @@ def headline_queries():
         "delta_keep_best": q["delta_keep_best"],
         "semantic_keep_best": q["semantic_keep_best"],
         "centroid_refresh": q["centroid_refresh"],
+        # derived-rank read of the incrementally-maintained sorted
+        # layout (build + two merge-appends amortized in warmup)
+        "incremental_sorted_export": q["incremental_sorted_export"],
         # Round-9: sorted-shard export priced end-to-end — exact global
         # rank, the 16-way sharded sorted WRITE, and the fingerprint agg
         # all inside the leg (the writer IS the operator here)
@@ -1219,6 +1222,7 @@ def main() -> None:
     entry_mod._delta_cmap(spark, SF_DIR)  # seeded component map (index work)
     entry_mod._sem_cmap(spark, SF_DIR)  # semantic component map (index work)
     entry_mod._cr_store(spark, SF_DIR)  # refresh-entry vector store (index work)
+    entry_mod._inc_export_layout(spark, SF_DIR)  # sorted layout + appends
     # The ingest arc's raw JSONL fixture is a MATERIALIZED artifact like
     # the skew tables — built here once, so the ingest_report leg times
     # stage -> parse -> embed -> report, not fixture production. The

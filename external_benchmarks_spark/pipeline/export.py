@@ -89,6 +89,231 @@ def write_sorted_shards(
     )
 
 
+# ---------------------------------------------------------------------------
+# Incremental maintenance: merge-append batches into an existing sorted
+# layout (round 10) — the export artifact's delta story, completing the
+# set (signature store, vector store, component map, inverted index all
+# have one). The layout is SELF-DESCRIBING: each shard dir holds one
+# internally-sorted file, so its row count is the parquet footer and its
+# low boundary is its first row — no manifest to desync.
+# ---------------------------------------------------------------------------
+
+
+def _shard_meta(out_path: str, order_cols: Sequence[str]) -> list[dict]:
+    """Driver-side layout scan: per shard, (id, file, n rows, lo tuple).
+    O(#shards) footer + first-row reads via pyarrow; returned sorted by
+    lo (the shard ORDER — dir numbering is an identity, not a rank:
+    splits allocate fresh ids, the order lives in the boundaries)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    metas = []
+    for d in os.listdir(out_path):
+        if not d.startswith("shard="):
+            continue
+        full = os.path.join(out_path, d)
+        files = [
+            f for f in os.listdir(full) if not f.startswith(("_", "."))
+        ]
+        if len(files) != 1:
+            raise ValueError(
+                f"sorted layout invariant broken: {full} has {len(files)} "
+                "data files (expected exactly one internally-sorted file)"
+            )
+        pf = pq.ParquetFile(os.path.join(full, files[0]))
+        first = pf.read_row_group(0).slice(0, 1)
+        metas.append(
+            {
+                "shard": int(d.split("=", 1)[1]),
+                "n": pf.metadata.num_rows,
+                "lo": tuple(first.column(c)[0].as_py() for c in order_cols),
+            }
+        )
+    metas.sort(key=lambda m: m["lo"])
+    return metas
+
+
+def append_sorted_shards(
+    spark,
+    out_path: str,
+    batch: DataFrame,
+    order_cols: Sequence[str],
+    target_rows: int,
+    split_factor: int = 2,
+) -> dict:
+    """Merge a new batch into an existing sorted-shard layout: rows
+    route to the shard whose key range contains them (lexicographic
+    struct compare against the boundary list — keys below the global
+    minimum extend the first shard), each TOUCHED shard merge-rewrites
+    as one sorted file (staged + two-rename swap, untouched shard files
+    byte-identical), and a shard grown past ``split_factor *
+    target_rows`` SPLITS into ~target_rows pieces under fresh ids.
+
+    Scale shape: routing is one expression over the batch (the boundary
+    list is #shards struct literals — at very large shard counts switch
+    to a broadcast range join); the merge reads ONLY touched shard dirs
+    (partition-pruned); the within-shard rank window partitions by
+    shard, bounded by split_factor * target + batch — never a global
+    window. Global ranks are NOT stored: they derive at read time from
+    boundary-ordered shard offsets (:func:`sorted_layout_rows`), which
+    is what makes an append O(touched shards) instead of O(corpus)
+    (an inserted row shifts every later rank; materialized ranks would
+    force a full rewrite).
+
+    ``order_cols`` must be a total order over the batch ∪ layout rows
+    (the module contract); appends assume key disjointness only in the
+    sense that duplicates of an existing tuple are interchangeable."""
+    import math
+    import os
+    import shutil
+
+    from pyspark.sql.window import Window
+
+    from external_benchmarks_spark.pipeline.layout import (
+        recover_partition_swaps,
+        swap_partition_dir,
+    )
+
+    recover_partition_swaps(out_path)
+    metas = _shard_meta(out_path, order_cols)
+    if not metas:
+        raise ValueError(f"no sorted layout at {out_path}")
+    data_cols = [c for c in batch.columns]
+    key = F.struct(
+        *[F.col(c).alias(f"_k{i}") for i, c in enumerate(order_cols)]
+    )
+    bounds = F.array(
+        *[
+            F.struct(
+                *[
+                    F.lit(m["lo"][i])
+                    .cast(batch.schema[c].dataType)
+                    .alias(f"_k{i}")
+                    for i, c in enumerate(order_cols)
+                ]
+            )
+            for m in metas
+        ]
+    )
+    ids = F.array(*[F.lit(m["shard"]) for m in metas])
+    pos = F.greatest(
+        F.size(F.filter(bounds, lambda b: key >= b)) - F.lit(1), F.lit(0)
+    )
+    routed = batch.withColumn("shard", F.element_at(ids, pos + F.lit(1)))
+    routed_counts = {
+        r["shard"]: r["cnt"]
+        for r in routed.groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()  # <= #shards rows — driver-bounded by construction
+    }
+    touched = sorted(routed_counts)
+    if not touched:
+        return {"touched": [], "splits": {}}
+
+    # split plan, driver-side over <= #shards counters
+    by_id = {m["shard"]: m for m in metas}
+    next_id = max(by_id) + 1
+    plan: dict = {}  # (shard, sub) -> final id
+    splits: dict = {}
+    shard_k: list = []  # (shard, k, n) for the sub assignment join
+    for s in touched:
+        n = by_id[s]["n"] + routed_counts[s]
+        k = 1
+        if n > split_factor * target_rows:
+            k = math.ceil(n / target_rows)
+        shard_k.append((s, k, n))
+        for sub in range(k):
+            if sub == 0:
+                plan[(s, sub)] = s
+            else:
+                plan[(s, sub)] = next_id
+                next_id += 1
+        if k > 1:
+            splits[s] = [plan[(s, sub)] for sub in range(k)]
+
+    old = spark.read.option("basePath", out_path).parquet(
+        *(os.path.join(out_path, f"shard={s}") for s in touched)
+    ).select(*data_cols, F.col("shard").cast("int").alias("shard"))
+    merged = old.unionByName(
+        routed.select(*data_cols, F.col("shard").cast("int").alias("shard"))
+    )
+    w = Window.partitionBy("shard").orderBy(*[F.col(c) for c in order_cols])
+    kdf = F.broadcast(
+        spark.createDataFrame(shard_k, "shard int, _k int, _n bigint")
+    )
+    pdf = F.broadcast(
+        spark.createDataFrame(
+            [(s, sub, fid) for (s, sub), fid in plan.items()],
+            "shard int, _sub int, _fid int",
+        )
+    )
+    staged = (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .join(kdf, "shard")
+        .withColumn(
+            "_sub",
+            F.floor(((F.col("_rn") - 1) * F.col("_k")) / F.col("_n")).cast(
+                "int"
+            ),
+        )
+        .join(pdf, ["shard", "_sub"])
+        .select(*data_cols, F.col("_fid").alias("shard"))
+    )
+    staging = out_path + "_append_staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    (
+        staged.repartition(F.col("shard"))
+        .sortWithinPartitions("shard", *[F.col(c) for c in order_cols])
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(staging)
+    )
+    for fid in sorted(set(plan.values())):
+        d = f"shard={fid}"
+        src = os.path.join(staging, d)
+        swap_partition_dir(out_path, d, src if os.path.isdir(src) else None)
+    shutil.rmtree(staging, ignore_errors=True)
+    return {"touched": touched, "splits": splits}
+
+
+def sorted_layout_rows(
+    spark,
+    out_path: str,
+    order_cols: Sequence[str],
+    rank_col: str = "global_rank",
+) -> DataFrame:
+    """Read the layout back with DERIVED exact global ranks: shards
+    ordered by their lo boundary contribute cumulative offsets
+    (driver-side, O(#shards) footers); within-shard position is a
+    bounded partitioned window. Equal to a from-scratch
+    ``row_number() OVER (ORDER BY order_cols)`` — tested and oracled."""
+    from pyspark.sql.window import Window
+
+    from external_benchmarks_spark.pipeline.layout import (
+        recover_partition_swaps,
+    )
+
+    recover_partition_swaps(out_path)
+    metas = _shard_meta(out_path, order_cols)
+    offs = []
+    acc = 0
+    for m in metas:
+        offs.append((m["shard"], acc))
+        acc += m["n"]
+    df = spark.read.option("basePath", out_path).parquet(out_path)
+    w = Window.partitionBy("shard").orderBy(*[F.col(c) for c in order_cols])
+    odf = F.broadcast(
+        spark.createDataFrame(offs, "shard int, _off bigint")
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .join(odf, "shard")
+        .withColumn(rank_col, (F.col("_off") + F.col("_rn")).cast("bigint"))
+        .drop("_rn", "_off", "shard")
+    )
+
+
 def shard_stats(
     sharded: DataFrame,
     hash_cols: Sequence[str],

@@ -115,3 +115,130 @@ def test_shard_sizes_balanced(spark, sf_dir):
     ]
     assert len(sizes) == N_SHARDS
     assert max(sizes) - min(sizes) <= 1  # exact equal split, never sampled
+
+
+# ---------------------------------------------------------------------------
+# Incremental maintenance (append_sorted_shards / sorted_layout_rows)
+# ---------------------------------------------------------------------------
+
+
+def _file_bytes(out, shard):
+    d = os.path.join(out, f"shard={shard}")
+    return {
+        f: open(os.path.join(d, f), "rb").read()
+        for f in sorted(os.listdir(d))
+        if not f.startswith(("_", "."))
+    }
+
+
+def test_append_sorted_shards_matches_from_scratch(spark, sf_dir, tmp_path):
+    """Two merge-appends into an 8-shard layout must yield EXACTLY the
+    from-scratch total order (derived ranks equal row_number over the
+    union), untouched shards stay byte-identical, and every shard keeps
+    the one-sorted-file invariant."""
+    from pyspark.sql.window import Window
+
+    from external_benchmarks_spark.pipeline.export import (
+        append_sorted_shards,
+        sorted_layout_rows,
+    )
+
+    o = _orders(spark, sf_dir).drop("o_orderdate")
+    base = o.filter(F.col("o_orderkey") % 10 < 8)
+    cols = ["cents", "o_orderkey"]
+    out = str(tmp_path / "layout")
+    sharded = rank_sharded(base, [F.col(c) for c in cols], N_SHARDS)
+    write_sorted_shards(sharded, [F.col(c) for c in cols], out)
+    target = base.count() // N_SHARDS
+
+    b1 = o.filter(F.col("o_orderkey") % 10 == 8)
+    b2 = o.filter(F.col("o_orderkey") % 10 == 9)
+    before = {s: _file_bytes(out, s) for s in range(N_SHARDS)}
+    res1 = append_sorted_shards(spark, out, b1, cols, target_rows=target)
+    assert res1["touched"]
+    for s in range(N_SHARDS):
+        if s not in res1["touched"]:
+            assert _file_bytes(out, s) == before[s]  # never rewritten
+    append_sorted_shards(spark, out, b2, cols, target_rows=target)
+
+    got = sorted(
+        (r.global_rank, r.cents, r.o_orderkey)
+        for r in sorted_layout_rows(spark, out, cols).collect()
+    )
+    w = Window.orderBy("cents", "o_orderkey")
+    want = sorted(
+        (r.global_rank, r.cents, r.o_orderkey)
+        for r in o.coalesce(1)
+        .withColumn("global_rank", F.row_number().over(w).cast("bigint"))
+        .collect()
+    )
+    assert got == want and len(got) == o.count()
+    # one-sorted-file invariant holds for every shard dir
+    for d in os.listdir(out):
+        if d.startswith("shard="):
+            files = [
+                f
+                for f in os.listdir(os.path.join(out, d))
+                if not f.startswith(("_", "."))
+            ]
+            assert len(files) == 1, (d, files)
+
+
+def test_append_splits_oversized_shard(spark, tmp_path):
+    """A batch concentrated in one shard's key range pushes it past
+    split_factor * target: the shard splits into ~target pieces under
+    fresh ids, order and derived ranks stay exact."""
+    from external_benchmarks_spark.pipeline.export import (
+        append_sorted_shards,
+        sorted_layout_rows,
+    )
+
+    base = spark.createDataFrame(
+        [(i, i * 10) for i in range(100)], "k bigint, v bigint"
+    )
+    out = str(tmp_path / "layout")
+    sharded = rank_sharded(base, [F.col("k")], 4)
+    write_sorted_shards(sharded, [F.col("k")], out)
+    # 100 rows concentrated inside shard 0's range [0, 25)
+    batch = spark.range(100).select(
+        (F.lit(10) + F.col("id") % 10).alias("k"),
+        (F.col("id") + 1000).alias("v"),
+    )
+    res = append_sorted_shards(
+        spark, out, batch, ["k", "v"], target_rows=25, split_factor=2
+    )
+    assert res["splits"], res  # shard 0 went 25 + 100 = 125 > 50
+    got = [
+        (r.global_rank, r.k, r.v)
+        for r in sorted_layout_rows(spark, out, ["k", "v"])
+        .orderBy("global_rank")
+        .collect()
+    ]
+    union = base.select("k", "v").unionByName(batch.select("k", "v"))
+    from pyspark.sql.window import Window
+
+    want = [
+        (r.global_rank, r.k, r.v)
+        for r in union.coalesce(1)
+        .withColumn(
+            "global_rank",
+            F.row_number().over(Window.orderBy("k", "v")).cast("bigint"),
+        )
+        .orderBy("global_rank")
+        .collect()
+    ]
+    assert got == want
+    # split pieces respect the one-file invariant and ~target sizing
+    metas = {
+        int(d.split("=")[1]): len(
+            [
+                f
+                for f in os.listdir(os.path.join(out, d))
+                if not f.startswith(("_", "."))
+            ]
+        )
+        for d in os.listdir(out)
+        if d.startswith("shard=")
+    }
+    assert all(v == 1 for v in metas.values())
+    assert len(metas) > 4  # new shard ids exist
