@@ -5070,6 +5070,20 @@ def _inc_export_layout(spark, sf):
 
     key = (spark.sparkContext.applicationId, sf)
     if key not in _INC_EXPORT:
+        import shutil
+        import time as _time
+
+        # age-gated sweep of prior sessions' layouts (same protocol as
+        # q_sorted_export's): never this session's, never younger than 6h
+        app = spark.sparkContext.applicationId
+        for d in os.listdir(tempfile.gettempdir()):
+            full = os.path.join(tempfile.gettempdir(), d)
+            if (
+                d.startswith("ebs_inc_export_")
+                and not d.endswith(app)
+                and _time.time() - os.path.getmtime(full) > 6 * 3600
+            ):
+                shutil.rmtree(full, ignore_errors=True)
         o = Catalog(spark, sf).orders.select(
             "o_orderkey", _cents(F.col("o_totalprice")).alias("cents")
         )
@@ -5210,7 +5224,10 @@ def q_centroid_refresh(spark, sf):
     )
 
     store = _cr_store(spark, sf)
-    refresh_centroids(spark, store)
+    # rows_per_cell re-derives the cell count from the ABSORBED corpus
+    # (target_cells: ceil(n/128), floor 16) — the r10 verdict's scale
+    # valve; the oracle replays the same formula in its QUALIFY bound.
+    refresh_centroids(spark, store, rows_per_cell=128)
     return (
         spark.read.parquet(store.vectors_path)
         .select("vec_id", F.col("cell").cast("bigint").alias("cell"))
@@ -5222,7 +5239,8 @@ _CENTROID_REFRESH_SQL = f"""
     WITH allr AS (SELECT vec_id, {EMB_DBL} AS e FROM embeddings),
     sel AS (
       SELECT vec_id, e FROM allr
-      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+      QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+              <= (SELECT GREATEST(16, (COUNT(*) + 127) // 128) FROM allr)),
     cent AS (
       SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
                AS cid,
@@ -5268,7 +5286,8 @@ _DELTA_SEMDEDUP_SQL = f"""
              WHERE vec_id % 10 = 0),
     sel AS (
       SELECT vec_id, e FROM corp
-      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+      QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+              <= (SELECT GREATEST(16, (COUNT(*) + 127) // 128) FROM corp)),
     cent AS (
       SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
                AS cid,
@@ -5449,7 +5468,8 @@ _SEMANTIC_KEEP_BEST_SQL = f"""
     allrows AS (SELECT vec_id, {EMB_DBL} AS e FROM embeddings),
     sel AS (
       SELECT vec_id, e FROM corp
-      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+      QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+              <= (SELECT GREATEST(16, (COUNT(*) + 127) // 128) FROM corp)),
     cent AS (
       SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
                AS cid,

@@ -285,6 +285,21 @@ def _jaccard_verified(cand: DataFrame, threshold_ppm: int) -> DataFrame:
     )
 
 
+def _recover_store_swaps(spark: SparkSession, store: SignatureStore) -> None:
+    """Crash recovery before any read of the signature store: a
+    ``compact_signature_store`` that died mid-swap leaves a ``pb=``
+    partition (or the whole shingle dir) in trash, and a reader that
+    skips recovery silently misses candidate pairs until the next
+    compaction. Cheap (one driver listdir per table); the catalog
+    file-index refreshes only when something was actually restored."""
+    if not store.root:
+        return
+    if recover_partition_swaps(os.path.join(store.root, "bands")):
+        spark.catalog.refreshTable(store.bands_table)
+    if recover_dir_swap(os.path.join(store.root, "shingles")):
+        spark.catalog.refreshTable(store.shingles_table)
+
+
 def store_self_pairs(
     spark: SparkSession,
     store: SignatureStore,
@@ -297,6 +312,7 @@ def store_self_pairs(
     table. This is the from-scratch seed of the incremental component
     map (operators/compmap.py): seed = fold(store_self_pairs), then
     every delta batch folds its delta_dedup pairs."""
+    _recover_store_swaps(spark, store)
     bands = spark.table(store.bands_table)
     cand = (
         bands.select(F.col("doc_id").alias("id_a"), "bh")
@@ -337,6 +353,7 @@ def delta_dedup(
     # cache instead of the honest per-batch cost). dbands checkpoints
     # too: the MinHash/banding pass is the delta's second CPU-heavy
     # stage and feeds the pruning collect plus three join branches.
+    _recover_store_swaps(spark, store)
     dsh = doc_shingles(delta, key_col, content_col, store.n).localCheckpoint(
         eager=True
     )
@@ -389,11 +406,45 @@ def delta_dedup(
 
 @dataclass(frozen=True)
 class VectorStore:
-    """Handles + parameters of a persisted cell-partitioned vector store."""
+    """Handles + parameters of a persisted cell-partitioned vector store.
+
+    ``n_cells`` records the BUILD-time cell count; the store itself is
+    self-describing (the live centroid parquet's row count is the
+    authoritative cell count — see :func:`store_cell_count`), so a
+    refresh that GROWS the cell count never invalidates old handles."""
 
     vectors_path: str
     centroids_path: str
     n_cells: int
+
+
+def target_cells(
+    n_rows: int, rows_per_cell: int = 128, min_cells: int = 16
+) -> int:
+    """Corpus-scaled cell count: ceil(n / rows_per_cell), floored at
+    ``min_cells``. SemDeDup-shaped blocking only stays sub-quadratic if
+    CELL SIZE is held ~constant as the corpus grows (a fixed cell count
+    makes every within-cell pair set grow quadratically and turns the
+    delta's partition pruning into a full-corpus scan — the r10 ladder
+    measured exactly that at 10x corpus). Integer ceil-div, no FP."""
+    return max(int(min_cells), -(-int(n_rows) // int(rows_per_cell)))
+
+
+def store_cell_count(store: VectorStore) -> int:
+    """The store's CURRENT cell count = the live centroid parquet's row
+    count (one driver-side footer read). Self-describing by design: a
+    grown store needs no side-channel metadata to refresh at its grown
+    count."""
+    import pyarrow.parquet as pq
+
+    d = store.centroids_path
+    files = [f for f in os.listdir(d) if not f.startswith(("_", "."))]
+    if len(files) != 1:
+        raise ValueError(
+            f"centroid layout invariant broken: {d} has {len(files)} "
+            "data files (expected exactly one)"
+        )
+    return pq.ParquetFile(os.path.join(d, files[0])).metadata.num_rows
 
 
 def _write_centroids(path: str, cent) -> None:
@@ -453,17 +504,29 @@ def build_vector_store(
     tag: str,
     key_col: str = "vec_id",
     emb_col: str = "embedding",
-    n_cells: int = 16,
+    n_cells: int | None = None,
     source_paths: list[str] | None = None,
     centroids=None,
+    rows_per_cell: int = 128,
 ) -> VectorStore:
     """Build (or fingerprint-reuse) the persisted vector store: md5-sampled
     unit centroids (a tiny parquet, so reuse never rescans the corpus) and
     the corpus vectors written partitionBy(cell). Pass ``centroids`` (an
     (n_cells x dim) array) to build with FROZEN externally-supplied
-    centroids instead of sampling — the absorb-equivalence contract."""
+    centroids instead of sampling — the absorb-equivalence contract.
+
+    ``n_cells=None`` (the default) derives the cell count from the corpus
+    size via :func:`target_cells` — constant ~``rows_per_cell`` rows per
+    cell, floored at 16 — so cell-blocked join cost stays flat as the
+    corpus grows (the r10 verdict's finding #1: a fixed 16-cell store
+    degenerated superlinearly at 10x corpus). One count job (parquet
+    metadata-served) prices the derivation."""
     from external_benchmarks_spark.operators.similarity import sampled_centroids
 
+    if centroids is not None:
+        n_cells = len(centroids)
+    elif n_cells is None:
+        n_cells = target_cells(corpus.count(), rows_per_cell)
     root = bucket_root(f"dsem_{tag}")
     store = VectorStore(
         vectors_path=os.path.join(root, "vectors"),
@@ -539,6 +602,7 @@ def vector_store_self_pairs(
     :func:`store_self_pairs`. The self-join blocks on the stored cell
     id, so nothing re-assigns and nothing crosses cells (SemDeDup's
     cluster-local semantics, same as delta_semdedup)."""
+    recover_refresh(store)
     corpus = spark.read.parquet(store.vectors_path)
     a = corpus.select(
         F.col(key_col).alias("id_a"), F.col(emb_col).alias("_ea"), "cell"
@@ -573,10 +637,11 @@ def delta_semdedup(
     store. The delta side broadcasts into the cell join, so no corpus
     vector ever shuffles; with ``prune`` the corpus scan is statically
     partition-pruned to the delta's cells."""
-    # restart-resumes contract: a refresh crashed mid-swap leaves a cell
-    # in trash — recover (cheap driver listdir) before any read
-    recover_partition_swaps(store.vectors_path)
-    recover_dir_swap(store.centroids_path)
+    # restart-resumes contract: a refresh crashed mid-publish leaves a
+    # journal (or a cell in trash) — force-complete it (cheap driver
+    # listdir when nothing is pending) before any read, so assignment
+    # never runs against half-published geometry
+    recover_refresh(store)
     cent_df = spark.read.parquet(store.centroids_path)
     # localCheckpoint, not persist — see delta_dedup's dsh note.
     dass = _assign_cells(delta, cent_df, key_col, emb_col).localCheckpoint(
@@ -655,12 +720,68 @@ def absorb_delta(
         invalidate_layout(store.root)
 
 
+_REFRESH_JOURNAL = "_refresh_journal.json"
+
+
+def recover_refresh(store: VectorStore) -> bool:
+    """Force-complete a ``refresh_centroids`` that crashed mid-publish.
+
+    The refresh journal (written only after BOTH staged artifacts — the
+    dirty-cell staging dir and the pending centroid parquet — are
+    complete) names every dirty cell and whether it has staged contents.
+    Recovery replays the apply phase exactly: staged cells whose staging
+    dir survives swap in (a cell already consumed is skipped — its
+    staging dir moved into live), drained cells retire (idempotent), and
+    the pending centroids publish. Without a journal, an orphan pending/
+    staging dir means the crash hit BEFORE any swap — both discard, and
+    the store is untouched. This closes the r10 advice gap: a crash
+    between the cell swaps and the centroid publish used to leave
+    vectors assigned under NEW geometry while readers kept the OLD
+    centroid matrix. Returns True when anything changed on disk."""
+    import json
+    import shutil
+
+    root = os.path.dirname(store.vectors_path)
+    jp = os.path.join(root, _REFRESH_JOURNAL)
+    pending = store.centroids_path + ".pending"
+    if not os.path.exists(jp):
+        changed = recover_partition_swaps(store.vectors_path)
+        changed |= recover_dir_swap(store.centroids_path)
+        for orphan in (pending, store.vectors_path + "_refresh_staging"):
+            if os.path.isdir(orphan):
+                shutil.rmtree(orphan)
+                changed = True
+        return changed
+    with open(jp) as fh:
+        j = json.load(fh)
+    recover_partition_swaps(store.vectors_path)
+    staging = j["staging"]
+    staged = set(j["staged"])
+    for c in j["dirty"]:
+        d = f"cell={c}"
+        src = os.path.join(staging, d)
+        if c in staged:
+            if os.path.isdir(src):
+                swap_partition_dir(store.vectors_path, d, src)
+            # else: this cell's swap already landed — skip
+        else:
+            swap_partition_dir(store.vectors_path, d, None)  # drained
+    recover_dir_swap(store.centroids_path)
+    if os.path.isdir(pending):
+        swap_dir(store.centroids_path, pending)
+    os.remove(jp)
+    shutil.rmtree(staging, ignore_errors=True)
+    return True
+
+
 def refresh_centroids(
     spark: SparkSession,
     store: VectorStore,
     key_col: str = "vec_id",
     emb_col: str = "embedding",
     centroids=None,
+    n_cells: int | None = None,
+    rows_per_cell: int | None = None,
 ) -> dict:
     """Re-center the vector store after drift: frozen centroids are
     correct-by-spec for the append-only loop, but as absorbed batches
@@ -682,11 +803,25 @@ def refresh_centroids(
       drained empty is retired. UNTOUCHED CELL FILES ARE NEVER READ FOR
       REWRITE OR WRITTEN — byte-identical (tested).
 
-    Centroids publish LAST (the single-writer maintenance contract —
-    don't race readers); the layout fingerprint is dropped first, like
-    every in-place maintenance here. Idempotent: a second refresh over
-    the unchanged corpus samples the same centroids and moves nothing.
-    Returns movement + balance stats."""
+    Cell-count GROWTH: ``rows_per_cell`` re-derives the cell count from
+    the ABSORBED corpus size (:func:`target_cells`), ``n_cells`` pins it
+    explicitly; the default keeps the store's current count (the live
+    centroid parquet's row count — NOT the build-time handle, so a grown
+    store keeps its grown count on later refreshes). New cells are just
+    dirty cells with no prior live dir — the same staged-swap machinery
+    creates them. This is the scale valve: without it a fixed cell count
+    makes within-cell pair sets grow quadratically with the corpus.
+
+    Publish is TRANSACTIONAL (r10 advice): staging dir and pending
+    centroid parquet are both complete before a journal names the dirty
+    cells; only then do the cell swaps and the centroid publish apply.
+    Any crash replays via :func:`recover_refresh` — called here first
+    and by every store reader — so readers can never see new-geometry
+    cells under an old centroid matrix. The layout fingerprint drops
+    first, like every in-place maintenance here. Idempotent: a second
+    refresh over the unchanged corpus samples the same centroids and
+    moves nothing. Returns movement + balance stats."""
+    import json
     import shutil
 
     import numpy as np
@@ -695,22 +830,27 @@ def refresh_centroids(
         sampled_centroids,
     )
 
-    invalidate_layout(os.path.dirname(store.vectors_path))
+    root = os.path.dirname(store.vectors_path)
+    invalidate_layout(root)
     # Recover a crashed prior refresh FIRST and unconditionally: a cell
-    # sitting in .compacting. trash is invisible to the corpus read, so
-    # sampling/assigning before recovery would operate on (and then
-    # permanently publish) a store missing that cell.
-    recover_partition_swaps(store.vectors_path)
-    recover_dir_swap(store.centroids_path)
+    # sitting in trash (or a journaled half-applied refresh) is invisible
+    # to the corpus read, so sampling/assigning before recovery would
+    # operate on (and then permanently publish) a store missing it.
+    recover_refresh(store)
     corpus = spark.read.parquet(store.vectors_path)
-    cent = (
-        np.asarray(centroids, dtype=np.float64)
-        if centroids is not None
-        else sampled_centroids(
-            corpus, store.n_cells, key_col=key_col, emb_col=emb_col,
+    if centroids is not None:
+        cent = np.asarray(centroids, dtype=np.float64)
+    else:
+        if n_cells is None:
+            n_cells = (
+                target_cells(corpus.count(), rows_per_cell)
+                if rows_per_cell is not None
+                else store_cell_count(store)
+            )
+        cent = sampled_centroids(
+            corpus, n_cells, key_col=key_col, emb_col=emb_col,
             normalize=True,
         )
-    )
     cent_df = spark.createDataFrame(
         [(int(i), [float(v) for v in row]) for i, row in enumerate(cent)],
         "_cid bigint, _cv array<double>",
@@ -733,7 +873,8 @@ def refresh_centroids(
             moved += r["n"]
             dirty.update((int(r["old_cell"]), int(r["cell"])))
     stats = {
-        "n_cells": store.n_cells,
+        "n_cells": len(cent),
+        "n_cells_before": store_cell_count(store),
         "moved": int(moved),
         "dirty_cells": sorted(dirty),
         "max_cell_before": max(before.values(), default=0),
@@ -741,27 +882,46 @@ def refresh_centroids(
         "nonempty_cells_before": len(before),
         "nonempty_cells_after": len(after),
     }
+    staging = store.vectors_path + "_refresh_staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    staged_cells: list[int] = []
     if dirty:
         sub = old.filter(F.col("old_cell").isin(sorted(dirty)))
         staged = _assign_cells(sub, cent_df, key_col, emb_col)
-        staging = store.vectors_path + "_refresh_staging"
-        shutil.rmtree(staging, ignore_errors=True)
         (
             staged.repartition(F.col("cell"))
             .write.mode("overwrite")
             .partitionBy("cell")
             .parquet(staging)
         )
-        for c in sorted(dirty):
-            d = f"cell={c}"
-            src = os.path.join(staging, d)
-            swap_partition_dir(
-                store.vectors_path, d, src if os.path.isdir(src) else None
-            )
-        shutil.rmtree(staging, ignore_errors=True)
-    # publish the new centroids last (driver-side pyarrow + dir swap —
-    # see _write_centroids for why a Spark job here costs ~6 s)
-    _write_centroids(store.centroids_path, cent)
+        staged_cells = sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(staging)
+            if d.startswith("cell=")
+        )
+    # stage the new centroids (driver-side pyarrow + dir swap — see
+    # _write_centroids for why a Spark job here costs ~6 s), THEN
+    # journal, THEN apply: the journal is the commit point.
+    pending = store.centroids_path + ".pending"
+    _write_centroids(pending, cent)
+    jp = os.path.join(root, _REFRESH_JOURNAL)
+    tmp = jp + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(
+            {"dirty": sorted(dirty), "staged": staged_cells,
+             "staging": staging},
+            fh,
+        )
+    os.replace(tmp, jp)
+    for c in sorted(dirty):
+        d = f"cell={c}"
+        src = os.path.join(staging, d)
+        swap_partition_dir(
+            store.vectors_path, d, src if os.path.isdir(src) else None
+        )
+    swap_dir(store.centroids_path, pending)
+    os.remove(jp)
+    shutil.rmtree(staging, ignore_errors=True)
     return stats
 
 
@@ -879,8 +1039,7 @@ def absorb_delta_vectors(
     """Semantic-tier absorb: assign the batch against the store's FROZEN
     centroids (the append-only index contract — cells never move) and
     append it into the cell-partitioned vector layout."""
-    recover_partition_swaps(store.vectors_path)
-    recover_dir_swap(store.centroids_path)
+    recover_refresh(store)
     cent_df = spark.read.parquet(store.centroids_path)
     (
         _assign_cells(delta, cent_df, key_col, emb_col)

@@ -134,6 +134,81 @@ def _shard_meta(out_path: str, order_cols: Sequence[str]) -> list[dict]:
     return metas
 
 
+_APPEND_JOURNAL = "_append_journal.json"
+_APPLIED_LEDGER = "_applied_appends.json"
+
+
+def _read_applied(out_path: str) -> list[str]:
+    import json
+    import os
+
+    try:
+        with open(os.path.join(out_path, _APPLIED_LEDGER)) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return []
+
+
+def _record_applied(out_path: str, batch_id: str, keep: int = 64) -> None:
+    import json
+    import os
+
+    ledger = _read_applied(out_path)
+    if batch_id not in ledger:
+        ledger.append(batch_id)
+    path = os.path.join(out_path, _APPLIED_LEDGER)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(ledger[-keep:], fh)
+    os.replace(tmp, path)
+
+
+def recover_append(out_path: str) -> bool:
+    """Force-complete an ``append_sorted_shards`` that crashed between
+    its journal write and its final cleanup. The journal (written only
+    after the staging dir is complete) lists every final shard id and
+    whether it has staged contents; recovery swaps the staged dirs that
+    survive (a consumed one already landed), retires planned-but-empty
+    ids, records the batch in the applied ledger, and drops journal +
+    staging. Idempotent. Returns True when anything changed."""
+    import json
+    import os
+    import shutil
+
+    from external_benchmarks_spark.pipeline.layout import (
+        recover_partition_swaps,
+        swap_partition_dir,
+    )
+
+    jp = os.path.join(out_path, _APPEND_JOURNAL)
+    if not os.path.exists(jp):
+        changed = recover_partition_swaps(out_path)
+        orphan = out_path + "_append_staging"
+        if os.path.isdir(orphan):
+            # no journal => the crash hit before any swap; the layout is
+            # untouched and the batch simply re-runs
+            shutil.rmtree(orphan)
+            changed = True
+        return changed
+    with open(jp) as fh:
+        j = json.load(fh)
+    recover_partition_swaps(out_path)
+    staging = j["staging"]
+    staged = set(j["staged"])
+    for fid in j["plan"]:
+        d = f"shard={fid}"
+        src = os.path.join(staging, d)
+        if fid in staged:
+            if os.path.isdir(src):
+                swap_partition_dir(out_path, d, src)
+        else:
+            swap_partition_dir(out_path, d, None)
+    _record_applied(out_path, j["batch_id"])
+    os.remove(jp)
+    shutil.rmtree(staging, ignore_errors=True)
+    return True
+
+
 def append_sorted_shards(
     spark,
     out_path: str,
@@ -141,6 +216,7 @@ def append_sorted_shards(
     order_cols: Sequence[str],
     target_rows: int,
     split_factor: int = 2,
+    batch_id: str | None = None,
 ) -> dict:
     """Merge a new batch into an existing sorted-shard layout: rows
     route to the shard whose key range contains them (lexicographic
@@ -163,7 +239,20 @@ def append_sorted_shards(
 
     ``order_cols`` must be a total order over the batch ∪ layout rows
     (the module contract); appends assume key disjointness only in the
-    sense that duplicates of an existing tuple are interchangeable."""
+    sense that duplicates of an existing tuple are interchangeable.
+
+    RERUN-SAFE (r10 advice): the append is transactional. A content
+    digest of the batch (count + bit_xor of xxhash64 over the full row —
+    boundary-independent, so it survives the layout changing underneath
+    a retry) is checked against the layout's applied ledger; an
+    already-applied batch returns a no-op instead of double-inserting.
+    The apply phase journals the shard plan after staging completes, so
+    a crash mid-swap-loop force-completes on the next call
+    (:func:`recover_append`) — the other maintenance paths' at-least-
+    once property, which a sequential per-shard swap loop lacked. Pass
+    ``batch_id`` to override the digest (e.g. to intentionally append
+    identical content twice)."""
+    import json
     import math
     import os
     import shutil
@@ -171,11 +260,19 @@ def append_sorted_shards(
     from pyspark.sql.window import Window
 
     from external_benchmarks_spark.pipeline.layout import (
-        recover_partition_swaps,
         swap_partition_dir,
     )
 
-    recover_partition_swaps(out_path)
+    recover_append(out_path)
+    if batch_id is None:
+        hx = "xxhash64({})".format(", ".join(f"`{c}`" for c in batch.columns))
+        dig = batch.agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.expr(f"bit_xor({hx})").alias("_x"),
+        ).collect()[0]
+        batch_id = f"x{dig['_n']}:{dig['_x']}"
+    if batch_id in _read_applied(out_path):
+        return {"touched": [], "splits": {}, "skipped": batch_id}
     metas = _shard_meta(out_path, order_cols)
     if not metas:
         raise ValueError(f"no sorted layout at {out_path}")
@@ -209,6 +306,7 @@ def append_sorted_shards(
     }
     touched = sorted(routed_counts)
     if not touched:
+        _record_applied(out_path, batch_id)
         return {"touched": [], "splits": {}}
 
     # split plan, driver-side over <= #shards counters
@@ -269,10 +367,25 @@ def append_sorted_shards(
         .partitionBy("shard")
         .parquet(staging)
     )
-    for fid in sorted(set(plan.values())):
+    fids = sorted(set(plan.values()))
+    staged_fids = [
+        fid for fid in fids if os.path.isdir(os.path.join(staging, f"shard={fid}"))
+    ]
+    jp = os.path.join(out_path, _APPEND_JOURNAL)
+    tmp = jp + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(
+            {"plan": fids, "staged": staged_fids, "staging": staging,
+             "batch_id": batch_id},
+            fh,
+        )
+    os.replace(tmp, jp)  # the commit point
+    for fid in fids:
         d = f"shard={fid}"
         src = os.path.join(staging, d)
         swap_partition_dir(out_path, d, src if os.path.isdir(src) else None)
+    _record_applied(out_path, batch_id)
+    os.remove(jp)
     shutil.rmtree(staging, ignore_errors=True)
     return {"touched": touched, "splits": splits}
 
@@ -290,11 +403,7 @@ def sorted_layout_rows(
     ``row_number() OVER (ORDER BY order_cols)`` — tested and oracled."""
     from pyspark.sql.window import Window
 
-    from external_benchmarks_spark.pipeline.layout import (
-        recover_partition_swaps,
-    )
-
-    recover_partition_swaps(out_path)
+    recover_append(out_path)
     metas = _shard_meta(out_path, order_cols)
     offs = []
     acc = 0

@@ -95,34 +95,48 @@ def invalidate_layout(layout_path: str) -> None:
 # ---------------------------------------------------------------------------
 
 
-def recover_partition_swaps(root: str) -> None:
+def recover_partition_swaps(root: str) -> bool:
     """Crash recovery for PER-PARTITION swaps inside ``root``: a
     ``.compacting.<dir>`` trash whose live partner vanished means the
     crash hit between the two renames — restore it; otherwise the new
-    files landed and the trash drops. Idempotent; call before reading
-    or rewriting a root that per-partition swaps maintain."""
+    files landed and the trash drops. A ``.retiring.<dir>`` trash is a
+    RETIREMENT in flight (all rows already published elsewhere) and is
+    always deleted — restoring it would resurrect rows that live in
+    other partitions now (the refresh drained-cell case). Idempotent;
+    call before reading or rewriting a root that per-partition swaps
+    maintain. Returns True when anything was restored or dropped (the
+    caller should refresh any catalog file-index over ``root``)."""
     import shutil
 
+    changed = False
     if not os.path.isdir(root):
-        return
+        return changed
     for d in list(os.listdir(root)):
-        if d.startswith(".compacting."):
+        if d.startswith(".retiring."):
+            shutil.rmtree(os.path.join(root, d))
+            changed = True
+        elif d.startswith(".compacting."):
             live = os.path.join(root, d[len(".compacting."):])
             trash = os.path.join(root, d)
             if os.path.exists(live):
                 shutil.rmtree(trash)
             else:
                 os.rename(trash, live)
+            changed = True
+    return changed
 
 
 def swap_partition_dir(root: str, name: str, staged: str | None) -> None:
     """Publish one partition dir: live -> .compacting.<name> trash,
     staged -> live, drop trash. ``staged=None`` retires the partition
-    (all rows moved away). Pair with :func:`recover_partition_swaps`."""
+    (all rows moved away) under the DISTINCT ``.retiring.<name>`` marker
+    so a crash mid-retirement is never mistaken for a crashed swap and
+    restored. Pair with :func:`recover_partition_swaps`."""
     import shutil
 
     live = os.path.join(root, name)
-    trash = os.path.join(root, f".compacting.{name}")
+    mark = ".compacting." if staged is not None else ".retiring."
+    trash = os.path.join(root, f"{mark}{name}")
     if os.path.isdir(live):
         os.rename(live, trash)
     if staged is not None and os.path.isdir(staged):
@@ -130,13 +144,15 @@ def swap_partition_dir(root: str, name: str, staged: str | None) -> None:
     shutil.rmtree(trash, ignore_errors=True)
 
 
-def recover_dir_swap(path: str) -> None:
+def recover_dir_swap(path: str) -> bool:
     """Crash recovery for WHOLE-DIRECTORY swaps of ``path``: sibling
     ``<path>.trash`` / ``<path>.compacting`` restored when the live dir
     vanished, dropped when it survived. Idempotent; call before reading
-    or rewriting an artifact that :func:`swap_dir` maintains."""
+    or rewriting an artifact that :func:`swap_dir` maintains. Returns
+    True when anything was restored or dropped."""
     import shutil
 
+    changed = False
     for suffix in (".trash", ".compacting"):
         t = path + suffix
         if os.path.isdir(t):
@@ -144,6 +160,8 @@ def recover_dir_swap(path: str) -> None:
                 shutil.rmtree(t)
             else:
                 os.rename(t, path)
+            changed = True
+    return changed
 
 
 def swap_dir(path: str, staged: str) -> None:

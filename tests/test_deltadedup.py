@@ -820,3 +820,193 @@ def test_streaming_dedup_matches_sequential_batch(spark, sf_dir, tmp_path):
     n = sink.count()
     acc.update(batches.filter(F.col("_b") == 0).drop("_b"), batch_id=0)
     assert acc.pairs_df().count() == n
+
+
+def test_retiring_marker_never_resurrects(spark, tmp_path):
+    """The r10 advice hole: a crash between the retirement rename and
+    the rmtree used to leave the drained cell in .compacting. trash,
+    which recovery RESTORED — permanently duplicating rows already
+    published into other cells. Retirement now uses the distinct
+    .retiring. marker, which recovery always deletes; a crashed SWAP
+    (.compacting.) still restores."""
+    from external_benchmarks_spark.pipeline.layout import (
+        recover_partition_swaps,
+        swap_partition_dir,
+    )
+
+    root = str(tmp_path / "store")
+    os.makedirs(os.path.join(root, "cell=1"))
+    open(os.path.join(root, "cell=1", "a.parquet"), "w").write("x")
+    # crashed RETIREMENT: rename happened, rmtree lost
+    swap_dirname = os.path.join(root, ".retiring.cell=9")
+    os.makedirs(swap_dirname)
+    open(os.path.join(swap_dirname, "dup.parquet"), "w").write("dup")
+    # crashed SWAP: live gone, trash holds the only copy
+    os.rename(
+        os.path.join(root, "cell=1"), os.path.join(root, ".compacting.cell=1")
+    )
+    assert recover_partition_swaps(root) is True
+    assert not os.path.exists(swap_dirname)  # retirement finished, not undone
+    assert not os.path.exists(os.path.join(root, "cell=9"))
+    assert os.path.isfile(os.path.join(root, "cell=1", "a.parquet"))  # restored
+    # and the live retirement path itself lands under .retiring.
+    swap_partition_dir(root, "cell=1", None)
+    assert not os.path.exists(os.path.join(root, "cell=1"))
+    assert recover_partition_swaps(root) is False  # clean root: no-op
+
+
+def _axis_store(spark, tag, n_axes=4, per_cell=10):
+    import numpy as np
+
+    from external_benchmarks_spark.operators.deltadedup import (
+        build_vector_store,
+    )
+
+    rows = []
+    vid = 0
+    for i in range(n_axes):
+        e = [0.0] * n_axes
+        e[i] = 1.0
+        for _ in range(per_cell):
+            rows.append((vid, [float(x) for x in e]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    return df, build_vector_store(
+        spark, df, tag=tag, centroids=np.eye(n_axes)
+    )
+
+
+def test_refresh_crash_before_centroid_publish_force_completes(spark):
+    """The r10 advice crash window: refresh dies AFTER the dirty-cell
+    swaps but BEFORE the centroid publish. recover_refresh (called by
+    every store reader) must force-complete — publish the journaled
+    pending centroids — so no reader ever assigns against stale
+    geometry over new-geometry cells."""
+    import numpy as np
+    import pytest
+
+    import external_benchmarks_spark.operators.deltadedup as dd
+
+    df, store = _axis_store(spark, "t_refresh_crash_pub")
+    new_cent = np.vstack([np.eye(4)[[1, 0]], np.eye(4)[2:]])  # swap cells 0/1
+    real_swap_dir = dd.swap_dir
+
+    def boom(path, staged):
+        raise RuntimeError("injected crash before centroid publish")
+
+    dd.swap_dir = boom
+    try:
+        with pytest.raises(RuntimeError, match="injected"):
+            dd.refresh_centroids(spark, store, centroids=new_cent)
+    finally:
+        dd.swap_dir = real_swap_dir
+    # journal survives; pending centroids staged; live centroids still OLD
+    root = os.path.dirname(store.vectors_path)
+    assert os.path.exists(os.path.join(root, dd._REFRESH_JOURNAL))
+    assert os.path.isdir(store.centroids_path + ".pending")
+    assert dd.recover_refresh(store) is True
+    assert not os.path.exists(os.path.join(root, dd._REFRESH_JOURNAL))
+    cent_rows = sorted(
+        (int(r["_cid"]), tuple(r["_cv"]))
+        for r in spark.read.parquet(store.centroids_path).collect()
+    )
+    assert cent_rows[0][1][1] == 1.0  # cell 0's centroid IS the new axis-1
+    stored = spark.read.parquet(store.vectors_path)
+    assert stored.count() == df.count()
+    cent_df = spark.read.parquet(store.centroids_path)
+    expect = dd._assign_cells(stored.drop("cell"), cent_df).withColumnRenamed(
+        "cell", "want"
+    )
+    bad = (
+        stored.join(expect.select("vec_id", "want"), "vec_id")
+        .filter(F.col("cell") != F.col("want"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_refresh_crash_midswap_resumes_bitexact(spark):
+    """Crash INSIDE the cell-swap loop (some dirty cells published,
+    others not): the journal replays the remaining swaps and the final
+    state equals an uninjured refresh's, cell contents included."""
+    import numpy as np
+    import pytest
+
+    import external_benchmarks_spark.operators.deltadedup as dd
+
+    new_cent = np.vstack([np.eye(4)[[1, 0]], np.eye(4)[2:]])
+    # uninjured twin for the expected end state
+    _, twin = _axis_store(spark, "t_refresh_crash_twin")
+    dd.refresh_centroids(spark, twin, centroids=new_cent)
+    want = sorted(
+        (r.vec_id, int(r.cell))
+        for r in spark.read.parquet(twin.vectors_path).collect()
+    )
+
+    df, store = _axis_store(spark, "t_refresh_crash_mid")
+    real = dd.swap_partition_dir
+    calls = {"n": 0}
+
+    def crashy(root, name, staged):
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            raise RuntimeError("injected mid-swap crash")
+        return real(root, name, staged)
+
+    dd.swap_partition_dir = crashy
+    try:
+        with pytest.raises(RuntimeError, match="injected"):
+            dd.refresh_centroids(spark, store, centroids=new_cent)
+    finally:
+        dd.swap_partition_dir = real
+    # a reader path force-completes via recover_refresh
+    got_pairs = dd.delta_semdedup(
+        spark,
+        spark.createDataFrame(
+            [(10_000, [1.0, 0.0, 0.0, 0.0])],
+            "vec_id long, embedding array<float>",
+        ),
+        store,
+        threshold_fp=900_000,
+    )
+    assert got_pairs.count() == 10  # the 10 axis-0 docs, new geometry
+    got = sorted(
+        (r.vec_id, int(r.cell))
+        for r in spark.read.parquet(store.vectors_path).collect()
+    )
+    assert got == want
+
+
+def test_refresh_grows_cell_count(spark):
+    """rows_per_cell re-derives the cell count from the corpus
+    (target_cells) — the r10 scale valve. A 4-cell store over 640 rows
+    refreshes into ceil(640/32)=20 cells, stays fully consistent, and
+    keeps the grown count on the NEXT default refresh (self-describing
+    via the centroid parquet, not the build-time handle)."""
+    import external_benchmarks_spark.operators.deltadedup as dd
+    from external_benchmarks_spark.operators.deltadedup import (
+        store_cell_count,
+        target_cells,
+    )
+
+    df, store = _axis_store(spark, "t_refresh_grow", n_axes=4, per_cell=160)
+    assert store_cell_count(store) == 4
+    stats = dd.refresh_centroids(spark, store, rows_per_cell=32)
+    assert stats["n_cells"] == target_cells(640, 32) == 20
+    assert stats["n_cells_before"] == 4
+    assert store_cell_count(store) == 20
+    stored = spark.read.parquet(store.vectors_path)
+    assert stored.count() == 640
+    cent_df = spark.read.parquet(store.centroids_path)
+    expect = dd._assign_cells(stored.drop("cell"), cent_df).withColumnRenamed(
+        "cell", "want"
+    )
+    assert (
+        stored.join(expect.select("vec_id", "want"), "vec_id")
+        .filter(F.col("cell") != F.col("want"))
+        .count()
+        == 0
+    )
+    # default refresh keeps the grown count (and is an idempotent no-op)
+    stats2 = dd.refresh_centroids(spark, store)
+    assert stats2["n_cells"] == 20 and stats2["moved"] == 0

@@ -242,3 +242,73 @@ def test_append_splits_oversized_shard(spark, tmp_path):
     }
     assert all(v == 1 for v in metas.values())
     assert len(metas) > 4  # new shard ids exist
+
+
+def test_append_rerun_and_crash_are_idempotent(spark, sf_dir, tmp_path):
+    """The r10 advice hole: re-running an append after a crash used to
+    double-insert into already-swapped shards. Now (1) an identical
+    batch re-append is a ledger-skipped no-op, and (2) a crash inside
+    the swap loop force-completes on the next read/append — final state
+    equals the uninjured run's."""
+    import pytest
+
+    import external_benchmarks_spark.pipeline.export as ex
+    from external_benchmarks_spark.pipeline.export import sorted_layout_rows
+    from pyspark.sql.window import Window
+
+    o = _orders(spark, sf_dir).drop("o_orderdate")
+    base = o.filter(F.col("o_orderkey") % 10 < 8)
+    cols = ["cents", "o_orderkey"]
+    out = str(tmp_path / "layout")
+    write_sorted_shards(
+        rank_sharded(base, [F.col(c) for c in cols], N_SHARDS),
+        [F.col(c) for c in cols],
+        out,
+    )
+    target = base.count() // N_SHARDS
+
+    b1 = o.filter(F.col("o_orderkey") % 10 == 8)
+    res1 = ex.append_sorted_shards(spark, out, b1, cols, target_rows=target)
+    assert res1["touched"]
+    n_after = spark.read.parquet(out).count()
+    # (1) rerunning the SAME batch is a no-op (content digest in ledger)
+    res2 = ex.append_sorted_shards(spark, out, b1, cols, target_rows=target)
+    assert res2["touched"] == [] and "skipped" in res2
+    assert spark.read.parquet(out).count() == n_after
+
+    # (2) crash mid-swap-loop on the next batch
+    import external_benchmarks_spark.pipeline.layout as layout_mod
+
+    b2 = o.filter(F.col("o_orderkey") % 10 == 9)
+    calls = {"n": 0}
+    orig = layout_mod.swap_partition_dir
+
+    def crashy(root, name, staged):
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            raise RuntimeError("injected append crash")
+        return orig(root, name, staged)
+
+    layout_mod.swap_partition_dir = crashy
+    try:
+        with pytest.raises(RuntimeError, match="injected"):
+            ex.append_sorted_shards(spark, out, b2, cols, target_rows=target)
+    finally:
+        layout_mod.swap_partition_dir = orig
+    assert os.path.exists(os.path.join(out, ex._APPEND_JOURNAL))
+    # rerun of the same batch: recovery completes the journaled apply,
+    # then the ledger skips the batch — no double insert
+    res3 = ex.append_sorted_shards(spark, out, b2, cols, target_rows=target)
+    assert res3["touched"] == [] and "skipped" in res3
+    got = sorted(
+        (r.global_rank, r.cents, r.o_orderkey)
+        for r in sorted_layout_rows(spark, out, cols).collect()
+    )
+    w = Window.orderBy("cents", "o_orderkey")
+    want = sorted(
+        (r.global_rank, r.cents, r.o_orderkey)
+        for r in o.coalesce(1)
+        .withColumn("global_rank", F.row_number().over(w).cast("bigint"))
+        .collect()
+    )
+    assert got == want and len(got) == o.count()
