@@ -543,6 +543,25 @@ def vector_refresh_leg(spark, sf) -> dict:
     }
 
 
+def maintenance_soak_leg(spark, sf, n_cycles: int = 6) -> dict:
+    """The closed maintenance loop end to end (r10 verdict item #5):
+    dedup -> pair sink -> absorb -> component fold -> keep/drop ->
+    semantic dedup -> vector absorb -> export append -> centroid
+    refresh -> compaction, driven for ``n_cycles`` daily batches
+    against the same persisted artifacts (pipeline/soak.py). The
+    per-cycle seconds and per-artifact file censuses ARE the result:
+    flat cycles + bounded files = no leak compounds across primitives.
+    Crash-resume equivalence is pytest evidence (tests/test_soak.py);
+    this leg prices the uninjured loop. Build is untimed index work."""
+    import uuid
+
+    from external_benchmarks_spark.pipeline.soak import run_soak
+
+    return run_soak(
+        spark, sf, f"bench_{uuid.uuid4().hex[:8]}", n_cycles=n_cycles
+    )
+
+
 def ingest_stage_timings(spark, sf) -> dict:
     """One instrumented replay of the ingest_report arc — the per-stage
     cost table the round-8 verdict asked for (finding #2). Reuses the
@@ -841,6 +860,119 @@ def serving_under_load(spark, sf, qps: int = 20, duration_s: int = 30):
         "layout_refresh_s": round(refresh_s, 3),
         "incremental_refresh_s": round(incr_refresh_s, 3),
         "refreshed_cells": dirty,
+    }
+
+
+def serving_write_tier(
+    spark,
+    sf,
+    write_qps: int = 200,
+    read_qps: int = 20,
+    duration_s: int = 20,
+    interval_s: float = 1.0,
+):
+    """The reference's row-7 cell (README.md:70): **200 QPS of
+    single-object updates INCLUDING re-embedding** at a 2 s write p95,
+    while serving 20 QPS of 1%-selectivity reads — the 10x write-rate
+    tier the r10 verdict flagged as never measured. Deployment shape:
+    updates micro-batch at ``interval_s`` (write_qps * interval_s
+    single-object updates per batch), each batch RE-EMBEDS its text
+    through the same pandas-UDF encoder as the index build and MERGEs
+    into the bucketed upsert table. Per-update latency under paced
+    batching is bounded by interval + batch wall time (an update
+    arriving right after a batch cut waits one interval, then rides the
+    next batch), so the honest per-update p95 is reported as that bound
+    — and saturation is explicit: a batch p95 above the interval means
+    the writer cannot sustain the rate, reported rather than hidden.
+
+    Measured calibration (sf0.1): the 100-row MERGE floor is job-
+    overhead-dominated (~0.73 s for 100 rows, ~0.80 s for 200), so
+    0.5 s batching SATURATES at ~119 updates/s while 1.0 s batching
+    sustains 200.5/s with batch p95 0.95 s — update p95 bound 1.95 s,
+    inside the 2 s target, with the read side unaffected (p95
+    ~0.38 ms). What saturates first is per-MERGE fixed cost, not
+    embedding or bucket-rewrite volume."""
+    import threading
+
+    from external_benchmarks_spark.pipeline.embedding import embed_fields
+    from external_benchmarks_spark.serving import VectorServingIndex
+
+    sidx = VectorServingIndex(_vt_layout(spark, sf))
+    t = _upsert_table(spark, sf)
+    rows_per_batch = max(1, int(write_qps * interval_s))
+    template = (
+        Catalog(spark, sf)
+        .documents.limit(rows_per_batch)
+        .select(
+            F.col("doc_id").alias("vec_id"),
+            F.substring("text", 1, 200).alias("title"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    n_batches = max(1, int(duration_s / interval_s))
+    batch_times: list[float] = []
+    late: list[float] = []
+
+    def writer():
+        start = time.perf_counter()
+        for j in range(n_batches):
+            target = start + j * interval_s
+            now = time.perf_counter()
+            if target > now:
+                time.sleep(target - now)
+            else:
+                late.append(now - target)
+            upd = (
+                embed_fields(
+                    template.withColumn("label", F.lit(70 + j % 8))
+                    .withColumn("op_ts", F.lit(2000 + j)),
+                    fields=("title",),
+                    dim=64,
+                )
+                .drop("title")
+                .select("vec_id", "embedding", "label", "op_ts")
+            )
+            w0 = time.perf_counter()
+            t.upsert(upd)
+            batch_times.append(time.perf_counter() - w0)
+
+    th = threading.Thread(target=writer)
+    w_start = time.perf_counter()
+    th.start()
+    lat: list[float] = []
+    r_interval = 1.0 / read_qps
+    n_reads = duration_s * read_qps
+    r_start = time.perf_counter()
+    for i in range(n_reads):
+        target = r_start + i * r_interval
+        now = time.perf_counter()
+        if target > now:
+            time.sleep(target - now)
+        q0 = time.perf_counter()
+        sidx.topk(QVEC, k=100, label=i % 4, key_mod=10)
+        lat.append(time.perf_counter() - q0)
+    th.join()
+    elapsed = time.perf_counter() - w_start
+    lat.sort()
+    batch_p95 = _p95(batch_times)
+    return {
+        "write_qps_target": write_qps,
+        "updates_per_batch": rows_per_batch,
+        "interval_s": interval_s,
+        "n_batches": len(batch_times),
+        "achieved_updates_per_s": round(
+            len(batch_times) * rows_per_batch / elapsed, 1
+        ),
+        "write_batch_p50_s": round(
+            sorted(batch_times)[len(batch_times) // 2], 3
+        ),
+        "write_batch_p95_s": round(batch_p95, 3),
+        "update_p95_bound_s": round(interval_s + batch_p95, 3),
+        "saturated": bool(batch_p95 > interval_s),
+        "batches_started_late": len(late),
+        "max_backlog_s": round(max(late), 3) if late else 0.0,
+        "read_p50_ms": round(lat[len(lat) // 2] * 1000, 3),
+        "read_p95_ms": round(_p95(lat) * 1000, 3),
     }
 
 
@@ -1154,6 +1286,10 @@ def headline_queries():
         "delta_keep_best": q["delta_keep_best"],
         "semantic_keep_best": q["semantic_keep_best"],
         "centroid_refresh": q["centroid_refresh"],
+        # Round-11: the keep-flag hash-gate sample feeding curation
+        # (rides the same warm _delta_cmap; r10 verdict finding #4 —
+        # every component gets its own bench leg)
+        "dedup_aware_sample": q["dedup_aware_sample"],
         # derived-rank read of the incrementally-maintained sorted
         # layout (build + two merge-appends amortized in warmup)
         "incremental_sorted_export": q["incremental_sorted_export"],
@@ -1341,6 +1477,12 @@ def main() -> None:
     load = serving_under_load(spark, SF_DIR)
     print(f"# serving_under_load: {load}", file=sys.stderr)
 
+    # The 200 QPS single-object-update tier (reference README.md:70 row
+    # 7; r10 verdict missing #1): paced re-embedding micro-batches
+    # against the 2 s write-p95 target, with the 20 QPS read side live.
+    load200 = serving_write_tier(spark, SF_DIR)
+    print(f"# serving_write_tier_200qps: {load200}", file=sys.stderr)
+
     # Long-lived STREAM-driven query server (BASELINE.md:66-68's promise
     # made concrete): a rate readStream delivers 20 QPS of template
     # requests for 60 s, foreachBatch drains them against the serving
@@ -1395,6 +1537,12 @@ def main() -> None:
     vec_refresh = vector_refresh_leg(spark, SF_DIR)
     print(f"# vector_refresh: {vec_refresh}", file=sys.stderr)
 
+    # The whole maintenance loop, N daily cycles against persisted
+    # artifacts (r10 verdict item #5): per-cycle cost must stay flat
+    # and no artifact may fragment past its compaction bound.
+    soak = maintenance_soak_leg(spark, SF_DIR)
+    print(f"# maintenance_soak: {soak}", file=sys.stderr)
+
     # Per-stage cost table for the ingest arc (r8 verdict finding #2):
     # one warm instrumented replay, recorded next to the leg's median.
     ingest_stages = ingest_stage_timings(spark, SF_DIR)
@@ -1420,6 +1568,7 @@ def main() -> None:
         "serving_read_p95_ms": serving_p95,
         "serving_read_p50_ms": serving_p50,
         "serving_under_load": load,
+        "serving_write_tier_200qps": load200,
         "stream_serving_p95_ms": stream_srv["service"]["p95_ms"],
         "stream_serving_e2e_p95_ms": stream_srv["e2e"]["p95_ms"],
         "stream_serving_e2e_control_p95_ms": stream_srv["e2e_control"].get("p95_ms"),
@@ -1428,6 +1577,7 @@ def main() -> None:
         "index_refresh": refresh,
         "store_compaction": store_cmp,
         "vector_refresh": vec_refresh,
+        "maintenance_soak": soak,
         "mixed_rw": rw,
         "embed_docs_per_sec": embed_rate,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

@@ -326,19 +326,39 @@ def keep_flags(
     )
 
 
-def compact_component_map(spark: SparkSession, cmap: ComponentMap) -> int:
+def compact_component_map(
+    spark: SparkSession,
+    cmap: ComponentMap,
+    max_files_per_bucket: int | None = None,
+) -> int:
     """Fold the relabel table into the base map (staged atomic rewrite:
     write the resolved map to a staging dir, then swap base dirs with
     two renames — the compact_layout_partitions commit device) and
     clear the relabel table. Returns the number of relabel entries
     folded. Amortized maintenance, single-writer contract — the per-
-    batch path never rewrites the base."""
+    batch path never rewrites the base.
+
+    ``max_files_per_bucket`` additionally folds the base's SMALL FILES
+    even when the relabel table is empty: every ``fold_pairs`` appends
+    one file set per (db partition, bucket), and insert-only batches
+    (new pairs, no merges) leave the relabel empty — the round-11
+    maintenance soak measured the base growing without bound under
+    exactly that workload (files 5 → 35 over 10 cycles) because the
+    old relabel-empty early-return skipped the rewrite."""
     import shutil
+
+    from external_benchmarks_spark.pipeline.bucketing import (
+        max_bucket_files,
+    )
 
     _recover(spark, cmap)
     relabel = _read_relabel(spark, cmap)
     n = relabel.count()
-    if n == 0:
+    if n == 0 and (
+        max_files_per_bucket is None
+        or max_bucket_files(os.path.join(cmap.root, "base"))
+        <= max_files_per_bucket
+    ):
         return 0
     base = spark.table(cmap.table)
     resolved = base.join(
@@ -365,12 +385,13 @@ def compact_component_map(spark: SparkSession, cmap: ComponentMap) -> int:
     spark.sql(f"DROP TABLE IF EXISTS {staging_tbl}")
     swap_dir(live_path, staging_path)
     spark.catalog.refreshTable(cmap.table)
-    # relabel is now folded in: clear it via the same staged swap
-    # (empty write keeps a schema-carrying file so reads stay cheap)
-    relabel_stage = cmap.relabel_path + ".stage"
-    shutil.rmtree(relabel_stage, ignore_errors=True)
-    spark.createDataFrame(
-        [], f"old_rep {cmap.key_type}, new_rep {cmap.key_type}"
-    ).coalesce(1).write.mode("overwrite").parquet(relabel_stage)
-    swap_dir(cmap.relabel_path, relabel_stage)
+    if n:
+        # relabel is now folded in: clear it via the same staged swap
+        # (empty write keeps a schema-carrying file so reads stay cheap)
+        relabel_stage = cmap.relabel_path + ".stage"
+        shutil.rmtree(relabel_stage, ignore_errors=True)
+        spark.createDataFrame(
+            [], f"old_rep {cmap.key_type}, new_rep {cmap.key_type}"
+        ).coalesce(1).write.mode("overwrite").parquet(relabel_stage)
+        swap_dir(cmap.relabel_path, relabel_stage)
     return int(n)

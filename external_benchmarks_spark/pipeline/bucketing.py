@@ -70,6 +70,40 @@ def write_bucketed(
     writer.option("path", path).saveAsTable(table)
 
 
+def max_bucket_files(path: str) -> int:
+    """The fragmentation measure compaction thresholds use: the max
+    number of data files sharing one bucket id under ``path``, counted
+    per partition dir when the layout is directory-partitioned (a
+    bucket id appears once per partition dir in a compact layout; every
+    append adds one more file per touched (partition, bucket)). Bucket
+    id = the ``_NNNNN`` suffix Spark embeds in bucketed file names."""
+    import re
+    from collections import Counter
+
+    def _bucket_of(fname: str) -> str:
+        m = re.search(r"_(\d{5})\b", fname)
+        return m.group(1) if m else fname
+
+    if not os.path.isdir(path):
+        return 0
+    worst = 0
+    part_dirs = [
+        d for d in os.listdir(path)
+        if "=" in d and os.path.isdir(os.path.join(path, d))
+    ] or ["."]
+    for d in part_dirs:
+        full = os.path.normpath(os.path.join(path, d))
+        per = Counter(
+            _bucket_of(f)
+            for f in os.listdir(full)
+            if not f.startswith(("_", "."))
+            and os.path.isfile(os.path.join(full, f))
+        )
+        if per:
+            worst = max(worst, max(per.values()))
+    return worst
+
+
 from contextlib import contextmanager
 
 
