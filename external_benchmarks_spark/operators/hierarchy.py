@@ -57,13 +57,31 @@ def hierarchy_closure(
         .persist()
     )
     if rounds is not None:
-        for _ in range(rounds):
+        for r in range(rounds):
             a, b = p.alias("a"), p.alias("b")
             jumped = a.join(
                 b, F.col("a.anc") == F.col("b.node")
             ).select(F.col("a.node").alias("node"), F.col("b.anc").alias("anc"))
+            # EVERY level persists, including the last: repeat calls
+            # (bench reps, a session's second rollup) dedup to the same
+            # cache entries, so their eager checkpoint re-materializes
+            # from the warm final level instead of replaying the chain
+            # (measured: warm 2.9 s without the final persist, 1.6-2.4 s
+            # with it).
             p = p.unionByName(jumped).distinct().persist()
-        return p
+        # Materialize ONCE and cut lineage: relying on the persist chain
+        # alone left downstream consumers (the rollup's union/join/agg)
+        # to a CacheManager lookup that misses the FINAL level inside
+        # larger plans — each consumer action then re-ran the last
+        # distinct's exchange (~2 s of the hierarchy_rollup leg,
+        # stage-split evidence in SCALE.md r11). The eager checkpoint
+        # pays the closure materialization once; every later action
+        # scans the materialized blocks. The level persists STAY
+        # registered: identical level plans dedup to the same cache
+        # entries across calls (CacheManager skips already-cached
+        # plans), so repeat calls re-checkpoint from warm levels instead
+        # of replaying the whole chain.
+        return p.localCheckpoint(eager=True)
     n = p.count()
     for _ in range(max_rounds):
         a, b = p.alias("a"), p.alias("b")
