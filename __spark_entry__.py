@@ -6513,87 +6513,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # window of entries in dict order each round, so entries whose
     # semantics/data changed this round go first (they must re-verify),
     # then never-checked new entries, then the STALEST driver-green
-    # entries. Round-8 window (~50): the 13 entries that changed or are
-    # new this round (wordpiece family, zorder, bloom; unigram family;
-    # scd2 collision rule + the forced-collision variant; kmeans seed
-    # rewrite; bpe cache/oracle-compose), then the FULL 37-entry
-    # r4-stale block (variant_extract .. group_median — the round-7
-    # verdict's rotation target; after this round nothing is older than
-    # r5): 13 + 37 = exactly the window. Blocks
-    # re-checked in r7 and the r6-verified tail rotate to the back
-    # (rotate the r5 block forward in r9). Every entry passes the local
-    # mirror (tests/test_oracle_queries.py) every test run either way,
-    # so rotation costs nothing.
+    # entries. Round-11 window (~50): the 7 entries the round's changes
+    # touch (semantic-cell scaling + growth refresh; symdelete scale
+    # tier; hierarchy checkpoint; idempotent export append; compmap base
+    # compaction), then the 25-entry r7-checked remainder the r10
+    # window truncated (text_quality .. quality_topp), then the first 18
+    # of the r6-verified tail (details_prune .. pq_topk, incl. the ANN
+    # oracle pair and embed_inference): 7 + 25 + 18 = the window.
+    # Every entry passes the local mirror (tests/test_oracle_queries.py)
+    # every test run either way, so rotation costs nothing.
     return {
-        # --- round-10 brand-new: verify first ---
-        "delta_keep_best": q_delta_keep_best,
-        "semantic_keep_best": q_semantic_keep_best,
-        "centroid_refresh": q_centroid_refresh,
-        "dedup_aware_sample": q_dedup_aware_sample,
-        "incremental_sorted_export": q_incremental_sorted_export,
-        # --- round-9 brand-new: verify first ---
-        "delta_dedup": q_delta_dedup,
+        # --- r11-changed first (impl or oracle formula touched this
+        # round: scaled semantic-dedup cells + growth refresh, the
+        # symdelete scale tier, the hierarchy closure checkpoint, the
+        # idempotent export append, the compmap base compaction) ---
         "delta_semdedup": q_delta_semdedup,
-        "sorted_export": q_sorted_export,
-        # bm25_indexed reads through the inverted-index layout whose
-        # append path went segment-based this round — re-check it
-        "bm25_indexed": q_bm25_indexed,
-        # --- the r10 rotation recorded at r9, executed: audio_decode
-        # FIRST (missed the r9 window by one slot — stalest entry at
-        # r5), then the r5-stale remainder (group_embedding_stats ..
-        # event_transitions_ranged: the TPC-H correlated block and the
-        # late-interaction/hybrid family), then the r7-checked block
-        # head fills the ~50 window. The r9-window green blocks
-        # (hash_sample_quantiles.., date_parts..image_decode) rotated
-        # to the back.
-        # r11 rotation plan: any r11-changed entries first, then the
-        # r7-checked remainder this window's tail truncates
-        # (top_terms .. doc_pagerank + ingest_report..quality_topp),
-        # then the r6-verified tail (details_prune ..); after that the
-        # staleness floor is r8. ---
-        "audio_decode": q_audio_decode,
-        "group_embedding_stats": q_group_embedding_stats,
-        "tpch_q4": q_tpch_q4,
-        "tpch_q17": q_tpch_q17,
-        "tpch_q21": q_tpch_q21,
-        "tpch_q22": q_tpch_q22,
-        "tpch_q7": q_tpch_q7,
-        "tpch_q8": q_tpch_q8,
-        "tpch_q9": q_tpch_q9,
-        "tpch_q12": q_tpch_q12,
-        "tpch_q13": q_tpch_q13,
-        "tpch_q15": q_tpch_q15,
-        "tpch_q18": q_tpch_q18,
-        "tpch_q19": q_tpch_q19,
-        "maxsim_topk": q_maxsim_topk,
-        "hybrid_rrf": q_hybrid_rrf,
-        "mmr_topk": q_mmr_topk,
-        "bm25_batch": q_bm25_batch,
-        "hybrid_rrf_batch": q_hybrid_rrf_batch,
-        "hybrid_score_fuse": q_hybrid_score_fuse,
-        "recency_weighted": q_recency_weighted,
-        "event_transitions_ranged": q_event_transitions_ranged,
-        # --- re-checked r7 (former r4 head) ---
-        "mp3_metadata": q_mp3_metadata,
-        "mp4_metadata": q_mp4_metadata,
-        "cms_heavy_hitters": q_cms_heavy_hitters,
-        "event_funnel": q_event_funnel,
-        "event_transitions": q_event_transitions,
-        "bucketed_join_agg": q_bucketed_join_agg,
-        "stream_heavy_hitters": q_stream_heavy_hitters,
-        "pyds_docgen": q_pyds_docgen,
-        "outer_join_profile": q_outer_join_profile,
-        "tpch_q1": q_tpch_q1,
-        "tpch_q3": q_tpch_q3,
-        "tpch_q5": q_tpch_q5,
-        "hll_merge": q_hll_merge,
-        # --- re-checked r7 (former r3-stale block) ---
-        "curation_funnel": q_curation_funnel,
-        "ngram_jaccard": q_ngram_jaccard,
-        "minhash_signature": q_minhash_signature,
-        "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "simhash": q_simhash,
-        "lang_id": q_lang_id,
+        "centroid_refresh": q_centroid_refresh,
+        "semantic_keep_best": q_semantic_keep_best,
+        "symdelete_name_pairs": q_symdelete_name_pairs,
+        "hierarchy_rollup": q_hierarchy_rollup,
+        "incremental_sorted_export": q_incremental_sorted_export,
+        "delta_keep_best": q_delta_keep_best,
+        # --- the recorded r11 rotation, executed: the r7-checked
+        # remainder the r10 window's tail truncated ---
         "text_quality": q_text_quality,
         "fingerprint": q_fingerprint,
         "token_stats": q_token_stats,
@@ -6615,12 +6557,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quant_dot_topk": q_quant_dot_topk,
         "neardup_components": q_neardup_components,
         "doc_pagerank": q_doc_pagerank,
-        # --- first checked r7 (round-7 additions) ---
         "ingest_report": q_ingest_report,
         "neardup_keep_best": q_neardup_keep_best,
         "global_rank": q_global_rank,
         "quality_topp": q_quality_topp,
-        # --- r6-verified tail ---
+        # --- head of the r6-verified tail (incl. the ANN oracle pair
+        # and embed_inference — unseen by the driver since the cell
+        # store machinery grew around them) ---
         "details_prune": q_details_prune,
         "sessionize": q_sessionize,
         "asof_last_event": q_asof_last_event,
@@ -6639,6 +6582,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partsupp_fixture": q_partsupp_fixture,
         "pq_encode": q_pq_encode,
         "pq_topk": q_pq_topk,
+        # --- r12 rotation plan: r12-changed entries first, then the
+        # r6-verified remainder below (pq_topk_batch .. exact_dedup,
+        # ~14 entries), then the r8-checked block; after that the
+        # staleness floor is r8. ---
         "pq_topk_batch": q_pq_topk_batch,
         "ivfpq_topk": q_ivfpq_topk,
         "hourly_anomalies": q_hourly_anomalies,
@@ -6668,7 +6615,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_group_agg": q_salted_group_agg,
         "salted_join_agg": q_salted_join_agg,
         "exact_dedup": q_exact_dedup,
-        # --- r8-window green (checked r8): rotated to the back ---
         "wordpiece_merges": q_wordpiece_merges,
         "wordpiece_segment_tokens": q_wordpiece_segment_tokens,
         "zorder_stats": q_zorder_stats,
@@ -6682,7 +6628,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_profile": q_kmeans_profile,
         "bpe_merges": q_bpe_merges,
         "bpe_segment_tokens": q_bpe_segment_tokens,
-        # (the former r4-stale block, re-checked green in the r8 window)
         "variant_extract": q_variant_extract,
         "fuzzy_name_pairs": q_fuzzy_name_pairs,
         "value_drift": q_value_drift,
@@ -6719,7 +6664,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_lag": q_rank_lag,
         "multi_quantile": q_multi_quantile,
         "group_median": q_group_median,
-        # --- r9-window green (checked r9): rotated to the back ---
         "hash_sample_quantiles": q_hash_sample_quantiles,
         "running_total": q_running_total,
         "skyline_parts": q_skyline_parts,
@@ -6727,10 +6671,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_overlap": q_kmv_overlap,
         "allpairs_jaccard": q_allpairs_jaccard,
         "cohort_retention": q_cohort_retention,
-        "hierarchy_rollup": q_hierarchy_rollup,
         "unigram_doc_ppl": q_unigram_doc_ppl,
         "funnel_latency": q_funnel_latency,
-        "symdelete_name_pairs": q_symdelete_name_pairs,
         "hourly_acf": q_hourly_acf,
         "session_paths": q_session_paths,
         "chi2_assoc": q_chi2_assoc,
@@ -6767,6 +6709,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding": q_events_sliding,
         "blob_metadata": q_blob_metadata,
         "image_decode": q_image_decode,
+        # --- r10-window green (checked r10): rotated to the back ---
+        "dedup_aware_sample": q_dedup_aware_sample,
+        "delta_dedup": q_delta_dedup,
+        "sorted_export": q_sorted_export,
+        "bm25_indexed": q_bm25_indexed,
+        "audio_decode": q_audio_decode,
+        "group_embedding_stats": q_group_embedding_stats,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q21": q_tpch_q21,
+        "tpch_q22": q_tpch_q22,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q18": q_tpch_q18,
+        "tpch_q19": q_tpch_q19,
+        "maxsim_topk": q_maxsim_topk,
+        "hybrid_rrf": q_hybrid_rrf,
+        "mmr_topk": q_mmr_topk,
+        "bm25_batch": q_bm25_batch,
+        "hybrid_rrf_batch": q_hybrid_rrf_batch,
+        "hybrid_score_fuse": q_hybrid_score_fuse,
+        "recency_weighted": q_recency_weighted,
+        "event_transitions_ranged": q_event_transitions_ranged,
+        "mp3_metadata": q_mp3_metadata,
+        "mp4_metadata": q_mp4_metadata,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
+        "event_funnel": q_event_funnel,
+        "event_transitions": q_event_transitions,
+        "bucketed_join_agg": q_bucketed_join_agg,
+        "stream_heavy_hitters": q_stream_heavy_hitters,
+        "pyds_docgen": q_pyds_docgen,
+        "outer_join_profile": q_outer_join_profile,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
+        "hll_merge": q_hll_merge,
+        "curation_funnel": q_curation_funnel,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_signature": q_minhash_signature,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash": q_simhash,
+        "lang_id": q_lang_id,
     }
 
 # ---------------------------------------------------------------------------
