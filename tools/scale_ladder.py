@@ -334,13 +334,52 @@ def main() -> None:
         print(f"# delta_dedup_fixed @ {sf_label}: {dd_fixed[sf_label]}",
               file=sys.stderr)
 
-    # Delta-GROWTH ladder (r9 verdict item #6): the OTHER axis — the
-    # corpus store is FIXED (sf0.1) and the delta grows 0.1x/1x/10x;
-    # expected ~linear-in-delta cost for both dedup tiers.
+    # Fixed-delta ladder, SEMANTIC tier (r10 verdict item #1's "Done"
+    # evidence): the SAME sf0.1 embedding delta joins vector stores over
+    # corpora 0.1x/1x/10x, with CORPUS-SCALED cell counts
+    # (build_vector_store's default target_cells: ceil(n/128), floor
+    # 16). r10 measured the fixed-16-cell store degenerating 0.94 ->
+    # 7.4 s over 10x corpus (every cell grows with the corpus, pruning
+    # stops pruning); with scaled cells the steady delta cost should
+    # read ~flat like delta_dedup's.
     from external_benchmarks_spark.operators.deltadedup import (
         build_vector_store,
         delta_semdedup,
     )
+
+    sem_fixed: dict = {}
+    fixed_vdelta = Catalog(spark, SRC).embeddings.filter(
+        F.col("vec_id") % 10 == 0
+    )
+    for sf_label, sf_dir in rungs.items():
+        vcorpus = Catalog(spark, sf_dir).embeddings.filter(
+            F.col("vec_id") % 10 != 0
+        )
+        t0 = time.perf_counter()
+        vs = build_vector_store(
+            spark, vcorpus, tag="ladder_semf_" + sf_label.replace(".", "_"),
+            source_paths=[os.path.join(sf_dir, "embeddings.parquet")],
+        )
+        vbuild_s = time.perf_counter() - t0
+        reps = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            delta_semdedup(spark, fixed_vdelta, vs,
+                           threshold_fp=200_000).count()
+            reps.append(time.perf_counter() - t0)
+        sem_fixed[sf_label] = {
+            "corpus_vecs": vcorpus.count(),
+            "n_cells": vs.n_cells,
+            "store_build_s": round(vbuild_s, 3),
+            "cold": round(reps[0], 3),
+            "steady": round(min(reps[1:]), 3),
+        }
+        print(f"# delta_semdedup_fixed @ {sf_label}: {sem_fixed[sf_label]}",
+              file=sys.stderr)
+
+    # Delta-GROWTH ladder (r9 verdict item #6): the OTHER axis — the
+    # corpus store is FIXED (sf0.1) and the delta grows 0.1x/1x/10x;
+    # expected ~linear-in-delta cost for both dedup tiers.
 
     dd_growth: dict = {"delta_dedup": {}, "delta_semdedup": {}}
     doc_store = stores["0.1"]
@@ -486,6 +525,7 @@ def main() -> None:
         "legs": legs, "index_refresh": refresh, "replica_rows": rows,
         "skew_ladder": skew, "input_growth": growth,
         "delta_dedup_fixed_delta": dd_fixed,
+        "delta_semdedup_fixed_delta": sem_fixed,
         "delta_growth": dd_growth,
         "compmap_fold": cm_rung,
     }))
