@@ -1002,6 +1002,21 @@ def q_repetition_stats(spark, sf):
     return repetition_stats(Catalog(spark, sf).documents)
 
 
+def q_span_dedup(spark, sf):
+    # Cross-document duplicated-span REMOVAL (operators/textprep.
+    # span_dedup — CCNet's paragraph dedup on fixed 8-token windows):
+    # spans appearing in >= 2 distinct docs are stripped everywhere,
+    # intra-doc repeats stay; output pins the rebuilt text per doc via
+    # md5 of the surviving spans in position order. One fan-out, one
+    # map-side-combinable distinct-count, one anti-join, one bounded
+    # per-doc rebuild — the oracle replays all four exactly.
+    from external_benchmarks_spark.operators.textprep import span_dedup
+
+    return span_dedup(
+        Catalog(spark, sf).documents, span_tokens=8, min_docs=2
+    ).orderBy("doc_id")
+
+
 def q_doc_chunks(spark, sf):
     from external_benchmarks_spark.operators.textprep import chunk_documents
 
@@ -6523,7 +6538,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Every entry passes the local mirror (tests/test_oracle_queries.py)
     # every test run either way, so rotation costs nothing.
     return {
-        # --- r11-changed first (impl or oracle formula touched this
+        # --- round-11 brand-new: verify first ---
+        "span_dedup": q_span_dedup,
+        # --- r11-changed next (impl or oracle formula touched this
         # round: scaled semantic-dedup cells + growth refresh, the
         # symdelete scale tier, the hierarchy closure checkpoint, the
         # idempotent export append, the compmap base compaction) ---
@@ -7757,6 +7774,29 @@ def oracle_sql() -> dict[str, str]:
                      CAST(len(tg) - len(list_distinct(tg)) AS DOUBLE) / len(tg)
                    ELSE 0.0 END AS dup_trigram_frac
             FROM g LEFT JOIN top USING (doc_id)
+        """,
+        "span_dedup": f"""
+            WITH t AS (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents),
+            s AS MATERIALIZED (
+              SELECT doc_id, i AS span_id,
+                     array_to_string(list_slice(toks, i*8 + 1, i*8 + 8), ' ')
+                       AS span
+              FROM t, UNNEST(generate_series(0,
+                     CAST(CEIL(len(toks) / 8.0) AS BIGINT) - 1)) AS u(i)
+              WHERE len(toks) > 0),
+            hot AS (SELECT span FROM s GROUP BY span
+                    HAVING COUNT(DISTINCT doc_id) >= 2),
+            kept AS (SELECT * FROM s
+                     WHERE span NOT IN (SELECT span FROM hot)),
+            r AS (SELECT doc_id, COUNT(*) AS n_kept,
+                         string_agg(span, ' ' ORDER BY span_id) AS clean
+                  FROM kept GROUP BY doc_id),
+            tot AS (SELECT doc_id, COUNT(*) AS n_spans FROM s GROUP BY doc_id)
+            SELECT tot.doc_id, CAST(n_spans AS BIGINT) AS n_spans,
+                   CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept,
+                   CAST(n_spans - COALESCE(n_kept, 0) AS BIGINT) AS n_dropped,
+                   md5(COALESCE(clean, '')) AS clean_hash
+            FROM tot LEFT JOIN r USING (doc_id) ORDER BY doc_id
         """,
         "doc_chunks": f"""
             WITH t AS (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents),

@@ -1238,6 +1238,9 @@ def headline_queries():
         "repetition_stats": q["repetition_stats"],
         "lm_score": q["lm_score"],
         "dup_span_stats": q["dup_span_stats"],
+        # Round-11: the cross-doc duplicated-span REMOVAL transform
+        # (CCNet paragraph dedup on token windows)
+        "span_dedup": q["span_dedup"],
         "gopher_rules": q["gopher_rules"],
         "dsir_weights": q["dsir_weights"],
         "doc_chunks": q["doc_chunks"],

@@ -103,6 +103,74 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+def span_dedup(
+    docs: DataFrame, span_tokens: int = 8, min_docs: int = 2
+) -> DataFrame:
+    """Cross-document duplicated-span REMOVAL (CCNet's paragraph-dedup
+    shape, on fixed token windows since the benchmark corpus has no
+    newlines) — the dedup family's missing transform member:
+    ``repetition_stats``/``dup_span_stats`` only DIAGNOSE duplication,
+    and the doc-level dedup ops keep/drop whole documents; real
+    pretraining curation also strips the boilerplate spans shared
+    ACROSS documents while keeping the documents.
+
+    Rule: a span (non-overlapping ``span_tokens``-token window) whose
+    exact text appears in >= ``min_docs`` DISTINCT documents is removed
+    from every document (CCNet removes all copies, first included —
+    boilerplate is noise wherever it appears); spans repeated only
+    WITHIN one document stay (that is intra-doc repetition,
+    ``repetition_stats``' business). Output per input doc:
+    (doc_id, n_spans, n_kept, n_dropped, clean_hash) with clean_hash =
+    md5 of the surviving spans re-joined in position order ('' when
+    everything dropped) — the rebuilt text pinned without shipping it.
+
+    Scale shape: one posexplode fan-out (no shuffle), the hot-span set
+    via a map-side-combinable two-phase distinct-count over (span,
+    doc_id), one anti-join back (hot spans are heavy hitters — a small
+    broadcast side in practice; Spark falls back to a shuffle join past
+    the threshold, still an equi-join), and a per-doc bounded groupBy
+    for the rebuild. No corpus-sized window, no cartesian anywhere."""
+    toks = tokens(F.col("text"))
+    n_spans = F.ceil(F.size(toks) / F.lit(span_tokens)).cast("int")
+    spans = F.when(
+        F.size(toks) > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_spans - 1),
+            lambda i: F.array_join(
+                F.slice(toks, i * span_tokens + 1, span_tokens), " "
+            ),
+        ),
+    )
+    s = docs.select("doc_id", F.posexplode(spans).alias("span_id", "span"))
+    hot = (
+        s.groupBy("span")
+        .agg(F.countDistinct("doc_id").alias("_nd"))
+        .filter(F.col("_nd") >= int(min_docs))
+        .select("span")
+    )
+    kept = s.join(hot, "span", "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("span_id", "span"))),
+                lambda x: x["span"],
+            ),
+            " ",
+        ).alias("_clean"),
+    )
+    totals = s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_spans"))
+    return totals.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_spans").cast("bigint").alias("n_spans"),
+        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        (F.col("n_spans") - F.coalesce("n_kept", F.lit(0)))
+        .cast("bigint")
+        .alias("n_dropped"),
+        F.md5(F.coalesce("_clean", F.lit(""))).alias("clean_hash"),
+    )
+
+
 def chunk_documents(docs: DataFrame, chunk_tokens: int = 32) -> DataFrame:
     """Split each document into fixed-size token windows (context chunks).
 

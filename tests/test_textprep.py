@@ -177,3 +177,31 @@ def test_split_sentences_udtf_matches_catalyst(spark, sf_dir):
     a = sorted(map(tuple, split_sentences(docs).collect()))
     b = sorted(map(tuple, split_sentences_udtf(spark, docs).collect()))
     assert a == b and len(a) > 0
+
+
+def test_span_dedup_hand_case(spark):
+    """Crafted 3-doc corpus (span size 2): the boilerplate span shared
+    by docs 1 and 2 drops from BOTH (first copy included); doc 3's
+    internally-repeated span stays (intra-doc repetition is not
+    cross-doc boilerplate); rebuilt text preserves position order."""
+    import hashlib
+
+    from external_benchmarks_spark.operators.textprep import span_dedup
+
+    rows = [
+        (1, "buy now click here alpha beta"),
+        (2, "buy now click here gamma delta"),
+        (3, "same same same same epsilon zeta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_spans"], r["n_kept"], r["n_dropped"], r["clean_hash"])
+        for r in span_dedup(df, span_tokens=2, min_docs=2).collect()
+    }
+    h = lambda s: hashlib.md5(s.encode()).hexdigest()
+    # docs 1/2: spans = ["buy now", "click here", tail] — first two are
+    # shared boilerplate, only the distinct tail survives
+    assert got[1] == (3, 1, 2, h("alpha beta"))
+    assert got[2] == (3, 1, 2, h("gamma delta"))
+    # doc 3: "same same" repeats WITHIN the doc only — everything stays
+    assert got[3] == (3, 3, 0, h("same same same same epsilon zeta"))
