@@ -141,7 +141,13 @@ def span_dedup(
             ),
         ),
     )
-    s = docs.select("doc_id", F.posexplode(spans).alias("span_id", "span"))
+    # The span table feeds three consumers (hot set, anti-join left,
+    # per-doc totals); without the checkpoint each one re-scans and
+    # re-tokenizes the corpus (measured 7.7 s cold / 1.5 s warm at
+    # sf0.1 vs 1.6 / 1.2 checkpointed).
+    s = docs.select(
+        "doc_id", F.posexplode(spans).alias("span_id", "span")
+    ).localCheckpoint(eager=True)
     hot = (
         s.groupBy("span")
         .agg(F.countDistinct("doc_id").alias("_nd"))
