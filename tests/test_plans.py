@@ -539,3 +539,25 @@ def test_no_registry_query_rescans_a_table_uncached(spark, sf_dir):
         if worst and worst[0][1] >= 3 and "InMemoryRelation" not in plan:
             bad[name] = worst[0]
     assert not bad, f"uncached repeated scans: {bad}"
+
+
+def test_span_dedup_anti_join_no_cartesian(spark, sf_dir):
+    """The hot-span removal is a LEFT ANTI equi-join on the span text
+    (broadcast at this scale), never a cartesian; the span table feeds
+    its three consumers from one checkpoint, so no parquet re-scan
+    survives in the plan."""
+    plan = _plan(entry_mod.q_span_dedup(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan
+    assert "documents.parquet" not in plan  # checkpointed fan-out
+
+
+def test_fuzzy_pairs_join_on_hashed_long_keys(spark, sf_dir):
+    """The r11 scale tier: the variant self-join runs on xxhash64 longs
+    (candidates only ever ADDED by collision, removed by exact verify),
+    pair dedup on exact dense int ids, verification through the BANDED
+    thresholded levenshtein — and nothing cartesian."""
+    plan = _plan(entry_mod.q_symdelete_name_pairs(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "xxhash64" in plan
+    assert "levenshtein" in plan
