@@ -706,14 +706,25 @@ def absorb_delta(
     The layout fingerprint is invalidated: the store no longer derives
     from the original source files alone."""
     sh = doc_shingles(delta, key_col, content_col, store.n).persist()
+    # repartition(n_buckets, key) aligns write tasks with buckets (the
+    # same device as write_bucketed — repartition's pmod(murmur3, n) IS
+    # the bucket function), so ONE absorb adds one file per
+    # (partition dir, bucket) instead of one per input split per bucket
+    # — without it the soak measured every pb partition blowing past
+    # the compaction threshold after a single absorb, turning each
+    # cycle's compaction into a full band-table rewrite.
     (
         band_hashes(sh, store.num_hashes, store.bands, store.seed)
+        .repartition(store.n_buckets, F.col("bh"))
         .select("doc_id", "bh", "pb")  # partition column last
         .write.mode("append")
         .insertInto(store.bands_table)
     )
-    sh.select("doc_id", "s").write.mode("append").insertInto(
-        store.shingles_table
+    (
+        sh.select("doc_id", "s")
+        .repartition(store.n_buckets, F.col("doc_id"))
+        .write.mode("append")
+        .insertInto(store.shingles_table)
     )
     sh.unpersist()
     if store.root:

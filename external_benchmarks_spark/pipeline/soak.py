@@ -184,9 +184,10 @@ class MaintenanceSoak:
             refreshed = refresh_centroids(
                 self.spark, self.vstore, rows_per_cell=self.rows_per_cell
             )
-            compact_component_map(
-                self.spark, self.cmap, max_files_per_bucket=4
-            )
+        # compactions run EVERY cycle and self-gate on their thresholds
+        # (a no-op census when under), so fragmentation is bounded by
+        # threshold x one absorb instead of threshold x cycles-between
+        compact_component_map(self.spark, self.cmap, max_files_per_bucket=4)
         comp = compact_signature_store(
             self.spark, self.sig, max_files_per_bucket=4
         )
