@@ -272,6 +272,11 @@ def fold_pairs(
     new_relabel.coalesce(1).write.mode("overwrite").parquet(relabel_stage)
     swap_dir(cmap.relabel_path, relabel_stage)
     # --- state delta 2: unseen endpoints APPEND into the bucketed base ---
+    # repartition on the bucket key first (the write_bucketed device:
+    # repartition's pmod(murmur3, n) IS the bucket function) so one fold
+    # adds one file per (db partition, bucket) instead of one per input
+    # split per bucket — the r11 soak measured unaligned folds
+    # fragmenting the base ~4x faster than the compactor's threshold
     (
         final.filter(~F.col("in_base"))
         .select(
@@ -279,6 +284,7 @@ def fold_pairs(
             F.col("newrep").alias("rep"),
             _db_col(F.col("node")).alias("db"),
         )
+        .repartition(cmap.n_buckets, F.col("doc_id"))
         .write.mode("append")
         .insertInto(cmap.table)
     )
