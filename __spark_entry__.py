@@ -4977,6 +4977,27 @@ _ALLPAIRS_JACCARD_SQL = f"""
 _SORTED_EXPORT: dict = {}
 
 
+def _sweep_stale_layouts(prefix: str, app: str) -> None:
+    """Drop OTHER sessions' stale tempdir layouts under ``prefix`` —
+    age-gated (a young dir may belong to a session running concurrently
+    on this host) and race-tolerant (another session's sweep can remove
+    an entry between our listdir and the stat)."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    for d in os.listdir(tempfile.gettempdir()):
+        if not d.startswith(prefix) or d.endswith(app):
+            continue
+        full = os.path.join(tempfile.gettempdir(), d)
+        try:
+            stale = _time.time() - os.path.getmtime(full) > 6 * 3600
+        except OSError:
+            continue  # vanished under us — someone else swept it
+        if stale:
+            shutil.rmtree(full, ignore_errors=True)
+
+
 def q_sorted_export(spark, sf):
     # Sorted-shard export writer (pipeline/export.py; r8 verdict item
     # #6): deterministic range-partitioned TOTAL-ORDER parquet shards —
@@ -5008,20 +5029,9 @@ def q_sorted_export(spark, sf):
     key = (spark.sparkContext.applicationId, sf)
     if key not in _SORTED_EXPORT:
         # per-applicationId export dirs accumulate across sessions —
-        # drop other sessions' STALE leftovers (age-gated: a young dir
-        # may belong to a session running concurrently on this host)
-        import shutil
-        import time as _time
-
+        # drop other sessions' STALE leftovers
         app = spark.sparkContext.applicationId
-        for d in os.listdir(tempfile.gettempdir()):
-            full = os.path.join(tempfile.gettempdir(), d)
-            if (
-                d.startswith("ebs_sorted_export_")
-                and not d.endswith(app)
-                and _time.time() - os.path.getmtime(full) > 6 * 3600
-            ):
-                shutil.rmtree(full, ignore_errors=True)
+        _sweep_stale_layouts("ebs_sorted_export_", app)
         out = os.path.join(
             tempfile.gettempdir(),
             "ebs_sorted_export_{}_{}".format(
@@ -5085,20 +5095,9 @@ def _inc_export_layout(spark, sf):
 
     key = (spark.sparkContext.applicationId, sf)
     if key not in _INC_EXPORT:
-        import shutil
-        import time as _time
-
-        # age-gated sweep of prior sessions' layouts (same protocol as
-        # q_sorted_export's): never this session's, never younger than 6h
-        app = spark.sparkContext.applicationId
-        for d in os.listdir(tempfile.gettempdir()):
-            full = os.path.join(tempfile.gettempdir(), d)
-            if (
-                d.startswith("ebs_inc_export_")
-                and not d.endswith(app)
-                and _time.time() - os.path.getmtime(full) > 6 * 3600
-            ):
-                shutil.rmtree(full, ignore_errors=True)
+        _sweep_stale_layouts(
+            "ebs_inc_export_", spark.sparkContext.applicationId
+        )
         o = Catalog(spark, sf).orders.select(
             "o_orderkey", _cents(F.col("o_totalprice")).alias("cents")
         )

@@ -912,32 +912,40 @@ def serving_write_tier(
     n_batches = max(1, int(duration_s / interval_s))
     batch_times: list[float] = []
     late: list[float] = []
+    writer_state: dict = {"elapsed": None, "error": None}
 
     def writer():
         start = time.perf_counter()
-        for j in range(n_batches):
-            target = start + j * interval_s
-            now = time.perf_counter()
-            if target > now:
-                time.sleep(target - now)
-            else:
-                late.append(now - target)
-            upd = (
-                embed_fields(
-                    template.withColumn("label", F.lit(70 + j % 8))
-                    .withColumn("op_ts", F.lit(2000 + j)),
-                    fields=("title",),
-                    dim=64,
+        try:
+            for j in range(n_batches):
+                target = start + j * interval_s
+                now = time.perf_counter()
+                if target > now:
+                    time.sleep(target - now)
+                else:
+                    late.append(now - target)
+                upd = (
+                    embed_fields(
+                        template.withColumn("label", F.lit(70 + j % 8))
+                        .withColumn("op_ts", F.lit(2000 + j)),
+                        fields=("title",),
+                        dim=64,
+                    )
+                    .drop("title")
+                    .select("vec_id", "embedding", "label", "op_ts")
                 )
-                .drop("title")
-                .select("vec_id", "embedding", "label", "op_ts")
-            )
-            w0 = time.perf_counter()
-            t.upsert(upd)
-            batch_times.append(time.perf_counter() - w0)
+                w0 = time.perf_counter()
+                t.upsert(upd)
+                batch_times.append(time.perf_counter() - w0)
+        except Exception as exc:  # surfaced after join, not swallowed
+            writer_state["error"] = exc
+        finally:
+            # throughput is measured on the WRITER's own clock — the
+            # read loop can overrun duration_s independently and must
+            # not deflate the write-rate headline
+            writer_state["elapsed"] = time.perf_counter() - start
 
     th = threading.Thread(target=writer)
-    w_start = time.perf_counter()
     th.start()
     lat: list[float] = []
     r_interval = 1.0 / read_qps
@@ -952,7 +960,9 @@ def serving_write_tier(
         sidx.topk(QVEC, k=100, label=i % 4, key_mod=10)
         lat.append(time.perf_counter() - q0)
     th.join()
-    elapsed = time.perf_counter() - w_start
+    if writer_state["error"] is not None:
+        raise writer_state["error"]
+    elapsed = writer_state["elapsed"]
     lat.sort()
     batch_p95 = _p95(batch_times)
     return {

@@ -211,6 +211,17 @@ def build_signature_store(
             and spark.catalog.tableExists(store.shingles_table)
         ):
             return store
+    # a real (re)build invalidates any previous life's streaming state
+    # under this root — a stale absorbed-batches ledger would make the
+    # durable update gate wrongly skip batches against the new store
+    for stale in ("_absorbed_batches.json", "_inflight_batch.json"):
+        try:
+            os.remove(os.path.join(root, stale))
+        except OSError:
+            pass
+    import shutil as _shutil
+
+    _shutil.rmtree(os.path.join(root, "pairs"), ignore_errors=True)
     sh = doc_shingles(corpus, key_col, content_col, n).persist()
     write_bucketed(
         band_hashes(sh, num_hashes, bands, seed),
@@ -751,6 +762,7 @@ def recover_refresh(store: VectorStore) -> bool:
     centroid matrix. Returns True when anything changed on disk."""
     import json
     import shutil
+    import time
 
     root = os.path.dirname(store.vectors_path)
     jp = os.path.join(root, _REFRESH_JOURNAL)
@@ -758,10 +770,23 @@ def recover_refresh(store: VectorStore) -> bool:
     if not os.path.exists(jp):
         changed = recover_partition_swaps(store.vectors_path)
         changed |= recover_dir_swap(store.centroids_path)
+        # A journal-less staging/pending dir never affects reads (the
+        # live store is untouched before the journal commits), so its
+        # deletion is pure housekeeping — AGE-GATED, because a FRESH
+        # orphan may belong to a refresh writer that is mid-staging
+        # right now (deleting it under the writer would make its swap
+        # loop retire staged dirty cells as drained — permanent row
+        # loss). Maintenance is single-writer by contract; the gate
+        # protects the reader-during-staging case that contract allows.
         for orphan in (pending, store.vectors_path + "_refresh_staging"):
             if os.path.isdir(orphan):
-                shutil.rmtree(orphan)
-                changed = True
+                try:
+                    fresh = time.time() - os.path.getmtime(orphan) < 3600
+                except OSError:
+                    continue
+                if not fresh:
+                    shutil.rmtree(orphan, ignore_errors=True)
+                    changed = True
         return changed
     with open(jp) as fh:
         j = json.load(fh)
@@ -936,10 +961,6 @@ def refresh_centroids(
     return stats
 
 
-def _data_files(d: str) -> list[str]:
-    return [f for f in os.listdir(d) if not f.startswith(("_", "."))]
-
-
 def compact_signature_store(
     spark: SparkSession,
     store: SignatureStore,
@@ -964,18 +985,14 @@ def compact_signature_store(
     set, not the logical contents — any recorded layout fingerprint
     stays valid, matching compact_layout_partitions."""
     import shutil
-    from collections import Counter
+
+    from external_benchmarks_spark.pipeline.bucketing import (
+        bucket_file_counts,
+    )
 
     out: dict = {"bands_partitions": [], "shingles_rewritten": False}
     bands_path = os.path.join(store.root, "bands")
     sh_path = os.path.join(store.root, "shingles")
-
-    def _bucket_of(fname: str) -> str:
-        # bucket id is the _NNNNN suffix Spark embeds before .c000
-        import re
-
-        m = re.search(r"_(\d{5})\b", fname)
-        return m.group(1) if m else fname
 
     # Crash recovery first, BOTH tables (pipeline/layout helpers): a
     # bands partition stuck in .compacting. trash, or the whole shingle
@@ -988,9 +1005,7 @@ def compact_signature_store(
     for d in sorted(os.listdir(bands_path)):
         if not d.startswith("pb="):
             continue
-        per_bucket = Counter(
-            _bucket_of(f) for f in _data_files(os.path.join(bands_path, d))
-        )
+        per_bucket = bucket_file_counts(os.path.join(bands_path, d))
         if per_bucket and max(per_bucket.values()) > max_files_per_bucket:
             dirty.append(d)
     if dirty:
@@ -1019,7 +1034,7 @@ def compact_signature_store(
         out["bands_partitions"] = [d[len("pb="):] for d in dirty]
 
     # --- shingles: whole-table staged rewrite (no partition dirs) ---
-    per_bucket = Counter(_bucket_of(f) for f in _data_files(sh_path))
+    per_bucket = bucket_file_counts(sh_path)
     if per_bucket and max(per_bucket.values()) > max_files_per_bucket:
         staging_tbl = f"{store.shingles_table}_cstage"
         staging_path = sh_path + "_cstage"

@@ -70,12 +70,10 @@ def write_bucketed(
     writer.option("path", path).saveAsTable(table)
 
 
-def max_bucket_files(path: str) -> int:
-    """The fragmentation measure compaction thresholds use: the max
-    number of data files sharing one bucket id under ``path``, counted
-    per partition dir when the layout is directory-partitioned (a
-    bucket id appears once per partition dir in a compact layout; every
-    append adds one more file per touched (partition, bucket)). Bucket
+def bucket_file_counts(d: str):
+    """Data files per bucket id in ONE directory — the shared census
+    both compactors' thresholds read (one definition of "what counts as
+    a bucket file", so the artifacts can't silently diverge). Bucket
     id = the ``_NNNNN`` suffix Spark embeds in bucketed file names."""
     import re
     from collections import Counter
@@ -84,6 +82,19 @@ def max_bucket_files(path: str) -> int:
         m = re.search(r"_(\d{5})\b", fname)
         return m.group(1) if m else fname
 
+    return Counter(
+        _bucket_of(f)
+        for f in os.listdir(d)
+        if not f.startswith(("_", ".")) and os.path.isfile(os.path.join(d, f))
+    )
+
+
+def max_bucket_files(path: str) -> int:
+    """The fragmentation measure compaction thresholds use: the max
+    number of data files sharing one bucket id under ``path``, counted
+    per partition dir when the layout is directory-partitioned (a
+    bucket id appears once per partition dir in a compact layout; every
+    append adds one more file per touched (partition, bucket))."""
     if not os.path.isdir(path):
         return 0
     worst = 0
@@ -92,13 +103,7 @@ def max_bucket_files(path: str) -> int:
         if "=" in d and os.path.isdir(os.path.join(path, d))
     ] or ["."]
     for d in part_dirs:
-        full = os.path.normpath(os.path.join(path, d))
-        per = Counter(
-            _bucket_of(f)
-            for f in os.listdir(full)
-            if not f.startswith(("_", "."))
-            and os.path.isfile(os.path.join(full, f))
-        )
+        per = bucket_file_counts(os.path.normpath(os.path.join(path, d)))
         if per:
             worst = max(worst, max(per.values()))
     return worst

@@ -186,9 +186,20 @@ def recover_append(out_path: str) -> bool:
         orphan = out_path + "_append_staging"
         if os.path.isdir(orphan):
             # no journal => the crash hit before any swap; the layout is
-            # untouched and the batch simply re-runs
-            shutil.rmtree(orphan)
-            changed = True
+            # untouched and the batch simply re-runs. AGE-GATED: a fresh
+            # orphan may be a live appender mid-staging (deleting it
+            # under the writer would retire its planned shards as
+            # empty); single-writer is the contract, the gate protects
+            # the reader-during-staging case that contract allows.
+            import time
+
+            try:
+                fresh = time.time() - os.path.getmtime(orphan) < 3600
+            except OSError:
+                fresh = True
+            if not fresh:
+                shutil.rmtree(orphan, ignore_errors=True)
+                changed = True
         return changed
     with open(jp) as fh:
         j = json.load(fh)
@@ -265,12 +276,19 @@ def append_sorted_shards(
 
     recover_append(out_path)
     if batch_id is None:
+        # count + xor + 32-bit sum of row hashes: xor alone cancels on
+        # rows appearing an even number of times ({A,A,B,B} == {C,C,D,D}
+        # == 0) — a realistic shape in a dedup pipeline's batches — and
+        # the sum breaks exactly that cancellation (overflow-safe to
+        # 2^31 rows per batch; identical CONTENT still collides by
+        # design — pass batch_id to force an intentional re-append).
         hx = "xxhash64({})".format(", ".join(f"`{c}`" for c in batch.columns))
         dig = batch.agg(
             F.count(F.lit(1)).alias("_n"),
             F.expr(f"bit_xor({hx})").alias("_x"),
+            F.expr(f"sum(pmod({hx}, 4294967296))").alias("_s"),
         ).collect()[0]
-        batch_id = f"x{dig['_n']}:{dig['_x']}"
+        batch_id = f"x{dig['_n']}:{dig['_x']}:{dig['_s']}"
     if batch_id in _read_applied(out_path):
         return {"touched": [], "splits": {}, "skipped": batch_id}
     metas = _shard_meta(out_path, order_cols)

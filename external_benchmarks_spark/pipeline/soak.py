@@ -18,8 +18,10 @@ RESUMABILITY CONTRACT: ``cycle(i)`` re-run after a crash anywhere
 inside it completes without double-applying —
 
 - the syntactic tier goes through ``StreamingDeltaDedup.update`` with
-  ``batch_id = i`` (replayed ids skip: dedup, pair sink, absorb, fold);
-- the vector absorb is gated the same way (``_last_vec_batch``);
+  ``batch_id = i`` — durable exactly-once even across PROCESS
+  restarts (persisted ledger + undo marker, r11);
+- the vector absorb is gated in-process (``_last_vec_batch``; the
+  soak object itself is per-process — its stores rebuild per run);
 - the export append is content-digest idempotent
   (``pipeline/export.append_sorted_shards``'s applied ledger);
 - refresh / compaction are idempotent journaled maintenance, and every
@@ -160,13 +162,15 @@ class MaintenanceSoak:
         seen = self.docs.filter(
             (F.col("doc_id") % 20 >= 10) | (F.col("doc_id") % 20 <= i)
         )
-        flagged = keep_flags(self.spark, self.cmap, seen, key_col="doc_id")
+        flagged = keep_flags(
+            self.spark, self.cmap, seen, key_col="doc_id"
+        ).localCheckpoint(eager=True)  # one resolve feeds both consumers
         kept = flagged.filter(F.col("keep")).count()
         # export append: the batch's KEPT rows merge into the sorted
-        # layout (digest-idempotent on re-run)
+        # layout (digest-idempotent on re-run); `seen` contains the
+        # batch, so derive it by filter instead of a second resolve
         kept_batch = (
-            keep_flags(self.spark, self.cmap, batch_docs, key_col="doc_id")
-            .filter(F.col("keep"))
+            flagged.filter((F.col("doc_id") % 20 == i) & F.col("keep"))
             .select("doc_id", F.length("text").alias("doc_len"))
         )
         app = append_sorted_shards(

@@ -13,18 +13,31 @@ unbounded, so it must live on disk with the rest of the state, never
 in a driver list; downstream keep/drop consumers read the sink (or
 fold it into a ComponentMap — operators/compmap.py).
 
-Exactly-once caveat (stated, not hidden): absorb is an append, so a
-REPLAYED micro-batch would re-append its rows. foreachBatch callers
-that need exactly-once should gate on batch_id (the helper does —
-batches at or below the last absorbed id are skipped; the id lives in
-memory, so a full restart re-processes the in-flight batch, the
-standard at-least-once foreachBatch contract). The pair sink carries
-batch_id for the same reason: a replayed batch's duplicate pairs are
-distinguishable and drop with ``dropDuplicates`` on read if a caller
-replays without the gate."""
+Exactly-once across PROCESS restarts (round 11 — the r10 round's gate
+was in-memory only, so a mid-update crash double-applied the pair sink
+and the store absorb on replay): stores with a ``root`` get a durable
+protocol —
+
+- a persisted LEDGER (``_absorbed_batches.json``) of completed batch
+  ids; replayed ids skip even in a fresh process;
+- an UNDO MARKER (``_inflight_batch.json``) written before any batch
+  mutation, recording the store's pre-absorb file listing and the
+  batch's pair-sink dir. Each mutating step is job-atomic (Spark's
+  commit protocol publishes files only on job commit), so a crash
+  leaves the store = pre-listing ∪ some committed appends;
+  :meth:`recover` (run at init and before every update) deletes the
+  files absent from the listing and the batch's pair dir, restoring
+  the exact pre-batch state — the re-run then applies exactly once.
+  The component-map fold needs no undo: ``fold_pairs`` is idempotent
+  and convergent under partial replay (tested).
+
+Stores without a root keep the in-memory gate (the plain at-least-once
+foreachBatch contract); the pair sink's batch_id column still makes
+replayed duplicates distinguishable either way."""
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -66,10 +79,108 @@ class StreamingDeltaDedup:
         self.component_map = component_map
         self._pairs_schema = None
         self._last_batch = -1
+        self._ledger = (
+            os.path.join(store.root, "_absorbed_batches.json")
+            if store.root
+            else None
+        )
+        self._marker = (
+            os.path.join(store.root, "_inflight_batch.json")
+            if store.root
+            else None
+        )
+        if self._ledger:
+            self.recover()
+            done = self._read_ledger()
+            if done:
+                self._last_batch = max(done)
+
+    def _read_ledger(self) -> list[int]:
+        try:
+            with open(self._ledger) as fh:
+                return json.load(fh)
+        except (OSError, ValueError, TypeError):
+            return []
+
+    def _record_done(self, batch_id: int, keep: int = 1024) -> None:
+        ids = self._read_ledger()
+        if batch_id not in ids:
+            ids.append(int(batch_id))
+        tmp = self._ledger + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(ids[-keep:], fh)
+        os.replace(tmp, self._ledger)
+
+    def _store_listing(self) -> dict:
+        """Relative paths of every data file in the two store dirs —
+        O(store file count), bounded by compaction, never row-sized."""
+        out: dict = {}
+        for sub in ("bands", "shingles"):
+            root = os.path.join(self.store.root, sub)
+            files = []
+            if os.path.isdir(root):
+                for base, _dirs, fs in os.walk(root):
+                    rel = os.path.relpath(base, root)
+                    files.extend(
+                        os.path.join(rel, f)
+                        for f in fs
+                        if not f.startswith(("_", "."))
+                    )
+            out[sub] = sorted(files)
+        return out
+
+    def recover(self) -> bool:
+        """Undo a batch whose update crashed mid-apply: every data file
+        not in the marker's pre-absorb listing deletes (each mutating
+        step is job-atomic, so the store is exactly pre-state ∪ whole
+        committed appends), the batch's pair-sink dir drops, and the
+        marker clears — the re-run then applies the batch exactly
+        once. Idempotent; no-op without a marker."""
+        import shutil
+
+        if not self._marker or not os.path.exists(self._marker):
+            return False
+        with open(self._marker) as fh:
+            j = json.load(fh)
+        for sub in ("bands", "shingles"):
+            root = os.path.join(self.store.root, sub)
+            keep = set(j["files"].get(sub, []))
+            if not os.path.isdir(root):
+                continue
+            for base, _dirs, fs in os.walk(root):
+                rel = os.path.relpath(base, root)
+                for f in fs:
+                    if f.startswith(("_", ".")):
+                        continue
+                    if os.path.join(rel, f) not in keep:
+                        os.remove(os.path.join(base, f))
+        shutil.rmtree(j["pairs_dir"], ignore_errors=True)
+        os.remove(self._marker)
+        for t in (self.store.bands_table, self.store.shingles_table):
+            self.spark.catalog.refreshTable(t)
+        return True
 
     def update(self, batch_df: DataFrame, batch_id: int = 0) -> None:
-        if batch_id <= self._last_batch:
+        if self._marker:
+            self.recover()  # cheap exists-check when nothing crashed
+        if batch_id <= self._last_batch or (
+            self._ledger and batch_id in self._read_ledger()
+        ):
             return  # replayed batch: already absorbed
+        if self._marker:
+            tmp = self._marker + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(
+                    {
+                        "batch_id": int(batch_id),
+                        "files": self._store_listing(),
+                        "pairs_dir": os.path.join(
+                            self.pairs_path, f"batch_id={int(batch_id)}"
+                        ),
+                    },
+                    fh,
+                )
+            os.replace(tmp, self._marker)
         # foreachBatch hands a frame bound to a CLONED SparkSession; the
         # previous batch's insertInto refreshed the file index through
         # THAT clone, and a later clone can still hold a stale listing —
@@ -113,6 +224,9 @@ class StreamingDeltaDedup:
                     self.component_map,
                     self.spark.read.parquet(batch_dir),
                 )
+        if self._ledger:
+            self._record_done(batch_id)
+            os.remove(self._marker)
         self._last_batch = batch_id
 
     def pairs_df(self) -> DataFrame:

@@ -1010,3 +1010,82 @@ def test_refresh_grows_cell_count(spark):
     # default refresh keeps the grown count (and is an idempotent no-op)
     stats2 = dd.refresh_centroids(spark, store)
     assert stats2["n_cells"] == 20 and stats2["moved"] == 0
+
+
+def test_streaming_update_crash_is_exactly_once_across_restart(spark, sf_dir, tmp_path):
+    """The r11 durability protocol: a mid-update PROCESS crash (here:
+    after the pair-sink write and the bands append, before the shingles
+    append — each step is job-atomic) must not double-apply on replay.
+    A fresh StreamingDeltaDedup instance (the restart analog) recovers
+    from the undo marker — store files return to the pre-batch listing,
+    the batch's pair dir drops — and the replayed update applies
+    exactly once: final pairs and store state equal an uninjured twin's."""
+    import pytest
+
+    import external_benchmarks_spark.operators.deltadedup as dd
+    import external_benchmarks_spark.streaming.deltadedup as sdd_mod
+    from external_benchmarks_spark.streaming.deltadedup import (
+        StreamingDeltaDedup,
+    )
+
+    d = Catalog(spark, sf_dir).documents
+    corpus = d.filter(F.col("doc_id") % 10 > 3)
+    b0 = d.filter(F.col("doc_id") % 10 == 0)
+    b1 = d.filter(F.col("doc_id") % 10 == 1)
+
+    # uninjured twin
+    twin_store = build_signature_store(spark, corpus, tag="t_sdd_x1_twin")
+    twin = StreamingDeltaDedup(spark, twin_store)
+    twin.update(b0, batch_id=0)
+    twin.update(b1, batch_id=1)
+    want_pairs = sorted(tuple(r) for r in twin.pairs_df().collect())
+    want_bands = twin.spark.table(twin_store.bands_table).count()
+    want_sh = twin.spark.table(twin_store.shingles_table).count()
+
+    store = build_signature_store(spark, corpus, tag="t_sdd_x1")
+    s1 = StreamingDeltaDedup(spark, store)
+    s1.update(b0, batch_id=0)
+
+    # crash batch 1 between absorb's two atomic jobs: bands committed,
+    # shingles not (absorb_delta raises after the bands insertInto)
+    real_absorb = sdd_mod.absorb_delta
+
+    def crashy(spark_, batch_df, store_, key_col, content_col):
+        from external_benchmarks_spark.operators.deltadedup import (
+            band_hashes,
+            doc_shingles,
+        )
+
+        sh = doc_shingles(batch_df, key_col, content_col, store_.n)
+        (
+            band_hashes(sh, store_.num_hashes, store_.bands, store_.seed)
+            .repartition(store_.n_buckets, F.col("bh"))
+            .select("doc_id", "bh", "pb")
+            .write.mode("append")
+            .insertInto(store_.bands_table)
+        )
+        raise RuntimeError("injected crash between absorb jobs")
+
+    sdd_mod.absorb_delta = crashy
+    try:
+        with pytest.raises(RuntimeError, match="injected"):
+            s1.update(b1, batch_id=1)
+    finally:
+        sdd_mod.absorb_delta = real_absorb
+    assert os.path.exists(os.path.join(store.root, "_inflight_batch.json"))
+    # bands got batch 1's rows, shingles did not — the half-applied state
+    assert spark.table(store.bands_table).count() > want_bands - 1
+
+    # restart analog: a FRESH instance recovers, then replays batch 1
+    s2 = StreamingDeltaDedup(spark, store)
+    assert not os.path.exists(os.path.join(store.root, "_inflight_batch.json"))
+    assert s2._last_batch == 0  # ledger survived the crash
+    s2.update(b1, batch_id=1)
+    got_pairs = sorted(tuple(r) for r in s2.pairs_df().collect())
+    assert got_pairs == want_pairs and len(got_pairs) > 0
+    assert spark.table(store.bands_table).count() == want_bands
+    assert spark.table(store.shingles_table).count() == want_sh
+    # and a replay of an already-ledgered batch stays a no-op
+    n = s2.pairs_df().count()
+    s2.update(b0, batch_id=0)
+    assert s2.pairs_df().count() == n
