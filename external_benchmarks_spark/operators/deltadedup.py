@@ -566,7 +566,26 @@ def build_vector_store(
         )
         if layout_is_current(root, fp):
             return store
+    import shutil as _shutil
+
     import numpy as np
+
+    # a real (re)build invalidates any previous life's REFRESH state under
+    # this root: a stale _refresh_journal.json (plus .pending centroids /
+    # _refresh_staging) from a crash mid-refresh would otherwise be
+    # replayed by the first reader's recover_refresh AGAINST THE FRESH
+    # store — retiring journaled 'drained' cells (deleting freshly built
+    # live cell dirs, silent row loss) and/or swapping stale staged cells
+    # in. Mirrors build_signature_store's previous-life sweep above.
+    try:
+        os.remove(os.path.join(root, _REFRESH_JOURNAL))
+    except OSError:
+        pass
+    for stale_dir in (
+        store.centroids_path + ".pending",
+        store.vectors_path + "_refresh_staging",
+    ):
+        _shutil.rmtree(stale_dir, ignore_errors=True)
 
     cent = (
         np.asarray(centroids, dtype=np.float64)
@@ -772,21 +791,31 @@ def recover_refresh(store: VectorStore) -> bool:
         changed |= recover_dir_swap(store.centroids_path)
         # A journal-less staging/pending dir never affects reads (the
         # live store is untouched before the journal commits), so its
-        # deletion is pure housekeeping — AGE-GATED, because a FRESH
-        # orphan may belong to a refresh writer that is mid-staging
-        # right now (deleting it under the writer would make its swap
+        # deletion is pure housekeeping — gated on WRITER LIVENESS
+        # first (refresh_centroids claims a pid file before staging; a
+        # staging write longer than any fixed age gate is plausible at
+        # scale, and deleting under the live writer would make its swap
         # loop retire staged dirty cells as drained — permanent row
-        # loss). Maintenance is single-writer by contract; the gate
-        # protects the reader-during-staging case that contract allows.
-        for orphan in (pending, store.vectors_path + "_refresh_staging"):
-            if os.path.isdir(orphan):
-                try:
-                    fresh = time.time() - os.path.getmtime(orphan) < 3600
-                except OSError:
-                    continue
-                if not fresh:
-                    shutil.rmtree(orphan, ignore_errors=True)
-                    changed = True
+        # loss), with the mtime age gate as the fallback for claims this
+        # host cannot probe. Maintenance is single-writer by contract;
+        # this protects the reader-during-staging case that allows.
+        from external_benchmarks_spark.pipeline.layout import writer_alive
+
+        if not writer_alive(root):
+            for orphan in (
+                pending,
+                store.vectors_path + "_refresh_staging",
+            ):
+                if os.path.isdir(orphan):
+                    try:
+                        fresh = (
+                            time.time() - os.path.getmtime(orphan) < 3600
+                        )
+                    except OSError:
+                        continue
+                    if not fresh:
+                        shutil.rmtree(orphan, ignore_errors=True)
+                        changed = True
         return changed
     with open(jp) as fh:
         j = json.load(fh)
@@ -918,46 +947,62 @@ def refresh_centroids(
         "nonempty_cells_before": len(before),
         "nonempty_cells_after": len(after),
     }
-    staging = store.vectors_path + "_refresh_staging"
-    shutil.rmtree(staging, ignore_errors=True)
-    staged_cells: list[int] = []
-    if dirty:
-        sub = old.filter(F.col("old_cell").isin(sorted(dirty)))
-        staged = _assign_cells(sub, cent_df, key_col, emb_col)
-        (
-            staged.repartition(F.col("cell"))
-            .write.mode("overwrite")
-            .partitionBy("cell")
-            .parquet(staging)
-        )
-        staged_cells = sorted(
-            int(d.split("=", 1)[1])
-            for d in os.listdir(staging)
-            if d.startswith("cell=")
-        )
-    # stage the new centroids (driver-side pyarrow + dir swap — see
-    # _write_centroids for why a Spark job here costs ~6 s), THEN
-    # journal, THEN apply: the journal is the commit point.
-    pending = store.centroids_path + ".pending"
-    _write_centroids(pending, cent)
-    jp = os.path.join(root, _REFRESH_JOURNAL)
-    tmp = jp + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(
-            {"dirty": sorted(dirty), "staged": staged_cells,
-             "staging": staging},
-            fh,
-        )
-    os.replace(tmp, jp)
-    for c in sorted(dirty):
-        d = f"cell={c}"
-        src = os.path.join(staging, d)
-        swap_partition_dir(
-            store.vectors_path, d, src if os.path.isdir(src) else None
-        )
-    swap_dir(store.centroids_path, pending)
-    os.remove(jp)
-    shutil.rmtree(staging, ignore_errors=True)
+    # claim the writer pid file BEFORE staging: recover_refresh's
+    # journal-less orphan sweep skips deletion while this process lives,
+    # so a staging write longer than the 1h age gate is safe (released
+    # in the finally below — a crash leaves a dead pid, which readers
+    # probe and fall through to the age gate as before)
+    from external_benchmarks_spark.pipeline.layout import (
+        claim_writer,
+        release_writer,
+    )
+
+    claim_writer(root)
+    try:
+        staging = store.vectors_path + "_refresh_staging"
+        shutil.rmtree(staging, ignore_errors=True)
+        staged_cells: list[int] = []
+        if dirty:
+            sub = old.filter(F.col("old_cell").isin(sorted(dirty)))
+            staged = _assign_cells(sub, cent_df, key_col, emb_col)
+            (
+                staged.repartition(F.col("cell"))
+                .write.mode("overwrite")
+                .partitionBy("cell")
+                .parquet(staging)
+            )
+            staged_cells = sorted(
+                int(d.split("=", 1)[1])
+                for d in os.listdir(staging)
+                if d.startswith("cell=")
+            )
+        # stage the new centroids (driver-side pyarrow + dir swap — see
+        # _write_centroids for why a Spark job here costs ~6 s), THEN
+        # journal, THEN apply: the journal is the commit point.
+        pending = store.centroids_path + ".pending"
+        _write_centroids(pending, cent)
+        jp = os.path.join(root, _REFRESH_JOURNAL)
+        tmp = jp + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(
+                {"dirty": sorted(dirty), "staged": staged_cells,
+                 "staging": staging},
+                fh,
+            )
+        os.replace(tmp, jp)
+        for c in sorted(dirty):
+            d = f"cell={c}"
+            src = os.path.join(staging, d)
+            swap_partition_dir(
+                store.vectors_path, d, src if os.path.isdir(src) else None
+            )
+        swap_dir(store.centroids_path, pending)
+        os.remove(jp)
+        shutil.rmtree(staging, ignore_errors=True)
+    finally:
+        # in-session failures release so the age gate governs cleanup;
+        # a hard crash leaves a dead pid, which writer_alive() rejects
+        release_writer(root)
     return stats
 
 

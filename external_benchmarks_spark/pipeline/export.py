@@ -149,7 +149,10 @@ def _read_applied(out_path: str) -> list[str]:
         return []
 
 
-def _record_applied(out_path: str, batch_id: str, keep: int = 64) -> None:
+def _record_applied(out_path: str, batch_id: str, keep: int = 1024) -> None:
+    # keep matches the streaming absorbed-batches ledger (1024): a batch
+    # replayed after `keep` newer appends would pass the idempotency gate
+    # and double-insert, so the horizon IS the rerun-safe contract.
     import json
     import os
 
@@ -186,18 +189,25 @@ def recover_append(out_path: str) -> bool:
         orphan = out_path + "_append_staging"
         if os.path.isdir(orphan):
             # no journal => the crash hit before any swap; the layout is
-            # untouched and the batch simply re-runs. AGE-GATED: a fresh
-            # orphan may be a live appender mid-staging (deleting it
-            # under the writer would retire its planned shards as
-            # empty); single-writer is the contract, the gate protects
-            # the reader-during-staging case that contract allows.
+            # untouched and the batch simply re-runs. Gated on WRITER
+            # LIVENESS first (append_sorted_shards claims a pid file
+            # before staging — a staging write can outlast any fixed
+            # age gate at scale; deleting under the live writer would
+            # retire its planned shards as empty), then the mtime age
+            # gate for claims this host cannot probe. Single-writer is
+            # the contract; this protects the reader-during-staging
+            # case that contract allows.
             import time
+
+            from external_benchmarks_spark.pipeline.layout import (
+                writer_alive,
+            )
 
             try:
                 fresh = time.time() - os.path.getmtime(orphan) < 3600
             except OSError:
                 fresh = True
-            if not fresh:
+            if not fresh and not writer_alive(out_path):
                 shutil.rmtree(orphan, ignore_errors=True)
                 changed = True
         return changed
@@ -376,35 +386,51 @@ def append_sorted_shards(
         .join(pdf, ["shard", "_sub"])
         .select(*data_cols, F.col("_fid").alias("shard"))
     )
-    staging = out_path + "_append_staging"
-    shutil.rmtree(staging, ignore_errors=True)
-    (
-        staged.repartition(F.col("shard"))
-        .sortWithinPartitions("shard", *[F.col(c) for c in order_cols])
-        .write.mode("overwrite")
-        .partitionBy("shard")
-        .parquet(staging)
+    # writer pid claim before staging: recover_append's journal-less
+    # orphan sweep skips deletion while this process lives, so a staging
+    # write longer than the 1h age gate is safe (see layout.claim_writer)
+    from external_benchmarks_spark.pipeline.layout import (
+        claim_writer,
+        release_writer,
     )
-    fids = sorted(set(plan.values()))
-    staged_fids = [
-        fid for fid in fids if os.path.isdir(os.path.join(staging, f"shard={fid}"))
-    ]
-    jp = os.path.join(out_path, _APPEND_JOURNAL)
-    tmp = jp + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(
-            {"plan": fids, "staged": staged_fids, "staging": staging,
-             "batch_id": batch_id},
-            fh,
+
+    claim_writer(out_path)
+    try:
+        staging = out_path + "_append_staging"
+        shutil.rmtree(staging, ignore_errors=True)
+        (
+            staged.repartition(F.col("shard"))
+            .sortWithinPartitions("shard", *[F.col(c) for c in order_cols])
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(staging)
         )
-    os.replace(tmp, jp)  # the commit point
-    for fid in fids:
-        d = f"shard={fid}"
-        src = os.path.join(staging, d)
-        swap_partition_dir(out_path, d, src if os.path.isdir(src) else None)
-    _record_applied(out_path, batch_id)
-    os.remove(jp)
-    shutil.rmtree(staging, ignore_errors=True)
+        fids = sorted(set(plan.values()))
+        staged_fids = [
+            fid
+            for fid in fids
+            if os.path.isdir(os.path.join(staging, f"shard={fid}"))
+        ]
+        jp = os.path.join(out_path, _APPEND_JOURNAL)
+        tmp = jp + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(
+                {"plan": fids, "staged": staged_fids, "staging": staging,
+                 "batch_id": batch_id},
+                fh,
+            )
+        os.replace(tmp, jp)  # the commit point
+        for fid in fids:
+            d = f"shard={fid}"
+            src = os.path.join(staging, d)
+            swap_partition_dir(
+                out_path, d, src if os.path.isdir(src) else None
+            )
+        _record_applied(out_path, batch_id)
+        os.remove(jp)
+        shutil.rmtree(staging, ignore_errors=True)
+    finally:
+        release_writer(out_path)
     return {"touched": touched, "splits": splits}
 
 

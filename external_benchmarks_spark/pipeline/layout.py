@@ -88,6 +88,66 @@ def invalidate_layout(layout_path: str) -> None:
 
 
 # ---------------------------------------------------------------------------
+# Writer liveness gate, shared by the journal-less orphan-deletion sites
+# (recover_refresh, recover_append): a staging/pending dir with no journal
+# is pure housekeeping to delete — UNLESS a live writer is mid-staging
+# right now (its staging write plus pre-journal work can exceed any fixed
+# mtime gate at 100 TB scale; deleting under it makes the writer's swap
+# loop retire staged dirty cells as drained — permanent row loss). The
+# writer claims a pid file before staging and releases it after the
+# commit; recovery treats a claimed-and-alive writer as live regardless
+# of orphan age. Cross-host claims (a real cluster's driver moved) can't
+# be liveness-probed — they fall back to the age gate, which the claim's
+# own mtime refreshes at claim time.
+# ---------------------------------------------------------------------------
+
+_WRITER_LOCK = "_writer.lock.json"
+
+
+def claim_writer(root: str) -> None:
+    import socket
+
+    os.makedirs(root, exist_ok=True)
+    path = os.path.join(root, _WRITER_LOCK)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"pid": os.getpid(), "host": socket.gethostname()}, fh)
+    os.replace(tmp, path)
+
+
+def release_writer(root: str) -> None:
+    try:
+        os.remove(os.path.join(root, _WRITER_LOCK))
+    except OSError:
+        pass
+
+
+def writer_alive(root: str) -> bool:
+    """True when a claim file names a process on THIS host that is still
+    running. A dead-pid or unreadable claim returns False (the crash the
+    journal-less branch exists to clean up); a foreign-host claim returns
+    False too — the caller's age gate (refreshed by the claim write
+    itself) is the cross-host fallback."""
+    import socket
+
+    path = os.path.join(root, _WRITER_LOCK)
+    try:
+        with open(path) as fh:
+            j = json.load(fh)
+        if j.get("host") != socket.gethostname():
+            return False
+        try:
+            os.kill(int(j["pid"]), 0)
+        except PermissionError:
+            return True  # exists, other uid — still alive
+        except (ProcessLookupError, ValueError, TypeError):
+            return False
+        return True
+    except (OSError, ValueError, TypeError):
+        return False
+
+
+# ---------------------------------------------------------------------------
 # The two-rename swap protocol, shared by every layout-maintenance site
 # (partition compaction, store compaction, component-map compaction,
 # centroid refresh, driver-side one-file publishes). One implementation

@@ -142,6 +142,13 @@ class StreamingDeltaDedup:
             return False
         with open(self._marker) as fh:
             j = json.load(fh)
+        # A batch already in the ledger COMMITTED — the crash hit between
+        # _record_done and the marker removal. Undoing it here would
+        # delete its committed files while the ledger makes every replay
+        # skip: permanent row loss. The marker is stale; just drop it.
+        if int(j.get("batch_id", -1)) in self._read_ledger():
+            os.remove(self._marker)
+            return True
         for sub in ("bands", "shingles"):
             root = os.path.join(self.store.root, sub)
             keep = set(j["files"].get(sub, []))

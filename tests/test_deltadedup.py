@@ -1089,3 +1089,106 @@ def test_streaming_update_crash_is_exactly_once_across_restart(spark, sf_dir, tm
     n = s2.pairs_df().count()
     s2.update(b0, batch_id=0)
     assert s2.pairs_df().count() == n
+
+
+def test_rebuild_clears_stale_refresh_state(spark):
+    """r12 advice (high): a crash mid-refresh leaves _refresh_journal.json,
+    centroids.pending and vectors_refresh_staging at the store root; a
+    SUBSEQUENT REBUILD of the store (refresh invalidates the layout
+    fingerprint, so the next session rebuilds) must clear them — else the
+    first reader's recover_refresh replays the stale journal against the
+    FRESH store, retiring journaled 'drained' cells (deleting freshly
+    built live cell dirs: silent row loss)."""
+    import json
+
+    import external_benchmarks_spark.operators.deltadedup as dd
+
+    df, store = _axis_store(spark, "t_rebuild_stale_refresh")
+    root = os.path.dirname(store.vectors_path)
+    staging = store.vectors_path + "_refresh_staging"
+    pending = store.centroids_path + ".pending"
+    os.makedirs(staging, exist_ok=True)
+    os.makedirs(pending, exist_ok=True)
+    # previous life's journal: cell 1 'drained' (dirty, nothing staged) —
+    # replayed against a fresh store this deletes live cell dir 1
+    with open(os.path.join(root, dd._REFRESH_JOURNAL), "w") as fh:
+        json.dump({"dirty": [1], "staged": [], "staging": staging}, fh)
+    df2, store2 = _axis_store(spark, "t_rebuild_stale_refresh")  # rebuild
+    assert not os.path.exists(os.path.join(root, dd._REFRESH_JOURNAL))
+    assert not os.path.isdir(pending) and not os.path.isdir(staging)
+    dd.recover_refresh(store2)  # the first reader's call — must be a no-op
+    assert spark.read.parquet(store2.vectors_path).count() == df.count()
+    assert os.path.isdir(os.path.join(store2.vectors_path, "cell=1"))
+
+
+def test_streaming_recover_skips_ledgered_batch(spark, sf_dir):
+    """r12 advice (medium): a crash BETWEEN _record_done(batch_id) and the
+    marker removal leaves the batch in the ledger AND the undo marker on
+    disk. recover() must consult the ledger: the batch committed, so it
+    removes the marker WITHOUT undoing files — undoing would delete the
+    committed rows while the ledger makes every replay skip (permanent
+    row loss)."""
+    import json
+
+    from external_benchmarks_spark.streaming.deltadedup import (
+        StreamingDeltaDedup,
+    )
+
+    d = Catalog(spark, sf_dir).documents
+    corpus = d.filter(F.col("doc_id") % 10 > 3)
+    b0 = d.filter(F.col("doc_id") % 10 == 0)
+    store = build_signature_store(spark, corpus, tag="t_sdd_ledgermk")
+    s1 = StreamingDeltaDedup(spark, store)
+    pre_bands = spark.table(store.bands_table).count()
+    s1.update(b0, batch_id=0)
+    want_bands = spark.table(store.bands_table).count()
+    assert want_bands > pre_bands
+    want_pairs = s1.pairs_df().count()
+    # simulate the crash window: re-create the marker batch 0 wrote
+    # (pre-batch listing = what recover would roll BACK to) while the
+    # ledger already records batch 0 as done
+    marker = os.path.join(store.root, "_inflight_batch.json")
+    with open(marker, "w") as fh:
+        json.dump(
+            {
+                "batch_id": 0,
+                "files": {"bands": [], "shingles": []},
+                "pairs_dir": os.path.join(s1.pairs_path, "batch_id=0"),
+            },
+            fh,
+        )
+    s2 = StreamingDeltaDedup(spark, store)  # restart analog runs recover()
+    assert not os.path.exists(marker)
+    assert spark.table(store.bands_table).count() == want_bands
+    assert s2.pairs_df().count() == want_pairs and want_pairs >= 0
+    assert os.path.isdir(os.path.join(s1.pairs_path, "batch_id=0"))
+    assert s2._last_batch == 0
+
+
+def test_live_writer_blocks_orphan_sweep(spark):
+    """r12 advice (low): recover_refresh's journal-less branch deletes an
+    aged orphan staging/pending dir — but a LIVE refresh writer (claimed
+    pid file) whose staging work exceeds the 1h mtime gate must not have
+    its staging swept by a concurrent reader. Dead/released claims fall
+    back to the age gate as before."""
+    import external_benchmarks_spark.operators.deltadedup as dd
+    from external_benchmarks_spark.pipeline.layout import (
+        claim_writer,
+        release_writer,
+    )
+
+    _, store = _axis_store(spark, "t_writer_gate")
+    root = os.path.dirname(store.vectors_path)
+    staging = store.vectors_path + "_refresh_staging"
+    os.makedirs(staging, exist_ok=True)
+    old = 7200.0
+    past = os.path.getmtime(staging) - old
+    os.utime(staging, (past, past))  # looks >1h stale
+    claim_writer(root)  # our own live pid — the mid-staging writer
+    try:
+        dd.recover_refresh(store)
+        assert os.path.isdir(staging)  # live writer: never swept
+    finally:
+        release_writer(root)
+    dd.recover_refresh(store)  # claim released: age gate applies again
+    assert not os.path.isdir(staging)

@@ -312,3 +312,21 @@ def test_append_rerun_and_crash_are_idempotent(spark, sf_dir, tmp_path):
         .collect()
     )
     assert got == want and len(got) == o.count()
+
+
+def test_applied_ledger_horizon_matches_streaming(tmp_path):
+    """r12 advice (low): the applied-appends ledger keeps 1024 batch ids
+    (the streaming ledger's horizon) — at 64, a batch replayed after 64
+    newer appends passed the idempotency gate and double-inserted."""
+    from external_benchmarks_spark.pipeline.export import (
+        _read_applied,
+        _record_applied,
+    )
+
+    out = str(tmp_path / "layout")
+    os.makedirs(out, exist_ok=True)
+    for i in range(1100):
+        _record_applied(out, f"b{i}")
+    kept = _read_applied(out)
+    assert len(kept) == 1024
+    assert "b99" in kept and "b1099" in kept  # >64-horizon replay still gated
