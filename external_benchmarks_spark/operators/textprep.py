@@ -18,7 +18,10 @@ distributed TakeOrderedAndProject).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -103,6 +106,62 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+def doc_spans(
+    docs: DataFrame,
+    span_tokens: int = 8,
+    key_col: str = "doc_id",
+    content_col: str = "text",
+) -> DataFrame:
+    """(doc_id, span_id, span): each document's non-overlapping
+    ``span_tokens``-token windows, space-joined — the fan-out shared by
+    the batch (:func:`span_dedup`) and incremental
+    (:func:`delta_span_dedup`) forms. Pure codegen + one posexplode,
+    no shuffle; empty documents emit no rows."""
+    toks = tokens(F.col(content_col))
+    n_spans = F.ceil(F.size(toks) / F.lit(span_tokens)).cast("int")
+    spans = F.when(
+        F.size(toks) > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_spans - 1),
+            lambda i: F.array_join(
+                F.slice(toks, i * span_tokens + 1, span_tokens), " "
+            ),
+        ),
+    )
+    return docs.select(
+        F.col(key_col).alias("doc_id"),
+        F.posexplode(spans).alias("span_id", "span"),
+    )
+
+
+def _span_rebuild(s: DataFrame, kept: DataFrame) -> DataFrame:
+    """The shared output tail of both span-dedup forms: per-doc totals
+    from the full span table ``s``, per-doc rebuild stats from the
+    surviving spans ``kept`` — (doc_id, n_spans, n_kept, n_dropped,
+    clean_hash), clean_hash = md5 of survivors re-joined in position
+    order ('' when everything dropped)."""
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("span_id", "span"))),
+                lambda x: x["span"],
+            ),
+            " ",
+        ).alias("_clean"),
+    )
+    totals = s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_spans"))
+    return totals.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_spans").cast("bigint").alias("n_spans"),
+        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        (F.col("n_spans") - F.coalesce("n_kept", F.lit(0)))
+        .cast("bigint")
+        .alias("n_dropped"),
+        F.md5(F.coalesce("_clean", F.lit(""))).alias("clean_hash"),
+    )
+
+
 def span_dedup(
     docs: DataFrame, span_tokens: int = 8, min_docs: int = 2
 ) -> DataFrame:
@@ -129,25 +188,15 @@ def span_dedup(
     doc_id), one anti-join back (hot spans are heavy hitters — a small
     broadcast side in practice; Spark falls back to a shuffle join past
     the threshold, still an equi-join), and a per-doc bounded groupBy
-    for the rebuild. No corpus-sized window, no cartesian anywhere."""
-    toks = tokens(F.col("text"))
-    n_spans = F.ceil(F.size(toks) / F.lit(span_tokens)).cast("int")
-    spans = F.when(
-        F.size(toks) > 0,
-        F.transform(
-            F.sequence(F.lit(0), n_spans - 1),
-            lambda i: F.array_join(
-                F.slice(toks, i * span_tokens + 1, span_tokens), " "
-            ),
-        ),
-    )
-    # The span table feeds three consumers (hot set, anti-join left,
-    # per-doc totals); without the checkpoint each one re-scans and
-    # re-tokenizes the corpus (measured 7.7 s cold / 1.5 s warm at
-    # sf0.1 vs 1.6 / 1.2 checkpointed).
-    s = docs.select(
-        "doc_id", F.posexplode(spans).alias("span_id", "span")
-    ).localCheckpoint(eager=True)
+    for the rebuild. No corpus-sized window, no cartesian anywhere.
+
+    The eager localCheckpoint materializes a CORPUS-sized span table per
+    run — the right trade for the one-shot batch form (the three
+    consumers re-tokenize otherwise; measured 7.7 s cold / 1.5 s warm at
+    sf0.1 vs 1.6 / 1.2 checkpointed), but at 100 TB the amortized form
+    is :func:`delta_span_dedup` below, whose span counts live in a
+    persisted bucketed store instead (r11 verdict finding #2)."""
+    s = doc_spans(docs, span_tokens).localCheckpoint(eager=True)
     hot = (
         s.groupBy("span")
         .agg(F.countDistinct("doc_id").alias("_nd"))
@@ -155,26 +204,253 @@ def span_dedup(
         .select("span")
     )
     kept = s.join(hot, "span", "left_anti")
-    rebuilt = kept.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("span_id", "span"))),
-                lambda x: x["span"],
-            ),
-            " ",
-        ).alias("_clean"),
+    return _span_rebuild(s, kept)
+
+
+# ---------------------------------------------------------------------------
+# Incremental span dedup vs a PERSISTED span-count store (round 12) — the
+# delta form of span_dedup, completing the dedup family's incremental
+# story (operators/deltadedup.py's signature-store pattern applied to
+# CCNet-style cross-doc span removal). Counts are ASSOCIATIVE under the
+# daily-batch contract (delta doc_ids are disjoint from the corpus), so
+# per-batch distinct-doc counts simply ADD to the store's — which is what
+# makes absorb-then-dedup == from-scratch (tested) and absorb an O(delta)
+# bucket-aligned append instead of a corpus rewrite.
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class SpanStore:
+    """Handles + parameters of a persisted span-count store: one bucketed
+    external parquet table ``spans(span, n_docs, pb)`` — bucketed+sorted
+    by ``span`` (Exchange-free store-side join/agg), directory-partitioned
+    by ``pb`` = first hex char of md5(span) (a small delta's lookup prunes
+    corpus files at planning time, the delta_dedup band-table device)."""
+
+    spans_table: str
+    span_tokens: int
+    n_buckets: int
+    root: str = ""
+
+
+def _span_counts(s: DataFrame) -> DataFrame:
+    """(span, n_docs, pb): per-span DISTINCT-doc counts of one doc set,
+    plus the 16-way pruning prefix. The groupBy is keyed by span — a
+    map-side-combinable two-phase distinct-count, never all-pairs."""
+    return (
+        s.groupBy("span")
+        .agg(F.countDistinct("doc_id").cast("bigint").alias("n_docs"))
+        .withColumn("pb", F.substring(F.md5("span"), 1, 1))
     )
-    totals = s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_spans"))
-    return totals.join(rebuilt, "doc_id", "left").select(
-        "doc_id",
-        F.col("n_spans").cast("bigint").alias("n_spans"),
-        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
-        (F.col("n_spans") - F.coalesce("n_kept", F.lit(0)))
-        .cast("bigint")
-        .alias("n_dropped"),
-        F.md5(F.coalesce("_clean", F.lit(""))).alias("clean_hash"),
+
+
+def build_span_store(
+    spark: SparkSession,
+    corpus: DataFrame,
+    tag: str,
+    span_tokens: int = 8,
+    key_col: str = "doc_id",
+    content_col: str = "text",
+    n_buckets: int = 8,
+    source_paths: list[str] | None = None,
+) -> SpanStore:
+    """Build (or fingerprint-reuse) the persisted corpus span-count
+    store. One corpus scan; with ``source_paths`` the build is skipped
+    when the corpus files + parameters are unchanged and the table is
+    already in this session's catalog (pipeline/layout fingerprinting,
+    same contract as build_signature_store)."""
+    from external_benchmarks_spark.pipeline.bucketing import (
+        bucket_root,
+        write_bucketed,
     )
+    from external_benchmarks_spark.pipeline.layout import (
+        layout_is_current,
+        record_layout,
+        source_fingerprint,
+    )
+
+    store = SpanStore(
+        spans_table=f"ds_spans_{tag}",
+        span_tokens=span_tokens,
+        n_buckets=n_buckets,
+        root=bucket_root(f"ds_{tag}"),
+    )
+    fp = None
+    if source_paths is not None:
+        fp = source_fingerprint(
+            source_paths,
+            extra={"span_tokens": span_tokens, "n_buckets": n_buckets,
+                   "v": 1},
+        )
+        if layout_is_current(store.root, fp) and spark.catalog.tableExists(
+            store.spans_table
+        ):
+            return store
+    write_bucketed(
+        _span_counts(doc_spans(corpus, span_tokens, key_col, content_col)),
+        store.spans_table,
+        key="span",
+        n_buckets=n_buckets,
+        path=os.path.join(store.root, "spans"),
+        partition_col="pb",
+    )
+    if fp is not None:
+        record_layout(store.root, fp)
+    return store
+
+
+def _recover_span_store(spark: SparkSession, store: SpanStore) -> None:
+    """Crash recovery before any read: a compact_span_store that died
+    mid-swap leaves a ``pb=`` partition in trash; restore it (and refresh
+    the catalog file index) before reading — same contract as
+    deltadedup._recover_store_swaps."""
+    from external_benchmarks_spark.pipeline.layout import (
+        recover_partition_swaps,
+    )
+
+    if store.root and recover_partition_swaps(
+        os.path.join(store.root, "spans")
+    ):
+        spark.catalog.refreshTable(store.spans_table)
+
+
+def delta_span_dedup(
+    spark: SparkSession,
+    delta: DataFrame,
+    store: SpanStore,
+    min_docs: int = 2,
+    key_col: str = "doc_id",
+    content_col: str = "text",
+    prune: bool = True,
+) -> DataFrame:
+    """:func:`span_dedup` for the NEW batch only, against corpus ∪ batch,
+    WITHOUT rescanning the corpus: a delta span is hot when (its distinct
+    doc count within the batch) + (the store's absorbed corpus count)
+    reaches ``min_docs``. Output rows — (doc_id, n_spans, n_kept,
+    n_dropped, clean_hash) — equal the batch form run over corpus ∪ delta
+    restricted to delta docs (the registry oracle's from-scratch replay).
+
+    Scale shape: every frame except the store read is DELTA-sized (the
+    localCheckpoint here is delta-sized — unlike the batch form's
+    corpus-sized one); the store read is partition-pruned to the <= 16
+    ``pb`` prefixes the delta touches, its per-span SUM is bucket-local
+    (no Exchange above the store scan — plan-asserted in
+    tests/test_textprep.py), and the count join repartitions the DELTA
+    side to the store's bucketing, so corpus rows never shuffle."""
+    _recover_span_store(spark, store)
+    s = doc_spans(
+        delta, store.span_tokens, key_col, content_col
+    ).localCheckpoint(eager=True)
+    d_cnt = _span_counts(s)
+    corpus = spark.table(store.spans_table)
+    if prune:
+        pbs = [r[0] for r in d_cnt.select("pb").distinct().collect()]
+        corpus = corpus.filter(F.col("pb").isin(pbs))
+    # absorb appends one row per (batch, span): SUM folds them — counts
+    # are associative because batch doc sets are disjoint by contract
+    corpus_cnt = corpus.groupBy("span").agg(F.sum("n_docs").alias("_cn"))
+    hot = (
+        d_cnt.repartition(store.n_buckets, F.col("span"))
+        .join(corpus_cnt, "span", "left")
+        .filter(
+            F.col("n_docs") + F.coalesce("_cn", F.lit(0))
+            >= F.lit(int(min_docs))
+        )
+        .select("span")
+    )
+    kept = s.join(hot, "span", "left_anti")
+    return _span_rebuild(s, kept)
+
+
+def absorb_delta_spans(
+    spark: SparkSession,
+    delta: DataFrame,
+    store: SpanStore,
+    key_col: str = "doc_id",
+    content_col: str = "text",
+) -> None:
+    """The daily loop's second half: APPEND the batch's per-span
+    distinct-doc counts so tomorrow's delta sees corpus ∪ batch. The
+    repartition aligns write tasks with buckets (pmod(murmur3, n) IS the
+    bucket function), so one absorb adds ONE file per (pb, bucket) —
+    the same small-files guard as deltadedup.absorb_delta. The layout
+    fingerprint invalidates: the store no longer derives from the
+    original source files alone."""
+    from external_benchmarks_spark.pipeline.layout import invalidate_layout
+
+    (
+        _span_counts(doc_spans(delta, store.span_tokens, key_col,
+                               content_col))
+        .repartition(store.n_buckets, F.col("span"))
+        .select("span", "n_docs", "pb")  # partition column last
+        .write.mode("append")
+        .insertInto(store.spans_table)
+    )
+    if store.root:
+        invalidate_layout(store.root)
+
+
+def compact_span_store(
+    spark: SparkSession, store: SpanStore, max_files_per_bucket: int = 4
+) -> dict:
+    """Fold per-batch absorb appends back to ONE ROW per span and one
+    file per (pb partition, bucket): the rewrite re-aggregates
+    SUM(n_docs) per span — counts are associative, so folding rows is
+    exactly the read-side SUM materialized — then swaps each dirty
+    partition in with two renames (pipeline/layout protocol; crash
+    recovery via _recover_span_store). Compaction changes the physical
+    rows, not the logical per-span totals — any recorded layout
+    fingerprint stays valid. Returns {"spans_partitions": [...]}."""
+    import shutil
+
+    from external_benchmarks_spark.pipeline.bucketing import (
+        aligned_bucketed_read,
+        bucket_file_counts,
+        write_bucketed,
+    )
+    from external_benchmarks_spark.pipeline.layout import (
+        recover_partition_swaps,
+        swap_partition_dir,
+    )
+
+    spans_path = os.path.join(store.root, "spans")
+    recover_partition_swaps(spans_path)
+    dirty = []
+    for d in sorted(os.listdir(spans_path)):
+        if not d.startswith("pb="):
+            continue
+        per_bucket = bucket_file_counts(os.path.join(spans_path, d))
+        if per_bucket and max(per_bucket.values()) > max_files_per_bucket:
+            dirty.append(d)
+    if not dirty:
+        return {"spans_partitions": []}
+    vals = [d[len("pb="):] for d in dirty]
+    staging_tbl = f"{store.spans_table}_cstage"
+    staging_path = spans_path + "_cstage"
+    shutil.rmtree(staging_path, ignore_errors=True)
+    spark.sql(f"DROP TABLE IF EXISTS {staging_tbl}")
+    with aligned_bucketed_read(spark):
+        write_bucketed(
+            spark.table(store.spans_table)
+            .filter(F.col("pb").isin(vals))
+            .groupBy("span", "pb")
+            .agg(F.sum("n_docs").cast("bigint").alias("n_docs"))
+            .select("span", "n_docs", "pb"),
+            staging_tbl,
+            key="span",
+            n_buckets=store.n_buckets,
+            path=staging_path,
+            partition_col="pb",
+        )
+    spark.sql(f"DROP TABLE IF EXISTS {staging_tbl}")
+    for d in dirty:
+        staged = os.path.join(staging_path, d)
+        if not os.path.isdir(staged):
+            continue
+        swap_partition_dir(spans_path, d, staged)
+    shutil.rmtree(staging_path, ignore_errors=True)
+    spark.catalog.refreshTable(store.spans_table)
+    return {"spans_partitions": vals}
 
 
 def chunk_documents(docs: DataFrame, chunk_tokens: int = 32) -> DataFrame:

@@ -1,8 +1,9 @@
 """End-to-end maintenance soak: the WHOLE incremental-curation loop —
 dedup → pair sink → absorb → component fold → keep/drop → semantic
-dedup → vector absorb → sorted-export append → centroid refresh →
-store/map compaction — driven for N cycles against the same persisted
-artifacts, the way a daily 100 TB pipeline actually runs them.
+dedup → vector absorb → SPAN dedup + absorb (r12) → sorted-export
+append → centroid refresh → store/map/span compaction — driven for N
+cycles against the same persisted artifacts, the way a daily 100 TB
+pipeline actually runs them.
 
 Round 11 (the r10 verdict's item #5): every maintenance primitive was
 built and crash-tested in ISOLATION across rounds 9–10; nothing ever
@@ -80,6 +81,9 @@ class MaintenanceSoak:
             build_vector_store,
         )
         from external_benchmarks_spark.pipeline.bucketing import bucket_root
+        from external_benchmarks_spark.operators.textprep import (
+            build_span_store,
+        )
         from external_benchmarks_spark.pipeline.export import (
             rank_sharded,
             write_sorted_shards,
@@ -117,6 +121,10 @@ class MaintenanceSoak:
         )
         self.export_target = max(1, base.count() // n_shards)
         self._last_vec_batch = -1
+        # r12: the span-count store — the dedup family's last member to
+        # get a delta form; absorbed and compacted in the same loop
+        self.sstore = build_span_store(spark, corpus_docs, tag=f"soak_{tag}")
+        self._last_span_batch = -1
 
     def _file_census(self) -> dict:
         return {
@@ -126,6 +134,7 @@ class MaintenanceSoak:
             ),
             "component_map": _count_files(self.cmap.root),
             "export_layout": _count_files(self.layout),
+            "span_store": _count_files(self.sstore.root),
         }
 
     def cycle(self, i: int) -> dict:
@@ -140,6 +149,11 @@ class MaintenanceSoak:
             compact_signature_store,
             delta_semdedup,
             refresh_centroids,
+        )
+        from external_benchmarks_spark.operators.textprep import (
+            absorb_delta_spans,
+            compact_span_store,
+            delta_span_dedup,
         )
         from external_benchmarks_spark.pipeline.export import (
             append_sorted_shards,
@@ -158,6 +172,17 @@ class MaintenanceSoak:
         if i > self._last_vec_batch:
             absorb_delta_vectors(self.spark, batch_vecs, self.vstore)
             self._last_vec_batch = i
+        # span tier (r12): cross-doc span removal for the batch against
+        # corpus ∪ everything absorbed, then gated absorb — the same
+        # in-process gate as the vector tier (the soak object is
+        # per-process; the store rebuilds per run)
+        span_dropped = (
+            delta_span_dedup(self.spark, batch_docs, self.sstore)
+            .agg(F.sum("n_dropped")).collect()[0][0]
+        )
+        if i > self._last_span_batch:
+            absorb_delta_spans(self.spark, batch_docs, self.sstore)
+            self._last_span_batch = i
         # keep/drop over everything ingested so far, feeding the export
         seen = self.docs.filter(
             (F.col("doc_id") % 20 >= 10) | (F.col("doc_id") % 20 <= i)
@@ -195,6 +220,9 @@ class MaintenanceSoak:
         comp = compact_signature_store(
             self.spark, self.sig, max_files_per_bucket=4
         )
+        scomp = compact_span_store(
+            self.spark, self.sstore, max_files_per_bucket=4
+        )
         out = {
             "cycle": i,
             "seconds": round(time.perf_counter() - t0, 3),
@@ -202,6 +230,8 @@ class MaintenanceSoak:
             "kept": int(kept),
             "export_touched": len(app.get("touched", [])),
             "bands_compacted": len(comp["bands_partitions"]),
+            "span_dropped": int(span_dropped or 0),
+            "spans_compacted": len(scomp["spans_partitions"]),
             "refresh_moved": None if refreshed is None else refreshed["moved"],
             "files": self._file_census(),
         }
@@ -239,11 +269,19 @@ class MaintenanceSoak:
             tuple(r)
             for r in self.sdd.pairs_df().drop("batch_id").collect()
         )
+        spans = sorted(
+            tuple(r)
+            for r in self.spark.table(self.sstore.spans_table)
+            .groupBy("span")
+            .agg(F.sum("n_docs").alias("n_docs"))
+            .collect()
+        )
         return {
             "components": comps,
             "vectors": vrows,
             "layout": lrows,
             "pairs": pairs,
+            "spans": spans,
         }
 
     def cleanup(self) -> None:
@@ -253,6 +291,7 @@ class MaintenanceSoak:
             self.sig.bands_table,
             self.sig.shingles_table,
             self.cmap.table,
+            self.sstore.spans_table,
         ):
             self.spark.sql(f"DROP TABLE IF EXISTS {t}")
         for p in (
@@ -260,6 +299,7 @@ class MaintenanceSoak:
             os.path.dirname(self.vstore.vectors_path),
             self.cmap.root,
             os.path.dirname(self.layout),
+            self.sstore.root,
         ):
             shutil.rmtree(p, ignore_errors=True)
 

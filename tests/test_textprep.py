@@ -205,3 +205,190 @@ def test_span_dedup_hand_case(spark):
     assert got[2] == (3, 1, 2, h("gamma delta"))
     # doc 3: "same same" repeats WITHIN the doc only — everything stays
     assert got[3] == (3, 3, 0, h("same same same same epsilon zeta"))
+
+
+# ---------------------------------------------------------------------------
+# Incremental span dedup vs the persisted span-count store (round 12)
+# ---------------------------------------------------------------------------
+
+
+def _span_store(spark, corpus, tag):
+    from external_benchmarks_spark.operators.textprep import build_span_store
+
+    return build_span_store(spark, corpus, tag=tag, span_tokens=8)
+
+
+def test_delta_span_dedup_equals_from_scratch(spark, sf_dir):
+    """The incremental contract: delta_span_dedup(batch, store(corpus))
+    == span_dedup over corpus ∪ batch restricted to batch docs — the
+    store's absorbed counts + the batch's own counts reproduce the
+    from-scratch COUNT(DISTINCT doc_id) exactly (disjoint doc sets)."""
+    from external_benchmarks_spark.operators.textprep import (
+        delta_span_dedup,
+        span_dedup,
+    )
+
+    d = Catalog(spark, sf_dir).documents
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    delta = d.filter(F.col("doc_id") % 10 == 0)
+    store = _span_store(spark, corpus, "t_dsp_eq")
+    got = sorted(
+        tuple(r) for r in delta_span_dedup(spark, delta, store).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in span_dedup(d, span_tokens=8, min_docs=2)
+        .filter(F.col("doc_id") % 10 == 0)
+        .collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_span_absorb_then_dedup_equals_full_store(spark, sf_dir):
+    """absorb_delta_spans(b1) then delta_span_dedup(b2) == a store built
+    from corpus ∪ b1 from scratch — counts are associative under the
+    disjoint-batch contract, so the absorbed store IS the full store."""
+    from external_benchmarks_spark.operators.textprep import (
+        absorb_delta_spans,
+        delta_span_dedup,
+    )
+
+    d = Catalog(spark, sf_dir).documents
+    corpus = d.filter(F.col("doc_id") % 10 > 1)
+    b1 = d.filter(F.col("doc_id") % 10 == 1)
+    b2 = d.filter(F.col("doc_id") % 10 == 0)
+
+    inc = _span_store(spark, corpus, "t_dsp_absorb")
+    absorb_delta_spans(spark, b1, inc)
+    got = sorted(
+        tuple(r) for r in delta_span_dedup(spark, b2, inc).collect()
+    )
+    full = _span_store(
+        spark, d.filter(F.col("doc_id") % 10 != 0), "t_dsp_full"
+    )
+    want = sorted(
+        tuple(r) for r in delta_span_dedup(spark, b2, full).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_compact_span_store_folds_and_preserves(spark, sf_dir):
+    """After enough absorbs to cross the threshold, compaction folds the
+    store back to one row per span / one file per (pb, bucket) WITHOUT
+    changing any per-span total — the delta result is bit-identical and
+    the fragmentation measure drops."""
+    from external_benchmarks_spark.operators.textprep import (
+        absorb_delta_spans,
+        compact_span_store,
+        delta_span_dedup,
+    )
+    from external_benchmarks_spark.pipeline.bucketing import max_bucket_files
+
+    d = Catalog(spark, sf_dir).documents
+    corpus = d.filter(F.col("doc_id") % 10 > 4)
+    store = _span_store(spark, corpus, "t_dsp_compact")
+    for m in (1, 2, 3, 4):
+        absorb_delta_spans(spark, d.filter(F.col("doc_id") % 10 == m), store)
+    spans_path = os.path.join(store.root, "spans")
+    frag_before = max_bucket_files(spans_path)
+    assert frag_before > 4  # base + 4 absorbs per touched (pb, bucket)
+    delta = d.filter(F.col("doc_id") % 10 == 0)
+    before = sorted(
+        tuple(r) for r in delta_span_dedup(spark, delta, store).collect()
+    )
+    out = compact_span_store(spark, store, max_files_per_bucket=4)
+    assert out["spans_partitions"]
+    assert max_bucket_files(spans_path) <= 4
+    # folded: one row per (span, pb) again
+    t = spark.table(store.spans_table)
+    assert (
+        t.groupBy("span").agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1).count() == 0
+    )
+    after = sorted(
+        tuple(r) for r in delta_span_dedup(spark, delta, store).collect()
+    )
+    assert after == before and len(after) > 0
+
+
+def test_delta_span_dedup_no_exchange_above_store_scan(spark, sf_dir):
+    """Plan shape: the corpus span store never reshuffles — no Exchange
+    between the bucketed store scan and its per-span SUM/join — and the
+    scan is partition-pruned to the delta's pb prefixes."""
+    from external_benchmarks_spark.operators.textprep import (
+        delta_span_dedup,
+    )
+
+    d = Catalog(spark, sf_dir).documents
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    delta = d.filter(F.col("doc_id") % 10 == 0).limit(20)
+    store = _span_store(spark, corpus, "t_dsp_plan")
+    plan = delta_span_dedup(spark, delta, store)._jdf.queryExecution(
+    ).executedPlan().toString()
+    lines = plan.splitlines()
+    scan_idx = [
+        i for i, ln in enumerate(lines)
+        if "Scan" in ln and "ds_spans_t_dsp_plan" in ln
+    ]
+    assert scan_idx, plan
+    for i in scan_idx:
+        # walk upward from the scan: no SHUFFLE Exchange anywhere in the
+        # parent chain (tree prints parents above children at decreasing
+        # indent) — the store's per-span SUM must be bucket-local. A
+        # BroadcastExchange of the AGGREGATED result is fine (and good):
+        # it ships per-span totals of the pruned store, never store rows.
+        indent = len(lines[i]) - len(lines[i].lstrip(" +-:"))
+        j = i - 1
+        while j >= 0:
+            ln = lines[j]
+            ind = len(ln) - len(ln.lstrip(" +-:"))
+            if ind < indent:
+                assert "Exchange hashpartitioning" not in ln, plan
+                indent = ind
+                # the join/broadcast that CONSUMES the store-side agg is
+                # the boundary: above it the stream is delta-sized and
+                # its shuffles (per-doc rebuild) are legitimate
+                if "Join" in ln or "BroadcastExchange" in ln:
+                    break
+            j -= 1
+    assert "Bucketed: true" in plan, plan
+
+
+def test_delta_span_dedup_hand_case(spark):
+    """Crafted corpora (span size 2): a span hot only via corpus+delta
+    union (1 corpus doc + 1 delta doc) drops; a delta-internal
+    cross-doc span (2 delta docs) drops; a span unique corpus-side and
+    absent from the delta changes nothing; intra-doc repeats stay."""
+    import hashlib
+
+    from external_benchmarks_spark.operators.textprep import (
+        delta_span_dedup,
+    )
+
+    from external_benchmarks_spark.operators.textprep import (
+        build_span_store,
+    )
+
+    corpus = spark.createDataFrame(
+        [(100, "buy now unique corpus phrase one")],
+        "doc_id long, text string",
+    )
+    store = build_span_store(spark, corpus, tag="t_dsp_hand", span_tokens=2)
+    delta = spark.createDataFrame(
+        [
+            (1, "buy now alpha beta"),          # "buy now" hot via corpus
+            (2, "click here gamma delta"),      # "click here" hot via doc 3
+            (3, "click here same same same same"),  # intra-doc repeat stays
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_spans"], r["n_kept"], r["n_dropped"], r["clean_hash"])
+        for r in delta_span_dedup(
+            spark, delta, store, min_docs=2
+        ).collect()
+    }
+    h = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert got[1] == (2, 1, 1, h("alpha beta"))
+    assert got[2] == (2, 1, 1, h("gamma delta"))
+    assert got[3] == (3, 2, 1, h("same same same same"))

@@ -334,6 +334,42 @@ def main() -> None:
         print(f"# delta_dedup_fixed @ {sf_label}: {dd_fixed[sf_label]}",
               file=sys.stderr)
 
+    # Fixed-delta ladder, SPAN tier (r12 — the r11 verdict item #3's
+    # "Done" evidence): the SAME sf0.1 doc delta span-dedups against
+    # span-count stores over corpora 0.01/0.1/1.0r. Expected ~flat: the
+    # delta-side frames are fixed, the store read is pb-pruned and its
+    # per-span SUM bucket-local, so the per-batch cost should track the
+    # delta, not the corpus.
+    from external_benchmarks_spark.operators.textprep import (
+        build_span_store,
+        delta_span_dedup,
+    )
+
+    span_fixed: dict = {}
+    for sf_label, sf_dir in rungs.items():
+        corpus = Catalog(spark, sf_dir).documents.filter(
+            F.col("doc_id") % 10 != 0
+        )
+        t0 = time.perf_counter()
+        sstore = build_span_store(
+            spark, corpus, tag="ladder_span_" + sf_label.replace(".", "_"),
+            source_paths=[os.path.join(sf_dir, "documents.parquet")],
+        )
+        sbuild_s = time.perf_counter() - t0
+        reps = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            delta_span_dedup(spark, fixed_delta, sstore).count()
+            reps.append(time.perf_counter() - t0)
+        span_fixed[sf_label] = {
+            "corpus_docs": corpus.count(),
+            "store_build_s": round(sbuild_s, 3),
+            "cold": round(reps[0], 3),
+            "steady": round(min(reps[1:]), 3),
+        }
+        print(f"# delta_span_dedup_fixed @ {sf_label}: {span_fixed[sf_label]}",
+              file=sys.stderr)
+
     # Fixed-delta ladder, SEMANTIC tier (r10 verdict item #1's "Done"
     # evidence): the SAME sf0.1 embedding delta joins vector stores over
     # corpora 0.1x/1x/10x, with CORPUS-SCALED cell counts
@@ -525,6 +561,7 @@ def main() -> None:
         "legs": legs, "index_refresh": refresh, "replica_rows": rows,
         "skew_ladder": skew, "input_growth": growth,
         "delta_dedup_fixed_delta": dd_fixed,
+        "delta_span_dedup_fixed_delta": span_fixed,
         "delta_semdedup_fixed_delta": sem_fixed,
         "delta_growth": dd_growth,
         "compmap_fold": cm_rung,
