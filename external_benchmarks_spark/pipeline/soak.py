@@ -57,11 +57,12 @@ def _count_files(*roots: str) -> int:
 
 
 class MaintenanceSoak:
-    """Build the four persisted artifacts once, then drive cycles.
+    """Build the persisted artifacts once, then drive cycles.
 
-    Batch i = ``doc_id % 20 == i`` / ``vec_id % 20 == i`` against a
-    corpus of ``% 20 >= 10`` — ten disjoint daily batches over the
-    benchmark tables, each roughly 5% of the table."""
+    Batch i = ``doc_id % (2*n_batches) == i`` / same for ``vec_id``
+    against a corpus of ``% (2*n_batches) >= n_batches`` — n_batches
+    disjoint daily batches over the benchmark tables (default ten,
+    each roughly 5% of the table; the 1.0r ladder soak uses twenty)."""
 
     def __init__(
         self,
@@ -71,6 +72,7 @@ class MaintenanceSoak:
         threshold_fp: int = 200_000,
         rows_per_cell: int = 128,
         n_shards: int = 8,
+        n_batches: int = 10,
     ) -> None:
         from external_benchmarks_spark.catalog import Catalog
         from external_benchmarks_spark.operators.compmap import (
@@ -99,8 +101,10 @@ class MaintenanceSoak:
         cat = Catalog(spark, sf_dir)
         self.docs = cat.documents
         self.vecs = cat.embeddings
-        corpus_docs = self.docs.filter(F.col("doc_id") % 20 >= 10)
-        corpus_vecs = self.vecs.filter(F.col("vec_id") % 20 >= 10)
+        self.n_batches = int(n_batches)
+        self._mod = 2 * self.n_batches
+        corpus_docs = self.docs.filter(F.col("doc_id") % self._mod >= self.n_batches)
+        corpus_vecs = self.vecs.filter(F.col("vec_id") % self._mod >= self.n_batches)
         self.sig = build_signature_store(spark, corpus_docs, tag=f"soak_{tag}")
         self.cmap = init_component_map(spark, f"soak_{tag}")
         self.sdd = StreamingDeltaDedup(
@@ -160,8 +164,8 @@ class MaintenanceSoak:
         )
 
         t0 = time.perf_counter()
-        batch_docs = self.docs.filter(F.col("doc_id") % 20 == i)
-        batch_vecs = self.vecs.filter(F.col("vec_id") % 20 == i)
+        batch_docs = self.docs.filter(F.col("doc_id") % self._mod == i)
+        batch_vecs = self.vecs.filter(F.col("vec_id") % self._mod == i)
         # syntactic tier: dedup -> pair sink -> absorb -> fold (gated)
         self.sdd.update(batch_docs, batch_id=i)
         # semantic tier: cell-blocked pairs, then gated absorb
@@ -185,7 +189,8 @@ class MaintenanceSoak:
             self._last_span_batch = i
         # keep/drop over everything ingested so far, feeding the export
         seen = self.docs.filter(
-            (F.col("doc_id") % 20 >= 10) | (F.col("doc_id") % 20 <= i)
+            (F.col("doc_id") % self._mod >= self.n_batches)
+            | (F.col("doc_id") % self._mod <= i)
         )
         flagged = keep_flags(
             self.spark, self.cmap, seen, key_col="doc_id"
@@ -310,7 +315,9 @@ def run_soak(
     """Build, drive ``n_cycles`` cycles, clean up; returns per-cycle
     stats + build time — the bench leg's payload."""
     t0 = time.perf_counter()
-    soak = MaintenanceSoak(spark, sf_dir, tag)
+    soak = MaintenanceSoak(
+        spark, sf_dir, tag, n_batches=max(10, n_cycles)
+    )
     build_s = round(time.perf_counter() - t0, 3)
     try:
         cycles = [soak.cycle(i) for i in range(n_cycles)]

@@ -82,6 +82,12 @@ LEGS = (
     # the first are the idempotent no-move path)
     "delta_keep_best",
     "centroid_refresh",
+    # round-12 additions: incremental span removal vs the persisted
+    # span-count store (store build cold via the registry helper, delta
+    # steady) and the keep-best x span-clean x rank_sharded export
+    # composition
+    "delta_span_dedup",
+    "span_clean_export",
 )
 # Legs whose operator starts with a distinct() over a string column:
 # at 1.0r they run against the VARIANT view (10x vocabulary), not the
@@ -557,6 +563,85 @@ def main() -> None:
         skew[f"{n // 1_000_000}M"] = res
         print(f"# skew_ladder @ {n}: {res}", file=sys.stderr)
 
+    # 1.0r soak, 20 cycles (r11 verdict item #4): the committed r11 soak
+    # was 6 cycles at sf0.1 — run the WHOLE maintenance loop at the 10x
+    # replica for 20 disjoint daily batches (2-3 full compaction/refresh
+    # periods, centroid growth live via the every-3rd-cycle refresh),
+    # with ONE mid-refresh crash injection (cycle 11, a refresh cycle)
+    # that must resume to equality with an uninjured twin, artifact by
+    # artifact. Evidence recorded: per-cycle seconds + their
+    # least-squares slope (~0 = flat), first/last file censuses
+    # (bounded), and the twin-equality verdict.
+    soak_1r: dict = {}
+    if not quick:
+        import external_benchmarks_spark.operators.deltadedup as dd
+        from external_benchmarks_spark.pipeline.soak import MaintenanceSoak
+
+        n_soak = 20
+        t0 = time.perf_counter()
+        twin = MaintenanceSoak(spark, rep, "ladder_twin", n_batches=n_soak)
+        twin_build_s = round(time.perf_counter() - t0, 3)
+        try:
+            for i in range(n_soak):
+                twin.cycle(i)
+            want = twin.final_state()
+        finally:
+            twin.cleanup()
+
+        t0 = time.perf_counter()
+        soak = MaintenanceSoak(spark, rep, "ladder_soak", n_batches=n_soak)
+        build_s = round(time.perf_counter() - t0, 3)
+        try:
+            cycles = []
+            for i in range(n_soak):
+                if i == 11:  # refresh cycle (i % 3 == 2): crash between
+                    # the dirty-cell swaps and the centroid publish
+                    real = dd.swap_dir
+
+                    def boom(path, staged):
+                        raise RuntimeError("injected refresh crash")
+
+                    dd.swap_dir = boom
+                    try:
+                        soak.cycle(i)
+                        raise AssertionError("injection did not fire")
+                    except RuntimeError as exc:
+                        if "injected" not in str(exc):
+                            raise
+                    finally:
+                        dd.swap_dir = real
+                cycles.append(soak.cycle(i))  # resume re-runs the cycle
+            got = soak.final_state()
+            secs = [c["seconds"] for c in cycles]
+            n = len(secs)
+            xbar = (n - 1) / 2.0
+            ybar = sum(secs) / n
+            slope = sum(
+                (i - xbar) * (s - ybar) for i, s in enumerate(secs)
+            ) / sum((i - xbar) ** 2 for i in range(n))
+            soak_1r = {
+                "n_cycles": n_soak,
+                "build_s": build_s,
+                "twin_build_s": twin_build_s,
+                "cycle_seconds": [round(s, 3) for s in secs],
+                "cycle_s_median": round(sorted(secs)[n // 2], 3),
+                "cycle_s_slope_per_cycle": round(slope, 4),
+                "files_first": cycles[0]["files"],
+                "files_last": cycles[-1]["files"],
+                "crash_cycle": 11,
+                "resume_equals_twin": bool(
+                    got["components"] == want["components"]
+                    and got["vectors"] == want["vectors"]
+                    and got["layout"] == want["layout"]
+                    and got["pairs"] == want["pairs"]
+                    and got["spans"] == want["spans"]
+                ),
+                "artifact_rows": {k: len(v) for k, v in got.items()},
+            }
+        finally:
+            soak.cleanup()
+        print(f"# soak_1.0r: {soak_1r}", file=sys.stderr)
+
     print(json.dumps({
         "legs": legs, "index_refresh": refresh, "replica_rows": rows,
         "skew_ladder": skew, "input_growth": growth,
@@ -565,6 +650,7 @@ def main() -> None:
         "delta_semdedup_fixed_delta": sem_fixed,
         "delta_growth": dd_growth,
         "compmap_fold": cm_rung,
+        "soak_1.0r": soak_1r,
     }))
 
 
