@@ -1493,6 +1493,101 @@ def q_ivfpq_topk(spark, sf):
     return ivfpq_topk(codes, centroids, cb, QVEC, k=20, nprobe=IVF_NPROBE)
 
 
+# ---------------------------------------------------------------------------
+# Persisted IVF-PQ index (pipeline/pqindex.py, r12): the production form
+# of the PQ family — quantizer training + corpus encode are INDEX BUILD
+# (amortized, like every other persisted store here), queries pay only
+# the planning-time cell prune + the m-byte ADC scan. Reference anchor:
+# README.md:64 (index build budget) + README.md:73-76 (ANN serving).
+# ---------------------------------------------------------------------------
+
+_PQ_INDEX: dict = {}
+
+
+def _pq_index_tag(sf: str, prefix: str) -> str:
+    src = os.path.join(sf, "embeddings.parquet")
+    st = os.stat(src)
+    return "{}_{}_{}_{}".format(
+        prefix,
+        os.path.basename(sf.rstrip("/")).replace(".", "_"),
+        int(st.st_mtime),
+        st.st_size,
+    )
+
+
+def _pq_index(spark, sf):
+    """Index over the FULL embeddings table; built once per (session, sf)."""
+    from external_benchmarks_spark.pipeline.bucketing import bucket_root
+    from external_benchmarks_spark.pipeline.pqindex import build_pq_index
+
+    tag = _pq_index_tag(sf, "full")
+    key = (spark.sparkContext.applicationId, tag)
+    if key not in _PQ_INDEX:
+        _PQ_INDEX[key] = build_pq_index(
+            spark,
+            Catalog(spark, sf).embeddings,
+            bucket_root(f"pqidx_{tag}"),
+            n_codes=PQ_CODES,
+            m_subspaces=PQ_M,
+            n_centroids=IVF_N_CENTROIDS,
+            source_paths=[os.path.join(sf, "embeddings.parquet")],
+        )
+    return _PQ_INDEX[key]
+
+
+def _pq_index_appended(spark, sf):
+    """Index built on vec_id % 10 != 0, with the remainder APPENDED as a
+    delta batch under the frozen base quantizers — the incremental
+    maintenance arc every other store here has, on the PQ layout."""
+    from external_benchmarks_spark.pipeline.bucketing import bucket_root
+    from external_benchmarks_spark.pipeline.pqindex import (
+        append_pq_index,
+        build_pq_index,
+    )
+
+    tag = _pq_index_tag(sf, "app")
+    key = (spark.sparkContext.applicationId, tag)
+    if key not in _PQ_INDEX:
+        e = Catalog(spark, sf).embeddings
+        idx = build_pq_index(
+            spark,
+            e.filter(F.col("vec_id") % 10 != 0),
+            bucket_root(f"pqidx_{tag}"),
+            n_codes=PQ_CODES,
+            m_subspaces=PQ_M,
+            n_centroids=IVF_N_CENTROIDS,
+        )
+        append_pq_index(
+            spark, idx, e.filter(F.col("vec_id") % 10 == 0), batch_id="delta0"
+        )
+        _PQ_INDEX[key] = idx
+    return _PQ_INDEX[key]
+
+
+def q_pq_index_topk(spark, sf):
+    # IVF-PQ top-k against the PERSISTED index: probe cells resolve
+    # driver-side from the sidecar centroids (no Spark job), the
+    # centroid_id filter prunes cell directories at planning time
+    # (plan-asserted in tests/test_pqindex.py), and the scan reads m
+    # bytes per candidate. The oracle replays quantizer sampling,
+    # encoding, and ADC from the source table — the index is a
+    # deterministic function of it.
+    from external_benchmarks_spark.pipeline.pqindex import pq_index_topk
+
+    return pq_index_topk(spark, _pq_index(spark, sf), QVEC, k=25, nprobe=IVF_NPROBE)
+
+
+def q_pq_index_append_topk(spark, sf):
+    # Full-scan ADC top-k over the base+appended index: every row of the
+    # result must come out of the MIXED file set (base layout + delta
+    # append files), so the hash oracle — which re-encodes the full
+    # corpus under the BASE-sampled codebooks — proves append == rebuild
+    # end to end, through the persisted files.
+    from external_benchmarks_spark.pipeline.pqindex import pq_index_topk
+
+    return pq_index_topk(spark, _pq_index_appended(spark, sf), QVEC, k=20, nprobe=None)
+
+
 def _scd2_parts(spark, sf):
     # Shared by scd2_apply / scd2_lookup: a TWO-attribute dimension
     # (seg = event_type, band = sign bucket of value — NULL for
@@ -1996,12 +2091,18 @@ def _bpe_sql(n_merges: int = BPE_MERGES) -> str:
 # Shared oracle CTEs: replay the hash-sampled codebook (same ORDER BY
 # md5 device as the IVF oracles), the per-term-floor integer distances,
 # and the first-minimum tie rule. dsub = EMB_DIM // PQ_M.
+# ``cb_src`` parameterizes WHICH rows the codebook samples from: the
+# persisted-index append oracle trains on the BASE subset (the frozen-
+# quantizer contract) while encoding covers the full table.
 _PQ_DSUB = EMB_DIM // PQ_M
-_PQ_CTES = f"""
+
+
+def _pq_ctes(cb_src: str = "embeddings") -> str:
+    return f"""
         cb AS (
           SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code,
                  {EMB_DBL} AS ce
-          FROM embeddings
+          FROM {cb_src}
           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
           LIMIT {PQ_CODES}),
         jj AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS j),
@@ -2018,6 +2119,31 @@ _PQ_CTES = f"""
                    row_number() OVER (PARTITION BY vec_id, j ORDER BY d, code) AS rn
             FROM pq_dist) t
           WHERE rn = 1)"""
+
+
+_PQ_CTES = _pq_ctes()
+
+
+# ADC scoring tail shared by the ivfpq oracle and the persisted-index
+# oracles: query LUT from the cb CTE, integer-sum scores, total-order
+# top-k. ``where`` optionally restricts candidates (the IVF probe).
+def _pq_adc_sql_tail(k: int, where: str = "") -> str:
+    return f"""
+            pq_lut AS (
+              SELECT jj.j, cb.code,
+                     list_sum(list_transform(generate_series(1, {_PQ_DSUB}), i ->
+                       CAST(FLOOR({QVEC_SQL}[jj.j * {_PQ_DSUB} + i]
+                            * cb.ce[jj.j * {_PQ_DSUB} + i] * 1000000.0)
+                            AS BIGINT))) AS v
+              FROM jj CROSS JOIN cb),
+            pq_s AS (
+              SELECT e.vec_id, CAST(SUM(l.v) AS BIGINT) AS pq_score
+              FROM pq_enc e {where}
+                JOIN pq_lut l ON e.j = l.j AND e.code = l.code
+              GROUP BY e.vec_id)
+            SELECT vec_id, pq_score,
+                   CAST(pq_score AS DOUBLE) / 1000000.0 AS approx_score
+            FROM pq_s ORDER BY pq_score DESC, vec_id LIMIT {k}"""
 
 
 def q_pq_encode(spark, sf):
@@ -6629,6 +6755,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-12 brand-new: verify first ---
         "delta_span_dedup": q_delta_span_dedup,
         "span_clean_export": q_span_clean_export,
+        "pq_index_topk": q_pq_index_topk,
+        "pq_index_append_topk": q_pq_index_append_topk,
         # --- the r6-verified tail, complete (the r11 verdict's named
         # stale set: the PQ family first — it is also the bench-wobble
         # watch item — then the ANN/cluster/stream entries) ---
@@ -8471,22 +8599,28 @@ def oracle_sql() -> dict[str, str]:
         "ivfpq_topk": f"""
             WITH {_IVF_CTES},
             {_PQ_CTES},
-            pq_lut AS (
-              SELECT jj.j, cb.code,
-                     list_sum(list_transform(generate_series(1, {_PQ_DSUB}), i ->
-                       CAST(FLOOR({QVEC_SQL}[jj.j * {_PQ_DSUB} + i]
-                            * cb.ce[jj.j * {_PQ_DSUB} + i] * 1000000.0)
-                            AS BIGINT))) AS v
-              FROM jj CROSS JOIN cb),
             pq_cand AS (SELECT a.vec_id FROM assign a JOIN probe p USING (cid)),
-            pq_s AS (
-              SELECT e.vec_id, CAST(SUM(l.v) AS BIGINT) AS pq_score
-              FROM pq_enc e JOIN pq_cand USING (vec_id)
-                JOIN pq_lut l ON e.j = l.j AND e.code = l.code
-              GROUP BY e.vec_id)
-            SELECT vec_id, pq_score,
-                   CAST(pq_score AS DOUBLE) / 1000000.0 AS approx_score
-            FROM pq_s ORDER BY pq_score DESC, vec_id LIMIT 20
+            {_pq_adc_sql_tail(20, "JOIN pq_cand USING (vec_id)")}
+        """,
+        # Persisted-index twin: the index is a deterministic function of
+        # the source table (hash-sampled quantizers, integer encode), so
+        # the oracle replays the full pipeline from `embeddings` and the
+        # Spark side must reproduce it FROM THE PERSISTED FILES.
+        "pq_index_topk": f"""
+            WITH {_IVF_CTES},
+            {_PQ_CTES},
+            pq_cand AS (SELECT a.vec_id FROM assign a JOIN probe p USING (cid)),
+            {_pq_adc_sql_tail(25, "JOIN pq_cand USING (vec_id)")}
+        """,
+        # Append == rebuild, proven through the files: codebooks sample
+        # from the BASE subset (the frozen-quantizer contract), encoding
+        # covers the FULL table, and the Spark side reads the mixed
+        # base-layout + delta-append file set. Full ADC (no probe), so
+        # every persisted row participates in the hash.
+        "pq_index_append_topk": f"""
+            WITH base AS (SELECT * FROM embeddings WHERE vec_id % 10 != 0),
+            {_pq_ctes("base")},
+            {_pq_adc_sql_tail(20)}
         """,
         "jsonl_roundtrip": f"""
             SELECT lang, source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,

@@ -1,0 +1,258 @@
+"""Persisted IVF-PQ index: frozen quantizers + cell-partitioned codes.
+
+The batch PQ operators (operators/quantize.py) price codebook training
++ corpus encoding + ADC scoring inside every call — the honest cost of
+the *function*, but not the production architecture the reference's ANN
+rows describe (reference README.md:64, 73-76: index build is a separate
+<2 h budget; queries answer in milliseconds against the built index).
+At 100 TB the train + encode passes are INDEX BUILD, paid once and
+amortized; a query pays only a planning-time cell prune plus an ADC
+scan over m BYTES per candidate vector (8 B here vs 10 KB of raw
+float64 at dim 2688 — a 1300× corpus-pass reduction).
+
+This module persists that architecture with the same store contract as
+every other persisted artifact in the engine (signature store, vector
+store, sorted export, inverted index):
+
+- **build**: hash-sampled centroids (similarity.sampled_centroids) and
+  codebooks (quantize.pq_codebooks) — both deterministic, so any SQL
+  engine replays the whole index from the source table — encode the
+  corpus once (Arrow-batched, quantize.pq_encode), and the codes land
+  partitioned by IVF cell via pipeline/index.build_index_layout with a
+  recorded source fingerprint.
+- **append**: deltas encode under the FROZEN quantizers (centroid
+  assignment and PQ codes are pure functions of (quantizers, row), so
+  append == rebuild bit-for-bit — tested) and route O(delta) files to
+  their cell directories; a batch-id ledger (same 1024-entry horizon
+  as the sorted export and the streaming absorbed-batches ledger)
+  makes replays idempotent. Re-fitting quantizers is a REBUILD, by
+  design — the same contract as append_to_index_layout's frozen
+  centroids.
+- **query**: nprobe nearest cells resolve driver-side against the
+  sidecar centroids (O(n_centroids), no Spark job), the scan prunes
+  those directories at PLANNING time, and quantize.pq_adc_topk scores
+  the survivors — integer LUT arithmetic, codegen end to end.
+
+Small files from appends fold back with
+pipeline/index.compact_layout_partitions, same as the IVF layout.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Sequence
+from dataclasses import dataclass
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_META = "_pq_meta.json"
+_CODES_DIR = "codes"
+
+
+@dataclass
+class PQIndex:
+    """Handle to a persisted PQ index: paths + the frozen quantizers."""
+
+    root: str
+    centroids: np.ndarray  # [n_centroids, dim], normalized per metric
+    codebooks: np.ndarray  # [m, n_codes, dsub] float64
+    metric: str
+    key_col: str
+
+    @property
+    def codes_path(self) -> str:
+        return os.path.join(self.root, _CODES_DIR)
+
+
+def _write_meta(index: PQIndex) -> None:
+    payload = {
+        "metric": index.metric,
+        "key_col": index.key_col,
+        "centroids": index.centroids.tolist(),
+        "codebooks": index.codebooks.tolist(),
+    }
+    path = os.path.join(index.root, _META)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(payload, fh)
+    os.replace(tmp, path)
+
+
+def load_pq_index(root: str) -> PQIndex:
+    with open(os.path.join(root, _META)) as fh:
+        meta = json.load(fh)
+    return PQIndex(
+        root=root,
+        centroids=np.asarray(meta["centroids"], dtype=np.float64),
+        codebooks=np.asarray(meta["codebooks"], dtype=np.float64),
+        metric=meta["metric"],
+        key_col=meta["key_col"],
+    )
+
+
+def _index_fingerprint(
+    source_paths: Sequence[str] | None, params: dict, applied: list[str]
+) -> str:
+    from external_benchmarks_spark.pipeline.layout import source_fingerprint
+
+    return source_fingerprint(
+        list(source_paths or []), extra={"pq": params, "applied": applied}
+    )
+
+
+def build_pq_index(
+    spark: SparkSession,
+    df: DataFrame,
+    root: str,
+    n_codes: int = 16,
+    m_subspaces: int = 8,
+    n_centroids: int = 16,
+    metric: str = "cosine",
+    key_col: str = "vec_id",
+    emb_col: str = "embedding",
+    source_paths: Sequence[str] | None = None,
+) -> PQIndex:
+    """Train (hash-sample) the quantizers, encode the corpus, write the
+    cell-partitioned codes layout + quantizer sidecar. One shuffle (the
+    repartition by cell) over m-byte codes; the raw embeddings never
+    reshuffle. A previous index life at ``root`` is replaced wholesale
+    (overwrite layout write + fresh sidecar + fresh ledger)."""
+    from external_benchmarks_spark.operators.quantize import (
+        pq_codebooks,
+        pq_encode,
+    )
+    from external_benchmarks_spark.operators.similarity import (
+        ivf_assign,
+        sampled_centroids,
+    )
+    from external_benchmarks_spark.pipeline.index import build_index_layout
+
+    os.makedirs(root, exist_ok=True)
+    # Clear a previous life's append ledger BEFORE the overwrite (the
+    # vector-store rebuild lesson, operators/deltadedup.py: stale
+    # recovery state must never outlive the artifact it described).
+    ledger = os.path.join(root, "_applied_appends.json")
+    if os.path.exists(ledger):
+        os.remove(ledger)
+    centroids = sampled_centroids(
+        df, n_centroids=n_centroids, key_col=key_col, emb_col=emb_col
+    )
+    cb = pq_codebooks(
+        df, n_codes=n_codes, m_subspaces=m_subspaces,
+        key_col=key_col, emb_col=emb_col,
+    )
+    codes = pq_encode(
+        ivf_assign(df, centroids, emb_col=emb_col, metric=metric),
+        cb,
+        key_col=key_col,
+        emb_col=emb_col,
+        extra_cols=["centroid_id"],
+    )
+    index = PQIndex(
+        root=root, centroids=centroids, codebooks=cb,
+        metric=metric, key_col=key_col,
+    )
+    params = {
+        "n_codes": n_codes, "m": m_subspaces,
+        "n_centroids": n_centroids, "metric": metric,
+    }
+    build_index_layout(
+        codes,
+        index.codes_path,
+        partition_col="centroid_id",
+        sort_cols=[key_col],
+        emb_col=None,
+        fingerprint=_index_fingerprint(source_paths, params, []),
+    )
+    _write_meta(index)
+    return index
+
+
+def append_pq_index(
+    spark: SparkSession,
+    index: PQIndex,
+    delta_df: DataFrame,
+    batch_id: str,
+    emb_col: str = "embedding",
+    source_paths: Sequence[str] | None = None,
+) -> bool:
+    """Encode ``delta_df`` under the index's FROZEN quantizers and append
+    O(delta) files to the touched cell directories. Returns False (no
+    write) when ``batch_id`` is already in the applied ledger — the same
+    rerun-safe contract as the sorted export's merge-append. The layout
+    fingerprint is re-recorded with the ledger folded in, so a replayed
+    build-else-reuse check sees the appended index as current for
+    exactly this (source, applied-batches) state."""
+    from external_benchmarks_spark.operators.quantize import pq_encode
+    from external_benchmarks_spark.operators.similarity import ivf_assign
+    from external_benchmarks_spark.pipeline.export import (
+        _read_applied,
+        _record_applied,
+    )
+    from external_benchmarks_spark.pipeline.index import append_to_index_layout
+    from external_benchmarks_spark.pipeline.layout import record_layout
+
+    if batch_id in _read_applied(index.root):
+        return False
+    m, n_codes, _dsub = index.codebooks.shape
+    codes = pq_encode(
+        ivf_assign(delta_df, index.centroids, emb_col=emb_col, metric=index.metric),
+        index.codebooks,
+        key_col=index.key_col,
+        emb_col=emb_col,
+        extra_cols=["centroid_id"],
+    )
+    # append_to_index_layout drops the current-marker up front, so a
+    # crash mid-write leaves the index readable but not-current — the
+    # ledger stays unrecorded and the batch replays cleanly only after
+    # the owner rebuilds (the documented layout-append contract).
+    append_to_index_layout(
+        codes,
+        index.codes_path,
+        partition_col="centroid_id",
+        emb_col=None,
+    )
+    _record_applied(index.root, batch_id)
+    params = {
+        "n_codes": n_codes, "m": m,
+        "n_centroids": len(index.centroids), "metric": index.metric,
+    }
+    record_layout(
+        index.codes_path,
+        _index_fingerprint(source_paths, params, _read_applied(index.root)),
+    )
+    return True
+
+
+def pq_index_codes(spark: SparkSession, index: PQIndex) -> DataFrame:
+    return spark.read.parquet(index.codes_path)
+
+
+def pq_index_topk(
+    spark: SparkSession,
+    index: PQIndex,
+    query: Sequence[float],
+    k: int = 20,
+    nprobe: int | None = None,
+) -> DataFrame:
+    """ADC top-k against the persisted codes. With ``nprobe`` the probe
+    cells resolve driver-side from the sidecar centroids (no Spark job)
+    and the ``centroid_id`` filter prunes cell DIRECTORIES at planning
+    time — the scan reads nprobe/n_centroids of an already-1300×-
+    compressed corpus. ``nprobe=None`` scans every cell (exact ADC over
+    the full code table)."""
+    from external_benchmarks_spark.operators.quantize import pq_adc_topk
+    from external_benchmarks_spark.operators.similarity import ivf_probe_cells
+
+    codes = pq_index_codes(spark, index)
+    if nprobe is not None:
+        cells = [
+            int(c)
+            for c in ivf_probe_cells(index.centroids, query, nprobe, index.metric)
+        ]
+        codes = codes.filter(F.col("centroid_id").isin(cells))
+    return pq_adc_topk(codes, index.codebooks, query, k=k, key_col=index.key_col)

@@ -1,0 +1,159 @@
+"""Persisted IVF-PQ index (pipeline/pqindex.py): build / append / query
+contract — append == rebuild bit parity under frozen quantizers, replay
+idempotency, planning-time cell pruning, sidecar round-trip, and parity
+with the in-memory ivfpq composition (oracle parity is covered by
+test_oracle_queries.py's pq_index_* entries)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from external_benchmarks_spark.catalog import Catalog
+from external_benchmarks_spark.operators.quantize import (
+    ivfpq_topk,
+    pq_codebooks,
+    pq_encode,
+)
+from external_benchmarks_spark.operators.similarity import (
+    ivf_assign,
+    sampled_centroids,
+)
+from external_benchmarks_spark.pipeline.pqindex import (
+    append_pq_index,
+    build_pq_index,
+    load_pq_index,
+    pq_index_codes,
+    pq_index_topk,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+QVEC_DIM = 64
+QVEC = [float((i * 37) % 13 - 6) for i in range(QVEC_DIM)]
+N_CODES, M, N_CENT = 16, 8, 8
+
+
+def _emb(spark):
+    return Catalog(spark, SF_DIR).embeddings
+
+
+@pytest.fixture(scope="module")
+def full_index(spark):
+    """Index over the full embeddings table, built once per module."""
+    with tempfile.TemporaryDirectory() as d:
+        root = os.path.join(d, "pq")
+        yield build_pq_index(
+            spark, _emb(spark), root,
+            n_codes=N_CODES, m_subspaces=M, n_centroids=N_CENT,
+        )
+
+
+def _codes_rows(df):
+    return sorted(
+        (r.vec_id, tuple(r.pq_codes), r.centroid_id)
+        for r in df.select("vec_id", "pq_codes", "centroid_id").collect()
+    )
+
+
+def test_topk_matches_inmemory_composition(spark, full_index):
+    emb = _emb(spark)
+    centroids = sampled_centroids(emb, n_centroids=N_CENT)
+    cb = pq_codebooks(emb, n_codes=N_CODES, m_subspaces=M)
+    codes = pq_encode(ivf_assign(emb, centroids), cb, extra_cols=["centroid_id"])
+    mem = ivfpq_topk(codes, centroids, cb, QVEC, k=15, nprobe=3)
+    idx = pq_index_topk(spark, full_index, QVEC, k=15, nprobe=3)
+    assert [(r.vec_id, r.pq_score) for r in idx.collect()] == [
+        (r.vec_id, r.pq_score) for r in mem.collect()
+    ]
+
+
+def test_full_scan_when_nprobe_none(spark, full_index):
+    n = pq_index_codes(spark, full_index).count()
+    assert n == _emb(spark).count()
+    # nprobe=None scores every cell: equals plain ADC over all codes
+    from external_benchmarks_spark.operators.quantize import pq_adc_topk
+
+    allcodes = pq_index_codes(spark, full_index)
+    a = pq_index_topk(spark, full_index, QVEC, k=10, nprobe=None)
+    b = pq_adc_topk(allcodes, full_index.codebooks, QVEC, k=10)
+    assert [r.vec_id for r in a.collect()] == [r.vec_id for r in b.collect()]
+
+
+def test_nprobe_prunes_partitions_at_planning(spark, full_index):
+    plan = pq_index_topk(spark, full_index, QVEC, k=10, nprobe=2)._jdf.queryExecution().executedPlan().toString()
+    scan = next(l for l in plan.splitlines() if "FileScan" in l)
+    assert "PartitionFilters" in scan and "centroid_id" in scan.split(
+        "PartitionFilters"
+    )[1].split("]")[0], scan
+
+
+def test_append_equals_rebuild_bit_for_bit(spark):
+    """Frozen quantizers make (build on base) + (append delta) produce
+    the identical code table as encoding the full corpus under the
+    base-trained quantizers."""
+    emb = _emb(spark)
+    base = emb.filter(F.col("vec_id") % 10 != 0)
+    delta = emb.filter(F.col("vec_id") % 10 == 0)
+    with tempfile.TemporaryDirectory() as d:
+        idx = build_pq_index(
+            spark, base, os.path.join(d, "pq"),
+            n_codes=N_CODES, m_subspaces=M, n_centroids=N_CENT,
+        )
+        assert append_pq_index(spark, idx, delta, batch_id="b1") is True
+        got = _codes_rows(pq_index_codes(spark, idx))
+    want = _codes_rows(
+        pq_encode(
+            ivf_assign(emb, idx.centroids),
+            idx.codebooks,
+            extra_cols=["centroid_id"],
+        )
+    )
+    assert got == want
+
+
+def test_append_replay_is_idempotent(spark):
+    emb = _emb(spark)
+    base = emb.filter(F.col("vec_id") % 10 != 0)
+    delta = emb.filter(F.col("vec_id") % 10 == 0)
+    with tempfile.TemporaryDirectory() as d:
+        idx = build_pq_index(
+            spark, base, os.path.join(d, "pq"),
+            n_codes=N_CODES, m_subspaces=M, n_centroids=N_CENT,
+        )
+        assert append_pq_index(spark, idx, delta, batch_id="b1") is True
+        n1 = pq_index_codes(spark, idx).count()
+        assert append_pq_index(spark, idx, delta, batch_id="b1") is False
+        assert pq_index_codes(spark, idx).count() == n1
+
+
+def test_sidecar_roundtrip_and_rebuild_clears_ledger(spark):
+    emb = _emb(spark)
+    with tempfile.TemporaryDirectory() as d:
+        root = os.path.join(d, "pq")
+        idx = build_pq_index(
+            spark, emb.filter(F.col("vec_id") % 10 != 0), root,
+            n_codes=N_CODES, m_subspaces=M, n_centroids=N_CENT,
+        )
+        append_pq_index(
+            spark, idx, emb.filter(F.col("vec_id") % 10 == 0), batch_id="b1"
+        )
+        loaded = load_pq_index(root)
+        assert np.array_equal(loaded.centroids, idx.centroids)
+        assert np.array_equal(loaded.codebooks, idx.codebooks)
+        assert loaded.metric == idx.metric and loaded.key_col == idx.key_col
+        # a rebuild over the same root starts a fresh ledger: the old
+        # batch id must not suppress a new append (the stale-state
+        # clearing contract shared with the vector store)
+        idx2 = build_pq_index(
+            spark, emb.filter(F.col("vec_id") % 10 != 0), root,
+            n_codes=N_CODES, m_subspaces=M, n_centroids=N_CENT,
+        )
+        assert append_pq_index(
+            spark, idx2, emb.filter(F.col("vec_id") % 10 == 0), batch_id="b1"
+        ) is True
+        assert pq_index_codes(spark, idx2).count() == emb.count()
