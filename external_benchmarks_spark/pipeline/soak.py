@@ -1,9 +1,10 @@
 """End-to-end maintenance soak: the WHOLE incremental-curation loop —
 dedup → pair sink → absorb → component fold → keep/drop → semantic
-dedup → vector absorb → SPAN dedup + absorb (r12) → sorted-export
-append → centroid refresh → store/map/span compaction — driven for N
-cycles against the same persisted artifacts, the way a daily 100 TB
-pipeline actually runs them.
+dedup → vector absorb → SPAN dedup + absorb (r12) → PQ-index append +
+probe (r12) → sorted-export append → centroid refresh →
+store/map/span/PQ compaction — driven for N cycles against the same
+persisted artifacts, the way a daily 100 TB pipeline actually runs
+them.
 
 Round 11 (the r10 verdict's item #5): every maintenance primitive was
 built and crash-tested in ISOLATION across rounds 9–10; nothing ever
@@ -129,6 +130,26 @@ class MaintenanceSoak:
         # get a delta form; absorbed and compacted in the same loop
         self.sstore = build_span_store(spark, corpus_docs, tag=f"soak_{tag}")
         self._last_span_batch = -1
+        # r12: the persisted PQ index rides the same loop — frozen-
+        # quantizer appends (batch-id ledger makes crashed-cycle
+        # re-runs exactly-once), a probed read each cycle proves it
+        # stays queryable mid-maintenance, layout compaction folds the
+        # per-batch append files
+        import math
+
+        from external_benchmarks_spark.pipeline.pqindex import build_pq_index
+
+        n_corpus = corpus_vecs.count()
+        self.pqi = build_pq_index(
+            spark, corpus_vecs, bucket_root(f"soak_pqi_{tag}"),
+            n_centroids=max(16, math.ceil(n_corpus / 1024)),
+        )
+        self._pq_qvec = [
+            float(x)
+            for x in corpus_vecs.select("vec_id", "embedding")
+            .orderBy("vec_id")
+            .first()["embedding"]
+        ]
 
     def _file_census(self) -> dict:
         return {
@@ -139,6 +160,7 @@ class MaintenanceSoak:
             "component_map": _count_files(self.cmap.root),
             "export_layout": _count_files(self.layout),
             "span_store": _count_files(self.sstore.root),
+            "pq_index": _count_files(self.pqi.codes_path),
         }
 
     def cycle(self, i: int) -> dict:
@@ -187,6 +209,18 @@ class MaintenanceSoak:
         if i > self._last_span_batch:
             absorb_delta_spans(self.spark, batch_docs, self.sstore)
             self._last_span_batch = i
+        # PQ-index tier (r12): frozen-quantizer append (ledger-gated —
+        # a crashed cycle's re-run skips it), then a probed read proves
+        # the index answers mid-maintenance
+        from external_benchmarks_spark.pipeline.pqindex import (
+            append_pq_index,
+            pq_index_topk,
+        )
+
+        append_pq_index(self.spark, self.pqi, batch_vecs, batch_id=f"b{i}")
+        pq_hits = pq_index_topk(
+            self.spark, self.pqi, self._pq_qvec, k=20, nprobe=4
+        ).count()
         # keep/drop over everything ingested so far, feeding the export
         seen = self.docs.filter(
             (F.col("doc_id") % self._mod >= self.n_batches)
@@ -228,6 +262,13 @@ class MaintenanceSoak:
         scomp = compact_span_store(
             self.spark, self.sstore, max_files_per_bucket=4
         )
+        from external_benchmarks_spark.pipeline.index import (
+            compact_layout_partitions,
+        )
+
+        pq_comp = compact_layout_partitions(
+            self.spark, self.pqi.codes_path, max_files_per_partition=4
+        )
         out = {
             "cycle": i,
             "seconds": round(time.perf_counter() - t0, 3),
@@ -237,6 +278,8 @@ class MaintenanceSoak:
             "bands_compacted": len(comp["bands_partitions"]),
             "span_dropped": int(span_dropped or 0),
             "spans_compacted": len(scomp["spans_partitions"]),
+            "pq_hits": int(pq_hits),
+            "pq_cells_compacted": len(pq_comp),
             "refresh_moved": None if refreshed is None else refreshed["moved"],
             "files": self._file_census(),
         }
@@ -281,12 +324,19 @@ class MaintenanceSoak:
             .agg(F.sum("n_docs").alias("n_docs"))
             .collect()
         )
+        pq_codes = sorted(
+            (r["vec_id"], int(r["centroid_id"]), tuple(r["pq_codes"]))
+            for r in self.spark.read.parquet(self.pqi.codes_path)
+            .select("vec_id", "centroid_id", "pq_codes")
+            .collect()
+        )
         return {
             "components": comps,
             "vectors": vrows,
             "layout": lrows,
             "pairs": pairs,
             "spans": spans,
+            "pq_codes": pq_codes,
         }
 
     def cleanup(self) -> None:
@@ -305,6 +355,7 @@ class MaintenanceSoak:
             self.cmap.root,
             os.path.dirname(self.layout),
             self.sstore.root,
+            self.pqi.root,
         ):
             shutil.rmtree(p, ignore_errors=True)
 

@@ -75,6 +75,9 @@ def test_soak_crash_resume_equals_uninjured_twin(spark):
         assert got["vectors"] == want["vectors"]
         assert got["layout"] == want["layout"]
         assert got["pairs"] == want["pairs"]
+        assert got["spans"] == want["spans"]
+        assert got["pq_codes"] == want["pq_codes"]
+        assert len(got["pq_codes"]) > 0
         assert len(got["layout"]) > 0 and len(got["vectors"]) > 0
 
         # no artifact fragments past its compaction bound

@@ -419,6 +419,61 @@ def main() -> None:
         print(f"# delta_semdedup_fixed @ {sf_label}: {sem_fixed[sf_label]}",
               file=sys.stderr)
 
+    # Fixed-delta ladder, PERSISTED PQ INDEX (r12): the SAME sf0.1
+    # embedding delta appends into PQ indexes built over corpora
+    # 0.01/0.1/1.0r, then the probed query runs against the appended
+    # index. Expected: append ~flat (encode-delta + route O(delta)
+    # files + ledger — corpus size never enters), query ~flat with
+    # corpus-scaled centroid counts (cell size bounded, nprobe fixed —
+    # the scaled-cells lesson from the r10 semantic-store degeneration
+    # applied at build time; at 100 TB the coarse quantizer would be
+    # ivf_fit-trained hierarchically rather than hash-sampled, but the
+    # cell-count scaling is the same contract).
+    import math as _math
+
+    from external_benchmarks_spark.pipeline.bucketing import bucket_root
+    from external_benchmarks_spark.pipeline.pqindex import (
+        append_pq_index,
+        build_pq_index,
+        pq_index_topk,
+    )
+
+    pqi_fixed: dict = {}
+    for sf_label, sf_dir in rungs.items():
+        vcorpus = Catalog(spark, sf_dir).embeddings.filter(
+            F.col("vec_id") % 10 != 0
+        )
+        n = vcorpus.count()
+        n_cent = max(16, int(_math.ceil(n / 1024)))
+        t0 = time.perf_counter()
+        idx = build_pq_index(
+            spark, vcorpus,
+            bucket_root("ladder_pqi_" + sf_label.replace(".", "_")),
+            n_centroids=n_cent,
+        )
+        ibuild_s = time.perf_counter() - t0
+        areps, qreps = [], []
+        for i in range(3):
+            t0 = time.perf_counter()
+            append_pq_index(spark, idx, fixed_vdelta,
+                            batch_id=f"ladder_b{i}")
+            areps.append(time.perf_counter() - t0)
+        for _ in range(3):
+            t0 = time.perf_counter()
+            pq_index_topk(spark, idx, em.QVEC, k=20, nprobe=4).count()
+            qreps.append(time.perf_counter() - t0)
+        pqi_fixed[sf_label] = {
+            "corpus_vecs": n,
+            "n_centroids": n_cent,
+            "index_build_s": round(ibuild_s, 3),
+            "append_cold": round(areps[0], 3),
+            "append_steady": round(min(areps[1:]), 3),
+            "query_cold": round(qreps[0], 3),
+            "query_steady": round(min(qreps[1:]), 3),
+        }
+        print(f"# pq_index_fixed @ {sf_label}: {pqi_fixed[sf_label]}",
+              file=sys.stderr)
+
     # Delta-GROWTH ladder (r9 verdict item #6): the OTHER axis — the
     # corpus store is FIXED (sf0.1) and the delta grows 0.1x/1x/10x;
     # expected ~linear-in-delta cost for both dedup tiers.
@@ -635,6 +690,7 @@ def main() -> None:
                     and got["layout"] == want["layout"]
                     and got["pairs"] == want["pairs"]
                     and got["spans"] == want["spans"]
+                    and got["pq_codes"] == want["pq_codes"]
                 ),
                 "artifact_rows": {k: len(v) for k, v in got.items()},
             }
@@ -648,6 +704,7 @@ def main() -> None:
         "delta_dedup_fixed_delta": dd_fixed,
         "delta_span_dedup_fixed_delta": span_fixed,
         "delta_semdedup_fixed_delta": sem_fixed,
+        "pq_index_fixed_delta": pqi_fixed,
         "delta_growth": dd_growth,
         "compmap_fold": cm_rung,
         "soak_1.0r": soak_1r,
