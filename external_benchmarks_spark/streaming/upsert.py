@@ -308,10 +308,45 @@ class UpsertTable:
         return upd, touched, key_vals
 
     def upsert(self, updates: DataFrame, evolve_schema: bool = False) -> None:
-        with self._writer_lease("upsert"):
-            self._upsert_impl(updates, evolve_schema)
+        self.upsert_prepared(self.prepare(updates, evolve_schema))
 
-    def _upsert_impl(self, updates: DataFrame, evolve_schema: bool = False) -> None:
+    def prepare(self, updates: DataFrame, evolve_schema: bool = False) -> dict:
+        """Run the batch-side work of a MERGE — evaluating ``updates``
+        (any embedding/scoring UDFs in its lineage), driver-side dedup,
+        the touched-bucket probe, the delete-key set — WITHOUT the
+        writer lease and without touching the table. The returned
+        payload feeds :meth:`upsert_prepared`.
+
+        This is the double-buffered-writer seam: at a paced write tier
+        (reference README.md:69-70) re-embedding is per-update work
+        done as updates ARRIVE during the interval, so a pipelined
+        deployment prepares batch j+1 while batch j's MERGE commits —
+        only the commit belongs in the batch critical path. prepare()
+        reads nothing from the table, so preparing ahead cannot
+        observe — or race — the concurrent MERGE."""
+        return {
+            "small": self._small_batch(updates),
+            "updates": updates,
+            "evolve": evolve_schema,
+        }
+
+    def upsert_prepared(self, prepared: dict) -> None:
+        """Commit a :meth:`prepare`d batch under the writer lease."""
+        with self._writer_lease("upsert"):
+            self._upsert_impl(
+                prepared["updates"],
+                prepared["evolve"],
+                _pre=prepared["small"],
+            )
+
+    _UNPREPARED = object()
+
+    def _upsert_impl(
+        self,
+        updates: DataFrame,
+        evolve_schema: bool = False,
+        _pre=_UNPREPARED,
+    ) -> None:
         """MERGE semantics: delete matching keys, insert all update rows.
         Last-writer-wins within a batch by highest ``op_ts`` if present.
 
@@ -328,7 +363,11 @@ class UpsertTable:
         schema is cached on the instance after the first MERGE so later
         MERGEs skip parquet footer inference (a per-job driver cost that
         dominated the 100-row-batch latency)."""
-        small = self._small_batch(updates)
+        small = (
+            self._small_batch(updates)
+            if _pre is UpsertTable._UNPREPARED
+            else _pre
+        )
         if small is not None:
             upd, touched, key_vals = small
             inline_keys = True

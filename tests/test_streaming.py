@@ -231,3 +231,43 @@ def test_compact_vacuum_reentrant_lease(spark):
                                        ["id", "title", "price", "op_ts"]))
         t.compact()
         assert t.read().count() == 20
+
+
+def test_prepare_then_upsert_prepared_equals_plain_upsert(spark):
+    """The double-buffered-writer seam: prepare() runs the batch-side
+    work without the lease; upsert_prepared(prepare(u)) must produce
+    the identical table as upsert(u) — including last-writer-wins and
+    the brand-new-key path — and preparing the NEXT batch while the
+    current one commits (the pipelined shape serving_write_tier runs)
+    must serialize correctly."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with tempfile.TemporaryDirectory() as d:
+        a = UpsertTable(spark, os.path.join(d, "a"), key_col="id", n_buckets=4)
+        b = UpsertTable(spark, os.path.join(d, "b"), key_col="id", n_buckets=4)
+        a.init(_base(spark))
+        b.init(_base(spark))
+
+        def batch(j):
+            return spark.createDataFrame(
+                [(i, f"b{j} upd {i}", float(j), j) for i in range(j, j + 8)]
+                + [(200 + j, f"b{j} new", 1.0, j)],
+                ["id", "title", "price", "op_ts"],
+            )
+
+        # plain path
+        for j in range(3):
+            a.upsert(batch(j))
+        # pipelined path: prepare j+1 while j commits
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            nxt = pool.submit(b.prepare, batch(0))
+            for j in range(3):
+                prep = nxt.result()
+                if j + 1 < 3:
+                    nxt = pool.submit(b.prepare, batch(j + 1))
+                b.upsert_prepared(prep)
+
+        rows_a = sorted(tuple(r) for r in a.read().drop("v").collect())
+        rows_b = sorted(tuple(r) for r in b.read().drop("v").collect())
+        assert rows_a == rows_b
+        assert len(rows_a) == 103  # 100 base + 3 new keys
