@@ -1529,6 +1529,30 @@ def main() -> None:
     print(f"# serving_read_p95_ms: {serving_p95}", file=sys.stderr)
     print(f"# serving_read_p50_ms: {serving_p50}", file=sys.stderr)
 
+    # The COMPRESSED serving tier (r12, serving.PQServingIndex): probed
+    # ADC over the persisted PQ index's m-byte codes, bit-identical to
+    # pq_index_topk's Spark plan, ~1300x less resident memory per
+    # vector than the exact tier at dim 2688. Same median-of-3 p95
+    # protocol as the exact tier above.
+    from external_benchmarks_spark.serving import PQServingIndex
+
+    pq_srv = PQServingIndex(entry_mod._pq_index(spark, SF_DIR).root)
+    pq_p95s, pq_p50s = [], []
+    for _ in range(3):
+        reps = []
+        for _ in range(100):
+            t0 = time.perf_counter()
+            pq_srv.topk(QVEC, k=20, nprobe=entry_mod.IVF_NPROBE)
+            reps.append(time.perf_counter() - t0)
+        reps.sort()
+        pq_p95s.append(reps[94] * 1000)
+        pq_p50s.append(reps[49] * 1000)
+    pq_serving = {
+        "p95_ms": round(sorted(pq_p95s)[1], 3),
+        "p50_ms": round(sorted(pq_p50s)[1], 3),
+    }
+    print(f"# pq_serving_ms: {pq_serving}", file=sys.stderr)
+
     # Noise-resistant protocol (round-8): each leg runs 1 cold + 3 warm;
     # `queries` reports the MEDIAN of the 3 warm runs (host co-tenancy
     # noise measured up to 1.4x between identical runs on this box, and
@@ -1679,6 +1703,7 @@ def main() -> None:
         "read_p95": read_p95,
         "serving_read_p95_ms": serving_p95,
         "serving_read_p50_ms": serving_p50,
+        "pq_serving_ms": pq_serving,
         "serving_under_load": load,
         "serving_write_tier_200qps": load200,
         "serving_write_tier_300qps": load300,

@@ -157,3 +157,46 @@ def test_sidecar_roundtrip_and_rebuild_clears_ledger(spark):
             spark, idx2, emb.filter(F.col("vec_id") % 10 == 0), batch_id="b1"
         ) is True
         assert pq_index_codes(spark, idx2).count() == emb.count()
+
+
+def test_pq_serving_bit_parity_with_spark_plan(spark, full_index):
+    """The ADC serving tier answers bit-identically to the Spark plan —
+    probed and full-scan — at in-process latency."""
+    from external_benchmarks_spark.serving import PQServingIndex
+
+    srv = PQServingIndex(full_index.root)
+    for nprobe in (3, None):
+        want = [
+            (r.vec_id, r.pq_score)
+            for r in pq_index_topk(
+                spark, full_index, QVEC, k=15, nprobe=nprobe
+            ).collect()
+        ]
+        got = srv.topk(QVEC, k=15, nprobe=nprobe)
+        assert got == want, (nprobe, got[:3], want[:3])
+
+
+def test_pq_serving_refresh_picks_up_append(spark):
+    from external_benchmarks_spark.serving import PQServingIndex
+
+    emb = _emb(spark)
+    base = emb.filter(F.col("vec_id") % 10 != 0)
+    delta = emb.filter(F.col("vec_id") % 10 == 0)
+    with tempfile.TemporaryDirectory() as d:
+        idx = build_pq_index(
+            spark, base, os.path.join(d, "pq"),
+            n_codes=N_CODES, m_subspaces=M, n_centroids=N_CENT,
+        )
+        srv = PQServingIndex(idx.root)
+        n_before = sum(len(ids) for ids, _ in srv.cells.values())
+        append_pq_index(spark, idx, delta, batch_id="b1")
+        refreshed = srv.refresh()
+        assert refreshed  # at least one dirty cell reloaded
+        n_after = sum(len(ids) for ids, _ in srv.cells.values())
+        assert n_after == emb.count() and n_after > n_before
+        # post-refresh results match the Spark plan over the same files
+        want = [
+            (r.vec_id, r.pq_score)
+            for r in pq_index_topk(spark, idx, QVEC, k=10, nprobe=None).collect()
+        ]
+        assert srv.topk(QVEC, k=10, nprobe=None) == want
