@@ -2170,6 +2170,62 @@ def q_pq_topk(spark, sf):
     return pq_adc_topk(enc, cb, QVEC, k=20)
 
 
+# Rerank-tier quantizer: 64 codes x 16 subspaces (dsub = dim/16). The
+# base PQ constants (16 x 8) stay on the original entries unchanged.
+PQR_CODES, PQR_M = 64, 16
+
+
+def q_pq_rerank_topk(spark, sf):
+    # PQ + exact rerank (quantize.pq_rerank_topk, the FAISS refine
+    # step): ADC top-250 candidates under the 64x16 quantizer, exact
+    # dot-product rerank to the top-50. This is the PQ tier's
+    # recall-PASSING read path (pure ADC ranking is the pq_recall
+    # entry's honest number); tests assert recall >= 0.9 vs the exact
+    # oracle, and the hash oracle replays candidate set + rerank
+    # end to end.
+    from external_benchmarks_spark.operators.quantize import (
+        pq_codebooks,
+        pq_rerank_topk,
+    )
+
+    e = Catalog(spark, sf).embeddings
+    cb = pq_codebooks(e, n_codes=PQR_CODES, m_subspaces=PQR_M)
+    return pq_rerank_topk(e, cb, QVEC, k=50, rerank=250)
+
+
+def q_pq_recall(spark, sf):
+    # The reference's >90% recall acceptance (README.md:76), measured
+    # for the PQ tier as a first-class number. Unlike ann_recall (whose
+    # KMeans fit is engine-internal, so only the acceptance BAND is
+    # oracled), the PQ quantizers are hash-sampled deterministic — the
+    # oracle replays codebook, encode, ADC ranking, the exact top-k,
+    # AND the intersection, so the recall VALUE itself hash-matches.
+    # recall_ppm is integer-exact (overlap * 1e6 div k).
+    from external_benchmarks_spark.operators.quantize import pq_adc_topk
+
+    k = 50
+    _e, cb, enc = _pq_parts(spark, sf)
+    pq_ids = pq_adc_topk(enc, cb, QVEC, k=k).select("vec_id")
+    exact_ids = filtered_vector_topk(
+        Catalog(spark, sf).embeddings,
+        qvec=QVEC,
+        predicate=None,
+        k=k,
+        use_arrow_fast_path=False,
+    ).select("vec_id")
+    return (
+        pq_ids.join(exact_ids, "vec_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .select(
+            F.lit(k).cast("bigint").alias("k"),
+            F.col("n_overlap").cast("bigint").alias("n_overlap"),
+            F.expr(f"CAST(n_overlap * 1000000 div {k} AS BIGINT)").alias(
+                "recall_ppm"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Ingest-format round-trips (sources/roundtrip.py): JSONL / CSV / ORC
 # ---------------------------------------------------------------------------
@@ -6757,6 +6813,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_clean_export": q_span_clean_export,
         "pq_index_topk": q_pq_index_topk,
         "pq_index_append_topk": q_pq_index_append_topk,
+        "pq_recall": q_pq_recall,
+        "pq_rerank_topk": q_pq_rerank_topk,
         # --- the r6-verified tail, complete (the r11 verdict's named
         # stale set: the PQ family first — it is also the bench-wobble
         # watch item — then the ANN/cluster/stream entries) ---
@@ -8621,6 +8679,79 @@ def oracle_sql() -> dict[str, str]:
             WITH base AS (SELECT * FROM embeddings WHERE vec_id % 10 != 0),
             {_pq_ctes("base")},
             {_pq_adc_sql_tail(20)}
+        """,
+        # PQ + exact rerank: candidate CTEs under the 64x16 quantizer
+        # (dsub = {EMB_DIM // PQR_M}), then exact dot-product rerank —
+        # the whole refine pipeline replayed.
+        "pq_rerank_topk": f"""
+            WITH cbr AS (
+              SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code,
+                     {EMB_DBL} AS ce
+              FROM embeddings
+              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+              LIMIT {PQR_CODES}),
+            jjr AS (SELECT unnest(generate_series(0, {PQR_M - 1})) AS j),
+            r_dist AS (
+              SELECT e.vec_id, jjr.j, cbr.code,
+                     list_sum(list_transform(generate_series(1, {EMB_DIM // PQR_M}), i ->
+                       CAST(FLOOR((CAST(e.embedding[jjr.j * {EMB_DIM // PQR_M} + i] AS DOUBLE) - cbr.ce[jjr.j * {EMB_DIM // PQR_M} + i])
+                            * (CAST(e.embedding[jjr.j * {EMB_DIM // PQR_M} + i] AS DOUBLE) - cbr.ce[jjr.j * {EMB_DIM // PQR_M} + i])
+                            * 1000000.0) AS BIGINT))) AS d
+              FROM embeddings e CROSS JOIN jjr CROSS JOIN cbr),
+            r_enc AS (
+              SELECT vec_id, j, code FROM (
+                SELECT vec_id, j, code,
+                       row_number() OVER (PARTITION BY vec_id, j ORDER BY d, code) AS rn
+                FROM r_dist) t
+              WHERE rn = 1),
+            r_lut AS (
+              SELECT jjr.j, cbr.code,
+                     list_sum(list_transform(generate_series(1, {EMB_DIM // PQR_M}), i ->
+                       CAST(FLOOR({QVEC_SQL}[jjr.j * {EMB_DIM // PQR_M} + i]
+                            * cbr.ce[jjr.j * {EMB_DIM // PQR_M} + i] * 1000000.0)
+                            AS BIGINT))) AS v
+              FROM jjr CROSS JOIN cbr),
+            r_s AS (
+              SELECT e.vec_id, CAST(SUM(l.v) AS BIGINT) AS pq_score
+              FROM r_enc e JOIN r_lut l ON e.j = l.j AND e.code = l.code
+              GROUP BY e.vec_id),
+            r_cand AS (
+              SELECT vec_id FROM r_s
+              ORDER BY pq_score DESC, vec_id LIMIT 250)
+            SELECT e.vec_id,
+                   list_dot_product({EMB_DBL}, {QVEC_SQL}) AS score
+            FROM embeddings e JOIN r_cand USING (vec_id)
+            ORDER BY score DESC, e.vec_id LIMIT 50
+        """,
+        # The recall VALUE hash-matches (not just a band): quantizers
+        # are deterministic, both rankings and the intersection replay.
+        "pq_recall": f"""
+            WITH {_PQ_CTES},
+            pq_lut AS (
+              SELECT jj.j, cb.code,
+                     list_sum(list_transform(generate_series(1, {_PQ_DSUB}), i ->
+                       CAST(FLOOR({QVEC_SQL}[jj.j * {_PQ_DSUB} + i]
+                            * cb.ce[jj.j * {_PQ_DSUB} + i] * 1000000.0)
+                            AS BIGINT))) AS v
+              FROM jj CROSS JOIN cb),
+            pq_s AS (
+              SELECT e.vec_id, CAST(SUM(l.v) AS BIGINT) AS pq_score
+              FROM pq_enc e
+                JOIN pq_lut l ON e.j = l.j AND e.code = l.code
+              GROUP BY e.vec_id),
+            pq_top AS (
+              SELECT vec_id FROM pq_s
+              ORDER BY pq_score DESC, vec_id LIMIT 50),
+            ex_top AS (
+              SELECT vec_id FROM (
+                SELECT vec_id,
+                       list_dot_product({EMB_DBL}, {QVEC_SQL}) AS score
+                FROM embeddings)
+              ORDER BY score DESC, vec_id LIMIT 50)
+            SELECT CAST(50 AS BIGINT) AS k,
+                   CAST(COUNT(*) AS BIGINT) AS n_overlap,
+                   CAST(COUNT(*) * 1000000 // 50 AS BIGINT) AS recall_ppm
+            FROM pq_top JOIN ex_top USING (vec_id)
         """,
         "jsonl_roundtrip": f"""
             SELECT lang, source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,

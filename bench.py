@@ -1343,6 +1343,11 @@ def headline_queries():
         # deliberately price train+encode+score per call.
         "pq_index_topk": q["pq_index_topk"],
         "pq_index_append_topk": q["pq_index_append_topk"],
+        # PQ + exact rerank (the FAISS refine step): the recall-passing
+        # PQ read path — ADC candidates under the 64x16 quantizer,
+        # exact rerank of 250 rows. pq_recall prices the honest pure-
+        # ADC recall separately.
+        "pq_rerank_topk": q["pq_rerank_topk"],
         "bpe_merges": q["bpe_merges"],
         "adaptive_join_agg": q["adaptive_join_agg"],
         "scd2_apply": q["scd2_apply"],

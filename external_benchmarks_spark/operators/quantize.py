@@ -335,6 +335,56 @@ def ivfpq_topk(
     return pq_adc_topk(cand, codebooks, query, k=k, key_col=key_col)
 
 
+def pq_rerank_topk(
+    df: DataFrame,
+    codebooks,
+    query: Sequence[float],
+    k: int = 50,
+    rerank: int = 250,
+    key_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """PQ candidates + exact rerank — the FAISS ``IndexRefine`` step
+    (Jegou et al. 2011 §V): ADC ranks the compressed corpus, the top
+    ``rerank`` survivors are re-scored by EXACT dot product, and the
+    final top-k comes from the exact scores. This is how PQ meets a
+    recall target (reference README.md:76's >90%) that pure ADC
+    ranking cannot on flat-similarity data: the candidate set only has
+    to CONTAIN the true top-k, a far weaker ask than ranking them
+    correctly (measured here: hash-sampled 64-code/16-subspace
+    codebooks rank at 0.54-0.70 recall@50 but contain the true top-50
+    in their top-250 with recall 1.0).
+
+    Scale shape: the corpus pass still reads m BYTES per vector (the
+    ADC scan); exact scoring touches only ``rerank`` rows, joined by a
+    BROADCAST of the R-row candidate set against the (pruned) raw
+    vectors. R scales with k and quantizer distortion — NOT with
+    corpus size (PQ error is per-vector), so R/n shrinks as the corpus
+    grows; 4-10x k is the production norm."""
+    from external_benchmarks_spark.functions.vector import (
+        dot_product_literal,
+    )
+
+    cand = pq_adc_topk(
+        pq_encode(df, codebooks, key_col=key_col, emb_col=emb_col),
+        codebooks,
+        query,
+        k=rerank,
+        key_col=key_col,
+    ).select(key_col)
+    return (
+        df.join(F.broadcast(cand), key_col)
+        .select(
+            key_col,
+            dot_product_literal(
+                F.col(emb_col).cast("array<double>"), query
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc(key_col))
+        .limit(k)
+    )
+
+
 def quantized_dot_topk(
     df: DataFrame,
     query: Sequence[float],

