@@ -1345,8 +1345,12 @@ def headline_queries():
         "pq_index_append_topk": q["pq_index_append_topk"],
         # PQ + exact rerank (the FAISS refine step): the recall-passing
         # PQ read path — ADC candidates under the 64x16 quantizer,
-        # exact rerank of 250 rows. pq_recall prices the honest pure-
-        # ADC recall separately.
+        # exact rerank of 250 rows. Like pq_topk, this leg deliberately
+        # prices the WHOLE pipeline per call (codebook train + corpus
+        # encode at 8x the 16x8 tier's distance work + candidates +
+        # rerank, ~4-5 s at sf0.1) — the amortized serving shape is the
+        # persisted-index family above. pq_recall prices the honest
+        # pure-ADC recall separately.
         "pq_rerank_topk": q["pq_rerank_topk"],
         "bpe_merges": q["bpe_merges"],
         "adaptive_join_agg": q["adaptive_join_agg"],
