@@ -1448,9 +1448,36 @@ def headline_queries():
     }
 
 
+def host_control_probe(spark, n_reps: int = 8) -> dict:
+    """Leg 0 (r12 verdict #1): a FIXED-WORK pure-JVM probe — no Python,
+    no IO, no shuffle — whose wall time varies only with host weather.
+    The r12 forensics measured this exact probe spreading 2.4x
+    rep-to-rep in a stall window (SCALE.md r12); recording it at the
+    top of every run lets the promotion gate (tools/promote_bench.py)
+    refuse to promote a record taken in a dirty window, and lets every
+    cross-round comparison normalize by a number that CANNOT reflect a
+    plan change."""
+    reps = []
+    for _ in range(n_reps):
+        t0 = time.perf_counter()
+        spark.range(500_000_000).selectExpr("sum(id)").collect()
+        reps.append(time.perf_counter() - t0)
+    warm = sorted(reps[1:])
+    return {
+        "work": "range(500M).sum()",
+        "cold": round(reps[0], 3),
+        "min": round(warm[0], 3),
+        "median": round(warm[len(warm) // 2], 3),
+        "max": round(warm[-1], 3),
+        "spread": round(warm[-1] / warm[0], 2) if warm[0] > 0 else None,
+    }
+
+
 def main() -> None:
     spark = get_spark("bench")
     spark.range(1).count()  # warm the JVM/session before timing
+    host_ctrl = host_control_probe(spark)
+    print(f"# host_control: {host_ctrl}", file=sys.stderr)
     # Warm the Arrow Python workers too (first pandas_udf call pays
     # worker-process startup; that cost is session setup, not query time).
     _vector_template("0.01pct")(spark, SF_DIR).count()
@@ -1561,6 +1588,28 @@ def main() -> None:
         "p50_ms": round(sorted(pq_p50s)[1], 3),
     }
     print(f"# pq_serving_ms: {pq_serving}", file=sys.stderr)
+
+    # The RECALL-PASSING serving tier (r13, topk_rerank): ADC top-250 +
+    # exact re-score of those rows from the cell-partitioned raw-vector
+    # sidecar — bit-identical to pq_index_rerank_topk's Spark plan and
+    # >=0.9 recall vs exact top-k (both test-gated). Prices the
+    # reference's >90%-recall ANN read (README.md:76) at serving
+    # latency: R=250 sidecar-row reads + exact float64 dots per query.
+    pqr_p95s, pqr_p50s = [], []
+    for _ in range(3):
+        reps = []
+        for _ in range(100):
+            t0 = time.perf_counter()
+            pq_srv.topk_rerank(QVEC, k=50, rerank=250, nprobe=None)
+            reps.append(time.perf_counter() - t0)
+        reps.sort()
+        pqr_p95s.append(reps[94] * 1000)
+        pqr_p50s.append(reps[49] * 1000)
+    pq_serving_rerank = {
+        "p95_ms": round(sorted(pqr_p95s)[1], 3),
+        "p50_ms": round(sorted(pqr_p50s)[1], 3),
+    }
+    print(f"# pq_serving_rerank_ms: {pq_serving_rerank}", file=sys.stderr)
 
     # Noise-resistant protocol (round-8): each leg runs 1 cold + 3 warm;
     # `queries` reports the MEDIAN of the 3 warm runs (host co-tenancy
@@ -1710,9 +1759,11 @@ def main() -> None:
         "ingest_fixture_build_s": ingest_fixture_s,
         "ingest_report_stages": ingest_stages,
         "read_p95": read_p95,
+        "host_control": host_ctrl,
         "serving_read_p95_ms": serving_p95,
         "serving_read_p50_ms": serving_p50,
         "pq_serving_ms": pq_serving,
+        "pq_serving_rerank_ms": pq_serving_rerank,
         "serving_under_load": load,
         "serving_write_tier_200qps": load200,
         "serving_write_tier_300qps": load300,
@@ -1733,18 +1784,29 @@ def main() -> None:
     }
     print(json.dumps(result))
     # The driver archives only a ~2 KB tail of stdout, which loses most
-    # legs of a full run — persist the complete result map next to the
-    # repo so every bench leg survives as committed evidence
-    # (BENCH_full.json is the authoritative per-round record; the
-    # stdout line stays as the driver's parse target).
-    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "BENCH_full.json")
+    # legs of a full run — persist the complete result map as a
+    # TIMESTAMPED run file under BENCH_runs/ (gitignored). Promotion to
+    # the committed BENCH_full.json record is an EXPLICIT, control-gated
+    # step: tools/promote_bench.py compares this run's host_control and
+    # control-leg trio against the prior committed record and refuses a
+    # dirty window (r12 verdict #1/#3 — the r12 record was taken in a
+    # 1.47x host stall and the post-HEAD driver re-run silently dirtied
+    # the tree; neither can happen under this flow).
+    runs_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_runs"
+    )
+    run_path = os.path.join(
+        runs_dir, time.strftime("BENCH_%Y%m%dT%H%M%S.json", time.gmtime())
+    )
     try:
-        with open(full_path, "w") as fh:
+        os.makedirs(runs_dir, exist_ok=True)
+        with open(run_path, "w") as fh:
             json.dump(result, fh, indent=1, sort_keys=True)
             fh.write("\n")
+        print(f"# run record: {run_path} — promote with "
+              f"`python tools/promote_bench.py`", file=sys.stderr)
     except OSError as exc:  # read-only checkout: keep the stdout line
-        print(f"# BENCH_full.json not written: {exc}", file=sys.stderr)
+        print(f"# run record not written: {exc}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -187,9 +187,16 @@ class PQServingIndex:
     Scale shape: the resident state is m BYTES per vector plus the
     O(n_centroids x dim) sidecar — ~1300x smaller than the raw float64
     matrix at dim 2688, so one serving node holds ~1300x more corpus
-    than the exact tier for the same memory, at PQ recall. Cell
-    signature-based ``refresh()`` picks up ledgered appends and layout
-    compactions O(dirty cells), same contract as the exact tier's.
+    than the exact tier for the same memory. Cell signature-based
+    ``refresh()`` picks up ledgered appends and layout compactions
+    O(dirty cells), same contract as the exact tier's.
+
+    Recall: ``topk`` ships PURE-ADC ranking (0.18-0.42 recall@50 on
+    flat-similarity data — honest but below the reference's >90% bar);
+    ``topk_rerank`` ships the refine architecture (ADC top-R + exact
+    re-score from the cell-partitioned raw-vector sidecar) at >=0.9
+    recall, test-gated, for ~1-3 ms instead of ~0.5 ms. Serve
+    ``topk_rerank`` wherever the reference's ANN SLA row applies.
     """
 
     def __init__(self, root: str):
@@ -199,6 +206,10 @@ class PQServingIndex:
         self.codes_dir = self.index.codes_path
         self.cells: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         self._sigs: dict[int, tuple] = {}
+        # rerank-path mmap cache: cell -> (sidecar signature, ids mmap,
+        # float32 matrix mmap); signature-checked per touch, so sidecar
+        # appends/compactions invalidate lazily without an explicit call
+        self._vec_mm: dict[int, tuple] = {}
         for entry in sorted(os.listdir(self.codes_dir)):
             if entry.startswith("centroid_id="):
                 self._load_cell(int(entry.split("=", 1)[1]))
@@ -255,11 +266,24 @@ class PQServingIndex:
             refreshed.append(cell)
         return refreshed
 
-    def topk(self, qvec, k: int = 20, nprobe: int | None = None):
+    def topk(
+        self,
+        qvec,
+        k: int = 20,
+        nprobe: int | None = None,
+        _with_cells: bool = False,
+    ):
         """Probed ADC top-k: nprobe cells resolve against the sidecar
         centroids (same rule as operators/similarity.ivf_probe_cells),
         scores are exact integer LUT sums, order (-pq_score, key) —
-        the Spark plan's exact output. Returns [(key, pq_score)]."""
+        the Spark plan's exact output. Returns [(key, pq_score)].
+
+        RECALL CONTRACT: this ranks by pure ADC — 0.18-0.42 recall@50
+        on flat-similarity data (measured, pq_recall entry). Use
+        :meth:`topk_rerank` where the reference's >90% recall bar
+        applies (README.md:76); this form is the compressed-ranking /
+        candidate-generation tier. ``_with_cells`` additionally
+        returns {cell: [candidate ids]} for the rerank sidecar reads."""
         from external_benchmarks_spark.operators.similarity import (
             ivf_probe_cells,
         )
@@ -288,6 +312,7 @@ class PQServingIndex:
             probe = sorted(self.cells)
         best_ids: list[np.ndarray] = []
         best_scores: list[np.ndarray] = []
+        best_cells: list[np.ndarray] = []
         for cell in probe:
             ids, codes = self.cells[cell]
             if len(ids) == 0:
@@ -295,9 +320,143 @@ class PQServingIndex:
             scores = lut[np.arange(m), codes].sum(axis=1)
             best_ids.append(ids)
             best_scores.append(scores)
+            best_cells.append(np.full(len(ids), cell, dtype=np.int64))
         if not best_ids:
-            return []
+            return [] if not _with_cells else ([], {})
         ids = np.concatenate(best_ids)
         scores = np.concatenate(best_scores)
         order = np.lexsort((ids, -scores))[:k]
+        if _with_cells:
+            cells_flat = np.concatenate(best_cells)
+            by_cell: dict[int, list[int]] = {}
+            for i in order:
+                by_cell.setdefault(int(cells_flat[i]), []).append(int(ids[i]))
+            return [(int(ids[i]), int(scores[i])) for i in order], by_cell
         return [(int(ids[i]), int(scores[i])) for i in order]
+
+    @property
+    def _vec_root(self) -> str:
+        return os.path.join(os.path.dirname(self.codes_dir), "vectors")
+
+    def _vec_cell(self, cell: int):
+        """Memory-mapped (sorted ids, float32 matrix) for one sidecar
+        cell, derived from the cell's parquet files on first touch (or
+        when their file signature changes) into an ``_serving_vec_cache``
+        npy pair next to the sidecar. Parquet decodes a whole row group
+        to serve one row — O(cell) per query, which dies at scale — so
+        the serving node converts each touched cell ONCE per refresh
+        into a raw float32 mmap, and a query then touches O(R) pages:
+        searchsorted on the id mmap + a gather of the R candidate rows.
+        Values are the sidecar's exact float32 bytes (no re-encode), so
+        the parity contract survives the cache. The conversion is
+        crash-safe (tmp + atomic rename, signature recorded after)."""
+        import json
+
+        d = os.path.join(self._vec_root, f"centroid_id={cell}")
+        sig = tuple(
+            sorted(
+                (f, os.path.getsize(os.path.join(d, f)))
+                for f in os.listdir(d)
+                if not f.startswith(("_", "."))
+            )
+        )
+        cached = self._vec_mm.get(cell)
+        if cached is not None and cached[0] == sig:
+            return cached[1], cached[2]
+        cache_dir = os.path.join(
+            os.path.dirname(self.codes_dir), "_serving_vec_cache"
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+        base = os.path.join(cache_dir, f"cell_{cell}")
+        meta_p, ids_p, mat_p = base + ".json", base + ".ids.npy", base + ".mat.npy"
+        on_disk_sig = None
+        try:
+            with open(meta_p) as fh:
+                on_disk_sig = [tuple(e) for e in json.load(fh)["sig"]]
+        except (OSError, ValueError, KeyError):
+            pass
+        if on_disk_sig != list(sig):
+            import pyarrow.parquet as pq
+
+            tbl = pq.read_table(d, columns=[self.index.key_col, "embedding"])
+            ids = tbl.column(self.index.key_col).to_numpy()
+            emb = tbl.column("embedding").combine_chunks()
+            vals = emb.values.to_numpy(zero_copy_only=False)
+            n = len(tbl)
+            mat = vals.reshape(n, len(vals) // max(n, 1))
+            order = np.argsort(ids, kind="stable")
+            for path, arr in ((ids_p, ids[order]), (mat_p, mat[order])):
+                tmp = path + ".tmp.npy"
+                np.save(tmp, np.ascontiguousarray(arr))
+                os.replace(tmp, path)
+            tmp = meta_p + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump({"sig": list(sig)}, fh)
+            os.replace(tmp, meta_p)
+        ids_mm = np.load(ids_p, mmap_mode="r")
+        mat_mm = np.load(mat_p, mmap_mode="r")
+        self._vec_mm[cell] = (sig, ids_mm, mat_mm)
+        return ids_mm, mat_mm
+
+    def topk_rerank(
+        self,
+        qvec,
+        k: int = 50,
+        rerank: int = 250,
+        nprobe: int | None = None,
+    ) -> list[tuple[int, float]]:
+        """ADC top-``rerank`` -> EXACT re-score of those R rows -> top-k
+        by exact score: the serving twin of
+        pipeline/pqindex.pq_index_rerank_topk's Spark plan, bit-for-bit
+        (parity-tested in tests/test_pqindex.py). This is the tier that
+        meets the reference's >90% recall bar (README.md:76): pure ADC
+        ranking reads 0.18-0.42 recall@50 on flat-similarity data, but
+        the ADC top-R CONTAINS the true top-k, and the exact rerank
+        recovers it (recall >= 0.9 test-gated at serving).
+
+        The raw vectors for the R candidates come from the index's
+        cell-partitioned ``vectors`` sidecar (store_vectors=True at
+        build) via a per-cell mmap cache (see _vec_cell) — a query
+        touches O(R) pages, never a corpus-resident matrix, so the
+        node's resident memory stays m bytes/vector + R-row gathers.
+        Exact scores replay dot_product_literal's float64 op order
+        (per-element product, LEFT-TO-RIGHT sequential sum — cumsum,
+        not pairwise), so every score is bit-identical to the Catalyst
+        expression's. Returns [(key, exact_score)] ordered by
+        (-score, key)."""
+        if not os.path.isdir(self._vec_root):
+            raise ValueError(
+                f"no raw-vector sidecar at {self._vec_root}; "
+                "build_pq_index(..., store_vectors=True) to enable rerank"
+            )
+        _cand, by_cell = self.topk(
+            qvec, k=rerank, nprobe=nprobe, _with_cells=True
+        )
+        if not by_cell:
+            return []
+        q = np.asarray([float(v) for v in qvec], dtype=np.float64)
+        all_ids: list[np.ndarray] = []
+        all_scores: list[np.ndarray] = []
+        for cell, cand_ids in sorted(by_cell.items()):
+            ids_mm, mat_mm = self._vec_cell(cell)
+            cand = np.asarray(cand_ids, dtype=np.int64)
+            pos = np.searchsorted(ids_mm, cand)
+            ok = pos < len(ids_mm)
+            pos, cand = pos[ok], cand[ok]
+            ok = ids_mm[pos] == cand
+            pos, cand = pos[ok], cand[ok]
+            if len(pos) == 0:
+                continue
+            rows = np.asarray(mat_mm[pos], dtype=np.float64)
+            # per-element products then SEQUENTIAL left-to-right sum:
+            # cumsum materializes every prefix, forcing the exact
+            # ((t0+t1)+t2)+... float64 order dot_product_literal emits
+            scores = np.cumsum(rows * q[None, :], axis=1)[:, -1]
+            all_ids.append(cand)
+            all_scores.append(scores)
+        if not all_ids:
+            return []
+        ids = np.concatenate(all_ids)
+        scores = np.concatenate(all_scores)
+        order = np.lexsort((ids, -scores))[:k]
+        return [(int(ids[i]), float(scores[i])) for i in order]

@@ -29,6 +29,7 @@ from external_benchmarks_spark.pipeline.pqindex import (
     build_pq_index,
     load_pq_index,
     pq_index_codes,
+    pq_index_rerank_topk,
     pq_index_topk,
 )
 
@@ -174,6 +175,113 @@ def test_pq_serving_bit_parity_with_spark_plan(spark, full_index):
         ]
         got = srv.topk(QVEC, k=15, nprobe=nprobe)
         assert got == want, (nprobe, got[:3], want[:3])
+
+
+@pytest.fixture(scope="module")
+def rerank_index(spark):
+    """Index with the raw-vector refine sidecar (store_vectors=True)."""
+    with tempfile.TemporaryDirectory() as d:
+        root = os.path.join(d, "pqr")
+        yield build_pq_index(
+            spark, _emb(spark), root,
+            n_codes=N_CODES, m_subspaces=M, n_centroids=N_CENT,
+            store_vectors=True,
+        )
+
+
+def test_index_rerank_matches_operator_form(spark, rerank_index):
+    """pq_index_rerank_topk (persisted codes + vector sidecar) returns
+    the identical rows as operators/quantize.pq_rerank_topk re-encoding
+    the source under the same frozen codebooks — amortized == inline."""
+    from external_benchmarks_spark.operators.quantize import pq_rerank_topk
+
+    want = pq_rerank_topk(
+        _emb(spark), rerank_index.codebooks, QVEC, k=10, rerank=60
+    ).collect()
+    got = pq_index_rerank_topk(
+        spark, rerank_index, QVEC, k=10, rerank=60, nprobe=None
+    ).collect()
+    assert [(r.vec_id, r.score) for r in got] == [
+        (r.vec_id, r.score) for r in want
+    ]
+
+
+def test_rerank_requires_vector_sidecar(spark, full_index):
+    from external_benchmarks_spark.serving import PQServingIndex
+
+    with pytest.raises(ValueError, match="store_vectors"):
+        pq_index_rerank_topk(spark, full_index, QVEC, k=5, rerank=20)
+    srv = PQServingIndex(full_index.root)
+    with pytest.raises(ValueError, match="store_vectors"):
+        srv.topk_rerank(QVEC, k=5, rerank=20)
+
+
+def test_serving_rerank_bit_parity_with_spark_plan(spark, rerank_index):
+    """topk_rerank answers bit-identically to pq_index_rerank_topk —
+    probed and full-scan — including the float64 sequential-sum exact
+    scores (the dot_product_literal op-order contract)."""
+    from external_benchmarks_spark.serving import PQServingIndex
+
+    srv = PQServingIndex(rerank_index.root)
+    for nprobe in (3, None):
+        want = [
+            (r.vec_id, r.score)
+            for r in pq_index_rerank_topk(
+                spark, rerank_index, QVEC, k=10, rerank=60, nprobe=nprobe
+            ).collect()
+        ]
+        got = srv.topk_rerank(QVEC, k=10, rerank=60, nprobe=nprobe)
+        assert got == want, (nprobe, got[:3], want[:3])
+
+
+def test_serving_rerank_recall_gate(spark, rerank_index):
+    """The serving rerank tier meets the reference's >90% recall bar
+    (README.md:76) against exact brute-force top-k — the assertion the
+    pure-ADC tier honestly cannot make on flat-similarity data."""
+    import numpy as np
+
+    from external_benchmarks_spark.serving import PQServingIndex
+
+    rows = _emb(spark).select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    q = np.asarray(QVEC, dtype=np.float64)
+    scores = mat @ q
+    order = np.lexsort((ids, -scores))[:50]
+    true_top = {int(ids[i]) for i in order}
+    srv = PQServingIndex(rerank_index.root)
+    got = {vid for vid, _ in srv.topk_rerank(QVEC, k=50, rerank=250, nprobe=None)}
+    recall = len(got & true_top) / 50
+    assert recall >= 0.9, recall
+
+
+def test_rerank_append_keeps_sidecar_and_parity(spark):
+    """Appends under a store_vectors index also append the delta's raw
+    vectors, and the serving rerank stays bit-identical to the Spark
+    plan over the mixed (base + delta) file sets after refresh()."""
+    from external_benchmarks_spark.serving import PQServingIndex
+
+    emb = _emb(spark)
+    base = emb.filter(F.col("vec_id") % 10 != 0)
+    delta = emb.filter(F.col("vec_id") % 10 == 0)
+    with tempfile.TemporaryDirectory() as d:
+        idx = build_pq_index(
+            spark, base, os.path.join(d, "pq"),
+            n_codes=N_CODES, m_subspaces=M, n_centroids=N_CENT,
+            store_vectors=True,
+        )
+        srv = PQServingIndex(idx.root)
+        assert append_pq_index(spark, idx, delta, batch_id="b1") is True
+        n_vec = spark.read.parquet(idx.vectors_path).count()
+        assert n_vec == emb.count()
+        srv.refresh()
+        want = [
+            (r.vec_id, r.score)
+            for r in pq_index_rerank_topk(
+                spark, idx, QVEC, k=10, rerank=60, nprobe=None
+            ).collect()
+        ]
+        assert srv.topk_rerank(QVEC, k=10, rerank=60, nprobe=None) == want
 
 
 def test_pq_serving_refresh_picks_up_append(spark):
