@@ -920,8 +920,20 @@ def serving_write_tier(
     )
     n_batches = max(1, int(duration_s / interval_s))
     batch_times: list[float] = []
+    prep_times: list[float] = []
     late: list[float] = []
     writer_state: dict = {"elapsed": None, "error": None}
+
+    def timed_prepare(df):
+        # prepare (embed + dedup + bucket probe) runs off the critical
+        # path, but it is still PER-UPDATE work: if it exceeds the
+        # interval the pipeline is saturated even when commit-only batch
+        # p95 looks fine — it must be measured, not hidden by the
+        # double-buffering (r12 advice).
+        p0 = time.perf_counter()
+        out = t.prepare(df)
+        prep_times.append(time.perf_counter() - p0)
+        return out
 
     def make_upd(j):
         return (
@@ -942,7 +954,7 @@ def serving_write_tier(
         try:
             with ThreadPoolExecutor(max_workers=1) as pool:
                 # batch 0's updates arrived during the warmup interval
-                nxt = pool.submit(t.prepare, make_upd(0))
+                nxt = pool.submit(timed_prepare, make_upd(0))
                 for j in range(n_batches):
                     target = start + j * interval_s
                     now = time.perf_counter()
@@ -952,7 +964,7 @@ def serving_write_tier(
                         late.append(now - target)
                     prep = nxt.result()
                     if j + 1 < n_batches:
-                        nxt = pool.submit(t.prepare, make_upd(j + 1))
+                        nxt = pool.submit(timed_prepare, make_upd(j + 1))
                     w0 = time.perf_counter()
                     t.upsert_prepared(prep)
                     batch_times.append(time.perf_counter() - w0)
@@ -984,6 +996,26 @@ def serving_write_tier(
     elapsed = writer_state["elapsed"]
     lat.sort()
     batch_p95 = _p95(batch_times)
+    # batch 0's prepare runs during the warmup interval before pacing
+    # starts (plan analysis + any residual worker startup): it is
+    # session setup, reported separately, not steady-state per-update
+    # work — every later prepare is paced and counts.
+    prep_cold = prep_times[0] if prep_times else 0.0
+    prep_warm = prep_times[1:] or prep_times
+    prep_p95 = _p95(prep_warm) if prep_warm else 0.0
+    # Saturation is any of: commit batches overrunning the interval,
+    # PREPARE overrunning the interval (the double-buffered writer's
+    # hidden failure mode — commit p95 stays flat while embed+dedup
+    # falls behind and the backlog grows), or the backlog itself
+    # growing across the run (late-start deltas trending up).
+    backlog_growing = len(late) >= 2 and (late[-1] - late[0]) > interval_s
+    # Per-update bound under double-buffering: wait out the interval,
+    # plus any prepare overrun past the interval it was hidden in, plus
+    # the commit. With prepare inside the interval this is the old
+    # interval + batch_p95 bound; with prepare over it, the overrun is
+    # per-update latency and is counted (r12 advice: the old bound
+    # understated per-update latency exactly in that regime).
+    update_bound = interval_s + max(0.0, prep_p95 - interval_s) + batch_p95
     return {
         "write_qps_target": write_qps,
         "updates_per_batch": rows_per_batch,
@@ -996,8 +1028,15 @@ def serving_write_tier(
             sorted(batch_times)[len(batch_times) // 2], 3
         ),
         "write_batch_p95_s": round(batch_p95, 3),
-        "update_p95_bound_s": round(interval_s + batch_p95, 3),
-        "saturated": bool(batch_p95 > interval_s),
+        "prepare_cold_s": round(prep_cold, 3),
+        "prepare_p95_s": round(prep_p95, 3),
+        "update_p95_bound_s": round(update_bound, 3),
+        "saturated": bool(
+            batch_p95 > interval_s
+            or prep_p95 > interval_s
+            or backlog_growing
+        ),
+        "backlog_growing": backlog_growing,
         "batches_started_late": len(late),
         "max_backlog_s": round(max(late), 3) if late else 0.0,
         "read_p50_ms": round(lat[len(lat) // 2] * 1000, 3),
@@ -1031,11 +1070,20 @@ def embed_core_scaling(spark, sf, dim: int = 2688):
     embed = embed_text_udf(dim=dim)
     out: dict = {"dim": dim}
     for cores in (1, 8, 32):
-        sub = d
         if cores == 1:
-            sub = d.limit(max(256, n_total // 8)).localCheckpoint(eager=True)
-        elif cores == 32 and n_total < 600 * 32:
-            sub = d.union(d).union(d).union(d).localCheckpoint(eager=True)
+            sub = d.limit(max(600, n_total // 8)).localCheckpoint(eager=True)
+        else:
+            # keep EVERY cell's tasks fed: union factor computed per
+            # cell as ceil(600*cores/n_total), not special-cased to the
+            # 32-core cell (the 8-core cell was equally underfed below
+            # 4,800 docs and skewed scaling_8c_over_1c by the same
+            # per-task-setup artifact — r12 advice)
+            factor = -((-600 * cores) // max(n_total, 1))
+            sub = d
+            for _ in range(factor - 1):
+                sub = sub.union(d)
+            if factor > 1:
+                sub = sub.localCheckpoint(eager=True)
         n = sub.count()
         part = sub.repartition(cores)
         dts = []

@@ -131,10 +131,16 @@ class MaintenanceSoak:
         self.sstore = build_span_store(spark, corpus_docs, tag=f"soak_{tag}")
         self._last_span_batch = -1
         # r12: the persisted PQ index rides the same loop — frozen-
-        # quantizer appends (batch-id ledger makes crashed-cycle
-        # re-runs exactly-once), a probed read each cycle proves it
-        # stays queryable mid-maintenance, layout compaction folds the
-        # per-batch append files
+        # quantizer appends (the batch-id ledger makes re-runs of
+        # RECORDED batches idempotent; a crash in the window between a
+        # committed append write and the ledger record is the
+        # documented layout-append contract — the current-marker is
+        # already dropped, so the index reads as not-current and the
+        # owner rebuilds rather than replaying into a double-append),
+        # a probed read each cycle proves it stays queryable
+        # mid-maintenance, layout compaction folds the per-batch
+        # append files. r13: built WITH the raw-vector refine sidecar,
+        # so appends/compaction exercise it too.
         import math
 
         from external_benchmarks_spark.pipeline.pqindex import build_pq_index
@@ -143,6 +149,7 @@ class MaintenanceSoak:
         self.pqi = build_pq_index(
             spark, corpus_vecs, bucket_root(f"soak_pqi_{tag}"),
             n_centroids=max(16, math.ceil(n_corpus / 1024)),
+            store_vectors=True,
         )
         self._pq_qvec = [
             float(x)
@@ -150,6 +157,15 @@ class MaintenanceSoak:
             .orderBy("vec_id")
             .first()["embedding"]
         ]
+        # r13 (r12 verdict #7): the SERVING view of the maintained index
+        # lives through the whole soak — signature-based refresh() each
+        # cycle, with periodic bit-parity asserts against a fresh load,
+        # so serving gets the same append/compaction/crash coverage the
+        # stores have (a resumed soak rebuilds this object, i.e. serving
+        # recovery after a crash IS a fresh load — parity covers it).
+        from external_benchmarks_spark.serving import PQServingIndex
+
+        self.pqsrv = PQServingIndex(self.pqi.root)
 
     def _file_census(self) -> dict:
         return {
@@ -161,6 +177,7 @@ class MaintenanceSoak:
             "export_layout": _count_files(self.layout),
             "span_store": _count_files(self.sstore.root),
             "pq_index": _count_files(self.pqi.codes_path),
+            "pq_vectors": _count_files(self.pqi.vectors_path),
         }
 
     def cycle(self, i: int) -> dict:
@@ -269,6 +286,31 @@ class MaintenanceSoak:
         pq_comp = compact_layout_partitions(
             self.spark, self.pqi.codes_path, max_files_per_partition=4
         )
+        pqv_comp = compact_layout_partitions(
+            self.spark, self.pqi.vectors_path, max_files_per_partition=4
+        )
+        # serving-tier refresh (r13): pick up this cycle's append AND
+        # any compaction swaps, O(dirty cells); every third cycle,
+        # assert the long-lived serving view answers bit-identically —
+        # ADC and rerank tiers both — to a FRESH load of the same files
+        sr0 = time.perf_counter()
+        srv_refreshed = self.pqsrv.refresh()
+        srv_refresh_s = round(time.perf_counter() - sr0, 3)
+        srv_parity = None
+        if i % 3 == 2:
+            from external_benchmarks_spark.serving import PQServingIndex
+
+            fresh = PQServingIndex(self.pqi.root)
+            srv_parity = bool(
+                self.pqsrv.topk(self._pq_qvec, k=50, nprobe=None)
+                == fresh.topk(self._pq_qvec, k=50, nprobe=None)
+                and self.pqsrv.topk_rerank(
+                    self._pq_qvec, k=20, rerank=100, nprobe=None
+                )
+                == fresh.topk_rerank(
+                    self._pq_qvec, k=20, rerank=100, nprobe=None
+                )
+            )
         out = {
             "cycle": i,
             "seconds": round(time.perf_counter() - t0, 3),
@@ -280,6 +322,10 @@ class MaintenanceSoak:
             "spans_compacted": len(scomp["spans_partitions"]),
             "pq_hits": int(pq_hits),
             "pq_cells_compacted": len(pq_comp),
+            "pq_vector_cells_compacted": len(pqv_comp),
+            "serving_refreshed_cells": len(srv_refreshed),
+            "serving_refresh_s": srv_refresh_s,
+            "serving_parity": srv_parity,
             "refresh_moved": None if refreshed is None else refreshed["moved"],
             "files": self._file_census(),
         }
@@ -330,6 +376,12 @@ class MaintenanceSoak:
             .select("vec_id", "centroid_id", "pq_codes")
             .collect()
         )
+        pq_vectors = sorted(
+            (r["vec_id"], int(r["centroid_id"]))
+            for r in self.spark.read.parquet(self.pqi.vectors_path)
+            .select("vec_id", "centroid_id")
+            .collect()
+        )
         return {
             "components": comps,
             "vectors": vrows,
@@ -337,6 +389,7 @@ class MaintenanceSoak:
             "pairs": pairs,
             "spans": spans,
             "pq_codes": pq_codes,
+            "pq_vectors": pq_vectors,
         }
 
     def cleanup(self) -> None:
@@ -375,12 +428,19 @@ def run_soak(
     finally:
         soak.cleanup()
     secs = [c["seconds"] for c in cycles]
+    refresh_s = sorted(c["serving_refresh_s"] for c in cycles)
+    parities = [
+        c["serving_parity"] for c in cycles if c["serving_parity"] is not None
+    ]
     return {
         "build_s": build_s,
         "cycles": cycles,
         "cycle_s_min": min(secs),
         "cycle_s_median": sorted(secs)[len(secs) // 2],
         "cycle_s_max": max(secs),
+        "serving_refresh_s_median": refresh_s[len(refresh_s) // 2],
+        "serving_parity_checks": len(parities),
+        "serving_parity_ok": all(parities) if parities else None,
         "files_first": cycles[0]["files"],
         "files_last": cycles[-1]["files"],
     }
