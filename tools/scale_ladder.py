@@ -235,6 +235,59 @@ def build_replica(spark) -> str:
     return out
 
 
+def replica10_dir() -> str:
+    st = os.stat(os.path.join(SRC, "lineitem.parquet"))
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"ebs_sf10_replica_{int(st.st_mtime)}_{st.st_size}",
+    )
+
+
+def build_replica10(spark, rep: str) -> str:
+    """The 100x-sf0.1 rung (r12 verdict item #5): documents + embeddings
+    ONLY — the two tables the incremental-family fixed-delta ladders
+    read — derived by replicating the 1.0r replica a further 10x with
+    id offsets (embeddings circularly shifted by a different stride,
+    11*i, so cross-copy cosines stay low against BOTH the base and the
+    1.0r shifts). The full table set is not materialized: the 10r rung
+    exists to give the store-build and per-batch-cost curves a second
+    measured decade, not to run the whole leg list."""
+    from external_benchmarks_spark.catalog import Catalog
+
+    out = replica10_dir()
+    marker = os.path.join(out, "_REPLICA_DONE_v1")
+    if os.path.exists(marker):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    cat = Catalog(spark, rep)
+    mx_d = int(cat.documents.agg(F.max("doc_id")).collect()[0][0]) + 1
+    mx_v = int(cat.embeddings.agg(F.max("vec_id")).collect()[0][0]) + 1
+    docs = _replicate(spark, cat.documents, {"doc_id": mx_d})
+    parts = []
+    for i in range(FACTOR):
+        d = cat.embeddings.withColumn(
+            "vec_id", F.col("vec_id") + F.lit(i * mx_v)
+        )
+        if i > 0:
+            s = (11 * i) % EMB_DIM
+            d = d.withColumn(
+                "embedding",
+                F.concat(
+                    F.slice("embedding", s + 1, EMB_DIM - s),
+                    F.slice("embedding", 1, s),
+                ),
+            )
+        parts.append(d)
+    embs = parts[0]
+    for p in parts[1:]:
+        embs = embs.unionByName(p)
+    docs.write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
+    embs.write.mode("overwrite").parquet(os.path.join(out, "embeddings.parquet"))
+    open(marker, "w").close()
+    return out
+
+
 def main() -> None:
     from external_benchmarks_spark.session import get_spark
 
@@ -308,9 +361,17 @@ def main() -> None:
     fixed_delta = Catalog(spark, SRC).documents.filter(
         F.col("doc_id") % 10 == 0
     )
+    # The fixed-delta ladders get a FOURTH rung at 100x sf0.1 (r12
+    # verdict item #5): the flat-over-corpus-growth claim is then
+    # measured over a 1000x total span (0.01 -> 10r), and the
+    # store/index builds get a second decade of scaling evidence.
+    fixed_rungs = dict(rungs)
+    if not quick:
+        rep10 = build_replica10(spark, rep)
+        fixed_rungs["10r"] = rep10
     dd_fixed: dict = {}
     stores = {}
-    for sf_label, sf_dir in rungs.items():
+    for sf_label, sf_dir in fixed_rungs.items():
         corpus = Catalog(spark, sf_dir).documents.filter(
             F.col("doc_id") % 10 != 0
         )
@@ -352,7 +413,7 @@ def main() -> None:
     )
 
     span_fixed: dict = {}
-    for sf_label, sf_dir in rungs.items():
+    for sf_label, sf_dir in fixed_rungs.items():
         corpus = Catalog(spark, sf_dir).documents.filter(
             F.col("doc_id") % 10 != 0
         )
@@ -439,7 +500,7 @@ def main() -> None:
     )
 
     pqi_fixed: dict = {}
-    for sf_label, sf_dir in rungs.items():
+    for sf_label, sf_dir in fixed_rungs.items():
         vcorpus = Catalog(spark, sf_dir).embeddings.filter(
             F.col("vec_id") % 10 != 0
         )
@@ -684,6 +745,17 @@ def main() -> None:
                 "files_first": cycles[0]["files"],
                 "files_last": cycles[-1]["files"],
                 "crash_cycle": 11,
+                "serving_refresh_s_median": sorted(
+                    c["serving_refresh_s"] for c in cycles
+                )[len(cycles) // 2],
+                "serving_parity_checks": sum(
+                    1 for c in cycles if c["serving_parity"] is not None
+                ),
+                "serving_parity_ok": all(
+                    c["serving_parity"]
+                    for c in cycles
+                    if c["serving_parity"] is not None
+                ),
                 "resume_equals_twin": bool(
                     got["components"] == want["components"]
                     and got["vectors"] == want["vectors"]
