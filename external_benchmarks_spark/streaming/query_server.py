@@ -201,6 +201,61 @@ def rate_delivery_floor(
     return _percentiles(lat)
 
 
+def run_ann_file_server(
+    spark,
+    index_root: str,
+    request_dir: str,
+    qvec,
+    nprobe: int | None = None,
+) -> dict[int, list]:
+    """ANN form of the replayable query server (r13): drain a directory
+    of parquet request files (schema ``req_id bigint, k int, rerank
+    int`` — ``rerank`` NULL answers pure-ADC ranking, non-NULL answers
+    the recall-passing refine tier) against ``serving.PQServingIndex``
+    over a persisted PQ index. Per request the work is the in-process
+    LUT/mmap path — no Spark job; Spark only delivers requests. Returns
+    {req_id: topk result}, the form the live test uses to assert
+    bit-parity with direct serving calls (which are themselves
+    parity-tested against the Catalyst plans). This is the reference's
+    ANN read SLA (README.md:73-76) served from a stream: ~0.5 ms ADC /
+    ~2-3 ms rerank per request against a 1 s micro-batch cadence."""
+    from external_benchmarks_spark.serving import PQServingIndex
+
+    srv = PQServingIndex(index_root)
+    results: dict[int, list] = {}
+
+    def handle(batch_df, _batch_id):
+        for r in batch_df.collect():
+            if r["rerank"] is None:
+                out = srv.topk(qvec, k=int(r["k"]), nprobe=nprobe)
+            else:
+                out = srv.topk_rerank(
+                    qvec, k=int(r["k"]), rerank=int(r["rerank"]), nprobe=nprobe
+                )
+            results[int(r["req_id"])] = out
+
+    ckpt = os.path.join(
+        tempfile.gettempdir(), f"ebs_annsrv_ckpt_{uuid.uuid4().hex[:8]}"
+    )
+    q = (
+        spark.readStream.schema("req_id bigint, k int, rerank int")
+        .parquet(request_dir)
+        .writeStream.foreachBatch(handle)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        if q.isActive:
+            q.stop()
+        import shutil
+
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return results
+
+
 def run_file_server(
     spark,
     layout_dir: str,

@@ -173,6 +173,45 @@ def test_file_stream_query_server_bit_parity(spark, layout, tmp_path):
         assert got[req_id] == want, req_id
 
 
+def test_ann_file_stream_server_bit_parity(spark, sf_dir, tmp_path):
+    """The ANN form of the replayable query server: every request —
+    pure-ADC and rerank alike — answers bit-identically to a direct
+    PQServingIndex call over the same persisted index (which is itself
+    parity-tested against the Catalyst plans in tests/test_pqindex.py).
+    """
+    import os
+
+    from external_benchmarks_spark.catalog import Catalog
+    from external_benchmarks_spark.pipeline.pqindex import build_pq_index
+    from external_benchmarks_spark.serving import PQServingIndex
+    from external_benchmarks_spark.streaming.query_server import (
+        run_ann_file_server,
+    )
+
+    emb = Catalog(spark, sf_dir).embeddings
+    root = str(tmp_path / "pq")
+    build_pq_index(
+        spark, emb, root, n_codes=16, m_subspaces=8, n_centroids=8,
+        store_vectors=True,
+    )
+    # rerank NULL -> ADC ranking; non-NULL -> the refine tier
+    reqs = [(0, 10, None), (1, 5, 40), (2, 20, None), (3, 15, 60)]
+    req_dir = str(tmp_path / "ann_requests")
+    spark.createDataFrame(
+        reqs, "req_id bigint, k int, rerank int"
+    ).repartition(2).write.parquet(req_dir)
+
+    got = run_ann_file_server(spark, root, req_dir, entry_mod.QVEC, nprobe=3)
+    assert sorted(got) == [r[0] for r in reqs]
+    srv = PQServingIndex(root)
+    for req_id, k, rerank in reqs:
+        if rerank is None:
+            want = srv.topk(entry_mod.QVEC, k=k, nprobe=3)
+        else:
+            want = srv.topk_rerank(entry_mod.QVEC, k=k, rerank=rerank, nprobe=3)
+        assert got[req_id] == want, req_id
+
+
 def test_rate_stream_query_server_sustains_load(spark, layout):
     """Short live run of the rate-stream server: requests flow, every
     one is answered, and the serving-side p95 stays far under the
