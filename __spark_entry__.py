@@ -1517,11 +1517,19 @@ def _pq_index_root(sf: str, prefix: str) -> str:
     in-place part-file rewrites) and minted a new `pqidx_*` root per
     tag, leaking stale indexes across sessions; source_fingerprint
     walks the part files, and a fixed root means a rebuild overwrites
-    the previous life in place."""
+    the previous life in place. The root folds in a short hash of the
+    ABSOLUTE sf path: basename alone let two sf dirs with the same leaf
+    name alternately overwrite one root, and the in-memory _PQ_INDEX
+    cache could then pair dataset A's codebooks with dataset B's
+    on-disk codes (r13 ADVICE, __spark_entry__ finding)."""
+    import hashlib
+
     from external_benchmarks_spark.pipeline.bucketing import bucket_root
 
-    base = os.path.basename(sf.rstrip("/")).replace(".", "_")
-    return bucket_root(f"pqidx_{prefix}_{base}")
+    ap = os.path.abspath(sf).rstrip("/")
+    base = os.path.basename(ap).replace(".", "_")
+    tag = hashlib.sha1(ap.encode()).hexdigest()[:8]
+    return bucket_root(f"pqidx_{prefix}_{base}_{tag}")
 
 
 def _pq_index_fp(sf: str, applied: list) -> str:
@@ -1654,6 +1662,23 @@ def q_pq_index_rerank_topk(spark, sf):
 
     return pq_index_rerank_topk(
         spark, _pq_index(spark, sf), QVEC, k=50, rerank=250, nprobe=None
+    )
+
+
+def q_pq_index_rerank_probed(spark, sf):
+    # The PRODUCTION rerank shape (r14): PROBED ADC candidates + exact
+    # rerank against the cell-directory-PRUNED raw-vector sidecar —
+    # both file scans read only the nprobe probed cells
+    # (plan-asserted in tests/test_pqindex.py). The full-scan twin
+    # above oracles the nprobe=None form; this entry oracles the form
+    # a serving deployment actually runs (r13 verdict #4: the probed
+    # rerank had no standalone correctness/wall-time cell). The oracle
+    # replays assign/probe/encode, ADC restricted to probed cells,
+    # top-250, exact rerank from the source table.
+    from external_benchmarks_spark.pipeline.pqindex import pq_index_rerank_topk
+
+    return pq_index_rerank_topk(
+        spark, _pq_index(spark, sf), QVEC, k=50, rerank=250, nprobe=IVF_NPROBE
     )
 
 
@@ -6865,72 +6890,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # window of entries in dict order each round, so entries whose
     # semantics/data changed this round go first (they must re-verify),
     # then never-checked new entries, then the STALEST driver-green
-    # entries. Round-13 order (the recorded r12 plan, executed): the
-    # r13-new rerank entry + the two pq_index entries whose build path
-    # changed this round (fixed-root fingerprint-gated caching) first,
-    # then the ENTIRE registry sorted ascending by last-driver-checked
-    # round, computed from the CORRECTNESS_r* files themselves: the full
-    # 35-entry r8-stale block (fuzzy_name_pairs .. — the delta-dedup/
-    # semantic/export family included), then the r9 block, r10, r11, r12.
-    # A ~50 window covers 3 + 35 r8 + the r9 head; r14 plan: the
-    # r9-block remainder (~33 entries), then the r10 block; staleness
-    # floor after r13 = r9.
+    # entries. Round-14 order (the recorded r13 plan, executed): the
+    # r14-new probed-rerank entry + the three pq_index entries whose
+    # build/query path changed this round (abs-path-hashed index roots,
+    # vectors-before-codes appends, probed-rerank sidecar pruning)
+    # first, then the ENTIRE registry sorted ascending by
+    # last-driver-checked round, computed from the CORRECTNESS_r* files
+    # themselves: the full 33-entry r9-stale block, then the r10 block
+    # (45), r11, r12, r13. A ~50 window covers 4 + 33 r9 + the r10
+    # head; r15 plan: the r10-block remainder (~32 entries), then the
+    # r11 block head; staleness floor after r14 = r10.
     # Every entry passes the local mirror (tests/test_oracle_queries.py)
     # every test run either way, so rotation costs nothing.
     return {
-        # --- round-13 new + this-round-changed (fixed-root fingerprint-gated index caching): verify first ---
-        "pq_index_rerank_topk": q_pq_index_rerank_topk,
+        # --- round-14 new + this-round-changed (pq index root keying, vectors-first append, probed-rerank sidecar prune): verify first ---
+        "pq_index_rerank_probed": q_pq_index_rerank_probed,
         "pq_index_topk": q_pq_index_topk,
         "pq_index_append_topk": q_pq_index_append_topk,
-        # --- last driver-checked r8 (stalest first) ---
-        "fuzzy_name_pairs": q_fuzzy_name_pairs,
-        "value_drift": q_value_drift,
-        "gap_filled_hourly": q_gap_filled_hourly,
-        "tpch_q6": q_tpch_q6,
-        "tpch_q10": q_tpch_q10,
-        "tpch_q14": q_tpch_q14,
-        "count_star": q_count_star,
-        "group_share_topn": q_group_share_topn,
-        "numeric_summary": q_numeric_summary,
-        "text_length_stats": q_text_length_stats,
-        "selective_filter": q_selective_filter,
-        "inlist_filter": q_inlist_filter,
-        "global_topk": q_global_topk,
-        "window_topk": q_window_topk,
-        "join_agg": q_join_agg,
-        "region_rollup": q_region_rollup,
-        "semi_join": q_semi_join,
-        "anti_join": q_anti_join,
-        "histogram": q_histogram,
-        "distinct_count": q_distinct_count,
-        "exact_median": q_exact_median,
-        "correlation": q_correlation,
-        "except_setop": q_except_setop,
-        "intersect_setop": q_intersect_setop,
-        "rollup_agg": q_rollup_agg,
-        "cube_agg": q_cube_agg,
-        "grouping_sets": q_grouping_sets,
-        "moving_avg": q_moving_avg,
-        "window_extras": q_window_extras,
-        "pivot_agg": q_pivot_agg,
-        "unpivot": q_unpivot,
-        "except_all": q_except_all,
-        "rank_lag": q_rank_lag,
-        "multi_quantile": q_multi_quantile,
-        "group_median": q_group_median,
+        "pq_index_rerank_topk": q_pq_index_rerank_topk,
         # --- last driver-checked r9 (stalest first) ---
-        "hash_sample_quantiles": q_hash_sample_quantiles,
-        "running_total": q_running_total,
-        "skyline_parts": q_skyline_parts,
-        "kmv_distinct": q_kmv_distinct,
-        "kmv_overlap": q_kmv_overlap,
-        "allpairs_jaccard": q_allpairs_jaccard,
-        "cohort_retention": q_cohort_retention,
-        "unigram_doc_ppl": q_unigram_doc_ppl,
-        "funnel_latency": q_funnel_latency,
-        "hourly_acf": q_hourly_acf,
-        "session_paths": q_session_paths,
-        "chi2_assoc": q_chi2_assoc,
         "spatial_radius_pairs": q_spatial_radius_pairs,
         "rolling_median": q_rolling_median,
         "fd_profile": q_fd_profile,
@@ -7110,6 +7088,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "bpe_segment_tokens": q_bpe_segment_tokens,
         "variant_extract": q_variant_extract,
+        # --- last driver-checked r13 (stalest first) ---
+        "fuzzy_name_pairs": q_fuzzy_name_pairs,
+        "value_drift": q_value_drift,
+        "gap_filled_hourly": q_gap_filled_hourly,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q14": q_tpch_q14,
+        "count_star": q_count_star,
+        "group_share_topn": q_group_share_topn,
+        "numeric_summary": q_numeric_summary,
+        "text_length_stats": q_text_length_stats,
+        "selective_filter": q_selective_filter,
+        "inlist_filter": q_inlist_filter,
+        "global_topk": q_global_topk,
+        "window_topk": q_window_topk,
+        "join_agg": q_join_agg,
+        "region_rollup": q_region_rollup,
+        "semi_join": q_semi_join,
+        "anti_join": q_anti_join,
+        "histogram": q_histogram,
+        "distinct_count": q_distinct_count,
+        "exact_median": q_exact_median,
+        "correlation": q_correlation,
+        "except_setop": q_except_setop,
+        "intersect_setop": q_intersect_setop,
+        "rollup_agg": q_rollup_agg,
+        "cube_agg": q_cube_agg,
+        "grouping_sets": q_grouping_sets,
+        "moving_avg": q_moving_avg,
+        "window_extras": q_window_extras,
+        "pivot_agg": q_pivot_agg,
+        "unpivot": q_unpivot,
+        "except_all": q_except_all,
+        "rank_lag": q_rank_lag,
+        "multi_quantile": q_multi_quantile,
+        "group_median": q_group_median,
+        "hash_sample_quantiles": q_hash_sample_quantiles,
+        "running_total": q_running_total,
+        "skyline_parts": q_skyline_parts,
+        "kmv_distinct": q_kmv_distinct,
+        "kmv_overlap": q_kmv_overlap,
+        "allpairs_jaccard": q_allpairs_jaccard,
+        "cohort_retention": q_cohort_retention,
+        "unigram_doc_ppl": q_unigram_doc_ppl,
+        "funnel_latency": q_funnel_latency,
+        "hourly_acf": q_hourly_acf,
+        "session_paths": q_session_paths,
+        "chi2_assoc": q_chi2_assoc,
     }
 
 # ---------------------------------------------------------------------------
@@ -8766,6 +8792,35 @@ def oracle_sql() -> dict[str, str]:
             pq_s AS (
               SELECT e.vec_id, CAST(SUM(l.v) AS BIGINT) AS pq_score
               FROM pq_enc e
+                JOIN pq_lut l ON e.j = l.j AND e.code = l.code
+              GROUP BY e.vec_id),
+            idx_cand AS (
+              SELECT vec_id FROM pq_s
+              ORDER BY pq_score DESC, vec_id LIMIT 250)
+            SELECT e.vec_id,
+                   list_dot_product({EMB_DBL}, {QVEC_SQL}) AS score
+            FROM embeddings e JOIN idx_cand USING (vec_id)
+            ORDER BY score DESC, e.vec_id LIMIT 50
+        """,
+        # Probed rerank (the production serving shape, r14): ADC
+        # restricted to the nprobe probed cells, top-250, then exact
+        # rerank — the Spark side must reproduce it from the persisted
+        # codes + the cell-directory-PRUNED raw-vector sidecar.
+        "pq_index_rerank_probed": f"""
+            WITH {_IVF_CTES},
+            {_PQ_CTES},
+            pq_cand AS (SELECT a.vec_id FROM assign a JOIN probe p USING (cid)),
+            pq_lut AS (
+              SELECT jj.j, cb.code,
+                     list_sum(list_transform(generate_series(1, {_PQ_DSUB}), i ->
+                       CAST(FLOOR({QVEC_SQL}[jj.j * {_PQ_DSUB} + i]
+                            * cb.ce[jj.j * {_PQ_DSUB} + i] * 1000000.0)
+                            AS BIGINT))) AS v
+              FROM jj CROSS JOIN cb),
+            pq_s AS (
+              SELECT e.vec_id, CAST(SUM(l.v) AS BIGINT) AS pq_score
+              FROM pq_enc e
+                JOIN pq_cand USING (vec_id)
                 JOIN pq_lut l ON e.j = l.j AND e.code = l.code
               GROUP BY e.vec_id),
             idx_cand AS (

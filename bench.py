@@ -1391,6 +1391,11 @@ def headline_queries():
         # deliberately price train+encode+score per call.
         "pq_index_topk": q["pq_index_topk"],
         "pq_index_append_topk": q["pq_index_append_topk"],
+        # Round-14: the production rerank shape — probed ADC candidates
+        # + exact rerank against the cell-directory-PRUNED raw-vector
+        # sidecar (both scans read nprobe cells only; r13 verdict #4
+        # gave this form its own wall-time cell when the prune landed)
+        "pq_index_rerank_probed": q["pq_index_rerank_probed"],
         # PQ + exact rerank (the FAISS refine step): the recall-passing
         # PQ read path — ADC candidates under the 64x16 quantizer,
         # exact rerank of 250 rows. Like pq_topk, this leg deliberately

@@ -252,15 +252,12 @@ def append_pq_index(
     # crash mid-write leaves the index readable but not-current — the
     # ledger stays unrecorded and the batch replays cleanly only after
     # the owner rebuilds (the documented layout-append contract). The
-    # same contract covers a crash BETWEEN the codes append and the
-    # vectors append below: the ledger hasn't recorded the batch, so
-    # nothing claims the half-appended state is complete.
-    append_to_index_layout(
-        codes,
-        index.codes_path,
-        partition_col="centroid_id",
-        emb_col=None,
-    )
+    # VECTORS sidecar appends FIRST: sidecar rows with no matching
+    # codes are invisible (rerank only looks up ADC candidates, and
+    # ADC ranks the codes table), but codes with no sidecar rows would
+    # break topk_rerank for a reader that refreshes inside the window
+    # between the two appends — e.g. the soak's long-lived
+    # PQServingIndex (r13 ADVICE, pipeline/pqindex.py finding).
     if index.has_vectors:
         append_to_index_layout(
             assigned.select(index.key_col, emb_col, "centroid_id"),
@@ -268,6 +265,12 @@ def append_pq_index(
             partition_col="centroid_id",
             emb_col=emb_col,
         )
+    append_to_index_layout(
+        codes,
+        index.codes_path,
+        partition_col="centroid_id",
+        emb_col=None,
+    )
     _record_applied(index.root, batch_id)
     params = {
         "n_codes": n_codes, "m": m,
@@ -335,6 +338,7 @@ def pq_index_rerank_topk(
     data (measured: ADC-only 0.18-0.42 recall@50; candidate recall at
     R=5k 1.0 — see pq_recall)."""
     from external_benchmarks_spark.functions.vector import dot_product_literal
+    from external_benchmarks_spark.operators.similarity import ivf_probe_cells
 
     if not index.has_vectors:
         raise ValueError(
@@ -345,6 +349,20 @@ def pq_index_rerank_topk(
         index.key_col
     )
     vecs = spark.read.parquet(index.vectors_path)
+    if nprobe is not None:
+        # Every ADC candidate's cell is in the probed set by
+        # construction, so the same driver-resolved centroid_id filter
+        # the codes scan uses prunes the sidecar to nprobe cell
+        # DIRECTORIES at planning time. Without it the broadcast join
+        # on key_col (not the partition column) triggers no directory
+        # pruning and every rerank query scans the full O(corpus)
+        # float32 sidecar — invisible at sf0.1, the dominant IO at
+        # 100x (r13 verdict finding #4).
+        cells = [
+            int(c)
+            for c in ivf_probe_cells(index.centroids, query, nprobe, index.metric)
+        ]
+        vecs = vecs.filter(F.col("centroid_id").isin(cells))
     return (
         vecs.join(F.broadcast(cand), index.key_col)
         .select(

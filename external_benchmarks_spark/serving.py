@@ -353,6 +353,18 @@ class PQServingIndex:
         import json
 
         d = os.path.join(self._vec_root, f"centroid_id={cell}")
+        if not os.path.isdir(d):
+            # A cell present under codes/ but absent under vectors/ —
+            # a pre-r14 append crashed between the two layouts, or a
+            # refresh raced a writer. Serve what the batch plan would:
+            # the broadcast join drops candidates with no sidecar row,
+            # so an empty cell (not a crash) is the parity-preserving
+            # answer. Appends now write vectors FIRST, so this is a
+            # backstop, not a steady state (r13 ADVICE).
+            return (
+                np.empty(0, dtype=np.int64),
+                np.empty((0, 0), dtype=np.float32),
+            )
         sig = tuple(
             sorted(
                 (f, os.path.getsize(os.path.join(d, f)))

@@ -207,6 +207,8 @@ def run_ann_file_server(
     request_dir: str,
     qvec,
     nprobe: int | None = None,
+    max_files_per_trigger: int | None = None,
+    on_batch_done=None,
 ) -> dict[int, list]:
     """ANN form of the replayable query server (r13): drain a directory
     of parquet request files (schema ``req_id bigint, k int, rerank
@@ -218,13 +220,28 @@ def run_ann_file_server(
     bit-parity with direct serving calls (which are themselves
     parity-tested against the Catalyst plans). This is the reference's
     ANN read SLA (README.md:73-76) served from a stream: ~0.5 ms ADC /
-    ~2-3 ms rerank per request against a 1 s micro-batch cadence."""
+    ~2-3 ms rerank per request against a 1 s micro-batch cadence.
+
+    The serving index refreshes per micro-batch (signature-gated), so
+    the server is the LIVE form: an append/compaction landing between
+    batches is served from the next batch on. ``max_files_per_trigger``
+    splits the availableNow drain into multiple micro-batches;
+    ``on_batch_done(batch_id, req_ids)`` fires after each batch — the
+    refresh-under-maintenance test uses both to land an index append
+    between two batches of one run."""
     from external_benchmarks_spark.serving import PQServingIndex
 
     srv = PQServingIndex(index_root)
     results: dict[int, list] = {}
 
     def handle(batch_df, _batch_id):
+        # refresh per micro-batch so a long-running server tracks the
+        # maintained index across append/compaction swaps instead of
+        # serving the load-time snapshot forever: signature-gated, so
+        # an unchanged index costs one stat pass and a dirty one
+        # reloads only its dirty cells (0.04-0.11 s in the soak)
+        srv.refresh()
+        batch_reqs = []
         for r in batch_df.collect():
             if r["rerank"] is None:
                 out = srv.topk(qvec, k=int(r["k"]), nprobe=nprobe)
@@ -233,13 +250,18 @@ def run_ann_file_server(
                     qvec, k=int(r["k"]), rerank=int(r["rerank"]), nprobe=nprobe
                 )
             results[int(r["req_id"])] = out
+            batch_reqs.append(int(r["req_id"]))
+        if on_batch_done is not None:
+            on_batch_done(int(_batch_id), batch_reqs)
 
     ckpt = os.path.join(
         tempfile.gettempdir(), f"ebs_annsrv_ckpt_{uuid.uuid4().hex[:8]}"
     )
+    reader = spark.readStream.schema("req_id bigint, k int, rerank int")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     q = (
-        spark.readStream.schema("req_id bigint, k int, rerank int")
-        .parquet(request_dir)
+        reader.parquet(request_dir)
         .writeStream.foreachBatch(handle)
         .trigger(availableNow=True)
         .option("checkpointLocation", ckpt)

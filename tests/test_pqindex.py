@@ -206,6 +206,83 @@ def test_index_rerank_matches_operator_form(spark, rerank_index):
     ]
 
 
+def test_rerank_prunes_both_scans_at_planning(spark, rerank_index):
+    """With nprobe set, BOTH file scans — the m-byte codes table AND the
+    O(corpus) float32 raw-vector sidecar — must carry the driver-resolved
+    centroid_id partition filter. The codes scan always pruned; the
+    sidecar scan didn't (r13 verdict #4): the broadcast join on vec_id
+    triggers no directory pruning, so every rerank query read the full
+    sidecar — invisible at sf0.1, the dominant IO at 100x."""
+    plan = (
+        pq_index_rerank_topk(spark, rerank_index, QVEC, k=10, rerank=60, nprobe=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    scans = [l for l in plan.splitlines() if "FileScan" in l]
+    assert len(scans) >= 2, plan  # codes + vectors
+    for scan in scans:
+        assert "PartitionFilters" in scan and "centroid_id" in scan.split(
+            "PartitionFilters"
+        )[1].split("]")[0], scan
+
+
+def test_rerank_tolerates_missing_sidecar_cell(spark, rerank_index):
+    """A cell present under codes/ but absent under vectors/ (a pre-r14
+    crash artifact) must serve what the batch plan serves — candidates
+    from that cell silently drop out of the broadcast join — not crash
+    the serving node (r13 ADVICE, pipeline/pqindex.py finding)."""
+    import shutil
+
+    from external_benchmarks_spark.serving import PQServingIndex
+
+    # copy the index so the module-scoped fixture stays intact
+    with tempfile.TemporaryDirectory() as d:
+        root = os.path.join(d, "pq")
+        shutil.copytree(rerank_index.root, root)
+        vec_cells = sorted(
+            c for c in os.listdir(os.path.join(root, "vectors"))
+            if c.startswith("centroid_id=")
+        )
+        shutil.rmtree(os.path.join(root, "vectors", vec_cells[0]))
+        idx = load_pq_index(root)
+        want = [
+            (r.vec_id, r.score)
+            for r in pq_index_rerank_topk(
+                spark, idx, QVEC, k=10, rerank=60, nprobe=None
+            ).collect()
+        ]
+        srv = PQServingIndex(root)
+        got = srv.topk_rerank(QVEC, k=10, rerank=60, nprobe=None)
+        assert got == want
+
+
+def test_append_writes_vectors_before_codes(spark, monkeypatch):
+    """Appends land the raw-vector sidecar BEFORE the codes: extra
+    sidecar rows are invisible (rerank only looks up ADC candidates),
+    but codes with no sidecar rows break a reader that refreshes inside
+    the window between the two appends (r13 ADVICE)."""
+    from external_benchmarks_spark.pipeline import index as index_mod
+
+    emb = _emb(spark)
+    base = emb.filter(F.col("vec_id") % 10 != 0)
+    delta = emb.filter(F.col("vec_id") % 10 == 0)
+    order = []
+    real = index_mod.append_to_index_layout
+
+    def spy(df, path, **kw):
+        order.append(os.path.basename(path.rstrip("/")))
+        return real(df, path, **kw)
+
+    with tempfile.TemporaryDirectory() as d:
+        idx = build_pq_index(
+            spark, base, os.path.join(d, "pq"),
+            n_codes=N_CODES, m_subspaces=M, n_centroids=N_CENT,
+            store_vectors=True,
+        )
+        monkeypatch.setattr(index_mod, "append_to_index_layout", spy)
+        assert append_pq_index(spark, idx, delta, batch_id="b1") is True
+    assert order == ["vectors", "codes"], order
+
+
 def test_rerank_requires_vector_sidecar(spark, full_index):
     from external_benchmarks_spark.serving import PQServingIndex
 

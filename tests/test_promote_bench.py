@@ -72,3 +72,43 @@ def test_faster_run_promotes():
         _run(join_agg=0.2, q1=0.2, topk=0.1), RECORD, 1.2, 1.5
     )
     assert ok
+
+
+def test_forced_record_is_never_the_baseline():
+    # r13 ADVICE: a --force must not loosen future gates by the stall
+    # factor. With no clean controls file, a forced record yields no
+    # baseline at all; with one, the controls file wins.
+    forced = dict(_run(join_agg=0.76, q1=1.87, topk=0.42))
+    forced["_promotion"] = {"forced": True}
+    baseline, note = pb.gate_baseline(forced, None)
+    assert baseline is None and "forced" in note
+    controls = {"queries": dict(RECORD["queries"]), "host_control": None}
+    baseline, note = pb.gate_baseline(forced, controls)
+    assert baseline is controls
+
+
+def test_clean_record_is_baseline_when_no_controls_file():
+    baseline, _ = pb.gate_baseline(RECORD, None)
+    assert baseline is RECORD
+
+
+def test_no_baseline_refuses_ratio_gates():
+    # a window that reads clean by its own spread still cannot promote
+    # without a clean comparison point
+    ok, findings = pb.check_gates(_run(), None, 1.2, 1.5)
+    assert not ok
+    assert any("no clean baseline" in m for t, m in findings if t == "FAIL")
+
+
+def test_controls_file_gates_a_stalled_run_despite_forced_record():
+    # the full r13 failure mode, end to end at the gate level: the
+    # committed record is forced+stalled; a new equally-stalled run
+    # must STILL refuse because the controls file holds clean values
+    controls = {"queries": dict(RECORD["queries"]), "host_control": None}
+    forced = dict(_run(join_agg=0.76, q1=1.87, topk=0.42))
+    forced["_promotion"] = {"forced": True}
+    baseline, _ = pb.gate_baseline(forced, controls)
+    stalled = _run(join_agg=0.74, q1=1.80, topk=0.41)
+    ok, findings = pb.check_gates(stalled, baseline, 1.2, 1.5)
+    assert not ok
+    assert sum(1 for t, _ in findings if t == "FAIL") == 3, findings

@@ -454,7 +454,11 @@ def main() -> None:
     fixed_vdelta = Catalog(spark, SRC).embeddings.filter(
         F.col("vec_id") % 10 == 0
     )
-    for sf_label, sf_dir in rungs.items():
+    # r14: the semantic tier joins the fourth-decade club (10r = 100x
+    # sf0.1) — the first real test of the corpus-scaled cell-count
+    # formula (ceil(n/128)) at scale: the cell-local join should stay
+    # ~flat because cell SIZE is bounded while cell COUNT grows.
+    for sf_label, sf_dir in fixed_rungs.items():
         vcorpus = Catalog(spark, sf_dir).embeddings.filter(
             F.col("vec_id") % 10 != 0
         )
@@ -757,13 +761,9 @@ def main() -> None:
                     if c["serving_parity"] is not None
                 ),
                 "resume_equals_twin": bool(
-                    got["components"] == want["components"]
-                    and got["vectors"] == want["vectors"]
-                    and got["layout"] == want["layout"]
-                    and got["pairs"] == want["pairs"]
-                    and got["spans"] == want["spans"]
-                    and got["pq_codes"] == want["pq_codes"]
+                    all(got[k] == want[k] for k in want)
                 ),
+                "artifacts_compared": sorted(want),
                 "artifact_rows": {k: len(v) for k, v in got.items()},
             }
         finally:
