@@ -1761,6 +1761,42 @@ def main() -> None:
     )
     print(f"# stream_serving: {stream_srv}", file=sys.stderr)
 
+    # ANN stream server drain rate (r14, the live form): 200 mixed
+    # ADC/rerank requests through the replayable file server against
+    # the persisted PQ index — prices Spark request delivery + the
+    # per-batch signature-gated refresh ON TOP of the in-process
+    # serving path (whose per-request latency is the pq_serving_ms /
+    # pq_serving_rerank_ms cells above). The cadence-independent
+    # number is requests drained per wall second.
+    import uuid as _uuid
+
+    from external_benchmarks_spark.streaming.query_server import (
+        run_ann_file_server,
+    )
+
+    pqidx = entry_mod._pq_index(spark, SF_DIR)
+    ann_req_dir = os.path.join(
+        tempfile.gettempdir(), f"ebs_annreq_{_uuid.uuid4().hex[:8]}"
+    )
+    ann_reqs = [
+        (i, 20, None if i % 2 == 0 else 250) for i in range(200)
+    ]
+    spark.createDataFrame(
+        ann_reqs, "req_id bigint, k int, rerank int"
+    ).coalesce(4).write.parquet(ann_req_dir)
+    t0 = time.perf_counter()
+    ann_got = run_ann_file_server(
+        spark, pqidx.root, ann_req_dir, QVEC, nprobe=entry_mod.IVF_NPROBE
+    )
+    ann_wall = time.perf_counter() - t0
+    shutil.rmtree(ann_req_dir, ignore_errors=True)
+    ann_stream = {
+        "n_requests": len(ann_got),
+        "wall_s": round(ann_wall, 3),
+        "req_per_s": round(len(ann_got) / ann_wall, 1),
+    }
+    print(f"# ann_stream_serving: {ann_stream}", file=sys.stderr)
+
     # Full-width (2,688-dim) realism leg.
     d2688 = dim2688_leg(spark, SF_DIR)
     print(f"# dim2688: {d2688}", file=sys.stderr)
@@ -1825,6 +1861,7 @@ def main() -> None:
         "stream_serving_e2e_p95_ms": stream_srv["e2e"]["p95_ms"],
         "stream_serving_e2e_control_p95_ms": stream_srv["e2e_control"].get("p95_ms"),
         "stream_serving": stream_srv,
+        "ann_stream_serving": ann_stream,
         "dim2688": d2688,
         "embed_core_scaling": core_scaling,
         "index_refresh": refresh,

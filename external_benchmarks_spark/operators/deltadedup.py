@@ -478,6 +478,69 @@ def _write_centroids(path: str, cent) -> None:
     )
 
 
+def _read_centroids(path: str):
+    """The (n_cells x dim) centroid matrix, DRIVER-SIDE from the single
+    published parquet file (see _write_centroids), ordered by cell id —
+    the n_cells-row twin of store_cell_count's footer read; no Spark
+    job."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    files = [f for f in os.listdir(path) if not f.startswith(("_", "."))]
+    if len(files) != 1:
+        raise ValueError(
+            f"centroid layout invariant broken: {path} has {len(files)} "
+            "data files (expected exactly one)"
+        )
+    tbl = pq.read_table(os.path.join(path, files[0])).sort_by("_cid")
+    return np.vstack(tbl.column("_cv").to_numpy(zero_copy_only=False))
+
+
+def _assign_cells_vectorized(
+    df: DataFrame,
+    cent,
+    key_col: str = "vec_id",
+    emb_col: str = "embedding",
+    keep_cols: tuple = (),
+) -> DataFrame:
+    """Same assignment as :func:`_assign_cells` — argmax over cells of
+    dot(raw embedding, unit centroid), smallest-cell-id tiebreak — as ONE
+    Arrow-batched matmul per input split instead of a crossJoin row
+    explosion. The Catalyst form materializes n_vecs x n_cells rows
+    through a per-key window (quadratic in corpus under the corpus-scaled
+    cell count: ~253M rows / 262 s at the 10r ladder rung); this form is
+    O(n_vecs) rows with the same flops inside numpy (10r: seconds).
+    np.argmax returns the FIRST maximum, which IS the ascending-cell-id
+    tiebreak. Every production path (store build, delta join, refresh
+    re-assignment, absorb) assigns through this form — under
+    corpus-scaled cell counts even the DELTA's crossJoin is
+    O(delta x n_cells), i.e. grows with the CORPUS (the r14 10r semdedup
+    bend: 2.8-5.2 s of a 4-8 s rep was the 200x1407 HOF crossJoin).
+    :func:`_assign_cells` stays as the pure-Catalyst specification the
+    DuckDB oracle replays row for row — equality of the two forms
+    (incl. the duplicate-vector tiebreak) is asserted in
+    tests/test_deltadedup.py."""
+    import numpy as np
+
+    cmat = np.ascontiguousarray(
+        np.asarray(cent, dtype=np.float64).T
+    )  # (dim, k)
+
+    @F.pandas_udf("bigint")
+    def assign(emb):
+        import pandas as pd
+
+        m = np.vstack(emb.to_numpy()).astype(np.float64, copy=False)
+        return pd.Series(np.argmax(m @ cmat, axis=1).astype(np.int64))
+
+    return df.select(
+        F.col(key_col),
+        F.col(emb_col),
+        assign(F.col(emb_col)).alias("cell"),
+        *[F.col(c) for c in keep_cols],
+    )
+
+
 def _assign_cells(
     df: DataFrame,
     cent_df: DataFrame,
@@ -595,8 +658,10 @@ def build_vector_store(
         )
     )
     _write_centroids(store.centroids_path, cent)
-    cent_df = spark.read.parquet(store.centroids_path)
-    assigned = _assign_cells(corpus, cent_df, key_col, emb_col)
+    # corpus-side assignment via the vectorized twin (argmax-identical to
+    # _assign_cells, equality-tested) — the Catalyst crossJoin form is
+    # quadratic under corpus-scaled cell counts (see _assign_cells_vectorized)
+    assigned = _assign_cells_vectorized(corpus, cent, key_col, emb_col)
     (
         assigned.repartition(F.col("cell"))
         .write.mode("overwrite")
@@ -672,11 +737,13 @@ def delta_semdedup(
     # listdir when nothing is pending) before any read, so assignment
     # never runs against half-published geometry
     recover_refresh(store)
-    cent_df = spark.read.parquet(store.centroids_path)
-    # localCheckpoint, not persist — see delta_dedup's dsh note.
-    dass = _assign_cells(delta, cent_df, key_col, emb_col).localCheckpoint(
-        eager=True
-    )
+    # localCheckpoint, not persist — see delta_dedup's dsh note. The
+    # assignment runs the vectorized form: with corpus-scaled cell
+    # counts the Catalyst crossJoin is O(delta x n_cells) per rep and
+    # grows with the CORPUS (the r14 10r ladder bend).
+    dass = _assign_cells_vectorized(
+        delta, _read_centroids(store.centroids_path), key_col, emb_col
+    ).localCheckpoint(eager=True)
     corpus = spark.read.parquet(store.vectors_path)
     if prune:
         cells = [r[0] for r in dass.select("cell").distinct().collect()]
@@ -916,13 +983,11 @@ def refresh_centroids(
             corpus, n_cells, key_col=key_col, emb_col=emb_col,
             normalize=True,
         )
-    cent_df = spark.createDataFrame(
-        [(int(i), [float(v) for v in row]) for i, row in enumerate(cent)],
-        "_cid bigint, _cv array<double>",
-    )
     old = corpus.withColumnRenamed("cell", "old_cell")
     moves = (
-        _assign_cells(old, cent_df, key_col, emb_col, keep_cols=("old_cell",))
+        _assign_cells_vectorized(
+            old, cent, key_col, emb_col, keep_cols=("old_cell",)
+        )
         .groupBy("old_cell", "cell")
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
@@ -964,7 +1029,7 @@ def refresh_centroids(
         staged_cells: list[int] = []
         if dirty:
             sub = old.filter(F.col("old_cell").isin(sorted(dirty)))
-            staged = _assign_cells(sub, cent_df, key_col, emb_col)
+            staged = _assign_cells_vectorized(sub, cent, key_col, emb_col)
             (
                 staged.repartition(F.col("cell"))
                 .write.mode("overwrite")
@@ -1111,9 +1176,10 @@ def absorb_delta_vectors(
     centroids (the append-only index contract — cells never move) and
     append it into the cell-partitioned vector layout."""
     recover_refresh(store)
-    cent_df = spark.read.parquet(store.centroids_path)
     (
-        _assign_cells(delta, cent_df, key_col, emb_col)
+        _assign_cells_vectorized(
+            delta, _read_centroids(store.centroids_path), key_col, emb_col
+        )
         .repartition(F.col("cell"))
         .write.mode("append")
         .partitionBy("cell")

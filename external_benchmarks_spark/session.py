@@ -12,6 +12,16 @@ Design notes (100 TB target, tested on local[32]):
   should be overridden (or left to AQE) on a real cluster.
 - maxPartitionBytes kept at default 128m: with 2,688-dim float embeddings
   (~11 KB/row) one input split holds ~12k rows, a good Arrow batch size.
+- parallelPartitionDiscovery.threshold raised from 32 to 8192: the
+  cell-partitioned stores (vector store, PQ codes + sidecar) legitimately
+  carry O(1000) partition directories at the 10r ladder rung, and every
+  fresh spark.read.parquet above the default threshold launches a
+  DISTRIBUTED listing job — one task per directory of pure scheduling
+  overhead on a local filesystem (measured: the listing job, not the
+  pruned scan, was the delta_semdedup 10r bend — ~1400 tasks per rep).
+  Driver-side listing of a few thousand local dirs is milliseconds. On a
+  real cluster over object storage, revisit per store: distributed
+  listing pays off again at much higher directory counts.
 """
 
 from __future__ import annotations
@@ -54,6 +64,8 @@ def get_spark(
         # read it as a long (ns since epoch) and let catalog.py derive a
         # microsecond timestamp (ns//1000 — exactly what DuckDB's reader does).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # see module docstring: O(1000)-cell stores list driver-side
+        .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "8192")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

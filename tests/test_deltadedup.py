@@ -266,6 +266,54 @@ def test_semdedup_corpus_scan_pruned_and_unshuffled(spark, sf_dir):
     assert all("In(vec_id, [10,20,30])" in l for l in src_scans), src_scans
 
 
+def test_vectorized_assignment_equals_catalyst(spark, sf_dir):
+    """The store build's matmul assignment (r14: the crossJoin form was
+    quadratic under corpus-scaled cell counts — 253M exploded rows /
+    262 s at the 10r ladder rung) must produce the IDENTICAL vec_id ->
+    cell map as the pure-Catalyst argmax-with-window form the delta
+    path and the DuckDB oracle use — including on exact-duplicate
+    embeddings, where np.argmax's first-maximum rule must reproduce the
+    ascending-cell-id tiebreak."""
+    import numpy as np
+
+    from external_benchmarks_spark.operators.deltadedup import (
+        _assign_cells,
+        _assign_cells_vectorized,
+        _write_centroids,
+    )
+    from external_benchmarks_spark.operators.similarity import (
+        sampled_centroids,
+    )
+
+    emb = Catalog(spark, sf_dir).embeddings
+    # duplicate a handful of vectors under fresh ids: identical dots in
+    # every cell, so assignment must hinge on the shared tiebreak
+    dup = emb.filter(F.col("vec_id") < 50).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(10_000_000)
+    )
+    both = emb.unionByName(dup)
+    cent = sampled_centroids(emb, 24, normalize=True)
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        cpath = os.path.join(d, "cent")
+        _write_centroids(cpath, cent)
+        cent_df = spark.read.parquet(cpath)
+        want = {
+            r["vec_id"]: r["cell"]
+            for r in _assign_cells(both, cent_df).collect()
+        }
+    got = {
+        r["vec_id"]: r["cell"]
+        for r in _assign_cells_vectorized(both, np.asarray(cent)).collect()
+    }
+    assert got == want
+    # and the planted duplicates landed with their originals
+    for r in range(50):
+        if r in want and (r + 10_000_000) in want:
+            assert want[r] == want[r + 10_000_000]
+
+
 def test_semdedup_finds_planted_duplicates(spark):
     """An exact duplicate vector always lands in the same cell as its
     original (same argmax), so the cell block can never lose it —
