@@ -1682,6 +1682,33 @@ def q_pq_index_rerank_probed(spark, sf):
     )
 
 
+def q_pq_index_rerank_batch(spark, sf):
+    # Batch-of-queries probed rerank against the persisted index (r14):
+    # 4 queries' ADC candidates out of ONE codes pass (per-query
+    # probed-cell masks inside the shared scan), one broadcast of the
+    # <=Q*rerank candidate set exact-reranked against the sidecar
+    # pruned to the UNION of probed cells. The oracle replays per-query
+    # probes, per-query LUT ADC over each query's own cells, top-100
+    # candidates, exact rerank, per-query top-20 — entirely from the
+    # source table; the Spark side must reproduce it from the persisted
+    # codes + vectors files.
+    from external_benchmarks_spark.pipeline.pqindex import (
+        pq_index_rerank_batch,
+    )
+
+    queries = (
+        Catalog(spark, sf).embeddings.filter(F.col("vec_id") < 4)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qvec"),
+        )
+    )
+    return pq_index_rerank_batch(
+        spark, _pq_index(spark, sf), queries,
+        k=20, rerank=100, nprobe=IVF_NPROBE,
+    )
+
+
 def _scd2_parts(spark, sf):
     # Shared by scd2_apply / scd2_lookup: a TWO-attribute dimension
     # (seg = event_type, band = sign bucket of value — NULL for
@@ -6890,21 +6917,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # window of entries in dict order each round, so entries whose
     # semantics/data changed this round go first (they must re-verify),
     # then never-checked new entries, then the STALEST driver-green
-    # entries. Round-14 order (the recorded r13 plan, executed): the
-    # r14-new probed-rerank entry + the three pq_index entries whose
-    # build/query path changed this round (abs-path-hashed index roots,
-    # vectors-before-codes appends, probed-rerank sidecar pruning)
-    # first, then the ENTIRE registry sorted ascending by
+    # entries. Round-14 order (the recorded r13 plan, executed): the two
+    # r14-new rerank entries (probed + batch) + the three pq_index
+    # entries whose build/query path changed this round (abs-path-hashed
+    # index roots, vectors-before-codes appends, probed-rerank sidecar
+    # pruning) first, then the ENTIRE registry sorted ascending by
     # last-driver-checked round, computed from the CORRECTNESS_r* files
     # themselves: the full 33-entry r9-stale block, then the r10 block
-    # (45), r11, r12, r13. A ~50 window covers 4 + 33 r9 + the r10
-    # head; r15 plan: the r10-block remainder (~32 entries), then the
+    # (45), r11, r12, r13. A ~50 window covers 5 + 33 r9 + the r10
+    # head; r15 plan: the r10-block remainder (~33 entries), then the
     # r11 block head; staleness floor after r14 = r10.
     # Every entry passes the local mirror (tests/test_oracle_queries.py)
     # every test run either way, so rotation costs nothing.
     return {
         # --- round-14 new + this-round-changed (pq index root keying, vectors-first append, probed-rerank sidecar prune): verify first ---
         "pq_index_rerank_probed": q_pq_index_rerank_probed,
+        "pq_index_rerank_batch": q_pq_index_rerank_batch,
         "pq_index_topk": q_pq_index_topk,
         "pq_index_append_topk": q_pq_index_append_topk,
         "pq_index_rerank_topk": q_pq_index_rerank_topk,
@@ -8830,6 +8858,60 @@ def oracle_sql() -> dict[str, str]:
                    list_dot_product({EMB_DBL}, {QVEC_SQL}) AS score
             FROM embeddings e JOIN idx_cand USING (vec_id)
             ORDER BY score DESC, e.vec_id LIMIT 50
+        """,
+        # Batch probed rerank (r14): per-query probes, per-query-LUT ADC
+        # over each query's OWN probed cells, top-100 candidates, exact
+        # rerank, per-query top-20 — the whole batch pipeline replayed
+        # from the source table.
+        "pq_index_rerank_batch": f"""
+            WITH {_IVF_CTES},
+            {_PQ_CTES},
+            qb AS (SELECT vec_id AS query_id, {EMB_DBL} AS qe
+                   FROM embeddings WHERE vec_id < 4),
+            probe_b AS (
+              SELECT query_id, cid FROM (
+                SELECT qb.query_id, cent.cid,
+                       row_number() OVER (PARTITION BY qb.query_id
+                         ORDER BY list_dot_product(qb.qe, cent.cv) DESC,
+                                  cent.cid) AS rn
+                FROM qb CROSS JOIN cent) t
+              WHERE rn <= {IVF_NPROBE}),
+            cand_b AS (
+              SELECT p.query_id, a.vec_id
+              FROM assign a JOIN probe_b p USING (cid)),
+            lutq AS (
+              SELECT qb.query_id, jj.j, cb.code,
+                     list_sum(list_transform(generate_series(1, {_PQ_DSUB}), i ->
+                       CAST(FLOOR(qb.qe[jj.j * {_PQ_DSUB} + i]
+                            * cb.ce[jj.j * {_PQ_DSUB} + i] * 1000000.0)
+                            AS BIGINT))) AS v
+              FROM qb CROSS JOIN jj CROSS JOIN cb),
+            adc AS (
+              SELECT c.query_id, c.vec_id, CAST(SUM(l.v) AS BIGINT) AS pq_score
+              FROM cand_b c
+                JOIN pq_enc e USING (vec_id)
+                JOIN lutq l ON l.query_id = c.query_id
+                  AND e.j = l.j AND e.code = l.code
+              GROUP BY c.query_id, c.vec_id),
+            cand_r AS (
+              SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id,
+                       row_number() OVER (PARTITION BY query_id
+                         ORDER BY pq_score DESC, vec_id) AS rn
+                FROM adc) t
+              WHERE rn <= 100),
+            exact AS (
+              SELECT c.query_id, e.vec_id,
+                     list_dot_product({EMB_DBL}, qb.qe) AS score
+              FROM cand_r c
+                JOIN embeddings e USING (vec_id)
+                JOIN qb ON qb.query_id = c.query_id)
+            SELECT query_id, vec_id, score, rank FROM (
+              SELECT query_id, vec_id, score,
+                     CAST(row_number() OVER (PARTITION BY query_id
+                       ORDER BY score DESC, vec_id) AS BIGINT) AS rank
+              FROM exact) t
+            WHERE rank <= 20
         """,
         # PQ + exact rerank: candidate CTEs under the 64x16 quantizer
         # (dsub = {EMB_DIM // PQR_M}), then exact dot-product rerank —

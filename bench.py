@@ -1396,6 +1396,12 @@ def headline_queries():
         # sidecar (both scans read nprobe cells only; r13 verdict #4
         # gave this form its own wall-time cell when the prune landed)
         "pq_index_rerank_probed": q["pq_index_rerank_probed"],
+        # Round-14: the batch form — 4 queries' probed ADC out of one
+        # shared codes pass (per-query cell masks), one candidate
+        # broadcast against the union-pruned sidecar. Amortizes the
+        # per-job floor across the batch like batch100_topk does for
+        # the exact tier.
+        "pq_index_rerank_batch": q["pq_index_rerank_batch"],
         # PQ + exact rerank (the FAISS refine step): the recall-passing
         # PQ read path — ADC candidates under the 64x16 quantizer,
         # exact rerank of 250 rows. Like pq_topk, this leg deliberately

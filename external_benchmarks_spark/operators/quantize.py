@@ -234,6 +234,8 @@ def pq_adc_topk_batch(
     key_col: str = "vec_id",
     query_key: str = "query_id",
     query_emb: str = "qvec",
+    cell_col: str | None = None,
+    allowed_cells: dict | None = None,
 ) -> DataFrame:
     """Batch-of-queries ADC: every query scored in ONE pass over the
     PQ codes — the serving-throughput twin of pq_adc_topk, same shape
@@ -247,6 +249,12 @@ def pq_adc_topk_batch(
     score matrix is m fancy-gathers + adds over int64 — no floats
     anywhere after LUT construction, so results replay exactly in SQL.
     Returns (query_id, key, pq_score, rank<=k).
+
+    ``allowed_cells`` ({query_id: iterable of cell ids}, with
+    ``cell_col`` naming the codes' cell column) restricts each query to
+    ITS OWN probed cells inside the one shared pass — the batch form of
+    the single-query nprobe filter: the scan is pruned to the UNION of
+    probed cells by the caller, the per-query mask applies here.
     """
     import math
 
@@ -269,22 +277,45 @@ def pq_adc_topk_batch(
                     for i in range(dsub)
                 )
 
+    allowed = None
+    if allowed_cells is not None:
+        allowed = {
+            int(qid): np.asarray(sorted(cells), dtype=np.int64)
+            for qid, cells in allowed_cells.items()
+        }
+
     def score(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             codes = np.vstack(pdf["pq_codes"].to_numpy()).astype(np.int64)
             keys = pdf[key_col].to_numpy()
+            cells = (
+                pdf[cell_col].to_numpy().astype(np.int64)
+                if allowed is not None
+                else None
+            )
             n = len(keys)
             scores = np.zeros((len(qids), n), dtype=np.int64)
             for j in range(m):
                 scores += lut[:, j, :][:, codes[:, j]]
             out_q, out_k, out_s = [], [], []
             for qi in range(len(qids)):
-                order = np.lexsort((keys, -scores[qi]))[:k]
+                if allowed is not None:
+                    sub = np.nonzero(
+                        np.isin(cells, allowed.get(int(qids[qi]), ()))
+                    )[0]
+                    if len(sub) == 0:
+                        continue
+                    skeys, sscores = keys[sub], scores[qi][sub]
+                else:
+                    skeys, sscores = keys, scores[qi]
+                order = np.lexsort((skeys, -sscores))[:k]
                 out_q.append(np.full(len(order), qids[qi], dtype=np.int64))
-                out_k.append(keys[order])
-                out_s.append(scores[qi][order])
+                out_k.append(skeys[order])
+                out_s.append(sscores[order])
+            if not out_q:
+                continue
             yield pd.DataFrame(
                 {
                     query_key: np.concatenate(out_q),
@@ -293,7 +324,8 @@ def pq_adc_topk_batch(
                 }
             )
 
-    survivors = codes_df.select(key_col, "pq_codes").mapInPandas(
+    in_cols = [key_col, "pq_codes"] + ([cell_col] if allowed is not None else [])
+    survivors = codes_df.select(*in_cols).mapInPandas(
         score, f"{query_key} bigint, {key_col} bigint, pq_score bigint"
     )
     w = Window.partitionBy(query_key).orderBy(

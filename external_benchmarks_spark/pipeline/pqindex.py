@@ -374,3 +374,96 @@ def pq_index_rerank_topk(
         .orderBy(F.desc("score"), F.asc(index.key_col))
         .limit(k)
     )
+
+
+def pq_index_rerank_batch(
+    spark: SparkSession,
+    index: PQIndex,
+    queries_df: DataFrame,
+    k: int = 20,
+    rerank: int = 100,
+    nprobe: int | None = None,
+    emb_col: str = "embedding",
+    query_key: str = "query_id",
+    query_emb: str = "qvec",
+) -> DataFrame:
+    """Batch-of-queries probed rerank against the persisted index — the
+    serving-throughput twin of :func:`pq_index_rerank_topk`: every
+    query's ADC candidates come out of ONE pass over the codes
+    (per-query probed-cell masks inside the shared scan,
+    quantize.pq_adc_topk_batch), then ONE broadcast of the <= Q*rerank
+    candidate set exact-reranks against the cell-directory-pruned
+    raw-vector sidecar.
+
+    Scale shape: the codes pass reads the UNION of the queries' probed
+    cells once (vs Q separate scans); the sidecar pass reads the same
+    union once; per-query work after the scans is O(rerank) rows
+    through a bounded window. The query table is contractually bounded
+    (a request batch) — its collect() and the candidate broadcast are
+    the same bounded-batch device as pq_adc_topk_batch's LUT tensor.
+    Returns (query_id, vec_id, score, rank<=k) — exact float64 scores
+    via the column-form sequential dot product (same op order as the
+    single-query literal plan)."""
+    from external_benchmarks_spark.functions.vector import dot_product
+    from external_benchmarks_spark.operators.quantize import pq_adc_topk_batch
+    from external_benchmarks_spark.operators.similarity import ivf_probe_cells
+    from pyspark.sql.window import Window
+
+    if not index.has_vectors:
+        raise ValueError(
+            f"no raw-vector sidecar at {index.vectors_path}; "
+            "build_pq_index(..., store_vectors=True) to enable rerank"
+        )
+    codes = pq_index_codes(spark, index)
+    vecs = spark.read.parquet(index.vectors_path)
+    allowed = None
+    if nprobe is not None:
+        qrows = queries_df.select(query_key, query_emb).collect()
+        allowed = {
+            int(r[query_key]): [
+                int(c)
+                for c in ivf_probe_cells(
+                    index.centroids, r[query_emb], nprobe, index.metric
+                )
+            ]
+            for r in qrows
+        }
+        union_cells = sorted({c for cs in allowed.values() for c in cs})
+        # ONE planning-time directory prune for both artifacts: every
+        # query's candidates live in its probed cells, all of which are
+        # in the union by construction
+        codes = codes.filter(F.col("centroid_id").isin(union_cells))
+        vecs = vecs.filter(F.col("centroid_id").isin(union_cells))
+    cand = pq_adc_topk_batch(
+        codes,
+        index.codebooks,
+        queries_df,
+        k=rerank,
+        key_col=index.key_col,
+        query_key=query_key,
+        query_emb=query_emb,
+        cell_col="centroid_id" if allowed is not None else None,
+        allowed_cells=allowed,
+    ).select(query_key, index.key_col)
+    q_side = F.broadcast(
+        queries_df.select(
+            F.col(query_key), F.col(query_emb).cast("array<double>").alias("_qv")
+        )
+    )
+    w = Window.partitionBy(query_key).orderBy(
+        F.desc("score"), F.asc(index.key_col)
+    )
+    return (
+        vecs.join(F.broadcast(cand), index.key_col)
+        .join(q_side, query_key)
+        .select(
+            query_key,
+            F.col(index.key_col),
+            dot_product(
+                F.col(emb_col).cast("array<double>"), F.col("_qv")
+            ).alias("score"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(query_key, index.key_col, "score", "rank")
+    )

@@ -283,6 +283,68 @@ def test_append_writes_vectors_before_codes(spark, monkeypatch):
     assert order == ["vectors", "codes"], order
 
 
+def test_rerank_batch_equals_per_query_composition(spark, rerank_index):
+    """The batch probed rerank (one shared codes pass with per-query
+    cell masks + one candidate broadcast) must produce, per query,
+    EXACTLY the single-query pq_index_rerank_topk's top-k — same keys,
+    same float64 scores, same order."""
+    from external_benchmarks_spark.pipeline.pqindex import (
+        pq_index_rerank_batch,
+    )
+
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    got = {}
+    for r in pq_index_rerank_batch(
+        spark, rerank_index, queries, k=10, rerank=60, nprobe=3
+    ).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["vec_id"], r["score"])
+        )
+    qrows = queries.collect()
+    assert sorted(got) == sorted(r["query_id"] for r in qrows)
+    for qr in qrows:
+        want = [
+            (i + 1, r.vec_id, r.score)
+            for i, r in enumerate(
+                pq_index_rerank_topk(
+                    spark, rerank_index, qr["qvec"], k=10, rerank=60, nprobe=3
+                ).collect()
+            )
+        ]
+        assert sorted(got[qr["query_id"]]) == want, qr["query_id"]
+
+
+def test_rerank_batch_prunes_both_scans(spark, rerank_index):
+    """The batch form's single codes pass and single sidecar pass must
+    both prune to the UNION of the queries' probed cells at planning
+    time — the batch twin of test_rerank_prunes_both_scans_at_planning."""
+    from external_benchmarks_spark.pipeline.pqindex import (
+        pq_index_rerank_batch,
+    )
+
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    plan = (
+        pq_index_rerank_batch(
+            spark, rerank_index, queries, k=10, rerank=60, nprobe=2
+        )._jdf.queryExecution().executedPlan().toString()
+    )
+    scans = [
+        l for l in plan.splitlines()
+        if "FileScan" in l and ("/codes" in l or "/vectors" in l)
+    ]
+    assert len(scans) >= 2, plan
+    for scan in scans:
+        assert "PartitionFilters" in scan and "centroid_id" in scan.split(
+            "PartitionFilters"
+        )[1].split("]")[0], scan
+
+
 def test_rerank_requires_vector_sidecar(spark, full_index):
     from external_benchmarks_spark.serving import PQServingIndex
 
