@@ -441,6 +441,18 @@ def target_cells(
     return max(int(min_cells), -(-int(n_rows) // int(rows_per_cell)))
 
 
+def _single_centroid_file(path: str) -> str:
+    """The centroid layout's one data file (see _write_centroids) —
+    shared invariant check for every driver-side centroid reader."""
+    files = [f for f in os.listdir(path) if not f.startswith(("_", "."))]
+    if len(files) != 1:
+        raise ValueError(
+            f"centroid layout invariant broken: {path} has {len(files)} "
+            "data files (expected exactly one)"
+        )
+    return os.path.join(path, files[0])
+
+
 def store_cell_count(store: VectorStore) -> int:
     """The store's CURRENT cell count = the live centroid parquet's row
     count (one driver-side footer read). Self-describing by design: a
@@ -448,14 +460,9 @@ def store_cell_count(store: VectorStore) -> int:
     count."""
     import pyarrow.parquet as pq
 
-    d = store.centroids_path
-    files = [f for f in os.listdir(d) if not f.startswith(("_", "."))]
-    if len(files) != 1:
-        raise ValueError(
-            f"centroid layout invariant broken: {d} has {len(files)} "
-            "data files (expected exactly one)"
-        )
-    return pq.ParquetFile(os.path.join(d, files[0])).metadata.num_rows
+    return pq.ParquetFile(
+        _single_centroid_file(store.centroids_path)
+    ).metadata.num_rows
 
 
 def _write_centroids(path: str, cent) -> None:
@@ -486,13 +493,7 @@ def _read_centroids(path: str):
     import numpy as np
     import pyarrow.parquet as pq
 
-    files = [f for f in os.listdir(path) if not f.startswith(("_", "."))]
-    if len(files) != 1:
-        raise ValueError(
-            f"centroid layout invariant broken: {path} has {len(files)} "
-            "data files (expected exactly one)"
-        )
-    tbl = pq.read_table(os.path.join(path, files[0])).sort_by("_cid")
+    tbl = pq.read_table(_single_centroid_file(path)).sort_by("_cid")
     return np.vstack(tbl.column("_cv").to_numpy(zero_copy_only=False))
 
 
@@ -519,7 +520,19 @@ def _assign_cells_vectorized(
     :func:`_assign_cells` stays as the pure-Catalyst specification the
     DuckDB oracle replays row for row — equality of the two forms
     (incl. the duplicate-vector tiebreak) is asserted in
-    tests/test_deltadedup.py."""
+    tests/test_deltadedup.py.
+
+    Float caveat, stated honestly: the matmul's blocked/SIMD
+    accumulation order differs in the last ULPs from the Catalyst
+    sequential fold, so a vector whose top two centroid dots tie
+    within rounding noise could assign differently across the forms.
+    This is the SAME class of bet the oracle contract already makes —
+    Catalyst's sequential sum vs DuckDB's list_dot_product are two
+    different fold orders that hash-match only because real data
+    doesn't produce cross-engine near-ties — and it is continuously
+    re-validated by the full oracle mirror every test run; exact ties
+    (duplicate vectors) are safe by the shared first-max/asc-cid
+    tiebreak."""
     import numpy as np
 
     cmat = np.ascontiguousarray(

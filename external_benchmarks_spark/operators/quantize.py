@@ -236,6 +236,7 @@ def pq_adc_topk_batch(
     query_emb: str = "qvec",
     cell_col: str | None = None,
     allowed_cells: dict | None = None,
+    query_rows: list | None = None,
 ) -> DataFrame:
     """Batch-of-queries ADC: every query scored in ONE pass over the
     PQ codes — the serving-throughput twin of pq_adc_topk, same shape
@@ -255,6 +256,9 @@ def pq_adc_topk_batch(
     ITS OWN probed cells inside the one shared pass — the batch form of
     the single-query nprobe filter: the scan is pruned to the UNION of
     probed cells by the caller, the per-query mask applies here.
+    ``query_rows`` passes pre-collected (query_key, query_emb) rows so
+    a caller that already collected the bounded request batch (e.g. to
+    resolve probes) doesn't pay a second driver job.
     """
     import math
 
@@ -263,9 +267,18 @@ def pq_adc_topk_batch(
 
     from pyspark.sql.window import Window
 
+    if allowed_cells is not None and cell_col is None:
+        raise ValueError(
+            "allowed_cells requires cell_col (the codes' cell column); "
+            "without it the per-query mask has nothing to mask on"
+        )
     cb = np.asarray(codebooks, dtype=np.float64)
     m, n_codes, dsub = cb.shape
-    qrows = queries_df.select(query_key, query_emb).collect()
+    qrows = (
+        query_rows
+        if query_rows is not None
+        else queries_df.select(query_key, query_emb).collect()
+    )
     qids = np.asarray([r[query_key] for r in qrows], dtype=np.int64)
     lut = np.empty((len(qrows), m, n_codes), dtype=np.int64)
     for qi, r in enumerate(qrows):

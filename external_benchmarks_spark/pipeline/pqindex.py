@@ -233,7 +233,10 @@ def append_pq_index(
         _record_applied,
     )
     from external_benchmarks_spark.pipeline.index import append_to_index_layout
-    from external_benchmarks_spark.pipeline.layout import record_layout
+    from external_benchmarks_spark.pipeline.layout import (
+        invalidate_layout,
+        record_layout,
+    )
 
     if batch_id in _read_applied(index.root):
         return False
@@ -248,11 +251,20 @@ def append_pq_index(
         emb_col=emb_col,
         extra_cols=["centroid_id"],
     )
-    # append_to_index_layout drops the current-marker up front, so a
-    # crash mid-write leaves the index readable but not-current — the
-    # ledger stays unrecorded and the batch replays cleanly only after
-    # the owner rebuilds (the documented layout-append contract). The
-    # VECTORS sidecar appends FIRST: sidecar rows with no matching
+    # Drop the CODES layout's current-marker before ANY write: the
+    # whole two-layout append must sit under one not-current umbrella,
+    # so a crash anywhere inside it leaves the index readable but
+    # not-current — the ledger stays unrecorded and the batch replays
+    # cleanly only after the owner rebuilds (the documented
+    # layout-append contract). Without this, a crash between the two
+    # appends below would leave the codes layout still marked current
+    # (the vectors layout carries no fingerprint, so its own
+    # marker-drop is a no-op), and a conforming ledger-driven replay
+    # would append the VECTORS side a second time — duplicate sidecar
+    # rows that the rerank broadcast join would emit twice, a
+    # plan/serving parity break nothing flags as stale.
+    invalidate_layout(index.codes_path)
+    # The VECTORS sidecar appends FIRST: sidecar rows with no matching
     # codes are invisible (rerank only looks up ADC candidates, and
     # ADC ranks the codes table), but codes with no sidecar rows would
     # break topk_rerank for a reader that refreshes inside the window
@@ -416,9 +428,11 @@ def pq_index_rerank_batch(
         )
     codes = pq_index_codes(spark, index)
     vecs = spark.read.parquet(index.vectors_path)
+    # ONE driver collect of the bounded request batch, shared with the
+    # LUT build inside pq_adc_topk_batch (query_rows below)
+    qrows = queries_df.select(query_key, query_emb).collect()
     allowed = None
     if nprobe is not None:
-        qrows = queries_df.select(query_key, query_emb).collect()
         allowed = {
             int(r[query_key]): [
                 int(c)
@@ -444,6 +458,7 @@ def pq_index_rerank_batch(
         query_emb=query_emb,
         cell_col="centroid_id" if allowed is not None else None,
         allowed_cells=allowed,
+        query_rows=qrows,
     ).select(query_key, index.key_col)
     q_side = F.broadcast(
         queries_df.select(

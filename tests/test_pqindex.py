@@ -255,6 +255,53 @@ def test_rerank_tolerates_missing_sidecar_cell(spark, rerank_index):
         assert got == want
 
 
+def test_append_crash_between_layouts_leaves_index_not_current(
+    spark, monkeypatch
+):
+    """The whole two-layout append sits under ONE not-current umbrella:
+    a crash after the vectors append but before the codes append must
+    leave the codes layout's marker dropped, so no build-else-reuse
+    path trusts the half-appended state and no ledger-driven replay
+    runs against it (which would duplicate the already-appended sidecar
+    rows — the r14 review finding on the vectors-first reorder)."""
+    import os as _os
+
+    from external_benchmarks_spark.pipeline import index as index_mod
+    from external_benchmarks_spark.pipeline.layout import _MARKER
+
+    emb = _emb(spark)
+    base = emb.filter(F.col("vec_id") % 10 != 0)
+    delta = emb.filter(F.col("vec_id") % 10 == 0)
+    with tempfile.TemporaryDirectory() as d:
+        idx = build_pq_index(
+            spark, base, os.path.join(d, "pq"),
+            n_codes=N_CODES, m_subspaces=M, n_centroids=N_CENT,
+            store_vectors=True,
+            source_paths=[os.path.join(d, "src")],
+        )
+        marker = _os.path.join(idx.codes_path, _MARKER)
+        assert _os.path.exists(marker)  # build recorded a fingerprint
+        real = index_mod.append_to_index_layout
+
+        def crash_on_codes(df, path, **kw):
+            if _os.path.basename(path.rstrip("/")) == "codes":
+                raise RuntimeError("injected crash between the layouts")
+            return real(df, path, **kw)
+
+        monkeypatch.setattr(
+            index_mod, "append_to_index_layout", crash_on_codes
+        )
+        with pytest.raises(RuntimeError, match="injected"):
+            append_pq_index(spark, idx, delta, batch_id="b1")
+        assert not _os.path.exists(marker), (
+            "codes layout still marked current after a mid-append crash"
+        )
+        # and the ledger never recorded the batch
+        from external_benchmarks_spark.pipeline.export import _read_applied
+
+        assert "b1" not in _read_applied(idx.root)
+
+
 def test_append_writes_vectors_before_codes(spark, monkeypatch):
     """Appends land the raw-vector sidecar BEFORE the codes: extra
     sidecar rows are invisible (rerank only looks up ADC candidates),
