@@ -1802,6 +1802,17 @@ def main() -> None:
         "wall_s": round(ann_wall, 3),
         "req_per_s": round(len(ann_got) / ann_wall, 1),
     }
+    # ...and the LIVE rate-driven form at the reference's 20 QPS: both
+    # tiers' service percentiles under a sustained stream with
+    # per-batch refresh — the ANN read SLA measured as a stream.
+    from external_benchmarks_spark.streaming.query_server import (
+        run_ann_rate_server,
+    )
+
+    ann_stream["rate_20qps"] = run_ann_rate_server(
+        spark, pqidx.root, QVEC, qps=20, duration_s=20.0,
+        k=50, rerank=250, nprobe=entry_mod.IVF_NPROBE,
+    )
     print(f"# ann_stream_serving: {ann_stream}", file=sys.stderr)
 
     # Full-width (2,688-dim) realism leg.

@@ -201,6 +201,77 @@ def rate_delivery_floor(
     return _percentiles(lat)
 
 
+def run_ann_rate_server(
+    spark,
+    index_root: str,
+    qvec,
+    qps: int = 20,
+    duration_s: float = 20.0,
+    k: int = 50,
+    rerank: int = 250,
+    nprobe: int | None = None,
+    trigger_ms: int = 200,
+) -> dict:
+    """Load-generating LIVE form of the ANN server (r14): a ``rate``
+    readStream at ``qps`` feeds the PQ serving index for
+    ``duration_s``; requests alternate between the pure-ADC tier and
+    the recall-passing rerank tier, the index refreshes per micro-batch
+    (signature-gated), and the report carries each tier's own service
+    percentiles — the reference's ANN read SLA (README.md:73-76)
+    measured as a sustained stream, not a drain. ``e2e`` additionally
+    pays the micro-batch delivery floor (see rate_delivery_floor)."""
+    from external_benchmarks_spark.serving import PQServingIndex
+
+    srv = PQServingIndex(index_root)
+    adc_t: list[float] = []
+    rr_t: list[float] = []
+    e2e: list[float] = []
+
+    def handle(batch_df, _batch_id):
+        srv.refresh()
+        for r in batch_df.collect():
+            seq = int(r["value"])
+            t0 = time.perf_counter()
+            if seq % 2 == 0:
+                srv.topk(qvec, k=k, nprobe=nprobe)
+                adc_t.append(time.perf_counter() - t0)
+            else:
+                srv.topk_rerank(qvec, k=k, rerank=rerank, nprobe=nprobe)
+                rr_t.append(time.perf_counter() - t0)
+            e2e.append(max(0.0, time.time() - r["timestamp"].timestamp()))
+
+    ckpt = os.path.join(
+        tempfile.gettempdir(), f"ebs_annrate_ckpt_{uuid.uuid4().hex[:8]}"
+    )
+    q = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", qps)
+        .load()
+        .writeStream.foreachBatch(handle)
+        .trigger(processingTime=f"{trigger_ms} milliseconds")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        deadline = time.time() + duration_s
+        while time.time() < deadline and q.isActive:
+            time.sleep(0.1)
+    finally:
+        if q.isActive:
+            q.stop()
+        q.awaitTermination()
+        import shutil
+
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return {
+        "qps": qps,
+        "duration_s": duration_s,
+        "adc": _percentiles(adc_t),
+        "rerank": _percentiles(rr_t),
+        "e2e": _percentiles(e2e),
+    }
+
+
 def run_ann_file_server(
     spark,
     index_root: str,
