@@ -52,6 +52,31 @@ def _percentiles(xs: list[float]) -> dict:
     }
 
 
+def _drain(q, ckpt: str, duration_s: float | None) -> None:
+    """Shared drain + teardown for every server loop in this module:
+    poll for ``duration_s`` (or await an availableNow drain when None),
+    then ALWAYS stop the query and remove its checkpoint — the rmtree
+    sits in its own finally so a failed query (awaitTermination
+    re-raises the streaming exception) cannot leak the checkpoint dir
+    in the temp dir."""
+    try:
+        if duration_s is None:
+            q.awaitTermination()  # availableNow: stops when drained
+        else:
+            deadline = time.time() + duration_s
+            while time.time() < deadline and q.isActive:
+                time.sleep(0.1)
+    finally:
+        try:
+            if q.isActive:
+                q.stop()
+            q.awaitTermination()
+        finally:
+            import shutil
+
+            shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def _serve_stream(
     stream_df,
     sidx: VectorServingIndex,
@@ -96,20 +121,7 @@ def _serve_stream(
         .option("checkpointLocation", ckpt)
         .start()
     )
-    try:
-        if duration_s is None:
-            q.awaitTermination()  # availableNow: stops when drained
-        else:
-            deadline = time.time() + duration_s
-            while time.time() < deadline and q.isActive:
-                time.sleep(0.1)
-    finally:
-        if q.isActive:
-            q.stop()
-        q.awaitTermination()
-        import shutil
-
-        shutil.rmtree(ckpt, ignore_errors=True)
+    _drain(q, ckpt, duration_s)
     return service, e2e
 
 
@@ -187,17 +199,7 @@ def rate_delivery_floor(
         .option("checkpointLocation", ckpt)
         .start()
     )
-    try:
-        deadline = time.time() + duration_s
-        while time.time() < deadline and q.isActive:
-            time.sleep(0.1)
-    finally:
-        if q.isActive:
-            q.stop()
-        q.awaitTermination()
-        import shutil
-
-        shutil.rmtree(ckpt, ignore_errors=True)
+    _drain(q, ckpt, duration_s)
     return _percentiles(lat)
 
 
@@ -252,17 +254,7 @@ def run_ann_rate_server(
         .option("checkpointLocation", ckpt)
         .start()
     )
-    try:
-        deadline = time.time() + duration_s
-        while time.time() < deadline and q.isActive:
-            time.sleep(0.1)
-    finally:
-        if q.isActive:
-            q.stop()
-        q.awaitTermination()
-        import shutil
-
-        shutil.rmtree(ckpt, ignore_errors=True)
+    _drain(q, ckpt, duration_s)
     return {
         "qps": qps,
         "duration_s": duration_s,
@@ -338,14 +330,7 @@ def run_ann_file_server(
         .option("checkpointLocation", ckpt)
         .start()
     )
-    try:
-        q.awaitTermination()
-    finally:
-        if q.isActive:
-            q.stop()
-        import shutil
-
-        shutil.rmtree(ckpt, ignore_errors=True)
+    _drain(q, ckpt, None)
     return results
 
 
