@@ -1532,12 +1532,18 @@ def _pq_index_root(sf: str, prefix: str) -> str:
     return bucket_root(f"pqidx_{prefix}_{base}_{tag}")
 
 
-def _pq_index_fp(sf: str, applied: list) -> str:
+def _pq_index_fp(sf: str, applied: list, payload: tuple = ()) -> str:
+    # params must mirror build_pq_index's recorded params exactly or
+    # the build-else-reuse check never reuses (payload_cols joined the
+    # fingerprint in r14 with the filtered-ANN payload columns)
     from external_benchmarks_spark.pipeline.layout import source_fingerprint
 
     return source_fingerprint(
         [os.path.join(sf, "embeddings.parquet")],
-        extra={"pq": _PQ_PARAMS, "applied": applied},
+        extra={
+            "pq": {**_PQ_PARAMS, "payload_cols": sorted(payload)},
+            "applied": applied,
+        },
     )
 
 
@@ -1562,12 +1568,14 @@ def _pq_index_reuse(root: str, fp: str, want_vectors: bool):
 
 def _pq_index(spark, sf):
     """Index over the FULL embeddings table (with the raw-vector refine
-    sidecar for the rerank tier); built once per (session, sf), reused
-    from disk across sessions while the source fingerprint holds."""
+    sidecar for the rerank tier, and ``label`` as a payload column for
+    the filtered-ANN read); built once per (session, sf), reused from
+    disk across sessions while the source fingerprint holds."""
     from external_benchmarks_spark.pipeline.pqindex import build_pq_index
 
+    payload = ("label",)
     root = _pq_index_root(sf, "full")
-    fp = _pq_index_fp(sf, [])
+    fp = _pq_index_fp(sf, [], payload)
     key = (root, fp)
     if key not in _PQ_INDEX:
         idx = _pq_index_reuse(root, fp, want_vectors=True)
@@ -1581,6 +1589,7 @@ def _pq_index(spark, sf):
                 n_centroids=IVF_N_CENTROIDS,
                 source_paths=[os.path.join(sf, "embeddings.parquet")],
                 store_vectors=True,
+                payload_cols=payload,
             )
         _PQ_INDEX[key] = idx
     return _PQ_INDEX[key]
@@ -1679,6 +1688,26 @@ def q_pq_index_rerank_probed(spark, sf):
 
     return pq_index_rerank_topk(
         spark, _pq_index(spark, sf), QVEC, k=50, rerank=250, nprobe=IVF_NPROBE
+    )
+
+
+def q_pq_index_filtered_rerank(spark, sf):
+    # Metadata-FILTERED ANN over the persisted index (r14): the
+    # pre-filter form — label IN (1, 3) applies to the compressed scan
+    # BEFORE candidate selection (payloads ride inside the codes
+    # layout), so the ADC top-R is the top-R of the filtered set and
+    # the source table is never touched at query time. Probed + both
+    # artifacts cell-pruned like the production rerank. The oracle
+    # replays assign/probe/encode, the label filter via the source
+    # table, ADC over (probed AND filtered), top-100, exact rerank.
+    from external_benchmarks_spark.pipeline.pqindex import (
+        pq_index_filtered_rerank,
+    )
+
+    return pq_index_filtered_rerank(
+        spark, _pq_index(spark, sf), QVEC,
+        predicate=F.col("label").isin(1, 3),
+        k=20, rerank=100, nprobe=IVF_NPROBE,
     )
 
 

@@ -56,13 +56,20 @@ _VECTORS_DIR = "vectors"
 
 @dataclass
 class PQIndex:
-    """Handle to a persisted PQ index: paths + the frozen quantizers."""
+    """Handle to a persisted PQ index: paths + the frozen quantizers.
+
+    ``payload_cols`` are metadata columns carried INSIDE the codes
+    layout (a few bytes next to the m-byte codes) so filtered ANN
+    reads — the pre-filter form every production vector store ships —
+    evaluate their predicate against the compressed scan itself, never
+    the source table."""
 
     root: str
     centroids: np.ndarray  # [n_centroids, dim], normalized per metric
     codebooks: np.ndarray  # [m, n_codes, dsub] float64
     metric: str
     key_col: str
+    payload_cols: tuple = ()
 
     @property
     def codes_path(self) -> str:
@@ -86,6 +93,7 @@ def _write_meta(index: PQIndex) -> None:
     payload = {
         "metric": index.metric,
         "key_col": index.key_col,
+        "payload_cols": list(index.payload_cols),
         "centroids": index.centroids.tolist(),
         "codebooks": index.codebooks.tolist(),
     }
@@ -105,6 +113,7 @@ def load_pq_index(root: str) -> PQIndex:
         codebooks=np.asarray(meta["codebooks"], dtype=np.float64),
         metric=meta["metric"],
         key_col=meta["key_col"],
+        payload_cols=tuple(meta.get("payload_cols", ())),
     )
 
 
@@ -130,6 +139,7 @@ def build_pq_index(
     emb_col: str = "embedding",
     source_paths: Sequence[str] | None = None,
     store_vectors: bool = False,
+    payload_cols: Sequence[str] = (),
 ) -> PQIndex:
     """Train (hash-sample) the quantizers, encode the corpus, write the
     cell-partitioned codes layout + quantizer sidecar. One shuffle (the
@@ -175,15 +185,16 @@ def build_pq_index(
         cb,
         key_col=key_col,
         emb_col=emb_col,
-        extra_cols=["centroid_id"],
+        extra_cols=["centroid_id", *payload_cols],
     )
     index = PQIndex(
         root=root, centroids=centroids, codebooks=cb,
-        metric=metric, key_col=key_col,
+        metric=metric, key_col=key_col, payload_cols=tuple(payload_cols),
     )
     params = {
         "n_codes": n_codes, "m": m_subspaces,
         "n_centroids": n_centroids, "metric": metric,
+        "payload_cols": sorted(payload_cols),
     }
     build_index_layout(
         codes,
@@ -249,7 +260,7 @@ def append_pq_index(
         index.codebooks,
         key_col=index.key_col,
         emb_col=emb_col,
-        extra_cols=["centroid_id"],
+        extra_cols=["centroid_id", *index.payload_cols],
     )
     # Drop the CODES layout's current-marker before ANY write: the
     # whole two-layout append must sit under one not-current umbrella,
@@ -287,6 +298,7 @@ def append_pq_index(
     params = {
         "n_codes": n_codes, "m": m,
         "n_centroids": len(index.centroids), "metric": index.metric,
+        "payload_cols": sorted(index.payload_cols),
     }
     record_layout(
         index.codes_path,
@@ -481,4 +493,69 @@ def pq_index_rerank_batch(
         .withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
         .select(query_key, index.key_col, "score", "rank")
+    )
+
+
+def pq_index_filtered_rerank(
+    spark: SparkSession,
+    index: PQIndex,
+    query: Sequence[float],
+    predicate,
+    k: int = 20,
+    rerank: int = 100,
+    nprobe: int | None = None,
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Metadata-FILTERED ANN over the persisted index — the pre-filter
+    form every production vector store ships: ``predicate`` (a Column
+    over the index's payload_cols, e.g. ``F.col("label").isin(1, 3)``)
+    applies to the COMPRESSED scan before candidate selection, so the
+    ADC top-``rerank`` is the top-R *of the filtered set* and the
+    recall target is defined within the filter (post-filtering top-R of
+    the unfiltered set can return << k rows under selective predicates
+    — the classic filtered-ANN failure mode this form avoids). The
+    exact rerank then joins the cell-pruned raw-vector sidecar exactly
+    like pq_index_rerank_topk.
+
+    Scale shape: payloads ride inside the codes layout (a few bytes
+    next to the m-byte codes), so the filter is a parquet-pushed data
+    filter on the already-cell-pruned compressed scan — the source
+    table is never touched at query time. Returns (key, score) ordered
+    by (-score, key), k rows or as many as satisfy the filter."""
+    from external_benchmarks_spark.functions.vector import dot_product_literal
+    from external_benchmarks_spark.operators.quantize import pq_adc_topk
+    from external_benchmarks_spark.operators.similarity import ivf_probe_cells
+
+    if not index.has_vectors:
+        raise ValueError(
+            f"no raw-vector sidecar at {index.vectors_path}; "
+            "build_pq_index(..., store_vectors=True) to enable rerank"
+        )
+    if not index.payload_cols:
+        raise ValueError(
+            "index carries no payload columns; "
+            "build_pq_index(..., payload_cols=[...]) to enable filtered reads"
+        )
+    codes = pq_index_codes(spark, index).filter(predicate)
+    vecs = spark.read.parquet(index.vectors_path)
+    if nprobe is not None:
+        cells = [
+            int(c)
+            for c in ivf_probe_cells(index.centroids, query, nprobe, index.metric)
+        ]
+        codes = codes.filter(F.col("centroid_id").isin(cells))
+        vecs = vecs.filter(F.col("centroid_id").isin(cells))
+    cand = pq_adc_topk(
+        codes, index.codebooks, query, k=rerank, key_col=index.key_col
+    ).select(index.key_col)
+    return (
+        vecs.join(F.broadcast(cand), index.key_col)
+        .select(
+            index.key_col,
+            dot_product_literal(
+                F.col(emb_col).cast("array<double>"), query
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc(index.key_col))
+        .limit(k)
     )
