@@ -6954,64 +6954,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # last-driver-checked round, computed from the CORRECTNESS_r* files
     # themselves: the full 33-entry r9-stale block, then the r10 block
     # (45), r11, r12, r13. A ~50 window covers 5 + 33 r9 + the r10
-    # head; r15 plan: the r10-block remainder (~33 entries), then the
-    # r11 block head; staleness floor after r14 = r10.
+    # head; r15 order (executing the recorded plan): the r15-NEW
+    # filtered-rerank entry first (never driver-checked), then the
+    # r10-block remainder, then the r11 block head; staleness floor
+    # after r15 should be r11.
     # Every entry passes the local mirror (tests/test_oracle_queries.py)
     # every test run either way, so rotation costs nothing.
     return {
-        # --- round-14 new + this-round-changed (pq index root keying, vectors-first append, probed-rerank sidecar prune): verify first ---
-        "pq_index_rerank_probed": q_pq_index_rerank_probed,
-        "pq_index_rerank_batch": q_pq_index_rerank_batch,
-        "pq_index_topk": q_pq_index_topk,
-        "pq_index_append_topk": q_pq_index_append_topk,
-        "pq_index_rerank_topk": q_pq_index_rerank_topk,
-        # --- last driver-checked r9 (stalest first) ---
-        "spatial_radius_pairs": q_spatial_radius_pairs,
-        "rolling_median": q_rolling_median,
-        "fd_profile": q_fd_profile,
-        "bool_and_retrieval": q_bool_and_retrieval,
-        "negative_samples": q_negative_samples,
-        "revenue_trend": q_revenue_trend,
-        "rfm_segments": q_rfm_segments,
-        "basket_lift": q_basket_lift,
-        "revenue_concentration": q_revenue_concentration,
-        "date_parts": q_date_parts,
-        "deterministic_sample": q_deterministic_sample,
-        "stratified_sample": q_stratified_sample,
-        "stratified_fixed_n": q_stratified_fixed_n,
-        "derived_tiers": q_derived_tiers,
-        "null_profile": q_null_profile,
-        "scalar_funcs": q_scalar_funcs,
-        "string_funcs": q_string_funcs,
-        "array_funcs": q_array_funcs,
-        "json_extract": q_json_extract,
-        "date_arith": q_date_arith,
-        "null_funcs": q_null_funcs,
-        "map_funcs": q_map_funcs,
-        "dot_topk": q_dot_topk,
-        "l2_norm": q_l2_norm,
-        "ann_bruteforce": q_ann_bruteforce,
-        "multi_query_topk": q_multi_query_topk,
-        "embedding_neardup": q_embedding_neardup,
-        "pairwise_cosine_stats": q_pairwise_cosine_stats,
-        "dedup_keep_best": q_dedup_keep_best,
-        "events_hourly": q_events_hourly,
-        "events_sliding": q_events_sliding,
-        "blob_metadata": q_blob_metadata,
-        "image_decode": q_image_decode,
+        # --- round-15 new (never driver-checked): verify first ---
+        "pq_index_filtered_rerank": q_pq_index_filtered_rerank,
         # --- last driver-checked r10 (stalest first) ---
-        "dedup_aware_sample": q_dedup_aware_sample,
-        "delta_dedup": q_delta_dedup,
-        "sorted_export": q_sorted_export,
-        "bm25_indexed": q_bm25_indexed,
-        "audio_decode": q_audio_decode,
-        "group_embedding_stats": q_group_embedding_stats,
-        "tpch_q4": q_tpch_q4,
-        "tpch_q17": q_tpch_q17,
-        "tpch_q21": q_tpch_q21,
-        "tpch_q22": q_tpch_q22,
-        "tpch_q7": q_tpch_q7,
-        "tpch_q8": q_tpch_q8,
         "tpch_q9": q_tpch_q9,
         "tpch_q12": q_tpch_q12,
         "tpch_q13": q_tpch_q13,
@@ -7193,6 +7145,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_acf": q_hourly_acf,
         "session_paths": q_session_paths,
         "chi2_assoc": q_chi2_assoc,
+        # --- last driver-checked r14 (stalest first) ---
+        "pq_index_rerank_probed": q_pq_index_rerank_probed,
+        "pq_index_rerank_batch": q_pq_index_rerank_batch,
+        "pq_index_topk": q_pq_index_topk,
+        "pq_index_append_topk": q_pq_index_append_topk,
+        "pq_index_rerank_topk": q_pq_index_rerank_topk,
+        "spatial_radius_pairs": q_spatial_radius_pairs,
+        "rolling_median": q_rolling_median,
+        "fd_profile": q_fd_profile,
+        "bool_and_retrieval": q_bool_and_retrieval,
+        "negative_samples": q_negative_samples,
+        "revenue_trend": q_revenue_trend,
+        "rfm_segments": q_rfm_segments,
+        "basket_lift": q_basket_lift,
+        "revenue_concentration": q_revenue_concentration,
+        "date_parts": q_date_parts,
+        "deterministic_sample": q_deterministic_sample,
+        "stratified_sample": q_stratified_sample,
+        "stratified_fixed_n": q_stratified_fixed_n,
+        "derived_tiers": q_derived_tiers,
+        "null_profile": q_null_profile,
+        "scalar_funcs": q_scalar_funcs,
+        "string_funcs": q_string_funcs,
+        "array_funcs": q_array_funcs,
+        "json_extract": q_json_extract,
+        "date_arith": q_date_arith,
+        "null_funcs": q_null_funcs,
+        "map_funcs": q_map_funcs,
+        "dot_topk": q_dot_topk,
+        "l2_norm": q_l2_norm,
+        "ann_bruteforce": q_ann_bruteforce,
+        "multi_query_topk": q_multi_query_topk,
+        "embedding_neardup": q_embedding_neardup,
+        "pairwise_cosine_stats": q_pairwise_cosine_stats,
+        "dedup_keep_best": q_dedup_keep_best,
+        "events_hourly": q_events_hourly,
+        "events_sliding": q_events_sliding,
+        "blob_metadata": q_blob_metadata,
+        "image_decode": q_image_decode,
+        "dedup_aware_sample": q_dedup_aware_sample,
+        "delta_dedup": q_delta_dedup,
+        "sorted_export": q_sorted_export,
+        "bm25_indexed": q_bm25_indexed,
+        "audio_decode": q_audio_decode,
+        "group_embedding_stats": q_group_embedding_stats,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q21": q_tpch_q21,
+        "tpch_q22": q_tpch_q22,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q8": q_tpch_q8,
     }
 
 # ---------------------------------------------------------------------------
@@ -8887,6 +8890,41 @@ def oracle_sql() -> dict[str, str]:
                    list_dot_product({EMB_DBL}, {QVEC_SQL}) AS score
             FROM embeddings e JOIN idx_cand USING (vec_id)
             ORDER BY score DESC, e.vec_id LIMIT 50
+        """,
+        # Filtered rerank (r15): the PRE-filter form — the label
+        # predicate restricts the candidate set BEFORE ADC top-R
+        # selection (payloads ride inside the codes layout on the Spark
+        # side; the oracle replays the filter via the source table), so
+        # the top-100 is the top-100 of the (probed AND filtered) set
+        # and the exact rerank ranks within the filter.
+        "pq_index_filtered_rerank": f"""
+            WITH {_IVF_CTES},
+            {_PQ_CTES},
+            pq_cand AS (
+              SELECT a.vec_id FROM assign a
+                JOIN probe p USING (cid)
+                JOIN embeddings s ON s.vec_id = a.vec_id
+              WHERE s.label IN (1, 3)),
+            pq_lut AS (
+              SELECT jj.j, cb.code,
+                     list_sum(list_transform(generate_series(1, {_PQ_DSUB}), i ->
+                       CAST(FLOOR({QVEC_SQL}[jj.j * {_PQ_DSUB} + i]
+                            * cb.ce[jj.j * {_PQ_DSUB} + i] * 1000000.0)
+                            AS BIGINT))) AS v
+              FROM jj CROSS JOIN cb),
+            pq_s AS (
+              SELECT e.vec_id, CAST(SUM(l.v) AS BIGINT) AS pq_score
+              FROM pq_enc e
+                JOIN pq_cand USING (vec_id)
+                JOIN pq_lut l ON e.j = l.j AND e.code = l.code
+              GROUP BY e.vec_id),
+            idx_cand AS (
+              SELECT vec_id FROM pq_s
+              ORDER BY pq_score DESC, vec_id LIMIT 100)
+            SELECT e.vec_id,
+                   list_dot_product({EMB_DBL}, {QVEC_SQL}) AS score
+            FROM embeddings e JOIN idx_cand USING (vec_id)
+            ORDER BY score DESC, e.vec_id LIMIT 20
         """,
         # Batch probed rerank (r14): per-query probes, per-query-LUT ADC
         # over each query's OWN probed cells, top-100 candidates, exact

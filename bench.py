@@ -1402,6 +1402,13 @@ def headline_queries():
         # per-job floor across the batch like batch100_topk does for
         # the exact tier.
         "pq_index_rerank_batch": q["pq_index_rerank_batch"],
+        # Round-15: the filtered-ANN read — the reference's actual SLA
+        # row shape (filter + dot-product + LIMIT) on the persisted
+        # index. Pre-filter form: the label predicate rides the codes
+        # scan as a parquet data filter on the already-cell-pruned
+        # compressed layout, so the leg prices probe + filtered ADC +
+        # exact rerank with the source table never touched.
+        "pq_index_filtered_rerank": q["pq_index_filtered_rerank"],
         # PQ + exact rerank (the FAISS refine step): the recall-passing
         # PQ read path — ADC candidates under the 64x16 quantizer,
         # exact rerank of 250 rows. Like pq_topk, this leg deliberately

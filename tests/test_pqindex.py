@@ -494,3 +494,116 @@ def test_pq_serving_refresh_picks_up_append(spark):
             for r in pq_index_topk(spark, idx, QVEC, k=10, nprobe=None).collect()
         ]
         assert srv.topk(QVEC, k=10, nprobe=None) == want
+
+
+@pytest.fixture(scope="module")
+def filtered_index(spark):
+    """Index with raw-vector sidecar AND `label` riding as a payload
+    column in the codes layout — the filtered-ANN read shape."""
+    with tempfile.TemporaryDirectory() as d:
+        root = os.path.join(d, "pqf")
+        yield build_pq_index(
+            spark, _emb(spark), root,
+            n_codes=N_CODES, m_subspaces=M, n_centroids=N_CENT,
+            store_vectors=True, payload_cols=("label",),
+        )
+
+
+def test_filtered_rerank_is_prefilter_not_postfilter(spark, filtered_index):
+    """With rerank >= the filtered-set size, pq_index_filtered_rerank
+    must return EXACTLY the brute-force within-filter top-k — the
+    defining property of the pre-filter form. A post-filter
+    implementation (top-R of the unfiltered set, then filter) drops
+    in-filter rows whose ADC rank falls outside R and fails this."""
+    from external_benchmarks_spark.pipeline.pqindex import (
+        pq_index_filtered_rerank,
+    )
+
+    emb = _emb(spark)
+    rows = emb.filter(F.col("label").isin(1, 3)).select(
+        "vec_id", "embedding"
+    ).collect()
+    ids = np.array([r.vec_id for r in rows])
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    # exact top-k within the filter, (-score, vec_id) order — computed
+    # with the same sequential left-to-right sum the plan uses
+    scores = np.array([
+        float(np.sum(np.cumsum(v * np.asarray(QVEC))[-1:])) for v in mat
+    ])
+    order = np.lexsort((ids, -scores))[:10]
+    want = [int(ids[i]) for i in order]
+    got = [
+        r.vec_id
+        for r in pq_index_filtered_rerank(
+            spark, filtered_index, QVEC,
+            predicate=F.col("label").isin(1, 3),
+            k=10, rerank=len(rows), nprobe=None,
+        ).collect()
+    ]
+    assert got == want
+
+
+def test_filtered_rerank_selective_predicate_returns_in_filter_rows(
+    spark, filtered_index
+):
+    """A predicate with fewer than k satisfying rows returns exactly
+    those rows (every one of them, ranked) — never rows outside the
+    filter, never an error. The classic post-filter failure mode is
+    returning << the available in-filter rows."""
+    from external_benchmarks_spark.pipeline.pqindex import (
+        pq_index_filtered_rerank,
+    )
+
+    emb = _emb(spark)
+    few = emb.filter(F.col("label") == 7).select("vec_id").collect()
+    n_few = len(few)
+    assert 0 < n_few  # fixture data has every label
+    out = pq_index_filtered_rerank(
+        spark, filtered_index, QVEC,
+        predicate=F.col("label") == 7,
+        k=n_few + 25, rerank=n_few + 50, nprobe=None,
+    ).collect()
+    assert len(out) == n_few
+    assert {r.vec_id for r in out} == {r.vec_id for r in few}
+
+
+def test_filtered_rerank_plan_prunes_and_prefilters(spark, filtered_index):
+    """The filtered read's plan contract: BOTH file scans carry the
+    driver-resolved centroid_id partition filter (cell-directory
+    pruning at planning time), and the label predicate sits ON the
+    codes scan (pushed/data filter) — i.e. the filter applies BEFORE
+    ADC candidate selection, at the parquet reader, not against the
+    source table and not after the top-R limit."""
+    from external_benchmarks_spark.pipeline.pqindex import (
+        pq_index_filtered_rerank,
+    )
+
+    plan = (
+        pq_index_filtered_rerank(
+            spark, filtered_index, QVEC,
+            predicate=F.col("label").isin(1, 3),
+            k=10, rerank=60, nprobe=2,
+        )._jdf.queryExecution().executedPlan().toString()
+    )
+    scans = [l for l in plan.splitlines() if "FileScan" in l]
+    assert len(scans) >= 2, plan  # codes + vectors
+    for scan in scans:
+        assert "PartitionFilters" in scan and "centroid_id" in scan.split(
+            "PartitionFilters"
+        )[1].split("]")[0], scan
+    codes_scan = next(s for s in scans if "/codes" in s)
+    assert "label" in codes_scan, codes_scan
+    # the source embeddings table is never scanned at query time
+    assert "embeddings.parquet" not in plan, plan
+
+
+def test_filtered_rerank_requires_payload_cols(spark, rerank_index):
+    from external_benchmarks_spark.pipeline.pqindex import (
+        pq_index_filtered_rerank,
+    )
+
+    with pytest.raises(ValueError, match="payload"):
+        pq_index_filtered_rerank(
+            spark, rerank_index, QVEC,
+            predicate=F.col("label") == 1, k=5,
+        )
