@@ -1199,3 +1199,46 @@ def absorb_delta_vectors(
         .parquet(store.vectors_path)
     )
     invalidate_layout(os.path.dirname(store.vectors_path))
+
+
+def compact_vector_store(
+    spark: SparkSession,
+    store: VectorStore,
+    max_files_per_cell: int = 4,
+) -> list[str]:
+    """Fold absorb-appended small files back to one file per dirty cell.
+
+    The semantic store was the one persisted artifact with NO compactor
+    (r14 verdict #2: the 20-cycle soak census read 159 -> 444 files,
+    +14/cycle unbounded, while every sibling store shrank or held) —
+    :func:`absorb_delta_vectors` appends one file set per batch into the
+    cell dirs and :func:`refresh_centroids` rewrites only DIRTY cells,
+    so quiet cells fragment forever. At 100x that is the same
+    per-file writer floor and listing blow-up the signature/span/PQ
+    stores already compact away.
+
+    Reuses the shared staged-swap protocol (pipeline/index.
+    compact_layout_partitions — the cell layout is a plain
+    partitionBy("cell") parquet tree, so the generic fold applies
+    verbatim): driver-side listing finds dirty cells, one
+    partition-pruned job rewrites them into staging, two renames per
+    cell publish, and :func:`recover_partition_swaps` (run here via
+    recover_refresh, and by every store reader) owns crash recovery.
+    Logical contents are unchanged, so the layout fingerprint marker is
+    deliberately untouched. Single-writer contract: run from the
+    maintenance loop that owns the store, never concurrently with an
+    absorb or refresh. Returns the compacted cell values."""
+    from external_benchmarks_spark.pipeline.index import (
+        compact_layout_partitions,
+    )
+
+    # force-complete any crashed refresh first: its journaled swaps and
+    # this fold share the .compacting. namespace, and compacting a cell
+    # the journal still intends to retire would resurrect moved rows
+    recover_refresh(store)
+    return compact_layout_partitions(
+        spark,
+        store.vectors_path,
+        partition_col="cell",
+        max_files_per_partition=max_files_per_cell,
+    )

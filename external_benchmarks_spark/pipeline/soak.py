@@ -190,6 +190,7 @@ class MaintenanceSoak:
         from external_benchmarks_spark.operators.deltadedup import (
             absorb_delta_vectors,
             compact_signature_store,
+            compact_vector_store,
             delta_semdedup,
             refresh_centroids,
         )
@@ -279,6 +280,14 @@ class MaintenanceSoak:
         scomp = compact_span_store(
             self.spark, self.sstore, max_files_per_bucket=4
         )
+        # r15: the semantic vector store joins the per-cycle compaction
+        # set — it was the ONE persisted artifact with no compactor
+        # (r14 census: 159 -> 444 files over 20 cycles, +14/cycle
+        # unbounded; absorb appends a file set per batch and
+        # refresh_centroids rewrites only dirty cells)
+        vcomp = compact_vector_store(
+            self.spark, self.vstore, max_files_per_cell=4
+        )
         from external_benchmarks_spark.pipeline.index import (
             compact_layout_partitions,
         )
@@ -320,6 +329,7 @@ class MaintenanceSoak:
             "bands_compacted": len(comp["bands_partitions"]),
             "span_dropped": int(span_dropped or 0),
             "spans_compacted": len(scomp["spans_partitions"]),
+            "vector_cells_compacted": len(vcomp),
             "pq_hits": int(pq_hits),
             "pq_cells_compacted": len(pq_comp),
             "pq_vector_cells_compacted": len(pqv_comp),

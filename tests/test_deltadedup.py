@@ -1240,3 +1240,103 @@ def test_live_writer_blocks_orphan_sweep(spark):
         release_writer(root)
     dd.recover_refresh(store)  # claim released: age gate applies again
     assert not os.path.isdir(staging)
+
+
+def test_compact_vector_store(spark, sf_dir):
+    """After several absorbs every touched cell holds one file per
+    batch (the r14 soak leak: +14 files/cycle, unbounded — the vector
+    store was the one artifact with no compactor); compaction folds
+    dirty cells to one file each, logical contents and the delta
+    semdedup result are unchanged, and a second run is a no-op."""
+    from external_benchmarks_spark.operators.deltadedup import (
+        absorb_delta_vectors,
+        build_vector_store,
+        compact_vector_store,
+        delta_semdedup,
+    )
+
+    e = Catalog(spark, sf_dir).embeddings
+    corpus = e.filter(F.col("vec_id") % 10 > 4)
+    store = build_vector_store(spark, corpus, tag="t_vcmp_store")
+    for b in range(4):
+        absorb_delta_vectors(
+            spark, e.filter(F.col("vec_id") % 10 == b), store
+        )
+
+    def files_per_cell(path):
+        out = {}
+        for d in os.listdir(path):
+            if d.startswith("cell="):
+                out[d] = sum(
+                    1
+                    for f in os.listdir(os.path.join(path, d))
+                    if not f.startswith(("_", "."))
+                )
+        return out
+
+    before_files = files_per_cell(store.vectors_path)
+    assert max(before_files.values()) > 4, before_files
+    rows_before = sorted(
+        tuple(r) for r in spark.read.parquet(store.vectors_path).collect()
+    )
+    delta = e.filter(F.col("vec_id") % 10 == 4)
+    dd_before = sorted(
+        tuple(r)
+        for r in delta_semdedup(spark, delta, store, threshold_fp=200_000).collect()
+    )
+
+    compacted = compact_vector_store(spark, store, max_files_per_cell=4)
+    assert compacted  # at least one dirty cell folded
+    after_files = files_per_cell(store.vectors_path)
+    assert max(after_files.values()) <= 4, after_files
+    for cell in compacted:
+        assert after_files[f"cell={cell}"] == 1
+    rows_after = sorted(
+        tuple(r) for r in spark.read.parquet(store.vectors_path).collect()
+    )
+    assert rows_after == rows_before and len(rows_after) > 0
+    dd_after = sorted(
+        tuple(r)
+        for r in delta_semdedup(spark, delta, store, threshold_fp=200_000).collect()
+    )
+    assert dd_after == dd_before
+    # second run: nothing dirty
+    assert compact_vector_store(spark, store, max_files_per_cell=4) == []
+
+
+def test_compact_vector_store_crash_recovery(spark, sf_dir):
+    """A crash between a cell's two renames leaves a `.compacting.`
+    trash with no live dir; the next compact (or any recover_refresh
+    reader) restores it — no row loss, then the fold completes."""
+    import shutil
+
+    from external_benchmarks_spark.operators.deltadedup import (
+        absorb_delta_vectors,
+        build_vector_store,
+        compact_vector_store,
+    )
+
+    e = Catalog(spark, sf_dir).embeddings
+    corpus = e.filter(F.col("vec_id") % 10 > 2)
+    store = build_vector_store(spark, corpus, tag="t_vcmp_crash")
+    for b in range(3):
+        absorb_delta_vectors(
+            spark, e.filter(F.col("vec_id") % 10 == b), store
+        )
+    rows_before = sorted(
+        tuple(r) for r in spark.read.parquet(store.vectors_path).collect()
+    )
+    # simulate the mid-swap crash: live renamed to trash, staged lost
+    cells = sorted(
+        d for d in os.listdir(store.vectors_path) if d.startswith("cell=")
+    )
+    victim = cells[0]
+    os.rename(
+        os.path.join(store.vectors_path, victim),
+        os.path.join(store.vectors_path, f".compacting.{victim}"),
+    )
+    compact_vector_store(spark, store, max_files_per_cell=2)
+    rows_after = sorted(
+        tuple(r) for r in spark.read.parquet(store.vectors_path).collect()
+    )
+    assert rows_after == rows_before

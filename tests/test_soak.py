@@ -100,6 +100,23 @@ def test_soak_crash_resume_equals_uninjured_twin(spark):
 
         assert max_bucket_files(os.path.join(soak.sig.root, "bands")) <= 4 + 1
         assert max_bucket_files(os.path.join(soak.cmap.root, "base")) <= 4 + 1
+        # r15: the semantic vector store compacts too (r14 verdict #2 —
+        # it was the one artifact with no compactor: +14 files/cycle,
+        # unbounded); every cell dir holds at most the threshold. The
+        # vstore's part files are not bucket-named, so count directly
+        # rather than via max_bucket_files (whose bucket-id regex would
+        # treat every plain part file as its own bucket and pass
+        # vacuously).
+        for d in os.listdir(soak.vstore.vectors_path):
+            if d.startswith("cell="):
+                files = [
+                    f
+                    for f in os.listdir(
+                        os.path.join(soak.vstore.vectors_path, d)
+                    )
+                    if not f.startswith(("_", "."))
+                ]
+                assert len(files) <= 4, (d, files)
         # every shard dir in the export layout keeps one sorted file
         for d in os.listdir(soak.layout):
             if d.startswith("shard="):

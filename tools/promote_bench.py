@@ -30,9 +30,29 @@ the promoted file's _promotion stamp) so a forced promotion can't
 masquerade as a clean one; a forced promotion never updates
 BENCH_controls.json.
 
+Gate 3 (r15, the stall-block detector the three r14 runs motivate):
+every r14 window failed on a DIFFERENT contiguous run-order block of
+legs reading 3-26x while its other 110+ legs were clean — CPU/IO
+stall phases cover consecutive legs, plan regressions don't travel in
+run-order packs. For each leg the detector computes this run's value
+over the cross-run BEST (min over all BENCH_runs/ windows, the
+one-sided stall rule); a contiguous block of >= --stall-block-len
+(default 3) legs each reading > --stall-ratio (default 3.0) x its
+cross-run best fails the gate and is printed leg by leg.
+
+--composite (r15) promotes a per-leg best-of-runs composite instead of
+one window: each queries[] cell takes its MIN across all runs in
+BENCH_runs/, non-leg cells come from the cleanest single run (lowest
+control-trio ratio vs baseline), and the stamp records per-leg source
+runs plus composite: true — the honest record when no single clean
+window exists all day (r14: four attempts, every one stalled on a
+different block). Composite promotions update BENCH_controls.json
+only if their control trio passes the ratio gate.
+
 Usage:
   python tools/promote_bench.py            # latest run in BENCH_runs/
   python tools/promote_bench.py RUN.json   # a specific run file
+  python tools/promote_bench.py --composite  # per-leg best across runs
   python tools/promote_bench.py --force    # promote despite gate failure
 """
 from __future__ import annotations
@@ -124,12 +144,130 @@ def check_gates(
     return all(t != "FAIL" for t, _ in findings), findings
 
 
+def all_runs() -> list[tuple[str, dict]]:
+    out = []
+    for p in sorted(glob.glob(os.path.join(RUNS, "BENCH_*.json"))):
+        try:
+            with open(p) as fh:
+                out.append((os.path.basename(p), json.load(fh)))
+        except (OSError, json.JSONDecodeError):
+            pass
+    return out
+
+
+def cross_run_best(runs: list[tuple[str, dict]]) -> dict[str, tuple[float, str]]:
+    """Per-leg (min_value, source_run) across every recorded window —
+    the one-sided stall rule applied across runs."""
+    best: dict[str, tuple[float, str]] = {}
+    for name, run in runs:
+        for leg, v in (run.get("queries") or {}).items():
+            if isinstance(v, (int, float)) and (
+                leg not in best or v < best[leg][0]
+            ):
+                best[leg] = (float(v), name)
+    return best
+
+
+def stall_blocks(
+    run: dict,
+    best: dict[str, tuple[float, str]],
+    ratio: float,
+    min_len: int,
+) -> list[list[tuple[str, float]]]:
+    """Contiguous run-order blocks of legs reading > ratio x their
+    cross-run best (the pool must exclude this run — a uniformly
+    stalled run can't vouch for itself). Legs absent from the pool
+    (new this round) can't be judged and break a block like a clean
+    leg does."""
+    blocks, cur = [], []
+    for leg, v in (run.get("queries") or {}).items():
+        if not isinstance(v, (int, float)) or leg not in best:
+            continue
+        b, _src = best[leg]
+        if b > 0 and v / b > ratio:
+            cur.append((leg, round(v / b, 2)))
+        else:
+            if len(cur) >= min_len:
+                blocks.append(cur)
+            cur = []
+    if len(cur) >= min_len:
+        blocks.append(cur)
+    return blocks
+
+
+def check_stall_blocks(
+    run: dict, run_name: str, ratio: float, min_len: int
+) -> list[tuple[str, str]]:
+    """Gate 3 findings: stall blocks in this run vs the OTHER runs'
+    per-leg bests (this run's own values excluded from the pool so a
+    uniformly-stalled run can't vouch for itself)."""
+    others = [(n, r) for n, r in all_runs() if n != run_name]
+    if not others:
+        return [("ok", "stall-block gate: no other runs to compare against")]
+    best = cross_run_best(others)
+    blocks = stall_blocks(run, best, ratio, min_len)
+    if not blocks:
+        return [("ok", f"no contiguous >{ratio}x-vs-cross-run-best block")]
+    return [
+        (
+            "FAIL",
+            "stall block: "
+            + ", ".join(f"{leg} {r}x" for leg, r in blk),
+        )
+        for blk in blocks
+    ]
+
+
+def build_composite(
+    runs: list[tuple[str, dict]], baseline: dict | None
+) -> tuple[dict, dict]:
+    """Per-leg best-of-runs composite. Base = the run with the lowest
+    control-trio ratio vs baseline (ties: latest); every scalar leg
+    then takes its cross-run min. Returns (composite, stamp_extra)."""
+    def trio_ratio(run: dict) -> float:
+        if not baseline:
+            return float("inf")
+        rq, bq = run.get("queries") or {}, baseline.get("queries") or {}
+        rs = [
+            rq[l] / bq[l]
+            for l in CONTROL_LEGS
+            if isinstance(rq.get(l), (int, float)) and bq.get(l)
+        ]
+        return sum(rs) / len(rs) if rs else float("inf")
+
+    # latest run at the best control-trio ratio is the base
+    best_ratio = min(trio_ratio(r) for _, r in runs)
+    base_name, base = next(
+        (n, r) for n, r in reversed(runs) if trio_ratio(r) == best_ratio
+    )
+    comp = json.loads(json.dumps(base))  # deep copy
+    best = cross_run_best(runs)
+    sources: dict[str, str] = {}
+    q = comp.get("queries") or {}
+    for leg, v in list(q.items()):
+        if isinstance(v, (int, float)) and leg in best:
+            q[leg] = best[leg][0]
+            sources[leg] = best[leg][1]
+    comp["value"] = round(
+        sum(v for v in q.values() if isinstance(v, (int, float))), 3
+    )
+    return comp, {
+        "composite": True,
+        "base_run": base_name,
+        "n_runs": len(runs),
+        "leg_sources": sources,
+    }
+
+
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("run", nargs="?", help="run file (default: latest)")
     ap.add_argument("--force", action="store_true")
+    ap.add_argument("--composite", action="store_true")
     ap.add_argument("--max-control-ratio", type=float, default=1.2)
     ap.add_argument("--max-spread", type=float, default=1.5)
+    ap.add_argument("--stall-ratio", type=float, default=3.0)
+    ap.add_argument("--stall-block-len", type=int, default=3)
     args = ap.parse_args()
 
     run_path = args.run or latest_run()
@@ -149,15 +287,36 @@ def main() -> int:
 
     baseline, note = gate_baseline(record, controls)
     print(f"[--] {note}")
+
+    stamp_extra: dict = {}
+    if args.composite:
+        runs = all_runs()
+        if not runs:
+            print("no runs in BENCH_runs/ to composite")
+            return 2
+        run, stamp_extra = build_composite(runs, baseline)
+        run_path = os.path.join(RUNS, stamp_extra["base_run"])
+        print(
+            f"[--] composite over {stamp_extra['n_runs']} runs, "
+            f"base {stamp_extra['base_run']}"
+        )
+
     ok, findings = check_gates(
         run, baseline, args.max_control_ratio, args.max_spread
     )
+    if not args.composite:
+        findings += check_stall_blocks(
+            run, os.path.basename(run_path),
+            args.stall_ratio, args.stall_block_len,
+        )
     for tag, msg in findings:
         print(f"[{tag}] {msg}")
+    ok = all(t != "FAIL" for t, _ in findings)
     if not ok and not args.force:
         print(
-            "\nREFUSED: window is dirty — re-run bench.py on an idle box "
-            "(or --force, which stamps the record as forced)."
+            "\nREFUSED: window is dirty — re-run bench.py on an idle box, "
+            "promote a per-leg best with --composite, or --force (which "
+            "stamps the record as forced)."
         )
         return 1
 
@@ -165,6 +324,7 @@ def main() -> int:
         "from": os.path.basename(run_path),
         "forced": bool(not ok and args.force),
         "gates": [f"{t}: {m}" for t, m in findings],
+        **stamp_extra,
     }
     tmp = RECORD + ".tmp"
     with open(tmp, "w") as fh:

@@ -474,12 +474,42 @@ def main() -> None:
             delta_semdedup(spark, fixed_vdelta, vs,
                            threshold_fp=200_000).count()
             reps.append(time.perf_counter() - t0)
+        # r15 (r14 ADVICE): validate the vectorized-matmul assignment's
+        # no-near-ties bet ON THE CORPUS THIS RUNG SERVES, not just the
+        # small fixture — a ~1% sample through BOTH forms (the Catalyst
+        # sequential-fold oracle spec and the numpy matmul production
+        # path) must agree exactly; within-ULP near-ties between two
+        # centroids could assign differently across fold orders.
+        from external_benchmarks_spark.operators.deltadedup import (
+            _assign_cells,
+            _assign_cells_vectorized,
+            _read_centroids,
+        )
+
+        sample = vcorpus.filter(F.col("vec_id") % 97 == 0)
+        cent = _read_centroids(vs.centroids_path)
+        cent_df = spark.read.parquet(vs.centroids_path)
+        cat_rows = {
+            r.vec_id: r.cell
+            for r in _assign_cells(sample, cent_df)
+            .select("vec_id", "cell").collect()
+        }
+        vec_rows = {
+            r.vec_id: r.cell
+            for r in _assign_cells_vectorized(sample, cent)
+            .select("vec_id", "cell").collect()
+        }
+        assign_mismatch = sum(
+            1 for k in cat_rows if cat_rows[k] != vec_rows.get(k)
+        )
         sem_fixed[sf_label] = {
             "corpus_vecs": vcorpus.count(),
             "n_cells": vs.n_cells,
             "store_build_s": round(vbuild_s, 3),
             "cold": round(reps[0], 3),
             "steady": round(min(reps[1:]), 3),
+            "assign_sample_n": len(cat_rows),
+            "assign_mismatch": assign_mismatch,
         }
         print(f"# delta_semdedup_fixed @ {sf_label}: {sem_fixed[sf_label]}",
               file=sys.stderr)
