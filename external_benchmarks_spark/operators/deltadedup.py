@@ -465,6 +465,29 @@ def store_cell_count(store: VectorStore) -> int:
     ).metadata.num_rows
 
 
+def _cell_row_counts(vectors_path: str) -> dict:
+    """Per-cell row counts from the parquet FOOTERS of each cell dir —
+    driver-side metadata reads, no Spark job and no data bytes. Used by
+    the refresh short-circuit to report balance stats for a store whose
+    geometry is provably unchanged."""
+    import pyarrow.parquet as pq
+
+    counts: dict = {}
+    for d in os.listdir(vectors_path):
+        if not d.startswith("cell="):
+            continue
+        cell = int(d.split("=", 1)[1])
+        full = os.path.join(vectors_path, d)
+        n = 0
+        for f in os.listdir(full):
+            if f.startswith(("_", ".")) or not f.endswith(".parquet"):
+                continue
+            n += pq.ParquetFile(os.path.join(full, f)).metadata.num_rows
+        if n:
+            counts[cell] = n
+    return counts
+
+
 def _write_centroids(path: str, cent) -> None:
     """Publish the (n_cells x dim) centroid matrix as one parquet file,
     DRIVER-SIDE (pipeline/layout.publish_parquet_atomic — a Spark job
@@ -996,6 +1019,42 @@ def refresh_centroids(
             corpus, n_cells, key_col=key_col, emb_col=emb_col,
             normalize=True,
         )
+    # Identical-resample short-circuit (r15): if the candidate matrix is
+    # byte-identical to the stored one, NOTHING can move — every stored
+    # row's cell is already argmax vs the stored matrix (build, absorb,
+    # and refresh pass 2 all assign against the matrix they publish, and
+    # recover_refresh — run above — force-completes any half-applied
+    # geometry), so the movement map is the identity by invariant, not
+    # by re-derivation. Skip the O(corpus) assignment pass AND the
+    # centroid re-publish (a byte-identical republish still changed
+    # file identity, spuriously invalidating signature-based serving
+    # reloads). Balance stats come from the cell dirs' parquet footers
+    # — driver-side, no Spark job. This is the common steady-state
+    # refresh (cadenced maintenance over an unchanged corpus resamples
+    # the same md5 top-n); a DRIFTED refresh on this device is
+    # measured-full-rewrite territory — see SCALE.md r15: 15.7% of
+    # rows change winner vector but spread over >99% of cells, so no
+    # margin/displacement prune can bound pass 2 below O(corpus).
+    try:
+        stored = _read_centroids(store.centroids_path)
+    except (OSError, ValueError):
+        stored = None
+    if (
+        stored is not None
+        and stored.shape == cent.shape
+        and np.array_equal(stored, cent)
+    ):
+        counts = _cell_row_counts(store.vectors_path)
+        return {
+            "n_cells": len(cent),
+            "n_cells_before": len(cent),
+            "moved": 0,
+            "dirty_cells": [],
+            "max_cell_before": max(counts.values(), default=0),
+            "max_cell_after": max(counts.values(), default=0),
+            "nonempty_cells_before": len(counts),
+            "nonempty_cells_after": len(counts),
+        }
     old = corpus.withColumnRenamed("cell", "old_cell")
     moves = (
         _assign_cells_vectorized(

@@ -776,6 +776,52 @@ def test_centroid_refresh_moves_only_argmax_changes(spark):
     assert stats2["moved"] == 0 and stats2["dirty_cells"] == []
 
 
+def test_refresh_identical_resample_short_circuits(spark, sf_dir):
+    """A refresh whose resampled matrix is byte-identical to the stored
+    one skips the O(corpus) movement pass AND the centroid republish
+    (r15): stats come from footer counts and match the full path's
+    balance fields exactly; centroid + cell FILE IDENTITY is untouched
+    (a byte-identical republish would still spuriously invalidate
+    signature-based serving reloads)."""
+    from external_benchmarks_spark.operators.deltadedup import (
+        build_vector_store,
+        refresh_centroids,
+    )
+
+    e = Catalog(spark, sf_dir).embeddings
+    store = build_vector_store(
+        spark, e.filter(F.col("vec_id") % 10 != 0), tag="t_refresh_sc"
+    )
+
+    def tree_ident(path):
+        out = {}
+        for dirpath, _dirs, files in os.walk(path):
+            for f in files:
+                if f.startswith(("_", ".")):
+                    continue
+                st = os.stat(os.path.join(dirpath, f))
+                out[os.path.join(dirpath, f)] = (st.st_ino, st.st_mtime_ns,
+                                                 st.st_size)
+        return out
+
+    root = os.path.dirname(store.vectors_path)
+    before = tree_ident(root)
+    stats = refresh_centroids(spark, store)  # same corpus -> same sample
+    assert stats["moved"] == 0 and stats["dirty_cells"] == []
+    assert tree_ident(root) == before  # no file created, touched, or renamed
+    # balance fields match a real per-cell count
+    counts = (
+        spark.read.parquet(store.vectors_path)
+        .groupBy("cell").count().collect()
+    )
+    want_max = max(r["count"] for r in counts)
+    assert stats["max_cell_before"] == want_max
+    assert stats["max_cell_after"] == want_max
+    assert stats["nonempty_cells_before"] == len(counts)
+    assert stats["nonempty_cells_after"] == len(counts)
+    assert stats["n_cells"] == stats["n_cells_before"]
+
+
 def test_centroid_refresh_after_absorb_matches_rebuild(spark, sf_dir):
     """absorb + refresh == from-scratch store over corpus ∪ delta with
     freshly sampled centroids (refresh samples from the absorbed
