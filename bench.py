@@ -1832,6 +1832,15 @@ def main() -> None:
         spark, pqidx.root, QVEC, qps=20, duration_s=20.0,
         k=50, rerank=250, nprobe=entry_mod.IVF_NPROBE,
     )
+    # r15 (verdict item #5): the reference's read rows stop at 20 QPS
+    # but the write tier already measures to 400 — push the LIVE rate
+    # stream to 100 and 200 QPS and carry the backlog evidence
+    # (half-split e2e + served_per_s + saturated flag) in the record.
+    for hi_qps in (100, 200):
+        ann_stream[f"rate_{hi_qps}qps"] = run_ann_rate_server(
+            spark, pqidx.root, QVEC, qps=hi_qps, duration_s=15.0,
+            k=50, rerank=250, nprobe=entry_mod.IVF_NPROBE,
+        )
     print(f"# ann_stream_serving: {ann_stream}", file=sys.stderr)
 
     # Full-width (2,688-dim) realism leg.

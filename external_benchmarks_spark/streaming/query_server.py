@@ -221,13 +221,22 @@ def run_ann_rate_server(
     (signature-gated), and the report carries each tier's own service
     percentiles — the reference's ANN read SLA (README.md:73-76)
     measured as a sustained stream, not a drain. ``e2e`` additionally
-    pays the micro-batch delivery floor (see rate_delivery_floor)."""
+    pays the micro-batch delivery floor (see rate_delivery_floor).
+
+    Backlog evidence (r15, for the 100/200 QPS tiers): ``e2e_half1`` /
+    ``e2e_half2`` split the e2e population at the run's midpoint by
+    request timestamp — a server falling behind shows half2 ≫ half1
+    (arrival-to-service lag compounds monotonically once batches
+    outpace the trigger); flat halves + ``served_per_s`` ≈ qps is the
+    no-backlog signature. ``saturated`` flags half2's p50 exceeding
+    half1's by more than one trigger interval."""
     from external_benchmarks_spark.serving import PQServingIndex
 
     srv = PQServingIndex(index_root)
     adc_t: list[float] = []
     rr_t: list[float] = []
-    e2e: list[float] = []
+    e2e: list[tuple[float, float]] = []  # (arrival ts, lag)
+    t_start = time.time()
 
     def handle(batch_df, _batch_id):
         srv.refresh()
@@ -240,7 +249,8 @@ def run_ann_rate_server(
             else:
                 srv.topk_rerank(qvec, k=k, rerank=rerank, nprobe=nprobe)
                 rr_t.append(time.perf_counter() - t0)
-            e2e.append(max(0.0, time.time() - r["timestamp"].timestamp()))
+            ts = r["timestamp"].timestamp()
+            e2e.append((ts, max(0.0, time.time() - ts)))
 
     ckpt = os.path.join(
         tempfile.gettempdir(), f"ebs_annrate_ckpt_{uuid.uuid4().hex[:8]}"
@@ -255,12 +265,26 @@ def run_ann_rate_server(
         .start()
     )
     _drain(q, ckpt, duration_s)
+    wall = max(time.time() - t_start, 1e-9)
+    mid = min((ts for ts, _ in e2e), default=0.0) + (
+        (max((ts for ts, _ in e2e), default=0.0)
+         - min((ts for ts, _ in e2e), default=0.0)) / 2
+    )
+    h1 = _percentiles([lag for ts, lag in e2e if ts <= mid])
+    h2 = _percentiles([lag for ts, lag in e2e if ts > mid])
     return {
         "qps": qps,
         "duration_s": duration_s,
+        "served_per_s": round(len(e2e) / wall, 1),
         "adc": _percentiles(adc_t),
         "rerank": _percentiles(rr_t),
-        "e2e": _percentiles(e2e),
+        "e2e": _percentiles([lag for _, lag in e2e]),
+        "e2e_half1": h1,
+        "e2e_half2": h2,
+        "saturated": bool(
+            h1.get("n") and h2.get("n")
+            and h2["p50_ms"] - h1["p50_ms"] > trigger_ms
+        ),
     }
 
 

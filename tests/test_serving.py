@@ -314,6 +314,13 @@ def test_ann_rate_server_sustains_load(spark, sf_dir, tmp_path):
     assert out["adc"]["n"] >= 1 and out["rerank"]["n"] >= 1  # both tiers
     assert out["adc"]["p95_ms"] < 100
     assert out["rerank"]["p95_ms"] < 100
+    # r15 backlog telemetry: half-split e2e populations cover every
+    # served request, throughput is reported, and the saturation flag
+    # is a bool (its VALUE is window-dependent in a busy test session;
+    # the flat-halves claim is made by the bench record, not here)
+    assert out["e2e_half1"]["n"] + out["e2e_half2"]["n"] == out["e2e"]["n"]
+    assert out["served_per_s"] > 0
+    assert isinstance(out["saturated"], bool)
 
 
 def test_rate_stream_query_server_sustains_load(spark, layout):
