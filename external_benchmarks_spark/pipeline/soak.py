@@ -204,18 +204,34 @@ class MaintenanceSoak:
         )
 
         t0 = time.perf_counter()
+        # r15 (verdict item #6): per-stage wall split so the cycle-time
+        # slope can be ATTRIBUTED (data growth vs file counts vs host)
+        # instead of eyeballed from the 20-cycle total alone.
+        stages: dict = {}
+        _last = [t0]
+
+        def stamp(name: str) -> None:
+            now = time.perf_counter()
+            stages[name] = round(
+                stages.get(name, 0.0) + (now - _last[0]), 3
+            )
+            _last[0] = now
+
         batch_docs = self.docs.filter(F.col("doc_id") % self._mod == i)
         batch_vecs = self.vecs.filter(F.col("vec_id") % self._mod == i)
         # syntactic tier: dedup -> pair sink -> absorb -> fold (gated)
         self.sdd.update(batch_docs, batch_id=i)
+        stamp("syntactic")
         # semantic tier: cell-blocked pairs, then gated absorb
         sem_pairs = delta_semdedup(
             self.spark, batch_vecs, self.vstore,
             threshold_fp=self.threshold_fp,
         ).count()
+        stamp("semantic_pairs")
         if i > self._last_vec_batch:
             absorb_delta_vectors(self.spark, batch_vecs, self.vstore)
             self._last_vec_batch = i
+        stamp("vector_absorb")
         # span tier (r12): cross-doc span removal for the batch against
         # corpus ∪ everything absorbed, then gated absorb — the same
         # in-process gate as the vector tier (the soak object is
@@ -224,9 +240,11 @@ class MaintenanceSoak:
             delta_span_dedup(self.spark, batch_docs, self.sstore)
             .agg(F.sum("n_dropped")).collect()[0][0]
         )
+        stamp("span_dedup")
         if i > self._last_span_batch:
             absorb_delta_spans(self.spark, batch_docs, self.sstore)
             self._last_span_batch = i
+        stamp("span_absorb")
         # PQ-index tier (r12): frozen-quantizer append (ledger-gated —
         # a crashed cycle's re-run skips it), then a probed read proves
         # the index answers mid-maintenance
@@ -239,6 +257,7 @@ class MaintenanceSoak:
         pq_hits = pq_index_topk(
             self.spark, self.pqi, self._pq_qvec, k=20, nprobe=4
         ).count()
+        stamp("pq_append_probe")
         # keep/drop over everything ingested so far, feeding the export
         seen = self.docs.filter(
             (F.col("doc_id") % self._mod >= self.n_batches)
@@ -248,6 +267,7 @@ class MaintenanceSoak:
             self.spark, self.cmap, seen, key_col="doc_id"
         ).localCheckpoint(eager=True)  # one resolve feeds both consumers
         kept = flagged.filter(F.col("keep")).count()
+        stamp("keep_flags")
         # export append: the batch's KEPT rows merge into the sorted
         # layout (digest-idempotent on re-run); `seen` contains the
         # batch, so derive it by filter instead of a second resolve
@@ -262,6 +282,7 @@ class MaintenanceSoak:
             self.order_cols,
             target_rows=self.export_target,
         )
+        stamp("export_append")
         # periodic maintenance: refresh geometry + fold the relabel
         # chain every third cycle; compact the signature store whenever
         # absorbs fragmented it past the threshold
@@ -270,6 +291,7 @@ class MaintenanceSoak:
             refreshed = refresh_centroids(
                 self.spark, self.vstore, rows_per_cell=self.rows_per_cell
             )
+        stamp("centroid_refresh")
         # compactions run EVERY cycle and self-gate on their thresholds
         # (a no-op census when under), so fragmentation is bounded by
         # threshold x one absorb instead of threshold x cycles-between
@@ -298,6 +320,7 @@ class MaintenanceSoak:
         pqv_comp = compact_layout_partitions(
             self.spark, self.pqi.vectors_path, max_files_per_partition=4
         )
+        stamp("compactions")
         # serving-tier refresh (r13): pick up this cycle's append AND
         # any compaction swaps, O(dirty cells); every third cycle,
         # assert the long-lived serving view answers bit-identically —
@@ -337,6 +360,7 @@ class MaintenanceSoak:
             "serving_refresh_s": srv_refresh_s,
             "serving_parity": srv_parity,
             "refresh_moved": None if refreshed is None else refreshed["moved"],
+            "stages": stages,
             "files": self._file_census(),
         }
         return out
