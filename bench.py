@@ -1685,6 +1685,29 @@ def main() -> None:
     }
     print(f"# pq_serving_rerank_ms: {pq_serving_rerank}", file=sys.stderr)
 
+    # The FILTERED serving tier (r15, topk_rerank(where=...)): the
+    # reference's actual read-SLA shape — filter + dot-product + LIMIT
+    # (README.md:78-83) — served in-process as the pre-filter form,
+    # bit-identical to pq_index_filtered_rerank's Spark plan
+    # (parity-tested). Same median-of-3 protocol as its two siblings.
+    pqf_p95s, pqf_p50s = [], []
+    for _ in range(3):
+        reps = []
+        for _ in range(100):
+            t0 = time.perf_counter()
+            pq_srv.topk_rerank(
+                QVEC, k=50, rerank=250, nprobe=None, where={"label": [1, 3]}
+            )
+            reps.append(time.perf_counter() - t0)
+        reps.sort()
+        pqf_p95s.append(reps[94] * 1000)
+        pqf_p50s.append(reps[49] * 1000)
+    pq_serving_filtered = {
+        "p95_ms": round(sorted(pqf_p95s)[1], 3),
+        "p50_ms": round(sorted(pqf_p50s)[1], 3),
+    }
+    print(f"# pq_serving_filtered_ms: {pq_serving_filtered}", file=sys.stderr)
+
     # Noise-resistant protocol (round-8): each leg runs 1 cold + 3 warm;
     # `queries` reports the MEDIAN of the 3 warm runs (host co-tenancy
     # noise measured up to 1.4x between identical runs on this box, and
@@ -1900,6 +1923,7 @@ def main() -> None:
         "serving_read_p95_loops_ms": serving_loops,
         "pq_serving_ms": pq_serving,
         "pq_serving_rerank_ms": pq_serving_rerank,
+        "pq_serving_filtered_ms": pq_serving_filtered,
         "serving_under_load": load,
         "serving_write_tier_200qps": load200,
         "serving_write_tier_300qps": load300,

@@ -205,6 +205,10 @@ class PQServingIndex:
         self.index = load_pq_index(root)
         self.codes_dir = self.index.codes_path
         self.cells: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        # payload columns (filtered-ANN metadata riding inside the
+        # codes layout): cell -> {col: np.ndarray}, loaded with the
+        # cell iff the index declares payload_cols
+        self._payload: dict[int, dict] = {}
         self._sigs: dict[int, tuple] = {}
         # rerank-path mmap cache: cell -> (sidecar signature, ids mmap,
         # float32 matrix mmap); signature-checked per touch, so sidecar
@@ -233,8 +237,10 @@ class PQServingIndex:
         import pyarrow.parquet as pq
 
         sig = self._signature(cell)  # before the read — see exact tier
+        pcols = list(self.index.payload_cols)
         tbl = pq.read_table(
-            self._cell_dir(cell), columns=[self.index.key_col, "pq_codes"]
+            self._cell_dir(cell),
+            columns=[self.index.key_col, "pq_codes", *pcols],
         )
         ids = tbl.column(self.index.key_col).to_numpy()
         codes = tbl.column("pq_codes").combine_chunks()
@@ -244,6 +250,11 @@ class PQServingIndex:
             np.asarray(ids),
             flat.reshape(len(tbl), m).astype(np.int64),
         )
+        if pcols:
+            self._payload[cell] = {
+                c: np.asarray(tbl.column(c).to_numpy(zero_copy_only=False))
+                for c in pcols
+            }
         self._sigs[cell] = sig
 
     def refresh(self, cells=None) -> list[int]:
@@ -257,6 +268,7 @@ class PQServingIndex:
         for gone in set(self.cells) - on_disk:
             del self.cells[gone]
             del self._sigs[gone]
+            self._payload.pop(gone, None)
         todo = set(cells) if cells is not None else on_disk
         refreshed = []
         for cell in sorted(todo & on_disk):
@@ -266,17 +278,45 @@ class PQServingIndex:
             refreshed.append(cell)
         return refreshed
 
+    def _filter_mask(self, cell: int, where: dict, n: int):
+        """Conjunctive IN-list mask over the cell's payload columns —
+        the serving twin of ``F.col(c).isin(vals) & ...`` on the codes
+        scan. Returns None for an all-true mask."""
+        if not where:
+            return None
+        bad = set(where) - set(self.index.payload_cols)
+        if bad:
+            raise ValueError(
+                f"where references non-payload columns {sorted(bad)}; "
+                f"index carries payload_cols={list(self.index.payload_cols)}"
+            )
+        pay = self._payload.get(cell)
+        mask = np.ones(n, dtype=bool)
+        for col, vals in where.items():
+            mask &= np.isin(pay[col], np.asarray(list(vals)))
+        return mask
+
     def topk(
         self,
         qvec,
         k: int = 20,
         nprobe: int | None = None,
+        where: dict | None = None,
         _with_cells: bool = False,
     ):
         """Probed ADC top-k: nprobe cells resolve against the sidecar
         centroids (same rule as operators/similarity.ivf_probe_cells),
         scores are exact integer LUT sums, order (-pq_score, key) —
         the Spark plan's exact output. Returns [(key, pq_score)].
+
+        ``where`` (r15) is the PRE-filter form of the filtered-ANN SLA
+        at serving: {payload_col: allowed values} conjunctive IN-lists
+        evaluated against the in-memory payload arrays BEFORE candidate
+        selection, so the top-k is the top-k of the (probed AND
+        filtered) set — the serving twin of
+        pipeline/pqindex.pq_index_filtered_rerank's codes-scan
+        predicate, bit-parity-tested. Post-filtering the unfiltered
+        top-k would return << k rows under selective predicates.
 
         RECALL CONTRACT: this ranks by pure ADC — 0.18-0.42 recall@50
         on flat-similarity data (measured, pq_recall entry). Use
@@ -315,6 +355,9 @@ class PQServingIndex:
         best_cells: list[np.ndarray] = []
         for cell in probe:
             ids, codes = self.cells[cell]
+            mask = self._filter_mask(cell, where, len(ids))
+            if mask is not None:
+                ids, codes = ids[mask], codes[mask]
             if len(ids) == 0:
                 continue
             scores = lut[np.arange(m), codes].sum(axis=1)
@@ -416,11 +459,17 @@ class PQServingIndex:
         k: int = 50,
         rerank: int = 250,
         nprobe: int | None = None,
+        where: dict | None = None,
     ) -> list[tuple[int, float]]:
         """ADC top-``rerank`` -> EXACT re-score of those R rows -> top-k
         by exact score: the serving twin of
         pipeline/pqindex.pq_index_rerank_topk's Spark plan, bit-for-bit
-        (parity-tested in tests/test_pqindex.py). This is the tier that
+        (parity-tested in tests/test_pqindex.py). With ``where`` (r15)
+        it is the twin of pq_index_filtered_rerank instead: the
+        pre-filter applies to the ADC candidate stage, so the exact
+        top-k is the top-k WITHIN the filter — the reference's read-SLA
+        shape (filter + dot-product + LIMIT) served without a Spark
+        job. This is the tier that
         meets the reference's >90% recall bar (README.md:76): pure ADC
         ranking reads 0.18-0.42 recall@50 on flat-similarity data, but
         the ADC top-R CONTAINS the true top-k, and the exact rerank
@@ -442,7 +491,7 @@ class PQServingIndex:
                 "build_pq_index(..., store_vectors=True) to enable rerank"
             )
         _cand, by_cell = self.topk(
-            qvec, k=rerank, nprobe=nprobe, _with_cells=True
+            qvec, k=rerank, nprobe=nprobe, where=where, _with_cells=True
         )
         if not by_cell:
             return []

@@ -607,3 +607,84 @@ def test_filtered_rerank_requires_payload_cols(spark, rerank_index):
             spark, rerank_index, QVEC,
             predicate=F.col("label") == 1, k=5,
         )
+
+
+def test_serving_filtered_rerank_bit_parity_with_spark_plan(
+    spark, filtered_index
+):
+    """topk_rerank(where=...) answers bit-identically to
+    pq_index_filtered_rerank — probed and full-scan, a broad and a
+    selective (< k in-filter rows) predicate. Parity transfers the
+    Spark side's prefilter-not-postfilter and within-filter-rows
+    properties to the serving tier (r15)."""
+    from external_benchmarks_spark.pipeline.pqindex import (
+        pq_index_filtered_rerank,
+    )
+    from external_benchmarks_spark.serving import PQServingIndex
+
+    srv = PQServingIndex(filtered_index.root)
+    cases = [
+        ({"label": [1, 3]}, F.col("label").isin(1, 3), 10, 60),
+        ({"label": [7]}, F.col("label") == 7, 40, 80),
+    ]
+    for where, pred, k, rerank in cases:
+        for nprobe in (3, None):
+            want = [
+                (r.vec_id, r.score)
+                for r in pq_index_filtered_rerank(
+                    spark, filtered_index, QVEC, predicate=pred,
+                    k=k, rerank=rerank, nprobe=nprobe,
+                ).collect()
+            ]
+            got = srv.topk_rerank(
+                QVEC, k=k, rerank=rerank, nprobe=nprobe, where=where
+            )
+            assert got == want, (where, nprobe, got[:3], want[:3])
+
+
+def test_serving_filtered_parity_survives_append_refresh(spark):
+    """Payload columns ride through append + serving refresh(): after
+    an append lands a delta batch, the refreshed serving view's
+    filtered answers stay bit-identical to the Spark plan over the
+    mixed (base + delta) file sets."""
+    from external_benchmarks_spark.pipeline.pqindex import (
+        pq_index_filtered_rerank,
+    )
+    from external_benchmarks_spark.serving import PQServingIndex
+
+    emb = _emb(spark)
+    base = emb.filter(F.col("vec_id") % 10 != 0)
+    delta = emb.filter(F.col("vec_id") % 10 == 0)
+    with tempfile.TemporaryDirectory() as d:
+        idx = build_pq_index(
+            spark, base, os.path.join(d, "pqf"),
+            n_codes=N_CODES, m_subspaces=M, n_centroids=N_CENT,
+            store_vectors=True, payload_cols=("label",),
+        )
+        srv = PQServingIndex(idx.root)
+        assert append_pq_index(spark, idx, delta, batch_id="b1") is True
+        srv.refresh()
+        want = [
+            (r.vec_id, r.score)
+            for r in pq_index_filtered_rerank(
+                spark, idx, QVEC, predicate=F.col("label").isin(1, 3),
+                k=10, rerank=60, nprobe=None,
+            ).collect()
+        ]
+        got = srv.topk_rerank(
+            QVEC, k=10, rerank=60, nprobe=None, where={"label": [1, 3]}
+        )
+        assert got == want
+
+
+def test_serving_where_validates(spark, filtered_index, rerank_index):
+    """A where over a non-payload column names the offender; a where
+    against an index with no payload columns fails the same way."""
+    from external_benchmarks_spark.serving import PQServingIndex
+
+    srv = PQServingIndex(filtered_index.root)
+    with pytest.raises(ValueError, match="nope"):
+        srv.topk(QVEC, k=5, where={"nope": [1]})
+    bare = PQServingIndex(rerank_index.root)
+    with pytest.raises(ValueError, match="payload"):
+        bare.topk(QVEC, k=5, where={"label": [1]})
