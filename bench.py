@@ -1864,6 +1864,14 @@ def main() -> None:
             spark, pqidx.root, QVEC, qps=hi_qps, duration_s=15.0,
             k=50, rerank=250, nprobe=entry_mod.IVF_NPROBE,
         )
+    # r15: the reference's SLA row verbatim — FILTERED reads at
+    # 20 QPS, live, both tiers pre-filtering through the serving
+    # payload arrays (filter + dot-product + LIMIT as a stream).
+    ann_stream["rate_20qps_filtered"] = run_ann_rate_server(
+        spark, pqidx.root, QVEC, qps=20, duration_s=15.0,
+        k=50, rerank=250, nprobe=entry_mod.IVF_NPROBE,
+        where={"label": [1, 3]},
+    )
     print(f"# ann_stream_serving: {ann_stream}", file=sys.stderr)
 
     # Full-width (2,688-dim) realism leg.

@@ -213,6 +213,7 @@ def run_ann_rate_server(
     rerank: int = 250,
     nprobe: int | None = None,
     trigger_ms: int = 200,
+    where: dict | None = None,
 ) -> dict:
     """Load-generating LIVE form of the ANN server (r14): a ``rate``
     readStream at ``qps`` feeds the PQ serving index for
@@ -229,7 +230,12 @@ def run_ann_rate_server(
     (arrival-to-service lag compounds monotonically once batches
     outpace the trigger); flat halves + ``served_per_s`` ≈ qps is the
     no-backlog signature. ``saturated`` flags half2's p50 exceeding
-    half1's by more than one trigger interval."""
+    half1's by more than one trigger interval.
+
+    ``where`` (r15) runs the whole stream in the FILTERED read shape —
+    the reference's actual SLA row is filter + dot-product + LIMIT at
+    20 QPS (README.md:78-83) — both tiers pre-filtering through the
+    serving payload arrays (see PQServingIndex.topk(where=))."""
     from external_benchmarks_spark.serving import PQServingIndex
 
     srv = PQServingIndex(index_root)
@@ -244,10 +250,12 @@ def run_ann_rate_server(
             seq = int(r["value"])
             t0 = time.perf_counter()
             if seq % 2 == 0:
-                srv.topk(qvec, k=k, nprobe=nprobe)
+                srv.topk(qvec, k=k, nprobe=nprobe, where=where)
                 adc_t.append(time.perf_counter() - t0)
             else:
-                srv.topk_rerank(qvec, k=k, rerank=rerank, nprobe=nprobe)
+                srv.topk_rerank(
+                    qvec, k=k, rerank=rerank, nprobe=nprobe, where=where
+                )
                 rr_t.append(time.perf_counter() - t0)
             ts = r["timestamp"].timestamp()
             e2e.append((ts, max(0.0, time.time() - ts)))

@@ -323,6 +323,31 @@ def test_ann_rate_server_sustains_load(spark, sf_dir, tmp_path):
     assert isinstance(out["saturated"], bool)
 
 
+def test_ann_rate_server_filtered(spark, sf_dir, tmp_path):
+    """The rate stream in the reference's SLA shape (r15): every
+    request pre-filters through the serving payload arrays; both tiers
+    flow and stay under the 100 ms service bar."""
+    from external_benchmarks_spark.catalog import Catalog
+    from external_benchmarks_spark.pipeline.pqindex import build_pq_index
+    from external_benchmarks_spark.streaming.query_server import (
+        run_ann_rate_server,
+    )
+
+    emb = Catalog(spark, sf_dir).embeddings
+    root = str(tmp_path / "pqf")
+    build_pq_index(
+        spark, emb, root, n_codes=16, m_subspaces=8, n_centroids=8,
+        store_vectors=True, payload_cols=("label",),
+    )
+    out = run_ann_rate_server(
+        spark, root, entry_mod.QVEC, qps=10, duration_s=4.0,
+        k=10, rerank=40, nprobe=3, where={"label": [1, 3]},
+    )
+    assert out["adc"]["n"] >= 1 and out["rerank"]["n"] >= 1
+    assert out["adc"]["p95_ms"] < 100
+    assert out["rerank"]["p95_ms"] < 100
+
+
 def test_rate_stream_query_server_sustains_load(spark, layout):
     """Short live run of the rate-stream server: requests flow, every
     one is answered, and the serving-side p95 stays far under the

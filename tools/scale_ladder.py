@@ -545,6 +545,7 @@ def main() -> None:
             spark, vcorpus,
             bucket_root("ladder_pqi_" + sf_label.replace(".", "_")),
             n_centroids=n_cent,
+            store_vectors=True, payload_cols=("label",),
         )
         ibuild_s = time.perf_counter() - t0
         areps, qreps = [], []
@@ -557,6 +558,31 @@ def main() -> None:
             t0 = time.perf_counter()
             pq_index_topk(spark, idx, em.QVEC, k=20, nprobe=4).count()
             qreps.append(time.perf_counter() - t0)
+        # r15: the FILTERED read at every rung — Spark form (per-job
+        # floor class) and the serving twin (the deployment shape):
+        # filter cost is a vectorized isin over the probed cells'
+        # resident payloads, so serving should stay FLAT as the corpus
+        # decades up while nprobe/cells holds the probed row count.
+        from external_benchmarks_spark.pipeline.pqindex import (
+            pq_index_filtered_rerank,
+        )
+        from external_benchmarks_spark.serving import PQServingIndex
+
+        freps = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            pq_index_filtered_rerank(
+                spark, idx, em.QVEC, predicate=F.col("label").isin(1, 3),
+                k=20, rerank=100, nprobe=4,
+            ).count()
+            freps.append(time.perf_counter() - t0)
+        srv = PQServingIndex(idx.root)
+        sreps = []
+        for _ in range(20):
+            t0 = time.perf_counter()
+            srv.topk_rerank(em.QVEC, k=20, rerank=100, nprobe=4,
+                            where={"label": [1, 3]})
+            sreps.append(time.perf_counter() - t0)
         pqi_fixed[sf_label] = {
             "corpus_vecs": n,
             "n_centroids": n_cent,
@@ -565,6 +591,9 @@ def main() -> None:
             "append_steady": round(min(areps[1:]), 3),
             "query_cold": round(qreps[0], 3),
             "query_steady": round(min(qreps[1:]), 3),
+            "filtered_cold": round(freps[0], 3),
+            "filtered_steady": round(min(freps[1:]), 3),
+            "serving_filtered_best_ms": round(min(sreps) * 1000, 3),
         }
         print(f"# pq_index_fixed @ {sf_label}: {pqi_fixed[sf_label]}",
               file=sys.stderr)
