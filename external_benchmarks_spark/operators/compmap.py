@@ -332,10 +332,28 @@ def keep_flags(
     )
 
 
+def _base_row_count(path: str) -> int:
+    """Total base-map rows from parquet FOOTERS (driver-side metadata
+    reads, no Spark job) — the denominator for the relabel-fold ratio
+    gate."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for dirpath, _dirs, files in os.walk(path):
+        for f in files:
+            if f.startswith(("_", ".")) or not f.endswith(".parquet"):
+                continue
+            total += pq.ParquetFile(
+                os.path.join(dirpath, f)
+            ).metadata.num_rows
+    return total
+
+
 def compact_component_map(
     spark: SparkSession,
     cmap: ComponentMap,
     max_files_per_bucket: int | None = None,
+    relabel_fold_ratio: float | None = None,
 ) -> int:
     """Fold the relabel table into the base map (staged atomic rewrite:
     write the resolved map to a staging dir, then swap base dirs with
@@ -350,7 +368,22 @@ def compact_component_map(
     (new pairs, no merges) leave the relabel empty — the round-11
     maintenance soak measured the base growing without bound under
     exactly that workload (files 5 → 35 over 10 cycles) because the
-    old relabel-empty early-return skipped the rewrite."""
+    old relabel-empty early-return skipped the rewrite.
+
+    ``relabel_fold_ratio`` (r15) DEFERS the relabel-only trigger until
+    the relabel table exceeds ratio x base rows (footer-counted, no
+    job): the r15 per-stage soak split found this compactor was the
+    dominant cycle-time slope owner (0.10 -> 7.0 s/cycle at 1.0r, 104 s
+    of 580) because every cycle deposes a few reps, and a non-empty
+    relabel triggered a FULL O(corpus) base rewrite every cycle — while
+    readers (resolve_components / keep_flags / fold_pairs) already
+    resolve the relabel chain live, so folding it is pure amortization
+    with no correctness deadline. A fragmentation-triggered rewrite
+    still folds whatever relabel exists opportunistically (the rewrite
+    is happening anyway). None preserves the fold-when-non-empty
+    behavior. What remains at scale is the LSM bill stated honestly:
+    a periodic O(map) fold whenever buckets fragment past the
+    threshold, with flat per-cycle cost between folds."""
     import shutil
 
     from external_benchmarks_spark.pipeline.bucketing import (
@@ -360,12 +393,20 @@ def compact_component_map(
     _recover(spark, cmap)
     relabel = _read_relabel(spark, cmap)
     n = relabel.count()
-    if n == 0 and (
-        max_files_per_bucket is None
-        or max_bucket_files(os.path.join(cmap.root, "base"))
-        <= max_files_per_bucket
-    ):
+    fragmented = (
+        max_files_per_bucket is not None
+        and max_bucket_files(os.path.join(cmap.root, "base"))
+        > max_files_per_bucket
+    )
+    if n == 0 and not fragmented:
         return 0
+    if (
+        not fragmented
+        and relabel_fold_ratio is not None
+        and n <= relabel_fold_ratio
+        * _base_row_count(os.path.join(cmap.root, "base"))
+    ):
+        return 0  # deferred: readers resolve the relabel chain live
     base = spark.table(cmap.table)
     resolved = base.join(
         F.broadcast(relabel), base["rep"] == relabel["old_rep"], "left"

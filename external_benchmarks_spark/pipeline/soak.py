@@ -295,21 +295,39 @@ class MaintenanceSoak:
         # compactions run EVERY cycle and self-gate on their thresholds
         # (a no-op census when under), so fragmentation is bounded by
         # threshold x one absorb instead of threshold x cycles-between
-        compact_component_map(self.spark, self.cmap, max_files_per_bucket=4)
+        # relabel_fold_ratio (r15): the per-stage split found the
+        # every-cycle relabel fold was the dominant slope owner — a few
+        # deposed reps triggered a full O(corpus) base rewrite per
+        # cycle; readers resolve the relabel live, so the fold defers
+        # until 1% of the base would change (fragmentation still folds)
+        compact_component_map(
+            self.spark, self.cmap, max_files_per_bucket=4,
+            relabel_fold_ratio=0.01,
+        )
+        stamp("compact_cmap")
         comp = compact_signature_store(
             self.spark, self.sig, max_files_per_bucket=4
         )
+        stamp("compact_sig")
         scomp = compact_span_store(
             self.spark, self.sstore, max_files_per_bucket=4
         )
+        stamp("compact_span")
         # r15: the semantic vector store joins the per-cycle compaction
         # set — it was the ONE persisted artifact with no compactor
         # (r14 census: 159 -> 444 files over 20 cycles, +14/cycle
         # unbounded; absorb appends a file set per batch and
-        # refresh_centroids rewrites only dirty cells)
+        # refresh_centroids rewrites only dirty cells). Threshold 2,
+        # not the siblings' 4: an absorb adds ~1 file per cell per ~10
+        # cycles here (the delta's part files spread across ~10x more
+        # cells than the bucketed stores have buckets), so threshold 4
+        # takes ~30 cycles to first fire and a 20-cycle census window
+        # cannot witness the bound — at 2 the fold runs in-window and
+        # the equilibrium census sits at ~cells x 2.
         vcomp = compact_vector_store(
-            self.spark, self.vstore, max_files_per_cell=4
+            self.spark, self.vstore, max_files_per_cell=2
         )
+        stamp("compact_vec")
         from external_benchmarks_spark.pipeline.index import (
             compact_layout_partitions,
         )
@@ -320,7 +338,7 @@ class MaintenanceSoak:
         pqv_comp = compact_layout_partitions(
             self.spark, self.pqi.vectors_path, max_files_per_partition=4
         )
-        stamp("compactions")
+        stamp("compact_pq")
         # serving-tier refresh (r13): pick up this cycle's append AND
         # any compaction swaps, O(dirty cells); every third cycle,
         # assert the long-lived serving view answers bit-identically —

@@ -119,6 +119,36 @@ def test_compact_folds_relabel_into_base(spark):
     )
 
 
+def test_compact_relabel_fold_ratio_defers(spark):
+    """With relabel_fold_ratio set, a small relabel table DEFERS the
+    full base rewrite (readers resolve the chain live, so nothing is
+    owed); answers are identical deferred vs folded, and a ratio the
+    table exceeds folds as before (r15 — the every-cycle fold was the
+    1.0r soak's dominant cycle-time slope owner)."""
+    from external_benchmarks_spark.operators.compmap import _read_relabel
+
+    cmap = init_component_map(spark, "t_defer")
+    fold_pairs(
+        spark, cmap, _pairs_df(spark, [(i, i + 1000) for i in range(100)])
+    )
+    fold_pairs(spark, cmap, _pairs_df(spark, [(5, 1006)]))  # deposes one
+    n_rel = _read_relabel(spark, cmap).count()
+    assert n_rel > 0
+    want = _resolved(spark, cmap)
+    # 1 relabel row over a 200-row base = 0.5% < 5% -> deferred
+    assert compact_component_map(
+        spark, cmap, relabel_fold_ratio=0.05
+    ) == 0
+    assert _read_relabel(spark, cmap).count() == n_rel  # untouched
+    assert _resolved(spark, cmap) == want  # live resolution unchanged
+    # a ratio the table exceeds folds and clears, same answers
+    assert compact_component_map(
+        spark, cmap, relabel_fold_ratio=0.001
+    ) > 0
+    assert _read_relabel(spark, cmap).count() == 0
+    assert _resolved(spark, cmap) == want
+
+
 def test_recovery_restores_base_and_relabel_mid_swap(spark):
     """compact_component_map (or a relabel publish) crashed between its
     two renames: live dir gone, sibling .trash holds the data. Any

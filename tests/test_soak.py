@@ -116,7 +116,7 @@ def test_soak_crash_resume_equals_uninjured_twin(spark):
                     )
                     if not f.startswith(("_", "."))
                 ]
-                assert len(files) <= 4, (d, files)
+                assert len(files) <= 2, (d, files)
         # every shard dir in the export layout keeps one sorted file
         for d in os.listdir(soak.layout):
             if d.startswith("shard="):

@@ -70,6 +70,10 @@ def main() -> None:
         "serving_parity_ok": out["serving_parity_ok"],
         "stages_by_cycle": [c["stages"] for c in cycles],
         "refresh_moved": [c["refresh_moved"] for c in cycles],
+        "vector_cells_compacted": [
+            c["vector_cells_compacted"] for c in cycles
+        ],
+        "pq_cells_compacted": [c["pq_cells_compacted"] for c in cycles],
     }
     print(json.dumps(report))
     spark.stop()
