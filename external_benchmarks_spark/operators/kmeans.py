@@ -75,22 +75,46 @@ def kmeans_init(vectors: DataFrame, k: int) -> DataFrame:
 
 def _assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
     """(vec_id, vi, cid, dist): exact-integer argmin assignment, ties
-    to the lowest centroid id. The centroid side is k rows —
-    broadcast, so the vectors never shuffle."""
-    dist = F.aggregate(
-        F.zip_with("vi", "ci", lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("bigint"),
-        lambda acc, d: acc + d,
-    )
-    scored = vectors.crossJoin(F.broadcast(centroids)).select(
-        "vec_id", "vi", "cid", dist.alias("dist")
-    )
-    best = scored.groupBy("vec_id").agg(
-        F.min(F.struct("dist", "cid")).alias("_b"),
-        F.first("vi").alias("vi"),
-    )
-    return best.select(
-        "vec_id", "vi", F.col("_b.cid").alias("cid"), F.col("_b.dist").alias("dist")
+    to the lowest centroid id.
+
+    r15 shape: the centroids are k x dim BIGINTs that the refine loop
+    already materializes each round (localCheckpoint), so they ride
+    into the plan as LITERAL arrays and the argmin is a pure
+    per-row expression — `array_min` over k (dist, cid) structs, whose
+    struct ordering is exactly the old `min(struct(dist, cid))`
+    (lexicographic: dist first, lowest cid on ties). The previous form
+    crossJoined the broadcast centroid table and re-grouped by vec_id,
+    which shuffled k copies of every quantized vector just to take the
+    min — a corpus x k exchange per Lloyd round that this map-only
+    form removes outright (guide §2.4; plan: crossJoin + HashAggregate
+    + Exchange -> Project, zero Exchange)."""
+    rows = sorted(centroids.collect(), key=lambda r: r["cid"])
+    if not rows:  # empty input: no centroids, no assignments
+        return vectors.select(
+            "vec_id",
+            "vi",
+            F.lit(None).cast("int").alias("cid"),
+            F.lit(None).cast("bigint").alias("dist"),
+        ).where(F.lit(False))
+    dists = []
+    for r in rows:
+        ci = F.array(*[F.lit(int(v)).cast("bigint") for v in r["ci"]])
+        d = F.aggregate(
+            F.zip_with("vi", ci, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("bigint"),
+            lambda acc, t: acc + t,
+        )
+        dists.append(
+            F.struct(
+                d.alias("dist"), F.lit(int(r["cid"])).cast("int").alias("cid")
+            )
+        )
+    best = F.array_min(F.array(*dists))
+    return vectors.select(
+        "vec_id",
+        "vi",
+        best["cid"].alias("cid"),
+        best["dist"].alias("dist"),
     )
 
 

@@ -76,10 +76,13 @@ def test_quantize_is_floor_fixed_point(spark):
     assert vi == [500000, -500000, 123456, -1]  # floor, not round/trunc
 
 
-def test_kmeans_assignment_broadcasts_centroids(spark):
-    """The scoring stage must broadcast the k-row centroid side (the
-    corpus never shuffles for assignment) — the property that keeps a
-    round at one corpus scan at any scale."""
+def test_kmeans_assignment_is_map_only(spark):
+    """Assignment must be a pure map over the vectors — no Exchange, no
+    join of any kind (r15: the k x dim centroids ride into the plan as
+    literals and the argmin is one array_min expression; the previous
+    broadcast-crossJoin + re-group shape shuffled k copies of every
+    vector per round). This is the property that keeps a Lloyd round at
+    one corpus scan with zero corpus shuffle at any scale."""
     from external_benchmarks_spark.operators.kmeans import (
         _assign,
         kmeans_init,
@@ -89,7 +92,8 @@ def test_kmeans_assignment_broadcasts_centroids(spark):
     v = quantize_vectors(_planted(spark))
     c = kmeans_init(v, 3)
     plan = _assign(v, c)._jdf.queryExecution().executedPlan().toString()
-    assert "Broadcast" in plan, plan[:800]
+    assert "Exchange" not in plan, plan[:800]
+    assert "Join" not in plan, plan[:800]
 
 
 def test_kmeans_seed_stage_has_no_single_reducer(spark):
