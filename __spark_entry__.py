@@ -4275,7 +4275,10 @@ def q_bpe_segment_tokens(spark, sf):
     # oracle replays training (the _bpe_sql CTEs) AND segmentation
     # (8 chained list_transform levels, each applying one merge via the
     # same list_reduce lazy-emit device) entirely in SQL.
-    from external_benchmarks_spark.operators.bpe import bpe_segment, bpe_train
+    from external_benchmarks_spark.operators.bpe import (
+        bpe_segment_distinct,
+        bpe_train,
+    )
 
     docs = Catalog(spark, sf).documents.withColumn(
         "text", F.coalesce(F.col("text"), F.lit(""))
@@ -4284,7 +4287,11 @@ def q_bpe_segment_tokens(spark, sf):
         (m["lhs"], m["rhs"])
         for m in bpe_train(docs, n_merges=BPE_MERGES).collect()
     ]
-    seg = bpe_segment(docs, merges)
+    # r15: the distinct-word device (the shape wordpiece_segment and
+    # unigram_segment already ship) — the 8-level merge chain runs once
+    # per DISTINCT word, pieces join back in word order; token output
+    # identical (tested equal to bpe_segment), oracle hash unchanged.
+    seg = bpe_segment_distinct(docs, merges)
     return seg.select(
         "doc_id",
         F.size("bpe_tokens").cast("bigint").alias("n_bpe_tokens"),

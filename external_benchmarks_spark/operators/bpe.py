@@ -244,3 +244,54 @@ def bpe_segment(
         col = F.transform(col, _step(a, b))
     out = F.flatten(F.transform(col, lambda s: F.split(F.trim(s), " ")))
     return df.withColumn(out_col, out)
+
+
+def bpe_segment_distinct(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """``bpe_segment`` through the distinct-word device (r15; the shape
+    ``unigram_segment`` already uses): the k-level merge chain — the
+    expensive part, k string scans per word — runs once per DISTINCT
+    word instead of once per occurrence, and the per-word piece lists
+    join back to documents and reassemble in word order. Token output
+    is IDENTICAL (merges are a pure function of the word; tested equal
+    to ``bpe_segment``); the trade is two token-shuffles for a
+    duplication-factor reduction in merge-chain CPU — the win grows
+    with corpus size since vocabulary grows sublinearly. Returns
+    (id_col, out_col) only."""
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda t: (F.length(t) > 0) & t.rlike("^[a-z0-9]+$"),
+    )
+    wpos = df.select(F.col(id_col), F.posexplode(toks).alias("pos", "word"))
+    col = _char_spaced(F.col("word"))
+    for a, b in merges:
+        col = _apply_merge(col, a, b)
+    wseg = (
+        wpos.select("word")
+        .distinct()
+        .select("word", F.split(F.trim(col), " ").alias("pieces"))
+    )
+    agg = (
+        wpos.join(wseg, "word")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "pieces"))),
+                    lambda s: s["pieces"],
+                )
+            ).alias(out_col)
+        )
+    )
+    # wordless documents segment to the empty list, not a dropped row
+    return df.select(id_col).join(agg, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col(out_col), F.array().cast("array<string>")).alias(
+            out_col
+        ),
+    )

@@ -84,6 +84,38 @@ def test_bpe_local_and_distributed_paths_agree(spark):
     assert len(local) == 6
 
 
+def test_bpe_segment_distinct_equals_per_occurrence(spark, sf_dir):
+    """r15 optimization contract: the distinct-word segmentation form
+    must produce token-for-token the same output as the per-occurrence
+    merge chain (merges are a pure function of the word; position join
+    reassembles word order), including wordless documents."""
+    import pyspark.sql.functions as F
+
+    from external_benchmarks_spark.operators.bpe import (
+        bpe_segment,
+        bpe_segment_distinct,
+        bpe_train,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "text", F.coalesce(F.col("text"), F.lit(""))
+    )
+    merges = [
+        (m["lhs"], m["rhs"]) for m in bpe_train(docs, n_merges=8).collect()
+    ]
+    base = {
+        r["doc_id"]: list(r["bpe_tokens"])
+        for r in bpe_segment(docs, merges).select(
+            "doc_id", "bpe_tokens"
+        ).collect()
+    }
+    dis = {
+        r["doc_id"]: list(r["bpe_tokens"])
+        for r in bpe_segment_distinct(docs, merges).collect()
+    }
+    assert dis == base
+
+
 def test_bpe_segment_reconstructs_words(spark, sf_dir):
     """Segmentation is lossless: concatenating each word's subword
     tokens reproduces the alphanumeric word stream."""
