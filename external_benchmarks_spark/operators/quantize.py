@@ -212,7 +212,11 @@ def pq_adc_topk(
         )
     score = None
     for j in range(m):
-        lut = F.array(*[F.lit(v).cast("bigint") for v in luts[j]])
+        # ONE py4j call per subspace: F.lit(list) builds the LUT array
+        # literal JVM-side. Per-element F.lit cost m*n_codes driver
+        # round-trips (1024 at the 64x16 tier — measured seconds of
+        # pure expression-construction time per query).
+        lut = F.lit([int(v) for v in luts[j]]).cast("array<bigint>")
         term = F.element_at(lut, F.col("pq_codes")[j] + 1)
         score = term if score is None else score + term
     return (
@@ -491,7 +495,7 @@ def quantized_dot_topk(
         )
         return scored.orderBy(F.desc("score_q"), F.asc(key_col)).limit(k)
     quant = quantize_embeddings(df, emb_col, key_col)
-    qq_lit = F.array(*[F.lit(int(v)) for v in qq])
+    qq_lit = F.lit([int(v) for v in qq])  # one py4j call, not dim
     score_q = F.aggregate(
         F.zip_with("qvec", qq_lit, lambda a, b: (a.cast("bigint") * b)),
         F.lit(0).cast("bigint"),

@@ -824,7 +824,7 @@ def maxsim_topk(
     e = F.col(emb_col).cast("array<double>")
     token_maxes = []
     for qt in query_tokens:
-        qlit = F.array(*[F.lit(float(x)) for x in qt])
+        qlit = F.lit([float(x) for x in qt])  # one py4j call, not dim
         chunk_dots = [
             F.aggregate(
                 F.zip_with(

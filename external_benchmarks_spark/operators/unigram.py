@@ -145,10 +145,14 @@ def _viterbi_toks_expr(word_col: str, vm_col: str) -> str:
 
 
 def _cost_map_col(costs: dict[str, int]):
-    args = []
-    for p in sorted(costs):
-        args += [F.lit(p), F.lit(costs[p]).cast("bigint")]
-    return F.create_map(*args)
+    # map_from_arrays over two list literals: 3 py4j calls total where
+    # create_map(*2N lits) cost two driver round-trips per piece;
+    # ConstantFolding collapses it to the same literal map.
+    keys = sorted(costs)
+    return F.map_from_arrays(
+        F.lit(keys).cast("array<string>"),
+        F.lit([int(costs[p]) for p in keys]).cast("array<bigint>"),
+    )
 
 
 def candidate_pieces(wf: DataFrame) -> DataFrame:

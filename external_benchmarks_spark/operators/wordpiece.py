@@ -283,11 +283,15 @@ def wordpiece_segment(
     Wordless documents keep a row with the empty list."""
     vocab_set = sorted(set(vocab))
     max_len = max((len(_strip_cont(p)) for p in vocab_set), default=1)
-    vm_args: list[Column] = []
-    for p in vocab_set:
-        vm_args += [F.lit(p), F.lit(1)]
-    vm = F.create_map(*vm_args) if vm_args else F.create_map().cast(
-        "map<string,int>"
+    # map_from_arrays over two list literals: 3 py4j calls where
+    # create_map(*2N lits) cost two driver round-trips per piece.
+    vm = (
+        F.map_from_arrays(
+            F.lit(vocab_set).cast("array<string>"),
+            F.lit([1] * len(vocab_set)).cast("array<int>"),
+        )
+        if vocab_set
+        else F.create_map().cast("map<string,int>")
     )
     toks = F.filter(
         F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
