@@ -114,13 +114,24 @@ def ingest_products(
 
     staged = stage_dataset(url, stage_dir)
     raw = read_jsonl_permissive(spark, staged, RAW_META_SCHEMA).cache()
-    n_corrupt = raw.filter(F.col("_corrupt").isNotNull()).count()
+    # Both quarantine counters in ONE aggregate over the cached raw
+    # frame (the predicates are disjoint by construction — unparsed
+    # prices are only counted among non-corrupt lines), instead of two
+    # separate count() jobs (r15; guide §1.2).
+    _cnt = raw.agg(
+        F.sum(F.col("_corrupt").isNotNull().cast("long")).alias("c"),
+        F.sum(
+            (
+                F.col("_corrupt").isNull()
+                & F.col("price").isNotNull()
+                & (F.trim(F.col("price")) != "")
+                & parse_price(F.col("price")).isNull()
+            ).cast("long")
+        ).alias("u"),
+    ).collect()[0]
+    n_corrupt = int(_cnt["c"] or 0)
+    n_unparsed_price = int(_cnt["u"] or 0)
     good = raw.filter(F.col("_corrupt").isNull()).drop("_corrupt")
-    n_unparsed_price = good.filter(
-        F.col("price").isNotNull()
-        & (F.trim(F.col("price")) != "")
-        & parse_price(F.col("price")).isNull()
-    ).count()
 
     products = normalize_raw_products(good, source_dataset)
     products = add_derived_columns(products)
@@ -143,6 +154,16 @@ def ingest_products(
         products = spark.read.parquet(out_path).select(
             [f.name for f in PRODUCT_SCHEMA.fields]
         )
+    else:
+        # The n_records count below is the first action over the
+        # normalize->derive->embed pipeline; persisting first makes it
+        # MATERIALIZE the product table instead of throwing the work
+        # away, so a caller's follow-up stats (the ingest_report arc
+        # runs three) read the cache rather than re-running the
+        # pipeline per action (r15; guide §5). Callers that are done
+        # with the frame should unpersist it; the out_path branch needs
+        # nothing — the parquet written table IS its materialization.
+        products = products.persist()
     report = {
         "staged_path": staged,
         "n_records": products.count(),
