@@ -5395,9 +5395,15 @@ def q_sorted_export(spark, sf):
         F.col("o_orderdate").cast("string").alias("o_orderdate"),
     )
     order_cols = [F.col("cents"), F.col("o_orderkey")]
-    sharded = rank_sharded(o, order_cols, n_shards=8).persist()
+    sharded = rank_sharded(o, order_cols, n_shards=8)
     key = (spark.sparkContext.applicationId, sf)
-    if key not in _SORTED_EXPORT:
+    # persist only on the COLD path, where two consumers (the shard
+    # write + the stats pass) read the sharded frame; the warm path has
+    # a single consumer, so caching it was a pure write-through cost
+    # per rep (r15).
+    cold = key not in _SORTED_EXPORT
+    if cold:
+        sharded = sharded.persist()
         # per-applicationId export dirs accumulate across sessions —
         # drop other sessions' STALE leftovers
         app = spark.sparkContext.applicationId
@@ -5417,7 +5423,8 @@ def q_sorted_export(spark, sf):
         key_col="cents",
     ).orderBy("shard")
     out_df = spark.createDataFrame(stats.collect(), stats.schema)
-    sharded.unpersist()
+    if cold:
+        sharded.unpersist()
     return out_df
 
 

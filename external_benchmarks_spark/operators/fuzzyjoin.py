@@ -29,11 +29,14 @@ blocking but in moving strings — candidate dedup shuffled 9.7M ~44-byte
 string pairs (22 s) and full-DP Levenshtein verified 9.6M candidates
 (29 s). Three measured fixes, all exactness-preserving:
 
-- **integer dictionary**: terms get an EXACT dense id via the two-pass
-  global rank (operators/ranking.py — rank order == string order, so
-  the id_a < id_b dedup filter is the same pair set); candidates
+- **integer dictionary**: terms get an EXACT unique id; candidates
   become (long, long) pairs — map-side-combinable distinct, ~5x less
-  shuffle than string pairs.
+  shuffle than string pairs. (r11 assigned ids by the two-pass global
+  rank so id order matched string order; r15 observed the id_a < id_b
+  filter only needs INJECTIVITY — pair term order is restored by
+  least/greatest at emission — and dropped the rank device for
+  monotonically_increasing_id over the checkpointed dictionary: no
+  range-sample job, no range shuffle, no counts collect, no window.)
 - **hashed join key**: the variant equi-join runs on xxhash64(variant),
   not the variant string — equal variants always hash equal, so no
   candidate is LOST; a collision only ADDS a candidate that exact
@@ -72,19 +75,25 @@ def fuzzy_term_pairs(
     candidates). Output: (term_a, term_b, dist)."""
     if tau != 1:
         raise ValueError("symmetric-delete completeness holds for tau=1")
-    from external_benchmarks_spark.operators.ranking import (
-        global_rank_with_total,
-    )
-
     t = (
         terms.select(F.col(term_col).alias("_t"))
         .filter(F.col("_t").isNotNull() & (F.length("_t") > 0))
         .distinct()
     )
-    # exact dense ids, rank order == string order (so the _ta < _tb
-    # filter below selects exactly the term_a < term_b pairs)
-    dic, _ = global_rank_with_total(t, ["_t"], rank_col="_tid")
-    dic = dic.localCheckpoint(eager=True)  # feeds variants + 2 lookups
+    # Exact UNIQUE ids. The _ta < _tb filter below only has to pick each
+    # unordered pair ONCE — any injective id works, the pair's term
+    # order is restored at emission via least/greatest (dist is
+    # symmetric). monotonically_increasing_id on the checkpointed
+    # dictionary is unique by construction (partition offset + row
+    # position, frozen by the checkpoint), so the whole global-rank
+    # device the r11 form used here (range sample job + range shuffle +
+    # counts collect + window + offsets join — rank ORDER was never
+    # load-bearing, only uniqueness) collapses to one id column (r15).
+    # eager=False: the first downstream action materializes the
+    # checkpoint; all three consumers (variants + 2 lookups) then read
+    # the same frozen ids.
+    dic = t.withColumn("_tid", F.monotonically_increasing_id())
+    dic = dic.localCheckpoint(eager=False)  # feeds variants + 2 lookups
     variants = dic.select(
         "_tid",
         F.explode(F.expr(DELETION_VARIANTS_SQL.format(c="_t"))).alias("_v"),
@@ -97,12 +106,16 @@ def fuzzy_term_pairs(
         .select("_ta", "_tb")
         .distinct()
     )
-    d_a = dic.select(F.col("_tid").alias("_ta"), F.col("_t").alias("term_a"))
-    d_b = dic.select(F.col("_tid").alias("_tb"), F.col("_t").alias("term_b"))
+    d_a = dic.select(F.col("_tid").alias("_ta"), F.col("_t").alias("_sa"))
+    d_b = dic.select(F.col("_tid").alias("_tb"), F.col("_t").alias("_sb"))
     return (
         cand.join(F.broadcast(d_a), "_ta")
         .join(F.broadcast(d_b), "_tb")
-        .withColumn("dist", F.levenshtein("term_a", "term_b", 1))
+        .withColumn("dist", F.levenshtein("_sa", "_sb", 1))
         .filter(F.col("dist") >= 0)
-        .select("term_a", "term_b", F.col("dist").cast("bigint").alias("dist"))
+        .select(
+            F.least("_sa", "_sb").alias("term_a"),
+            F.greatest("_sa", "_sb").alias("term_b"),
+            F.col("dist").cast("bigint").alias("dist"),
+        )
     )

@@ -57,7 +57,12 @@ def global_rank_with_total(
     part = df.repartitionByRange(n_parts, *cols).withColumn(
         "_pid", F.spark_partition_id()
     )
-    part = part.localCheckpoint()  # both passes read the SAME partitioning
+    # both passes must read the SAME partitioning (offsets from pass 1
+    # only apply to pass 2 if the range boundaries are identical), so
+    # the partitioned frame is checkpointed. eager=False: the counts
+    # collect right below is the first action anyway, so it materializes
+    # the checkpoint as a side effect — one job instead of two (r15).
+    part = part.localCheckpoint(eager=False)
     # pass 1: per-partition counts -> exclusive prefix offsets (tiny)
     counts = {
         r["_pid"]: r["cnt"]
