@@ -6432,8 +6432,8 @@ _CHI2_ASSOC_SQL = """
 
 def q_spatial_radius_pairs(spark, sf):
     # Spatial radius self-join (operators/spatial.py): grid-cell
-    # bucketing (cell = radius, one side expands to its 3x3
-    # neighborhood) + exact integer squared-distance verify — the
+    # bucketing (cell = radius, one side expands to its forward
+    # half-neighborhood) + exact integer squared-distance verify — the
     # spatial member of the exact-complete join family. Points are a
     # deterministic synthetic plane from md5 slices of c_custkey (the
     # testdata has no geo columns; both engines derive the identical

@@ -267,7 +267,14 @@ def bpe_segment_distinct(
         F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
         lambda t: (F.length(t) > 0) & t.rlike("^[a-z0-9]+$"),
     )
-    wpos = df.select(F.col(id_col), F.posexplode(toks).alias("pos", "word"))
+    # wpos feeds both the distinct-word side and the join-back side;
+    # their projections differ, so the two subtrees never canonicalize
+    # equal and the corpus would tokenize twice. Lazy localCheckpoint =
+    # one tokenize pass, both consumers read the materialized word
+    # positions (the span_dedup trade, r15).
+    wpos = df.select(
+        F.col(id_col), F.posexplode(toks).alias("pos", "word")
+    ).localCheckpoint(eager=False)
     col = _char_spaced(F.col("word"))
     for a, b in merges:
         col = _apply_merge(col, a, b)

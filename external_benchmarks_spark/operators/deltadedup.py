@@ -365,12 +365,15 @@ def delta_dedup(
     # too: the MinHash/banding pass is the delta's second CPU-heavy
     # stage and feeds the pruning collect plus three join branches.
     _recover_store_swaps(spark, store)
+    # eager=False (r15): the pruning collect right below is the first
+    # action anyway and materializes both checkpoints as a side effect
+    # — one job instead of three.
     dsh = doc_shingles(delta, key_col, content_col, store.n).localCheckpoint(
-        eager=True
+        eager=False
     )
     dbands = band_hashes(
         dsh, store.num_hashes, store.bands, store.seed
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     corpus_bands = spark.table(store.bands_table)
     if prune:
         pbs = [r[0] for r in dbands.select("pb").distinct().collect()]

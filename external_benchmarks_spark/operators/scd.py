@@ -94,7 +94,13 @@ def scd2_apply(
     if collision not in ("row", "column"):
         raise ValueError(f"collision must be 'row' or 'column', got {collision!r}")
     attrs = _attr_list(attr_cols)
-    cur = current.filter(F.col("is_current"))
+    # The current slice feeds THREE of the output union's branches (the
+    # prevailing-state join, the closed rows, the untouched rows) and
+    # the result plan would otherwise recompute its upstream (often a
+    # shuffle, e.g. a distinct building the dimension) once per branch.
+    # A lazy localCheckpoint makes the branches share one materialized
+    # copy — computed inside the first action, no extra job (r15).
+    cur = current.filter(F.col("is_current")).localCheckpoint(eager=False)
     hist = current.filter(~F.col("is_current"))
 
     # one update per (key, ts): deterministic collision normalization
@@ -153,9 +159,13 @@ def scd2_apply(
             F.col("_has_prev"), F.col(f"_p_{c}")
         ).otherwise(F.col(f"_c_{c}"))
         changed = changed | ~F.col(f"_a_{c}").eqNullSafe(prevailing_c)
+    # kept feeds both the new-version rows and the first-change lookup
+    # (which itself joins back twice); checkpoint it so the update
+    # window chain — two windows + the current join — runs once per
+    # apply, not once per consumer (r15).
     kept = u.filter(~has_prevailing | changed).select(
         key_col, "_ts", *[f"_a_{c}" for c in attrs]
-    )
+    ).localCheckpoint(eager=False)
 
     w2 = Window.partitionBy(key_col).orderBy("_ts")
     new_rows = kept.select(

@@ -3,12 +3,14 @@ member of the exact-complete join family (setjoin: sets, fuzzyjoin:
 strings, this: points). Classic grid-file / fixed-grid spatial
 hashing: with cell size >= radius, two points within the radius land
 in the same or an adjacent cell (the grid lemma), so expanding ONE
-side to its 3x3 cell neighborhood and equi-joining on cell id is a
-COMPLETE candidate generator; candidates verify through the exact
-integer squared distance (dx^2 + dy^2 <= r^2 — no sqrt, no floats,
-bit-identical in any engine).
+side to its forward HALF-neighborhood (self + 4 of the 8 neighbor
+offsets — antisymmetric, so each unordered cell pair is examined
+exactly once) and equi-joining on cell id is a COMPLETE candidate
+generator; candidates verify through the exact integer squared
+distance (dx^2 + dy^2 <= r^2 — no sqrt, no floats, bit-identical in
+any engine).
 
-100 TB shape: the expansion is a constant 9x on one side; the join
+100 TB shape: the expansion is a constant 5x on one side; the join
 buckets by cell (posting list = points per cell, set by the density x
 cell-size product); verification is a codegen integer expression. All
 equi-joins; no R-tree needed for the fixed-radius case, and the cell
@@ -42,24 +44,34 @@ def grid_radius_pairs(
     )
     cx = F.expr(f"_x div {radius}")
     cy = F.expr(f"_y div {radius}")
-    # one side expands to its 3x3 neighborhood; the other stays put
+    # One side expands to its FORWARD half-neighborhood (r15): self plus
+    # the 4 offsets {E, NW, N, NE}. The set is antisymmetric (for o != 0
+    # exactly one of o/-o is in it), so every cross-cell pair is
+    # generated exactly once — no id_a < id_b dedup discarding half the
+    # join products after they were built, and the exploded side
+    # shuffles 5/9 of the old bytes. Same-cell pairs (offset 0,0) still
+    # dedup by id order; cross-cell pair order is restored with
+    # least/greatest at emission (dist2 is symmetric). Output identical
+    # to the old 3x3 form (property-tested against brute force).
     off = F.explode(
         F.expr(
-            "transform(sequence(0, 8), i ->"
-            " struct(i div 3 - 1 AS dx, i % 3 - 1 AS dy))"
+            "array(struct(0 AS dx, 0 AS dy), struct(1 AS dx, 0 AS dy),"
+            " struct(-1 AS dx, 1 AS dy), struct(0 AS dx, 1 AS dy),"
+            " struct(1 AS dx, 1 AS dy))"
         )
     ).alias("_o")
     a = pts.select(
         "_id", "_x", "_y", cx.alias("_cx"), cy.alias("_cy")
     ).select("_id", "_x", "_y", "_cx", "_cy", off).select(
-        F.col("_id").alias("id_a"),
+        F.col("_id").alias("_ida"),
         F.col("_x").alias("_xa"),
         F.col("_y").alias("_ya"),
         (F.col("_cx") + F.col("_o.dx")).alias("_cx"),
         (F.col("_cy") + F.col("_o.dy")).alias("_cy"),
+        ((F.col("_o.dx") == 0) & (F.col("_o.dy") == 0)).alias("_self"),
     )
     b = pts.select(
-        F.col("_id").alias("id_b"),
+        F.col("_id").alias("_idb"),
         F.col("_x").alias("_xb"),
         F.col("_y").alias("_yb"),
         cx.alias("_cx"),
@@ -70,8 +82,12 @@ def grid_radius_pairs(
     ) * (F.col("_ya") - F.col("_yb"))
     return (
         a.join(b, ["_cx", "_cy"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(~F.col("_self") | (F.col("_ida") < F.col("_idb")))
         .withColumn("dist2", d2.cast("bigint"))
         .filter(F.col("dist2") <= radius * radius)
-        .select("id_a", "id_b", "dist2")
+        .select(
+            F.least("_ida", "_idb").alias("id_a"),
+            F.greatest("_ida", "_idb").alias("id_b"),
+            "dist2",
+        )
     )

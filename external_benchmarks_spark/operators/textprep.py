@@ -196,7 +196,9 @@ def span_dedup(
     sf0.1 vs 1.6 / 1.2 checkpointed), but at 100 TB the amortized form
     is :func:`delta_span_dedup` below, whose span counts live in a
     persisted bucketed store instead (r11 verdict finding #2)."""
-    s = doc_spans(docs, span_tokens).localCheckpoint(eager=True)
+    # eager=False (r15): the consumer's first action materializes the
+    # span table in-job — same reuse, one scheduling round-trip fewer
+    s = doc_spans(docs, span_tokens).localCheckpoint(eager=False)
     hot = (
         s.groupBy("span")
         .agg(F.countDistinct("doc_id").alias("_nd"))

@@ -91,8 +91,15 @@ def bm25_topk(
 
     Shape: the term filter lands BEFORE the tf aggregation, so only
     query-term occurrences ever shuffle (|q| terms x matching docs, not
-    the corpus vocabulary); doc length comes from a per-row size() with
-    no explode; per-(doc,term) contributions are rounded to 1e-6
+    the corpus vocabulary); doc length RIDES THROUGH the explode as a
+    per-row size() column (r15 — the old keyed dl join re-tokenized the
+    whole corpus for a value each matching doc already knows); doc
+    frequency is a count window over the match-bounded tf table (r15 —
+    the old aggregate-and-broadcast-back read tf twice, and column
+    pruning rewrote the second copy's partial aggregate so the two tf
+    exchanges never canonicalized equal: the corpus was tokenized once
+    per copy). One corpus tokenize in the scoring plan, down from
+    three. Per-(doc,term) contributions are rounded to 1e-6
     fixed-point BIGINT and summed as integers, so the per-doc sum is
     partition-order-independent and hash-matches the SQL oracle exactly
     (the lm_score pattern). TakeOrderedAndProject for the top-k.
@@ -110,15 +117,16 @@ def bm25_topk(
             [], f"{key_col} bigint, bm25 double"
         )
     avgdl = float(stats["total"]) / n_docs
-    toks = base.select(
-        F.col(key_col), F.explode(tokens(F.col(content_col))).alias("term")
+    # two-step select: CollapseProject keeps the non-cheap tokens()
+    # expression single-evaluation (size + explode both read _tk)
+    pre = base.select(F.col(key_col), tokens(F.col(content_col)).alias("_tk"))
+    toks = pre.select(
+        F.col(key_col), F.size("_tk").alias("dl"), F.explode("_tk").alias("term")
     ).filter(F.col("term").isin([t.lower() for t in query_terms]))
-    tf = toks.groupBy(key_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    # dfreq is |q| rows -> broadcast; dl is corpus-sized -> keyed join
-    # (AQE picks the strategy; the tf side is already filtered to docs
-    # containing query terms, so the shuffle is match-bounded).
-    scored = tf.join(F.broadcast(dfreq), "term").join(dl, key_col)
+    tf = toks.groupBy(key_col, "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
+    scored = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    )
     fp = bm25_contrib_fp(n_docs, avgdl, k1, b)
     return (
         scored.select(F.col(key_col), fp.alias("fp"))
@@ -735,16 +743,19 @@ def bm25_batch(
         qt_rows, "query_id bigint, term string"
     )
     all_terms = sorted({t for _, t in qt_rows})
-    toks = base.select(
-        F.col(key_col), F.explode(tokens(F.col(content_col))).alias("term")
+    # same r15 single-pass shape as bm25_topk: dl rides through the
+    # explode (no corpus-sized keyed join), df is a count window over
+    # the match-bounded tf (no second tf read whose pruned partial
+    # aggregate defeats exchange reuse) — one corpus tokenize in the
+    # scoring plan, down from three.
+    pre = base.select(F.col(key_col), tokens(F.col(content_col)).alias("_tk"))
+    toks = pre.select(
+        F.col(key_col), F.size("_tk").alias("dl"), F.explode("_tk").alias("term")
     ).filter(F.col("term").isin(all_terms))
-    tf = toks.groupBy(key_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = (
-        tf.join(F.broadcast(dfreq), "term")
-        .join(F.broadcast(qt), "term")
-        .join(dl, key_col)
-    )
+    tf = toks.groupBy(key_col, "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
+    scored = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    ).join(F.broadcast(qt), "term")
     fp = bm25_contrib_fp(n_docs, avgdl, k1, b)
     per_doc = (
         scored.select("query_id", F.col(key_col), fp.alias("fp"))

@@ -304,7 +304,11 @@ def unigram_segment(
         F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
         lambda t: (F.length(t) > 0) & t.rlike("^[a-z0-9]+$"),
     )
-    wpos = df.select(F.col(id_col), F.posexplode(toks).alias("pos", "word"))
+    # one tokenize pass for both consumers (distinct side + join-back
+    # side) — the bpe_segment_distinct/span_dedup trade (r15)
+    wpos = df.select(
+        F.col(id_col), F.posexplode(toks).alias("pos", "word")
+    ).localCheckpoint(eager=False)
     distinct_words = wpos.select("word").distinct().withColumn("cnt", F.lit(1))
     wseg = _segment_words(distinct_words, costs).select("word", "pieces")
     agg = (

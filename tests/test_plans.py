@@ -264,13 +264,17 @@ def test_multimodal_decode_plans_are_map_only(spark, sf_dir):
         assert "MapInPandas" in plan or "ArrowEvalPython" in plan
 
 
-def test_bm25_broadcasts_dfreq_only(spark, sf_dir):
-    """dfreq (|q| rows) broadcasts; doc-length joins keyed; top-k plans
-    as TakeOrderedAndProject; nothing quadratic."""
+def test_bm25_single_corpus_pass(spark, sf_dir):
+    """r15 shape: dl rides through the explode and df is a count window
+    over the match-bounded tf, so the scoring plan has NO join at all
+    and tokenizes the corpus exactly once (the old dfreq-broadcast +
+    keyed-dl-join form scanned it three times); top-k stays
+    TakeOrderedAndProject."""
     plan = _plan(entry_mod.q_bm25_topk(spark, sf_dir))
-    assert "BroadcastHashJoin" in plan
+    assert "Join" not in plan, plan
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
+    assert plan.count("FileScan") == 1, plan
 
 
 def test_semdedup_no_cartesian(spark, sf_dir):
