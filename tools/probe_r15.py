@@ -150,7 +150,42 @@ def probe_qsketch_grouped(spark):
         t("full leg", lambda: noop(q(spark, SF)))
 
 
+def probe_pq_rerank_topk(spark):
+    import __spark_entry__ as entry
+    from external_benchmarks_spark.operators.quantize import (
+        pq_adc_topk,
+        pq_codebooks,
+        pq_encode,
+    )
+    from external_benchmarks_spark.functions.vector import dot_product_literal
+
+    e = entry.Catalog(spark, SF).embeddings
+    for rep in range(3):
+        print(f"  rep {rep}:")
+        cb = t("pq_codebooks (64-row collect)", lambda: pq_codebooks(e, n_codes=entry.PQR_CODES, m_subspaces=entry.PQR_M))
+        enc = pq_encode(e, cb)
+        t("pq_encode (mapInPandas)", lambda: noop(enc))
+        cand = pq_adc_topk(enc, cb, entry.QVEC, k=250).select("vec_id")
+        t("adc_topk (encode+LUT+TakeOrdered)", lambda: noop(cand))
+        full = e.join(F.broadcast(cand), "vec_id").select(
+            "vec_id",
+            dot_product_literal(F.col("embedding").cast("array<double>"), entry.QVEC).alias("score"),
+        ).orderBy(F.desc("score"), F.asc("vec_id")).limit(50)
+        t("full leg (recomputes cand)", lambda: noop(full))
+
+
+def probe_ingest_report(spark):
+    import __spark_entry__ as entry
+
+    q = entry.queries()["ingest_report"]
+    for rep in range(3):
+        print(f"  rep {rep}:")
+        t("full leg", lambda: q(spark, SF).count())
+
+
 PROBES = {
+    "pq_rerank_topk": probe_pq_rerank_topk,
+    "ingest_report": probe_ingest_report,
     "sorted_export": probe_sorted_export,
     "hybrid_rrf_batch": probe_hybrid_rrf_batch,
     "symdelete_name_pairs": probe_symdelete,
