@@ -4205,13 +4205,11 @@ def q_ingest_report(spark, sf):
         dim=8,
     )
     # The three stat actions below (report pass 1, report pass 2, the
-    # price aggregate) each re-run the whole parse->normalize->embed
-    # pipeline once ingest_products drops its raw cache — persist the
-    # 17-column product table for the duration of THIS call so the
-    # pipeline executes once (guide §5: reuse > recompute; nothing
-    # survives the call, so every invocation still computes from the
-    # parquet-derived JSONL fixture).
-    products = products.persist()
+    # price aggregate) all read the 17-column product cache that
+    # ingest_products materialized at its n_records count (guide §5:
+    # reuse > recompute; nothing survives the call, so every invocation
+    # still computes from the parquet-derived JSONL fixture). This
+    # caller owns the frame and unpersists it when done.
     try:
         rep2 = dataset_report(
             products,

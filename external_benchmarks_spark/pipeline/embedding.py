@@ -34,7 +34,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, FloatType
 
@@ -257,14 +257,15 @@ def embed_fields(
     sqrt(n_nonempty_fields), the invariant the reference reports at
     benchmark_10k/README.md:70)."""
     embed = embed_text_udf(dim, ckpt_dir=ckpt_dir)
-    out = df
-    vec_cols: list[Column] = []
-    for f in fields:
-        if f in df.columns:
-            out = out.withColumn(f"_emb_{f}", embed(F.coalesce(F.col(f), F.lit(""))))
-            vec_cols.append(F.col(f"_emb_{f}"))
-    out = out.withColumn("embedding", F.concat(*vec_cols))
-    return out.drop(*[f"_emb_{f}" for f in fields if f in df.columns])
+    # ONE select appending the concat of the per-field UDF columns —
+    # the previous per-field withColumn chain (+ concat + drop) cost a
+    # full projection round-trip per field on the driver (guide §4;
+    # part of the measured 1.2 s/call py4j wait of the ingest leg).
+    # Same plan: Catalyst collapsed the chain to this projection.
+    vec_cols = [
+        embed(F.coalesce(F.col(f), F.lit(""))) for f in fields if f in df.columns
+    ]
+    return df.select("*", F.concat(*vec_cols).alias("embedding"))
 
 
 def reembed_batch(pdf_iter: Iterator[pd.DataFrame], text_col: str, dim: int) -> Iterator[pd.DataFrame]:

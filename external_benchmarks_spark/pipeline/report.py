@@ -83,39 +83,51 @@ def dataset_report(
         report["file_size_mb"] = file_size_mb(path)
 
     # ---- pass 1: every single-row aggregate in one scan ----------------
-    aggs = [F.count(F.lit(1)).alias("__total")]
+    # Built as SQL strings and parsed by ONE selectExpr call: the
+    # Column-object form cost ~200 py4j round-trips of driver socket
+    # wait per call (guide §4 applied to the driver; the expressions are
+    # the same Catalyst tree, results bit-identical — asserted against
+    # the per-column operators in tests/test_pipeline.py).
+    aggs = ["count(1) AS `__total`"]
     aggs += [
-        F.sum(F.col(c).isNull().cast("long")).alias(f"__null__{i}")
+        f"sum(CAST(`{c}` IS NULL AS BIGINT)) AS `__null__{i}`"
         for i, c in enumerate(df.columns)
     ]
     for i, c in enumerate(numeric_cols):
-        col = F.col(c)
+        q = f"`{c}`"
         aggs += [
-            F.count(col).alias(f"__n_cnt__{i}"),
-            F.round(F.avg(col), 6).alias(f"__n_avg__{i}"),
-            F.round(F.min(col), 6).alias(f"__n_min__{i}"),
-            F.round(F.max(col), 6).alias(f"__n_max__{i}"),
-            F.round(F.stddev_samp(col), 6).alias(f"__n_std__{i}"),
-            (F.count(F.lit(1)) - F.count(col)).alias(f"__n_null__{i}"),
+            f"count({q}) AS `__n_cnt__{i}`",
+            f"round(avg({q}), 6) AS `__n_avg__{i}`",
+            f"round(min({q}), 6) AS `__n_min__{i}`",
+            f"round(max({q}), 6) AS `__n_max__{i}`",
+            f"round(stddev_samp({q}), 6) AS `__n_std__{i}`",
+            f"count(1) - count({q}) AS `__n_null__{i}`",
         ]
     for i, c in enumerate(text_cols):
-        ln = F.length(F.col(c))  # NULL for NULL text: avg/min/max skip it
+        ln = f"length(`{c}`)"  # NULL for NULL text: avg/min/max skip it
         aggs += [
-            F.round(F.avg(ln), 6).alias(f"__t_avg__{i}"),
-            F.min(ln).alias(f"__t_min__{i}"),
-            F.max(ln).alias(f"__t_max__{i}"),
+            f"round(avg({ln}), 6) AS `__t_avg__{i}`",
+            f"min({ln}) AS `__t_min__{i}`",
+            f"max({ln}) AS `__t_max__{i}`",
         ]
     if emb_col and emb_col in df.columns:
+        # SQL twin of functions/vector.l2_norm (same fold, same order)
+        nrm = (
+            f"sqrt(aggregate(transform(`{emb_col}`,"
+            " x -> CAST(x AS DOUBLE)), 0.0D, (acc, x) -> acc + x * x))"
+        )
         aggs += [
-            F.round(F.avg(F.size(emb_col)), 2).alias("__e_dim"),
-            F.round(F.avg(l2_norm(emb_col)), 6).alias("__e_mean"),
-            F.round(F.stddev_samp(l2_norm(emb_col)), 6).alias("__e_std"),
+            f"round(avg(size(`{emb_col}`)), 2) AS `__e_dim`",
+            f"round(avg({nrm}), 6) AS `__e_mean`",
+            f"round(stddev_samp({nrm}), 6) AS `__e_std`",
         ]
     corr_cols = list(corr_cols or [])
     for i, a in enumerate(corr_cols):  # pairwise Pearson, same scan
         for j, b in enumerate(corr_cols[i + 1:], start=i + 1):
-            aggs.append(F.round(F.corr(a, b), 6).alias(f"__corr__{i}_{j}"))
-    one = df.agg(*aggs).collect()[0]
+            aggs.append(
+                f"round(corr(`{a}`, `{b}`), 6) AS `__corr__{i}_{j}`"
+            )
+    one = df.selectExpr(*aggs).collect()[0]
 
     total = one["__total"]
     report = {"total_records": total, **report}
@@ -169,37 +181,25 @@ def dataset_report(
     report["categorical"] = {}
     report["histograms"] = {}
     if fused_cats or hist_specs:
+        # Same single-parse discipline as pass 1 (one selectExpr call).
         entries = []
         for c in fused_cats:
             entries.append(
-                F.struct(
-                    F.lit(f"c:{c}").alias("g"), F.col(c).cast("string").alias("k")
-                )
+                f"named_struct('g', 'c:{c}', 'k', CAST(`{c}` AS STRING))"
             )
         for c, (lo, hi) in hist_specs.items():
-            col = F.col(c).cast("double")
-            raw = F.floor((col - F.lit(lo)) / F.lit((hi - lo) / hist_bins))
-            bucket = (
-                F.least(F.greatest(raw, F.lit(0)), F.lit(hist_bins - 1))
-                .cast("long")
-            )
+            col = f"CAST(`{c}` AS DOUBLE)"
+            raw = f"floor(({col} - {lo!r}D) / {(hi - lo) / hist_bins!r}D)"
+            bucket = f"CAST(least(greatest({raw}, 0), {hist_bins - 1}) AS BIGINT)"
             entries.append(
-                F.when(
-                    col.isNotNull(),
-                    F.struct(
-                        F.lit(f"h:{c}").alias("g"),
-                        bucket.cast("string").alias("k"),
-                    ),
-                )
+                f"CASE WHEN {col} IS NOT NULL THEN named_struct("
+                f"'g', 'h:{c}', 'k', CAST({bucket} AS STRING)) END"
             )
-        exploded = (
-            df.select(
-                F.explode(
-                    F.filter(F.array(*entries), lambda e: e.isNotNull())
-                ).alias("e")
-            )
-            .select("e.g", "e.k")
-        )
+        exploded = df.selectExpr(
+            "explode(filter(array("
+            + ", ".join(entries)
+            + "), e -> e IS NOT NULL)) AS e"
+        ).select("e.g", "e.k")
         grouped = exploded.groupBy("g", "k").agg(F.count(F.lit(1)).alias("cnt"))
         wg = Window.partitionBy("g")
         rows = (
