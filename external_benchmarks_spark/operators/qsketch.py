@@ -128,15 +128,19 @@ def sample_quantiles(
         .withColumn("_rn", F.row_number().over(w))
         .withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy(*keys)))
     )
-    out: DataFrame | None = None
-    for p in ps:
-        rows = ranked.filter(
-            F.col("_rn")
-            == F.expr(f"cast((_n - 1) * {p} div 1000 as int) + 1")
-        ).select(
-            *keys,
-            F.lit(p).cast("bigint").alias("p_mille"),
-            F.col("_v").alias("q_est"),
-        )
-        out = rows if out is None else out.unionAll(rows)
-    return out
+    # One explode over the per-mille list instead of one UNION branch
+    # per p: the union form re-planned the whole upstream sketch per
+    # branch (4 FileScans / 4 Exchanges / 20 Windows for the default
+    # ps at r15 — guide §1.2). A row emits once per p it is the floor-
+    # rank pick for (rows can tie for several p at tiny n), exactly the
+    # union's multiset; the rank arithmetic is the same expression with
+    # p as the lambda variable.
+    ps_list = ", ".join(f"{int(p)}L" for p in ps)  # BIGINT elements
+    return ranked.select(
+        *keys,
+        F.expr(
+            f"explode(filter(array({ps_list}),"
+            " p -> _rn = cast((_n - 1) * p div 1000 as int) + 1))"
+        ).alias("p_mille"),
+        F.col("_v").alias("q_est"),
+    )
