@@ -235,10 +235,23 @@ def build_composite(
         ]
         return sum(rs) / len(rs) if rs else float("inf")
 
-    # latest run at the best control-trio ratio is the base
-    best_ratio = min(trio_ratio(r) for _, r in runs)
+    def spread_ok(run: dict) -> bool:
+        hc = run.get("host_control") or {}
+        s = hc.get("spread")
+        return isinstance(s, (int, float)) and s <= 1.5
+
+    # Base = latest run at the best control-trio ratio AMONG runs whose
+    # own host_control spread passes the gate the base will be judged
+    # by (r15: the selector used to pick a spread-failing run — best
+    # trio of the day but one wobbled probe rep — and then refuse the
+    # whole composite on that base's spread while a compliant base
+    # existed; the base only contributes non-leg cells and the
+    # host_control stamp, the legs are cross-run mins either way).
+    # Falls back to all runs if none passes, so the gate still fires.
+    pool = [(n, r) for n, r in runs if spread_ok(r)] or runs
+    best_ratio = min(trio_ratio(r) for _, r in pool)
     base_name, base = next(
-        (n, r) for n, r in reversed(runs) if trio_ratio(r) == best_ratio
+        (n, r) for n, r in reversed(pool) if trio_ratio(r) == best_ratio
     )
     comp = json.loads(json.dumps(base))  # deep copy
     best = cross_run_best(runs)
