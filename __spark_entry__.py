@@ -3700,8 +3700,16 @@ def q_hybrid_rrf(spark, sf):
         .over(W.orderBy(F.desc("bm25"), F.asc("doc_id")))
         .alias("rank_lex"),
     )
+    # r16: the fusion consumes RANKS only, and the arrow scorer's BLAS
+    # dots order-match the HOF fold's here (ties broken by vec_id; rank
+    # parity is oracle-gated at all three SFs like the other fast
+    # paths), so the dense leg takes the batch-matmul path — the HOF
+    # form's 64-term unrolled expression cost ~0.5 s/call of codegen +
+    # row-at-a-time evaluation (measured 0.89 -> 0.35 s). Score-fused
+    # consumers (hybrid_score_fuse) keep the HOF form: they hash the
+    # score bits.
     vec = filtered_vector_topk(
-        c.embeddings, QVEC, None, k=50, use_arrow_fast_path=False
+        c.embeddings, QVEC, None, k=50, use_arrow_fast_path=True
     )
     dense = vec.select(
         F.col("vec_id").alias("id"),
@@ -3731,16 +3739,25 @@ def q_bm25_batch(spark, sf):
 
 
 def q_hybrid_rrf_batch(spark, sf):
-    # Per-query hybrid retrieval: bm25_batch's lexical rankings fused
-    # with per_query_topk's dense rankings (queries = embeddings
-    # 0/1/2 as query vectors, the multi_query_topk device) via
-    # rrf_fuse_per_query — Q queries end to end in two corpus passes
-    # plus an O(Q*m) merge.
-    from external_benchmarks_spark.operators.tfidf import bm25_batch
+    # Per-query hybrid retrieval: the lexical rankings now come off the
+    # SHARED inverted index (r16, bm25_batch_from_index — bit-identical
+    # scores by composition, same layout hybrid_rrf already reads), so
+    # the lexical side is a partition-pruned postings read instead of
+    # two corpus tokenize passes (bm25_batch's stats collect + scoring
+    # pass); fused with per_query_topk's dense rankings (queries =
+    # embeddings 0/1/2 as query vectors, the multi_query_topk device)
+    # via rrf_fuse_per_query. The direct two-pass form stays priced by
+    # the bm25_batch leg itself.
+    from external_benchmarks_spark.operators.tfidf import (
+        bm25_batch_from_index,
+    )
     from external_benchmarks_spark.operators.topk import rrf_fuse_per_query
 
     c = Catalog(spark, sf)
-    lex = bm25_batch(c.documents, BM25_BATCH, k=50).select(
+    lex = bm25_batch_from_index(
+        spark, _ensured_bm25_index(spark, sf), BM25_BATCH, k=50,
+        n_term_buckets=64,
+    ).select(
         "query_id", F.col("doc_id").alias("id"),
         F.col("rank").alias("rank_lex"),
     )
@@ -6372,8 +6389,17 @@ def q_chi2_assoc(spark, sf):
     # ZERO cells of the full R x C grid are included (E > 0 there, so
     # they contribute) via a broadcast cross join of the margins.
     d = Catalog(spark, sf).documents
+    # Four consumers (row margins, col margins, total, the grid join)
+    # share one computed cells frame. localCheckpoint(eager=False), not
+    # persist(): a persist registers in the CacheManager keyed by the
+    # canonicalized plan, so a LATER identical call (bench warm reps)
+    # silently reads this call's cache and the leg under-prices
+    # recompute (r15 verdict #1); the lazy checkpoint is per-instance —
+    # materialized by this call's first action, GC'd with the frame.
     cells = (
-        d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o")).persist()
+        d.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("o"))
+        .localCheckpoint(eager=False)
     )
     rows_t = cells.groupBy("lang").agg(F.sum("o").alias("r"))
     cols_t = cells.groupBy("source").agg(F.sum("o").alias("c"))
@@ -6651,7 +6677,12 @@ def q_negative_samples(spark, sf):
     # was an extra aggregate job + broadcast build inside the action
     # for a value the rank pass had already computed (guide §1.2).
     r, n = global_rank_with_total(d, ["_ring", "doc_id"], rank_col="_r")
-    r = r.persist()
+    # anchor side + candidate side share the ranked frame; lazy
+    # localCheckpoint, not persist — per-instance sharing with no
+    # session-lifetime CacheManager entry (r15 verdict #1). The rank is
+    # deterministic (md5 ring + unique doc_id over the pass-1
+    # checkpoint), so the checkpointed content is too.
+    r = r.localCheckpoint(eager=False)
     a = (
         r.select(
             "doc_id",
@@ -6765,9 +6796,12 @@ def q_rfm_segments(spark, sf):
         F.sum(_cents(F.col("o_totalprice"))).alias("_mon"),
     )
     anchor = o.agg(F.max(F.to_date("o_orderdate")).alias("_anchor"))
+    # feeds the boundary agg AND the assignment pass — lazy
+    # localCheckpoint, not persist: per-instance sharing, no cross-call
+    # CacheManager reuse in bench warm reps (r15 verdict #1)
     rfm = rfm.crossJoin(F.broadcast(anchor)).withColumn(
         "_rec", F.datediff("_anchor", "_last")
-    ).persist()  # feeds the boundary agg AND the assignment pass
+    ).localCheckpoint(eager=False)
     b = rfm.agg(
         F.expr("percentile(_rec, array(0.25, 0.5, 0.75))").alias("_qr"),
         F.expr("percentile(_freq, array(0.25, 0.5, 0.75))").alias("_qf"),
@@ -6851,7 +6885,12 @@ def q_basket_lift(spark, sf):
         )
         .groupBy("l_orderkey")
         .agg(F.array_sort(F.collect_set("p_brand")).alias("_bs"))
-        .persist()
+        # three consumers (order total, item counts, pair counts) share
+        # the per-order frame; lazy localCheckpoint, not persist — the
+        # old persist was never unpersisted, so bench warm reps read
+        # rep 1's cache via the CacheManager's canonicalized-plan match
+        # and the leg under-priced recompute (r15 verdict #1)
+        .localCheckpoint(eager=False)
     )
     n = ob.agg(F.count(F.lit(1)).alias("_n"))
     item = ob.select(F.explode("_bs").alias("_b")).groupBy("_b").agg(

@@ -89,11 +89,17 @@ def fuzzy_term_pairs(
     # device the r11 form used here (range sample job + range shuffle +
     # counts collect + window + offsets join — rank ORDER was never
     # load-bearing, only uniqueness) collapses to one id column (r15).
-    # eager=False: the first downstream action materializes the
-    # checkpoint; all three consumers (variants + 2 lookups) then read
-    # the same frozen ids.
+    # eager=True, deliberately (r15 ADVICE): monotonically_increasing_id
+    # is NONDETERMINISTIC per computation, so pair dedup via _ta < _tb
+    # is only sound if the ids are materialized exactly once. A lazy
+    # checkpoint guarantees that in local mode (single BlockManager),
+    # but on a cluster concurrent stages (broadcast build vs variants
+    # shuffle) could each compute a partition copy, or a lost cached
+    # block could recompute with different ids — dropping or duplicating
+    # pairs. The eager materialization is one tiny job over distinct
+    # terms; it buys the single-assignment guarantee by construction.
     dic = t.withColumn("_tid", F.monotonically_increasing_id())
-    dic = dic.localCheckpoint(eager=False)  # feeds variants + 2 lookups
+    dic = dic.localCheckpoint(eager=True)  # feeds variants + 2 lookups
     variants = dic.select(
         "_tid",
         F.explode(F.expr(DELETION_VARIANTS_SQL.format(c="_t"))).alias("_v"),

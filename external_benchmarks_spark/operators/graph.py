@@ -58,8 +58,18 @@ def _minlabel_components(
 
     base = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     if not materialized:
-        base = base.localCheckpoint()
+        # eager=False (r16): the init-labels job right below is the
+        # first action over the edge list and materializes the
+        # checkpoint in-job — one scheduler round-trip fewer per call.
+        # The edge content is deterministic (unlike fuzzyjoin's
+        # monotonically_increasing_id dictionary, which must stay
+        # eager), so lazy materialization cannot change the labels.
+        base = base.localCheckpoint(eager=False)
     sym = base.union(base.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # (Measured dead end, r16: pre-partitioning sym by `a` behind a
+    # localCheckpoint does NOT elide the per-round exchange — on Spark
+    # 4.1 with AQE the checkpoint's LogicalRDD captures
+    # UnknownPartitioning, eager or lazy — so it only added a shuffle.)
     # Labels only ever decrease, so sum(component) is a strictly
     # decreasing convergence measure: unchanged sum == fixpoint. Summed
     # as DECIMAL(38,0) — exact and overflow-free at any realistic scale
@@ -70,24 +80,34 @@ def _minlabel_components(
     # bench showed the separate convergence collect doubled the per-round
     # job count and dominated wall time at small scale.
     dec = F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
-    # Round 1 folded into initialization: label(node) = min(node, Γ(node))
-    # directly from the symmetric edge list — one job instead of an
-    # identity-label materialization plus a first propagation round.
+    # Round 1 folded into initialization: label(node) = min(node, Γ(node)).
+    # r16: sym is symmetric, so Γ(node) = {b : (a=node, b) ∈ sym} and the
+    # init is ONE groupBy over sym — least(a, min(b)) per group. The old
+    # union(neighbors, self) form fed 2·|sym| rows into the init
+    # exchange's partial aggregate; this feeds |sym| — half the init
+    # bytes for identical labels, by definition of Γ.
     obs0 = Observation()
     labels = (
-        sym.select(F.col("a").alias("node"), F.col("b").alias("component"))
-        .union(sym.select(F.col("a").alias("node"), F.col("a").alias("component")))
-        .groupBy("node")
-        .agg(F.min("component").alias("component"))
+        sym.groupBy("a")
+        .agg(F.least(F.col("a"), F.min("b")).alias("component"))
+        .withColumnRenamed("a", "node")
         .observe(obs0, dec)
         .localCheckpoint()
     )
     prev = obs0.get["s"]
     converged = False
     for _ in range(max_iter):
-        cand = sym.join(labels, sym["a"] == labels["node"]).select(
-            F.col("b").alias("node"), F.col("component")
-        )
+        # Per-round join: sym is the static probe side (pre-partitioned
+        # by `a`, zero Exchange, zero Sort); the node-sized labels table
+        # is the hinted SHUFFLE_HASH build side — a checkpointed frame
+        # has no size stats, so without the hint the planner fell back
+        # to SortMergeJoin and re-sorted the EDGE-sized side each round
+        # (r16; guide §3.1 — pick the strategy deliberately). Per-
+        # partition build state is |nodes|/P — the standard bounded CC
+        # shape at any scale.
+        cand = sym.join(
+            labels.hint("SHUFFLE_HASH"), sym["a"] == labels["node"]
+        ).select(F.col("b").alias("node"), F.col("component"))
         obs = Observation()
         labels = (
             labels.union(cand)
@@ -205,10 +225,13 @@ def connected_components_auto(
     bounded wasted rounds and then terminate correctly.
     """
     # materialize the (often expensive) upstream edge list ONCE so an
-    # escape to star never recomputes the candidate-generation stage
+    # escape to star never recomputes the candidate-generation stage.
+    # eager=False (r16): min-label's init job is the first action and
+    # materializes it in-job; by the time star could run, the blocks
+    # exist — one scheduler round-trip fewer per call.
     base = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     labels, converged = _minlabel_components(
         base, "a", "b", minlabel_rounds, materialized=True
     )

@@ -89,6 +89,40 @@ def cms_sketch(
     )
 
 
+def cms_sketch_weighted(
+    counts: DataFrame,
+    token_col: str = "token",
+    count_col: str = "cnt",
+    depth: int = 4,
+    width: int = 256,
+    hash_fn: HashFn = md5_hash32,
+) -> DataFrame:
+    """:func:`cms_sketch` from PRE-AGGREGATED (token, count) rows.
+
+    Cell-identical to building the sketch from the raw occurrence
+    stream: a cell's value is ``SUM over tokens hashing to it of the
+    token's occurrence count`` either way — integer regrouping of the
+    same BIGINT sum (tested). Lets a caller that already has per-token
+    counts (e.g. the exact-candidates heavy-hitters path, which needs
+    the distinct token set anyway) build the sketch without a second
+    pass over the corpus."""
+    h = hash_fn(F.col(token_col))
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("row"),
+                _cell(h, a, b, width).alias("bucket"),
+            )
+            for j, (a, b) in enumerate(_row_params(depth))
+        ]
+    )
+    return (
+        counts.select(F.col(count_col).alias("_w"), F.explode(cells).alias("rb"))
+        .groupBy(F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+        .agg(F.sum("_w").cast("bigint").alias("cnt"))
+    )
+
+
 def cms_estimate(
     candidates: DataFrame,
     sketch: DataFrame,
@@ -212,10 +246,31 @@ def cms_heavy_hitters(
     from external_benchmarks_spark.functions.text import tokens
 
     occ = docs.select(F.explode(tokens(text_col)).alias("token"))
-    sketch = cms_sketch(occ, "token", depth, width, hash_fn)
     if candidates == "mg":
+        # occurrence-stream sketch + MG survivors: two bounded corpus
+        # passes (the sketch exchange is depth*width cells/partition,
+        # MG state is n_counters/partition) — counts are never
+        # materialized, which is the point of this path.
+        sketch = cms_sketch(occ, "token", depth, width, hash_fn)
         cand = mg_candidates(occ, "token", mg_counters)
     else:
-        cand = occ.distinct()
+        # exact path needs the full distinct token set anyway, so fold
+        # BOTH the sketch and the candidates onto ONE tokenize pass: a
+        # lazily-checkpointed per-token count table feeds a weighted
+        # sketch (cell-identical — integer regrouping) and the candidate
+        # set. r15 tried to get this via ReuseExchange and measured that
+        # column pruning rewrites the candidate branch's partial
+        # aggregate so the two exchanges never canonicalize equal; the
+        # checkpoint shares the vocabulary shuffle physically instead
+        # (plan: 2 corpus Scan+tokenize -> 1).
+        tok_counts = (
+            occ.groupBy("token")
+            .agg(F.count(F.lit(1)).alias("_tc"))
+            .localCheckpoint(eager=False)
+        )
+        sketch = cms_sketch_weighted(
+            tok_counts, "token", "_tc", depth, width, hash_fn
+        )
+        cand = tok_counts.select("token")
     est = cms_estimate(cand, sketch, "token", depth, width, hash_fn)
     return est.orderBy(F.desc("est_count"), "token").limit(k)

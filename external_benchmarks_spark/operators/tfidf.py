@@ -642,6 +642,29 @@ def _read_index_piece(spark, piece_path: str, buckets: list[int]) -> DataFrame:
     return base.select(*cols).unionByName(seg.select(*cols))
 
 
+def _read_index_stats(index_path: str) -> tuple[int, int]:
+    """(n_docs, sum_dl) from the index's 1-row stats table, read
+    DRIVER-SIDE with pyarrow (r16): the table is one row in one or two
+    tiny files, and the previous ``spark.read.parquet(...).collect()``
+    paid a full Spark job + file-listing round-trip (~0.2 s/call) per
+    scorer invocation for a metadata lookup. O(#files) footer reads;
+    same recovery semantics (caller runs recover_dir_swap first)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    sdir = os.path.join(index_path, "stats")
+    # same directory-read the append path's add-and-rewrite uses
+    tbl = pq.read_table(sdir, columns=["n_docs", "sum_dl"])
+    if tbl.num_rows != 1:
+        raise ValueError(
+            f"index stats at {sdir} has {tbl.num_rows} rows (expected 1)"
+        )
+    return int(tbl.column("n_docs")[0].as_py()), int(
+        tbl.column("sum_dl")[0].as_py()
+    )
+
+
 def bm25_from_index(
     spark,
     index_path: str,
@@ -665,12 +688,11 @@ def bm25_from_index(
     terms = sorted({t.lower() for t in query_terms})
     buckets = sorted({_term_bucket_py(t, n_term_buckets) for t in terms})
     recover_dir_swap(os.path.join(index_path, "stats"))
-    stats = spark.read.parquet(os.path.join(index_path, "stats")).collect()[0]
-    n_docs = int(stats["n_docs"])
+    n_docs, sum_dl = _read_index_stats(index_path)
     if n_docs == 0:
         return spark.createDataFrame([], f"{key_col} bigint, bm25 double")
     # Same float division bm25_topk performs driver-side.
-    avgdl = float(stats["sum_dl"]) / n_docs
+    avgdl = float(sum_dl) / n_docs
     dfreq = (
         _read_index_piece(spark, os.path.join(index_path, "dfreq"), buckets)
         .where(F.col("term").isin(terms))
@@ -695,6 +717,76 @@ def bm25_from_index(
         )
         .orderBy(F.desc("bm25"), F.asc(key_col))
         .limit(k)
+    )
+
+
+def bm25_batch_from_index(
+    spark,
+    index_path: str,
+    queries: dict[int, list[str]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    key_col: str = "doc_id",
+    n_term_buckets: int = 64,
+) -> DataFrame:
+    """:func:`bm25_batch` off the materialized postings (r16): every
+    query scored from ONE partition-pruned postings read — no corpus
+    tokenize at all. Score path: postings rows for the union of query
+    terms x a broadcast |q|-row dfreq slice x a broadcast (query, term)
+    table, then the same :func:`bm25_contrib_fp` fixed-point sum and
+    per-query rank window over the match-bounded scored set.
+
+    Bit-identical to ``bm25_batch`` by composition: ``bm25_from_index``
+    ≡ ``bm25_topk`` per query (tested), and ``bm25_batch`` ≡
+    ``bm25_topk`` per query (tested) — all three build the score from
+    the one ``bm25_contrib_fp`` expression over the same (tf, df, dl)
+    values. Output: (query_id, doc_id, bm25, rank <= k)."""
+    import os
+
+    from external_benchmarks_spark.pipeline.layout import recover_dir_swap
+
+    qt_rows = sorted(
+        {(int(qid), t.lower()) for qid, terms in queries.items() for t in terms}
+    )
+    all_terms = sorted({t for _, t in qt_rows})
+    buckets = sorted({_term_bucket_py(t, n_term_buckets) for t in all_terms})
+    recover_dir_swap(os.path.join(index_path, "stats"))
+    n_docs, sum_dl = _read_index_stats(index_path)
+    if n_docs == 0:
+        return spark.createDataFrame(
+            [], f"query_id bigint, {key_col} bigint, bm25 double, rank bigint"
+        )
+    avgdl = float(sum_dl) / n_docs
+    dfreq = (
+        _read_index_piece(spark, os.path.join(index_path, "dfreq"), buckets)
+        .where(F.col("term").isin(all_terms))
+        .groupBy("term")
+        .agg(F.sum("df").cast("bigint").alias("df"))
+    )
+    qt = spark.createDataFrame(qt_rows, "query_id bigint, term string")
+    p = (
+        _read_index_piece(spark, os.path.join(index_path, "postings"), buckets)
+        .where(F.col("term").isin(all_terms))
+        .join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(qt), "term")
+    )
+    fp = bm25_contrib_fp(n_docs, avgdl, k1, b)
+    per_doc = (
+        p.select("query_id", F.col(key_col), fp.alias("fp"))
+        .groupBy("query_id", key_col)
+        .agg(F.sum("fp").alias("score_fp"))
+        .select(
+            "query_id",
+            key_col,
+            (F.col("score_fp").cast("double") / 1_000_000.0).alias("bm25"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("bm25"), F.asc(key_col))
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", key_col, "bm25", "rank")
     )
 
 

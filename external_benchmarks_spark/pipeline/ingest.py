@@ -82,7 +82,12 @@ def normalize_raw_products(raw: DataFrame, source_dataset: str) -> DataFrame:
     One selectExpr call: the projection parses in the JVM in a single
     py4j round-trip instead of ~80 (guide §4 boundary discipline applied
     to the DRIVER; measured 0.37 s/call of socket wait at r15)."""
-    src = source_dataset.replace("'", "''")
+    # Spark SQL string literals process backslash escapes as well as
+    # quotes, so BOTH must be doubled or a value containing a backslash
+    # would be silently altered (r15 ADVICE). Column names spliced into
+    # backticked identifiers elsewhere in this pipeline are internal
+    # constants, never caller data.
+    src = source_dataset.replace("\\", "\\\\").replace("'", "''")
     return raw.selectExpr(
         "`parent_asin`",
         "coalesce(`title`, '') AS title",
@@ -113,6 +118,14 @@ def ingest_products(
     lines), and ``n_unparsed_price``. When ``out_path`` is given the
     validated table also writes as parquet partitioned by
     ``main_category`` (the query-optimized layout of SURVEY.md §7.5).
+
+    Ownership contract (r15 ADVICE): when ``out_path`` is None the
+    returned frame is ``persist()``-ed (materialized by the n_records
+    count so follow-up stats reuse it) and the CALLER owns the
+    unpersist — call ``products.unpersist()`` when done, as
+    ``q_ingest_report`` does, or the cached 17-column embedded corpus
+    lives for the session. With ``out_path`` the parquet table is the
+    materialization and nothing is cached.
     """
     from external_benchmarks_spark.pipeline.dataset import add_derived_columns
     from external_benchmarks_spark.pipeline.embedding import embed_fields

@@ -83,6 +83,43 @@ def test_cms_sketch_is_bounded(spark, sf_dir):
     assert all(v == n_occ for v in per_row.values())
 
 
+def test_cms_sketch_weighted_equals_occurrence_sketch(spark, sf_dir):
+    # r16: the exact-candidates path builds the sketch from the
+    # per-token count table (one corpus tokenize instead of two). A
+    # cell's value is the same BIGINT sum either way — integer
+    # regrouping — so the weighted sketch must be row-identical to the
+    # occurrence-stream sketch.
+    from external_benchmarks_spark.operators.sketch import (
+        cms_sketch_weighted,
+    )
+
+    docs = Catalog(spark, sf_dir).documents
+    occ = docs.select(F.explode(tokens("text")).alias("token"))
+    counts = occ.groupBy("token").agg(F.count(F.lit(1)).alias("_tc"))
+    direct = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in cms_sketch(occ, depth=4, width=64).collect()
+    }
+    weighted = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in cms_sketch_weighted(
+            counts, "token", "_tc", depth=4, width=64
+        ).collect()
+    }
+    assert direct == weighted and direct
+
+
+def test_cms_exact_path_single_corpus_scan(spark, sf_dir):
+    # r16 plan shape: candidates="exact" reads/tokenizes the corpus ONCE
+    # (the checkpointed per-token count table feeds both the weighted
+    # sketch and the candidate set); the mg path keeps its two bounded
+    # passes by design.
+    docs = Catalog(spark, sf_dir).documents
+    plan = _plan(cms_heavy_hitters(docs, k=10, candidates="exact"))
+    assert plan.count("Scan parquet") == 0  # both branches read the checkpoint
+    assert plan.count("explode(filter(split(lower(") == 0
+
+
 def test_mg_candidates_yield_same_topk(spark, sf_dir):
     # The production candidate path (bounded per-partition Misra-Gries)
     # must return the same top-k as exact candidates when the counter

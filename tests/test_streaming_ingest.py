@@ -66,6 +66,7 @@ def test_streaming_ingest_equals_batch(spark, tmp_path):
             "Books", dim=8,
         )
         batch_rows += [tuple(r) for r in products.collect()]
+        products.unpersist()  # caller-owned (ingest_products contract)
 
     got_rows = [tuple(r) for r in got.collect()]
     assert sorted(map(str, got_rows)) == sorted(map(str, batch_rows))

@@ -182,3 +182,31 @@ def test_bm25_three_scorers_bit_identical(spark, sf_dir, tmp_path):
         key=lambda t: (-t[1], t[0]),
     )
     assert direct == indexed == batch
+
+
+def test_bm25_batch_from_index_matches_direct_batch(spark, sf_dir, tmp_path):
+    """r16: the indexed batch scorer (hybrid_rrf_batch's lexical side)
+    must be row-identical — ranks included — to the direct two-pass
+    bm25_batch over the same corpus and queries."""
+    from external_benchmarks_spark.catalog import Catalog
+    from external_benchmarks_spark.operators.tfidf import (
+        bm25_batch,
+        bm25_batch_from_index,
+        build_inverted_index,
+    )
+
+    docs = Catalog(spark, sf_dir).documents
+    batch = {0: ["spark", "hash"], 1: ["merge", "window"], 2: ["spark", "window"]}
+    idx = str(tmp_path / "idxb")
+    build_inverted_index(docs, idx, n_term_buckets=16)
+    direct = sorted(
+        tuple(r)
+        for r in bm25_batch(docs, batch, k=25).collect()
+    )
+    indexed = sorted(
+        tuple(r)
+        for r in bm25_batch_from_index(
+            spark, idx, batch, k=25, n_term_buckets=16
+        ).collect()
+    )
+    assert direct == indexed and direct

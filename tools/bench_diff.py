@@ -34,17 +34,12 @@ def main() -> None:
         print("REMOVED (contract violation if committed!):", removed)
     if added:
         print("added legs:", added)
-    rows = sorted(common, key=lambda k: qn[k] - qo[k])
+    # Largest |delta| first so --top keeps the most interesting legs.
+    rows = sorted(common, key=lambda k: -abs(qn[k] - qo[k]))
     print(f"\n{'leg':34s} {'old':>8s} {'new':>8s} {'delta':>8s} {'ratio':>6s}")
-    shown = [k for k in rows if abs(qn[k] - qo[k]) >= 0.05]
-    for k in shown[: args.top] + [
-        k for k in reversed(shown) if k not in shown[: args.top]
-    ][:0]:
-        pass
-    for k in rows:
+    shown = [k for k in rows if abs(qn[k] - qo[k]) >= 0.05][: args.top]
+    for k in shown:
         d = qn[k] - qo[k]
-        if abs(d) < 0.05:
-            continue
         r = qn[k] / qo[k] if qo[k] else float("inf")
         print(f"{k:34s} {qo[k]:8.3f} {qn[k]:8.3f} {d:+8.3f} {r:6.2f}")
 

@@ -57,7 +57,13 @@ def main() -> None:
 
     spark = get_spark("leg-forensics")
     spark.range(1).count()
-    q = entry_mod.queries()
+    q = dict(entry_mod.queries())
+    # bench-only legs (e.g. sorted_export, cms_heavy_hitters_mg) resolve
+    # through the bench's own map so they can be forensic'd too (r16)
+    if any(name not in q for name in args.legs):
+        import bench as bench_mod
+
+        q.update(bench_mod.headline_queries())
     q["l2_norm"](spark, args.sf).count()  # Arrow worker warmup
 
     out: dict = {"sf": args.sf, "host_control_before": jvm_probe(spark)}
