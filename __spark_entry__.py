@@ -2076,7 +2076,7 @@ def _kmeans_sql(k: int = 8, n_iter: int = 3, dim: int = EMB_DIM) -> str:
     # update per round, then the final assignment profile. DuckDB's
     # integer `//` TRUNCATES toward zero (-7 // 2 = -3), exactly like
     # Spark's DIV — engine-identical with no sign correction on either
-    # side (kmeans._update uses plain DIV). DuckDB lists are 1-based
+    # side (kmeans._update_rows keeps the DIV in Spark). DuckDB lists are 1-based
     # (generate_series(1, dim)).
     dist = (
         f"list_sum(list_transform(generate_series(1, {dim}), "

@@ -20,9 +20,11 @@ BIGINTs), one map-side distance evaluation over a crossJoin with the
 TINY centroid table (k rows — Catalyst broadcasts it; vectors never
 shuffle for assignment), one argmin aggregate keyed by vector id, and
 one (cid, dim)-keyed aggregate for the update — output bounded by
-k x dim regardless of corpus size. Centroids localCheckpoint each
-round, so lineage stays O(1) and the driver only ever holds k x dim
-integers. Overflow: |x| <= 1 => per-dim diff^2 <= 4e12, x dim(64)
+k x dim regardless of corpus size. Centroids live DRIVER-SIDE between
+rounds (k x dim BIGINTs — bounded at any corpus size), so each round
+is exactly one Spark job (assign + partial-aggregated update,
+collected) and lineage stays O(1): no per-round checkpoint or
+centroid-collect jobs. Overflow: |x| <= 1 => per-dim diff^2 <= 4e12, x dim(64)
 <= 2.6e14 per distance — inertia accumulates in 1e-6-scaled units
 (dist DIV 1e6) to stay inside int64 at any corpus size.
 """
@@ -47,10 +49,10 @@ def quantize_vectors(
     return df.select(F.col(id_col).alias("vec_id"), vi.alias("vi"))
 
 
-def kmeans_init(vectors: DataFrame, k: int) -> DataFrame:
-    """(cid, ci): k hash-sampled seed centroids — the proven
-    data-derived-constant device (ORDER BY md5(id), id LIMIT k), so
-    both engines pick the identical seeds without any RNG.
+def _init_rows(vectors: DataFrame, k: int) -> list:
+    """k hash-sampled seed centroid arrays (cid = list index) — the
+    proven data-derived-constant device (ORDER BY md5(id), id LIMIT k),
+    so both engines pick the identical seeds without any RNG.
 
     Scale shape: ``orderBy(...).limit(k)`` compiles to a distributed
     TakeOrderedAndProject (per-partition top-k merged on the driver), so
@@ -66,21 +68,40 @@ def kmeans_init(vectors: DataFrame, k: int) -> DataFrame:
         .select("vi")
         .collect()
     )
+    return [list(row["vi"]) for row in seeds]
+
+
+def kmeans_init(vectors: DataFrame, k: int) -> DataFrame:
+    """(cid, ci): the k hash-sampled seeds of :func:`_init_rows` as a
+    driver-built DataFrame (the refine loop keeps them as a plain list
+    instead — centroids are k x dim bounded at ANY corpus size, so a
+    Spark frame + localCheckpoint per round bought nothing but
+    scheduler jobs)."""
     spark = vectors.sparkSession
     return spark.createDataFrame(
-        [(cid, row["vi"]) for cid, row in enumerate(seeds)],
+        [(cid, ci) for cid, ci in enumerate(_init_rows(vectors, k))],
         schema="cid INT, ci ARRAY<BIGINT>",
     )
 
 
 def _assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
     """(vec_id, vi, cid, dist): exact-integer argmin assignment, ties
-    to the lowest centroid id.
+    to the lowest centroid id. DataFrame-centroids wrapper around
+    :func:`_assign_rows` (the refine loop holds centroids driver-side
+    and calls `_assign_rows` directly; this form collects first)."""
+    return _assign_rows(
+        vectors, [list(r["ci"]) for r in sorted(centroids.collect(), key=lambda r: r["cid"])]
+    )
 
-    r15 shape: the centroids are k x dim BIGINTs that the refine loop
-    already materializes each round (localCheckpoint), so they ride
-    into the plan as LITERAL arrays and the argmin is a pure
-    per-row expression — `array_min` over k (dist, cid) structs, whose
+
+def _assign_rows(vectors: DataFrame, cents: list) -> DataFrame:
+    """(vec_id, vi, cid, dist): exact-integer argmin assignment against
+    driver-held centroid arrays (cid = list index), ties to the lowest
+    centroid id.
+
+    r15 shape: the centroids are k x dim BIGINTs, so they ride into
+    the plan as LITERAL arrays and the argmin is a pure per-row
+    expression — `array_min` over k (dist, cid) structs, whose
     struct ordering is exactly the old `min(struct(dist, cid))`
     (lexicographic: dist first, lowest cid on ties). The previous form
     crossJoined the broadcast centroid table and re-grouped by vec_id,
@@ -88,8 +109,7 @@ def _assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
     min — a corpus x k exchange per Lloyd round that this map-only
     form removes outright (guide §2.4; plan: crossJoin + HashAggregate
     + Exchange -> Project, zero Exchange)."""
-    rows = sorted(centroids.collect(), key=lambda r: r["cid"])
-    if not rows:  # empty input: no centroids, no assignments
+    if not cents:  # empty input: no centroids, no assignments
         return vectors.select(
             "vec_id",
             "vi",
@@ -103,13 +123,13 @@ def _assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
     # more than the whole distributed execution). BIGINT literals (L)
     # keep every term int64, identical to the old column form.
     parts = []
-    for r in rows:
-        arr = ",".join(f"{int(v)}L" for v in r["ci"])
+    for cid, ci in enumerate(cents):
+        arr = ",".join(f"{int(v)}L" for v in ci)
         parts.append(
             "named_struct('dist', aggregate(zip_with(vi, array("
             + arr
             + "), (x, y) -> (x - y) * (x - y)), 0L, (acc, t) -> acc + t), "
-            f"'cid', {int(r['cid'])})"
+            f"'cid', {int(cid)})"
         )
     best = F.expr(f"array_min(array({','.join(parts)}))")
     # Two-step projection ON PURPOSE: extracting both fields from the
@@ -127,32 +147,35 @@ def _assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
-def _update(assigned: DataFrame, centroids: DataFrame) -> DataFrame:
-    """New centroids: per-(cid, dim) TRUNCATING integer division of
-    integer sums — Spark's DIV and DuckDB's integer `//` share
+def _update_rows(assigned: DataFrame, cents: list) -> list:
+    """New centroid arrays: per-(cid, dim) TRUNCATING integer division
+    of integer sums — Spark's DIV and DuckDB's integer `//` share
     truncation-toward-zero semantics exactly (both give -7/2 -> -3),
-    so the rule is engine-identical without a sign correction; any
-    deterministic sub-1e-6 quantization rule is equally valid here.
-    Clusters that attracted no vectors keep their previous
-    centroid."""
-    exploded = assigned.select("cid", F.posexplode("vi").alias("d", "x"))
-    per_dim = exploded.groupBy("cid", "d").agg(
-        F.sum("x").alias("s"), F.count(F.lit(1)).alias("n")
+    so the rule is engine-identical without a sign correction (the DIV
+    stays IN Spark precisely for that guarantee; Python's `//` floors).
+    Clusters that attracted no vectors keep their previous centroid.
+
+    One job: the (cid, d) partial aggregate collapses map-side, the
+    exchange carries at most k x dim rows, and those k x dim BIGINTs
+    come straight back to the driver. The former DataFrame form spent
+    a second groupBy + array_sort to rebuild arrays and a k-row join
+    for the empty-cluster rule, then an eager localCheckpoint job plus
+    a collect job in the next round's assign — per-round work that was
+    bounded by k x dim anyway and is now one collect (guide §1.2:
+    fewer scheduler round-trips; corpus passes unchanged)."""
+    per_dim = (
+        assigned.select("cid", F.posexplode("vi").alias("d", "x"))
+        .groupBy("cid", "d")
+        .agg(F.expr("sum(x) DIV count(1)").alias("v"))
+        .collect()
     )
-    val = F.expr("s DIV n")
-    new_c = (
-        per_dim.select("cid", "d", val.alias("v"))
-        .groupBy("cid")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("d", "v"))),
-                lambda s: s["v"],
-            ).alias("ci_new")
-        )
-    )
-    return centroids.join(new_c, "cid", "left").select(
-        "cid", F.coalesce("ci_new", "ci").alias("ci")
-    )
+    by_cid: dict = {}
+    for r in per_dim:
+        by_cid.setdefault(r["cid"], {})[r["d"]] = r["v"]
+    return [
+        [got[d] for d in sorted(got)] if (got := by_cid.get(cid)) else ci
+        for cid, ci in enumerate(cents)
+    ]
 
 
 def kmeans_refine(
@@ -169,13 +192,16 @@ def kmeans_refine(
     ``dist DIV 1e6`` per vector — to stay inside int64 at any corpus
     size)."""
     vectors = quantize_vectors(df, vec_col, id_col).localCheckpoint()
-    centroids = kmeans_init(vectors, k).localCheckpoint()
+    cents = _init_rows(vectors, k)
     for _ in range(n_iter):
-        assigned = _assign(vectors, centroids)
-        centroids = _update(assigned, centroids).localCheckpoint()
-    final = _assign(vectors, centroids)
+        cents = _update_rows(_assign_rows(vectors, cents), cents)
+    final = _assign_rows(vectors, cents)
     profile = final.groupBy("cid").agg(
         F.count(F.lit(1)).alias("n_members"),
         F.sum(F.expr(f"dist DIV {SCALE}")).alias("inertia_micro"),
+    )
+    centroids = df.sparkSession.createDataFrame(
+        [(cid, ci) for cid, ci in enumerate(cents)],
+        schema="cid INT, ci ARRAY<BIGINT>",
     )
     return centroids, profile
