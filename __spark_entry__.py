@@ -4220,30 +4220,34 @@ def q_ingest_report(spark, sf):
         os.path.join(work, "stage"),
         "tpch_part",
         dim=8,
+        count_records=False,
     )
-    # The three stat actions below (report pass 1, report pass 2, the
-    # price aggregate) all read the 17-column product cache that
-    # ingest_products materialized at its n_records count (guide §5:
-    # reuse > recompute; nothing survives the call, so every invocation
-    # still computes from the parquet-derived JSONL fixture). This
-    # caller owns the frame and unpersists it when done.
+    # r16: the whole analysis side is TWO jobs over the product cache —
+    # report pass 1 (which materializes the persist, counts every row
+    # as `total_records` == the former separate n_records count, and
+    # carries the three price-cents aggregates via extra_aggs) and
+    # report pass 2. The former shape paid two more jobs for the same
+    # numbers: ingest's count(), then a dedicated price aggregate
+    # (guide §1.2: same scan, same expressions, fewer scheduler
+    # round-trips). This caller owns the frame and unpersists it.
+    cents_sql = "CAST(ROUND(price * 100) AS BIGINT)"
     try:
         rep2 = dataset_report(
             products,
             numeric_cols=["rating_number"],
             cat_cols=["rating_tier", "review_volume", "main_category"],
             text_cols=["title"],
+            extra_aggs={
+                "cents_sum": f"sum({cents_sql})",
+                "cents_min": f"min({cents_sql})",
+                "cents_max": f"max({cents_sql})",
+            },
         )
-        cents = F.expr("CAST(ROUND(price * 100) AS BIGINT)")
-        pc = products.agg(
-            F.sum(cents).alias("s"),
-            F.min(cents).alias("mn"),
-            F.max(cents).alias("mx"),
-        ).collect()[0]
     finally:
         products.unpersist()
+    pc = rep2["extra"]
     rows: list = [
-        ("counters", "n_records", rep["n_records"], None),
+        ("counters", "n_records", rep2["total_records"], None),
         ("counters", "n_corrupt", rep["n_corrupt"], None),
         ("counters", "n_unparsed_price", rep["n_unparsed_price"], None),
     ]
@@ -4271,9 +4275,9 @@ def q_ingest_report(spark, sf):
         ("text_len", "title_avg", None, float(tl["avg"])),
     ]
     rows += [
-        ("price_cents", "sum", int(pc["s"]), None),
-        ("price_cents", "min", int(pc["mn"]), None),
-        ("price_cents", "max", int(pc["mx"]), None),
+        ("price_cents", "sum", int(pc["cents_sum"]), None),
+        ("price_cents", "min", int(pc["cents_min"]), None),
+        ("price_cents", "max", int(pc["cents_max"]), None),
     ]
     return spark.createDataFrame(
         rows, "section string, k string, cnt bigint, v double"
@@ -4293,20 +4297,29 @@ def q_bpe_segment_tokens(spark, sf):
     from external_benchmarks_spark.operators.bpe import (
         bpe_segment_distinct,
         bpe_train,
+        word_positions,
     )
 
     docs = Catalog(spark, sf).documents.withColumn(
         "text", F.coalesce(F.col("text"), F.lit(""))
     )
+    # r16: ONE corpus tokenize for the whole train+segment arc — the
+    # lazily checkpointed word_positions feeds the trainer (as the
+    # derived (word, cnt) table — identical multiset, so identical
+    # merges) and both segmentation consumers. The former shape
+    # tokenized the corpus twice (train's word_frequencies + the
+    # segmenter's own wpos). Guide §1.2.
+    wpos = word_positions(docs).localCheckpoint(eager=False)
+    wf = wpos.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
     merges = [
         (m["lhs"], m["rhs"])
-        for m in bpe_train(docs, n_merges=BPE_MERGES).collect()
+        for m in bpe_train(docs, n_merges=BPE_MERGES, word_freqs=wf).collect()
     ]
     # r15: the distinct-word device (the shape wordpiece_segment and
     # unigram_segment already ship) — the 8-level merge chain runs once
     # per DISTINCT word, pieces join back in word order; token output
     # identical (tested equal to bpe_segment), oracle hash unchanged.
-    seg = bpe_segment_distinct(docs, merges)
+    seg = bpe_segment_distinct(docs, merges, wpos=wpos)
     return seg.select(
         "doc_id",
         F.size("bpe_tokens").cast("bigint").alias("n_bpe_tokens"),
@@ -4335,16 +4348,23 @@ def q_unigram_segment_tokens(spark, sf):
     # pieces joined back in word order) and reduce each doc to
     # (piece count, md5 of the '|'-joined piece stream) — any
     # divergence in ANY piece of ANY document flips the hash.
+    from external_benchmarks_spark.operators.bpe import word_positions
     from external_benchmarks_spark.operators.unigram import (
         unigram_segment,
         unigram_train,
     )
 
     docs = Catalog(spark, sf).documents
+    # r16: one corpus tokenize for train + segment (the bpe_segment
+    # shape): the checkpointed word_positions derives the trainer's
+    # (word, cnt) table and feeds both segmentation consumers.
+    wpos = word_positions(docs).localCheckpoint(eager=False)
+    wf = wpos.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
     costs = {
-        r["piece"]: int(r["cost_q16"]) for r in unigram_train(docs).collect()
+        r["piece"]: int(r["cost_q16"])
+        for r in unigram_train(docs, word_freqs=wf).collect()
     }
-    seg = unigram_segment(docs, costs)
+    seg = unigram_segment(docs, costs, wpos=wpos)
     return seg.select(
         "doc_id",
         F.size("unigram_tokens").cast("bigint").alias("n_unigram_tokens"),
@@ -4360,6 +4380,7 @@ def q_unigram_doc_ppl(spark, sf):
     # DISTINCT word) -> per-doc piece counts and q16 fixed-point total/
     # average cost (integer div, UNK pieces at the training UNK_COST).
     # No floats anywhere, so the scores replay exactly in SQL.
+    from external_benchmarks_spark.operators.bpe import word_positions
     from external_benchmarks_spark.operators.unigram import (
         UNK_COST,
         unigram_segment,
@@ -4367,10 +4388,15 @@ def q_unigram_doc_ppl(spark, sf):
     )
 
     docs = Catalog(spark, sf).documents
+    # r16: one corpus tokenize for train + segment (the shared
+    # word_positions device — see q_unigram_segment_tokens).
+    wpos = word_positions(docs).localCheckpoint(eager=False)
+    wf = wpos.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
     costs = {
-        r["piece"]: int(r["cost_q16"]) for r in unigram_train(docs).collect()
+        r["piece"]: int(r["cost_q16"])
+        for r in unigram_train(docs, word_freqs=wf).collect()
     }
-    seg = unigram_segment(docs, costs)
+    seg = unigram_segment(docs, costs, wpos=wpos)
     cost_df = spark.createDataFrame(
         list(costs.items()), "piece string, c long"
     )
@@ -4718,6 +4744,7 @@ def q_wordpiece_segment_tokens(spark, sf):
     # once per DISTINCT word; the oracle replays it lambda-free — a
     # static (word, pos, len) grid joined against the vocab CTE for
     # best-match lengths, then a recursive chain-following CTE.
+    from external_benchmarks_spark.operators.bpe import word_positions
     from external_benchmarks_spark.operators.wordpiece import (
         wordpiece_segment,
         wordpiece_train,
@@ -4725,9 +4752,19 @@ def q_wordpiece_segment_tokens(spark, sf):
     )
 
     docs = Catalog(spark, sf).documents
-    merges = wordpiece_train(docs, n_merges=WP_MERGES)
-    vocab = wordpiece_vocab(docs, merges)
-    seg = wordpiece_segment(docs, vocab)
+    # r16: one corpus tokenize for the whole train+vocab+segment arc —
+    # the former shape paid THREE (train's word_frequencies, the
+    # alphabet's word_frequencies, the segmenter's wpos). The
+    # checkpointed word_positions derives the trainer's (word, cnt)
+    # table, the alphabet reads its distinct words, and both
+    # segmentation consumers share it. Guide §1.2.
+    wpos = word_positions(docs).localCheckpoint(eager=False)
+    wf = wpos.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    merges = wordpiece_train(docs, n_merges=WP_MERGES, word_freqs=wf)
+    vocab = wordpiece_vocab(
+        docs, merges, words=wpos.select("word").distinct()
+    )
+    seg = wordpiece_segment(docs, vocab, wpos=wpos)
     return seg.select(
         "doc_id",
         F.size("wp_tokens").cast("bigint").alias("n_wp_tokens"),

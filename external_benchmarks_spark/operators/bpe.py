@@ -65,6 +65,24 @@ def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def word_positions(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, pos, word): the corpus tokenize every segmentation arc
+    shares — identical token rule to :func:`word_frequencies` (null
+    text contributes nothing either way), with word positions kept for
+    the join-back side. A train+segment composition can run THIS once
+    (lazily localCheckpointed), derive word frequencies from it
+    (``groupBy(word).count`` — the same multiset), and feed both the
+    trainer and the segmenter: one corpus tokenize for the whole arc
+    (guide §1.2; r16)."""
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda t: (F.length(t) > 0) & t.rlike("^[a-z0-9]+$"),
+    )
+    return df.select(F.col(id_col), F.posexplode(toks).alias("pos", "word"))
+
+
 def _char_spaced(col):
     """'hello' -> ' h e l l o ' (space-delimited symbols, sentinel
     spaces at both ends so the format is uniform across merge steps)."""
@@ -156,6 +174,7 @@ def bpe_train(
     n_merges: int = 10,
     text_col: str = "text",
     local_word_limit: int = BPE_LOCAL_WORD_LIMIT,
+    word_freqs: DataFrame | None = None,
 ) -> DataFrame:
     """Learn ``n_merges`` BPE merge rules; returns a DataFrame
     (step, lhs, rhs, merged, pair_count) with step 1..n_merges in learn
@@ -168,6 +187,12 @@ def bpe_train(
     a pair-count groupBy plus a 1-row collect, with lineage growing by
     one ``aggregate`` per step; for very large n_merges, checkpoint
     the word table periodically.
+
+    ``word_freqs`` (r16): a caller that already holds the (word, cnt)
+    table — e.g. derived from a checkpointed :func:`word_positions`
+    tokenize shared with the segmenter — passes it here and the
+    trainer skips its own corpus pass. Results are identical: training
+    is a pure function of the word-frequency multiset.
     """
     spark: SparkSession = docs.sparkSession
     # Cache the word table BEFORE the fast-path probe: the probe's
@@ -176,7 +201,10 @@ def bpe_train(
     # case) the distributed loop below must reuse that aggregation —
     # without the cache the corpus would be scanned twice, violating
     # the "corpus is touched exactly once" contract where it matters.
-    wf = word_frequencies(docs, text_col).cache()
+    wf = (
+        word_freqs if word_freqs is not None
+        else word_frequencies(docs, text_col)
+    ).cache()
     schema = "step bigint, lhs string, rhs string, merged string, pair_count bigint"
 
     merges: list[tuple[int, str, str, str, int]] = []
@@ -252,6 +280,7 @@ def bpe_segment_distinct(
     id_col: str = "doc_id",
     text_col: str = "text",
     out_col: str = "bpe_tokens",
+    wpos: DataFrame | None = None,
 ) -> DataFrame:
     """``bpe_segment`` through the distinct-word device (r15; the shape
     ``unigram_segment`` already uses): the k-level merge chain — the
@@ -262,19 +291,21 @@ def bpe_segment_distinct(
     to ``bpe_segment``); the trade is two token-shuffles for a
     duplication-factor reduction in merge-chain CPU — the win grows
     with corpus size since vocabulary grows sublinearly. Returns
-    (id_col, out_col) only."""
-    toks = F.filter(
-        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
-        lambda t: (F.length(t) > 0) & t.rlike("^[a-z0-9]+$"),
-    )
+    (id_col, out_col) only.
+
+    ``wpos`` (r16): a caller that already materialized the
+    :func:`word_positions` tokenize (e.g. shared with the trainer)
+    passes it here; it must be checkpointed/cached so both consumers
+    below read one pass."""
     # wpos feeds both the distinct-word side and the join-back side;
     # their projections differ, so the two subtrees never canonicalize
     # equal and the corpus would tokenize twice. Lazy localCheckpoint =
     # one tokenize pass, both consumers read the materialized word
     # positions (the span_dedup trade, r15).
-    wpos = df.select(
-        F.col(id_col), F.posexplode(toks).alias("pos", "word")
-    ).localCheckpoint(eager=False)
+    if wpos is None:
+        wpos = word_positions(df, id_col, text_col).localCheckpoint(
+            eager=False
+        )
     col = _char_spaced(F.col("word"))
     for a, b in merges:
         col = _apply_merge(col, a, b)

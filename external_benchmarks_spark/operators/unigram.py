@@ -50,7 +50,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from external_benchmarks_spark.operators.bpe import word_frequencies
+from external_benchmarks_spark.operators.bpe import (
+    word_frequencies,
+    word_positions,
+)
 
 MAX_PIECE = 4
 UNK_COST = 1 << 40
@@ -224,6 +227,7 @@ def unigram_train(
     seed_multi: int = SEED_MULTI,
     keep_schedule: tuple[int, ...] = KEEP_SCHEDULE,
     local_word_limit: int = UNIGRAM_LOCAL_WORD_LIMIT,
+    word_freqs: DataFrame | None = None,
 ) -> DataFrame:
     """Train a unigram-LM piece vocabulary; returns (piece, freq,
     cost_q16) — freq is the smoothed final usage (usage + 1; raw
@@ -235,9 +239,15 @@ def unigram_train(
     The corpus is touched once (word_frequencies, cached across the
     fast-path probe exactly like bpe_train); every other distributed
     job runs over the word table; all collects are vocabulary- or
-    alphabet-bounded by contract."""
+    alphabet-bounded by contract. ``word_freqs`` (r16): caller-supplied
+    (word, cnt) table — e.g. derived from a shared checkpointed
+    ``word_positions`` tokenize — replaces the trainer's own corpus
+    pass; training is a pure function of that multiset."""
     spark: SparkSession = docs.sparkSession
-    wf = word_frequencies(docs, text_col).cache()
+    wf = (
+        word_freqs if word_freqs is not None
+        else word_frequencies(docs, text_col)
+    ).cache()
     try:
         if local_word_limit > 0:
             probe = wf.limit(local_word_limit + 1).collect()
@@ -295,20 +305,20 @@ def unigram_segment(
     id_col: str = "doc_id",
     text_col: str = "text",
     out_col: str = "unigram_tokens",
+    wpos: DataFrame | None = None,
 ) -> DataFrame:
     """Segment each document with a trained vocabulary (piece -> cost
     map, e.g. ``{r.piece: r.cost_q16 for r in unigram_train(...)}``).
     The DP runs once per DISTINCT word; pieces join back to documents
-    and reassemble in word order — (id_col, out_col)."""
-    toks = F.filter(
-        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
-        lambda t: (F.length(t) > 0) & t.rlike("^[a-z0-9]+$"),
-    )
+    and reassemble in word order — (id_col, out_col). ``wpos`` (r16):
+    a caller that already materialized the shared ``word_positions``
+    tokenize passes it here (must be checkpointed/cached)."""
     # one tokenize pass for both consumers (distinct side + join-back
     # side) — the bpe_segment_distinct/span_dedup trade (r15)
-    wpos = df.select(
-        F.col(id_col), F.posexplode(toks).alias("pos", "word")
-    ).localCheckpoint(eager=False)
+    if wpos is None:
+        wpos = word_positions(df, id_col, text_col).localCheckpoint(
+            eager=False
+        )
     distinct_words = wpos.select("word").distinct().withColumn("cnt", F.lit(1))
     wseg = _segment_words(distinct_words, costs).select("word", "pieces")
     agg = (

@@ -57,6 +57,7 @@ from external_benchmarks_spark.operators.bpe import (
     _apply_merge,
     _merge_word,
     word_frequencies,
+    word_positions,
 )
 
 WP_LOCAL_WORD_LIMIT = 100_000
@@ -130,13 +131,21 @@ def wordpiece_train(
     n_merges: int = 10,
     text_col: str = "text",
     local_word_limit: int = WP_LOCAL_WORD_LIMIT,
+    word_freqs: DataFrame | None = None,
 ) -> DataFrame:
     """Learn ``n_merges`` WordPiece merge rules; returns (step, lhs,
     rhs, merged, pair_count, score_q36) in learn order. The corpus is
     touched once; each round is two word-table groupBys + a 1-row
-    collect (see module docstring for the scale contract)."""
+    collect (see module docstring for the scale contract).
+    ``word_freqs`` (r16): caller-supplied (word, cnt) table — e.g.
+    derived from a shared checkpointed ``word_positions`` tokenize —
+    replaces the trainer's own corpus pass; training is a pure
+    function of that multiset."""
     spark: SparkSession = docs.sparkSession
-    wf = word_frequencies(docs, text_col).cache()
+    wf = (
+        word_freqs if word_freqs is not None
+        else word_frequencies(docs, text_col)
+    ).cache()
     merges: list[tuple[int, str, str, str, int, int]] = []
     try:
         if local_word_limit > 0:
@@ -196,12 +205,16 @@ def wordpiece_train(
     return spark.createDataFrame(merges, _MERGES_SCHEMA).orderBy("step")
 
 
-def alphabet_pieces(docs: DataFrame, text_col: str = "text") -> list[str]:
-    """The base vocabulary: every positional char symbol of the corpus
-    ('x' word-initial, '##x' continuation). Alphabet-bounded collect
-    (<= 72 symbols for [a-z0-9])."""
-    wf = word_frequencies(docs, text_col)
-    rows = wf.select(
+def alphabet_from_words(words: DataFrame) -> list[str]:
+    """The base vocabulary off an existing (word, ...) frame: every
+    positional char symbol ('x' word-initial, '##x' continuation).
+    Alphabet-bounded collect (<= 72 symbols for [a-z0-9]). The
+    positional-char set of the word multiset only depends on the
+    DISTINCT words, so any frame with the corpus word set works — a
+    caller sharing one checkpointed ``word_positions`` tokenize passes
+    its distinct words here instead of paying a fresh corpus pass
+    (r16)."""
+    rows = words.select(
         F.explode(
             F.expr(
                 "transform(sequence(1, length(word)), "
@@ -211,6 +224,11 @@ def alphabet_pieces(docs: DataFrame, text_col: str = "text") -> list[str]:
         ).alias("piece")
     ).distinct().collect()
     return sorted(r["piece"] for r in rows)
+
+
+def alphabet_pieces(docs: DataFrame, text_col: str = "text") -> list[str]:
+    """:func:`alphabet_from_words` over the corpus word table."""
+    return alphabet_from_words(word_frequencies(docs, text_col))
 
 
 def greedy_word(w: str, vocab: set[str], max_len: int) -> list[str]:
@@ -262,12 +280,23 @@ def _greedy_toks_expr(word_col: str, vm_col: str, max_len: int) -> str:
 
 
 def wordpiece_vocab(
-    docs: DataFrame, merges_df: DataFrame, text_col: str = "text"
+    docs: DataFrame,
+    merges_df: DataFrame,
+    text_col: str = "text",
+    words: DataFrame | None = None,
 ) -> list[str]:
     """Full segmentation vocabulary: positional alphabet + every merge
-    output. Both parts bounded (alphabet + n_merges rows)."""
+    output. Both parts bounded (alphabet + n_merges rows). ``words``
+    (r16): a caller holding the corpus word set (e.g. the distinct
+    words of a shared checkpointed tokenize) passes it here and the
+    alphabet job reads that instead of re-scanning the corpus."""
     merged = [r["merged"] for r in merges_df.select("merged").collect()]
-    return sorted(set(alphabet_pieces(docs, text_col)) | set(merged))
+    alphabet = (
+        alphabet_from_words(words)
+        if words is not None
+        else alphabet_pieces(docs, text_col)
+    )
+    return sorted(set(alphabet) | set(merged))
 
 
 def wordpiece_segment(
@@ -276,11 +305,14 @@ def wordpiece_segment(
     id_col: str = "doc_id",
     text_col: str = "text",
     out_col: str = "wp_tokens",
+    wpos: DataFrame | None = None,
 ) -> DataFrame:
     """Greedy longest-match segmentation of each document under a
     trained vocabulary. The chain DP runs once per DISTINCT word;
     pieces join back to documents in word order — (id_col, out_col).
-    Wordless documents keep a row with the empty list."""
+    Wordless documents keep a row with the empty list. ``wpos`` (r16):
+    a caller that already materialized the shared ``word_positions``
+    tokenize passes it here (must be checkpointed/cached)."""
     vocab_set = sorted(set(vocab))
     max_len = max((len(_strip_cont(p)) for p in vocab_set), default=1)
     # map_from_arrays over two list literals: 3 py4j calls where
@@ -293,15 +325,12 @@ def wordpiece_segment(
         if vocab_set
         else F.create_map().cast("map<string,int>")
     )
-    toks = F.filter(
-        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
-        lambda t: (F.length(t) > 0) & t.rlike("^[a-z0-9]+$"),
-    )
     # one tokenize pass for both consumers (distinct side + join-back
     # side) — the bpe_segment_distinct/span_dedup trade (r15)
-    wpos = df.select(
-        F.col(id_col), F.posexplode(toks).alias("pos", "word")
-    ).localCheckpoint(eager=False)
+    if wpos is None:
+        wpos = word_positions(df, id_col, text_col).localCheckpoint(
+            eager=False
+        )
     distinct_words = wpos.select("word").distinct()
     wseg = distinct_words.withColumn("_vm", vm).select(
         "word",

@@ -112,6 +112,7 @@ def ingest_products(
     out_path: str | None = None,
     dim: int = 16,
     ckpt_dir: str | None = None,
+    count_records: bool = True,
 ) -> tuple[DataFrame, dict]:
     """The full arc. Returns (products_df, report) where report carries
     ``staged_path``, ``n_records``, ``n_corrupt`` (quarantined raw
@@ -182,9 +183,14 @@ def ingest_products(
         # with the frame should unpersist it; the out_path branch needs
         # nothing — the parquet written table IS its materialization.
         products = products.persist()
+    # count_records=False skips the count JOB for callers whose next
+    # action already counts every row (q_ingest_report's stats pass 1
+    # returns the identical count(1) as `total_records`): the persist
+    # then materializes under THAT action instead — one scheduler job
+    # fewer, same cache, same numbers (guide §1.2).
     report = {
         "staged_path": staged,
-        "n_records": products.count(),
+        "n_records": products.count() if count_records else None,
         "n_corrupt": n_corrupt,
         "n_unparsed_price": n_unparsed_price,
     }

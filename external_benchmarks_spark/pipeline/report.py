@@ -47,6 +47,7 @@ def dataset_report(
     path: str | None = None,
     hist_bins: int = 25,
     corr_cols: list[str] | None = None,
+    extra_aggs: dict[str, str] | None = None,
 ) -> dict:
     """Full stats dict mirroring the reference's fast path
     (duckdb_fast_stats, :119-219) + embedding geometry (:243-274).
@@ -127,10 +128,22 @@ def dataset_report(
             aggs.append(
                 f"round(corr(`{a}`, `{b}`), 6) AS `__corr__{i}_{j}`"
             )
+    # Caller-supplied single-row aggregates ride the SAME pass-1 scan
+    # (guide §1.2: a caller that needs one more aggregate over this
+    # frame should not pay a separate job for it). Values come back
+    # raw under report["extra"].
+    extra_aggs = dict(extra_aggs or {})
+    for i, (_name, expr) in enumerate(extra_aggs.items()):
+        aggs.append(f"{expr} AS `__extra__{i}`")
     one = df.selectExpr(*aggs).collect()[0]
 
     total = one["__total"]
     report = {"total_records": total, **report}
+    if extra_aggs:
+        report["extra"] = {
+            name: one[f"__extra__{i}"]
+            for i, name in enumerate(extra_aggs)
+        }
     report["null_counts"] = {
         c: one[f"__null__{i}"] for i, c in enumerate(df.columns)
     }

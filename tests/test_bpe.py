@@ -164,3 +164,90 @@ def test_bpe_distributed_path_reuses_word_table_cache(spark):
         assert "InMemoryTableScan" in plan, plan[:800]
     finally:
         wf.unpersist()
+
+
+def test_shared_tokenize_arc_matches_default_paths(spark):
+    """r16: the one-corpus-tokenize composition — word_freqs derived
+    from a checkpointed word_positions fed into the trainer, the same
+    wpos fed into the segmenter — produces byte-identical merges and
+    token streams to the default (re-tokenizing) paths, for all three
+    tokenizer families."""
+    from external_benchmarks_spark.operators.bpe import (
+        bpe_segment_distinct,
+        bpe_train,
+        word_positions,
+    )
+    from external_benchmarks_spark.operators.unigram import (
+        unigram_segment,
+        unigram_train,
+    )
+    from external_benchmarks_spark.operators.wordpiece import (
+        wordpiece_segment,
+        wordpiece_train,
+        wordpiece_vocab,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "low lower newest newest widest"),
+            (2, "the quick brown fox the lazy dog"),
+            (3, None),
+            (4, "aaa bb aaa unseen99 bb"),
+        ],
+        "doc_id bigint, text string",
+    )
+    wpos = word_positions(docs).localCheckpoint(eager=False)
+    wf = wpos.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+
+    m_a = bpe_train(docs, n_merges=4).collect()
+    m_b = bpe_train(docs, n_merges=4, word_freqs=wf).collect()
+    assert [tuple(r) for r in m_a] == [tuple(r) for r in m_b]
+    merges = [(m["lhs"], m["rhs"]) for m in m_b]
+    seg_a = sorted(
+        (r["doc_id"], tuple(r["bpe_tokens"]))
+        for r in bpe_segment_distinct(docs, merges).collect()
+    )
+    seg_b = sorted(
+        (r["doc_id"], tuple(r["bpe_tokens"]))
+        for r in bpe_segment_distinct(docs, merges, wpos=wpos).collect()
+    )
+    assert seg_a == seg_b
+
+    wm_a = wordpiece_train(docs, n_merges=4).collect()
+    wm_b = wordpiece_train(docs, n_merges=4, word_freqs=wf).collect()
+    assert [tuple(r) for r in wm_a] == [tuple(r) for r in wm_b]
+    v_a = wordpiece_vocab(docs, wordpiece_train(docs, n_merges=4))
+    v_b = wordpiece_vocab(
+        docs,
+        wordpiece_train(docs, n_merges=4, word_freqs=wf),
+        words=wpos.select("word").distinct(),
+    )
+    assert v_a == v_b
+    ws_a = sorted(
+        (r["doc_id"], tuple(r["wp_tokens"]))
+        for r in wordpiece_segment(docs, v_a).collect()
+    )
+    ws_b = sorted(
+        (r["doc_id"], tuple(r["wp_tokens"]))
+        for r in wordpiece_segment(docs, v_b, wpos=wpos).collect()
+    )
+    assert ws_a == ws_b
+
+    c_a = {
+        r["piece"]: int(r["cost_q16"])
+        for r in unigram_train(docs).collect()
+    }
+    c_b = {
+        r["piece"]: int(r["cost_q16"])
+        for r in unigram_train(docs, word_freqs=wf).collect()
+    }
+    assert c_a == c_b
+    us_a = sorted(
+        (r["doc_id"], tuple(r["unigram_tokens"]))
+        for r in unigram_segment(docs, c_a).collect()
+    )
+    us_b = sorted(
+        (r["doc_id"], tuple(r["unigram_tokens"]))
+        for r in unigram_segment(docs, c_b, wpos=wpos).collect()
+    )
+    assert us_a == us_b
